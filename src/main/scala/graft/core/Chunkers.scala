@@ -1,0 +1,381 @@
+package graft.core
+
+/** Pure-JVM content-defined chunking (CDC) cores — zero Spark dependencies.
+  *
+  * Re-derives the *semantics* (cut rules, constants, state machines) of the four
+  * chunkers in the reference repo `letit6E/cdc-algorithms`; the implementation is
+  * new Scala written for JIT-friendly single-pass scans over `Array[Byte]`.
+  *
+  * Boundary convention: [[Chunker.boundaries]] returns the EXCLUSIVE end offset of
+  * every chunk over the input, strictly increasing, final element == `data.length`
+  * (the trailing remainder is always emitted as a — possibly short — final chunk,
+  * matching the reference's streaming protocol where EOF flushes the tail:
+  * reference `src/chunking/chunker.rs:3-7` Working/Finished pull protocol).
+  *
+  * Algorithms and their reference counterparts:
+  *  - [[FixedChunker]]   — `src/chunking/fixed.rs:5-53`
+  *  - [[AeChunker]]      — `src/chunking/ae.rs:96-149` (streaming), `ae.rs:31-53` (batch)
+  *  - [[FastCdcChunker]] — `src/chunking/fastcdc.rs:50-134`, gear table `fastcdc.rs:9-21`,
+  *                         masks `fastcdc.rs:23-48`
+  *  - [[RabinChunker]]   — `src/chunking/rabin.rs:131-216` (streaming), `rabin.rs:61-90`
+  *                         (batch), parameter block `rabin.rs:11-33`
+  */
+sealed trait Chunker extends Serializable {
+
+  /** Exclusive end offsets of each chunk; empty input => empty result. */
+  def boundaries(data: Array[Byte]): Array[Int]
+
+  /** (offset, length) pairs derived from [[boundaries]]. */
+  final def chunks(data: Array[Byte]): Array[(Int, Int)] = {
+    val bs = boundaries(data)
+    val out = new Array[(Int, Int)](bs.length)
+    var last = 0
+    var i = 0
+    while (i < bs.length) {
+      out(i) = (last, bs(i) - last)
+      last = bs(i)
+      i += 1
+    }
+    out
+  }
+}
+
+object Chunker {
+
+  /** Named algorithm registry used by the Spark layer ("fixed"|"ae"|"fastcdc"|"rabin"). */
+  def apply(algo: String, expectedSize: Int, seed: Long = 0L): Chunker = algo match {
+    case "fixed"   => FixedChunker(expectedSize)
+    case "ae"      => AeChunker(expectedSize)
+    case "fastcdc" => FastCdcChunker(expectedSize, seed)
+    case "rabin"   => RabinChunker(expectedSize, seed.toInt)
+    case other     => throw new IllegalArgumentException(s"unknown chunker algo: $other")
+  }
+}
+
+/** Fixed-size splitting every `chunkSize` bytes; the content-insensitive baseline.
+  * Reference: `src/chunking/fixed.rs:20-52` (byte-counter with remainder tail).
+  */
+final case class FixedChunker(chunkSize: Int) extends Chunker {
+  require(chunkSize > 0, "chunkSize must be positive")
+
+  override def boundaries(data: Array[Byte]): Array[Int] = {
+    val n = data.length
+    if (n == 0) return Array.emptyIntArray
+    val full = (n + chunkSize - 1) / chunkSize
+    val out = new Array[Int](full)
+    var i = 0
+    while (i < full) {
+      val end = (i + 1).toLong * chunkSize
+      out(i) = if (end > n) n else end.toInt
+      i += 1
+    }
+    out
+  }
+}
+
+/** AE — Asymmetric Extremum CDC ("AE: An Asymmetric Extremum Content Defined
+  * Chunking Algorithm for Fast and Bandwidth-Efficient Data Deduplication").
+  *
+  * Cut rule: scanning left to right within the current chunk, track the maximum
+  * byte value and its position; when the scan reaches `window` bytes past the
+  * current maximum without a new maximum appearing, cut AFTER the current byte.
+  * Reference: streaming `src/chunking/ae.rs:112-141`; window constant
+  * `ae.rs:26` (`expected_size - 256` — the repo's variant; the paper formula
+  * `expected/(e-1)` is commented out at `ae.rs:27` and available here via
+  * [[AeChunker.paper]]).
+  */
+final case class AeChunker(window: Int) extends Chunker {
+  require(window > 0, "window must be positive")
+
+  override def boundaries(data: Array[Byte]): Array[Int] = {
+    val n = data.length
+    if (n == 0) return Array.emptyIntArray
+    val out = new IntVec
+    // Chunk-local state (reset after every cut) — mirrors ae.rs:101-103.
+    var maxVal = 0
+    var maxPos = 0
+    var pos = 0
+    var i = 0
+    while (i < n) {
+      val v = data(i) & 0xff
+      if (v > maxVal) {
+        maxVal = v
+        maxPos = pos
+      } else if (pos == maxPos + window) {
+        out += i + 1
+        maxVal = 0
+        maxPos = 0
+        pos = -1 // incremented to 0 below: next byte starts the next chunk
+      }
+      pos += 1
+      i += 1
+    }
+    if (out.isEmpty || out.last != n) out += n
+    out.toArray
+  }
+
+  /** Batch boundary scan over `[left, right)` with `window` lookback before `left`,
+    * for split-invariant parallel chunking. Returns INCLUSIVE cut indices
+    * (chunk = bytes `(prev, idx]`), appending `n-1` when `right == n`.
+    * Reference: `src/chunking/ae.rs:31-53` (lookback `ae.rs:33`, forced tail
+    * `ae.rs:49-51`). Note the deliberate semantic quirks replicated from the
+    * reference batch variant: the extremum is seeded from the byte at the scan
+    * start (not a zero sentinel), and after a cut at `i` the extremum re-seeds
+    * from `i+1` directly.
+    */
+  def boundsInRange(data: Array[Byte], left: Int, right: Int): Array[Int] = {
+    val out = new IntVec
+    val start = math.max(0, left - window)
+    if (start >= right) {
+      if (right == data.length && data.length > 0) out += data.length - 1
+      return out.toArray
+    }
+    var maxVal = data(start) & 0xff
+    var maxPos = start
+    var i = start
+    while (i < right) {
+      val v = data(i) & 0xff
+      if (v > maxVal) {
+        maxVal = v
+        maxPos = i
+      } else if (i == maxPos + window) {
+        out += i
+        if (i + 1 != right) {
+          maxVal = data(i + 1) & 0xff
+          maxPos = i + 1
+        }
+      }
+      i += 1
+    }
+    if (right == data.length) out += data.length - 1
+    out.toArray
+  }
+}
+
+object AeChunker {
+
+  /** Repo-variant window: `expected - 256` (reference `ae.rs:26`). */
+  def apply(expectedSize: Int): AeChunker = {
+    require(expectedSize > 256, s"AE repo-variant needs expectedSize > 256, got $expectedSize")
+    new AeChunker(expectedSize - 256)
+  }
+
+  /** Paper-variant window: `round(expected / (e - 1))` (reference `ae.rs:27`, commented out). */
+  def paper(expectedSize: Int): AeChunker =
+    new AeChunker(math.round(expectedSize / (math.E - 1)).toInt)
+}
+
+/** FastCDC — gear-hash CDC with normalized chunking ("FastCDC: a Fast and
+  * Efficient Content-Defined Chunking Approach for Data Deduplication").
+  *
+  * Per byte (only once `minSize` bytes are in the chunk — cut-point skipping):
+  * `hash = (hash << 1) + gear(b)`; cut when
+  *   - before `expectedSize`: `(hash & shortMask) == 0` (strict mask), or
+  *   - at/after `expectedSize`: `(hash & longMask) == 0` (loose mask), or
+  *   - the chunk reached `maxSize`.
+  * Reference: `src/chunking/fastcdc.rs:98-105`; min/max = expected/4 and
+  * expected*8 (`fastcdc.rs:68-69`); masks `fastcdc.rs:23-48` (hard-coded paper
+  * masks for the 13-bit/8KiB case at `fastcdc.rs:25-28`); gear table from a
+  * Knuth-MMIX LCG (`fastcdc.rs:9-21`).
+  */
+final case class FastCdcChunker(expectedSize: Int, seed: Long) extends Chunker {
+  require(expectedSize >= 4, "expectedSize must be >= 4")
+
+  val minSize: Int = expectedSize / 4
+  val maxSize: Int = expectedSize * 8
+  private val gear: Array[Long] = FastCdcChunker.gearTable(seed)
+  val (shortMask: Long, longMask: Long) = FastCdcChunker.masks(expectedSize, 1, seed)
+
+  override def boundaries(data: Array[Byte]): Array[Int] = {
+    val n = data.length
+    if (n == 0) return Array.emptyIntArray
+    val out = new IntVec
+    var hash = 0L
+    var pos = 0 // position within the current chunk
+    var i = 0
+    while (i < n) {
+      if (pos >= minSize) {
+        hash = (hash << 1) + gear(data(i) & 0xff)
+        if ((pos < expectedSize && (hash & shortMask) == 0L) ||
+            (pos >= expectedSize && (hash & longMask) == 0L) ||
+            pos >= maxSize) {
+          out += i + 1
+          hash = 0L
+          pos = -1
+        }
+      }
+      pos += 1
+      i += 1
+    }
+    if (out.isEmpty || out.last != n) out += n
+    out.toArray
+  }
+}
+
+object FastCdcChunker {
+  private val LcgAlpha = 6364136223846793005L // Knuth MMIX multiplier
+  private val LcgGamma = 1442695040888963407L // Knuth MMIX increment
+
+  /** 256-entry gear table: successive states of the MMIX LCG seeded by `seed`.
+    * Reference: `src/chunking/fastcdc.rs:9-21`.
+    */
+  def gearTable(seed: Long): Array[Long] = {
+    val t = new Array[Long](256)
+    var cur = seed
+    var i = 0
+    while (i < 256) {
+      cur = cur * LcgAlpha + LcgGamma // Long arithmetic wraps like u64
+      t(i) = cur
+      i += 1
+    }
+    t
+  }
+
+  /** (shortMask, longMask) with `bits ± noice` one-bits, built by OR-1-then-rotate
+    * driven by the same LCG; the 13-bit (8 KiB) case returns the published paper
+    * masks. Reference: `src/chunking/fastcdc.rs:23-48`.
+    */
+  def masks(expectedSize: Int, noice: Int, seed: Long): (Long, Long) = {
+    val bits = java.lang.Long.bitCount(nextPowerOfTwo(expectedSize) - 1L)
+    if (bits == 13) return (0x0003590703530000L, 0x0000d90003530000L)
+    var mask = 0L
+    var cur = seed
+    while (java.lang.Long.bitCount(mask) < bits - noice) {
+      cur = cur * LcgAlpha + LcgGamma
+      mask = java.lang.Long.rotateLeft(mask | 1L, (cur & 0x3f).toInt)
+    }
+    val longMask = mask
+    while (java.lang.Long.bitCount(mask) < bits + noice) {
+      cur = cur * LcgAlpha + LcgGamma
+      mask = java.lang.Long.rotateLeft(mask | 1L, (cur & 0x3f).toInt)
+    }
+    (mask, longMask)
+  }
+
+  private[core] def nextPowerOfTwo(v: Int): Long = {
+    require(v >= 0)
+    if (v <= 1) 1L
+    else java.lang.Long.highestOneBit((v - 1).toLong) << 1
+  }
+}
+
+/** Rabin — classic rolling-fingerprint CDC over a sliding byte window in
+  * 32-bit wrapping arithmetic.
+  *
+  * Per byte: `hash = hash * alpha + b` (u32 wrap); once the window is full the
+  * byte leaving the window is removed in O(1) via `powTable(b) = b * alpha^window`;
+  * cut when the chunk has at least `minSize` bytes and
+  * `((hash ^ seed) & mask) == 0`; forced cut when the chunk reaches `maxSize`
+  * (checked before the hash update, so a forced chunk spans `maxSize + 1` bytes).
+  * Reference: streaming `src/chunking/rabin.rs:148-214`; constants window =
+  * expected/4 - 1, min = expected/4, max = expected*4, alpha = 1664525
+  * (`rabin.rs:46-49`); parameter block + mask `rabin.rs:11-33`.
+  */
+final case class RabinChunker(expectedSize: Int, seed: Int) extends Chunker {
+  require(expectedSize >= 8, "expectedSize must be >= 8")
+
+  val windowSize: Int = expectedSize / 4 - 1
+  val minSize: Int = expectedSize / 4
+  val maxSize: Int = expectedSize * 4
+  val alpha: Int = 1664525
+  val mask: Int = (FastCdcChunker.nextPowerOfTwo(expectedSize) - 1L).toInt
+  // powTable(b) = b * alpha^windowSize in wrapping Int arithmetic (rabin.rs:21-24).
+  private val powTable: Array[Int] = {
+    var a = 1
+    var e = windowSize
+    var base = alpha
+    while (e > 0) { // wrapping pow by squaring
+      if ((e & 1) == 1) a *= base
+      base *= base
+      e >>= 1
+    }
+    Array.tabulate(256)(b => b * a)
+  }
+
+  override def boundaries(data: Array[Byte]): Array[Int] = {
+    val n = data.length
+    if (n == 0) return Array.emptyIntArray
+    val out = new IntVec
+    // Ring buffer over the input indices replaces the reference's VecDeque.
+    var hash = 0
+    var pos = 0       // position within current chunk
+    var chunkStart = 0 // input index where the current chunk begins
+    var i = 0
+    while (i < n) {
+      val v = data(i) & 0xff
+      if (pos >= maxSize) {
+        out += i + 1 // forced cut includes the current byte (rabin.rs:157-174)
+        hash = 0
+        pos = 0
+        chunkStart = i + 1
+      } else {
+        hash = hash * alpha + v
+        if (pos >= windowSize) {
+          // Byte leaving the window sits at chunkStart + (pos - windowSize).
+          val leaving = data(chunkStart + pos - windowSize) & 0xff
+          hash -= powTable(leaving)
+          if (pos >= minSize && ((hash ^ seed) & mask) == 0) {
+            out += i + 1
+            hash = 0
+            pos = -1
+            chunkStart = i + 1
+          }
+        }
+        pos += 1
+      }
+      i += 1
+    }
+    if (out.isEmpty || out.last != n) out += n
+    out.toArray
+  }
+
+  /** Batch boundary scan over `[left, right)` with window lookback; INCLUSIVE cut
+    * indices, no forced max-size cut, no tail append — replicating the reference
+    * batch variant's quirks exactly (including `lastPos = i - 1` after a cut,
+    * which restarts the window two bytes earlier than the streaming form).
+    * Reference: `src/chunking/rabin.rs:61-90`.
+    */
+  def boundsInRange(data: Array[Byte], left: Int, right: Int): Array[Int] = {
+    val out = new IntVec
+    val start = math.max(0, left - windowSize)
+    var hash = 0
+    var lastPos = start
+    // The reference re-creates its window deque after each cut; we track the
+    // index window implicitly: bytes (i - windowSize) .. i - 1 once filled.
+    var windowStart = start // index of the oldest byte currently in the window
+    var i = start
+    while (i < right) {
+      val v = data(i) & 0xff
+      hash = hash * alpha + v
+      if (i >= lastPos + windowSize) {
+        val leaving = data(windowStart) & 0xff
+        windowStart += 1
+        hash -= powTable(leaving)
+        if (i >= lastPos + minSize && ((hash ^ seed) & mask) == 0) {
+          out += i
+          lastPos = i - 1
+          hash = 0
+          // The cut byte is NOT pushed into the next window (the reference
+          // `continue`s past its push_back at rabin.rs:86-88).
+          windowStart = i + 1
+        }
+      }
+      i += 1
+    }
+    out.toArray
+  }
+}
+
+/** Minimal growable int buffer (avoids boxing in the per-byte hot path). */
+private[core] final class IntVec {
+  private var arr = new Array[Int](16)
+  private var n = 0
+  def +=(v: Int): Unit = {
+    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+    arr(n) = v
+    n += 1
+  }
+  def isEmpty: Boolean = n == 0
+  def last: Int = arr(n - 1)
+  def toArray: Array[Int] = java.util.Arrays.copyOf(arr, n)
+}
