@@ -1,13 +1,26 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.CdcQueries
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every operator module's named queries; each name has a
+  * DuckDB-runnable `oracleSql` mirror where the semantics are ANSI-SQL
+  * expressible (the driver records rows-only checks for the rest).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference experiment (chunk + dedup metrics per algorithm,
+    * `main.rs:16-24`) over the sf0.001 documents corpus.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CdcQueries.queries("cdc_dedup_metrics")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CdcQueries.queries
+
+  def oracleSql: Map[String, String] =
+    CdcQueries.oracleSql
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Driver-contract queries for the CDC surface (SURVEY.md §2.2-2.4), run over
+  * the `documents` table's text bytes. Chunk parameters are sized to the
+  * ~300-byte synthetic documents (expected 64 B chunks) — same algorithms and
+  * constants-formulas as the 16 KiB reference experiment (`main.rs:18`), just a
+  * smaller expected size.
+  *
+  * The fixed chunker emits an exact ANSI-SQL oracle (pure arithmetic). The
+  * content-defined chunkers (AE/FastCDC/Rabin) have no SQL equivalent — the
+  * driver records rows-only checks for them; their correctness gate is
+  * ChunkerSpec/ChunkingSpec against the core ground truth.
+  */
+object CdcQueries {
+
+  private val ExpectedSize = 64
+  private val Seed = 42L
+  // AE repo-variant window must be > 0 => expected > 256; with ~300-byte docs we
+  // use the paper-variant window for a meaningful cut rate (SURVEY.md C3 keeps
+  // the repo variant as default and the paper formula behind a flag — both are
+  // exercised in tests; this query uses paper sizing for non-degenerate output).
+  private val AeWindow = 37 // round(64 / (e-1)) — AeChunker.paper(64)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  private def chunkCols(df: DataFrame): DataFrame =
+    df.select(
+      col("id").as("doc_id"),
+      col("chunk_idx"),
+      col("offset").cast("long").as("offset"),
+      col("length").cast("long").as("length"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_fixed_chunks" -> ((s, dir) =>
+      chunkCols(Chunking.chunkTable(docs(s, dir), "doc_id", "text", "fixed", ExpectedSize))),
+
+    "cdc_ae_chunks" -> ((s, dir) =>
+      chunkCols(
+        Chunking.chunkTable(
+          docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text", "ae", AeWindow + 256))),
+
+    "cdc_fastcdc_chunks" -> ((s, dir) =>
+      chunkCols(Chunking.chunkTable(docs(s, dir), "doc_id", "text", "fastcdc", ExpectedSize, Seed))),
+
+    "cdc_rabin_chunks" -> ((s, dir) =>
+      chunkCols(Chunking.chunkTable(docs(s, dir), "doc_id", "text", "rabin", ExpectedSize, Seed))),
+
+    // Flagship: the reference experiment's (COEFF, AVG) metrics per algorithm
+    // (`main.rs:23`, `ae.rs:91`) over the whole corpus in one distributed pass.
+    "cdc_dedup_metrics" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val perAlgo = Seq(
+        "fixed"   -> Chunking.chunkTable(d, "doc_id", "text", "fixed", ExpectedSize),
+        "ae"      -> Chunking.chunkTable(d, "doc_id", "text", "ae", AeWindow + 256),
+        "fastcdc" -> Chunking.chunkTable(d, "doc_id", "text", "fastcdc", ExpectedSize, Seed),
+        "rabin"   -> Chunking.chunkTable(d, "doc_id", "text", "rabin", ExpectedSize, Seed)
+      ).map { case (algo, chunks) =>
+        Chunking.dedupMetrics(chunks).withColumn("algo", lit(algo))
+      }
+      perAlgo.reduce(_ unionByName _)
+        .select("algo", "unique_bytes", "total_bytes", "distinct_chunks", "chunk_count",
+          "dedup_coeff", "avg_chunk_size")
+        .orderBy("algo")
+    }),
+
+    // Strategy-A parallel chunking (overlapped segments + min-distance merge,
+    // SURVEY.md P1) as a distributed query.
+    "cdc_segmented_ae" -> ((s, dir) =>
+      chunkCols(
+        Chunking.segmentedChunkTable(
+          docs(s, dir), "doc_id", "text", "ae", AeWindow + 256, segments = 4))),
+
+    // CDC as change detection: simulate a v2 corpus (every 3rd doc edited),
+    // chunk both versions, report per-doc added/removed chunk counts.
+    "cdc_change_detection" -> ((s, dir) => {
+      val v1 = docs(s, dir).select(col("doc_id"), col("text"))
+      val v2 = v1.withColumn(
+        "text",
+        when(col("doc_id") % 3 === 0, regexp_replace(col("text"), "data", "DATA"))
+          .otherwise(col("text")))
+      val c1 = Chunking.chunkTable(v1, "doc_id", "text", "fastcdc", ExpectedSize, Seed)
+      val c2 = Chunking.chunkTable(v2, "doc_id", "text", "fastcdc", ExpectedSize, Seed)
+      Chunking.chunkDiff(c1, c2)
+        .groupBy(col("id").as("doc_id"))
+        .pivot("change", Seq("added", "removed"))
+        .count()
+        .na.fill(0L)
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // Fixed chunking is pure arithmetic — exact DuckDB mirror via generate_series.
+    "cdc_fixed_chunks" ->
+      s"""SELECT doc_id,
+         |       CAST(off // $ExpectedSize AS INT) AS chunk_idx,
+         |       off AS offset,
+         |       CAST(least($ExpectedSize, n_chars - off) AS BIGINT) AS length
+         |FROM (SELECT doc_id, n_chars, unnest(range(0, n_chars, $ExpectedSize)) AS off
+         |      FROM documents)
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+  )
+}

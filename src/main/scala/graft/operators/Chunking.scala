@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+import graft.core.{AeChunker, Chunker, RabinChunker}
+
+/** Chunk span within a payload; field names surface as the UDF's struct schema. */
+case class ChunkBound(offset: Int, length: Int)
+
+/** Spark lift of the CDC chunkers: blob/text columns → a distributed chunk
+  * table → dedup metrics, mirroring the reference pipeline
+  * `main.rs:16-24` (scan → boundary scan → hash → dedup → metrics) on
+  * DataFrame primitives.
+  *
+  * Design notes (100 TB stance):
+  *  - The boundary scan is the only non-relational step; it runs inside a UDF
+  *    that returns the (offset, length) list per blob. Everything downstream —
+  *    slicing, hashing, dedup, metrics — is built-in, codegen'd expressions
+  *    (`substring` on BinaryType, `xxhash64`, `groupBy(...).agg`), so Catalyst
+  *    handles pushdown/partial-agg and the shuffle keys are 64-bit hashes, not
+  *    chunk payloads.
+  *  - Chunk identity is `xxhash64` (deterministic) — a documented deviation
+  *    from the reference's process-seeded SipHash (`ae.rs:76-78`), required for
+  *    reproducible results (SURVEY.md §7.4).
+  *  - For blobs far larger than a task (multi-GB), [[segmentedChunkTable]]
+  *    explodes each blob into overlapped byte ranges first (strategy A of
+  *    SURVEY.md §2.3), so the per-byte scan parallelizes *within* a blob.
+  */
+object Chunking {
+
+  /** UDF: payload bytes → array<struct<offset int, length int>> via the named
+    * core chunker. Marked nonNullable+deterministic so Catalyst can prune/reuse.
+    */
+  def boundsUdf(algo: String, expectedSize: Int, seed: Long): UserDefinedFunction = {
+    val chunker = Chunker(algo, expectedSize, seed) // serializable, built once per task via closure
+    udf((payload: Array[Byte]) =>
+      if (payload == null) Array.empty[ChunkBound]
+      else chunker.chunks(payload).map { case (off, len) => ChunkBound(off, len) })
+      .asNonNullable()
+  }
+
+  /** Chunk a DataFrame with a binary (or string — encoded UTF-8) payload column
+    * into the canonical chunk table:
+    * `(id, chunk_idx int, offset int, length int, chunk binary, hash long)`.
+    */
+  def chunkTable(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      algo: String,
+      expectedSize: Int,
+      seed: Long = 0L): DataFrame = {
+    val payload: Column =
+      if (df.schema(payloadCol).dataType == org.apache.spark.sql.types.StringType)
+        encode(col(payloadCol), "UTF-8")
+      else col(payloadCol)
+    val bounds = boundsUdf(algo, expectedSize, seed)
+    df.select(col(idCol).as("id"), payload.as("payload"))
+      .select(col("id"), col("payload"), posexplode(bounds(col("payload"))).as(Seq("chunk_idx", "b")))
+      .select(
+        col("id"),
+        col("chunk_idx"),
+        col("b.offset").as("offset"),
+        col("b.length").as("length"),
+        // substring is 1-based; works natively on BinaryType (codegen'd).
+        substring(col("payload"), col("b.offset") + lit(1), col("b.length")).as("chunk"))
+      .withColumn("hash", xxhash64(col("chunk")))
+  }
+
+  /** Reference metrics A1-A4 over a chunk table, in ONE distributed pass:
+    * dedup coefficient (`unique_bytes / total_bytes`, `ae.rs:91`), average
+    * chunk size (`total_bytes / distinct_chunks`, `ae.rs:84`), exact distinct
+    * count. Two-level agg: groupBy(hash) is the scale-out HashSet (A1); the
+    * final single-row agg is tiny.
+    */
+  def dedupMetrics(chunks: DataFrame): DataFrame =
+    chunks
+      .groupBy(col("hash"))
+      .agg(first(col("length")).as("len"), count(lit(1)).as("cnt"))
+      .agg(
+        sum(col("len")).as("unique_bytes"),
+        sum(col("len") * col("cnt")).as("total_bytes"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(col("cnt")).as("chunk_count"))
+      .select(
+        col("unique_bytes"),
+        col("total_bytes"),
+        col("distinct_chunks"),
+        col("chunk_count"),
+        round(col("unique_bytes") / col("total_bytes"), 6).as("dedup_coeff"),
+        round(col("total_bytes") / col("distinct_chunks"), 2).as("avg_chunk_size"))
+
+  /** Per-id (e.g. per-document) dedup metrics — same definitions, grouped. */
+  def dedupMetricsPerId(chunks: DataFrame): DataFrame =
+    chunks
+      .groupBy(col("id"), col("hash"))
+      .agg(first(col("length")).as("len"), count(lit(1)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("len")).as("unique_bytes"),
+        sum(col("len") * col("cnt")).as("total_bytes"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(col("cnt")).as("chunk_count"))
+      .select(
+        col("id"),
+        col("unique_bytes"),
+        col("total_bytes"),
+        col("distinct_chunks"),
+        col("chunk_count"),
+        round(col("unique_bytes") / col("total_bytes"), 6).as("dedup_coeff"),
+        round(col("total_bytes") / col("distinct_chunks"), 2).as("avg_chunk_size"))
+
+  /** Scale path for huge blobs (SURVEY.md §7.4): explode each blob into
+    * `segments` byte ranges, run the batch boundary scan (with its built-in
+    * `window` lookback) per range — this is the distributable step — then merge
+    * candidate cuts per blob with the reference's min-distance filter
+    * (`ae.rs:72-74`). The merge is a narrow per-blob pass over a few hundred
+    * offsets (KBs), done in `flatMap` after a per-blob grouping; the heavy
+    * byte-scan work is spread across `segments × blobs` tasks.
+    *
+    * Supports the two algorithms the reference gives batch forms for:
+    * "ae" (`ae.rs:31-53`) and "rabin" (`rabin.rs:61-90`).
+    *
+    * Scale note: here each (blob, segment) row carries the whole payload, which
+    * is the in-row analogue of the reference cloning the input per thread
+    * (`rabin.rs:99`). On a real cluster with multi-GB objects the same two-stage
+    * shape applies, but stage 1 should read *byte ranges* straight from storage
+    * (e.g. binaryFile offsets / ranged GETs) instead of carrying blob rows.
+    */
+  def segmentedChunkTable(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      algo: String,
+      expectedSize: Int,
+      seed: Long = 0L,
+      segments: Int = 4): DataFrame = {
+    import df.sparkSession.implicits._
+    val (window, bounds): (Int, (Array[Byte], Int, Int) => Array[Int]) = algo match {
+      case "ae" =>
+        val c = AeChunker(expectedSize)
+        (c.window, c.boundsInRange)
+      case "rabin" =>
+        val c = RabinChunker(expectedSize, seed.toInt)
+        (c.windowSize, c.boundsInRange)
+      case other => throw new IllegalArgumentException(s"no batch bounds form for algo: $other")
+    }
+    val payload: Column =
+      if (df.schema(payloadCol).dataType == org.apache.spark.sql.types.StringType)
+        encode(col(payloadCol), "UTF-8")
+      else col(payloadCol)
+    val nSeg = segments
+
+    // Stage 1 (wide): per (blob, segment) candidate cut offsets.
+    val candidates = df
+      .select(col(idCol).cast("long").as("id"), payload.as("payload"))
+      .select(col("id"), col("payload"), explode(sequence(lit(0), lit(nSeg - 1))).as("seg"))
+      .as[(Long, Array[Byte], Int)]
+      .map { case (id, data, seg) =>
+        val left = (seg.toLong * data.length / nSeg).toInt
+        val right = ((seg + 1).toLong * data.length / nSeg).toInt
+        (id, seg, bounds(data, left, right))
+      }
+      .toDF("id", "seg", "cuts")
+
+    // Stage 2 (narrow): per-blob ordered merge with the min-distance filter,
+    // then chunk extraction by re-joining offsets against the payload.
+    val merged = candidates
+      .groupByKey(r => r.getLong(0))
+      .flatMapGroups { (id, rows) =>
+        val bySeg = rows.toSeq.sortBy(_.getInt(1))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Int)]
+        var last = -1L
+        var idx = 0
+        for (r <- bySeg; e <- r.getSeq[Int](2)) {
+          if (e - last >= window) {
+            out += ((id, idx, (last + 1).toInt, (e - last).toInt))
+            idx += 1
+            last = e
+          }
+        }
+        out
+      }
+      .toDF("id", "chunk_idx", "offset", "length")
+
+    merged
+      .join(df.select(col(idCol).cast("long").as("id"), payload.as("payload")), "id")
+      .select(
+        col("id"),
+        col("chunk_idx"),
+        col("offset"),
+        col("length"),
+        substring(col("payload"), col("offset") + lit(1), col("length")).as("chunk"))
+      .withColumn("hash", xxhash64(col("chunk")))
+  }
+
+  /** CDC as change detection (SURVEY.md §7.7): chunk two snapshots of a corpus
+    * and diff the chunk-hash sets per id. Emits one row per changed chunk with
+    * `change` ∈ {"added", "removed"}; unchanged chunks (same hash on both
+    * sides) are dropped. This is the streaming analogue of the reference's
+    * dedup loop applied across versions.
+    */
+  def chunkDiff(chunksOld: DataFrame, chunksNew: DataFrame): DataFrame = {
+    val o = chunksOld.select(col("id"), col("hash"), col("length")).distinct()
+    val n = chunksNew.select(col("id"), col("hash"), col("length")).distinct()
+    val added = n.join(o, Seq("id", "hash"), "left_anti").withColumn("change", lit("added"))
+    val removed = o.join(n, Seq("id", "hash"), "left_anti").withColumn("change", lit("removed"))
+    added.unionByName(removed)
+  }
+
+  /** Register the chunker as a SQL-callable function so the surface composes
+    * with LATERAL VIEW / explode from pure SQL:
+    * `SELECT ... FROM docs LATERAL VIEW explode(cdc_bounds(encode(text,'utf-8'))) t AS b`.
+    */
+  def registerSql(spark: SparkSession, algo: String, expectedSize: Int, seed: Long = 0L): Unit =
+    spark.udf.register(s"cdc_bounds_$algo", boundsUdf(algo, expectedSize, seed))
+}

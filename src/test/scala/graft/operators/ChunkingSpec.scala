@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+class ChunkingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("ChunkingSpec")
+    .getOrCreate()
+
+  private def rndBytes(n: Int, seed: Long): Array[Byte] = {
+    val r = new scala.util.Random(seed)
+    val a = new Array[Byte](n)
+    r.nextBytes(a)
+    a
+  }
+
+  test("chunkTable matches the core chunker per blob and reconstructs payloads") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, rndBytes(5000, 1)),
+      (2L, rndBytes(12345, 2)),
+      (3L, Array.emptyByteArray),
+      (4L, rndBytes(100, 3))
+    ).toDF("doc_id", "content")
+
+    val chunks = Chunking.chunkTable(docs, "doc_id", "content", "fastcdc", 512, 42L)
+    val got = chunks.select("id", "chunk_idx", "offset", "length")
+      .as[(Long, Int, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+
+    val core = FastCdcChunker(512, 42L)
+    for ((id, bytes) <- Seq((1L, rndBytes(5000, 1)), (2L, rndBytes(12345, 2)), (4L, rndBytes(100, 3)))) {
+      assert(got(id) == core.chunks(bytes).toSeq, s"doc $id")
+    }
+    assert(!got.contains(3L), "empty payload yields no chunks")
+
+    // chunks concatenated == payload (lossless split)
+    val rebuilt = chunks.orderBy("id", "chunk_idx")
+      .select("id", "chunk").as[(Long, Array[Byte])].collect()
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2).toSeq).toMap
+    assert(rebuilt(2L) == rndBytes(12345, 2).toSeq)
+  }
+
+  test("string payloads are chunked over their UTF-8 bytes") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc " * 500)).toDF("doc_id", "text")
+    val chunks = Chunking.chunkTable(docs, "doc_id", "text", "fixed", 64)
+    val lens = chunks.orderBy("chunk_idx").select("length").as[Int].collect()
+    assert(lens.dropRight(1).forall(_ == 64) && lens.sum == 2000)
+  }
+
+  test("dedupMetrics reproduces the reference metric definitions (A2/A3)") {
+    import spark.implicits._
+    val block = rndBytes(4096, 9)
+    // Two identical blobs + one unique: strong, known duplication.
+    val docs = Seq((1L, block), (2L, block), (3L, rndBytes(4096, 10))).toDF("doc_id", "content")
+    val chunks = Chunking.chunkTable(docs, "doc_id", "content", "fastcdc", 256, 7L)
+    val m = Chunking.dedupMetrics(chunks).collect()(0)
+
+    // Cross-check against the core sequential accounting.
+    val core = FastCdcChunker(256, 7L)
+    val all = Seq(block, block, rndBytes(4096, 10)).flatMap { b =>
+      core.chunks(b).map { case (o, l) => b.slice(o, o + l).toSeq }
+    }
+    val unique = all.distinct
+    assert(m.getAs[Long]("total_bytes") == all.map(_.size).sum)
+    assert(m.getAs[Long]("unique_bytes") == unique.map(_.size).sum)
+    assert(m.getAs[Long]("distinct_chunks") == unique.size)
+    assert(m.getAs[Long]("chunk_count") == all.size)
+    val coeff = m.getAs[Double]("dedup_coeff")
+    assert(math.abs(coeff - unique.map(_.size).sum.toDouble / all.map(_.size).sum) < 1e-4)
+    // Two identical blobs of three => unique/total = 2/3 (plus rounding).
+    assert(math.abs(coeff - 2.0 / 3.0) < 0.01, s"coeff $coeff")
+  }
+
+  test("segmentedChunkTable (strategy A) matches the core overlap-merge ground truth") {
+    import spark.implicits._
+    val data = rndBytes(40000, 21)
+    val docs = Seq((7L, data)).toDF("doc_id", "content")
+    for (algo <- Seq("ae", "rabin")) {
+      val got = Chunking.segmentedChunkTable(docs, "doc_id", "content", algo, 1024, 5L, segments = 4)
+        .orderBy("chunk_idx").select("offset", "length").as[(Int, Int)].collect().toSeq
+
+      val (window, bounds): (Int, (Array[Byte], Int, Int) => Array[Int]) = algo match {
+        case "ae"    => val c = AeChunker(1024); (c.window, c.boundsInRange)
+        case "rabin" => val c = RabinChunker(1024, 5); (c.windowSize, c.boundsInRange)
+      }
+      val ends = ParallelChunking.overlapMergedBoundaries(data, 4, bounds, window)
+      var last = 0
+      val want = ends.map { e => val r = (last, e - last); last = e; r }.toSeq
+      assert(got == want, algo)
+    }
+  }
+
+  test("overlap strategy (A) approximates sequential metrics; edge strategy (B) honors its own contract") {
+    // Duplication placed WITHIN each slice (block repeated 8x, 4 slices => each
+    // slice is block++block): strategy B's unique-byte accounting is per-slice
+    // local (`parallel.rs:46-51` — a chunk repeated across two slices counts
+    // twice), so only within-slice duplication is visible to its coefficient.
+    val block = rndBytes(7500, 33)
+    val data = Array.fill(8)(block).flatten
+    val ae = AeChunker(1024)
+    val seq = ParallelChunking.sequentialMetrics(data, ae)
+    val overlap = ParallelChunking.overlapMetrics(data, 4, ae.boundsInRange, ae.window)
+    val edge = ParallelChunking.edgeRechunkMetrics(data, 4, ae)
+
+    assert(seq.dedupCoeff < 0.3, s"sequential found the 8x duplication: ${seq.dedupCoeff}")
+    // A: global accounting => close to sequential.
+    assert(math.abs(overlap.dedupCoeff - seq.dedupCoeff) < 0.15, s"overlap ${overlap.dedupCoeff} vs ${seq.dedupCoeff}")
+    // B: within-slice duplication detected (each slice halves), global distinct
+    // set still dedups across slices so distinct counts stay comparable.
+    assert(edge.dedupCoeff < 0.75, s"edge found within-slice duplication: ${edge.dedupCoeff}")
+    assert(edge.distinctChunks <= seq.distinctChunks * 2 && edge.distinctChunks >= seq.distinctChunks / 2,
+      s"edge distinct ${edge.distinctChunks} vs seq ${seq.distinctChunks}")
+  }
+
+  test("chunkDiff classifies added and removed chunks across snapshots") {
+    import spark.implicits._
+    val v1 = Seq((1L, "aaaa bbbb cccc dddd " * 40)).toDF("doc_id", "text")
+    val v2 = Seq((1L, "aaaa bbbb XXXX dddd " * 40)).toDF("doc_id", "text")
+    val c1 = Chunking.chunkTable(v1, "doc_id", "text", "fastcdc", 64, 1L)
+    val c2 = Chunking.chunkTable(v2, "doc_id", "text", "fastcdc", 64, 1L)
+    val diff = Chunking.chunkDiff(c1, c2)
+    val byChange = diff.groupBy("change").count().as[(String, Long)].collect().toMap
+    assert(byChange.getOrElse("added", 0L) > 0)
+    assert(byChange.getOrElse("removed", 0L) > 0)
+    // identical snapshots => empty diff
+    assert(Chunking.chunkDiff(c1, c1).isEmpty)
+  }
+
+  test("SQL surface: cdc_bounds UDF composes with LATERAL VIEW explode") {
+    Chunking.registerSql(spark, "fastcdc", 256, 42L)
+    import spark.implicits._
+    Seq((1L, rndBytes(4000, 5))).toDF("id", "content").createOrReplaceTempView("blobs")
+    val n = spark.sql(
+      """SELECT id, b.offset, b.length
+        |FROM blobs LATERAL VIEW explode(cdc_bounds_fastcdc(content)) t AS b""".stripMargin).count()
+    assert(n > 1)
+  }
+}
