@@ -1,0 +1,511 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational query surface over the driver's TPC-H-ish tables (SURVEY.md
+  * §7.6): the capabilities the reference lacks entirely (§2.5) supplied by
+  * vanilla Spark — aggregation, joins of every flavor, windows, rollup/cube,
+  * set ops, sessionization, as-of & range joins, snapshot change detection.
+  *
+  * Conventions shared with the DuckDB oracles (the driver hash-compares):
+  *  - every computed column is aliased identically on both sides;
+  *  - double aggregates are `round(…, 2..4)` on both sides so last-ulp
+  *    non-associativity of distributed summation can't flip the hash;
+  *  - timestamps leave the query as `unix_micros` BIGINTs or DATEs (parquet
+  *    timestamp-zone round-trips differ between writers; integers don't);
+  *  - every query has a total ORDER BY with a unique tiebreak column.
+  *
+  * Scale notes are per-query: dimension sides of joins are `broadcast()`
+  * hinted when they are the small side at any SF (region/nation are fixed
+  * cardinality; customer/supplier/part scale but stay ≪ lineitem).
+  */
+object Relational {
+
+  /** (name, spark query, optional oracle) triples — single source of truth. */
+  private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- Q1-style pricing summary: full-scan partial+final agg, no shuffle
+    // beyond 3-group exchange; the canonical map-side-combine showcase.
+    ("q01_pricing_summary", (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+          round(avg($"l_quantity"), 2).as("avg_qty"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        |  round(avg(l_quantity),2) AS avg_qty,
+        |  round(avg(l_discount),4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- Q6-style selective scan: predicate pushdown straight to parquet.
+    ("q02_selective_revenue", (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }, Some(
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // ---- Q3-style: 3-way join, top-k by computed revenue (broadcast dim).
+    ("q03_top_orders", (s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"o_orderkey", $"o_orderpriority")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderkey")
+        .limit(10)
+    }, Some(
+      """SELECT o_orderkey, o_orderpriority,
+        |  round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ---- Q5-style: 6-table star join; every dimension broadcast, the one
+    // real shuffle is the lineitem aggregation.
+    ("q05_nation_revenue", (s, d) => {
+      import s.implicits._
+      val r = Tables.region(s, d).filter($"r_name" === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"n_name")
+    }, Some(
+      """SELECT n_name,
+        |  round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue, count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ---- window functions: top-3 orders per customer by price.
+    ("q07_window_topk_per_customer", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 2).as("price"),
+          $"rn".cast("long").as("rn"))
+        .orderBy($"o_custkey", $"rn")
+    }, Some(
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ---- rollup with subtotal rows made hash-stable via coalesce.
+    ("q08_rollup_orders", (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"n_orders", $"total")
+        .orderBy($"status", $"priority")
+    }, Some(
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        |       coalesce(o_orderpriority,'ALL') AS priority,
+        |       count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin)),
+
+    // ---- cube.
+    ("q09_cube_lineitem", (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n", $"qty")
+        .orderBy($"returnflag", $"linestatus")
+    }, Some(
+      """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+        |       coalesce(l_linestatus,'ALL') AS linestatus,
+        |       count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin)),
+
+    // ---- left-semi join (EXISTS).
+    ("q10_semi_join", (s, d) => {
+      import s.implicits._
+      val active = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+      Tables.customer(s, d)
+        .join(active, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- left-anti join (NOT EXISTS): customers dormant since 2000.
+    ("q11_anti_join", (s, d) => {
+      import s.implicits._
+      val recent = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+      Tables.customer(s, d)
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", round($"c_acctbal", 2).as("acctbal"))
+        .orderBy($"c_custkey")
+    }, Some(
+      """SELECT c_custkey, c_name, round(c_acctbal,2) AS acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- set ops: INTERSECT and EXCEPT over half-year active customers.
+    ("q12_intersect", (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val h1 = o.filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-01-01").cast("timestamp")).select($"o_custkey")
+      val h2 = o.filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp")).select($"o_custkey")
+      h1.intersect(h2).orderBy($"o_custkey")
+    }, Some(
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_custkey""".stripMargin)),
+
+    ("q13_except", (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val h1 = o.filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-01-01").cast("timestamp")).select($"o_custkey")
+      val h2 = o.filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp")).select($"o_custkey")
+      h1.except(h2).orderBy($"o_custkey")
+    }, Some(
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- exact distinct aggregation (expand-based in Spark).
+    ("q14_distinct_parts_per_supplier", (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_suppkey")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          round(sum($"l_quantity"), 2).as("qty"))
+        .orderBy($"l_suppkey")
+    }, Some(
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
+    // ---- conditional aggregation (Q12-style CASE counting).
+    ("q15_priority_split", (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_count"),
+          sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_count"))
+        .orderBy($"l_returnflag")
+    }, Some(
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- scalar-function showcase: string/math per brand.
+    ("q16_brand_stats", (s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .groupBy($"p_brand")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg($"p_retailprice"), 2).as("avg_price"),
+          min($"p_size").as("min_size"),
+          max(length($"p_name")).cast("long").as("max_name_len"),
+          countDistinct($"p_type").as("n_types"))
+        .orderBy($"p_brand")
+    }, Some(
+      """SELECT p_brand, count(*) AS n, round(avg(p_retailprice),2) AS avg_price,
+        |  min(p_size) AS min_size, max(length(p_name)) AS max_name_len,
+        |  count(DISTINCT p_type) AS n_types
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // ---- time bucketing to DATE (writer-neutral, unlike raw timestamps).
+    ("q17_orders_by_month", (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy(to_date(date_trunc("month", $"o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy($"month")
+    }, Some(
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
+
+    // ---- HAVING.
+    ("q18_frequent_customers", (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total"))
+        .filter($"n_orders" >= 15)
+        .orderBy($"o_custkey")
+    }, Some(
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey""".stripMargin)),
+
+    // ---- scalar subquery / join-with-aggregate: parts 5% above brand mean
+    // (retail prices cluster tightly per brand, so 5% is the selective band).
+    ("q19_above_brand_avg", (s, d) => {
+      import s.implicits._
+      val p = Tables.part(s, d)
+      val avgs = p.groupBy($"p_brand".as("b")).agg(avg($"p_retailprice").as("brand_avg"))
+      p.join(broadcast(avgs), $"p_brand" === $"b")
+        .filter($"p_retailprice" > $"brand_avg" * 1.05)
+        .select($"p_partkey", $"p_brand", round($"p_retailprice", 2).as("price"))
+        .orderBy($"p_partkey")
+    }, Some(
+      """SELECT p_partkey, p_brand, round(p_retailprice,2) AS price
+        |FROM part p
+        |WHERE p_retailprice > 1.05 * (SELECT avg(p_retailprice) FROM part q WHERE q.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- sessionization: 30-min inactivity gap → session ids per user
+    // (lag + running sum; the standard streaming-analytics shape run batch).
+    ("q20_sessionize_events", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val flagged = Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+      flagged
+        .withColumn("session_id",
+          sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(unix_micros($"ts")).as("session_start_us"),
+          max(unix_micros($"ts")).as("session_end_us"),
+          round(sum($"value"), 2).as("total_value"))
+        .orderBy($"user_id", $"session_id")
+    }, Some(
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |  min(epoch_us(ts)) AS session_start_us, max(epoch_us(ts)) AS session_end_us,
+        |  round(sum(value),2) AS total_value
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
+
+    // ---- tumbling-window aggregation (batch shape of the streaming query).
+    ("q21_hourly_event_stats", (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(unix_micros(date_trunc("hour", $"ts")).as("hour_us"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+        .orderBy($"hour_us", $"event_type")
+    }, Some(
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        |  count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin)),
+
+    // ---- semi-structured: JSON property extraction + bucketing.
+    ("q22_json_props", (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .groupBy(($"k" % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), round(avg($"value"), 2).as("avg_value"))
+        .orderBy($"k_bucket")
+    }, Some(
+      """SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) % 10 AS k_bucket,
+        |  count(*) AS n, round(avg(value),2) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin)),
+
+    // ---- as-of join: each purchase matched to the user's most recent prior
+    // signup (windowed last-match — the Spark-native as-of shape; no custom
+    // physical operator needed because the probe side is the same stream).
+    ("q23_asof_purchase_signup", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("last_signup_us",
+          max(when($"event_type" === "signup", unix_micros($"ts"))).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"), $"last_signup_us")
+        .orderBy($"event_id")
+    }, Some(
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, last_signup_us FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    max(CASE WHEN event_type='signup' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup_us
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+    // ---- range join on an equi key (sort-merge + range filter, NOT a
+    // nested-loop: the equi key keeps it scalable).
+    ("q24_range_join_ship_window", (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      o.join(l, $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" &&
+          $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 30 DAYS"))
+        .groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("n_quick_ships"),
+          round(sum($"l_extendedprice"), 2).as("quick_revenue"))
+        .orderBy($"o_orderkey")
+    }, Some(
+      """SELECT o_orderkey, count(*) AS n_quick_ships, round(sum(l_extendedprice),2) AS quick_revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- snapshot change detection (the CDC north star expressed
+    // relationally): v1/v2 derived deterministically, full outer join diff.
+    ("q25_snapshot_diff", (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val v1 = o.filter($"o_orderkey" % 7 =!= 0)
+        .select($"o_orderkey".as("k1"), $"o_totalprice".as("p1"))
+      val v2 = o.filter($"o_orderkey" % 5 =!= 0)
+        .select($"o_orderkey".as("k2"),
+          when($"o_orderkey" % 3 === 0, round($"o_totalprice" * 1.1, 2))
+            .otherwise($"o_totalprice").as("p2"))
+      v1.join(v2, $"k1" === $"k2", "full_outer")
+        .withColumn("change",
+          when($"k1".isNull, "inserted")
+            .when($"k2".isNull, "deleted")
+            .when($"p1" =!= $"p2", "updated"))
+        .filter($"change".isNotNull)
+        .select(coalesce($"k1", $"k2").as("o_orderkey"), $"change")
+        .orderBy($"o_orderkey")
+    }, Some(
+      """WITH v1 AS (SELECT o_orderkey AS k1, o_totalprice AS p1 FROM orders WHERE o_orderkey % 7 <> 0),
+        |v2 AS (SELECT o_orderkey AS k2,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN round(o_totalprice*1.1,2) ELSE o_totalprice END AS p2
+        |       FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT coalesce(k1,k2) AS o_orderkey,
+        |  CASE WHEN k1 IS NULL THEN 'inserted' WHEN k2 IS NULL THEN 'deleted'
+        |       WHEN p1 <> p2 THEN 'updated' END AS change
+        |FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+        |WHERE (k1 IS NULL OR k2 IS NULL OR p1 <> p2)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- pivot (conditional-agg mirror keeps the oracle ANSI).
+    ("q26_pivot_event_types", (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy($"user_id")
+    }, Some(
+      """SELECT user_id,
+        |  count(CASE WHEN event_type='click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type='error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type='signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type='view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- exact median (interpolated) per group.
+    ("q27_median_price", (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(round(median($"l_extendedprice"), 2).as("median_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }, Some(
+      """SELECT l_returnflag, round(median(l_extendedprice),2) AS median_price, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- exact vs approximate distinct (HLL) — the 100 TB path for A4.
+    // No oracle: approx_count_distinct's HLL estimate is engine-specific.
+    ("q28_distinct_exact_vs_approx", (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_orderkey").as("exact_orders"),
+          approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+        .orderBy($"l_returnflag")
+    }, None)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, f, _) => n -> f }.toMap
+
+  val oracleSql: Map[String, String] =
+    defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}
