@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Portable deterministic hashing shared by the text/dedup/similarity
+  * operators: a 60-bit integer derived from md5, computable bit-identically in
+  * Spark (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+  * (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`), so hash-dependent operators
+  * keep exact oracles. xxhash64 stays the hot-path hash for Spark-only
+  * surfaces (CDC chunk identity); h60 is the cross-engine-checkable one.
+  */
+object Portable {
+  val P: Long = 2147483647L // 2^31 - 1, Mersenne prime for minhash permutations
+
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB text of the same function applied to SQL fragment `x`. */
+  def h60Sql(x: String): String =
+    s"CAST(('0x'||substr(md5($x),1,15)) AS BIGINT)"
+
+  /** Whitespace tokenization, identical on both engines. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  def tokensSql(x: String): String = s"regexp_split_to_array(trim($x),'\\s+')"
+
+  /** DuckDB-side rounding that matches Spark's `round(double, n)`.
+    *
+    * Spark rounds the double's shortest decimal repr HALF_UP
+    * (`BigDecimal.valueOf`), so 4.725 (binary 4.72499…) → 4.73; DuckDB's
+    * `round(DOUBLE)` rounds the binary value → 4.72. Routing through
+    * DECIMAL(28,8) makes DuckDB reconstruct the decimal value first and round
+    * it HALF_UP, matching Spark on exact-half ratios (the common case for
+    * int/int ratios); final cast back to DOUBLE keeps the compared dtype
+    * identical.
+    */
+  def rndSql(x: String, n: Int): String =
+    s"CAST(round(CAST(($x) AS DECIMAL(28,8)), $n) AS DOUBLE)"
+}
+
+/** Text-analysis operators for LLM training-data pipelines (builder mandate):
+  * token statistics, quality scoring, language-ID heuristic, document
+  * fingerprinting (shingle/winnowing rolling-hash style), BPE-ish token
+  * counting. All are single-pass, shuffle-free per-document expressions
+  * (higher-order functions over arrays — no UDFs, no explode) followed by at
+  * most one aggregation, so they scale linearly with the corpus and keep
+  * Catalyst pushdown/pruning intact.
+  */
+object TextOps {
+  import Portable._
+
+  private val Stops = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+  private def stopsSqlList = Stops.map(s => s"'$s'").mkString(", ")
+
+  private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- per-document token statistics: counts, distincts, type-token ratio.
+    ("text_token_stats", (s, d) => {
+      import s.implicits._
+      val toks = tokens($"text")
+      Tables.documents(s, d)
+        .select(
+          $"doc_id",
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          length(regexp_replace($"text", "\\s+", "")).cast("long").as("n_nonspace"),
+          round(length(regexp_replace($"text", "\\s+", "")) / size(toks), 2).as("avg_token_len"),
+          round(size(array_distinct(toks)) / size(toks).cast("double"), 4).as("ttr"))
+        .orderBy($"doc_id")
+    }, Some(
+      s"""SELECT doc_id,
+         |  CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(${tokensSql("text")})) AS BIGINT) AS n_distinct,
+         |  CAST(length(regexp_replace(text,'\\s+','','g')) AS BIGINT) AS n_nonspace,
+         |  ${rndSql(s"length(regexp_replace(text,'\\s+','','g')) / CAST(len(${tokensSql("text")}) AS DOUBLE)", 2)} AS avg_token_len,
+         |  ${rndSql(s"len(list_distinct(${tokensSql("text")})) / CAST(len(${tokensSql("text")}) AS DOUBLE)", 4)} AS ttr
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- quality scoring: stopword / punctuation / word-length heuristics
+    // (the standard pre-train corpus filters), one codegen'd pass per doc.
+    ("text_quality_score", (s, d) => {
+      import s.implicits._
+      val toks = tokens($"text")
+      val nTok = size(toks)
+      val stopCnt = size(filter(toks, t => t.isin(Stops: _*)))
+      val punctCnt = length(regexp_replace($"text", "[A-Za-z0-9\\s]", ""))
+      val stopRatio = stopCnt / nTok.cast("double")
+      val punctRatio = punctCnt / length($"text").cast("double")
+      val avgLen = length(regexp_replace($"text", "\\s+", "")) / nTok.cast("double")
+      Tables.documents(s, d)
+        .select(
+          $"doc_id",
+          round(stopRatio, 4).as("stop_ratio"),
+          round(punctRatio, 4).as("punct_ratio"),
+          round(avgLen, 2).as("avg_word_len"),
+          round(
+            lit(0.4) * (lit(1.0) - punctRatio) +
+              lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
+              lit(0.3) * least(avgLen / 8.0, lit(1.0)), 4).as("quality"))
+        .orderBy($"doc_id")
+    }, Some(
+      s"""SELECT doc_id,
+         |  ${rndSql(s"len(list_filter(${tokensSql("text")}, t -> t IN ($stopsSqlList))) / CAST(len(${tokensSql("text")}) AS DOUBLE)", 4)} AS stop_ratio,
+         |  ${rndSql(s"length(regexp_replace(text,'[A-Za-z0-9\\s]','','g')) / CAST(length(text) AS DOUBLE)", 4)} AS punct_ratio,
+         |  ${rndSql(s"length(regexp_replace(text,'\\s+','','g')) / CAST(len(${tokensSql("text")}) AS DOUBLE)", 2)} AS avg_word_len,
+         |  ${rndSql(
+          s"""0.4*(1.0 - length(regexp_replace(text,'[A-Za-z0-9\\s]','','g')) / CAST(length(text) AS DOUBLE))
+             |      + 0.3*least(len(list_filter(${tokensSql("text")}, t -> t IN ($stopsSqlList)))
+             |                  / CAST(len(${tokensSql("text")}) AS DOUBLE) * 5.0, 1.0)
+             |      + 0.3*least(length(regexp_replace(text,'\\s+','','g'))
+             |                  / CAST(len(${tokensSql("text")}) AS DOUBLE) / 8.0, 1.0)""".stripMargin, 4)} AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- language-ID: character-marker frequency heuristic with a
+    // deterministic argmax (priority order breaks ties). Marker occurrence
+    // count = (len(t) - len(replace(t, m))) / len(m) — exact on both engines.
+    ("text_lang_id", (s, d) => {
+      import s.implicits._
+      def occ(m: String): Column =
+        (length($"text") - length(regexp_replace($"text", java.util.regex.Pattern.quote(m), ""))) / m.length
+      val sEn = occ("the") + occ(" is ")
+      val sDe = occ("sch") + occ("ein")
+      val sFr = occ("les") + occ("eau")
+      val sEs = occ("los") + occ("cion")
+      Tables.documents(s, d)
+        .select(
+          $"doc_id", $"lang",
+          sEn.cast("long").as("s_en"), sDe.cast("long").as("s_de"),
+          sFr.cast("long").as("s_fr"), sEs.cast("long").as("s_es"))
+        .withColumn("lang_pred",
+          when($"s_en" >= greatest($"s_de", $"s_fr", $"s_es"), "en")
+            .when($"s_de" >= greatest($"s_fr", $"s_es"), "de")
+            .when($"s_fr" >= $"s_es", "fr")
+            .otherwise("es"))
+        .orderBy($"doc_id")
+    }, Some {
+      def occ(m: String) = s"CAST((length(text) - length(replace(text,'$m',''))) / ${m.length} AS BIGINT)"
+      val (en, de, fr, es) =
+        (s"${occ("the")} + ${occ(" is ")}", s"${occ("sch")} + ${occ("ein")}",
+          s"${occ("les")} + ${occ("eau")}", s"${occ("los")} + ${occ("cion")}")
+      s"""SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+         |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+         |FROM (SELECT doc_id, lang, $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es
+         |      FROM documents) ORDER BY doc_id""".stripMargin
+    }),
+
+    // ---- document fingerprinting: 8-char shingle rolling window, winnowing
+    // style (min/max shingle hash as the fingerprint) — all inside array HOFs,
+    // zero shuffle, no explode.
+    ("text_fingerprint", (s, d) => {
+      import s.implicits._
+      val shingles = transform(
+        sequence(lit(0), length($"text") - 8),
+        i => h60($"text".substr(i + 1, lit(8))))
+      Tables.documents(s, d)
+        .select(
+          $"doc_id",
+          size(shingles).cast("long").as("n_shingles"),
+          size(array_distinct(shingles)).cast("long").as("n_distinct_shingles"),
+          array_min(shingles).as("fp_min"),
+          array_max(shingles).as("fp_max"))
+        .orderBy($"doc_id")
+    }, Some {
+      val sh = s"list_transform(range(0, length(text)-7), i -> ${h60Sql("substr(text, i+1, 8)")})"
+      s"""SELECT doc_id,
+         |  CAST(len($sh) AS BIGINT) AS n_shingles,
+         |  CAST(len(list_distinct($sh)) AS BIGINT) AS n_distinct_shingles,
+         |  list_min($sh) AS fp_min,
+         |  list_max($sh) AS fp_max
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }),
+
+    // ---- BPE-ish token counting per source: letter-runs | digit-runs |
+    // single punctuation, the classic pre-tokenizer regex.
+    ("text_bpe_token_count", (s, d) => {
+      import s.implicits._
+      val nBpe = size(regexp_extract_all($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      Tables.documents(s, d)
+        .select($"source", nBpe.cast("long").as("n_bpe"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_bpe").as("total_tokens"),
+          round(avg($"n_bpe"), 2).as("avg_tokens"))
+        .orderBy($"source")
+    }, Some(
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_bpe) AS BIGINT) AS total_tokens, ${rndSql("avg(n_bpe)", 2)} AS avg_tokens
+         |FROM (SELECT source,
+         |        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe
+         |      FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin))
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, f, _) => n -> f }.toMap
+
+  val oracleSql: Map[String, String] =
+    defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}
