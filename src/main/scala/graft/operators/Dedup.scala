@@ -1,0 +1,314 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Document-deduplication operators for LLM training-data pipelines: exact
+  * (content-hash groupBy), n-gram Jaccard over an inverted shingle index,
+  * MinHash + LSH banding, SimHash with pigeonhole candidate generation, and
+  * embedding-cosine near-duplicate detection.
+  *
+  * The driver's documents table is all-distinct, so each query runs over a
+  * deterministic derived `corpus`: the originals, plus exact copies of every
+  * doc_id % 5 == 0 (ids + 100000), plus near-duplicates of every
+  * doc_id % 7 == 0 with a short appended tail (ids + 200000). Both engines
+  * derive the same corpus in-query — nothing is synthesized outside the
+  * driver's data.
+  *
+  * Scale design (100 TB stance):
+  *  - shingling/signatures are per-row array HOFs (no UDF, no shuffle);
+  *  - candidate generation is always an equi-join on a small key (shingle
+  *    hash, band signature, simhash byte-chunk) — never an O(n²) cross join;
+  *    pair verification only touches candidate pairs;
+  *  - join/shuffle keys are 64-bit hashes, not payloads;
+  *  - the only brute-force pair scan is `dedup_embedding_cosine`, the exact
+  *    baseline against which the LSH variants in Similarity are judged.
+  */
+object Dedup {
+  import Portable._
+
+  // ---------------------------------------------------------------- corpus
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val doc = Tables.documents(s, d).select($"doc_id", $"text")
+    doc
+      .unionByName(doc.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+      .unionByName(doc.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 200000).as("doc_id"),
+          concat($"text", lit(" near duplicate tail")).as("text")))
+  }
+
+  private val corpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL SELECT doc_id + 200000, text || ' near duplicate tail' FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  // ------------------------------------------------- word-trigram shingles
+  /** Distinct word-trigram shingle hashes per doc: (doc_id, h). Pure
+    * per-row HOF then explode of an already-distinct small array.
+    */
+  private def shingles(c: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val tris = transform(
+      sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2)))
+    c.select(col("doc_id"), explode(array_distinct(transform(tris, t => h60(t)))).as("h"))
+  }
+
+  private def shinglesSql: String = {
+    val toks = tokensSql("text")
+    s"""sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    list_transform(range(0, len($toks) - 2),
+       |      i -> ($toks)[i+1] || ' ' || ($toks)[i+2] || ' ' || ($toks)[i+3]),
+       |    t -> ${h60Sql("t")}))) AS h
+       |  FROM corpus)""".stripMargin
+  }
+
+  // --------------------------------------------------------------- queries
+  private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- exact dedup: md5 content key, min-id canonical per group. The
+    // distributed HashSet of the reference (A1, `ae.rs:80-83`) as a groupBy.
+    ("dedup_exact", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"k")
+      corpus(s, d)
+        .withColumn("k", md5($"text"))
+        .withColumn("canonical_id", min($"doc_id").over(w))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .filter($"doc_id" =!= $"canonical_id")
+        .select($"doc_id", $"canonical_id", $"group_size")
+        .orderBy($"doc_id")
+    }, Some(
+      s"""WITH $corpusSql
+         |SELECT doc_id, canonical_id, group_size FROM (
+         |  SELECT doc_id,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+         |    count(*) OVER (PARTITION BY md5(text)) AS group_size
+         |  FROM corpus)
+         |WHERE doc_id <> canonical_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- n-gram Jaccard: inverted index on shingle hash → candidate pairs
+    // share >= 1 shingle → exact Jaccard >= 0.6. Never materializes n².
+    ("dedup_ngram_jaccard", (s, d) => {
+      import s.implicits._
+      val sh = shingles(corpus(s, d)).cache()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val common = sh.as("a").join(sh.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("id1"), $"b.doc_id".as("id2"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.select($"doc_id".as("id1"), $"n".as("n1")), "id1")
+        .join(sizes.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
+        .withColumn("jaccard", round($"common" / ($"n1" + $"n2" - $"common"), 4))
+        .filter($"jaccard" >= 0.6)
+        .select($"id1", $"id2", $"common", $"jaccard")
+        .orderBy($"id1", $"id2")
+    }, Some(
+      s"""WITH $corpusSql,
+         |$shinglesSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, common, jaccard FROM (
+         |  SELECT id1, id2, common,
+         |    ${rndSql("common / CAST(s1.n + s2.n - common AS DOUBLE)", 4)} AS jaccard
+         |  FROM common JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2)
+         |WHERE jaccard >= 0.6 ORDER BY id1, id2""".stripMargin)),
+
+    // ---- MinHash + LSH: 16 permutations, 4 bands x 4 rows; band-bucket
+    // equi-join yields candidates; exact Jaccard >= 0.5 verifies. The
+    // probability shape: P(candidate | J) = 1 - (1 - J^4)^4.
+    ("dedup_minhash_lsh", (s, d) => {
+      import s.implicits._
+      val sh = shingles(corpus(s, d)).withColumn("hp", $"h" % P).cache()
+      val sigs = sh.groupBy($"doc_id").agg(
+        Perms.zipWithIndex.map { case ((a, b), i) =>
+          min((lit(a) * $"hp" + lit(b)) % P).as(s"m$i")
+        }.head,
+        Perms.zipWithIndex.tail.map { case ((a, b), i) =>
+          min((lit(a) * $"hp" + lit(b)) % P).as(s"m$i")
+        }: _*)
+      val bandStructs = (0 until Bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          concat_ws(",", (0 until Rows).map(r => col(s"m${bnd * Rows + r}")): _*).as("bkey"))
+      }
+      val bands = sigs
+        .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+        .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+      val cands = bands.as("x").join(bands.as("y"),
+          $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val common = sh.as("a").join(sh.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("id1"), $"b.doc_id".as("id2"))
+        .agg(count(lit(1)).as("common"))
+      cands.join(common, Seq("id1", "id2"))
+        .join(sizes.select($"doc_id".as("id1"), $"n".as("n1")), "id1")
+        .join(sizes.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
+        .withColumn("jaccard", round($"common" / ($"n1" + $"n2" - $"common"), 4))
+        .filter($"jaccard" >= 0.5)
+        .select($"id1", $"id2", $"jaccard")
+        .orderBy($"id1", $"id2")
+    }, Some {
+      val minExprs = Perms.zipWithIndex
+        .map { case ((a, b), i) => s"min(($a * hp + $b) % $P) AS m$i" }.mkString(",\n    ")
+      val bandSelects = (0 until Bands).map { bnd =>
+        val key = (0 until Rows).map(r => s"m${bnd * Rows + r}").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, concat_ws(',', $key) AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $corpusSql,
+         |$shinglesSql,
+         |shp AS (SELECT doc_id, h, h % $P AS hp FROM sh),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $minExprs
+         |  FROM shp GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, jaccard FROM (
+         |  SELECT c.id1, c.id2,
+         |    ${rndSql("common / CAST(s1.n + s2.n - common AS DOUBLE)", 4)} AS jaccard
+         |  FROM cand c JOIN common USING (id1, id2)
+         |  JOIN sizes s1 ON s1.doc_id = c.id1 JOIN sizes s2 ON s2.doc_id = c.id2)
+         |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin
+    }),
+
+    // ---- SimHash: 32-bit signature from count-weighted token hash bits.
+    ("dedup_simhash", (s, d) => {
+      import s.implicits._
+      simhashTable(s, d).orderBy($"doc_id")
+    }, Some(
+      s"""WITH $corpusSql,
+         |${simhashSql}
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin)),
+
+    // ---- SimHash near-dup pairs: pigeonhole on 4 x 8-bit chunks (hamming
+    // <= 6 over 32 bits implies >= 1 identical chunk when <= 3 chunks are
+    // touched; chunk equi-join replaces the n² scan), verify bit_count.
+    ("dedup_simhash_pairs", (s, d) => {
+      import s.implicits._
+      val sim = simhashTable(s, d)
+      val chunks = sim.select($"doc_id", $"simhash",
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("k"), (($"simhash" cast "bigint") / lit(1L << (8 * k))).cast("long").bitwiseAND(255L).as("ck"))): _*)).as("c"))
+        .select($"doc_id", $"simhash", $"c.k".as("k"), $"c.ck".as("ck"))
+      chunks.as("x").join(chunks.as("y"),
+          $"x.k" === $"y.k" && $"x.ck" === $"y.ck" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2"),
+          bit_count($"x.simhash".bitwiseXOR($"y.simhash")).cast("long").as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 3)
+        .orderBy($"id1", $"id2")
+    }, Some(
+      s"""WITH $corpusSql,
+         |${simhashSql},
+         |chunks AS (
+         |  SELECT doc_id, simhash, k, (simhash // (1 << (8 * k))) % 256 AS ck
+         |  FROM sim, (SELECT unnest(range(0, 4)) AS k))
+         |SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM chunks x JOIN chunks y
+         |  ON x.k = y.k AND x.ck = y.ck AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY id1, id2""".stripMargin)),
+
+    // ---- embedding cosine near-dup: the exact O(n²) baseline (broadcast
+    // small side; the scalable path is Similarity's LSH/IVF variants).
+    // Dot/norm are sequential array folds in both engines → bit-identical.
+    ("dedup_embedding_cosine", (s, d) => {
+      import s.implicits._
+      val v = Tables.embeddings(s, d).select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("emb"))
+        .withColumn("nrm", sqrt(aggregate($"emb", lit(0.0), (acc, x) => acc + x * x)))
+      v.as("a").join(broadcast(v.as("b")), $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("id1"), $"b.vec_id".as("id2"),
+          (aggregate(zip_with($"a.emb", $"b.emb", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+            / ($"a.nrm" * $"b.nrm")).as("cos"))
+        .filter($"cos" >= 0.4)
+        .select($"id1", $"id2", round($"cos", 4).as("cos"))
+        .orderBy($"id1", $"id2")
+    }, Some(
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings)
+         |SELECT id1, id2, ${rndSql("cos", 4)} AS cos FROM (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.4 ORDER BY id1, id2""".stripMargin))
+  )
+
+  // ------------------------------------------------------ minhash constants
+  private val Bands = 4
+  private val Rows = 4
+  /** 16 fixed (a, b) permutation constants, a in [1, P-1]; literals are
+    * embedded in both the Spark plan and the oracle SQL text.
+    */
+  private val Perms: Seq[(Long, Long)] =
+    (0 until Bands * Rows).map { i =>
+      ((2654435761L * (i + 1)) % (P - 2) + 1, (1103515245L * (i + 7)) % P)
+    }
+
+  // ------------------------------------------------------- simhash pieces
+  private val SimBits = 32
+
+  /** (doc_id, simhash) over the derived corpus: count-weighted token-hash
+    * bits, bit b set iff sum(cnt * (2*bit_b(h)-1)) > 0.
+    */
+  private def simhashTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tokCnt = corpus(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", h60($"tok"))
+    val sums = tokCnt.groupBy($"doc_id").agg(
+      sum($"cnt" * (shiftright($"h", 0).bitwiseAND(1L) * 2L - 1L)).as("s0"),
+      (1 until SimBits).map(b =>
+        sum($"cnt" * (shiftright($"h", b).bitwiseAND(1L) * 2L - 1L)).as(s"s$b")): _*)
+    sums.select($"doc_id",
+      (0 until SimBits).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+  }
+
+  private def simhashSql: String = {
+    val toks = tokensSql("text")
+    val sumExprs = (0 until SimBits)
+      .map(b => s"sum(cnt * (((h >> $b) & 1) * 2 - 1)) AS s$b").mkString(",\n    ")
+    val combine = (0 until SimBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
+    s"""tokcnt AS (
+       |  SELECT doc_id, tok, count(*) AS cnt, ${h60Sql("tok")} AS h
+       |  FROM (SELECT doc_id, unnest($toks) AS tok FROM corpus)
+       |  GROUP BY doc_id, tok),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $sumExprs
+       |  FROM tokcnt GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $combine AS simhash FROM sums)""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, f, _) => n -> f }.toMap
+
+  val oracleSql: Map[String, String] =
+    defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}
