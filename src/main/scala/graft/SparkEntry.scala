@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CdcQueries, Dedup, Relational, TextOps}
+import graft.operators.{CdcQueries, Dedup, Relational, Similarity, TextOps}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -19,8 +19,10 @@ object SparkEntry {
     CdcQueries.queries("cdc_dedup_metrics")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CdcQueries.queries ++ Relational.queries ++ TextOps.queries ++ Dedup.queries
+    CdcQueries.queries ++ Relational.queries ++ TextOps.queries ++
+      Dedup.queries ++ Similarity.queries
 
   def oracleSql: Map[String, String] =
-    CdcQueries.oracleSql ++ Relational.oracleSql ++ TextOps.oracleSql ++ Dedup.oracleSql
+    CdcQueries.oracleSql ++ Relational.oracleSql ++ TextOps.oracleSql ++
+      Dedup.oracleSql ++ Similarity.oracleSql
 }
