@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CdcQueries, Dedup, Relational, Similarity, TextOps}
+import graft.operators.{CdcQueries, Dedup, Multimodal, Relational, Similarity, TextOps}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -20,9 +20,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ Relational.queries ++ TextOps.queries ++
-      Dedup.queries ++ Similarity.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracleSql ++ Relational.oracleSql ++ TextOps.oracleSql ++
-      Dedup.oracleSql ++ Similarity.oracleSql
+      Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql
 }

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** One media blob: opaque binary content + typed metadata. Derived
+  * deterministically from the documents table (content = UTF-8 bytes of
+  * `text`) so every engine run and the oracle see the same corpus — this
+  * mirrors how a production table would hold image/audio/video bytes next to
+  * decoded-shape metadata.
+  */
+case class MediaRow(
+    doc_id: Long,
+    media_type: String,
+    content: Array[Byte],
+    width: Int,
+    height: Int,
+    duration_ms: Long)
+
+case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    features: Array[Float])
+
+/** Multimodal-column operators: catalog, frame sampling, feature extraction.
+  *
+  * The decode step (image/audio codec) is STUBBED — this container has no
+  * media libraries — as a deterministic fake: a 16-bin byte histogram stands
+  * in for "decode + embed". Everything around the stub is the real
+  * distributed shape: binary columns with pushdown-friendly metadata,
+  * per-partition batch iteration (`Dataset.mapPartitions`, the JVM analog of
+  * `mapInPandas` — one iterator per partition, constant memory), and
+  * relational post-processing. Swapping the stub for a real codec changes no
+  * plumbing.
+  *
+  * Scale notes: content bytes never shuffle — frame sampling slices with
+  * codegen'd `substring` before any exchange, and feature extraction reduces
+  * each blob to 16 floats inside the scan stage; only the small outputs move.
+  */
+object Multimodal {
+
+  private val FrameCount = 4
+  private val HistBins = 16
+
+  /** Media table derived from documents: media_type cycles by doc_id,
+    * metadata is arithmetic on (doc_id, n_chars) — all oracle-computable.
+    */
+  def media(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(
+      $"doc_id".cast("long").as("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")), ($"doc_id" % 3 + 1).cast("int"))
+        .as("media_type"),
+      encode($"text", "UTF-8").as("content"),
+      (lit(64) + ($"doc_id" % 16) * 16).cast("int").as("width"),
+      (lit(64) + ($"doc_id" % 9) * 16).cast("int").as("height"),
+      ($"n_chars" * 40L).cast("long").as("duration_ms"))
+  }
+
+  /** STUB decode: byte histogram over HistBins buckets, L1-normalized.
+    * Deterministic stand-in for codec + feature model (`???` in production
+    * would be the codec call); signature and batch shape are the real thing.
+    */
+  private def decodeAndFeaturize(content: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](HistBins)
+    var i = 0
+    while (i < content.length) {
+      hist(((content(i) & 0xff) * HistBins) >> 8) += 1f
+      i += 1
+    }
+    val n = math.max(content.length, 1).toFloat
+    var b = 0
+    while (b < HistBins) { hist(b) /= n; b += 1 }
+    hist
+  }
+
+  /** Batch feature extraction: one iterator per partition (constant memory,
+    * no per-row task overhead) — the `mapInPandas` shape on the JVM.
+    */
+  def featurize(mediaDf: DataFrame): Dataset[MediaFeatures] = {
+    val spark = mediaDf.sparkSession
+    import spark.implicits._
+    mediaDf.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        MediaFeatures(r.doc_id, r.media_type, r.content.length.toLong,
+          decodeAndFeaturize(r.content))
+      }
+    }
+  }
+
+  private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- catalog: binary length + typed metadata (pure arithmetic oracle).
+    ("mm_media_catalog", (s, d) => {
+      import s.implicits._
+      media(s, d)
+        .select($"doc_id", $"media_type", length($"content").cast("long").as("n_bytes"),
+          $"width", $"height", $"duration_ms")
+        .orderBy($"doc_id")
+    }, Some(
+      """SELECT doc_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  CAST(64 + (doc_id % 16) * 16 AS INT) AS width,
+        |  CAST(64 + (doc_id % 9) * 16 AS INT) AS height,
+        |  CAST(n_chars * 40 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- frame sampling: split each blob into FrameCount equal byte ranges
+    // (video frame-sample / audio window shape); codegen'd substring slices
+    // before any shuffle, md5 identifies each frame.
+    ("mm_frame_sample", (s, d) => {
+      import s.implicits._
+      val n = length($"content")
+      val frames = transform(sequence(lit(0), lit(FrameCount - 1)), k => {
+        val start = (n * k / FrameCount).cast("int")
+        val end = (n * (k + 1) / FrameCount).cast("int")
+        struct(k.as("frame_idx"), start.cast("long").as("offset"),
+          (end - start).cast("long").as("frame_len"),
+          md5($"content".substr(start + 1, end - start)).as("frame_md5"))
+      })
+      media(s, d)
+        .select($"doc_id", explode(frames).as("f"))
+        .select($"doc_id", $"f.frame_idx".cast("long").as("frame_idx"), $"f.offset".as("offset"),
+          $"f.frame_len".as("frame_len"), $"f.frame_md5".as("frame_md5"))
+        .orderBy($"doc_id", $"frame_idx")
+    }, Some(
+      s"""SELECT doc_id,
+         |  CAST(k AS BIGINT) AS frame_idx,
+         |  CAST(length(text) * k // $FrameCount AS BIGINT) AS offset,
+         |  CAST(length(text) * (k+1) // $FrameCount - length(text) * k // $FrameCount AS BIGINT) AS frame_len,
+         |  md5(substr(text, length(text) * k // $FrameCount + 1,
+         |      length(text) * (k+1) // $FrameCount - length(text) * k // $FrameCount)) AS frame_md5
+         |FROM documents, (SELECT unnest(range(0, $FrameCount)) AS k)
+         |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // ---- feature extraction through the stubbed decode: rows-only (the
+    // fake-codec histogram has no SQL mirror); invariants are spec-tested.
+    ("mm_feature_extract", (s, d) => {
+      import s.implicits._
+      featurize(media(s, d)).toDF()
+        .select($"doc_id", $"media_type", $"n_bytes",
+          round(aggregate($"features", lit(0.0), (acc, x) => acc + x), 2).as("feature_l1"),
+          round(element_at($"features", 7).cast("double"), 4).as("bin6"))
+        .orderBy($"doc_id")
+    }, None)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, f, _) => n -> f }.toMap
+
+  val oracleSql: Map[String, String] =
+    defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

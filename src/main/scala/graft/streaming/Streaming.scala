@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.Chunker
+import graft.operators.Chunking
+
+/** One byte segment of a streaming blob. `seq` orders segments within a
+  * micro-batch; `last` marks end-of-blob (the streaming EOF the reference
+  * signals via `ChunkerStatus::Finished`, `chunker.rs:3-7`).
+  */
+case class SegmentEvent(blobId: Long, seq: Int, data: Array[Byte], last: Boolean)
+
+/** A chunk emitted by the incremental chunker; hash is applied downstream
+  * with `xxhash64` so batch and streaming chunks share identity.
+  */
+case class StreamedChunk(blobId: Long, chunkIdx: Int, offset: Long, length: Int, chunk: Array[Byte])
+
+/** Carried state: unconsumed tail bytes + running offset/index. Bounded by
+  * the chunker's max chunk size (forced cuts, `fastcdc.rs:105`,
+  * `rabin.rs:157`), so state can't grow unboundedly.
+  */
+case class ChunkerState(tail: Array[Byte], baseOffset: Long, nextIdx: Int)
+
+/** Structured Streaming surface (SURVEY.md §7.7): the reference's streaming
+  * concepts — pull-based chunking, incremental dedup via a seen-hash set —
+  * re-expressed as watermarked streaming queries, plus the event-stream
+  * analytics shapes (windowed aggregation, sessionization).
+  *
+  * Everything here is a *transform* on an unbounded DataFrame: callers attach
+  * `readStream` sources and `writeStream` sinks. Batch DataFrames flow
+  * through the same code paths (Spark's unified API), which is how the specs
+  * cross-check streaming output against batch oracles.
+  */
+object Streaming {
+
+  /** Chunk arriving blobs into the canonical chunk table (streaming version
+    * of `Chunking.chunkTable`; same schema + `xxhash64` identity).
+    */
+  def chunkStream(
+      blobs: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      tsCol: String,
+      algo: String,
+      expectedSize: Int,
+      seed: Long = 0L): DataFrame = {
+    val payload: Column =
+      if (blobs.schema(payloadCol).dataType == org.apache.spark.sql.types.StringType)
+        encode(col(payloadCol), "UTF-8")
+      else col(payloadCol)
+    val bounds = Chunking.boundsUdf(algo, expectedSize, seed)
+    blobs
+      .select(col(idCol).as("id"), col(tsCol).as("ts"), payload.as("payload"))
+      .select(col("id"), col("ts"), col("payload"),
+        posexplode(bounds(col("payload"))).as(Seq("chunk_idx", "b")))
+      .select(col("id"), col("ts"), col("chunk_idx"),
+        col("b.offset").as("offset"), col("b.length").as("length"),
+        substring(col("payload"), col("b.offset") + lit(1), col("b.length")).as("chunk"))
+      .withColumn("hash", xxhash64(col("chunk")))
+  }
+
+  /** Incremental dedup index: first occurrence of every chunk hash within
+    * the watermark survives — the reference's `HashSet<u64>` (A1,
+    * `ae.rs:80-83`) as bounded streaming state.
+    */
+  def chunkDedupStream(
+      blobs: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      tsCol: String,
+      algo: String,
+      expectedSize: Int,
+      seed: Long = 0L,
+      watermark: String = "1 hour"): DataFrame =
+    chunkStream(blobs, idCol, payloadCol, tsCol, algo, expectedSize, seed)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("hash")
+
+  /** Tumbling-window event statistics with late-data handling. */
+  def windowedEventStats(
+      events: DataFrame,
+      tsCol: String,
+      windowSize: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowSize), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Gap-based sessionization via the native session_window operator (the
+    * streaming twin of batch query q20_sessionize_events).
+    */
+  def sessionStats(
+      events: DataFrame,
+      tsCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Incremental CDC chunker over a stream of blob segments: carries the
+    * unconsumed tail across micro-batches in `GroupState`, emits a chunk as
+    * soon as its boundary is definite. Content-defined cut points depend
+    * only on bytes at-or-before the cut (bounded lookback), so every
+    * boundary except the forced end-of-data one is stable under appended
+    * data — the last span stays buffered until `last=true` flushes it.
+    */
+  def chunkUpdateFn(algo: String, expectedSize: Int, seed: Long)(
+      blobId: Long,
+      events: Iterator[SegmentEvent],
+      state: GroupState[ChunkerState]): Iterator[StreamedChunk] = {
+    val chunker = Chunker(algo, expectedSize, seed)
+    val st = state.getOption.getOrElse(ChunkerState(Array.emptyByteArray, 0L, 0))
+    val segs = events.toArray.sortBy(_.seq)
+    val data = st.tail ++ segs.iterator.flatMap(_.data)
+    val finished = segs.exists(_.last)
+    if (data.isEmpty) {
+      if (finished) state.remove()
+      Iterator.empty
+    } else {
+      val bounds = chunker.chunks(data).toSeq // (offset, length) spans covering data
+      val (emit, keep) =
+        if (finished) (bounds, Seq.empty)
+        else (bounds.dropRight(1), bounds.takeRight(1))
+      val out = emit.zipWithIndex.map { case ((off, len), i) =>
+        StreamedChunk(blobId, st.nextIdx + i, st.baseOffset + off,
+          len, java.util.Arrays.copyOfRange(data, off, off + len))
+      }
+      if (finished) state.remove()
+      else {
+        val consumed = keep.headOption.map(_._1).getOrElse(data.length)
+        state.update(ChunkerState(
+          java.util.Arrays.copyOfRange(data, consumed, data.length),
+          st.baseOffset + consumed, st.nextIdx + emit.size))
+      }
+      out.iterator
+    }
+  }
+
+  /** Lift [[chunkUpdateFn]] onto a stream of segments. */
+  def statefulChunkStream(
+      segments: Dataset[SegmentEvent],
+      algo: String,
+      expectedSize: Int,
+      seed: Long = 0L): Dataset[StreamedChunk] = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments
+      .groupByKey(_.blobId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        chunkUpdateFn(algo, expectedSize, seed))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("MultimodalSpec")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("featurize: 16-dim L1-normalized histogram, deterministic, length-preserving") {
+    import spark.implicits._
+    val feats = Multimodal.featurize(Multimodal.media(spark, sfDir))
+    val rows = feats.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.features.length == 16))
+    // L1 norm == 1 (within float tolerance) because every byte lands in a bin
+    assert(rows.forall(r => math.abs(r.features.sum - 1.0f) < 1e-4))
+    // deterministic across runs
+    val again = Multimodal.featurize(Multimodal.media(spark, sfDir)).collect()
+    assert(rows.sortBy(_.doc_id).map(_.features.toSeq).toSeq ==
+      again.sortBy(_.doc_id).map(_.features.toSeq).toSeq)
+    // n_bytes matches the documents' n_chars (ASCII corpus)
+    val nchars = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    assert(rows.forall(r => r.n_bytes == nchars(r.doc_id)))
+  }
+
+  test("frame sampling covers each blob exactly once, in order") {
+    import spark.implicits._
+    val frames = Multimodal.queries("mm_frame_sample")(spark, sfDir)
+    val perDoc = frames.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), sum($"frame_len").as("total"), min($"offset").as("first"))
+    val bad = perDoc.join(
+        spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id", $"n_chars"),
+        "doc_id")
+      .filter($"n" =!= 4 || $"total" =!= $"n_chars" || $"first" =!= 0)
+    assert(bad.count() == 0)
+  }
+}

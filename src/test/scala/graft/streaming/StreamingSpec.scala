@@ -1,0 +1,140 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Chunker
+
+case class Blob(id: Long, text: String, ts: Timestamp)
+case class Ev(user_id: Long, event_type: String, value: Double, ts: Timestamp)
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("StreamingSpec")
+    .getOrCreate()
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("chunkDedupStream keeps first occurrence of each chunk hash across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = ("spark " * 100) + ("chunk " * 80)
+    val text3 = "fresh bytes " * 40
+    val ms = MemoryStream[Blob]
+    val q = Streaming
+      .chunkDedupStream(ms.toDF(), "id", "text", "ts", "fixed", 64, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      ms.addData(Blob(1L, text, ts(0)))
+      q.processAllAvailable()
+      // identical blob again: every chunk hash already in state -> no new rows
+      ms.addData(Blob(2L, text, ts(1)))
+      q.processAllAvailable()
+      // distinct content -> new rows; sentinel batch flushes any buffering
+      ms.addData(Blob(3L, text3, ts(2)))
+      q.processAllAvailable()
+      ms.addData(Blob(4L, text, ts(3)))
+      q.processAllAvailable()
+
+      val got = spark.table("dedup_out").select($"hash").as[Long].collect().toSeq
+      // every distinct hash exactly once (blob 2/4 fully deduped against 1)
+      assert(got.distinct.size == got.size)
+      val want = Streaming
+        .chunkStream(Seq(Blob(1L, text, ts(0)), Blob(3L, text3, ts(2))).toDF(),
+          "id", "text", "ts", "fixed", 64)
+        .select($"hash").as[Long].collect().toSet
+      assert(got.toSet == want)
+    } finally q.stop()
+  }
+
+  test("windowedEventStats matches the batch aggregation once the watermark closes windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Ev(1, "click", 1.0, ts(5)), Ev(2, "click", 2.0, ts(20)),
+      Ev(1, "view", 3.0, ts(61)), Ev(2, "view", 4.0, ts(95)))
+    val ms = MemoryStream[Ev]
+    val q = Streaming.windowedEventStats(ms.toDF(), "ts", "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      ms.addData(events: _*)
+      q.processAllAvailable()
+      // sentinel far in the future pushes the watermark past every window
+      ms.addData(Ev(99, "sentinel", 0.0, ts(100000)))
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .filter($"event_type" =!= "sentinel")
+        .select($"window_start", $"event_type", $"n", $"total_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val want = events.toDF()
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+        .select($"window.start", $"event_type", $"n", $"total_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("sessionStats emits gap-separated sessions equal to the batch session_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: two sessions (gap > 30 min); user 2: one session
+    val events = Seq(
+      Ev(1, "a", 1.0, ts(0)), Ev(1, "a", 1.0, ts(10)), Ev(1, "a", 2.0, ts(120)),
+      Ev(2, "a", 5.0, ts(50)), Ev(2, "a", 5.0, ts(70)))
+    val ms = MemoryStream[Ev]
+    val q = Streaming.sessionStats(ms.toDF(), "ts", "30 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      ms.addData(events: _*)
+      q.processAllAvailable()
+      ms.addData(Ev(99, "sentinel", 0.0, ts(100000)))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").filter($"user_id" =!= 99)
+        .select($"user_id", $"n_events", $"total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((1L, 2L, 2.0), (1L, 1L, 2.0), (2L, 2L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("statefulChunkStream re-assembles the exact batch chunking across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val r = new scala.util.Random(7)
+    val full = new Array[Byte](20000)
+    r.nextBytes(full)
+    val segs = full.grouped(3000).toSeq.zipWithIndex.map { case (d, i) =>
+      SegmentEvent(1L, i, d, last = i == 6)
+    }
+    assert(segs.size == 7)
+
+    val ms = MemoryStream[SegmentEvent]
+    val q = Streaming.statefulChunkStream(ms.toDS(), "fastcdc", 512, 42L)
+      .writeStream.format("memory").queryName("chunks_out").outputMode("append").start()
+    try {
+      // three micro-batches: 2 + 3 + 2 segments
+      ms.addData(segs.slice(0, 2): _*); q.processAllAvailable()
+      ms.addData(segs.slice(2, 5): _*); q.processAllAvailable()
+      ms.addData(segs.slice(5, 7): _*); q.processAllAvailable()
+      val got = spark.table("chunks_out").orderBy("chunkIdx")
+        .select($"chunkIdx", $"offset", $"length")
+        .as[(Int, Long, Int)].collect().toSeq
+      val want = Chunker("fastcdc", 512, 42L).chunks(full).zipWithIndex
+        .map { case ((off, len), i) => (i, off.toLong, len) }.toSeq
+      assert(got == want)
+      // payload reconstruction
+      val bytes = spark.table("chunks_out").orderBy("chunkIdx")
+        .select($"chunk").as[Array[Byte]].collect().flatten
+      assert(bytes.toSeq == full.toSeq)
+    } finally q.stop()
+  }
+}
