@@ -53,11 +53,15 @@ object Dedup {
     * per-row HOF then explode of an already-distinct small array.
     */
   private def shingles(c: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val tris = transform(
-      sequence(lit(0), size(toks) - 3),
-      i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2)))
-    c.select(col("doc_id"), explode(array_distinct(transform(tris, t => h60(t)))).as("h"))
+    // Materialize the token array before the HOF: expressions inside a
+    // lambda body are re-evaluated per element (no CSE across lambda
+    // invocations), so an inline split() would re-tokenize per trigram.
+    val toks = col("toks")
+    c.withColumn("toks", tokens(col("text")))
+      .withColumn("tris", transform(
+        sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2))))
+      .select(col("doc_id"), explode(array_distinct(transform(col("tris"), t => h60(t)))).as("h"))
   }
 
   private def shinglesSql: String = {
@@ -205,7 +209,8 @@ object Dedup {
     // touched; chunk equi-join replaces the n² scan), verify bit_count.
     ("dedup_simhash_pairs", (s, d) => {
       import s.implicits._
-      val sim = simhashTable(s, d)
+      // cache: both sides of the self-join reuse the aggregated signatures
+      val sim = simhashTable(s, d).cache()
       val chunks = sim.select($"doc_id", $"simhash",
         explode(array((0 until 4).map(k =>
           struct(lit(k).as("k"), (($"simhash" cast "bigint") / lit(1L << (8 * k))).cast("long").bitwiseAND(255L).as("ck"))): _*)).as("c"))
@@ -235,25 +240,41 @@ object Dedup {
     // Dot/norm are sequential array folds in both engines → bit-identical.
     ("dedup_embedding_cosine", (s, d) => {
       import s.implicits._
-      val v = Tables.embeddings(s, d).select($"vec_id",
-        transform($"embedding", x => x.cast("double")).as("emb"))
-        .withColumn("nrm", sqrt(aggregate($"emb", lit(0.0), (acc, x) => acc + x * x)))
-      v.as("a").join(broadcast(v.as("b")), $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("id1"), $"b.vec_id".as("id2"),
-          (aggregate(zip_with($"a.emb", $"b.emb", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-            / ($"a.nrm" * $"b.nrm")).as("cos"))
-        .filter($"cos" >= 0.4)
+      // Unit-normalize once, then block nested-loop: broadcast the (small)
+      // right side as a plain array and scan each partition with a fused
+      // JVM loop. The while-loop accumulates in the same sequential order
+      // as the HOF fold / DuckDB's list_dot_product, so doubles stay
+      // bit-identical to the oracle. Array HOFs are CodegenFallback
+      // (interpreted per element) — 8M interpreted lambda steps for these
+      // 125k pairs — which is why the hot loop is hand-fused.
+      val unit = Tables.embeddings(s, d)
+        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("raw"))
+        .withColumn("nrm", sqrt(aggregate($"raw", lit(0.0), (acc, x) => acc + x * x)))
+        .select($"vec_id", transform($"raw", x => x / $"nrm").as("emb"))
+        .as[(Long, Array[Double])]
+      val bc = s.sparkContext.broadcast(unit.collect().sortBy(_._1))
+      unit.mapPartitions { it =>
+        val right = bc.value
+        it.flatMap { case (id1, e1) =>
+          right.iterator.filter(_._1 > id1).map { case (id2, e2) =>
+            var acc = 0.0
+            var i = 0
+            while (i < e1.length) { acc += e1(i) * e2(i); i += 1 }
+            (id1, id2, acc)
+          }.filter(_._3 >= 0.4)
+        }
+      }.toDF("id1", "id2", "cos")
         .select($"id1", $"id2", round($"cos", 4).as("cos"))
         .orderBy($"id1", $"id2")
     }, Some(
-      s"""WITH v AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      s"""WITH u AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS emb
          |  FROM embeddings)
          |SELECT id1, id2, ${rndSql("cos", 4)} AS cos FROM (
          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
-         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |    list_dot_product(a.emb, b.emb) AS cos
+         |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.4 ORDER BY id1, id2""".stripMargin))
   )
 

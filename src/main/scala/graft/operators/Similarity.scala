@@ -11,14 +11,16 @@ import graft.Tables
   * plus two scale paths — multi-table random-hyperplane LSH and an IVF-style
   * partition probe. The first 10 vec_ids serve as the query set.
   *
-  * Determinism contract (what makes these oracle-checkable): every dot
-  * product is a sequential left-fold over the array (Spark `aggregate` /
-  * DuckDB `list_dot_product` — same operation order, bit-identical doubles);
-  * LSH hyperplanes are not random state but are derived in-engine from the
-  * portable h60 hash of "pl<table>_<bit>_<dim>", so both engines compute the
-  * same planes without shipping 1,536 literals; IVF centroids are seeded
-  * medoids (every 50th vector) rather than k-means means, because
-  * cross-row float averaging has no deterministic distributed order.
+  * Determinism contract (what makes these oracle-checkable): vectors are
+  * unit-normalized once, so cosine is a single sequential left-fold dot
+  * product (Spark `aggregate` / DuckDB `list_dot_product` — same operation
+  * order, bit-identical doubles). LSH hyperplanes are not random state: each
+  * weight is derived from the portable h60 hash of "pl<table>_<bit>_<dim>".
+  * Spark embeds the 1,536 weights as literals (computed once on the driver —
+  * no per-row md5), while DuckDB derives the identical values in-query; IVF
+  * centroids are seeded medoids (every 50th vector) rather than k-means
+  * means, because cross-row float averaging has no deterministic
+  * distributed order.
   *
   * Scale design: brute force is the documented-exact path (broadcast the
   * query set, never the corpus); LSH buckets give sub-linear candidate
@@ -32,64 +34,85 @@ object Similarity {
   private val TopK = 5
   private val LshTables = 4
   private val LshBits = 6
+  private val Dims = 64
   private val IvfCentroids = 8
   private val IvfSeedStride = 50
   private val NProbe = 2
 
-  /** Embeddings as double arrays with precomputed L2 norm (sequential fold). */
+  /** Embeddings as unit-normalized double arrays (sequential folds). */
   private def vectors(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, d)
-      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("emb"))
-      .withColumn("nrm", sqrt(aggregate($"emb", lit(0.0), (acc, x) => acc + x * x)))
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("raw"))
+      .withColumn("nrm", sqrt(aggregate($"raw", lit(0.0), (acc, x) => acc + x * x)))
+      .select($"vec_id", transform($"raw", x => x / $"nrm").as("emb"))
   }
 
   private val vectorsSql: String =
     """v AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS emb
       |  FROM embeddings)""".stripMargin
 
-  /** cos(a, b) with both sides' norms precomputed. */
-  private def cosine(aEmb: Column, bEmb: Column, aNrm: Column, bNrm: Column): Column =
-    aggregate(zip_with(aEmb, bEmb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (aNrm * bNrm)
+  /** cos(a, b) on unit vectors: one sequential fold. */
+  private def cosine(aEmb: Column, bEmb: Column): Column =
+    aggregate(zip_with(aEmb, bEmb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   // ------------------------------------------------------------------- LSH
-  /** Deterministic hyperplane weight for (table t, bit j, dim m), in
-    * [-1, 1] with 1/1000 resolution — exact in binary, identical on both
-    * engines.
+  /** JVM twin of Portable.h60 for driver-side constant folding. */
+  private def h60Jvm(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Hyperplane weights [table][bit][dim] in [-1, 1], 1/1000 resolution —
+    * the exact doubles DuckDB derives in-query from the same h60 formula.
     */
-  private def planeVal(t: Int, j: Int, m: Column): Column =
-    (h60(concat(lit(s"pl${t}_${j}_"), m.cast("string"))) % 2001 - 1000) / lit(1000.0)
+  private lazy val planes: Array[Array[Array[Double]]] =
+    Array.tabulate(LshTables, LshBits, Dims) { (t, j, m) =>
+      (h60Jvm(s"pl${t}_${j}_$m") % 2001 - 1000) / 1000.0
+    }
 
   private def planeValSql(t: Int, j: Int, m: String): String =
     s"(${h60Sql(s"'pl${t}_${j}_' || $m")} % 2001 - 1000) / 1000.0"
 
-  /** (vec_id, tbl, sig): one LshBits-bit signature per vector per table. */
+  /** (vec_id, tbl, sig): one LshBits-bit signature per vector per table.
+    * Fused JVM loop (mapPartitions) — 1,536 plane-dot folds per vector are
+    * too hot for interpreted array HOFs; the while-loop accumulates in the
+    * identical sequential order, so sign bits match the oracle exactly.
+    */
   private def lshSignatures(v: DataFrame): DataFrame = {
-    val sigCols = (0 until LshTables).map { t =>
-      val sig = (0 until LshBits).map { j =>
-        val dot = aggregate(
-          zip_with(col("emb"), transform(sequence(lit(0), lit(63)), m => planeVal(t, j, m)),
-            (x, w) => x * w),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), sig.as("sig"))
-    }
-    v.select(col("vec_id"), col("emb"), col("nrm"),
-        explode(array(sigCols: _*)).as("ts"))
-      .select(col("vec_id"), col("emb"), col("nrm"),
-        col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+    val spark = v.sparkSession
+    import spark.implicits._
+    val pl = planes // ~12 KB, serialized into the task closure
+    v.select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, emb) =>
+          (0 until LshTables).iterator.map { t =>
+            var sig = 0L
+            var j = 0
+            while (j < LshBits) {
+              val w = pl(t)(j)
+              var acc = 0.0
+              var i = 0
+              while (i < emb.length) { acc += emb(i) * w(i); i += 1 }
+              if (acc > 0) sig |= (1L << j)
+              j += 1
+            }
+            (id, t, sig)
+          }
+        }
+      }.toDF("vec_id", "tbl", "sig")
   }
 
   private def lshSignaturesSql: String = {
     val perTable = (0 until LshTables).map { t =>
       val sig = (0 until LshBits).map { j =>
-        val dot = s"list_dot_product(emb, list_transform(range(0, 64), m -> ${planeValSql(t, j, "m")}))"
+        val dot = s"list_dot_product(emb, list_transform(range(0, $Dims), m -> ${planeValSql(t, j, "m")}))"
         s"CASE WHEN $dot > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
       }.mkString(" + ")
-      s"SELECT vec_id, emb, nrm, $t AS tbl, $sig AS sig FROM v"
+      s"SELECT vec_id, $t AS tbl, $sig AS sig FROM v"
     }.mkString("\n  UNION ALL ")
     s"""sigs AS (
        |  $perTable)""".stripMargin
@@ -104,10 +127,10 @@ object Similarity {
       import s.implicits._
       val v = vectors(s, d)
       val q = v.filter($"vec_id" < NumQueries)
-        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"))
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"))
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
       broadcast(q).join(v, $"q_id" =!= $"vec_id")
-        .withColumn("cos", cosine($"q_emb", $"emb", $"q_nrm", $"nrm"))
+        .withColumn("cos", cosine($"q_emb", $"emb"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter($"rank" <= TopK)
         .select($"q_id", $"rank", $"vec_id".as("n_id"), round($"cos", 4).as("cos"))
@@ -116,9 +139,9 @@ object Similarity {
       s"""WITH $vectorsSql
          |SELECT q_id, rank, n_id, ${rndSql("cos", 4)} AS cos FROM (
          |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-         |    list_dot_product(q.emb, n.emb) / (q.nrm * n.nrm) AS cos,
+         |    list_dot_product(q.emb, n.emb) AS cos,
          |    CAST(row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY list_dot_product(q.emb, n.emb) / (q.nrm * n.nrm) DESC, n.vec_id) AS BIGINT) AS rank
+         |      ORDER BY list_dot_product(q.emb, n.emb) DESC, n.vec_id) AS BIGINT) AS rank
          |  FROM v q JOIN v n ON q.vec_id < $NumQueries AND n.vec_id <> q.vec_id)
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
 
@@ -134,19 +157,24 @@ object Similarity {
          |SELECT vec_id, CAST(tbl AS BIGINT) AS tbl, sig FROM sigs ORDER BY vec_id, tbl""".stripMargin)),
 
     // ---- LSH top-k: candidates share a (table, signature) bucket with the
-    // query in any of the $LshTables tables; exact cosine re-ranks.
+    // query in any of the tables; exact cosine re-ranks.
     ("sim_lsh_topk", (s, d) => {
       import s.implicits._
-      val sigs = lshSignatures(vectors(s, d)).cache()
+      val v = vectors(s, d).cache()
+      val sigs = lshSignatures(v).cache()
       val q = sigs.filter($"vec_id" < NumQueries)
-        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"tbl", $"sig")
+        .select($"vec_id".as("q_id"), $"tbl", $"sig")
+      // dedupe on the id pair BEFORE rejoining vectors: distinct over the
+      // embedding arrays would shuffle + compare 64-double keys for nothing
       val cand = q.join(sigs, Seq("tbl", "sig"))
         .filter($"vec_id" =!= $"q_id")
-        .select($"q_id", $"q_emb", $"q_nrm", $"vec_id".as("n_id"), $"emb".as("n_emb"), $"nrm".as("n_nrm"))
+        .select($"q_id", $"vec_id".as("n_id"))
         .distinct()
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
       cand
-        .withColumn("cos", cosine($"q_emb", $"n_emb", $"q_nrm", $"n_nrm"))
+        .join(broadcast(v.select($"vec_id".as("q_id"), $"emb".as("q_emb"))), "q_id")
+        .join(broadcast(v.select($"vec_id".as("n_id"), $"emb".as("n_emb"))), "n_id")
+        .withColumn("cos", cosine($"q_emb", $"n_emb"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter($"rank" <= TopK)
         .select($"q_id", $"rank", $"n_id", round($"cos", 4).as("cos"))
@@ -160,9 +188,9 @@ object Similarity {
          |  WHERE q.vec_id < $NumQueries AND n.vec_id <> q.vec_id)
          |SELECT q_id, rank, n_id, ${rndSql("cos", 4)} AS cos FROM (
          |  SELECT c.q_id, c.n_id,
-         |    list_dot_product(q.emb, n.emb) / (q.nrm * n.nrm) AS cos,
+         |    list_dot_product(q.emb, n.emb) AS cos,
          |    CAST(row_number() OVER (PARTITION BY c.q_id
-         |      ORDER BY list_dot_product(q.emb, n.emb) / (q.nrm * n.nrm) DESC, c.n_id) AS BIGINT) AS rank
+         |      ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS BIGINT) AS rank
          |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
 
@@ -173,22 +201,21 @@ object Similarity {
       import s.implicits._
       val v = vectors(s, d).cache()
       val cent = v.filter($"vec_id" % IvfSeedStride === 0 && $"vec_id" < IvfSeedStride * IvfCentroids)
-        .select(($"vec_id" / IvfSeedStride).cast("long").as("cid"),
-          $"emb".as("c_emb"), $"nrm".as("c_nrm"))
+        .select(($"vec_id" / IvfSeedStride).cast("long").as("cid"), $"emb".as("c_emb"))
       val scored = v.crossJoin(broadcast(cent))
-        .withColumn("ccos", cosine($"emb", $"c_emb", $"nrm", $"c_nrm"))
+        .withColumn("ccos", cosine($"emb", $"c_emb"))
       val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
       val ranked = scored.withColumn("crn", row_number().over(wAssign))
       val assigned = ranked.filter($"crn" === 1)
-        .select($"vec_id", $"emb", $"nrm", $"cid")
+        .select($"vec_id", $"emb", $"cid")
       val probes = ranked.filter($"vec_id" < NumQueries && $"crn" <= NProbe)
-        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"cid")
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"cid")
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
       probes.join(assigned, "cid")
         .filter($"vec_id" =!= $"q_id")
-        .select($"q_id", $"q_emb", $"q_nrm", $"vec_id".as("n_id"), $"emb".as("n_emb"), $"nrm".as("n_nrm"))
+        .select($"q_id", $"q_emb", $"vec_id".as("n_id"), $"emb".as("n_emb"))
         .distinct()
-        .withColumn("cos", cosine($"q_emb", $"n_emb", $"q_nrm", $"n_nrm"))
+        .withColumn("cos", cosine($"q_emb", $"n_emb"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter($"rank" <= TopK)
         .select($"q_id", $"rank", $"n_id", round($"cos", 4).as("cos"))
@@ -196,12 +223,12 @@ object Similarity {
     }, Some(
       s"""WITH $vectorsSql,
          |cent AS (
-         |  SELECT CAST(vec_id // $IvfSeedStride AS BIGINT) AS cid, emb AS c_emb, nrm AS c_nrm
+         |  SELECT CAST(vec_id // $IvfSeedStride AS BIGINT) AS cid, emb AS c_emb
          |  FROM v WHERE vec_id % $IvfSeedStride = 0 AND vec_id < ${IvfSeedStride * IvfCentroids}),
          |ranked AS (
          |  SELECT v.vec_id, cid,
          |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY list_dot_product(v.emb, c_emb) / (v.nrm * c_nrm) DESC, cid) AS crn
+         |      ORDER BY list_dot_product(v.emb, c_emb) DESC, cid) AS crn
          |  FROM v CROSS JOIN cent),
          |assigned AS (SELECT vec_id, cid FROM ranked WHERE crn = 1),
          |probes AS (SELECT vec_id AS q_id, cid FROM ranked WHERE vec_id < $NumQueries AND crn <= $NProbe),
@@ -210,9 +237,9 @@ object Similarity {
          |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.q_id)
          |SELECT q_id, rank, n_id, ${rndSql("cos", 4)} AS cos FROM (
          |  SELECT c.q_id, c.n_id,
-         |    list_dot_product(q.emb, n.emb) / (q.nrm * n.nrm) AS cos,
+         |    list_dot_product(q.emb, n.emb) AS cos,
          |    CAST(row_number() OVER (PARTITION BY c.q_id
-         |      ORDER BY list_dot_product(q.emb, n.emb) / (q.nrm * n.nrm) DESC, c.n_id) AS BIGINT) AS rank
+         |      ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS BIGINT) AS rank
          |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin))
   )
