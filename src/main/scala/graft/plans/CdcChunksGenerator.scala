@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Generator}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+import graft.core.Chunker
+
+/** Native Catalyst table-valued expression for CDC chunking:
+  *
+  * {{{
+  * SELECT d.doc_id, c.chunk_idx, c.offset, c.length, xxhash64(c.chunk) AS hash
+  * FROM docs d LATERAL VIEW cdc_chunks(encode(d.text, 'utf-8'), 'fastcdc', 512, 42) c
+  * }}}
+  *
+  * A `Generator` (the engine-level UDTF shape, same contract as `explode`) —
+  * unlike the UDF route it needs no intermediate array materialization of all
+  * chunk structs per row before exploding, composes with LATERAL VIEW from
+  * pure SQL, and reports its output schema to the analyzer. Config arguments
+  * must be foldable (they parameterize the operator, like `sequence`'s step).
+  *
+  * Reference semantics: one blob → N contiguous chunk spans
+  * (`chunker.rs:24-29` pull protocol, re-derived as offsets); chunk identity
+  * is applied downstream with `xxhash64` for reproducibility (SURVEY.md §7.4).
+  */
+case class CdcChunks(payload: Expression, algo: Expression, expectedSize: Expression, seed: Expression)
+    extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(payload, algo, expectedSize, seed)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!Seq(algo, expectedSize, seed).forall(_.foldable))
+      TypeCheckResult.TypeCheckFailure("cdc_chunks(payload, algo, expected_size, seed): config arguments must be constants")
+    else if (payload.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"cdc_chunks payload must be BINARY, got ${payload.dataType.simpleString}")
+    else if (algo.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure("cdc_chunks algo must be STRING")
+    else if (!Seq(expectedSize.dataType, seed.dataType).forall(t =>
+        t == IntegerType || t == LongType || t == ShortType || t == ByteType))
+      TypeCheckResult.TypeCheckFailure("cdc_chunks expected_size and seed must be integral")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("chunk_idx", IntegerType, nullable = false),
+    StructField("offset", IntegerType, nullable = false),
+    StructField("length", IntegerType, nullable = false),
+    StructField("chunk", BinaryType, nullable = false)))
+
+  @transient private lazy val chunker: Chunker = Chunker(
+    algo.eval().toString,
+    expectedSize.eval().toString.toInt,
+    seed.eval().toString.toLong)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val bytes = payload.eval(input).asInstanceOf[Array[Byte]]
+    if (bytes == null || bytes.isEmpty) Iterator.empty
+    else chunker.chunks(bytes).iterator.zipWithIndex.map { case ((off, len), i) =>
+      InternalRow(i, off, len, java.util.Arrays.copyOfRange(bytes, off, off + len))
+    }
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CdcChunks =
+    copy(payload = newChildren(0), algo = newChildren(1),
+      expectedSize = newChildren(2), seed = newChildren(3))
+}
+
+/** Session extension: `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cdcChunksDescriptor)
+}
+
+object GraftExtensions {
+  private[plans] val cdcChunksDescriptor = (
+    FunctionIdentifier("cdc_chunks"),
+    new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4, "cdc_chunks(payload, algo, expected_size, seed)")
+      CdcChunks(args(0), args(1), args(2), args(3))
+    })
+
+  /** Imperative registration for an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = cdcChunksDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}
