@@ -490,6 +490,27 @@ object Relational {
       """SELECT l_returnflag, round(median(l_extendedprice),2) AS median_price, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- salted two-stage aggregation: the skew-mitigation shape (partial
+    // agg per (key, salt) spreads a hot key over 16 reducers; final agg per
+    // key). The oracle is the plain one-stage groupBy — checking exactly
+    // that salting preserves the result. Counts are integers, so the
+    // two-stage sum is exact.
+    ("q29_salted_skew_agg", (s, d) => {
+      import s.implicits._
+      val partial = Tables.events(s, d)
+        .withColumn("salt", pmod(xxhash64($"event_id"), lit(16)))
+        .groupBy($"user_id", $"salt")
+        .agg(count(lit(1)).as("pc"), max($"value").as("pmax"), min($"value").as("pmin"))
+      partial.groupBy($"user_id")
+        .agg(sum($"pc").as("n_events"),
+          round(max($"pmax"), 2).as("max_value"),
+          round(min($"pmin"), 2).as("min_value"))
+        .orderBy($"user_id")
+    }, Some(
+      """SELECT user_id, count(*) AS n_events,
+        |  round(max(value), 2) AS max_value, round(min(value), 2) AS min_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ---- exact vs approximate distinct (HLL) — the 100 TB path for A4.
     // No oracle: approx_count_distinct's HLL estimate is engine-specific.
     ("q28_distinct_exact_vs_approx", (s, d) => {
