@@ -70,6 +70,15 @@ object CdcQueries {
         .orderBy("algo")
     }),
 
+    // Per-document dedup metrics (A2/A3 grouped by id) over fixed chunking —
+    // fixed boundaries are pure arithmetic, so chunk *content* is
+    // SQL-computable and the whole metric pipeline has an exact oracle.
+    "cdc_fixed_dedup_per_doc" -> ((s, dir) =>
+      Chunking.dedupMetricsPerId(
+        Chunking.chunkTable(docs(s, dir), "doc_id", "text", "fixed", ExpectedSize))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // Strategy-A parallel chunking (overlapped segments + min-distance merge,
     // SURVEY.md P1) as a distributed query.
     "cdc_segmented_ae" -> ((s, dir) =>
@@ -97,6 +106,26 @@ object CdcQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_fixed_dedup_per_doc" -> {
+      import Portable.rndSql
+      s"""WITH ch AS (
+         |  SELECT doc_id, substr(text, off + 1, least($ExpectedSize, n_chars - off)) AS chunk,
+         |         least($ExpectedSize, n_chars - off) AS len
+         |  FROM (SELECT doc_id, text, n_chars, unnest(range(0, n_chars, $ExpectedSize)) AS off
+         |        FROM documents)),
+         |g AS (SELECT doc_id, chunk, min(len) AS len, count(*) AS cnt FROM ch GROUP BY 1, 2),
+         |m AS (SELECT doc_id,
+         |        CAST(sum(len) AS BIGINT) AS unique_bytes,
+         |        CAST(sum(len * cnt) AS BIGINT) AS total_bytes,
+         |        count(*) AS distinct_chunks,
+         |        CAST(sum(cnt) AS BIGINT) AS chunk_count
+         |      FROM g GROUP BY doc_id)
+         |SELECT doc_id, unique_bytes, total_bytes, distinct_chunks, chunk_count,
+         |  ${rndSql("unique_bytes / CAST(total_bytes AS DOUBLE)", 6)} AS dedup_coeff,
+         |  ${rndSql("total_bytes / CAST(distinct_chunks AS DOUBLE)", 2)} AS avg_chunk_size
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
     // Fixed chunking is pure arithmetic — exact DuckDB mirror via generate_series.
     "cdc_fixed_chunks" ->
       s"""SELECT doc_id,

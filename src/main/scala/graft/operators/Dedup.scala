@@ -98,6 +98,34 @@ object Dedup {
          |  FROM corpus)
          |WHERE doc_id <> canonical_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- normalized-text dedup: case-fold + whitespace-collapse before
+    // hashing, so formatting-only variants collapse into one group (the
+    // standard first pass of a training-data dedup pipeline).
+    ("dedup_exact_normalized", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"k")
+      corpus(s, d)
+        .unionByName(
+          corpus(s, d).filter($"doc_id" % 11 === 0)
+            .select(($"doc_id" + 300000).as("doc_id"), upper($"text").as("text")))
+        .withColumn("k", md5(regexp_replace(lower(trim($"text")), "\\s+", " ")))
+        .withColumn("canonical_id", min($"doc_id").over(w))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .filter($"doc_id" =!= $"canonical_id")
+        .select($"doc_id", $"canonical_id", $"group_size")
+        .orderBy($"doc_id")
+    }, Some(
+      s"""WITH $corpusSql,
+         |corpus2 AS (
+         |  SELECT doc_id, text FROM corpus
+         |  UNION ALL SELECT doc_id + 300000, upper(text) FROM corpus WHERE doc_id % 11 = 0)
+         |SELECT doc_id, canonical_id, group_size FROM (
+         |  SELECT doc_id,
+         |    min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS canonical_id,
+         |    count(*) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS group_size
+         |  FROM corpus2)
+         |WHERE doc_id <> canonical_id ORDER BY doc_id""".stripMargin)),
+
     // ---- n-gram Jaccard: inverted index on shingle hash → candidate pairs
     // share >= 1 shingle → exact Jaccard >= 0.6. Never materializes n².
     ("dedup_ngram_jaccard", (s, d) => {

@@ -106,6 +106,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("replaying the driver's events table through the stream matches the batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"event_type", $"value", $"ts")
+      .as[Ev].collect().toSeq
+    assert(events.nonEmpty)
+    val maxTs = events.map(_.ts.getTime).max
+
+    val ms = MemoryStream[Ev]
+    val q = Streaming.windowedEventStats(ms.toDF(), "ts", "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("replay_out").outputMode("append").start()
+    try {
+      ms.addData(events: _*)
+      q.processAllAvailable()
+      ms.addData(Ev(99999, "sentinel", 0.0, new Timestamp(maxTs + 86400000L)))
+      q.processAllAvailable()
+      val got = spark.table("replay_out")
+        .filter($"event_type" =!= "sentinel")
+        .select($"window_start", $"event_type", $"n", $"total_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val want = events.toDF()
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+        .select($"window.start", $"event_type", $"n", $"total_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("statefulChunkStream re-assembles the exact batch chunking across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
