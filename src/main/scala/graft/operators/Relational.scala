@@ -511,6 +511,55 @@ object Relational {
         |  round(max(value), 2) AS max_value, round(min(value), 2) AS min_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ---- left outer join with null-side handling: customers with their
+    // (possibly absent) 2000+ order stats.
+    ("q30_left_join_nulls", (s, d) => {
+      import s.implicits._
+      val recent = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_recent"))
+      Tables.customer(s, d)
+        .join(recent, $"c_custkey" === $"o_custkey", "left_outer")
+        .select($"c_custkey",
+          coalesce($"n_recent", lit(0L)).as("n_recent"),
+          $"n_recent".isNull.as("dormant"))
+        .orderBy($"c_custkey")
+    }, Some(
+      """SELECT c_custkey, coalesce(n_recent, 0) AS n_recent, n_recent IS NULL AS dormant
+        |FROM customer LEFT OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n_recent FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-01-01' GROUP BY o_custkey) r
+        |ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- histogram: fixed-width bucketing of document lengths per lang.
+    ("q31_length_histogram", (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy($"lang", (floor($"n_chars" / 100) * 100).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"len_bucket")
+    }, Some(
+      """SELECT lang, CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket, count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, len_bucket""".stripMargin)),
+
+    // ---- string-function showcase over part names.
+    ("q32_string_funcs", (s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .filter($"p_name".like("%red%"))
+        .select(
+          $"p_partkey",
+          upper(substring($"p_name", 1, 6)).as("prefix"),
+          length(replace($"p_name", lit(" "), lit(""))).cast("long").as("squeezed_len"),
+          concat_ws("|", $"p_brand", $"p_type").as("brand_type"))
+        .orderBy($"p_partkey")
+    }, Some(
+      """SELECT p_partkey, upper(substr(p_name, 1, 6)) AS prefix,
+        |  CAST(length(replace(p_name, ' ', '')) AS BIGINT) AS squeezed_len,
+        |  concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part WHERE p_name LIKE '%red%' ORDER BY p_partkey""".stripMargin)),
+
     // ---- exact vs approximate distinct (HLL) — the 100 TB path for A4.
     // No oracle: approx_count_distinct's HLL estimate is engine-specific.
     ("q28_distinct_exact_vs_approx", (s, d) => {
