@@ -560,6 +560,29 @@ object Relational {
         |  concat_ws('|', p_brand, p_type) AS brand_type
         |FROM part WHERE p_name LIKE '%red%' ORDER BY p_partkey""".stripMargin)),
 
+    // ---- exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`: sort + linear interpolation). Computed over the
+    // integer-valued quantity column: the engines' interpolation formulas
+    // differ in the last ulp (a+(b-a)f vs (1-f)a+fb), which is harmless on
+    // quarter-step results but can flip rounding on arbitrary doubles.
+    ("q33_percentiles", (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 2).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 2).as("p90"))
+        .orderBy($"l_returnflag")
+    }, Some {
+      import graft.operators.Portable.rndSql
+      s"""SELECT l_returnflag,
+         |  ${rndSql("quantile_cont(l_quantity, 0.25)", 2)} AS p25,
+         |  ${rndSql("quantile_cont(l_quantity, 0.5)", 2)} AS p50,
+         |  ${rndSql("quantile_cont(l_quantity, 0.9)", 2)} AS p90
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    }),
+
     // ---- exact vs approximate distinct (HLL) — the 100 TB path for A4.
     // No oracle: approx_count_distinct's HLL estimate is engine-specific.
     ("q28_distinct_exact_vs_approx", (s, d) => {
