@@ -70,6 +70,19 @@ object CdcQueries {
         .orderBy("algo")
     }),
 
+    // The native Generator driven end-to-end from SQL (LATERAL VIEW), with
+    // the fixed algorithm so the cut points carry an exact arithmetic oracle.
+    "cdc_chunks_generator_sql" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      docs(s, dir).createOrReplaceTempView("cdc_docs_v")
+      s.sql(
+        s"""SELECT d.doc_id, c.chunk_idx,
+           |  CAST(c.offset AS BIGINT) AS offset, CAST(c.length AS BIGINT) AS length
+           |FROM cdc_docs_v d
+           |LATERAL VIEW cdc_chunks(encode(d.text, 'utf-8'), 'fixed', $ExpectedSize, 0) c
+           |ORDER BY doc_id, chunk_idx""".stripMargin)
+    }),
+
     // Per-document dedup metrics (A2/A3 grouped by id) over fixed chunking —
     // fixed boundaries are pure arithmetic, so chunk *content* is
     // SQL-computable and the whole metric pipeline has an exact oracle.
@@ -106,6 +119,16 @@ object CdcQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same arithmetic as cdc_fixed_chunks — the generator must agree with it.
+    "cdc_chunks_generator_sql" ->
+      s"""SELECT doc_id,
+         |       CAST(off // $ExpectedSize AS INT) AS chunk_idx,
+         |       off AS offset,
+         |       CAST(least($ExpectedSize, n_chars - off) AS BIGINT) AS length
+         |FROM (SELECT doc_id, n_chars, unnest(range(0, n_chars, $ExpectedSize)) AS off
+         |      FROM documents)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "cdc_fixed_dedup_per_doc" -> {
       import Portable.rndSql
       s"""WITH ch AS (

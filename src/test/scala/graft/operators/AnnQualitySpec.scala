@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality contracts for the approximate operators: the DuckDB oracles pin
+  * their outputs bit-for-bit; these specs pin that the outputs are *good* —
+  * ANN recall floors against the exact baseline, and the guaranteed-hit
+  * invariants of the hashing schemes (exact duplicates can never be missed
+  * by MinHash-LSH or SimHash, because identical inputs hash identically).
+  */
+class AnnQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("AnnQualitySpec")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def topkPairs(name: String): Map[Long, Seq[Long]] = {
+    import spark.implicits._
+    Similarity.queries(name)(spark, sfDir)
+      .select($"q_id", $"rank", $"n_id").as[(Long, Long, Long)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+  }
+
+  test("LSH and IVF top-k achieve nontrivial recall against the exact baseline") {
+    val brute = topkPairs("sim_brute_topk")
+    for (ann <- Seq("sim_lsh_topk", "sim_ivf_topk")) {
+      val got = topkPairs(ann)
+      val recalls = brute.map { case (q, exact) =>
+        got.getOrElse(q, Seq.empty).count(exact.toSet).toDouble / exact.size
+      }
+      val mean = recalls.sum / recalls.size
+      // random 64-dim embeddings are a worst case for ANN; the floor checks
+      // the index isn't degenerate (candidates exist, ranking is by cosine)
+      assert(mean > 0.15, s"$ann mean recall@5 = $mean")
+    }
+  }
+
+  test("MinHash-LSH candidates include every exact-duplicate pair") {
+    import spark.implicits._
+    val pairs = Dedup.queries("dedup_minhash_lsh")(spark, sfDir)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    // corpus construction: doc_id % 5 == 0 duplicated at id + 100000 with
+    // identical text -> identical shingle sets -> identical signatures
+    val expected = (0L until 500L).filter(_ % 5 == 0).map(i => (i, i + 100000))
+    val missing = expected.filterNot(pairs)
+    assert(missing.isEmpty, s"missed exact dups: ${missing.take(5)}")
+  }
+
+  test("SimHash pairs include every exact-duplicate pair at hamming 0") {
+    import spark.implicits._
+    val pairs = Dedup.queries("dedup_simhash_pairs")(spark, sfDir)
+      .select($"id1", $"id2", $"hamming").as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val expected = (0L until 500L).filter(_ % 5 == 0).map(i => (i, i + 100000))
+    assert(expected.forall(p => pairs.get(p).contains(0L)),
+      "every identical-text pair must collide at hamming 0")
+  }
+
+  test("near-duplicate (tail-appended) docs are found by the Jaccard pipeline") {
+    import spark.implicits._
+    val pairs = Dedup.queries("dedup_ngram_jaccard")(spark, sfDir)
+      .select($"id1", $"id2", $"jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val nearDups = (0L until 500L).filter(_ % 7 == 0).map(i => (i, i + 200000))
+    val found = nearDups.count(p => pairs.get(p).exists(_ >= 0.6))
+    assert(found >= nearDups.size * 9 / 10,
+      s"only $found/${nearDups.size} tail-edited near-dups at J>=0.6")
+  }
+}
