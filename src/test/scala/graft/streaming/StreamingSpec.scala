@@ -136,6 +136,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file source -> transform -> file sink round-trip with checkpointing") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_stream")
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    try {
+      // batch 1 on disk before the stream starts; batch 2 lands mid-stream
+      val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .select($"event_id", $"user_id", $"event_type", $"value", $"ts")
+      events.filter($"event_id" % 2 === 0).write.parquet(in)
+      val q = spark.readStream.schema(events.schema).parquet(in)
+        .withColumn("value_cents", ($"value" * 100).cast("long"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        events.filter($"event_id" % 2 === 1).write.mode("append").parquet(in)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.parquet(out)
+      assert(got.count() == events.count())
+      assert(got.agg(sum($"value_cents")).as[Long].head() ==
+        events.agg(sum(($"value" * 100).cast("long"))).as[Long].head())
+    } finally {
+      java.nio.file.Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("statefulChunkStream re-assembles the exact batch chunking across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
