@@ -583,6 +583,57 @@ object Relational {
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     }),
 
+    // ---- ordered string aggregation (deterministic via explicit sort).
+    ("q34_string_agg", (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .filter($"o_custkey" < 50)
+        .groupBy($"o_custkey")
+        .agg(concat_ws(",",
+          sort_array(collect_list($"o_orderpriority"))).as("priorities"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_custkey")
+    }, Some(
+      """SELECT o_custkey, string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        |  count(*) AS n
+        |FROM orders WHERE o_custkey < 50 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // ---- explicit GROUPING SETS (beyond rollup/cube): per-status, per-
+    // priority, and grand total in one pass.
+    ("q35_grouping_sets", (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs_v")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |       coalesce(o_orderpriority, 'ALL') AS priority,
+          |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |FROM orders_gs_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    }, Some(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)),
+
+    // ---- date arithmetic: order-to-ship delay distribution.
+    ("q36_ship_delay_histogram", (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate")
+        .join(Tables.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .select((datediff($"l_shipdate", $"o_orderdate") / 7).cast("long").as("delay_weeks"))
+        .groupBy($"delay_weeks")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"delay_weeks")
+    }, Some(
+      """SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) // 7 AS BIGINT)
+        |    AS delay_weeks, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY delay_weeks""".stripMargin)),
+
     // ---- exact vs approximate distinct (HLL) — the 100 TB path for A4.
     // No oracle: approx_count_distinct's HLL estimate is engine-specific.
     ("q28_distinct_exact_vs_approx", (s, d) => {
