@@ -52,17 +52,22 @@ object Dedup {
   /** Distinct word-trigram shingle hashes per doc: (doc_id, h). Pure
     * per-row HOF then explode of an already-distinct small array.
     */
-  private def shingles(c: DataFrame): DataFrame = {
-    // Materialize the token array before the HOF: expressions inside a
-    // lambda body are re-evaluated per element (no CSE across lambda
-    // invocations), so an inline split() would re-tokenize per trigram.
+  /** (doc_id, array of distinct trigram hashes) — shuffle-free per row.
+    * The token array is materialized before the HOF: expressions inside a
+    * lambda body are re-evaluated per element (no CSE across lambda
+    * invocations), so an inline split() would re-tokenize per trigram.
+    */
+  private def shingleArrays(c: DataFrame): DataFrame = {
     val toks = col("toks")
     c.withColumn("toks", tokens(col("text")))
       .withColumn("tris", transform(
         sequence(lit(0), size(toks) - 3),
         i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2))))
-      .select(col("doc_id"), explode(array_distinct(transform(col("tris"), t => h60(t)))).as("h"))
+      .select(col("doc_id"), array_distinct(transform(col("tris"), t => h60(t))).as("hs"))
   }
+
+  private def shingles(c: DataFrame): DataFrame =
+    shingleArrays(c).select(col("doc_id"), explode(col("hs")).as("h"))
 
   private def shinglesSql: String = {
     val toks = tokensSql("text")
@@ -161,21 +166,33 @@ object Dedup {
     // probability shape: P(candidate | J) = 1 - (1 - J^4)^4.
     ("dedup_minhash_lsh", (s, d) => {
       import s.implicits._
-      val sh = shingles(corpus(s, d)).withColumn("hp", $"h" % P).cache()
-      val sigs = sh.groupBy($"doc_id").agg(
-        Perms.zipWithIndex.map { case ((a, b), i) =>
-          min((lit(a) * $"hp" + lit(b)) % P).as(s"m$i")
-        }.head,
-        Perms.zipWithIndex.tail.map { case ((a, b), i) =>
-          min((lit(a) * $"hp" + lit(b)) % P).as(s"m$i")
-        }: _*)
-      val bandStructs = (0 until Bands).map { bnd =>
-        struct(lit(bnd).as("band"),
-          concat_ws(",", (0 until Rows).map(r => col(s"m${bnd * Rows + r}")): _*).as("bkey"))
-      }
-      val bands = sigs
-        .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
-        .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+      val sh = shingles(corpus(s, d)).cache()
+      // Signatures straight from the per-doc shingle-hash ARRAY — min is
+      // order-free, so no explode + 16-way min-agg shuffle is needed; one
+      // fused loop per doc emits all 4 band keys. Same arithmetic
+      // ((a*hp + b) % P over h % P) as the oracle's aggregated form.
+      val perms = Perms.toArray
+      val bands = shingleArrays(corpus(s, d))
+        .as[(Long, Array[Long])]
+        .filter(_._2.nonEmpty) // docs with no shingles have no sig row in the oracle either
+        .flatMap { case (id, hs) =>
+          val mins = Array.fill(perms.length)(Long.MaxValue)
+          var i = 0
+          while (i < hs.length) {
+            val hp = hs(i) % P
+            var j = 0
+            while (j < perms.length) {
+              val v = (perms(j)._1 * hp + perms(j)._2) % P
+              if (v < mins(j)) mins(j) = v
+              j += 1
+            }
+            i += 1
+          }
+          (0 until Bands).map { bnd =>
+            (id, bnd, (bnd * Rows until bnd * Rows + Rows).map(mins).mkString(","))
+          }
+        }
+        .toDF("doc_id", "band", "bkey")
       val cands = bands.as("x").join(bands.as("y"),
           $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
         .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
