@@ -29,7 +29,27 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val mbps = chunkerThroughput()
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"chunker_mbps":$mbps,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Raw single-thread chunker throughput (MB/s) on 64 MiB of deterministic
+    * pseudorandom bytes, 16 KiB expected chunks — the reference experiment's
+    * workload shape (`main.rs:16-24`) measured at the core, below Spark.
+    */
+  private def chunkerThroughput(): Map[String, Double] = {
+    val data = new Array[Byte](64 << 20)
+    new java.util.Random(42L).nextBytes(data)
+    Seq("fixed", "ae", "fastcdc", "rabin").map { algo =>
+      val c = core.Chunker(algo, 16 * 1024, 42L)
+      c.boundaries(data) // warmup (JIT)
+      val t0 = System.nanoTime()
+      val n = c.boundaries(data).length
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(n > 0)
+      algo -> math.round(data.length / 1e6 / secs * 10) / 10.0
+    }.toMap
   }
 }
