@@ -64,16 +64,16 @@ object DedupMetricsAgg extends Aggregator[(Long, Long), mutable.HashMap[Long, Lo
     b.foreachEntry { (k, v) =>
       if (k != TotalBytesKey && k != TotalCountKey) { uniqueBytes += v; distinct += 1 }
     }
-    // BigDecimal.decimal = Double.toString semantics, matching Spark's
-    // round() (BigDecimal.valueOf) so one-pass and two-step agree exactly.
+    // Mirrors Portable.round's double-rounding (8 decimals, then n) so
+    // one-pass and two-step metrics agree bit-for-bit.
+    def r(x: Double, n: Int): Double =
+      BigDecimal.decimal(
+        BigDecimal.decimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
     DedupMetrics(
       uniqueBytes, totalBytes, distinct, totalCount,
-      if (totalBytes == 0) 0.0
-      else BigDecimal.decimal(uniqueBytes.toDouble / totalBytes)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-      if (distinct == 0) 0.0
-      else BigDecimal.decimal(totalBytes.toDouble / distinct)
-        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      if (totalBytes == 0) 0.0 else r(uniqueBytes.toDouble / totalBytes, 6),
+      if (distinct == 0) 0.0 else r(totalBytes.toDouble / distinct, 2))
   }
 
   override def bufferEncoder: Encoder[mutable.HashMap[Long, Long]] = Encoders.kryo

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 import graft.core.{AeChunker, Chunker, RabinChunker}
+import graft.operators.Portable.round
 
 /** Chunk span within a payload; field names surface as the UDF's struct schema. */
 case class ChunkBound(offset: Int, length: Int)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Portable.round
 
 /** One media blob: opaque binary content + typed metadata. Derived
   * deterministically from the documents table (content = UTF-8 bytes of

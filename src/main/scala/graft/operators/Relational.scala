@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Portable.round
 
 /** Relational query surface over the driver's TPC-H-ish tables (SURVEY.md
   * §7.6): the capabilities the reference lacks entirely (§2.5) supplied by
@@ -44,11 +45,11 @@ object Relational {
         .orderBy($"l_returnflag", $"l_linestatus")
     }, Some(
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity),2) AS sum_qty,
-        |  round(sum(l_extendedprice),2) AS sum_base_price,
-        |  round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
-        |  round(avg(l_quantity),2) AS avg_qty,
-        |  round(avg(l_discount),4) AS avg_disc,
+        |  CAST(round(CAST((sum(l_quantity)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(CAST((sum(l_extendedprice)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(CAST((sum(l_extendedprice*(1.0-l_discount))) AS DECIMAL(28,8)), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(CAST((avg(l_quantity)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS avg_qty,
+        |  CAST(round(CAST((avg(l_discount)) AS DECIMAL(28,8)), 4) AS DOUBLE) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
@@ -63,7 +64,7 @@ object Relational {
         .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
           count(lit(1)).as("n_lines"))
     }, Some(
-      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n_lines
+      """SELECT CAST(round(CAST((sum(l_extendedprice*l_discount)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS revenue, count(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
@@ -82,7 +83,7 @@ object Relational {
         .limit(10)
     }, Some(
       """SELECT o_orderkey, o_orderpriority,
-        |  round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |  CAST(round(CAST((sum(l_extendedprice*(1.0-l_discount))) AS DECIMAL(28,8)), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -112,7 +113,7 @@ object Relational {
         .orderBy($"n_name")
     }, Some(
       """SELECT n_name,
-        |  round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue, count(*) AS n_lines
+        |  CAST(round(CAST((sum(l_extendedprice*(1.0-l_discount))) AS DECIMAL(28,8)), 2) AS DOUBLE) AS revenue, count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -134,7 +135,7 @@ object Relational {
           $"rn".cast("long").as("rn"))
         .orderBy($"o_custkey", $"rn")
     }, Some(
-      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price, rn FROM (
+      """SELECT o_custkey, o_orderkey, CAST(round(CAST((o_totalprice) AS DECIMAL(28,8)), 2) AS DOUBLE) AS price, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
@@ -154,7 +155,7 @@ object Relational {
     }, Some(
       """SELECT coalesce(o_orderstatus,'ALL') AS status,
         |       coalesce(o_orderpriority,'ALL') AS priority,
-        |       count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |       count(*) AS n_orders, CAST(round(CAST((sum(o_totalprice)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin)),
 
@@ -172,7 +173,7 @@ object Relational {
     }, Some(
       """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
         |       coalesce(l_linestatus,'ALL') AS linestatus,
-        |       count(*) AS n, round(sum(l_quantity),2) AS qty
+        |       count(*) AS n, CAST(round(CAST((sum(l_quantity)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin)),
 
@@ -202,7 +203,7 @@ object Relational {
         .select($"c_custkey", $"c_name", round($"c_acctbal", 2).as("acctbal"))
         .orderBy($"c_custkey")
     }, Some(
-      """SELECT c_custkey, c_name, round(c_acctbal,2) AS acctbal FROM customer
+      """SELECT c_custkey, c_name, CAST(round(CAST((c_acctbal) AS DECIMAL(28,8)), 2) AS DOUBLE) AS acctbal FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |ORDER BY c_custkey""".stripMargin)),
@@ -249,7 +250,7 @@ object Relational {
           round(sum($"l_quantity"), 2).as("qty"))
         .orderBy($"l_suppkey")
     }, Some(
-      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, round(sum(l_quantity),2) AS qty
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, CAST(round(CAST((sum(l_quantity)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
 
     // ---- conditional aggregation (Q12-style CASE counting).
@@ -282,7 +283,7 @@ object Relational {
           countDistinct($"p_type").as("n_types"))
         .orderBy($"p_brand")
     }, Some(
-      """SELECT p_brand, count(*) AS n, round(avg(p_retailprice),2) AS avg_price,
+      """SELECT p_brand, count(*) AS n, CAST(round(CAST((avg(p_retailprice)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS avg_price,
         |  min(p_size) AS min_size, max(length(p_name)) AS max_name_len,
         |  count(DISTINCT p_type) AS n_types
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
@@ -296,7 +297,7 @@ object Relational {
         .orderBy($"month")
     }, Some(
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-        |  count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |  count(*) AS n_orders, CAST(round(CAST((sum(o_totalprice)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin)),
 
     // ---- HAVING.
@@ -308,7 +309,7 @@ object Relational {
         .filter($"n_orders" >= 15)
         .orderBy($"o_custkey")
     }, Some(
-      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+      """SELECT o_custkey, count(*) AS n_orders, CAST(round(CAST((sum(o_totalprice)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey""".stripMargin)),
 
     // ---- scalar subquery / join-with-aggregate: parts 5% above brand mean
@@ -322,7 +323,7 @@ object Relational {
         .select($"p_partkey", $"p_brand", round($"p_retailprice", 2).as("price"))
         .orderBy($"p_partkey")
     }, Some(
-      """SELECT p_partkey, p_brand, round(p_retailprice,2) AS price
+      """SELECT p_partkey, p_brand, CAST(round(CAST((p_retailprice) AS DECIMAL(28,8)), 2) AS DOUBLE) AS price
         |FROM part p
         |WHERE p_retailprice > 1.05 * (SELECT avg(p_retailprice) FROM part q WHERE q.p_brand = p.p_brand)
         |ORDER BY p_partkey""".stripMargin)),
@@ -360,7 +361,7 @@ object Relational {
         |  FROM g)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         |  min(epoch_us(ts)) AS session_start_us, max(epoch_us(ts)) AS session_end_us,
-        |  round(sum(value),2) AS total_value
+        |  CAST(round(CAST((sum(value)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS total_value
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
 
     // ---- tumbling-window aggregation (batch shape of the streaming query).
@@ -372,7 +373,7 @@ object Relational {
         .orderBy($"hour_us", $"event_type")
     }, Some(
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
-        |  count(*) AS n, round(sum(value),2) AS total_value
+        |  count(*) AS n, CAST(round(CAST((sum(value)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin)),
 
     // ---- semi-structured: JSON property extraction + bucketing.
@@ -385,7 +386,7 @@ object Relational {
         .orderBy($"k_bucket")
     }, Some(
       """SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) % 10 AS k_bucket,
-        |  count(*) AS n, round(avg(value),2) AS avg_value
+        |  count(*) AS n, CAST(round(CAST((avg(value)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS avg_value
         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin)),
 
     // ---- as-of join: each purchase matched to the user's most recent prior
@@ -424,7 +425,7 @@ object Relational {
           round(sum($"l_extendedprice"), 2).as("quick_revenue"))
         .orderBy($"o_orderkey")
     }, Some(
-      """SELECT o_orderkey, count(*) AS n_quick_ships, round(sum(l_extendedprice),2) AS quick_revenue
+      """SELECT o_orderkey, count(*) AS n_quick_ships, CAST(round(CAST((sum(l_extendedprice)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS quick_revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
@@ -451,7 +452,7 @@ object Relational {
     }, Some(
       """WITH v1 AS (SELECT o_orderkey AS k1, o_totalprice AS p1 FROM orders WHERE o_orderkey % 7 <> 0),
         |v2 AS (SELECT o_orderkey AS k2,
-        |         CASE WHEN o_orderkey % 3 = 0 THEN round(o_totalprice*1.1,2) ELSE o_totalprice END AS p2
+        |         CASE WHEN o_orderkey % 3 = 0 THEN CAST(round(CAST((o_totalprice*1.1) AS DECIMAL(28,8)), 2) AS DOUBLE) ELSE o_totalprice END AS p2
         |       FROM orders WHERE o_orderkey % 5 <> 0)
         |SELECT coalesce(k1,k2) AS o_orderkey,
         |  CASE WHEN k1 IS NULL THEN 'inserted' WHEN k2 IS NULL THEN 'deleted'
@@ -487,7 +488,7 @@ object Relational {
           count(lit(1)).as("n"))
         .orderBy($"l_returnflag")
     }, Some(
-      """SELECT l_returnflag, round(median(l_extendedprice),2) AS median_price, count(*) AS n
+      """SELECT l_returnflag, CAST(round(CAST((median(l_extendedprice)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS median_price, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ---- salted two-stage aggregation: the skew-mitigation shape (partial
@@ -508,7 +509,7 @@ object Relational {
         .orderBy($"user_id")
     }, Some(
       """SELECT user_id, count(*) AS n_events,
-        |  round(max(value), 2) AS max_value, round(min(value), 2) AS min_value
+        |  CAST(round(CAST((max(value)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS max_value, CAST(round(CAST((min(value)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS min_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // ---- left outer join with null-side handling: customers with their
@@ -606,14 +607,14 @@ object Relational {
       s.sql(
         """SELECT coalesce(o_orderstatus, 'ALL') AS status,
           |       coalesce(o_orderpriority, 'ALL') AS priority,
-          |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+          |       count(*) AS n, CAST(round(CAST((sum(o_totalprice)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS total
           |FROM orders_gs_v
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           |ORDER BY status, priority""".stripMargin)
     }, Some(
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
-        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |       count(*) AS n, CAST(round(CAST((sum(o_totalprice)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin)),

@@ -38,6 +38,17 @@ object Portable {
     */
   def rndSql(x: String, n: Int): String =
     s"CAST(round(CAST(($x) AS DECIMAL(28,8)), $n) AS DOUBLE)"
+
+  /** Spark-side rounding paired with [[rndSql]]: collapse to 8 decimals
+    * first, then round to n — both engines then round the same 8-digit
+    * decimal. A single `round(x, n)` rounds the double's SHORTEST repr,
+    * which disagrees with the shim whenever x sits within ~1e-8 of an
+    * n-digit half boundary (about 1 in 10^5 ratio-valued rows — observed at
+    * sf0.1). Shadows `functions.round` via import precedence so every
+    * operator call site picks it up.
+    */
+  def round(c: Column, n: Int): Column =
+    org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.round(c, 8), n)
 }
 
 /** Text-analysis operators for LLM training-data pipelines (builder mandate):
