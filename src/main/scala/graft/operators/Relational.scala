@@ -635,6 +635,36 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY delay_weeks""".stripMargin)),
 
+    // ---- window-function suite beyond row_number: lead/lag, ntile,
+    // percent_rank, cume_dist, first_value over one deterministic window.
+    ("q37_window_suite", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, d)
+        .filter($"o_custkey" < 30)
+        .select(
+          $"o_custkey", $"o_orderkey",
+          lag($"o_orderkey", 1).over(w).as("prev_order"),
+          lead($"o_orderkey", 1).over(w).as("next_order"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          first_value($"o_orderkey").over(w).as("first_order"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }, Some {
+      import graft.operators.Portable.rndSql
+      s"""SELECT o_custkey, o_orderkey,
+         |  lag(o_orderkey, 1) OVER w AS prev_order,
+         |  lead(o_orderkey, 1) OVER w AS next_order,
+         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         |  ${rndSql("percent_rank() OVER w", 6)} AS pct_rank,
+         |  ${rndSql("cume_dist() OVER w", 6)} AS cume,
+         |  first_value(o_orderkey) OVER w AS first_order
+         |FROM orders WHERE o_custkey < 30
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin
+    }),
+
     // ---- exact vs approximate distinct (HLL) — the 100 TB path for A4.
     // No oracle: approx_count_distinct's HLL estimate is engine-specific.
     ("q28_distinct_exact_vs_approx", (s, d) => {

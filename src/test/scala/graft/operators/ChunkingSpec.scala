@@ -122,6 +122,29 @@ class ChunkingSpec extends AnyFunSuite {
       s"edge distinct ${edge.distinctChunks} vs seq ${seq.distinctChunks}")
   }
 
+  test("segmentedChunkTable at multi-MB scale: chunks match payload slices, metrics track sequential") {
+    import spark.implicits._
+    val data = rndBytes(8 << 20, 99) // 8 MiB single blob, 8-way segment scan
+    val df = Seq((1L, data)).toDF("doc_id", "content")
+    val chunks = Chunking.segmentedChunkTable(df, "doc_id", "content", "ae", 8192, segments = 8)
+      .orderBy("chunk_idx")
+      .select($"offset", $"length", $"chunk").as[(Int, Int, Array[Byte])].collect()
+    assert(chunks.length > 500, s"expected ~1k chunks, got ${chunks.length}")
+    // contiguous coverage from offset 0 and every chunk equals its payload slice
+    var expectOff = 0
+    for ((off, len, bytes) <- chunks) {
+      assert(off == expectOff, s"gap at $off")
+      assert(java.util.Arrays.equals(bytes,
+        java.util.Arrays.copyOfRange(data, off, off + len)))
+      expectOff = off + len
+    }
+    assert(expectOff >= data.length - 8192 * 2, "tail coverage within merge tolerance")
+    // distributed metrics stay close to the pure sequential scan
+    val seqCount = AeChunker(8192).chunks(data).length
+    assert(math.abs(chunks.length - seqCount) <= seqCount / 5,
+      s"segmented ${chunks.length} vs sequential $seqCount")
+  }
+
   test("chunkDiff classifies added and removed chunks across snapshots") {
     import spark.implicits._
     val v1 = Seq((1L, "aaaa bbbb cccc dddd " * 40)).toDF("doc_id", "text")
