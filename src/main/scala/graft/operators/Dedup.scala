@@ -131,6 +131,23 @@ object Dedup {
          |  FROM corpus2)
          |WHERE doc_id <> canonical_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- exact dedup at data scale: the documents corpus is fixed-size
+    // across SFs, so this variant dedups the events stream (scales linearly
+    // with the SF) by content key — the canonical-record pattern: group by
+    // content hash, keep min event_id, count the duplicates.
+    ("dedup_exact_events", (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("k", md5(concat_ws("|", $"event_type", $"props")))
+        .groupBy($"k")
+        .agg(min($"event_id").as("canonical_id"), count(lit(1)).as("n_dups"))
+        .select($"canonical_id", $"n_dups")
+        .orderBy($"canonical_id")
+    }, Some(
+      """SELECT min(event_id) AS canonical_id, count(*) AS n_dups
+        |FROM events GROUP BY md5(event_type || '|' || props)
+        |ORDER BY canonical_id""".stripMargin)),
+
     // ---- n-gram Jaccard: inverted index on shingle hash → candidate pairs
     // share >= 1 shingle → exact Jaccard >= 0.6. Never materializes n².
     ("dedup_ngram_jaccard", (s, d) => {
