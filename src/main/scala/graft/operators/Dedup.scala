@@ -49,33 +49,47 @@ object Dedup {
       |  UNION ALL SELECT doc_id + 200000, text || ' near duplicate tail' FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
   // ------------------------------------------------- word-trigram shingles
-  /** Distinct word-trigram shingle hashes per doc: (doc_id, h). Pure
-    * per-row HOF then explode of an already-distinct small array.
-    */
-  /** (doc_id, array of distinct trigram hashes) — shuffle-free per row.
+  /** (doc_id, array of distinct trigram strings) — shuffle-free per row.
     * The token array is materialized before the HOF: expressions inside a
     * lambda body are re-evaluated per element (no CSE across lambda
     * invocations), so an inline split() would re-tokenize per trigram.
     */
-  private def shingleArrays(c: DataFrame): DataFrame = {
-    val toks = col("toks")
-    c.withColumn("toks", tokens(col("text")))
-      .withColumn("tris", transform(
-        sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2))))
-      .select(col("doc_id"), array_distinct(transform(col("tris"), t => h60(t))).as("hs"))
+  private def shingleStringArrays(c: DataFrame): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    // Fused JVM tokenize+shingle: array HOFs are CodegenFallback (interpreted
+    // per element) and this table is re-derived on several join sides, so the
+    // per-doc pass is a plain-String loop. split("\\s+") on trimmed input is
+    // exactly the oracle's regexp_split_to_array(trim(text), '\s+').
+    c.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.trim.split("\\s+")
+          val seen = new java.util.LinkedHashSet[String]
+          var i = 0
+          while (i + 2 < toks.length) {
+            seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+            i += 1
+          }
+          (id, seen.toArray(Array.empty[String]))
+        }
+      }.toDF("doc_id", "ts")
   }
 
+  /** Inverted-index rows (doc_id, h): xxhash64 shingle identity (Spark-side
+    * only; the oracle joins on the raw trigram string — identical counts).
+    */
   private def shingles(c: DataFrame): DataFrame =
-    shingleArrays(c).select(col("doc_id"), explode(col("hs")).as("h"))
+    shingleStringArrays(c)
+      .select(col("doc_id"), explode(col("ts")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
 
   private def shinglesSql: String = {
     val toks = tokensSql("text")
     s"""sh AS (
-       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |  SELECT doc_id, unnest(list_distinct(
        |    list_transform(range(0, len($toks) - 2),
-       |      i -> ($toks)[i+1] || ' ' || ($toks)[i+2] || ' ' || ($toks)[i+3]),
-       |    t -> ${h60Sql("t")}))) AS h
+       |      i -> ($toks)[i+1] || ' ' || ($toks)[i+2] || ' ' || ($toks)[i+3]))) AS h
        |  FROM corpus)""".stripMargin
   }
 
@@ -183,20 +197,21 @@ object Dedup {
     // probability shape: P(candidate | J) = 1 - (1 - J^4)^4.
     ("dedup_minhash_lsh", (s, d) => {
       import s.implicits._
-      val sh = shingles(corpus(s, d)).cache()
-      // Signatures straight from the per-doc shingle-hash ARRAY — min is
+      val arrays = shingleStringArrays(corpus(s, d)).cache()
+      // Signatures straight from the per-doc shingle STRING array — min is
       // order-free, so no explode + 16-way min-agg shuffle is needed; one
-      // fused loop per doc emits all 4 band keys. Same arithmetic
-      // ((a*hp + b) % P over h % P) as the oracle's aggregated form.
+      // fused loop per doc hashes (h60, the oracle-visible values), permutes,
+      // and emits all 4 band keys. Same arithmetic ((a*hp + b) % P over
+      // h60 % P) as the oracle's aggregated form.
       val perms = Perms.toArray
-      val bands = shingleArrays(corpus(s, d))
-        .as[(Long, Array[Long])]
+      val bands = shingleStringArrays(corpus(s, d))
+        .as[(Long, Array[String])]
         .filter(_._2.nonEmpty) // docs with no shingles have no sig row in the oracle either
-        .flatMap { case (id, hs) =>
+        .flatMap { case (id, ts) =>
           val mins = Array.fill(perms.length)(Long.MaxValue)
           var i = 0
-          while (i < hs.length) {
-            val hp = hs(i) % P
+          while (i < ts.length) {
+            val hp = h60Jvm(ts(i)) % P
             var j = 0
             while (j < perms.length) {
               val v = (perms(j)._1 * hp + perms(j)._2) % P
@@ -213,14 +228,15 @@ object Dedup {
       val cands = bands.as("x").join(bands.as("y"),
           $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
         .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val common = sh.as("a").join(sh.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("id1"), $"b.doc_id".as("id2"))
-        .agg(count(lit(1)).as("common"))
-      cands.join(common, Seq("id1", "id2"))
-        .join(sizes.select($"doc_id".as("id1"), $"n".as("n1")), "id1")
-        .join(sizes.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
-        .withColumn("jaccard", round($"common" / ($"n1" + $"n2" - $"common"), 4))
+      // Verification touches ONLY candidate pairs: rejoin the (small) shingle
+      // arrays and intersect per pair — no corpus-wide inverted-index
+      // pair-count aggregation (that exact all-pairs shape lives in
+      // dedup_ngram_jaccard; here LSH exists precisely to avoid it).
+      cands
+        .join(arrays.select($"doc_id".as("id1"), $"ts".as("ts1")), "id1")
+        .join(arrays.select($"doc_id".as("id2"), $"ts".as("ts2")), "id2")
+        .withColumn("common", size(array_intersect($"ts1", $"ts2")))
+        .withColumn("jaccard", round($"common" / (size($"ts1") + size($"ts2") - $"common"), 4))
         .filter($"jaccard" >= 0.5)
         .select($"id1", $"id2", $"jaccard")
         .orderBy($"id1", $"id2")
@@ -233,7 +249,7 @@ object Dedup {
       }.mkString("\n  UNION ALL ")
       s"""WITH $corpusSql,
          |$shinglesSql,
-         |shp AS (SELECT doc_id, h, h % $P AS hp FROM sh),
+         |shp AS (SELECT doc_id, ${h60Sql("h")} % $P AS hp FROM sh),
          |sig AS (
          |  SELECT doc_id,
          |    $minExprs
@@ -244,16 +260,11 @@ object Dedup {
          |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |common AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
-         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+         |arr AS (SELECT doc_id, list(h) AS ts FROM sh GROUP BY doc_id)
          |SELECT id1, id2, jaccard FROM (
          |  SELECT c.id1, c.id2,
-         |    ${rndSql("common / CAST(s1.n + s2.n - common AS DOUBLE)", 4)} AS jaccard
-         |  FROM cand c JOIN common USING (id1, id2)
-         |  JOIN sizes s1 ON s1.doc_id = c.id1 JOIN sizes s2 ON s2.doc_id = c.id2)
+         |    ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
+         |  FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
          |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin
     }),
 

@@ -59,13 +59,6 @@ object Similarity {
     aggregate(zip_with(aEmb, bEmb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   // ------------------------------------------------------------------- LSH
-  /** JVM twin of Portable.h60 for driver-side constant folding. */
-  private def h60Jvm(s: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
-
   /** Hyperplane weights [table][bit][dim] in [-1, 1], 1/1000 resolution —
     * the exact doubles DuckDB derives in-query from the same h60 formula.
     */

@@ -18,6 +18,24 @@ object Portable {
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** JVM twin of [[h60]] for fused loops (bit-identical values). Thread-local
+    * digest: `MessageDigest.getInstance` synchronizes on the JCA provider
+    * table, which serializes 32-thread executors if called per row. The
+    * first 15 hex digits of the md5 are the top 60 bits of its first 8
+    * bytes, assembled directly.
+    */
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  def h60Jvm(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) | ((d(2) & 0xffL) << 36) |
+      ((d(3) & 0xffL) << 28) | ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+      ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
   /** DuckDB text of the same function applied to SQL fragment `x`. */
   def h60Sql(x: String): String =
     s"CAST(('0x'||substr(md5($x),1,15)) AS BIGINT)"
