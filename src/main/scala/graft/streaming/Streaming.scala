@@ -107,6 +107,30 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Stream-stream inner join with event-time bounds: each purchase event
+    * joined to the same user's signup within the preceding `within` window.
+    * Both sides carry watermarks and the join condition bounds event time in
+    * both directions, so join state is provably bounded — the requirement
+    * for unbounded-stream joins.
+    */
+  def purchaseAttribution(
+      events: DataFrame,
+      tsCol: String = "ts",
+      within: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col(tsCol).as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"), col(tsCol).as("s_ts"))
+      .withWatermark("s_ts", watermark)
+    purchases.join(signups,
+        col("user_id") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("purchase_id"), col("signup_id"), col("p_ts"), col("s_ts"))
+  }
+
   /** Incremental CDC chunker over a stream of blob segments: carries the
     * unconsumed tail across micro-batches in `GroupState`, emits a chunk as
     * soon as its boundary is definite. Content-defined cut points depend

@@ -136,6 +136,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: purchases attribute to signups within the hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class E2(user_id: Long, event_id: Long, event_type: String, ts: Timestamp)
+    val ms = MemoryStream[(Long, Long, String, Timestamp)]
+    val df = ms.toDF().toDF("user_id", "event_id", "event_type", "ts")
+    val q = Streaming.purchaseAttribution(df, "ts", "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      // base offset 1 day: an event time of exactly epoch 0 EQUALS the
+      // initial watermark and is dropped as late before it reaches join state
+      val base = 1440L
+      ms.addData(
+        (1L, 100L, "signup", ts(base)),
+        (1L, 101L, "purchase", ts(base + 30)),  // within 1h of signup -> match
+        (1L, 102L, "purchase", ts(base + 90)),  // 90 min after signup -> no match
+        (2L, 200L, "purchase", ts(base + 10)))  // no signup -> no match
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select($"user_id", $"purchase_id", $"signup_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 101L, 100L)))
+    } finally q.stop()
+  }
+
   test("file source -> transform -> file sink round-trip with checkpointing") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_stream")
