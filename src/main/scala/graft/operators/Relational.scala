@@ -665,6 +665,30 @@ object Relational {
          |ORDER BY o_custkey, o_orderkey""".stripMargin
     }),
 
+    // ---- event-time range self-join: every (purchase, signup-of-same-user-
+    // within-the-preceding-hour) pair — the batch twin of
+    // streaming.Streaming.purchaseAttribution, equi-keyed on user_id so the
+    // range predicate is a residual filter, not a nested loop.
+    ("q38_purchase_attribution", (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val p = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+      val sg = e.filter($"event_type" === "signup")
+        .select($"user_id".as("s_user"), $"event_id".as("signup_id"), $"ts".as("s_ts"))
+      p.join(sg, $"user_id" === $"s_user" &&
+          $"s_ts" <= $"p_ts" && $"s_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"))
+        .select($"user_id", $"purchase_id", $"signup_id",
+          unix_micros($"p_ts").as("p_us"), unix_micros($"s_ts").as("s_us"))
+        .orderBy($"purchase_id", $"signup_id")
+    }, Some(
+      """SELECT p.user_id, p.event_id AS purchase_id, s.event_id AS signup_id,
+        |  epoch_us(p.ts) AS p_us, epoch_us(s.ts) AS s_us
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, signup_id""".stripMargin)),
+
     // ---- exact vs approximate distinct (HLL) — the 100 TB path for A4.
     // No oracle: approx_count_distinct's HLL estimate is engine-specific.
     ("q28_distinct_exact_vs_approx", (s, d) => {
