@@ -99,6 +99,33 @@ object CdcQueries {
         Chunking.segmentedChunkTable(
           docs(s, dir), "doc_id", "text", "ae", AeWindow + 256, segments = 4))),
 
+    // Corpus-level metrics over fixed chunking — the one algorithm whose cut
+    // points are pure arithmetic, so the WHOLE reference experiment
+    // (scan → chunk → hash-dedup → COEFF/AVG, `main.rs:16-24`) gets an exact
+    // end-to-end DuckDB oracle instead of a rows-only check.
+    "cdc_fixed_dedup_metrics" -> ((s, dir) =>
+      Chunking.dedupMetrics(
+        Chunking.chunkTable(docs(s, dir), "doc_id", "text", "fixed", ExpectedSize))),
+
+    // Change detection over fixed chunks: like cdc_change_detection below but
+    // SQL-mirrorable end-to-end (substr chunking + anti-join diff), so the
+    // CDC north-star path is hash-checked by the driver, not rows-only.
+    "cdc_fixed_change_detection" -> ((s, dir) => {
+      val v1 = docs(s, dir).select(col("doc_id"), col("text"))
+      val v2 = v1.withColumn(
+        "text",
+        when(col("doc_id") % 3 === 0, regexp_replace(col("text"), "data", "DATA"))
+          .otherwise(col("text")))
+      val c1 = Chunking.chunkTable(v1, "doc_id", "text", "fixed", ExpectedSize)
+      val c2 = Chunking.chunkTable(v2, "doc_id", "text", "fixed", ExpectedSize)
+      Chunking.chunkDiff(c1, c2)
+        .groupBy(col("id").as("doc_id"))
+        .pivot("change", Seq("added", "removed"))
+        .count()
+        .na.fill(0L)
+        .orderBy("doc_id")
+    }),
+
     // CDC as change detection: simulate a v2 corpus (every 3rd doc edited),
     // chunk both versions, report per-doc added/removed chunk counts.
     "cdc_change_detection" -> ((s, dir) => {
@@ -119,6 +146,47 @@ object CdcQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_fixed_dedup_metrics" -> {
+      import Portable.rndSql
+      s"""WITH ch AS (
+         |  SELECT substr(text, off + 1, least($ExpectedSize, n_chars - off)) AS chunk,
+         |         least($ExpectedSize, n_chars - off) AS len
+         |  FROM (SELECT text, n_chars, unnest(range(0, n_chars, $ExpectedSize)) AS off
+         |        FROM documents)),
+         |g AS (SELECT chunk, min(len) AS len, count(*) AS cnt FROM ch GROUP BY 1),
+         |m AS (SELECT CAST(sum(len) AS BIGINT) AS unique_bytes,
+         |             CAST(sum(len * cnt) AS BIGINT) AS total_bytes,
+         |             count(*) AS distinct_chunks,
+         |             CAST(sum(cnt) AS BIGINT) AS chunk_count
+         |      FROM g)
+         |SELECT unique_bytes, total_bytes, distinct_chunks, chunk_count,
+         |  ${rndSql("unique_bytes / CAST(total_bytes AS DOUBLE)", 6)} AS dedup_coeff,
+         |  ${rndSql("total_bytes / CAST(distinct_chunks AS DOUBLE)", 2)} AS avg_chunk_size
+         |FROM m""".stripMargin
+    },
+
+    "cdc_fixed_change_detection" ->
+      s"""WITH v2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN replace(text, 'data', 'DATA') ELSE text END AS text
+         |  FROM documents),
+         |c1 AS (SELECT DISTINCT doc_id, substr(text, off + 1, least($ExpectedSize, length(text) - off)) AS chunk
+         |       FROM (SELECT doc_id, text, unnest(range(0, length(text), $ExpectedSize)) AS off
+         |             FROM documents)),
+         |c2 AS (SELECT DISTINCT doc_id, substr(text, off + 1, least($ExpectedSize, length(text) - off)) AS chunk
+         |       FROM (SELECT doc_id, text, unnest(range(0, length(text), $ExpectedSize)) AS off
+         |             FROM v2)),
+         |ad AS (SELECT doc_id, count(*) AS added
+         |       FROM (SELECT * FROM c2 EXCEPT SELECT * FROM c1) GROUP BY doc_id),
+         |rm AS (SELECT doc_id, count(*) AS removed
+         |       FROM (SELECT * FROM c1 EXCEPT SELECT * FROM c2) GROUP BY doc_id),
+         |ids AS (SELECT doc_id FROM ad UNION SELECT doc_id FROM rm)
+         |SELECT i.doc_id,
+         |  CAST(coalesce(ad.added, 0) AS BIGINT) AS added,
+         |  CAST(coalesce(rm.removed, 0) AS BIGINT) AS removed
+         |FROM ids i LEFT JOIN ad ON ad.doc_id = i.doc_id LEFT JOIN rm ON rm.doc_id = i.doc_id
+         |ORDER BY i.doc_id""".stripMargin,
+
     // Same arithmetic as cdc_fixed_chunks — the generator must agree with it.
     "cdc_chunks_generator_sql" ->
       s"""SELECT doc_id,

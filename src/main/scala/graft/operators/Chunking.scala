@@ -138,7 +138,6 @@ object Chunking {
       expectedSize: Int,
       seed: Long = 0L,
       segments: Int = 4): DataFrame = {
-    import df.sparkSession.implicits._
     val (window, bounds): (Int, (Array[Byte], Int, Int) => Array[Int]) = algo match {
       case "ae" =>
         val c = AeChunker(expectedSize)
@@ -154,40 +153,45 @@ object Chunking {
       else col(payloadCol)
     val nSeg = segments
 
-    // Stage 1 (wide): per (blob, segment) candidate cut offsets.
+    // Stage 1 (wide): per (blob, segment) candidate cut offsets. The id
+    // column keeps its ORIGINAL type throughout — a silent cast("long") here
+    // turned non-numeric ids (e.g. binaryFile paths) into null and collapsed
+    // every blob into one merge group (ADVICE r1).
+    val segBounds = udf((data: Array[Byte], seg: Int) => {
+      val left = (seg.toLong * data.length / nSeg).toInt
+      val right = ((seg + 1).toLong * data.length / nSeg).toInt
+      bounds(data, left, right)
+    })
     val candidates = df
-      .select(col(idCol).cast("long").as("id"), payload.as("payload"))
+      .select(col(idCol).as("id"), payload.as("payload"))
       .select(col("id"), col("payload"), explode(sequence(lit(0), lit(nSeg - 1))).as("seg"))
-      .as[(Long, Array[Byte], Int)]
-      .map { case (id, data, seg) =>
-        val left = (seg.toLong * data.length / nSeg).toInt
-        val right = ((seg + 1).toLong * data.length / nSeg).toInt
-        (id, seg, bounds(data, left, right))
-      }
-      .toDF("id", "seg", "cuts")
+      .select(col("id"), col("seg"), segBounds(col("payload"), col("seg")).as("cuts"))
 
-    // Stage 2 (narrow): per-blob ordered merge with the min-distance filter,
-    // then chunk extraction by re-joining offsets against the payload.
-    val merged = candidates
-      .groupByKey(r => r.getLong(0))
-      .flatMapGroups { (id, rows) =>
-        val bySeg = rows.toSeq.sortBy(_.getInt(1))
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Int)]
-        var last = -1L
-        var idx = 0
-        for (r <- bySeg; e <- r.getSeq[Int](2)) {
-          if (e - last >= window) {
-            out += ((id, idx, (last + 1).toInt, (e - last).toInt))
-            idx += 1
-            last = e
-          }
+    // Stage 2 (narrow): per-blob ordered merge with the min-distance filter
+    // (`ae.rs:72-74`) over a few hundred offsets — sort_array on (seg, cuts)
+    // structs orders segments, the merge UDF walks them once.
+    val mergeBounds = udf((segs: Seq[org.apache.spark.sql.Row]) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      var last = -1L
+      var idx = 0
+      for (r <- segs; e <- r.getSeq[Int](1)) {
+        if (e - last >= window) {
+          out += ((idx, (last + 1).toInt, (e - last).toInt))
+          idx += 1
+          last = e
         }
-        out
       }
-      .toDF("id", "chunk_idx", "offset", "length")
+      out.toSeq
+    })
+    val merged = candidates
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("seg"), col("cuts")))).as("segs"))
+      .select(col("id"), explode(mergeBounds(col("segs"))).as("b"))
+      .select(col("id"), col("b._1").as("chunk_idx"),
+        col("b._2").as("offset"), col("b._3").as("length"))
 
     merged
-      .join(df.select(col(idCol).cast("long").as("id"), payload.as("payload")), "id")
+      .join(df.select(col(idCol).as("id"), payload.as("payload")), "id")
       .select(
         col("id"),
         col("chunk_idx"),

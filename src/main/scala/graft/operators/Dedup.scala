@@ -277,9 +277,10 @@ object Dedup {
          |${simhashSql}
          |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin)),
 
-    // ---- SimHash near-dup pairs: pigeonhole on 4 x 8-bit chunks (hamming
-    // <= 6 over 32 bits implies >= 1 identical chunk when <= 3 chunks are
-    // touched; chunk equi-join replaces the n² scan), verify bit_count.
+    // ---- SimHash near-dup pairs: pigeonhole on 4 x 8-bit chunks. k
+    // differing bits touch at most k chunks, so hamming <= 3 guarantees at
+    // least one of the 4 chunks is identical — the chunk equi-join finds
+    // every such pair without the n² scan; bit_count verifies exactly.
     ("dedup_simhash_pairs", (s, d) => {
       import s.implicits._
       // cache: both sides of the self-join reuse the aggregated signatures
@@ -329,12 +330,21 @@ object Dedup {
       unit.mapPartitions { it =>
         val right = bc.value
         it.flatMap { case (id1, e1) =>
-          right.iterator.filter(_._1 > id1).map { case (id2, e2) =>
-            var acc = 0.0
-            var i = 0
-            while (i < e1.length) { acc += e1(i) * e2(i); i += 1 }
-            (id1, id2, acc)
-          }.filter(_._3 >= 0.4)
+          // plain while-loop with threshold-gated emission: no per-pair
+          // iterator/tuple allocation for the ~n²/2 rejected pairs
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var j = 0
+          while (j < right.length) {
+            val (id2, e2) = right(j)
+            if (id2 > id1) {
+              var acc = 0.0
+              var i = 0
+              while (i < e1.length) { acc += e1(i) * e2(i); i += 1 }
+              if (acc >= 0.4) out += ((id1, id2, acc))
+            }
+            j += 1
+          }
+          out
         }
       }.toDF("id1", "id2", "cos")
         .select($"id1", $"id2", round($"cos", 4).as("cos"))

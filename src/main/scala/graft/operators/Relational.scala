@@ -689,6 +689,115 @@ object Relational {
         | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
         |ORDER BY purchase_id, signup_id""".stripMargin)),
 
+    // ---- statistical aggregates: stddev/variance/correlation/covariance.
+    // Rounded via the shared shim; computed over integer-valued l_quantity
+    // and 2-decimal prices so cross-engine float drift stays far below the
+    // rounding grain.
+    ("q39_stats_suite", (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+          round(var_samp($"l_quantity"), 4).as("var_qty"),
+          round(corr($"l_quantity", $"l_extendedprice"), 5).as("corr_qty_price"),
+          round(covar_samp($"l_quantity", $"l_discount"), 5).as("covar_qty_disc"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }, Some {
+      import graft.operators.Portable.rndSql
+      s"""SELECT l_returnflag,
+         |  ${rndSql("stddev_samp(l_quantity)", 4)} AS sd_qty,
+         |  ${rndSql("var_samp(l_quantity)", 4)} AS var_qty,
+         |  ${rndSql("corr(l_quantity, l_extendedprice)", 5)} AS corr_qty_price,
+         |  ${rndSql("covar_samp(l_quantity, l_discount)", 5)} AS covar_qty_disc,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    }),
+
+    // ---- unpivot (wide → long): stack() is Spark's codegen-friendly
+    // unpivot; the oracle is the ANSI UNION ALL equivalent.
+    ("q40_unpivot", (s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .filter($"p_partkey" <= 200)
+        .select($"p_partkey",
+          expr("stack(2, 'retail', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (metric, val)"))
+        .select($"p_partkey", $"metric", round($"val", 2).as("val"))
+        .orderBy($"p_partkey", $"metric")
+    }, Some(
+      """SELECT p_partkey, metric, CAST(round(CAST((val) AS DECIMAL(28,8)), 2) AS DOUBLE) AS val FROM (
+        |  SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part)
+        |WHERE p_partkey <= 200 ORDER BY p_partkey, metric""".stripMargin)),
+
+    // ---- arg-max/arg-min aggregation (max_by ↔ arg_max), keyed on the
+    // unique event_id so ties can't make the pick engine-dependent.
+    ("q41_argminmax", (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(
+          max_by($"event_type", $"event_id").as("last_type"),
+          min_by($"event_type", $"event_id").as("first_type"),
+          max($"event_id").as("max_eid"),
+          count(lit(1)).as("n"))
+        .orderBy($"user_id")
+    }, Some(
+      """SELECT user_id,
+        |  arg_max(event_type, event_id) AS last_type,
+        |  arg_min(event_type, event_id) AS first_type,
+        |  max(event_id) AS max_eid, count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- array-function suite over the token arrays (sort/distinct/slice/
+    // contains — Spark sort_array and DuckDB list_sort both order ASCII
+    // strings bytewise).
+    ("q42_array_ops", (s, d) => {
+      import s.implicits._
+      import graft.operators.Portable.tokens
+      val toks = tokens($"text")
+      Tables.documents(s, d)
+        .filter($"doc_id" < 200)
+        .select(
+          $"doc_id",
+          element_at(sort_array(toks), 1).as("first_alpha"),
+          element_at(sort_array(toks, asc = false), 1).as("last_alpha"),
+          array_contains(toks, "the").as("has_the"),
+          concat_ws("-", slice(sort_array(array_distinct(toks)), 1, 3)).as("top3_alpha"))
+        .orderBy($"doc_id")
+    }, Some {
+      import graft.operators.Portable.tokensSql
+      val t = tokensSql("text")
+      s"""SELECT doc_id,
+         |  list_sort($t)[1] AS first_alpha,
+         |  list_reverse_sort($t)[1] AS last_alpha,
+         |  list_contains($t, 'the') AS has_the,
+         |  array_to_string(list_sort(list_distinct($t))[1:3], '-') AS top3_alpha
+         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+    }),
+
+    // ---- regex extraction: first word, last word, digit-run count per part
+    // name (patterns always match, sidestepping the engines' no-match
+    // disagreement: Spark '' vs DuckDB NULL).
+    ("q43_regexp_extract", (s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .filter($"p_partkey" <= 500)
+        .select(
+          $"p_partkey",
+          regexp_extract($"p_name", "^(\\w+)", 1).as("first_word"),
+          regexp_extract($"p_name", "(\\w+)$", 1).as("last_word"),
+          size(regexp_extract_all($"p_name", lit("[aeiou]+"), lit(0))).cast("long").as("vowel_runs"))
+        .orderBy($"p_partkey")
+    }, Some(
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  regexp_extract(p_name, '(\w+)$', 1) AS last_word,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS vowel_runs
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin)),
+
     // ---- exact vs approximate distinct (HLL) — the 100 TB path for A4.
     // No oracle: approx_count_distinct's HLL estimate is engine-specific.
     ("q28_distinct_exact_vs_approx", (s, d) => {

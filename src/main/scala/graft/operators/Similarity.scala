@@ -187,6 +187,44 @@ object Similarity {
          |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
 
+    // ---- LSH threshold join: ALL near-duplicate pairs (cos >= 0.4) whose
+    // members share any LSH bucket — the sub-quadratic scale path for
+    // dedup_embedding_cosine's exact O(n²) scan. Candidate generation is the
+    // bucket equi-join; scoring touches only candidates, in a fused JVM loop
+    // over a broadcast id→vector map (same sequential fold as the oracle).
+    ("sim_lsh_pairs", (s, d) => {
+      import s.implicits._
+      val v = vectors(s, d).cache()
+      val sigs = lshSignatures(v)
+      val cand = sigs.as("x").join(sigs.as("y"),
+          $"x.tbl" === $"y.tbl" && $"x.sig" === $"y.sig" && $"x.vec_id" < $"y.vec_id")
+        .select($"x.vec_id".as("id1"), $"y.vec_id".as("id2")).distinct()
+      val bc = s.sparkContext.broadcast(
+        v.as[(Long, Array[Double])].collect().toMap)
+      cand.as[(Long, Long)].mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (id1, id2) =>
+          val e1 = m(id1); val e2 = m(id2)
+          var acc = 0.0
+          var i = 0
+          while (i < e1.length) { acc += e1(i) * e2(i); i += 1 }
+          if (acc >= 0.4) Iterator.single((id1, id2, acc)) else Iterator.empty
+        }
+      }.toDF("id1", "id2", "cos")
+        .select($"id1", $"id2", round($"cos", 4).as("cos"))
+        .orderBy($"id1", $"id2")
+    }, Some(
+      s"""WITH $vectorsSql,
+         |$lshSignaturesSql,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+         |  FROM sigs x JOIN sigs y
+         |    ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id < y.vec_id)
+         |SELECT id1, id2, ${rndSql("cos", 4)} AS cos FROM (
+         |  SELECT c.id1, c.id2, list_dot_product(a.emb, b.emb) AS cos
+         |  FROM cand c JOIN v a ON a.vec_id = c.id1 JOIN v b ON b.vec_id = c.id2)
+         |WHERE cos >= 0.4 ORDER BY id1, id2""".stripMargin)),
+
     // ---- IVF top-k: 8 seeded-medoid centroids (every 50th vector), each
     // vector assigned to its max-cosine centroid; queries probe the top-2
     // centroids and scan only those partitions.

@@ -182,9 +182,15 @@ object TextOps {
     // zero shuffle, no explode.
     ("text_fingerprint", (s, d) => {
       import s.implicits._
-      val shingles = transform(
-        sequence(lit(0), length($"text") - 8),
-        i => h60($"text".substr(i + 1, lit(8))))
+      // Guard short docs: sequence(0, len-8) with len<8 yields a DESCENDING
+      // array (start>stop), i.e. garbage shingles at non-positive positions,
+      // while the oracle's range(0, len-7) is empty — both sides must emit
+      // zero shingles for texts shorter than one 8-char window (ADVICE r1).
+      val shingles = when(length($"text") >= 8,
+        transform(
+          sequence(lit(0), length($"text") - 8),
+          i => h60($"text".substr(i + 1, lit(8)))))
+        .otherwise(array().cast("array<bigint>"))
       Tables.documents(s, d)
         .select(
           $"doc_id",
@@ -201,6 +207,41 @@ object TextOps {
          |  list_min($sh) AS fp_min,
          |  list_max($sh) AS fp_max
          |FROM documents ORDER BY doc_id""".stripMargin
+    }),
+
+    // ---- n-gram frequency analysis: top-5 word bigrams per language
+    // (explode → count → windowed top-k; the corpus-statistics shape that
+    // feeds tokenizer training / contamination checks). Short docs guarded
+    // on both sides: Spark sequence() descends when stop<start, DuckDB
+    // range() is empty.
+    ("text_bigram_freq", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = tokens($"text")
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val counts = Tables.documents(s, d)
+        .select($"lang", explode(bigrams).as("bigram"))
+        .groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 5)
+        .select($"lang", $"rank", $"bigram", $"n")
+        .orderBy($"lang", $"rank")
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH bg AS (
+         |  SELECT lang, unnest(list_transform(range(0, len($t) - 1),
+         |    i -> ($t)[i+1] || ' ' || ($t)[i+2])) AS bigram
+         |  FROM documents),
+         |c AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+         |SELECT lang, rank, bigram, n FROM (
+         |  SELECT lang, bigram, n,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS BIGINT) AS rank
+         |  FROM c)
+         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
     }),
 
     // ---- BPE-ish token counting per source: letter-runs | digit-runs |

@@ -7,9 +7,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.core.Chunker
 import graft.operators.Chunking
 
-/** One byte segment of a streaming blob. `seq` orders segments within a
-  * micro-batch; `last` marks end-of-blob (the streaming EOF the reference
-  * signals via `ChunkerStatus::Finished`, `chunker.rs:3-7`).
+/** One byte segment of a streaming blob. `seq` is the dense 0-based segment
+  * number within the blob (0, 1, 2, …); `last` marks end-of-blob (the
+  * streaming EOF the reference signals via `ChunkerStatus::Finished`,
+  * `chunker.rs:3-7`). Segments may arrive out of order and duplicated
+  * (at-least-once sources): the stateful chunker buffers ahead-of-sequence
+  * segments and drops duplicates.
   */
 case class SegmentEvent(blobId: Long, seq: Int, data: Array[Byte], last: Boolean)
 
@@ -18,11 +21,20 @@ case class SegmentEvent(blobId: Long, seq: Int, data: Array[Byte], last: Boolean
   */
 case class StreamedChunk(blobId: Long, chunkIdx: Int, offset: Long, length: Int, chunk: Array[Byte])
 
-/** Carried state: unconsumed tail bytes + running offset/index. Bounded by
-  * the chunker's max chunk size (forced cuts, `fastcdc.rs:105`,
-  * `rabin.rs:157`), so state can't grow unboundedly.
+/** Carried state: unconsumed tail bytes, running offset/index, the next
+  * expected segment seq, and an out-of-order buffer of ahead-of-sequence
+  * segments (ADVICE r1: a segment arriving in a later micro-batch than a
+  * higher-seq sibling must wait for the gap to fill, not get appended at the
+  * wrong byte position). The tail is bounded by the chunker's max chunk size
+  * (forced cuts, `fastcdc.rs:105`, `rabin.rs:157`); the reorder buffer is
+  * bounded by the source's actual out-of-orderness.
   */
-case class ChunkerState(tail: Array[Byte], baseOffset: Long, nextIdx: Int)
+case class ChunkerState(
+    tail: Array[Byte],
+    baseOffset: Long,
+    nextIdx: Int,
+    nextSeq: Int,
+    pending: Seq[SegmentEvent])
 
 /** Structured Streaming surface (SURVEY.md §7.7): the reference's streaming
   * concepts — pull-based chunking, incremental dedup via a seen-hash set —
@@ -143,12 +155,28 @@ object Streaming {
       events: Iterator[SegmentEvent],
       state: GroupState[ChunkerState]): Iterator[StreamedChunk] = {
     val chunker = Chunker(algo, expectedSize, seed)
-    val st = state.getOption.getOrElse(ChunkerState(Array.emptyByteArray, 0L, 0))
-    val segs = events.toArray.sortBy(_.seq)
-    val data = st.tail ++ segs.iterator.flatMap(_.data)
-    val finished = segs.exists(_.last)
+    val st = state.getOption.getOrElse(
+      ChunkerState(Array.emptyByteArray, 0L, 0, 0, Seq.empty))
+    // Merge arrivals into the reorder buffer: drop already-consumed seqs and
+    // duplicates (at-least-once delivery), then consume the contiguous run
+    // starting at nextSeq — anything after a gap stays buffered.
+    val buffered = (st.pending ++ events)
+      .filter(_.seq >= st.nextSeq)
+      .groupBy(_.seq).map(_._2.head)
+      .toArray.sortBy(_.seq)
+    var nextSeq = st.nextSeq
+    var take = 0
+    var finished = false
+    while (take < buffered.length && buffered(take).seq == nextSeq && !finished) {
+      if (buffered(take).last) finished = true
+      nextSeq += 1
+      take += 1
+    }
+    val pendingLeft = if (finished) Seq.empty else buffered.drop(take).toSeq
+    val data = st.tail ++ buffered.iterator.take(take).flatMap(_.data)
     if (data.isEmpty) {
       if (finished) state.remove()
+      else state.update(st.copy(nextSeq = nextSeq, pending = pendingLeft))
       Iterator.empty
     } else {
       val bounds = chunker.chunks(data).toSeq // (offset, length) spans covering data
@@ -164,7 +192,7 @@ object Streaming {
         val consumed = keep.headOption.map(_._1).getOrElse(data.length)
         state.update(ChunkerState(
           java.util.Arrays.copyOfRange(data, consumed, data.length),
-          st.baseOffset + consumed, st.nextIdx + emit.size))
+          st.baseOffset + consumed, st.nextIdx + emit.size, nextSeq, pendingLeft))
       }
       out.iterator
     }

@@ -100,6 +100,26 @@ class ChunkingSpec extends AnyFunSuite {
     }
   }
 
+  test("segmentedChunkTable keeps non-numeric ids distinct (no silent long cast)") {
+    import spark.implicits._
+    // Two blobs keyed by path-like string ids: a long-cast would null both
+    // keys, merge them into one group, and corrupt every cut (ADVICE r1).
+    val a = rndBytes(30000, 41)
+    val b = rndBytes(30000, 42)
+    val docs = Seq(("s3://bucket/a.bin", a), ("s3://bucket/b.bin", b)).toDF("path", "content")
+    val got = Chunking.segmentedChunkTable(docs, "path", "content", "ae", 1024, segments = 4)
+      .select($"id".cast("string"), $"chunk_idx", $"offset", $"length")
+      .as[(String, Int, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    val c = AeChunker(1024)
+    for ((id, data) <- Seq(("s3://bucket/a.bin", a), ("s3://bucket/b.bin", b))) {
+      val ends = ParallelChunking.overlapMergedBoundaries(data, 4, c.boundsInRange, c.window)
+      var last = 0
+      val want = ends.map { e => val r = (last, e - last); last = e; r }.toSeq
+      assert(got(id) == want, id)
+    }
+  }
+
   test("overlap strategy (A) approximates sequential metrics; edge strategy (B) honors its own contract") {
     // Duplication placed WITHIN each slice (block repeated 8x, 4 slices => each
     // slice is block++block): strategy B's unique-byte accounting is per-slice

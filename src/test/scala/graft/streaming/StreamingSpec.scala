@@ -190,6 +190,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("statefulChunkStream buffers out-of-order and duplicate segments until gaps fill") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val r = new scala.util.Random(11)
+    val full = new Array[Byte](15000)
+    r.nextBytes(full)
+    val segs = full.grouped(3000).toSeq.zipWithIndex.map { case (d, i) =>
+      SegmentEvent(7L, i, d, last = i == 4)
+    }
+    assert(segs.size == 5)
+
+    val ms = MemoryStream[SegmentEvent]
+    val q = Streaming.statefulChunkStream(ms.toDS(), "fastcdc", 512, 42L)
+      .writeStream.format("memory").queryName("ooo_chunks_out").outputMode("append").start()
+    try {
+      // seg 3 arrives two micro-batches before its predecessors; seg 2 is
+      // delivered twice (at-least-once); the final batch fills the gap.
+      ms.addData(segs(0), segs(3)); q.processAllAvailable()
+      ms.addData(segs(2)); q.processAllAvailable()
+      ms.addData(segs(2), segs(1), segs(4)); q.processAllAvailable()
+      val got = spark.table("ooo_chunks_out").orderBy("chunkIdx")
+        .select($"chunkIdx", $"offset", $"length")
+        .as[(Int, Long, Int)].collect().toSeq
+      val want = Chunker("fastcdc", 512, 42L).chunks(full).zipWithIndex
+        .map { case ((off, len), i) => (i, off.toLong, len) }.toSeq
+      assert(got == want)
+      val bytes = spark.table("ooo_chunks_out").orderBy("chunkIdx")
+        .select($"chunk").as[Array[Byte]].collect().flatten
+      assert(bytes.toSeq == full.toSeq)
+    } finally q.stop()
+  }
+
   test("statefulChunkStream re-assembles the exact batch chunking across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
