@@ -39,12 +39,17 @@ object Similarity {
   private val IvfSeedStride = 50
   private val NProbe = 2
 
-  /** Embeddings as unit-normalized double arrays (sequential folds). */
+  /** Embeddings as unit-normalized double arrays (sequential folds). The
+    * norm uses the native `vec_dot` expression (codegen'd primitive loop,
+    * `plans.VecDot`) rather than the interpreted aggregate HOF — same
+    * left-to-right accumulation order, bit-identical doubles.
+    */
   private def vectors(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
     import s.implicits._
     Tables.embeddings(s, d)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("raw"))
-      .withColumn("nrm", sqrt(aggregate($"raw", lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", sqrt(call_function("vec_dot", $"raw", $"raw")))
       .select($"vec_id", transform($"raw", x => x / $"nrm").as("emb"))
   }
 
@@ -54,9 +59,11 @@ object Similarity {
       |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS emb
       |  FROM embeddings)""".stripMargin
 
-  /** cos(a, b) on unit vectors: one sequential fold. */
+  /** cos(a, b) on unit vectors: one sequential fold — the native codegen'd
+    * `vec_dot` (callers run on sessions where [[vectors]] registered it).
+    */
   private def cosine(aEmb: Column, bEmb: Column): Column =
-    aggregate(zip_with(aEmb, bEmb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", aEmb, bEmb)
 
   // ------------------------------------------------------------------- LSH
   /** Hyperplane weights [table][bit][dim] in [-1, 1], 1/1000 resolution —

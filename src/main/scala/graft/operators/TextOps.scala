@@ -217,12 +217,15 @@ object TextOps {
     ("text_bigram_freq", (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val toks = tokens($"text")
-      val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(0), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      // Materialize the token array BEFORE the HOF: expressions inside a
+      // lambda body are re-evaluated per element, so an inline tokens()
+      // would re-run the regex split once per bigram (O(doc²) work).
+      val bigrams = when(size($"toks") >= 2,
+        transform(sequence(lit(0), size($"toks") - 2),
+          i => concat_ws(" ", element_at($"toks", i + 1), element_at($"toks", i + 2))))
         .otherwise(array().cast("array<string>"))
       val counts = Tables.documents(s, d)
+        .select($"lang", tokens($"text").as("toks"))
         .select($"lang", explode(bigrams).as("bigram"))
         .groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")

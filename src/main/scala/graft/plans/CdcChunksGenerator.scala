@@ -74,8 +74,10 @@ case class CdcChunks(payload: Expression, algo: Expression, expectedSize: Expres
   * (or `SparkSession.builder().withExtensions(new GraftExtensions)`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cdcChunksDescriptor)
+    ext.injectFunction(GraftExtensions.vecDotDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -87,9 +89,17 @@ object GraftExtensions {
       CdcChunks(args(0), args(1), args(2), args(3))
     })
 
+  private[plans] val vecDotDescriptor = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "vec_dot(array<double>, array<double>)")
+      VecDot(args(0), args(1))
+    })
+
   /** Imperative registration for an existing session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = cdcChunksDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    Seq(cdcChunksDescriptor, vecDotDescriptor).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
