@@ -138,6 +138,38 @@ object Multimodal {
          |FROM documents, (SELECT unnest(range(0, $FrameCount)) AS k)
          |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // ---- overlapping byte windows over the audio rows (window 128, hop 64)
+    // — the audio-framing shape (STFT frames / feature windows). Slicing is
+    // codegen'd substr before any shuffle; only (offset, md5) rows move.
+    ("mm_audio_windows", (s, d) => {
+      import s.implicits._
+      val W = 128
+      val H = 64
+      val n = length($"content")
+      // Column `/` is DOUBLE division — floor+cast for an integral sequence stop
+      val nWin = floor(($"n" - W) / H).cast("int") + 1
+      // rows shorter than one window yield zero windows on both engines
+      // (oracle: greatest(..., 0) makes range() empty) — filter, don't
+      // build an untypeable empty struct-array literal.
+      val wins = transform(sequence(lit(0), nWin - 1), k =>
+        struct((k * H).cast("long").as("offset"),
+          md5($"content".substr(k * H + 1, lit(W))).as("win_md5")))
+      media(s, d)
+        .filter($"media_type" === "audio")
+        .select($"doc_id", $"content", n.as("n"))
+        .filter($"n" >= W)
+        .select($"doc_id", posexplode(wins).as(Seq("win_idx", "w")))
+        .select($"doc_id", $"win_idx".cast("long").as("win_idx"),
+          $"w.offset".as("offset"), $"w.win_md5".as("win_md5"))
+        .orderBy($"doc_id", $"win_idx")
+    }, Some(
+      """SELECT doc_id, CAST(k AS BIGINT) AS win_idx, CAST(k * 64 AS BIGINT) AS offset,
+        |  md5(substr(text, k * 64 + 1, 128)) AS win_md5
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(0, (length(text) - 128) // 64 + 1)) AS k
+        |      FROM documents WHERE doc_id % 3 = 1 AND length(text) >= 128)
+        |ORDER BY doc_id, win_idx""".stripMargin)),
+
     // ---- feature extraction through the stubbed decode: rows-only (the
     // fake-codec histogram has no SQL mirror); invariants are spec-tested.
     ("mm_feature_extract", (s, d) => {

@@ -36,6 +36,19 @@ case class ChunkerState(
     nextSeq: Int,
     pending: Seq[SegmentEvent])
 
+/** One full snapshot of a blob, versioned; the unit of streaming change
+  * detection.
+  */
+case class BlobVersion(blobId: Long, version: Int, data: Array[Byte])
+
+/** One chunk-level change between consecutive versions of a blob. */
+case class ChunkChange(blobId: Long, version: Int, change: String, hash: Long, length: Int)
+
+/** Per-blob CDC state: the previous version's chunk hash → length map.
+  * Bounded by blob size / expected chunk size entries.
+  */
+case class BlobChunkState(hashes: Map[Long, Int])
+
 /** Structured Streaming surface (SURVEY.md §7.7): the reference's streaming
   * concepts — pull-based chunking, incremental dedup via a seen-hash set —
   * re-expressed as watermarked streaming queries, plus the event-stream
@@ -196,6 +209,55 @@ object Streaming {
       }
       out.iterator
     }
+  }
+
+  /** JVM twin of the `xxhash64` Column expression (same default seed 42), so
+    * streaming chunk identities match the batch chunk tables bit-for-bit.
+    */
+  private def xxh64(bytes: Array[Byte], from: Int, len: Int): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, len, 42L)
+
+  /** Streaming CDC — the north star ("Structured Streaming + change
+    * detection") in one operator: each arriving blob version is chunked,
+    * diffed against the previous version's chunk-hash set carried in
+    * `GroupState`, and emits one row per added/removed chunk. This is the
+    * reference's dedup `HashSet` loop (`ae.rs:80-83`) turned into an
+    * incremental, per-blob change feed; the batch twin is
+    * `Chunking.chunkDiff` and both use the same `xxhash64` chunk identity.
+    */
+  def chunkChangeFn(algo: String, expectedSize: Int, seed: Long)(
+      blobId: Long,
+      events: Iterator[BlobVersion],
+      state: GroupState[BlobChunkState]): Iterator[ChunkChange] = {
+    val chunker = Chunker(algo, expectedSize, seed)
+    var prev = state.getOption.map(_.hashes).getOrElse(Map.empty[Long, Int])
+    val out = scala.collection.mutable.ArrayBuffer.empty[ChunkChange]
+    for (ev <- events.toArray.sortBy(_.version)) {
+      val cur: Map[Long, Int] = chunker.chunks(ev.data)
+        .map { case (off, len) => xxh64(ev.data, off, len) -> len }.toMap
+      for ((h, len) <- cur if !prev.contains(h))
+        out += ChunkChange(blobId, ev.version, "added", h, len)
+      for ((h, len) <- prev if !cur.contains(h))
+        out += ChunkChange(blobId, ev.version, "removed", h, len)
+      prev = cur
+    }
+    state.update(BlobChunkState(prev))
+    out.iterator
+  }
+
+  /** Lift [[chunkChangeFn]] onto a stream of blob versions. */
+  def chunkChangeStream(
+      versions: Dataset[BlobVersion],
+      algo: String,
+      expectedSize: Int,
+      seed: Long = 0L): Dataset[ChunkChange] = {
+    val spark = versions.sparkSession
+    import spark.implicits._
+    versions
+      .groupByKey(_.blobId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        chunkChangeFn(algo, expectedSize, seed))
   }
 
   /** Lift [[chunkUpdateFn]] onto a stream of segments. */

@@ -190,6 +190,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkChangeStream (streaming CDC) emits the batch chunkDiff incrementally per version") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = "aaaa bbbb cccc dddd " * 50
+    val t2 = "aaaa bbbb XXXX dddd " * 50
+    val ms = MemoryStream[BlobVersion]
+    val q = Streaming.chunkChangeStream(ms.toDS(), "fastcdc", 64, 1L)
+      .writeStream.format("memory").queryName("cdc_change_out").outputMode("append").start()
+    try {
+      ms.addData(BlobVersion(1L, 1, t1.getBytes("UTF-8"))); q.processAllAvailable()
+      ms.addData(BlobVersion(1L, 2, t2.getBytes("UTF-8"))); q.processAllAvailable()
+
+      val v1 = Seq((1L, t1)).toDF("doc_id", "text")
+      val v2 = Seq((1L, t2)).toDF("doc_id", "text")
+      val c1 = graft.operators.Chunking.chunkTable(v1, "doc_id", "text", "fastcdc", 64, 1L)
+      val c2 = graft.operators.Chunking.chunkTable(v2, "doc_id", "text", "fastcdc", 64, 1L)
+
+      // v1 against empty state: every distinct chunk hash is "added", with
+      // identities equal to the batch chunk table's xxhash64 values.
+      val gotV1 = spark.table("cdc_change_out").filter($"version" === 1)
+      assert(gotV1.filter($"change" =!= "added").isEmpty)
+      assert(gotV1.select($"hash").as[Long].collect().toSet ==
+        c1.select($"hash").distinct().as[Long].collect().toSet)
+
+      // v2 against v1: exactly the batch chunkDiff.
+      val want = graft.operators.Chunking.chunkDiff(c1, c2)
+        .select($"change", $"hash").as[(String, Long)].collect().toSet
+      val gotV2 = spark.table("cdc_change_out").filter($"version" === 2)
+        .select($"change", $"hash").as[(String, Long)].collect().toSet
+      assert(gotV2 == want && want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("statefulChunkStream buffers out-of-order and duplicate segments until gaps fill") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
