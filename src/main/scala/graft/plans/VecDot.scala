@@ -26,6 +26,8 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override def dataType: DataType = DoubleType
 
+  override def prettyName: String = "vec_dot"
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
       case ArrayType(DoubleType, _) => true

@@ -55,6 +55,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"chunking must stay narrow:\n$plan")
   }
 
+  test("q43: the partkey range filter reaches the parquet scan") {
+    val plan = executedPlan("q43_regexp_extract")
+    assert(plan.contains("PushedFilters: [IsNotNull(p_partkey), LessThanOrEqual(p_partkey,500)"),
+      s"range filter not pushed:\n$plan")
+  }
+
+  test("sim queries: dot products run through the codegen'd vec_dot, not interpreted HOFs") {
+    val plan = executedPlan("sim_brute_topk")
+    assert(plan.contains("vec_dot("), s"vec_dot missing from plan:\n$plan")
+    assert(!plan.contains("aggregate(zip_with"), "interpreted HOF dot product crept back in")
+  }
+
   test("dedup metrics: two-level aggregation, shuffle keyed by 64-bit hash only") {
     val plan = Chunking.dedupMetrics(Chunking.chunkTable(
       graft.Tables.documents(spark, sfDir), "doc_id", "text", "fastcdc", 64, 42L))
