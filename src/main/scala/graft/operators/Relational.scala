@@ -798,6 +798,52 @@ object Relational {
         |  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS vowel_runs
         |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin)),
 
+    // ---- RANGE window frame: 30-day moving revenue per customer. Range
+    // frames include order-key peers, so same-day ties can't make the frame
+    // engine-dependent; the ordering key is integer days since a fixed epoch.
+    ("q44_moving_total_range", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"days").rangeBetween(-30, 0)
+      Tables.orders(s, d)
+        .filter($"o_custkey" < 100)
+        .withColumn("days", datediff($"o_orderdate", lit("1990-01-01").cast("date")))
+        .select($"o_custkey", $"o_orderkey", $"days".cast("long").as("days"),
+          round(sum($"o_totalprice").over(w), 2).as("moving_total"))
+        .orderBy($"o_custkey", $"days", $"o_orderkey")
+    }, Some {
+      import graft.operators.Portable.rndSql
+      s"""SELECT o_custkey, o_orderkey, CAST(days AS BIGINT) AS days,
+         |  ${rndSql("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY days RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)", 2)} AS moving_total
+         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+         |        date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS days
+         |      FROM orders WHERE o_custkey < 100)
+         |ORDER BY o_custkey, days, o_orderkey""".stripMargin
+    }),
+
+    // ---- IGNORE NULLS window navigation: carry the last seen value of a
+    // sparsely-populated column forward (the gap-fill / LOCF shape).
+    ("q45_last_value_ignore_nulls", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .filter($"o_custkey" < 100)
+        .withColumn("sparse",
+          when($"o_orderkey" % 3 === 0, round($"o_totalprice", 2)))
+        .select($"o_custkey", $"o_orderkey", $"sparse",
+          last($"sparse", ignoreNulls = true).over(w).as("filled"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }, Some {
+      import graft.operators.Portable.rndSql
+      s"""SELECT o_custkey, o_orderkey, sparse,
+         |  last_value(sparse IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         |FROM (SELECT o_custkey, o_orderkey,
+         |        CASE WHEN o_orderkey % 3 = 0 THEN ${rndSql("o_totalprice", 2)} END AS sparse
+         |      FROM orders WHERE o_custkey < 100)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin
+    }),
+
     // ---- exact vs approximate distinct (HLL) — the 100 TB path for A4.
     // No oracle: approx_count_distinct's HLL estimate is engine-specific.
     ("q28_distinct_exact_vs_approx", (s, d) => {
