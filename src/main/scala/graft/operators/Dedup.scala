@@ -84,6 +84,75 @@ object Dedup {
       .select(col("doc_id"), explode(col("ts")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
 
+  /** LSH band-key rows (doc_id, band, bkey) from a (doc_id, text) table:
+    * one fused per-doc loop hashes shingles (h60), applies all 16
+    * permutations, and emits the 4 band keys — min is order-free, so no
+    * explode + min-agg shuffle is needed.
+    */
+  private def bandTable(c: DataFrame): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val perms = Perms.toArray
+    shingleStringArrays(c)
+      .as[(Long, Array[String])]
+      .filter(_._2.nonEmpty) // docs with no shingles have no sig row in the oracle either
+      .flatMap { case (id, ts) =>
+        val mins = Array.fill(perms.length)(Long.MaxValue)
+        var i = 0
+        while (i < ts.length) {
+          val hp = h60Jvm(ts(i)) % P
+          var j = 0
+          while (j < perms.length) {
+            val v = (perms(j)._1 * hp + perms(j)._2) % P
+            if (v < mins(j)) mins(j) = v
+            j += 1
+          }
+          i += 1
+        }
+        (0 until Bands).map { bnd =>
+          (id, bnd, (bnd * Rows until bnd * Rows + Rows).map(mins).mkString(","))
+        }
+      }
+      .toDF("doc_id", "band", "bkey")
+  }
+
+  /** MinHash candidate pairs (id1 < id2) sharing any band bucket. */
+  private def minhashCandidates(bands: DataFrame): DataFrame =
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
+
+  /** DuckDB CTE chain sh/shp/sig/bands/cand/arr (suffixed) deriving the same
+    * MinHash+LSH candidates from `src` (a table/CTE with doc_id, text).
+    */
+  private def minhashSql(src: String, sfx: String): String = {
+    val toks = tokensSql("text")
+    val minExprs = Perms.zipWithIndex
+      .map { case ((a, b), i) => s"min(($a * hp + $b) % $P) AS m$i" }.mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { bnd =>
+      val key = (0 until Rows).map(r => s"m${bnd * Rows + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(',', $key) AS bkey FROM sig$sfx"
+    }.mkString("\n  UNION ALL ")
+    s"""sh$sfx AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(0, len($toks) - 2),
+       |      i -> ($toks)[i+1] || ' ' || ($toks)[i+2] || ' ' || ($toks)[i+3]))) AS h
+       |  FROM $src),
+       |shp$sfx AS (SELECT doc_id, ${h60Sql("h")} % $P AS hp FROM sh$sfx),
+       |sig$sfx AS (
+       |  SELECT doc_id,
+       |    $minExprs
+       |  FROM shp$sfx GROUP BY doc_id),
+       |bands$sfx AS (
+       |  $bandSelects),
+       |cand$sfx AS (
+       |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+       |  FROM bands$sfx x JOIN bands$sfx y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |arr$sfx AS (SELECT doc_id, list(h) AS ts FROM sh$sfx GROUP BY doc_id)""".stripMargin
+  }
+
   private def shinglesSql: String = {
     val toks = tokensSql("text")
     s"""sh AS (
@@ -198,36 +267,10 @@ object Dedup {
     ("dedup_minhash_lsh", (s, d) => {
       import s.implicits._
       val arrays = shingleStringArrays(corpus(s, d)).cache()
-      // Signatures straight from the per-doc shingle STRING array — min is
-      // order-free, so no explode + 16-way min-agg shuffle is needed; one
-      // fused loop per doc hashes (h60, the oracle-visible values), permutes,
-      // and emits all 4 band keys. Same arithmetic ((a*hp + b) % P over
-      // h60 % P) as the oracle's aggregated form.
-      val perms = Perms.toArray
-      val bands = shingleStringArrays(corpus(s, d))
-        .as[(Long, Array[String])]
-        .filter(_._2.nonEmpty) // docs with no shingles have no sig row in the oracle either
-        .flatMap { case (id, ts) =>
-          val mins = Array.fill(perms.length)(Long.MaxValue)
-          var i = 0
-          while (i < ts.length) {
-            val hp = h60Jvm(ts(i)) % P
-            var j = 0
-            while (j < perms.length) {
-              val v = (perms(j)._1 * hp + perms(j)._2) % P
-              if (v < mins(j)) mins(j) = v
-              j += 1
-            }
-            i += 1
-          }
-          (0 until Bands).map { bnd =>
-            (id, bnd, (bnd * Rows until bnd * Rows + Rows).map(mins).mkString(","))
-          }
-        }
-        .toDF("doc_id", "band", "bkey")
-      val cands = bands.as("x").join(bands.as("y"),
-          $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
+      // Signatures straight from the per-doc shingle STRING array (see
+      // bandTable) — same arithmetic ((a*hp + b) % P over h60 % P) as the
+      // oracle's aggregated form.
+      val cands = minhashCandidates(bandTable(corpus(s, d)))
       // Verification touches ONLY candidate pairs: rejoin the (small) shingle
       // arrays and intersect per pair — no corpus-wide inverted-index
       // pair-count aggregation (that exact all-pairs shape lives in
@@ -241,26 +284,8 @@ object Dedup {
         .select($"id1", $"id2", $"jaccard")
         .orderBy($"id1", $"id2")
     }, Some {
-      val minExprs = Perms.zipWithIndex
-        .map { case ((a, b), i) => s"min(($a * hp + $b) % $P) AS m$i" }.mkString(",\n    ")
-      val bandSelects = (0 until Bands).map { bnd =>
-        val key = (0 until Rows).map(r => s"m${bnd * Rows + r}").mkString(", ")
-        s"SELECT doc_id, $bnd AS band, concat_ws(',', $key) AS bkey FROM sig"
-      }.mkString("\n  UNION ALL ")
       s"""WITH $corpusSql,
-         |$shinglesSql,
-         |shp AS (SELECT doc_id, ${h60Sql("h")} % $P AS hp FROM sh),
-         |sig AS (
-         |  SELECT doc_id,
-         |    $minExprs
-         |  FROM shp GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |arr AS (SELECT doc_id, list(h) AS ts FROM sh GROUP BY doc_id)
+         |${minhashSql("corpus", "")}
          |SELECT id1, id2, jaccard FROM (
          |  SELECT c.id1, c.id2,
          |    ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
@@ -308,6 +333,79 @@ object Dedup {
          |  ON x.k = y.k AND x.ck = y.ck AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY id1, id2""".stripMargin)),
+
+    // ---- end-to-end corpus cleaning: the composition a training-data
+    // pipeline actually runs — quality gate → exact normalized dedup →
+    // MinHash+LSH near-dup removal — in ONE query, labeling every corpus doc
+    // with the first stage that dropped it. Each stage only processes the
+    // previous stage's survivors (filters narrow before the expensive LSH),
+    // and the whole pipeline carries an exact DuckDB oracle.
+    ("pipeline_clean_corpus", (s, d) => {
+      import s.implicits._
+      val c = corpus(s, d)
+      // stage 1: quality gate (punct + word-length heuristics; expression
+      // order written identically on both engines → exact threshold compare)
+      val punct = length(regexp_replace($"text", "[A-Za-z0-9\\s]", "")) /
+        length($"text").cast("double")
+      val avgLen = length(regexp_replace($"text", "\\s+", "")) /
+        size(tokens($"text")).cast("double")
+      val quality = lit(0.5) * (lit(1.0) - punct) + lit(0.5) * least(avgLen / 8.0, lit(1.0))
+      val staged = c.select($"doc_id", $"text", (quality >= 0.45).as("q_ok"))
+      val kept1 = staged.filter($"q_ok").select($"doc_id", $"text")
+      // stage 2: exact dedup on normalized text, min-id canonical survives
+      val canon = kept1
+        .withColumn("k", md5(regexp_replace(lower(trim($"text")), "\\s+", " ")))
+        .withColumn("canonical", min($"doc_id").over(Window.partitionBy($"k")))
+      val kept2 = canon.filter($"doc_id" === $"canonical").select($"doc_id", $"text")
+      // stage 3: drop the larger id of every verified (jaccard >= 0.5)
+      // LSH candidate pair among the remaining docs
+      val arrays = shingleStringArrays(kept2).cache()
+      val near = minhashCandidates(bandTable(kept2))
+        .join(arrays.select($"doc_id".as("id1"), $"ts".as("ts1")), "id1")
+        .join(arrays.select($"doc_id".as("id2"), $"ts".as("ts2")), "id2")
+        .withColumn("common", size(array_intersect($"ts1", $"ts2")))
+        .withColumn("jaccard", round($"common" / (size($"ts1") + size($"ts2") - $"common"), 4))
+        .filter($"jaccard" >= 0.5)
+        .select($"id2".as("doc_id")).distinct()
+        .withColumn("near", lit(true))
+      staged.select($"doc_id", $"q_ok")
+        .join(canon.select($"doc_id", $"canonical"), Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when(!$"q_ok", "quality")
+            .when($"doc_id" =!= $"canonical", "exact_dup")
+            .when($"near", "near_dup")
+            .otherwise("kept").as("stage"))
+        .orderBy($"doc_id")
+    }, Some {
+      val toks = tokensSql("text")
+      s"""WITH $corpusSql,
+         |q AS (
+         |  SELECT doc_id, text,
+         |    (0.5*(1.0 - length(regexp_replace(text,'[A-Za-z0-9\\s]','','g')) / CAST(length(text) AS DOUBLE))
+         |     + 0.5*least(length(regexp_replace(text,'\\s+','','g')) / CAST(len($toks) AS DOUBLE) / 8.0, 1.0)) >= 0.45 AS q_ok
+         |  FROM corpus),
+         |kept1 AS (SELECT doc_id, text FROM q WHERE q_ok),
+         |canon AS (
+         |  SELECT doc_id, text,
+         |    min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS canonical
+         |  FROM kept1),
+         |kept2 AS (SELECT doc_id, text FROM canon WHERE doc_id = canonical),
+         |${minhashSql("kept2", "2")},
+         |near AS (
+         |  SELECT DISTINCT id2 AS doc_id FROM (
+         |    SELECT c.id1, c.id2,
+         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
+         |    FROM cand2 c JOIN arr2 a1 ON a1.doc_id = c.id1 JOIN arr2 a2 ON a2.doc_id = c.id2)
+         |  WHERE jaccard >= 0.5)
+         |SELECT q.doc_id,
+         |  CASE WHEN NOT q.q_ok THEN 'quality'
+         |       WHEN c.doc_id <> c.canonical THEN 'exact_dup'
+         |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'kept' END AS stage
+         |FROM q LEFT JOIN canon c ON c.doc_id = q.doc_id LEFT JOIN near n ON n.doc_id = q.doc_id
+         |ORDER BY q.doc_id""".stripMargin
+    }),
 
     // ---- embedding cosine near-dup: the exact O(n²) baseline (broadcast
     // small side; the scalable path is Similarity's LSH/IVF variants).
