@@ -126,6 +126,16 @@ object CdcQueries {
         .orderBy("doc_id")
     }),
 
+    // Strategy-B parallel chunking (edge re-chunking partial+final,
+    // SURVEY.md P3-P7) as a distributed per-doc metrics query. No SQL
+    // oracle (content-defined cuts); contract-tested against the core
+    // ground truth in ChunkingSpec.
+    "cdc_edge_rechunk_metrics" -> ((s, dir) =>
+      Chunking.edgeRechunkMetricsPerBlob(
+        docs(s, dir), "doc_id", "text", "fastcdc", ExpectedSize, Seed, parts = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // CDC as change detection: simulate a v2 corpus (every 3rd doc edited),
     // chunk both versions, report per-doc added/removed chunk counts.
     "cdc_change_detection" -> ((s, dir) => {

@@ -201,6 +201,114 @@ object Chunking {
       .withColumn("hash", xxhash64(col("chunk")))
   }
 
+  /** JVM twin of the `xxhash64` Column expression (seed 42) for chunk
+    * identities computed inside fused loops/UDFs.
+    */
+  private def xxh64(bytes: Array[Byte], from: Int, len: Int): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, len, 42L)
+
+  /** Strategy B — edge-chunk re-chunking (`parallel.rs:88-120`, SURVEY.md
+    * §2.3 P3-P7) as a distributed partial+final aggregation, per blob:
+    *
+    * Stage 1 (wide): each of `parts` payload slices is chunked independently;
+    * interior chunks are deduplicated LOCALLY (the reference's per-thread
+    * HashSet, `parallel.rs:38-51` — a chunk repeated across two slices counts
+    * twice in unique bytes, faithfully), and one edge chunk per slice is held
+    * back (even slices their last, odd slices their first).
+    *
+    * Stage 2 (narrow per blob): adjacent edge chunks are stitched pairwise
+    * and re-chunked (`parallel.rs:61-86`; an odd trailing edge is dropped as
+    * the reference's `i += 2` loop does); stitched chunks found in the global
+    * set don't re-count. Metrics follow `parallel.rs:114-119`:
+    * avg = unique_bytes / distinct.
+    *
+    * Chunk identity is xxhash64 (the engine-wide deterministic substitute for
+    * the reference's process-seeded SipHash). Requires payloads of at least
+    * `parts` bytes (as the reference's slicing does).
+    */
+  def edgeRechunkMetricsPerBlob(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      algo: String,
+      expectedSize: Int,
+      seed: Long = 0L,
+      parts: Int = 4): DataFrame = {
+    val chunker = Chunker(algo, expectedSize, seed)
+    val nParts = parts
+    val payload: Column =
+      if (df.schema(payloadCol).dataType == org.apache.spark.sql.types.StringType)
+        encode(col(payloadCol), "UTF-8")
+      else col(payloadCol)
+    val base = df.select(col(idCol).as("id"), payload.as("payload"))
+
+    // Stage 1: per (blob, slice) → locally-distinct interior (hash, len)
+    // pairs + the held-back edge chunk bytes.
+    val sliceUdf = udf((data: Array[Byte], p: Int) => {
+      val left = (p.toLong * data.length / nParts).toInt
+      val right = ((p + 1).toLong * data.length / nParts).toInt
+      val slice = java.util.Arrays.copyOfRange(data, left, right)
+      val cs = chunker.chunks(slice)
+      val (lo, hi) = if (p % 2 == 0) (0, cs.length - 1) else (1, cs.length)
+      val local = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+      var i = lo
+      while (i < hi) {
+        val (off, len) = cs(i)
+        local.getOrElseUpdate(xxh64(slice, off, len), len)
+        i += 1
+      }
+      val (eo, el) = if (p % 2 == 0) cs.last else cs.head
+      (local.toSeq, java.util.Arrays.copyOfRange(slice, eo, eo + el))
+    })
+    val sliced = base
+      .select(col("id"), col("payload"), explode(sequence(lit(0), lit(nParts - 1))).as("p"))
+      .select(col("id"), col("p"), sliceUdf(col("payload"), col("p")).as("s"))
+    val interior = sliced
+      .select(col("id"), explode(col("s._1")).as("c"))
+      .select(col("id"), col("c._1").as("hash"), col("c._2").as("len"))
+
+    // Stage 2: stitch adjacent edges pairwise, re-chunk, hash.
+    val stitchUdf = udf((es: Seq[org.apache.spark.sql.Row]) => {
+      val rem = es.map(_.getAs[Array[Byte]](1))
+      val out = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+      var i = 0
+      while (i < rem.length - 1) {
+        val stitched = rem(i) ++ rem(i + 1)
+        for ((off, len) <- chunker.chunks(stitched))
+          out.getOrElseUpdate(xxh64(stitched, off, len), len)
+        i += 2
+      }
+      out.toSeq
+    })
+    val stitched = sliced
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("p"), col("s._2")))).as("es"))
+      .select(col("id"), explode(stitchUdf(col("es"))).as("c"))
+      .select(col("id"), col("c._1").as("hash"), col("c._2").as("len"))
+
+    // Accounting: interiors count per-slice-locally; stitched chunks only if
+    // absent from the interiors' global set; distinct = union of both.
+    val interiorGlobal = interior.select(col("id"), col("hash"), col("len")).distinct()
+    val newStitched = stitched.join(interiorGlobal.select(col("id"), col("hash")),
+      Seq("id", "hash"), "left_anti")
+    val allDistinct = interiorGlobal.select(col("id"), col("hash"))
+      .unionByName(stitched.select(col("id"), col("hash"))).distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("distinct_chunks"))
+
+    base.select(col("id"), length(col("payload")).cast("long").as("total_bytes"))
+      .join(interior.groupBy(col("id")).agg(sum(col("len")).as("ui")), Seq("id"), "left")
+      .join(newStitched.groupBy(col("id")).agg(sum(col("len")).as("us")), Seq("id"), "left")
+      .join(allDistinct, Seq("id"), "left")
+      .select(
+        col("id"),
+        (coalesce(col("ui"), lit(0L)) + coalesce(col("us"), lit(0L))).as("unique_bytes"),
+        col("total_bytes"),
+        coalesce(col("distinct_chunks"), lit(0L)).as("distinct_chunks"))
+      .withColumn("dedup_coeff", col("unique_bytes") / col("total_bytes"))
+      .withColumn("avg_chunk_size", col("unique_bytes") / col("distinct_chunks"))
+  }
+
   /** CDC as change detection (SURVEY.md §7.7): chunk two snapshots of a corpus
     * and diff the chunk-hash sets per id. Emits one row per changed chunk with
     * `change` ∈ {"added", "removed"}; unchanged chunks (same hash on both

@@ -165,6 +165,32 @@ class ChunkingSpec extends AnyFunSuite {
       s"segmented ${chunks.length} vs sequential $seqCount")
   }
 
+  test("distributed edge-rechunk metrics (strategy B) equal the core ground truth per blob") {
+    import spark.implicits._
+    // blob 2 carries strong internal duplication so the dedup accounting paths
+    // (local interior sets + stitched-new-only) are all exercised
+    val block = rndBytes(6000, 52)
+    val docs = Seq(
+      (1L, rndBytes(30000, 51)),
+      (2L, Array.fill(5)(block).flatten)
+    ).toDF("doc_id", "content")
+    val got = Chunking.edgeRechunkMetricsPerBlob(docs, "doc_id", "content", "fastcdc", 1024, 7L, parts = 4)
+      .select($"id".cast("long"), $"unique_bytes", $"total_bytes", $"distinct_chunks",
+        $"dedup_coeff", $"avg_chunk_size")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val chunker = graft.core.Chunker("fastcdc", 1024, 7L)
+    for ((id, data) <- Seq((1L, rndBytes(30000, 51)), (2L, Array.fill(5)(block).flatten))) {
+      val want = ParallelChunking.edgeRechunkMetrics(data, 4, chunker)
+      val (_, ub, tb, dc, coeff, avg) = got(id)
+      assert(ub == want.uniqueBytes, s"uniqueBytes doc $id")
+      assert(tb == want.totalBytes, s"totalBytes doc $id")
+      assert(dc == want.distinctChunks, s"distinctChunks doc $id")
+      assert(coeff == want.dedupCoeff, s"dedupCoeff doc $id")
+      assert(avg == want.avgChunkSize, s"avgChunkSize doc $id")
+    }
+  }
+
   test("chunkDiff classifies added and removed chunks across snapshots") {
     import spark.implicits._
     val v1 = Seq((1L, "aaaa bbbb cccc dddd " * 40)).toDF("doc_id", "text")
