@@ -844,6 +844,30 @@ object Relational {
          |ORDER BY o_custkey, o_orderkey""".stripMargin
     }),
 
+    // ---- approximate quantile with a checkable contract: the sketch value
+    // itself is engine-specific, so the oracle instead asserts the CONTRACT —
+    // DuckDB computes the exact median and a literal TRUE; if Spark's
+    // approx_percentile ever drifts outside 1% of exact, the boolean flips
+    // and the hash gate fails. This is how sketch operators stay inside the
+    // oracle harness instead of degrading to rows-only checks.
+    ("q46_approx_quantile_check", (s, d) => {
+      import s.implicits._
+      val exact = expr("percentile(l_extendedprice, 0.5)")
+      val approx = expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(exact, 2).as("exact_p50"),
+          (abs(approx - exact) <= exact * 0.01).as("approx_within_1pct"))
+        .orderBy($"l_returnflag")
+    }, Some {
+      import graft.operators.Portable.rndSql
+      s"""SELECT l_returnflag,
+         |  ${rndSql("quantile_cont(l_extendedprice, 0.5)", 2)} AS exact_p50,
+         |  TRUE AS approx_within_1pct
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    }),
+
     // ---- exact vs approximate distinct (HLL) — the 100 TB path for A4.
     // No oracle: approx_count_distinct's HLL estimate is engine-specific.
     ("q28_distinct_exact_vs_approx", (s, d) => {

@@ -223,6 +223,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chunkChangeStream tracks many blobs independently within one stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tA1 = "xxxx yyyy zzzz wwww " * 40
+    val tA2 = "xxxx QQQQ zzzz wwww " * 40
+    val tB = "solo blob content here " * 40
+    val ms = MemoryStream[BlobVersion]
+    val q = Streaming.chunkChangeStream(ms.toDS(), "fastcdc", 64, 1L)
+      .writeStream.format("memory").queryName("cdc_multi_out").outputMode("append").start()
+    try {
+      // interleaved: blob A v1 + blob B v1 in one batch, A v2 later
+      ms.addData(BlobVersion(1L, 1, tA1.getBytes("UTF-8")),
+        BlobVersion(2L, 1, tB.getBytes("UTF-8")))
+      q.processAllAvailable()
+      ms.addData(BlobVersion(1L, 2, tA2.getBytes("UTF-8")))
+      q.processAllAvailable()
+      val out = spark.table("cdc_multi_out")
+      // blob B saw exactly one version: only "added" rows, none at v2
+      assert(out.filter($"blobId" === 2L && $"change" =!= "added").isEmpty)
+      assert(out.filter($"blobId" === 2L && $"version" === 2).isEmpty)
+      // blob A's v2 diff is non-empty and contains both change kinds
+      val kinds = out.filter($"blobId" === 1L && $"version" === 2)
+        .select($"change").as[String].collect().toSet
+      assert(kinds == Set("added", "removed"))
+      // blob B's state was untouched by A's update: its added-hash set equals
+      // the batch chunk table of tB alone
+      val wantB = graft.operators.Chunking.chunkTable(
+        Seq((2L, tB)).toDF("doc_id", "text"), "doc_id", "text", "fastcdc", 64, 1L)
+        .select($"hash").distinct().as[Long].collect().toSet
+      assert(out.filter($"blobId" === 2L).select($"hash").as[Long].collect().toSet == wantB)
+    } finally q.stop()
+  }
+
   test("statefulChunkStream buffers out-of-order and duplicate segments until gaps fill") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
