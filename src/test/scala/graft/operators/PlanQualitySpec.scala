@@ -67,6 +67,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("aggregate(zip_with"), "interpreted HOF dot product crept back in")
   }
 
+  test("partitioned sink round-trip: the partition-key filter prunes at the file index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      graft.Tables.orders(spark, sfDir)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+      val df = spark.read.parquet(dir).filter($"o_orderstatus" === "F")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+        s"partition filter not pushed to the file index:\n$plan")
+      assert(df.count() ==
+        graft.Tables.orders(spark, sfDir).filter($"o_orderstatus" === "F").count())
+    } finally {
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("dedup metrics: two-level aggregation, shuffle keyed by 64-bit hash only") {
     val plan = Chunking.dedupMetrics(Chunking.chunkTable(
       graft.Tables.documents(spark, sfDir), "doc_id", "text", "fastcdc", 64, 42L))
