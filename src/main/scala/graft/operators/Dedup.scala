@@ -475,20 +475,43 @@ object Dedup {
 
   /** (doc_id, simhash) over the derived corpus: count-weighted token-hash
     * bits, bit b set iff sum(cnt * (2*bit_b(h)-1)) > 0.
+    *
+    * Fused per-doc JVM pass (tokenize → count → 32 signed-bit accumulators)
+    * instead of explode + groupBy(doc, tok) + a 32-sum aggregation — the
+    * signature stage drops from two shuffles to zero, and at 100 TB the
+    * token rows never materialize. Arithmetic is exactly the oracle's
+    * (h60 token hash, Long sums, > 0 bit test), so results stay identical.
     */
   private def simhashTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tokCnt = corpus(s, d)
-      .select($"doc_id", explode(tokens($"text")).as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", h60($"tok"))
-    val sums = tokCnt.groupBy($"doc_id").agg(
-      sum($"cnt" * (shiftright($"h", 0).bitwiseAND(1L) * 2L - 1L)).as("s0"),
-      (1 until SimBits).map(b =>
-        sum($"cnt" * (shiftright($"h", b).bitwiseAND(1L) * 2L - 1L)).as(s"s$b")): _*)
-    sums.select($"doc_id",
-      (0 until SimBits).map(b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+    corpus(s, d).select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.trim.split("\\s+")
+          val cnt = new java.util.HashMap[String, Long]
+          var i = 0
+          while (i < toks.length) {
+            cnt.merge(toks(i), 1L, (a, b) => a + b)
+            i += 1
+          }
+          val sums = new Array[Long](SimBits)
+          cnt.forEach { (tok, c) =>
+            val h = h60Jvm(tok)
+            var b = 0
+            while (b < SimBits) {
+              sums(b) += c * (((h >>> b) & 1L) * 2L - 1L)
+              b += 1
+            }
+          }
+          var sim = 0L
+          var b = 0
+          while (b < SimBits) {
+            if (sums(b) > 0) sim |= (1L << b)
+            b += 1
+          }
+          (id, sim)
+        }
+      }.toDF("doc_id", "simhash")
   }
 
   private def simhashSql: String = {
