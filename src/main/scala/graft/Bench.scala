@@ -31,14 +31,34 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       name -> (if (ok) r3((System.nanoTime() - t0) / 1e9) else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // JSON-safe double: locale-independent (the f-interpolator uses the JVM
+    // default locale — a comma decimal separator would break the JSON) and
+    // non-finite values clamped to -1 (NaN/Infinity are not valid JSON).
+    def jd(v: Double): String =
+      if (java.lang.Double.isFinite(v)) String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      else "-1"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + jd(v) }
       .mkString("{", ",", "}")
     val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
     val nFailed = results.count(_._2 < 0)
     val mbps = chunkerThroughput()
-      .map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
-    // One line, printed last (build.sbt showSuccess := false keeps it last).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"chunker_mbps":$mbps,"sf":"$sfDir"}""")
+      .map { case (k, v) => s"\"" + k + "\":" + jd(v) }.mkString("{", ",", "}")
+    // The driver captures only a ~2000-char tail of stdout and parses the LAST
+    // line as JSON (ADVICE r2: the full ~85-query map overflowed that window
+    // and r02 recorded parsed:null). So: full detail on an earlier line for
+    // humans, then a compact final line whose "queries" map carries only the
+    // headline subset (one representative per operator family, <1000 chars).
+    val headline = Seq(
+      "q01_pricing_summary", "q05_nation_revenue", "q07_window_topk_per_customer",
+      "q20_sessionize_events", "q25_snapshot_diff", "cdc_fastcdc_chunks",
+      "cdc_fixed_dedup_metrics", "dedup_exact", "dedup_minhash_lsh",
+      "dedup_ngram_jaccard", "sim_brute_topk", "sim_lsh_topk",
+      "text_token_stats", "pipeline_clean_corpus", "mm_frame_sample")
+    val resultMap = results.toMap
+    val hqs = headline.flatMap(k => resultMap.get(k).map(v => s"\"" + k + "\":" + jd(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"detail":"per_query_sec","queries":$qs}""")
+    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","failed":$nFailed,"nqueries":${results.size},"queries":$hqs,"chunker_mbps":$mbps,"sf":"$sfDir"}""")
     spark.stop()
   }
 

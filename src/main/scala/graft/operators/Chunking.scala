@@ -241,7 +241,12 @@ object Chunking {
       if (df.schema(payloadCol).dataType == org.apache.spark.sql.types.StringType)
         encode(col(payloadCol), "UTF-8")
       else col(payloadCol)
+    // Degenerate payloads (< one byte per slice) would produce an empty
+    // slice whose cs.last/cs.head has no element — skip them instead of
+    // failing the whole job (ADVICE r2); the reference's slicing carries the
+    // same precondition implicitly.
     val base = df.select(col(idCol).as("id"), payload.as("payload"))
+      .filter(length(col("payload")) >= nParts)
 
     // Stage 1: per (blob, slice) → locally-distinct interior (hash, len)
     // pairs + the held-back edge chunk bytes.

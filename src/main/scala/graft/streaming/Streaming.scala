@@ -34,7 +34,8 @@ case class ChunkerState(
     baseOffset: Long,
     nextIdx: Int,
     nextSeq: Int,
-    pending: Seq[SegmentEvent])
+    pending: Seq[SegmentEvent],
+    finished: Boolean = false)
 
 /** One full snapshot of a blob, versioned; the unit of streaming change
   * detection.
@@ -163,13 +164,27 @@ object Streaming {
     * boundary except the forced end-of-data one is stable under appended
     * data — the last span stays buffered until `last=true` flushes it.
     */
-  def chunkUpdateFn(algo: String, expectedSize: Int, seed: Long)(
+  def chunkUpdateFn(
+      algo: String, expectedSize: Int, seed: Long,
+      tombstoneTtl: Option[String] = None)(
       blobId: Long,
       events: Iterator[SegmentEvent],
       state: GroupState[ChunkerState]): Iterator[StreamedChunk] = {
+    // Evict a tombstone whose TTL elapsed (only reachable with a TTL set).
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    // Arm the eviction timer for a tombstoned blob; no-op without a TTL.
+    def armTimeout(): Unit = tombstoneTtl.foreach { ttl =>
+      try state.setTimeoutDuration(ttl)
+      catch { case _: UnsupportedOperationException | _: IllegalStateException => () }
+    }
     val chunker = Chunker(algo, expectedSize, seed)
     val st = state.getOption.getOrElse(
       ChunkerState(Array.emptyByteArray, 0L, 0, 0, Seq.empty))
+    // Tombstone (ADVICE r2): once last=true was consumed, removing state
+    // outright would let an at-least-once redelivery recreate fresh state at
+    // nextSeq=0 and re-chunk the whole blob. Keep an empty-tail state carrying
+    // nextSeq — every redelivered seq is < nextSeq and gets absorbed.
+    if (st.finished) { events.foreach(_ => ()); armTimeout(); return Iterator.empty }
     // Merge arrivals into the reorder buffer: drop already-consumed seqs and
     // duplicates (at-least-once delivery), then consume the contiguous run
     // starting at nextSeq — anything after a gap stays buffered.
@@ -186,9 +201,13 @@ object Streaming {
       take += 1
     }
     val pendingLeft = if (finished) Seq.empty else buffered.drop(take).toSeq
+    def tombstone(): Unit = {
+      state.update(ChunkerState(Array.emptyByteArray, 0L, 0, nextSeq, Seq.empty, finished = true))
+      armTimeout()
+    }
     val data = st.tail ++ buffered.iterator.take(take).flatMap(_.data)
     if (data.isEmpty) {
-      if (finished) state.remove()
+      if (finished) tombstone()
       else state.update(st.copy(nextSeq = nextSeq, pending = pendingLeft))
       Iterator.empty
     } else {
@@ -200,7 +219,7 @@ object Streaming {
         StreamedChunk(blobId, st.nextIdx + i, st.baseOffset + off,
           len, java.util.Arrays.copyOfRange(data, off, off + len))
       }
-      if (finished) state.remove()
+      if (finished) tombstone()
       else {
         val consumed = keep.headOption.map(_._1).getOrElse(data.length)
         state.update(ChunkerState(
@@ -210,6 +229,7 @@ object Streaming {
       out.iterator
     }
   }
+
 
   /** JVM twin of the `xxhash64` Column expression (same default seed 42), so
     * streaming chunk identities match the batch chunk tables bit-for-bit.
@@ -260,17 +280,30 @@ object Streaming {
         chunkChangeFn(algo, expectedSize, seed))
   }
 
-  /** Lift [[chunkUpdateFn]] onto a stream of segments. */
+  /** Lift [[chunkUpdateFn]] onto a stream of segments.
+    *
+    * `tombstoneTtl = None` (default) retains the ~40-byte post-EOF tombstone
+    * per blob indefinitely — the right trade for ASAP-trigger streams, where
+    * ProcessingTimeTimeout would schedule continuous empty micro-batches
+    * just to fire timers. Set a TTL (e.g. `Some("1 hour")`, comfortably
+    * above the source's redelivery horizon) on long-running production
+    * streams with a processing-time trigger, where completed-blob state
+    * would otherwise accumulate without bound.
+    */
   def statefulChunkStream(
       segments: Dataset[SegmentEvent],
       algo: String,
       expectedSize: Int,
-      seed: Long = 0L): Dataset[StreamedChunk] = {
+      seed: Long = 0L,
+      tombstoneTtl: Option[String] = None): Dataset[StreamedChunk] = {
     val spark = segments.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (tombstoneTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     segments
       .groupByKey(_.blobId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        chunkUpdateFn(algo, expectedSize, seed))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        chunkUpdateFn(algo, expectedSize, seed, tombstoneTtl))
   }
 }

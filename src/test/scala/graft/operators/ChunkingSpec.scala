@@ -191,6 +191,18 @@ class ChunkingSpec extends AnyFunSuite {
     }
   }
 
+  test("edgeRechunkMetricsPerBlob skips payloads shorter than `parts` bytes instead of failing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, rndBytes(30000, 51)),
+      (2L, Array[Byte](1, 2)), // < parts bytes: an empty slice would crash cs.last
+      (3L, Array.emptyByteArray)
+    ).toDF("doc_id", "content")
+    val got = Chunking.edgeRechunkMetricsPerBlob(docs, "doc_id", "content", "fastcdc", 1024, 7L, parts = 4)
+      .select($"id".cast("long")).as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+
   test("chunkDiff classifies added and removed chunks across snapshots") {
     import spark.implicits._
     val v1 = Seq((1L, "aaaa bbbb cccc dddd " * 40)).toDF("doc_id", "text")

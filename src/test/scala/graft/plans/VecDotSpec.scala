@@ -49,4 +49,32 @@ class VecDotSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(sql == 19.0)
   }
+
+  test("vec_dot fails loudly on a null array element instead of reading 0.0") {
+    GraftExtensions.register(spark)
+    // codegen path
+    val ex = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d))").collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    assert(rootMsg(ex).contains("null array element"))
+    // interpreted (non-codegen) path: evaluate the expression directly
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val arrT = ArrayType(DoubleType, containsNull = true)
+    val withNull = Literal.create(ArrayData.toArrayData(Array[Any](1.0, null)), arrT)
+    val dense = Literal.create(ArrayData.toArrayData(Array[Any](3.0, 4.0)), arrT)
+    val ex2 = intercept[IllegalArgumentException](VecDot(withNull, dense).eval(null))
+    assert(ex2.getMessage.contains("null array element"))
+    // non-nullable schema keeps working (branch-free loop path)
+    assert(VecDot(
+      Literal.create(ArrayData.toArrayData(Array(1.0, 2.0)), ArrayType(DoubleType, false)),
+      Literal.create(ArrayData.toArrayData(Array(3.0, 4.0)), ArrayType(DoubleType, false)))
+      .eval(null) == 11.0)
+  }
 }

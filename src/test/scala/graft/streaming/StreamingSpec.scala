@@ -288,6 +288,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("statefulChunkStream absorbs post-EOF redeliveries via the tombstone state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val r = new scala.util.Random(23)
+    val full = new Array[Byte](9000)
+    r.nextBytes(full)
+    val segs = full.grouped(3000).toSeq.zipWithIndex.map { case (d, i) =>
+      SegmentEvent(3L, i, d, last = i == 2)
+    }
+    val ms = MemoryStream[SegmentEvent]
+    val q = Streaming.statefulChunkStream(ms.toDS(), "fastcdc", 512, 42L)
+      .writeStream.format("memory").queryName("tomb_chunks_out").outputMode("append").start()
+    try {
+      ms.addData(segs: _*); q.processAllAvailable()
+      val afterEof = spark.table("tomb_chunks_out").count()
+      // at-least-once source redelivers an interior and the final segment in
+      // LATER micro-batches — without the tombstone, state would restart at
+      // nextSeq=0 and re-chunk the blob from the redelivered bytes
+      ms.addData(segs(1)); q.processAllAvailable()
+      ms.addData(segs(2)); q.processAllAvailable()
+      assert(spark.table("tomb_chunks_out").count() == afterEof)
+      val got = spark.table("tomb_chunks_out").orderBy("chunkIdx")
+        .select($"chunkIdx", $"offset", $"length")
+        .as[(Int, Long, Int)].collect().toSeq
+      val want = Chunker("fastcdc", 512, 42L).chunks(full).zipWithIndex
+        .map { case ((off, len), i) => (i, off.toLong, len) }.toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("statefulChunkStream re-assembles the exact batch chunking across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
