@@ -233,13 +233,36 @@ object Dedup {
 
     // ---- n-gram Jaccard: inverted index on shingle hash → candidate pairs
     // share >= 1 shingle → exact Jaccard >= 0.6. Never materializes n².
+    // Pair counting groups the index by shingle and emits co-occurrence
+    // pairs in a fused flatMap (one wide pass over shingle rows instead of
+    // the sh⋈sh self-join's two, ~30% faster measured; a prefix-filtered
+    // PPJoin variant was measured SLOWER on this corpus — near-dup docs
+    // share even their rare shingles, so candidates only dropped 4.5x while
+    // re-joining the shingle arrays for verification cost more than the
+    // count it saved). Hot-shingle groups put k²/2 pairs in one task — at
+    // this corpus's max df (715) that is fine; at larger scale salt the hot
+    // keys before grouping.
     ("dedup_ngram_jaccard", (s, d) => {
       import s.implicits._
-      val sh = shingles(corpus(s, d)).cache()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val common = sh.as("a").join(sh.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("id1"), $"b.doc_id".as("id2"))
-        .agg(count(lit(1)).as("common"))
+      val arrays = shingleStringArrays(corpus(s, d)).cache()
+      val sizes = arrays.select($"doc_id", size($"ts").cast("long").as("n")).filter($"n" > 0)
+      val sh = arrays.select($"doc_id", explode($"ts").as("t"))
+        .select($"doc_id", xxhash64($"t").as("h"))
+      val common = sh.groupBy($"h").agg(collect_list($"doc_id").as("ids"))
+        .select($"ids").as[Seq[Long]]
+        .flatMap { ids =>
+          val a = ids.toArray.sorted
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+            a.length * (a.length - 1) / 2)
+          var i = 0
+          while (i < a.length) {
+            var j = i + 1
+            while (j < a.length) { out += ((a(i), a(j))); j += 1 }
+            i += 1
+          }
+          out
+        }.toDF("id1", "id2")
+        .groupBy($"id1", $"id2").agg(count(lit(1)).as("common"))
       common
         .join(sizes.select($"doc_id".as("id1"), $"n".as("n1")), "id1")
         .join(sizes.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
@@ -405,6 +428,66 @@ object Dedup {
          |       ELSE 'kept' END AS stage
          |FROM q LEFT JOIN canon c ON c.doc_id = q.doc_id LEFT JOIN near n ON n.doc_id = q.doc_id
          |ORDER BY q.doc_id""".stripMargin
+    }),
+
+    // ---- near-dup cluster assignment: connected components over the
+    // verified MinHash pair graph — the step an actual dedup pipeline runs
+    // after pair generation (keep one doc per CLUSTER, not per pair; pair
+    // lists double-count when A~B, B~C). Spark side is iterative min-label
+    // propagation over the edge list (converges in O(component diameter)
+    // rounds — near-dup clusters are shallow; each round is one shuffle of
+    // the edge table, the standard DataFrame-only connected-components
+    // shape). The oracle recomputes components via a recursive CTE.
+    ("dedup_clusters", (s, d) => {
+      import s.implicits._
+      val arrays = shingleStringArrays(corpus(s, d)).cache()
+      val verified = minhashCandidates(bandTable(corpus(s, d)))
+        .join(arrays.select($"doc_id".as("id1"), $"ts".as("ts1")), "id1")
+        .join(arrays.select($"doc_id".as("id2"), $"ts".as("ts2")), "id2")
+        .withColumn("common", size(array_intersect($"ts1", $"ts2")))
+        .withColumn("jaccard", round($"common" / (size($"ts1") + size($"ts2") - $"common"), 4))
+        .filter($"jaccard" >= 0.5)
+        .select($"id1", $"id2")
+      // Materialize the (small) edge list once: the fixpoint loop below joins
+      // against it every round, and without the checkpoint each round would
+      // re-run the whole LSH pipeline.
+      val edges = verified.select($"id1".as("a"), $"id2".as("b"))
+        .unionByName(verified.select($"id2".as("a"), $"id1".as("b")))
+        .localCheckpoint()
+      var labels = edges.select($"a".as("id")).distinct()
+        .withColumn("comp", $"id").localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges.join(labels.select($"id".as("nb"), $"comp".as("ncomp")), $"b" === $"nb")
+          .groupBy($"a").agg(min($"ncomp").as("best"))
+        val next = labels.join(prop, $"id" === $"a", "left")
+          .select($"id", $"comp", least($"comp", coalesce($"best", $"comp")).as("comp2"))
+          .localCheckpoint()
+        changed = next.filter($"comp2" < $"comp").count()
+        labels = next.select($"id", $"comp2".as("comp"))
+      }
+      val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "comp")
+        .select($"id".as("doc_id"), $"comp".as("cluster_id"), $"cluster_size")
+        .orderBy($"doc_id")
+    }, Some {
+      s"""WITH RECURSIVE $corpusSql,
+         |${minhashSql("corpus", "")},
+         |ver AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT c.id1, c.id2,
+         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
+         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ver UNION ALL SELECT id2, id1 FROM ver),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+         |SELECT c.id AS doc_id, c.cluster_id, s.cluster_size
+         |FROM comp c JOIN sizes s USING (cluster_id) ORDER BY doc_id""".stripMargin
     }),
 
     // ---- embedding cosine near-dup: the exact O(n²) baseline (broadcast

@@ -247,6 +247,46 @@ object TextOps {
          |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
     }),
 
+    // ---- TF-IDF top terms per document: the classic corpus-statistics
+    // weighting (term frequency × ln(N/df)) with a windowed top-k. Ranking
+    // is deterministic across engines: ties in tfidf only occur for equal
+    // (tf, df) pairs — where both engines compute the identical double —
+    // and break on the term string. Two shuffles total (doc-term counts,
+    // term document-frequency) + broadcast of the scalar N.
+    ("text_tfidf_topk", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val doc = Tables.documents(s, d)
+      val tf = doc
+        .select($"doc_id", explode(tokens($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = doc.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+      tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", $"tf" * log($"n_docs".cast("double") / $"df"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank", $"term", $"tf", $"df", round($"tfidf", 4).as("tfidf"))
+        .orderBy($"doc_id", $"rank")
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($t) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, rank, term, tf, df, ${rndSql("tfidf", 4)} AS tfidf FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf,
+         |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC, tf.term) AS BIGINT) AS rank
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+    }),
+
     // ---- BPE-ish token counting per source: letter-runs | digit-runs |
     // single punctuation, the classic pre-tokenizer regex.
     ("text_bpe_token_count", (s, d) => {

@@ -76,17 +76,34 @@ object ChunkerProps extends Properties("Chunker") {
       lens.forall(l => l >= c.minSize + 1 && l <= c.maxSize + 1)
     }
 
-  property("duplicate blocks produce duplicate chunk spans (dedup premise)") =
-    forAll(Gen.choose(2000, 8000), Gen.choose(Long.MinValue, Long.MaxValue)) { (n, seed) =>
+  // The dedup-enabling invariant, stated deterministically: chunkers are
+  // CAUSAL — a cut depends only on bytes at or before it — so two streams
+  // sharing a prefix produce identical cuts inside that prefix. (The
+  // previous form of this property asserted that a 3x-repeated random block
+  // must yield duplicate chunk spans; that is only probabilistically true —
+  // cut sequences of shifted repeats merge only when a cut lands on the
+  // exact relative offset of an earlier one — and flaked roughly once per
+  // few hundred random blocks.)
+  property("prefix causality: shared prefix ⇒ identical cuts inside it (dedup premise)") =
+    forAll(payloads, payloads, sizes) { (prefix, suffix, sz) =>
+      algos.forall { algo =>
+        val c = Chunker(algo, sz, 42L)
+        val whole = c.boundaries(prefix ++ suffix).filter(_ < prefix.length).toSeq
+        val alone = c.boundaries(prefix).filter(_ < prefix.length).toSeq
+        whole == alone
+      }
+    }
+
+  property("repeated blocks eventually resync to duplicate chunk spans (fixed corpus)") =
+    forAll(Gen.oneOf(2000, 3000, 5000, 8000)) { n =>
       val block = new Array[Byte](n)
-      new java.util.Random(seed).nextBytes(block)
-      val data = block ++ block ++ block
+      new java.util.Random(5L).nextBytes(block)
+      val data = block ++ block ++ block ++ block ++ block ++ block
       val c = FastCdcChunker(512, 42L)
       val hashes = c.chunks(data).map { case (off, len) =>
         java.util.Arrays.hashCode(java.util.Arrays.copyOfRange(data, off, off + len))
       }
-      // a 3x-repeated payload must contain repeated chunk content
-      hashes.distinct.length < hashes.length || hashes.length <= 3
+      hashes.distinct.length < hashes.length
     }
 
   property("seed changes FastCDC cut points on random data") =
