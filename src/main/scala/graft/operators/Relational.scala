@@ -90,6 +90,31 @@ object Relational {
         |GROUP BY o_orderkey, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
 
+    // ---- Q4-style correlated EXISTS: orders with any late-shipped line
+    // (ship date > order date + 3 months). The correlated subquery plans as
+    // a left-semi join whose date predicate is a residual condition on the
+    // equi-keyed match — no nested loop, one shuffle pair.
+    ("q04_late_ship_priority", (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1995-07-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate"),
+          $"o_orderkey" === $"l_orderkey" &&
+            $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 3 MONTH"),
+          "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    }, Some(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 3 MONTH)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- Q5-style: 6-table star join; every dimension broadcast, the one
     // real shuffle is the lineitem aggregation.
     ("q05_nation_revenue", (s, d) => {
@@ -869,7 +894,10 @@ object Relational {
     }),
 
     // ---- exact vs approximate distinct (HLL) — the 100 TB path for A4.
-    // No oracle: approx_count_distinct's HLL estimate is engine-specific.
+    // Sketch-contract oracle (same pattern as q46): the HLL estimate itself
+    // is engine-specific, so the checked output is the exact count plus a
+    // within-tolerance boolean (rsd 0.01, asserted within 5%), and the
+    // oracle emits the exact count plus literal TRUE.
     ("q28_distinct_exact_vs_approx", (s, d) => {
       import s.implicits._
       Tables.lineitem(s, d)
@@ -877,8 +905,70 @@ object Relational {
         .agg(
           countDistinct($"l_orderkey").as("exact_orders"),
           approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+        .select($"l_returnflag", $"exact_orders",
+          (abs($"approx_orders" - $"exact_orders") <=
+            $"exact_orders" * 0.05).as("approx_within_5pct"))
         .orderBy($"l_returnflag")
-    }, None)
+    }, Some(
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS approx_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- calendar densification (resample + zero-fill): daily order stats
+    // over a fixed quarter with missing days filled — the gap-free
+    // time-series shape reports need. The day spine is generated, not
+    // scanned; the left join keys on the derived date.
+    ("q47_daily_resample", (s, d) => {
+      import s.implicits._
+      val days = s.range(1).select(explode(sequence(
+        lit("1995-01-01").cast("date"), lit("1995-03-31").cast("date"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      val agg = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1995-04-01").cast("timestamp"))
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("total"))
+      days.join(agg, Seq("day"), "left")
+        .select($"day",
+          coalesce($"n_orders", lit(0L)).as("n_orders"),
+          coalesce($"total", lit(0.0)).as("total"))
+        .orderBy($"day")
+    }, Some(
+      """WITH days AS (
+        |  SELECT CAST(unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS day),
+        |agg AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+        |    CAST(round(CAST((sum(o_totalprice)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS total
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  GROUP BY 1)
+        |SELECT d.day, CAST(coalesce(a.n_orders, 0) AS BIGINT) AS n_orders,
+        |  coalesce(a.total, 0.0) AS total
+        |FROM days d LEFT JOIN agg a USING (day) ORDER BY d.day""".stripMargin)),
+
+    // ---- bag-semantics set operations (INTERSECT ALL / EXCEPT ALL —
+    // multiplicity-aware, distinct operators from q12/q13's set forms).
+    // Output is the per-key multiplicity so the bag result compares stably.
+    ("q48_bag_set_ops", (s, d) => {
+      import s.implicits._
+      def a = Tables.lineitem(s, d).filter($"l_quantity" <= 10).select($"l_partkey")
+      def b = Tables.lineitem(s, d).filter($"l_returnflag" === "R").select($"l_partkey")
+      val ia = a.intersectAll(b).groupBy($"l_partkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val ea = a.exceptAll(b).groupBy($"l_partkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      ia.unionByName(ea)
+        .select($"op", $"l_partkey", $"n")
+        .orderBy($"op", $"l_partkey")
+    }, Some(
+      """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity <= 10),
+        |b AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+        |ia AS (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b),
+        |ea AS (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+        |SELECT 'intersect_all' AS op, l_partkey, count(*) AS n FROM ia GROUP BY l_partkey
+        |UNION ALL
+        |SELECT 'except_all' AS op, l_partkey, count(*) AS n FROM ea GROUP BY l_partkey
+        |ORDER BY op, l_partkey""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
