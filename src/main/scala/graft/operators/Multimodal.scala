@@ -170,16 +170,28 @@ object Multimodal {
         |      FROM documents WHERE doc_id % 3 = 1 AND length(text) >= 128)
         |ORDER BY doc_id, win_idx""".stripMargin)),
 
-    // ---- feature extraction through the stubbed decode: rows-only (the
-    // fake-codec histogram has no SQL mirror); invariants are spec-tested.
+    // ---- feature extraction through the stubbed decode, oracle-checked:
+    // the fake codec is a 16-bin byte histogram, and the corpus is pure
+    // ASCII (verified: codepoints 32..121), so bin membership is
+    // ascii(ch) >> 4 in SQL. The checked projections are integer-exact —
+    // active-bin count, and bin-6's raw count recovered from the
+    // L1-normalized float via round(f * n) (float32 error ≪ 0.5) — so no
+    // float32-vs-double rounding can flap the compare. The decode stub
+    // itself stays the swappable piece; the plumbing under test is real.
     ("mm_feature_extract", (s, d) => {
       import s.implicits._
       featurize(media(s, d)).toDF()
         .select($"doc_id", $"media_type", $"n_bytes",
-          round(aggregate($"features", lit(0.0), (acc, x) => acc + x), 2).as("feature_l1"),
-          round(element_at($"features", 7).cast("double"), 4).as("bin6"))
+          size(filter($"features", x => x > 0f)).cast("long").as("n_active_bins"),
+          round(element_at($"features", 7).cast("double") * $"n_bytes", 0).cast("long").as("bin6_count"))
         .orderBy($"doc_id")
-    }, None)
+    }, Some(
+      """SELECT doc_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(len(list_distinct(list_transform(split(text, ''), ch -> ascii(ch) // 16))) AS BIGINT) AS n_active_bins,
+        |  CAST(len(list_filter(split(text, ''), ch -> ascii(ch) // 16 = 6)) AS BIGINT) AS bin6_count
+        |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
