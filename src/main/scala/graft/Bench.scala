@@ -15,9 +15,15 @@ object Bench {
     // Driver contract: local[32]. Round 1 defaulted this to 4 and ran the
     // whole bench on 4 threads — the single biggest perf lever on this box.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // AQE on, matching GraftSession's recommended scale config: coalesces
+    // the 32-way shuffles most of these sub-second queries don't need
+    // (biggest effect on iterative/multi-stage plans) and re-plans skew.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -107,6 +107,20 @@ object CdcQueries {
       Chunking.dedupMetrics(
         Chunking.chunkTable(docs(s, dir), "doc_id", "text", "fixed", ExpectedSize))),
 
+    // The reference experiment's parameter sweep (`main.rs:18` varies n):
+    // corpus dedup metrics at several expected sizes in one distributed
+    // query — fixed algorithm, so the whole sweep carries an exact oracle.
+    "cdc_fixed_size_sweep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Seq(32, 64, 128).map { sz =>
+        Chunking.dedupMetrics(Chunking.chunkTable(d, "doc_id", "text", "fixed", sz))
+          .withColumn("expected_size", lit(sz.toLong))
+      }.reduce(_ unionByName _)
+        .select("expected_size", "unique_bytes", "total_bytes", "distinct_chunks",
+          "chunk_count", "dedup_coeff", "avg_chunk_size")
+        .orderBy("expected_size")
+    }),
+
     // Change detection over fixed chunks: like cdc_change_detection below but
     // SQL-mirrorable end-to-end (substr chunking + anti-join diff), so the
     // CDC north-star path is hash-checked by the driver, not rows-only.
@@ -156,6 +170,26 @@ object CdcQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cdc_fixed_size_sweep" -> {
+      import Portable.rndSql
+      def one(sz: Int) =
+        s"""SELECT CAST($sz AS BIGINT) AS expected_size, unique_bytes, total_bytes, distinct_chunks, chunk_count,
+           |  ${rndSql("unique_bytes / CAST(total_bytes AS DOUBLE)", 6)} AS dedup_coeff,
+           |  ${rndSql("total_bytes / CAST(distinct_chunks AS DOUBLE)", 2)} AS avg_chunk_size
+           |FROM (
+           |  SELECT CAST(sum(len) AS BIGINT) AS unique_bytes,
+           |         CAST(sum(len * cnt) AS BIGINT) AS total_bytes,
+           |         count(*) AS distinct_chunks,
+           |         CAST(sum(cnt) AS BIGINT) AS chunk_count
+           |  FROM (SELECT chunk, min(len) AS len, count(*) AS cnt
+           |        FROM (SELECT substr(text, off + 1, least($sz, n_chars - off)) AS chunk,
+           |                     least($sz, n_chars - off) AS len
+           |              FROM (SELECT text, n_chars, unnest(range(0, n_chars, $sz)) AS off
+           |                    FROM documents))
+           |        GROUP BY chunk))""".stripMargin
+      Seq(32, 64, 128).map(one).mkString("", "\nUNION ALL\n", "\nORDER BY expected_size")
+    },
+
     "cdc_fixed_dedup_metrics" -> {
       import Portable.rndSql
       s"""WITH ch AS (

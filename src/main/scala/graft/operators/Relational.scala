@@ -946,6 +946,38 @@ object Relational {
         |  coalesce(a.total, 0.0) AS total
         |FROM days d LEFT JOIN agg a USING (day) ORDER BY d.day""".stripMargin)),
 
+    // ---- CDC → SCD2 history: collapse each user's event stream into
+    // type-change intervals (valid_from/valid_to, NULL = current) — the
+    // gaps-and-islands shape that turns a change feed into a slowly-changing
+    // dimension. Change rows are detected with lag() per user, interval ends
+    // with lead() over the change rows; (ts, event_id) breaks timestamp ties
+    // deterministically on both engines.
+    ("q49_scd2_intervals", (s, d) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val changes = Tables.events(s, d)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+        .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      changes
+        .withColumn("valid_to_ts", lead($"ts", 1).over(byUser))
+        .select($"user_id", $"event_type",
+          unix_micros($"ts").as("valid_from_us"),
+          unix_micros($"valid_to_ts").as("valid_to_us"))
+        .orderBy($"user_id", $"valid_from_us")
+    }, Some(
+      """WITH changes AS (
+        |  SELECT user_id, event_type, ts, event_id
+        |  FROM (SELECT user_id, event_type, ts, event_id,
+        |          lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |        FROM events)
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type,
+        |  epoch_us(ts) AS valid_from_us,
+        |  epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+        |FROM changes
+        |ORDER BY user_id, valid_from_us""".stripMargin)),
+
     // ---- bag-semantics set operations (INTERSECT ALL / EXCEPT ALL —
     // multiplicity-aware, distinct operators from q12/q13's set forms).
     // Output is the per-key multiplicity so the bag result compares stably.
