@@ -86,6 +86,20 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q04: correlated EXISTS plans as a semi join with the date bound as residual, no nested loop") {
+    val plan = executedPlan("q04_late_ship_priority")
+    assert(plan.contains("LeftSemi"), s"semi join missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "correlated EXISTS must not plan a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "date bound must ride the equi-join as residual")
+  }
+
+  test("q47: the generated day spine joins without a cartesian product") {
+    val plan = executedPlan("q47_daily_resample")
+    assert(!plan.contains("CartesianProduct"), s"spine join degenerated:\n$plan")
+    assert(plan.contains("Join LeftOuter") || plan.contains("BroadcastHashJoin"),
+      s"expected an outer hash join on the day spine:\n$plan")
+  }
+
   test("dedup metrics: two-level aggregation, shuffle keyed by 64-bit hash only") {
     val plan = Chunking.dedupMetrics(Chunking.chunkTable(
       graft.Tables.documents(spark, sfDir), "doc_id", "text", "fastcdc", 64, 42L))
