@@ -190,24 +190,39 @@ final case class FastCdcChunker(expectedSize: Int, seed: Long) extends Chunker {
     val n = data.length
     if (n == 0) return Array.emptyIntArray
     val out = new IntVec
-    var hash = 0L
-    var pos = 0 // position within the current chunk
-    var i = 0
-    while (i < n) {
-      if (pos >= minSize) {
-        hash = (hash << 1) + gear(data(i) & 0xff)
-        if ((pos < expectedSize && (hash & shortMask) == 0L) ||
-            (pos >= expectedSize && (hash & longMask) == 0L) ||
-            pos >= maxSize) {
-          out += i + 1
-          hash = 0L
-          pos = -1
+    val g = gear
+    // Phase-split scan (cut semantics identical to the single-loop form,
+    // pinned by ChunkerGoldenSpec): the min-size region is skipped by
+    // advancing the index instead of branching per byte, and the
+    // short-mask / long-mask regimes run as separate tight loops, so each
+    // inner loop carries one mask test and no position comparisons.
+    var start = 0
+    var done = false
+    while (!done) {
+      var cut = -1
+      var p = start + minSize // cut-point skipping: no hashing below minSize
+      if (p < n) {
+        var hash = 0L
+        val e1 = math.min(start.toLong + expectedSize, n.toLong).toInt
+        while (cut < 0 && p < e1) {
+          hash = (hash << 1) + g(data(p) & 0xff)
+          if ((hash & shortMask) == 0L) cut = p + 1
+          p += 1
+        }
+        if (cut < 0) {
+          val e2 = math.min(start.toLong + maxSize, n.toLong).toInt
+          while (cut < 0 && p < e2) {
+            hash = (hash << 1) + g(data(p) & 0xff)
+            if ((hash & longMask) == 0L) cut = p + 1
+            p += 1
+          }
+          // pos == maxSize: forced cut including the current byte
+          if (cut < 0 && p < n) cut = p + 1
         }
       }
-      pos += 1
-      i += 1
+      if (cut < 0) { out += n; done = true }
+      else { out += cut; start = cut; if (cut == n) done = true }
     }
-    if (out.isEmpty || out.last != n) out += n
     out.toArray
   }
 }
@@ -296,36 +311,39 @@ final case class RabinChunker(expectedSize: Int, seed: Int) extends Chunker {
     val n = data.length
     if (n == 0) return Array.emptyIntArray
     val out = new IntVec
-    // Ring buffer over the input indices replaces the reference's VecDeque.
-    var hash = 0
-    var pos = 0       // position within current chunk
-    var chunkStart = 0 // input index where the current chunk begins
-    var i = 0
-    while (i < n) {
-      val v = data(i) & 0xff
-      if (pos >= maxSize) {
-        out += i + 1 // forced cut includes the current byte (rabin.rs:157-174)
-        hash = 0
-        pos = 0
-        chunkStart = i + 1
-      } else {
-        hash = hash * alpha + v
-        if (pos >= windowSize) {
-          // Byte leaving the window sits at chunkStart + (pos - windowSize).
-          val leaving = data(chunkStart + pos - windowSize) & 0xff
-          hash -= powTable(leaving)
-          if (pos >= minSize && ((hash ^ seed) & mask) == 0) {
-            out += i + 1
-            hash = 0
-            pos = -1
-            chunkStart = i + 1
-          }
-        }
-        pos += 1
+    val pt = powTable
+    // Phase-split scan (cut semantics identical to the single-loop form,
+    // pinned by ChunkerGoldenSpec): roll-in (no eviction), one fill step at
+    // pos == windowSize (eviction, no cut test — windowSize == minSize - 1),
+    // then the steady loop with one eviction + one mask test per byte and no
+    // position comparisons; forced cut at pos == maxSize hashes nothing
+    // (rabin.rs:157-174 cuts before updating).
+    var start = 0
+    var done = false
+    while (!done) {
+      var cut = -1
+      var hash = 0
+      val rollEnd = math.min(start.toLong + windowSize, n.toLong).toInt
+      var i = start
+      while (i < rollEnd) {
+        hash = hash * alpha + (data(i) & 0xff)
+        i += 1
       }
-      i += 1
+      if (i < n && i == start + windowSize) {
+        hash = hash * alpha + (data(i) & 0xff) - pt(data(start) & 0xff)
+        i += 1
+        val steadyEnd = math.min(start.toLong + maxSize, n.toLong).toInt
+        while (cut < 0 && i < steadyEnd) {
+          hash = hash * alpha + (data(i) & 0xff) - pt(data(i - windowSize) & 0xff)
+          if (((hash ^ seed) & mask) == 0) cut = i + 1
+          i += 1
+        }
+        // pos == maxSize: forced cut including the (unhashed) current byte
+        if (cut < 0 && i < n) cut = i + 1
+      }
+      if (cut < 0) { out += n; done = true }
+      else { out += cut; start = cut; if (cut == n) done = true }
     }
-    if (out.isEmpty || out.last != n) out += n
     out.toArray
   }
 
