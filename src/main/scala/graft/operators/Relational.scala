@@ -978,6 +978,60 @@ object Relational {
         |FROM changes
         |ORDER BY user_id, valid_from_us""".stripMargin)),
 
+    // ---- MERGE/upsert: apply a CDC change set (inserts + updates +
+    // deletes) to a base snapshot in one full-outer join — the "apply"
+    // half of change data capture (q25 is the "capture" half). The change
+    // set is derived deterministically from orders so both engines build
+    // identical inputs: every 10th key is an update (+1 totalprice), every
+    // 17th a delete, and shifted keys are inserts.
+    ("q50_merge_upsert", (s, d) => {
+      import s.implicits._
+      val base = Tables.orders(s, d)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val changes = base.filter($"o_orderkey" % 10 === 0)
+        .select($"o_orderkey", $"o_custkey",
+          round($"o_totalprice" + 1.0, 2).as("o_totalprice"), lit("update").as("op"))
+        .unionByName(base.filter($"o_orderkey" % 17 === 0)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice", lit("delete").as("op")))
+        .unionByName(base.filter($"o_orderkey" % 23 === 0)
+          .select(($"o_orderkey" + 10000000L).as("o_orderkey"), $"o_custkey",
+            round($"o_totalprice", 2).as("o_totalprice"), lit("insert").as("op")))
+      // deletes win over updates for keys matching both (10 and 17): take
+      // the op of highest precedence per key, deterministically
+      val w = Window.partitionBy($"o_orderkey")
+        .orderBy(when($"op" === "delete", 0).when($"op" === "update", 1).otherwise(2))
+      val c1 = changes.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+      base.as("b").join(c1.as("c"), Seq("o_orderkey"), "full_outer")
+        .filter($"c.op".isNull || $"c.op" =!= "delete")
+        .select($"o_orderkey",
+          coalesce($"c.o_custkey", $"b.o_custkey").as("o_custkey"),
+          round(coalesce($"c.o_totalprice", $"b.o_totalprice"), 2).as("o_totalprice"))
+        .orderBy($"o_orderkey")
+    }, Some(
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(CAST((o_totalprice + 1.0) AS DECIMAL(28,8)), 2) AS DOUBLE) AS o_totalprice,
+        |    'update' AS op
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, 'delete' FROM base WHERE o_orderkey % 17 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey,
+        |    CAST(round(CAST((o_totalprice) AS DECIMAL(28,8)), 2) AS DOUBLE), 'insert'
+        |  FROM base WHERE o_orderkey % 23 = 0),
+        |c1 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY CASE op WHEN 'delete' THEN 0 WHEN 'update' THEN 1 ELSE 2 END) AS rn
+        |    FROM changes) WHERE rn = 1)
+        |SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  coalesce(c.o_custkey, b.o_custkey) AS o_custkey,
+        |  CAST(round(CAST((coalesce(c.o_totalprice, b.o_totalprice)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS o_totalprice
+        |FROM base b FULL OUTER JOIN c1 c ON b.o_orderkey = c.o_orderkey
+        |WHERE c.op IS NULL OR c.op <> 'delete'
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // ---- bag-semantics set operations (INTERSECT ALL / EXCEPT ALL —
     // multiplicity-aware, distinct operators from q12/q13's set forms).
     // Output is the per-key multiplicity so the bag result compares stably.
