@@ -42,6 +42,18 @@ case class ChunkerState(
   */
 case class BlobVersion(blobId: Long, version: Int, data: Array[Byte])
 
+/** One typed user event for streaming SCD2 (timestamps as epoch micros so
+  * streaming output compares bit-for-bit with the batch query's
+  * `unix_micros`).
+  */
+case class UserTypeEvent(userId: Long, eventId: Long, eventType: String, tsUs: Long)
+
+/** The open SCD2 interval carried per user. */
+case class Scd2State(curType: String, sinceUs: Long)
+
+/** A closed SCD2 interval: `[validFromUs, validToUs)` for `eventType`. */
+case class Scd2Interval(userId: Long, eventType: String, validFromUs: Long, validToUs: Long)
+
 /** One chunk-level change between consecutive versions of a blob. */
 case class ChunkChange(blobId: Long, version: Int, change: String, hash: Long, length: Int)
 
@@ -305,5 +317,43 @@ object Streaming {
       .groupByKey(_.blobId)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         chunkUpdateFn(algo, expectedSize, seed, tombstoneTtl))
+  }
+
+  /** Streaming SCD2: per-user event-type change intervals, the incremental
+    * twin of batch query q49_scd2_intervals. Each CLOSED interval (a type
+    * change observed) is emitted exactly once, in append mode; the open
+    * interval lives in `GroupState` until the next change closes it.
+    * Assumes per-user in-order arrival (pair with a watermark + sort in a
+    * foreachBatch, or the reorder-buffer pattern of [[chunkUpdateFn]], when
+    * the source can deliver out of order).
+    */
+  def scd2Fn(
+      userId: Long,
+      events: Iterator[UserTypeEvent],
+      state: GroupState[Scd2State]): Iterator[Scd2Interval] = {
+    val evs = events.toArray.sortBy(e => (e.tsUs, e.eventId))
+    var cur = state.getOption.orNull
+    val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Interval]
+    var i = 0
+    while (i < evs.length) {
+      val e = evs(i)
+      if (cur == null) cur = Scd2State(e.eventType, e.tsUs)
+      else if (e.eventType != cur.curType) {
+        out += Scd2Interval(userId, cur.curType, cur.sinceUs, e.tsUs)
+        cur = Scd2State(e.eventType, e.tsUs)
+      }
+      i += 1
+    }
+    if (cur != null) state.update(cur)
+    out.iterator
+  }
+
+  /** Lift [[scd2Fn]] onto a stream of typed events. */
+  def scd2Stream(events: Dataset[UserTypeEvent]): Dataset[Scd2Interval] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(scd2Fn)
   }
 }

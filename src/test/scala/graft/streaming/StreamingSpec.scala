@@ -318,6 +318,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scd2Stream emits exactly the closed intervals of the batch q49 query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // replay the real events table in timestamp order across 3 micro-batches
+    val evs = graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+      .as[(Long, Long, String, Long)].collect()
+      .map { case (u, id, t, us) => UserTypeEvent(u, id, t, us) }
+      .sortBy(e => (e.tsUs, e.eventId))
+    val ms = MemoryStream[UserTypeEvent]
+    val q = Streaming.scd2Stream(ms.toDS())
+      .writeStream.format("memory").queryName("scd2_out").outputMode("append").start()
+    try {
+      val third = evs.length / 3
+      ms.addData(evs.take(third).toSeq: _*); q.processAllAvailable()
+      ms.addData(evs.slice(third, 2 * third).toSeq: _*); q.processAllAvailable()
+      ms.addData(evs.drop(2 * third).toSeq: _*); q.processAllAvailable()
+      val got = spark.table("scd2_out")
+        .select($"userId", $"eventType", $"validFromUs", $"validToUs")
+        .as[(Long, String, Long, Long)].collect().toSet
+      val want = graft.SparkEntry.queries("q49_scd2_intervals")(spark, sfDir)
+        .filter($"valid_to_us".isNotNull)
+        .select($"user_id", $"event_type", $"valid_from_us", $"valid_to_us")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("statefulChunkStream re-assembles the exact batch chunking across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
