@@ -63,4 +63,25 @@ class TextFormatsSpec extends AnyFunSuite {
         .forEach(p => java.nio.file.Files.delete(p))
     }
   }
+
+  test("events round-trip losslessly through the ORC columnar sink/source with pushdown") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_orc")
+    try {
+      val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .select($"event_id", $"user_id", $"event_type",
+          unix_micros($"ts").as("ts_us"), $"value", $"props")
+      val want = fingerprint(events)
+      events.write.orc(s"$base/orc")
+      val orc = spark.read.orc(s"$base/orc")
+      assert(fingerprint(orc) == want, "orc round-trip")
+      // predicate pushdown reaches the ORC scan like it does for parquet
+      val plan = orc.filter($"user_id" === 7L).queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)"),
+        s"orc pushdown missing:\n$plan")
+    } finally {
+      java.nio.file.Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
 }
