@@ -507,22 +507,28 @@ object Dedup {
         .withColumn("nrm", sqrt(aggregate($"raw", lit(0.0), (acc, x) => acc + x * x)))
         .select($"vec_id", transform($"raw", x => x / $"nrm").as("emb"))
         .as[(Long, Array[Double])]
+      // Normalize ONCE: the collected array is both the broadcast right side
+      // and (indexed by a round-robin-balanced range) the left side, so the
+      // corpus isn't re-normalized for the probe scan and each row pair is
+      // visited exactly once (j starts at i+1 — no wasted id compares on the
+      // rejected half of the matrix).
       val bc = s.sparkContext.broadcast(unit.collect().sortBy(_._1))
-      unit.mapPartitions { it =>
+      val nVec = bc.value.length
+      val parts = s.sparkContext.defaultParallelism
+      s.range(nVec).repartition(parts).as[Long].mapPartitions { it =>
         val right = bc.value
-        it.flatMap { case (id1, e1) =>
+        it.flatMap { iIdx =>
+          val (id1, e1) = right(iIdx.toInt)
           // plain while-loop with threshold-gated emission: no per-pair
           // iterator/tuple allocation for the ~n²/2 rejected pairs
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          var j = 0
+          var j = iIdx.toInt + 1
           while (j < right.length) {
             val (id2, e2) = right(j)
-            if (id2 > id1) {
-              var acc = 0.0
-              var i = 0
-              while (i < e1.length) { acc += e1(i) * e2(i); i += 1 }
-              if (acc >= 0.4) out += ((id1, id2, acc))
-            }
+            var acc = 0.0
+            var i = 0
+            while (i < e1.length) { acc += e1(i) * e2(i); i += 1 }
+            if (acc >= 0.4) out += ((id1, id2, acc))
             j += 1
           }
           out
