@@ -78,11 +78,13 @@ object Bench {
     Seq("fixed", "ae", "fastcdc", "rabin").map { algo =>
       val c = core.Chunker(algo, 16 * 1024, 42L)
       c.boundaries(data) // warmup (JIT)
-      val t0 = System.nanoTime()
-      val n = c.boundaries(data).length
-      val secs = (System.nanoTime() - t0) / 1e9
-      require(n > 0)
-      algo -> math.round(data.length / 1e6 / secs * 10) / 10.0
+      // best-of-3: single-shot numbers swing ~2x with host scheduling noise
+      val best = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        require(c.boundaries(data).length > 0)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      algo -> math.round(data.length / 1e6 / best * 10) / 10.0
     }.toMap
   }
 }
