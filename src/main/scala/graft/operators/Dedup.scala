@@ -249,9 +249,9 @@ object Dedup {
       val sh = arrays.select($"doc_id", explode($"ts").as("t"))
         .select($"doc_id", xxhash64($"t").as("h"))
       val common = sh.groupBy($"h").agg(collect_list($"doc_id").as("ids"))
-        .select($"ids").as[Seq[Long]]
-        .flatMap { ids =>
-          val a = ids.toArray.sorted
+        .select($"ids").as[Array[Long]] // primitive decode — no per-id boxing
+        .flatMap { a =>
+          java.util.Arrays.sort(a)
           val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
             a.length * (a.length - 1) / 2)
           var i = 0
