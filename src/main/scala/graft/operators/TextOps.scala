@@ -247,6 +247,37 @@ object TextOps {
          |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
     }),
 
+    // ---- heavy hitters via a Misra-Gries sketch (O(k) state — the 100 TB
+    // path where an exact vocabulary groupBy would shuffle every term).
+    // Oracle-checkable through the sketch contract: the HEAVY SET (true
+    // count > N/(k+1)) is computed exactly and is deterministic, and the
+    // sketch assertions — estimate present, never over, undercount at most
+    // N/(k+1) — hold for ANY merge order (mergeable-summaries bound), so
+    // the boolean is TRUE however Spark schedules the partial aggregates.
+    ("text_heavy_hitters", (s, d) => {
+      import s.implicits._
+      val K = 64
+      val toks = Tables.documents(s, d).select(explode(tokens($"text")).as("term"))
+      val sketch: Map[String, Long] =
+        toks.as[String].select(new graft.functions.MisraGriesAgg(K).toColumn).head()
+      val n = toks.count()
+      val bound = n.toDouble / (K + 1)
+      toks.groupBy($"term").agg(count(lit(1)).as("n_exact"))
+        .filter($"n_exact" > bound)
+        .withColumn("est", coalesce(element_at(typedlit(sketch), $"term"), lit(0L)))
+        .select($"term", $"n_exact",
+          ($"est" > 0L && $"est" <= $"n_exact" &&
+            ($"n_exact" - $"est") <= bound).as("sketch_ok"))
+        .orderBy($"term")
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH tok AS (SELECT unnest($t) AS term FROM documents),
+         |n AS (SELECT count(*) AS n_tok FROM tok),
+         |exact AS (SELECT term, count(*) AS n_exact FROM tok GROUP BY term)
+         |SELECT term, n_exact, TRUE AS sketch_ok
+         |FROM exact, n WHERE n_exact > n_tok / 65.0 ORDER BY term""".stripMargin
+    }),
+
     // ---- TF-IDF top terms per document: the classic corpus-statistics
     // weighting (term frequency × ln(N/df)) with a windowed top-k. Ranking
     // is deterministic across engines: ties in tfidf only occur for equal
