@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-preparation operators a training-data pipeline needs around the
+  * dedup/similarity/text stages (builder mandate, beyond the reference's
+  * surface — the reference has no relational layer at all, SURVEY §2.5):
+  *
+  *  - deterministic train/test splitting (hash-threshold, no RNG state),
+  *  - PII redaction (regex scrub, the standard pre-release pass),
+  *  - sliding context-window extraction (token windows for sequence packing),
+  *  - single-pass column profiling (the "what's in this table" scan),
+  *  - bloom-filter semi-join pre-filtering (shuffle-avoidance at scale).
+  *
+  * All are shuffle-free per-row transforms except the profiler (one aggregate
+  * over one scan) and the bloom build (one treeAggregate over the small
+  * side). Every query keeps an exact DuckDB oracle: the split and windows are
+  * pure functions of md5/token arithmetic that both engines compute
+  * bit-identically; the bloom query is oracle-checked through the sketch
+  * contract (no false negatives ever; false-positive rate within a slack
+  * bound that holds deterministically for this fixed seedless build).
+  */
+object PipelineOps {
+  import Portable._
+
+  private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- deterministic train/val/test split: threshold on the md5 hex of
+    // the stable doc key. No RNG, no seed state to ship to 1000 executors —
+    // re-running on a grown corpus keeps every old doc's assignment (the
+    // property training pipelines need for incremental ingestion). The hex
+    // compare is plain byte-wise string ordering, identical on both engines:
+    // md5 < '1a' ≈ 10.2% test, '1a'..'33' ≈ 9.8% val, rest train.
+    ("pipeline_train_test_split", (s, d) => {
+      import s.implicits._
+      val h = md5($"doc_id".cast("string"))
+      Tables.documents(s, d)
+        .select($"doc_id",
+          when(h < "1a", "test").when(h < "33", "val").otherwise("train").as("split"))
+        .orderBy($"doc_id")
+    }, Some(
+      """SELECT doc_id,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'test'
+        |       WHEN md5(CAST(doc_id AS VARCHAR)) < '33' THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- PII redaction: scrub emails and phone numbers with anchored
+    // character-class regexes (no lookaround, so Java regex and RE2 agree).
+    // The corpus tables carry no real PII, so the query synthesizes a
+    // contact line per customer from table data — deterministic on both
+    // engines — then redacts it; n_* counts prove the patterns matched.
+    ("pipeline_pii_redact", (s, d) => {
+      import s.implicits._
+      val emailPat = "[A-Za-z0-9.#_%+-]+@[A-Za-z0-9.-]+[A-Za-z]"
+      val phonePat = "\\+[0-9][0-9-]+[0-9]"
+      val raw = concat(
+        lit("Reach "), $"c_name", lit(" at "),
+        lower(regexp_replace($"c_name", " ", ".")), lit("@example.com or +1-"),
+        ($"c_custkey" % 400 + 500).cast("string"), lit("-"),
+        lpad(($"c_custkey" % 10000).cast("string"), 4, "0"), lit("."))
+      Tables.customer(s, d)
+        .select($"c_custkey", raw.as("raw"))
+        .select(
+          $"c_custkey",
+          regexp_count($"raw", lit(emailPat)).cast("long").as("n_emails"),
+          regexp_count($"raw", lit(phonePat)).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace($"raw", emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>").as("redacted"))
+        .orderBy($"c_custkey")
+    }, Some(
+      """WITH raw AS (
+        |  SELECT c_custkey,
+        |    'Reach ' || c_name || ' at ' || lower(replace(c_name,' ','.')) ||
+        |    '@example.com or +1-' || CAST(c_custkey % 400 + 500 AS VARCHAR) || '-' ||
+        |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '.' AS raw
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9.#_%+-]+@[A-Za-z0-9.-]+[A-Za-z]')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '\+[0-9][0-9-]+[0-9]')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(raw, '[A-Za-z0-9.#_%+-]+@[A-Za-z0-9.-]+[A-Za-z]', '<EMAIL>', 'g'),
+        |    '\+[0-9][0-9-]+[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM raw ORDER BY c_custkey""".stripMargin)),
+
+    // ---- sliding context windows (sequence packing): stride-48 windows of
+    // up to 64 tokens per document — the standard "chunk long docs into
+    // model-context pieces with overlap" transform. Pure array arithmetic
+    // per row (sequence + explode), no shuffle; at 100 TB this is a map-only
+    // stage whose output partitioning follows the input files.
+    ("pipeline_token_windows", (s, d) => {
+      import s.implicits._
+      val W = 64
+      val S = 48
+      Tables.documents(s, d)
+        .select($"doc_id", tokens($"text").as("toks"))
+        .select($"doc_id", $"toks", size($"toks").as("n"))
+        .select($"doc_id", $"toks", $"n",
+          explode(sequence(lit(0), $"n" - 1, lit(S))).as("s"))
+        .select(
+          $"doc_id",
+          ($"s" / S).cast("long").as("win_id"),
+          $"s".cast("long").as("start_tok"),
+          least(lit(W), $"n" - $"s").cast("long").as("n_tok"),
+          element_at($"toks", $"s" + 1).as("head_tok"))
+        .orderBy($"doc_id", $"win_id")
+    }, Some(
+      s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |u AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |w AS (SELECT doc_id, toks, n, unnest(generate_series(0, n - 1, 48)) AS s FROM u)
+         |SELECT doc_id, s // 48 AS win_id, s AS start_tok,
+         |  least(64, n - s) AS n_tok, toks[s + 1] AS head_tok
+         |FROM w ORDER BY doc_id, win_id""".stripMargin)),
+
+    // ---- single-pass column profiler: nulls / exact distincts / min / max
+    // per column in ONE scan of the table (the aggregate computes every
+    // column's stats together; Catalyst expands the multi-distinct into one
+    // shuffle), then `stack` unpivots the single row into per-column rows.
+    // The per-table profile is the first query any 100 TB ingestion runs.
+    ("pipeline_profile_columns", (s, d) => {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate")
+      val aggs = cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))
+      }
+      val stacked = cols
+        .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c")
+        .mkString(s"stack(${cols.size}, ", ", ", ")")
+      val allAggs = count(lit(1)).as("n_rows") +: aggs
+      Tables.lineitem(s, d)
+        .agg(allAggs.head, allAggs.tail: _*)
+        .select(col("n_rows"),
+          expr(s"$stacked AS (col_name, n_nulls, n_distinct, min_s, max_s)"))
+        .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+        .orderBy("col_name")
+    }, Some {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, (SELECT count(*) FROM lineitem) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+           |FROM lineitem""".stripMargin
+      Seq("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }),
+
+    // ---- bloom-filter semi-join pre-filter: build a bloom filter over the
+    // small side's keys (distributed treeAggregate; ~1.2 MB for 1M keys at
+    // 1% fpp), broadcast it, and drop probe rows before they reach the
+    // shuffle — at 100 TB this turns a full-table shuffle join into a scan
+    // that forwards only ~member + fpp·nonmember rows. Oracle-checked via
+    // the sketch contract (q28/q46 pattern): exact member counts are
+    // deterministic, a bloom filter can NEVER miss a member (missed = 0),
+    // and the false-positive count for this fixed build is deterministic
+    // and bounded by 5× the design fpp (wide slack), so the booleans hold
+    // however Spark schedules the build.
+    ("pipeline_bloom_prefilter", (s, d) => {
+      import s.implicits._
+      val members = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")
+      val nMembers = members.count()
+      val bloom = members.stat.bloomFilter("c_custkey", nMembers max 1L, 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((k: Long) => bc.value.mightContain(k))
+      val orders = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+      val memberOrders = orders.join(broadcast(members),
+        $"o_custkey" === $"c_custkey", "left_semi")
+      val nOrders = orders.count()
+      val nMemberOrders = memberOrders.count()
+      val nMissed = memberOrders.filter(!mightContain($"o_custkey")).count()
+      val nPass = orders.filter(mightContain($"o_custkey")).count()
+      val fpOk = (nPass - nMemberOrders).toDouble <=
+        math.max(0.05 * (nOrders - nMemberOrders), 1.0)
+      Seq((nOrders, nMemberOrders, nMissed, fpOk))
+        .toDF("n_orders", "n_member_orders", "n_missed", "fp_ok")
+    }, Some(
+      """SELECT (SELECT count(*) FROM orders) AS n_orders,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+        |                         WHERE c_mktsegment = 'BUILDING')) AS n_member_orders,
+        |  CAST(0 AS BIGINT) AS n_missed, TRUE AS fp_ok""".stripMargin))
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, f, _) => n -> f }.toMap
+
+  val oracleSql: Map[String, String] =
+    defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

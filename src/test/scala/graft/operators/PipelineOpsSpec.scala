@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the corpus-preparation operators that the bit-exact DuckDB
+  * oracles can't express: split stability and coverage, window coverage
+  * arithmetic, redaction completeness, and the bloom filter's no-false-
+  * negative guarantee (checked against the exact semi-join).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("PipelineOpsSpec")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("train/test split covers every doc exactly once, fractions near design") {
+    import spark.implicits._
+    val rows = PipelineOps.queries("pipeline_train_test_split")(spark, sfDir)
+      .as[(Long, String)].collect()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs)
+    assert(rows.map(_._1).distinct.length == nDocs)
+    val frac = rows.groupBy(_._2).view.mapValues(_.length.toDouble / nDocs).toMap
+    // design: ~10.2% test, ~9.8% val; sf0.01 has 500 docs so allow wide noise
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.102) < 0.06)
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.098) < 0.06)
+    assert(frac.getOrElse("train", 0.0) > 0.65)
+  }
+
+  test("split assignment is stable: a subset of docs keeps its assignments") {
+    import spark.implicits._
+    val full = PipelineOps.queries("pipeline_train_test_split")(spark, sfDir)
+      .as[(Long, String)].collect().toMap
+    // the same query over a filtered corpus must agree on shared docs —
+    // the incremental-ingestion property hash-threshold splitting buys
+    val half = graft.Tables.documents(spark, sfDir).filter($"doc_id" % 2 === 0)
+    val h = org.apache.spark.sql.functions.md5($"doc_id".cast("string"))
+    import org.apache.spark.sql.functions.when
+    val sub = half.select($"doc_id",
+      when(h < "1a", "test").when(h < "33", "val").otherwise("train").as("split"))
+      .as[(Long, String)].collect()
+    sub.foreach { case (id, sp) => assert(full(id) == sp) }
+  }
+
+  test("every emitted window starts within the doc and covers it end-to-end") {
+    import spark.implicits._
+    val wins = PipelineOps.queries("pipeline_token_windows")(spark, sfDir)
+      .select($"doc_id", $"win_id", $"start_tok", $"n_tok")
+      .as[(Long, Long, Long, Long)].collect()
+    val nToks = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", org.apache.spark.sql.functions.size(
+        Portable.tokens($"text")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    wins.groupBy(_._1).foreach { case (doc, ws) =>
+      val n = nToks(doc)
+      val sorted = ws.sortBy(_._2)
+      assert(sorted.head._3 == 0L) // first window starts at token 0
+      sorted.foreach { case (_, wid, s, nt) =>
+        assert(s == wid * 48 && s < n && nt > 0 && s + nt <= n)
+      }
+      // windows reach the end of the doc: last window touches the last token
+      val (_, _, ls, lnt) = sorted.last
+      assert(ls + lnt == math.min(ls + 64, n) && ls + 48 >= n)
+    }
+  }
+
+  test("redaction removes every synthesized email and phone") {
+    import spark.implicits._
+    val out = PipelineOps.queries("pipeline_pii_redact")(spark, sfDir)
+    val bad = out.filter(
+      $"redacted".rlike("[A-Za-z0-9.#_%+-]+@") || $"redacted".rlike("\\+[0-9][0-9-]+[0-9]"))
+    assert(bad.count() == 0)
+    // each synthesized line carried exactly one email and one phone
+    assert(out.filter($"n_emails" =!= 1 || $"n_phones" =!= 1).count() == 0)
+    assert(out.filter(!$"redacted".contains("<EMAIL>") ||
+      !$"redacted".contains("<PHONE>")).count() == 0)
+  }
+
+  test("bloom prefilter never misses a member and passes the fp bound") {
+    import spark.implicits._
+    val row = PipelineOps.queries("pipeline_bloom_prefilter")(spark, sfDir)
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(row._3 == 0L, "bloom filter reported a false negative")
+    assert(row._4, "false-positive rate above bound")
+    assert(row._2 > 0 && row._2 < row._1)
+  }
+
+  test("profiler stats match hand aggregates for one column") {
+    import spark.implicits._
+    val prof = PipelineOps.queries("pipeline_profile_columns")(spark, sfDir)
+      .filter($"col_name" === "l_returnflag")
+      .select($"n_rows", $"n_nulls", $"n_distinct", $"min_s", $"max_s")
+      .as[(Long, Long, Long, String, String)].head()
+    val li = graft.Tables.lineitem(spark, sfDir)
+    assert(prof._1 == li.count())
+    assert(prof._2 == li.filter($"l_returnflag".isNull).count())
+    assert(prof._3 == li.select($"l_returnflag").distinct.count())
+    assert(prof._4 == "A" && prof._5 == "R")
+  }
+}
