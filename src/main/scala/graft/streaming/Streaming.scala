@@ -319,6 +319,47 @@ object Streaming {
         chunkUpdateFn(algo, expectedSize, seed, tombstoneTtl))
   }
 
+  /** Streaming corpus intake: the incremental twin of the batch
+    * `pipeline_clean_corpus` quality/dedup stages plus
+    * `pipeline_train_test_split`'s deterministic assignment — documents
+    * arrive continuously and train-ready rows stream out.
+    *
+    *  - quality gate: the same punct + word-length expression as the batch
+    *    query, a stateless per-row filter;
+    *  - exact dedup: `dropDuplicatesWithinWatermark` over the md5 of the
+    *    whitespace-normalized text — the batch min-id canonical becomes
+    *    first-arrival-wins, with state bounded by the watermark;
+    *  - split: md5-threshold on the doc key, no RNG state, so a doc gets
+    *    the same train/val/test assignment here as in any batch re-run.
+    *
+    * The gate runs BEFORE the dedup so rejected docs never enter the state
+    * store — the same filters-narrow-first ordering the batch pipeline uses.
+    */
+  def corpusIntakeStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "1 hour",
+      qualityThreshold: Double = 0.45): DataFrame = {
+    val text = col(textCol)
+    val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]", "")) /
+      length(text).cast("double")
+    val avgLen = length(regexp_replace(text, "\\s+", "")) /
+      size(graft.operators.Portable.tokens(text)).cast("double")
+    val quality = lit(0.5) * (lit(1.0) - punct) + lit(0.5) * least(avgLen / 8.0, lit(1.0))
+    val h = md5(col("doc_id").cast("string"))
+    docs
+      .select(col(idCol).as("doc_id"), text.as("text"), col(tsCol).as("ts"),
+        quality.as("quality"))
+      .filter(col("quality") >= qualityThreshold)
+      .withColumn("k", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("k")
+      .select(col("doc_id"), col("ts"), round(col("quality"), 4).as("quality"),
+        when(h < "1a", "test").when(h < "33", "val").otherwise("train").as("split"))
+  }
+
   /** Streaming SCD2: per-user event-type change intervals, the incremental
     * twin of batch query q49_scd2_intervals. Each CLOSED interval (a type
     * change observed) is emitted exactly once, in append mode; the open

@@ -11,6 +11,7 @@ import graft.core.Chunker
 
 case class Blob(id: Long, text: String, ts: Timestamp)
 case class Ev(user_id: Long, event_type: String, value: Double, ts: Timestamp)
+case class Doc(doc_id: Long, text: String, ts: Timestamp)
 
 class StreamingSpec extends AnyFunSuite {
 
@@ -377,6 +378,41 @@ class StreamingSpec extends AnyFunSuite {
       val bytes = spark.table("chunks_out").orderBy("chunkIdx")
         .select($"chunk").as[Array[Byte]].collect().flatten
       assert(bytes.toSeq == full.toSeq)
+    } finally q.stop()
+  }
+
+  test("corpusIntakeStream gates quality, dedups across batches, and assigns stable splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = (1L to 8L).map(i =>
+      Doc(i, s"clean document number $i with plain readable words", ts(i)))
+    // punct-heavy -> fails the quality gate, must never reach the dedup state
+    val junk = Doc(100L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))", ts(9))
+    // same text as doc 1 modulo case/whitespace -> normalized-exact duplicate
+    val dup = Doc(101L, "  Clean   DOCUMENT number 1 with plain readable words ", ts(10))
+    // verbatim redelivery of doc 3 in a later micro-batch
+    val redelivered = good(2).copy(ts = ts(11))
+
+    val ms = MemoryStream[Doc]
+    val q = Streaming.corpusIntakeStream(ms.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("intake_out").outputMode("append").start()
+    try {
+      ms.addData(good: _*); q.processAllAvailable()
+      ms.addData(junk, dup, redelivered); q.processAllAvailable()
+      val got = spark.table("intake_out")
+        .select($"doc_id", $"split", $"quality")
+        .as[(Long, String, Double)].collect().sortBy(_._1)
+      // exactly the 8 first-arrival good docs; junk gated, dup + redelivery dropped
+      assert(got.map(_._1).toSeq == (1L to 8L))
+      assert(got.forall(_._3 >= 0.45))
+      // split assignment matches the batch pipeline_train_test_split rule
+      val want = good.toDF()
+        .select($"doc_id",
+          when(md5($"doc_id".cast("string")) < "1a", "test")
+            .when(md5($"doc_id".cast("string")) < "33", "val")
+            .otherwise("train").as("split"))
+        .as[(Long, String)].collect().toMap
+      assert(got.forall { case (id, split, _) => want(id) == split })
     } finally q.stop()
   }
 }
