@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -151,6 +152,67 @@ object PipelineOps {
       Seq("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     }),
+
+    // ---- stratified sampling: exactly ceil(20%) of every language stratum,
+    // chosen by md5 rank — deterministic (no RNG state), and re-running on
+    // the same corpus reproduces the sample bit-for-bit. The rank needs one
+    // shuffle keyed by the stratum; at 100 TB with few huge strata the
+    // scalable variant is the pure hash-threshold filter (shuffle-free, see
+    // pipeline_train_test_split) at the cost of only-approximate stratum
+    // fractions — exact-k is inherently a per-stratum rank.
+    ("pipeline_stratified_sample", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_stratum", count(lit(1)).over(Window.partitionBy($"lang")))
+        .filter($"rn" <= ceil($"n_stratum" * 0.2))
+        .select($"doc_id", $"lang", $"rn", $"n_stratum")
+        .orderBy($"lang", $"rn")
+    }, Some(
+      """SELECT doc_id, lang, rn, n_stratum FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_stratum
+        |  FROM documents)
+        |WHERE rn <= ceil(n_stratum * 0.2) ORDER BY lang, rn""".stripMargin)),
+
+    // ---- concat-and-chop sequence packing (the GPT-style packing pass):
+    // per source, documents are laid end-to-end in doc_id order into one
+    // token stream, then chopped into fixed 256-token contexts. Each doc's
+    // global offset is a running-sum window (one shuffle keyed by source,
+    // sorted once); which contexts a doc lands in is then pure arithmetic.
+    // n_wins > 1 marks docs straddling a context boundary.
+    ("pipeline_pack_contexts", (s, d) => {
+      import s.implicits._
+      val C = 256
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select($"doc_id", $"source", size(tokens($"text")).cast("long").as("n_tok"))
+        .withColumn("start_tok", coalesce(sum($"n_tok").over(w), lit(0L)))
+        .select($"source", $"doc_id", $"n_tok", $"start_tok",
+          floor($"start_tok" / C).as("first_win"),
+          floor(($"start_tok" + $"n_tok" - 1) / C).as("last_win"))
+        .withColumn("n_wins", $"last_win" - $"first_win" + 1)
+        .orderBy($"source", $"doc_id")
+    }, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |o AS (
+         |  SELECT source, doc_id, n_tok,
+         |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM t)
+         |SELECT source, doc_id, n_tok, start_tok,
+         |  start_tok // 256 AS first_win,
+         |  (start_tok + n_tok - 1) // 256 AS last_win,
+         |  (start_tok + n_tok - 1) // 256 - start_tok // 256 + 1 AS n_wins
+         |FROM o ORDER BY source, doc_id""".stripMargin)),
 
     // ---- bloom-filter semi-join pre-filter: build a bloom filter over the
     // small side's keys (distributed treeAggregate; ~1.2 MB for 1M keys at

@@ -232,6 +232,53 @@ object Similarity {
          |  FROM cand c JOIN v a ON a.vec_id = c.id1 JOIN v b ON b.vec_id = c.id2)
          |WHERE cos >= 0.4 ORDER BY id1, id2""".stripMargin)),
 
+    // ---- k-NN graph build: every vector's top-3 neighbors among its LSH
+    // candidates — the construction pass for near-dup clustering / graph-ANN
+    // indexes, i.e. sim_lsh_topk with ALL vectors as queries. Candidates come
+    // from the bucket equi-join (sub-quadratic); scoring is the fused JVM
+    // loop over a broadcast id→vector map (corpus vectors fit executor
+    // memory here; at the scale where they don't, swap the broadcast for the
+    // two re-joins of sim_lsh_topk — the candidate set is the same).
+    ("sim_knn_graph", (s, d) => {
+      import s.implicits._
+      val v = vectors(s, d).cache()
+      val sigs = lshSignatures(v)
+      val cand = sigs.as("x").join(sigs.as("y"),
+          $"x.tbl" === $"y.tbl" && $"x.sig" === $"y.sig" && $"x.vec_id" =!= $"y.vec_id")
+        .select($"x.vec_id".as("q_id"), $"y.vec_id".as("n_id")).distinct()
+      val bc = s.sparkContext.broadcast(
+        v.as[(Long, Array[Double])].collect().toMap)
+      val scored = cand.as[(Long, Long)].mapPartitions { it =>
+        val m = bc.value
+        it.map { case (q, n) =>
+          val a = m(q); val b = m(n)
+          var acc = 0.0
+          var i = 0
+          while (i < a.length) { acc += a(i) * b(i); i += 1 }
+          (q, n, acc)
+        }
+      }.toDF("q_id", "n_id", "cos")
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"q_id", $"rank", $"n_id", round($"cos", 4).as("cos"))
+        .orderBy($"q_id", $"rank")
+    }, Some(
+      s"""WITH $vectorsSql,
+         |$lshSignaturesSql,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS n_id
+         |  FROM sigs x JOIN sigs y
+         |    ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id <> y.vec_id)
+         |SELECT q_id, rank, n_id, ${rndSql("cos", 4)} AS cos FROM (
+         |  SELECT c.q_id, c.n_id,
+         |    list_dot_product(q.emb, n.emb) AS cos,
+         |    CAST(row_number() OVER (PARTITION BY c.q_id
+         |      ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS BIGINT) AS rank
+         |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
     // ---- IVF top-k: 8 seeded-medoid centroids (every 50th vector), each
     // vector assigned to its max-cosine centroid; queries probe the top-2
     // centroids and scan only those partitions.

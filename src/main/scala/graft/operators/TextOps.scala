@@ -278,6 +278,45 @@ object TextOps {
          |FROM exact, n WHERE n_exact > n_tok / 65.0 ORDER BY term""".stripMargin
     }),
 
+    // ---- Count-Min frequency estimates for the top-20 terms, EXACT-oracle
+    // checked: the sketch's update/merge are commutative sums, so the
+    // finished 3×256 counter array is bit-identical however Spark partitions
+    // the corpus, and DuckDB reproduces every counter as the sum of exact
+    // counts of the terms hashing into that bucket. The estimates (min over
+    // the 3 rows) then match to the last bit — a stronger statement than the
+    // usual "within epsilon" sketch check, and the per-term overcount is
+    // visible directly as est - n_exact.
+    ("text_countmin_est", (s, d) => {
+      import s.implicits._
+      val D = 3
+      val W = 256
+      val toks = Tables.documents(s, d).select(explode(tokens($"text")).as("term"))
+      val agg = new graft.functions.CountMinAgg(D, W,
+        (j, t) => (h60Jvm(s"cm${j}_$t") % W).toInt)
+      val sketch: Array[Long] = toks.as[String].select(agg.toColumn).head()
+      val est = (0 until D).map { j =>
+        element_at(typedlit(sketch),
+          (h60(concat(lit(s"cm${j}_"), $"term")) % W + j * W + 1).cast("int"))
+      }.reduce(least(_, _))
+      toks.groupBy($"term").agg(count(lit(1)).as("n_exact"))
+        .orderBy($"n_exact".desc, $"term").limit(20)
+        .select($"term", $"n_exact", est.as("est"))
+        .orderBy($"term")
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH tok AS (SELECT unnest($t) AS term FROM documents),
+         |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY term),
+         |top AS (SELECT term, n_exact FROM tc ORDER BY n_exact DESC, term LIMIT 20),
+         |b AS (
+         |  SELECT j, ${h60Sql("'cm'||j||'_'||term")} % 256 AS bkt,
+         |    CAST(sum(n_exact) AS BIGINT) AS bsum
+         |  FROM tc CROSS JOIN (SELECT unnest(range(0,3)) AS j) GROUP BY 1, 2)
+         |SELECT t.term, t.n_exact, min(b.bsum) AS est
+         |FROM top t JOIN b ON b.bkt = ${h60Sql("'cm'||b.j||'_'||t.term")} % 256
+         |GROUP BY t.term, t.n_exact
+         |ORDER BY t.term""".stripMargin
+    }),
+
     // ---- TF-IDF top terms per document: the classic corpus-statistics
     // weighting (term frequency × ln(N/df)) with a windowed top-k. Ranking
     // is deterministic across engines: ties in tfidf only occur for equal
