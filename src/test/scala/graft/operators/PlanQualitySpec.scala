@@ -100,6 +100,27 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected an outer hash join on the day spine:\n$plan")
   }
 
+  test("profile columns: no Expand — the multi-distinct rewrite stays out of the plan") {
+    val plan = executedPlan("pipeline_profile_columns")
+    assert(!plan.contains("Expand"), s"multi-distinct Expand crept back in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the one-row min/max side should broadcast:\n$plan")
+  }
+
+  test("pack contexts: scan prunes to the 3 referenced columns; one window shuffle") {
+    val plan = executedPlan("pipeline_pack_contexts")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string"),
+      s"scan must read only doc_id/text/source:\n$plan")
+    assert(count(plan, "Exchange hashpartitioning") == 1,
+      s"exactly the per-source window shuffle expected:\n$plan")
+  }
+
+  test("stratified sample: scan prunes to doc_id+lang before the stratum window") {
+    val plan = executedPlan("pipeline_stratified_sample")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"scan must read only doc_id/lang:\n$plan")
+  }
+
   test("dedup metrics: two-level aggregation, shuffle keyed by 64-bit hash only") {
     val plan = Chunking.dedupMetrics(Chunking.chunkTable(
       graft.Tables.documents(spark, sfDir), "doc_id", "text", "fastcdc", 64, 42L))
