@@ -1054,7 +1054,70 @@ object Relational {
         |SELECT 'intersect_all' AS op, l_partkey, count(*) AS n FROM ia GROUP BY l_partkey
         |UNION ALL
         |SELECT 'except_all' AS op, l_partkey, count(*) AS n FROM ea GROUP BY l_partkey
-        |ORDER BY op, l_partkey""".stripMargin))
+        |ORDER BY op, l_partkey""".stripMargin)),
+
+    // ---- ordered funnel: signup → first view at-or-after it → first
+    // purchase at-or-after that, per user. Every stage is a user-keyed
+    // aggregation joined to the previous stage's output — all three
+    // shuffles share the user_id key, so at scale they co-partition and
+    // AQE reuses the exchange instead of re-shuffling the events table.
+    ("q51_funnel", (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val su = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("t_s"))
+      val vw = ev.filter($"event_type" === "view").join(su, "user_id")
+        .filter($"ts" >= $"t_s")
+        .groupBy($"user_id").agg(min($"ts").as("t_v"))
+      val pu = ev.filter($"event_type" === "purchase").join(vw, "user_id")
+        .filter($"ts" >= $"t_v")
+        .groupBy($"user_id").agg(min($"ts").as("t_p"))
+      su.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(vw.agg(count(lit(1)).as("n_viewed")))
+        .crossJoin(pu.agg(count(lit(1)).as("n_purchased")))
+    }, Some(
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS t_s FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |v AS (
+        |  SELECT e.user_id, min(e.ts) AS t_v
+        |  FROM events e JOIN s ON s.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts >= s.t_s GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_p
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.t_v GROUP BY e.user_id)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased""".stripMargin)),
+
+    // ---- weekly retention cohorts: users bucketed by first-signup week,
+    // activity counted per (cohort week, weeks-since-signup). Both engines
+    // truncate weeks to Monday and the week offset is exact integer
+    // arithmetic on day differences of week-aligned midnights.
+    ("q52_retention_cohorts", (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val cohort = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(date_trunc("week", min($"ts")).as("cw"))
+      val act = ev.select($"user_id", date_trunc("week", $"ts").as("aw"))
+      cohort.join(act, "user_id")
+        .filter($"aw" >= $"cw")
+        .select($"cw", (datediff($"aw", $"cw") / 7).cast("long").as("week_offset"), $"user_id")
+        .groupBy($"cw", $"week_offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .select($"cw".cast("date").as("cohort_week"), $"week_offset", $"n_users")
+        .orderBy($"cohort_week", $"week_offset")
+    }, Some(
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT user_id, date_trunc('week', ts) AS aw FROM events)
+        |SELECT CAST(cw AS DATE) AS cohort_week,
+        |  date_diff('day', cw, aw) // 7 AS week_offset,
+        |  CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users
+        |FROM c JOIN a ON a.user_id = c.user_id
+        |WHERE aw >= cw GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
