@@ -12,6 +12,12 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 // The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// bare JSON. With fork:=true sbt's default output strategy routes the forked
+// process's stdout through the sbt logger, prefixing every line with
+// "[info] " — which broke the parse in round 3 (BENCH_r03.json parsed=null).
+// StdoutOutput inherits the parent's stdout directly: no prefix, no logger.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
 // JSON; sbt's "[success] Total time" banner after it broke that parse in
 // round 1 (BENCH_r01.json parsed=null). Suppress it.
 ThisBuild / showSuccess := false

@@ -3,11 +3,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): one JSON line with per-query seconds.
   *
-  * Each query runs twice: a warmup pass (whole-stage codegen compilation +
-  * JVM JIT dominate cold runs — 5-7s of janino/C2 time on a 0.8s query),
-  * then the measured pass. The cache manager is cleared between the two so
-  * queries that cache intermediates are measured doing their real work, not
-  * reading the warmup's cache.
+  * Each query runs once as warmup (whole-stage codegen compilation + JVM JIT
+  * dominate cold runs — 5-7s of janino/C2 time on a 0.8s query), then THREE
+  * measured passes and the median is reported: single-shot numbers on this
+  * shared host swing ±50% with scheduler noise (VERDICT r3 flagged
+  * dedup_exact 0.359→0.641 as unattributable), median-of-3 holds ~15%.
+  * The cache manager is cleared before each measured pass so queries that
+  * cache intermediates are measured doing their real work, not reading a
+  * previous pass's cache.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,10 +35,14 @@ object Bench {
     // failures are recorded as -1 and excluded from the total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warmup
-      spark.sharedState.cacheManager.clearCache()
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      name -> (if (ok) r3((System.nanoTime() - t0) / 1e9) else -1.0)
+      val passes = (1 to 3).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val v = if (passes.exists(_ < 0)) -1.0 else passes.sorted.apply(1) // median
+      name -> (if (v >= 0) r3(v) else -1.0)
     }
     // JSON-safe double: locale-independent (the f-interpolator uses the JVM
     // default locale — a comma decimal separator would break the JSON) and
