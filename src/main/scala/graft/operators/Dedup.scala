@@ -232,31 +232,44 @@ object Dedup {
         |ORDER BY canonical_id""".stripMargin)),
 
     // ---- n-gram Jaccard: inverted index on shingle hash → candidate pairs
-    // share >= 1 shingle → exact Jaccard >= 0.6. Never materializes n².
+    // share >= 1 shingle → exact Jaccard >= 0.6 over the df-filtered shingle
+    // space. Never materializes n². Shingles whose document frequency
+    // exceeds JaccardDfCap are dropped from the index BEFORE pair emission
+    // (stop-shingle removal, standard in the dedup literature): a single
+    // corpus-wide boilerplate trigram shared by 10⁵ docs would otherwise
+    // emit 5·10⁹ pairs in one task. The cut bounds per-group work at
+    // cap²/2 pairs and trades recall only on pairs whose EVERY shared
+    // shingle is a stop-shingle — such pairs are boilerplate overlap, not
+    // near-duplicates, at any realistic threshold. Sizes are recomputed
+    // over the same filtered space so Jaccard stays an exact set measure.
     // Pair counting groups the index by shingle and emits co-occurrence
     // pairs in a fused flatMap (one wide pass over shingle rows instead of
     // the sh⋈sh self-join's two, ~30% faster measured; a prefix-filtered
     // PPJoin variant was measured SLOWER on this corpus — near-dup docs
     // share even their rare shingles, so candidates only dropped 4.5x while
     // re-joining the shingle arrays for verification cost more than the
-    // count it saved). Hot-shingle groups put k²/2 pairs in one task — at
-    // this corpus's max df (715) that is fine; at larger scale salt the hot
-    // keys before grouping.
+    // count it saved).
     ("dedup_ngram_jaccard", (s, d) => {
       import s.implicits._
-      val arrays = shingleStringArrays(corpus(s, d)).cache()
-      val sizes = arrays.select($"doc_id", size($"ts").cast("long").as("n")).filter($"n" > 0)
-      val sh = arrays.select($"doc_id", explode($"ts").as("t"))
-        .select($"doc_id", xxhash64($"t").as("h"))
+      val sh = shingles(corpus(s, d))
+      // df-cut: the grouped index is the df count — one filter drops the
+      // stop-shingle groups, then both sizes and pair counts derive from
+      // the capped index (cache: two consumers of one aggregation).
+      val capped = sh.groupBy($"h").agg(collect_list($"doc_id").as("ids"))
+        .filter(size($"ids") <= JaccardDfCap)
+        .select($"ids").cache()
+      val sizes = capped.select(explode($"ids").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n"))
       // Per-pair rows feed Spark's codegen'd partial hash aggregate in the
       // same stage (a hand-rolled per-partition LongMap combine was measured
       // 5.3s vs 3.1s here — the UnsafeRow hash agg wins, and it spills).
-      val common = sh.groupBy($"h").agg(collect_list($"doc_id").as("ids"))
-        .select($"ids").as[Array[Long]] // primitive decode — no per-id boxing
+      val common = capped.as[Array[Long]] // primitive decode — no per-id boxing
         .flatMap { a =>
           java.util.Arrays.sort(a)
-          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
-            a.length * (a.length - 1) / 2)
+          // hint clamped: Long math (k² overflows Int past ~65k ids) and a
+          // 1M ceiling — the df-cut bounds k, the clamp survives a raised cap
+          val hint = (a.length.toLong * (a.length - 1) / 2).min(1L << 20).toInt
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](hint)
           var i = 0
           while (i < a.length) {
             var j = i + 1
@@ -276,10 +289,13 @@ object Dedup {
     }, Some(
       s"""WITH $corpusSql,
          |$shinglesSql,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |shc AS (
+         |  SELECT doc_id, h FROM sh
+         |  WHERE h IN (SELECT h FROM sh GROUP BY h HAVING count(*) <= $JaccardDfCap)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
          |common AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
-         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT id1, id2, common, jaccard FROM (
          |  SELECT id1, id2, common,
@@ -451,24 +467,7 @@ object Dedup {
         .withColumn("jaccard", round($"common" / (size($"ts1") + size($"ts2") - $"common"), 4))
         .filter($"jaccard" >= 0.5)
         .select($"id1", $"id2")
-      // Materialize the (small) edge list once: the fixpoint loop below joins
-      // against it every round, and without the checkpoint each round would
-      // re-run the whole LSH pipeline.
-      val edges = verified.select($"id1".as("a"), $"id2".as("b"))
-        .unionByName(verified.select($"id2".as("a"), $"id1".as("b")))
-        .localCheckpoint()
-      var labels = edges.select($"a".as("id")).distinct()
-        .withColumn("comp", $"id").localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
-        val prop = edges.join(labels.select($"id".as("nb"), $"comp".as("ncomp")), $"b" === $"nb")
-          .groupBy($"a").agg(min($"ncomp").as("best"))
-        val next = labels.join(prop, $"id" === $"a", "left")
-          .select($"id", $"comp", least($"comp", coalesce($"best", $"comp")).as("comp2"))
-          .localCheckpoint()
-        changed = next.filter($"comp2" < $"comp").count()
-        labels = next.select($"id", $"comp2".as("comp"))
-      }
+      val labels = connectedComponents(verified)
       val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "comp")
         .select($"id".as("doc_id"), $"comp".as("cluster_id"), $"cluster_size")
@@ -550,6 +549,56 @@ object Dedup {
          |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.4 ORDER BY id1, id2""".stripMargin))
   )
+
+  /** Document-frequency cut for the Jaccard inverted index: shingles in more
+    * than this many docs are stop-shingles and never generate pairs. Bounds
+    * any single pair-emission task at cap²/2 ≈ 131k pairs. (This corpus's
+    * max df is ~715, so the cut is live even at sf0.01 — and the oracle SQL
+    * applies the identical cut, keeping the hash check exact.)
+    */
+  private val JaccardDfCap = 512
+
+  /** Round bound for the dedup_clusters label-propagation fixpoint: one
+    * round per hop of component diameter, so 64 covers any cluster a dedup
+    * pipeline should ever see (diameter-64 near-dup chains are a data bug,
+    * not a workload).
+    */
+  private[operators] val MaxCcRounds = 64
+
+  /** DataFrame-only connected components over an (id1, id2) edge list by
+    * iterative min-label propagation → (id, comp). Converges in O(component
+    * diameter) rounds — shallow for near-dup clusters, but a pathological
+    * chain corpus (A~B~C~...) has diameter O(n), so the fixpoint is BOUNDED
+    * and fails loudly instead of looping forever (ClusterConvergenceSpec
+    * pins both the bound and fixpoint-consistency of the labels). Each round
+    * is one shuffle of the edge table; localCheckpoint keeps the lineage
+    * from re-running every prior round (and the upstream pair generation)
+    * per iteration.
+    */
+  private[operators] def connectedComponents(
+      pairs: DataFrame, maxRounds: Int = MaxCcRounds): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val prop = edges.join(labels.select(col("id").as("nb"), col("comp").as("ncomp")), col("b") === col("nb"))
+        .groupBy(col("a")).agg(min(col("ncomp")).as("best"))
+      val next = labels.join(prop, col("id") === col("a"), "left")
+        .select(col("id"), col("comp"), least(col("comp"), coalesce(col("best"), col("comp"))).as("comp2"))
+        .localCheckpoint()
+      changed = next.filter(col("comp2") < col("comp")).count()
+      labels = next.select(col("id"), col("comp2").as("comp"))
+      round += 1
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents: label propagation did not converge in $maxRounds rounds " +
+        "(component diameter exceeds the bound — raise maxRounds or pre-contract the graph)")
+    labels
+  }
 
   // ------------------------------------------------------ minhash constants
   private val Bands = 4

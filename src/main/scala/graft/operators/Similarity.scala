@@ -197,8 +197,11 @@ object Similarity {
     // ---- LSH threshold join: ALL near-duplicate pairs (cos >= 0.4) whose
     // members share any LSH bucket — the sub-quadratic scale path for
     // dedup_embedding_cosine's exact O(n²) scan. Candidate generation is the
-    // bucket equi-join; scoring touches only candidates, in a fused JVM loop
-    // over a broadcast id→vector map (same sequential fold as the oracle).
+    // bucket equi-join; scoring touches only candidates via two planner-
+    // managed broadcast re-joins on the candidate ids (same shape as
+    // sim_lsh_topk — no user-code collect() through the driver; when the
+    // vector table outgrows the broadcast threshold, dropping the hint
+    // degrades gracefully to a shuffled equi-join on the same plan).
     ("sim_lsh_pairs", (s, d) => {
       import s.implicits._
       val v = vectors(s, d).cache()
@@ -206,18 +209,11 @@ object Similarity {
       val cand = sigs.as("x").join(sigs.as("y"),
           $"x.tbl" === $"y.tbl" && $"x.sig" === $"y.sig" && $"x.vec_id" < $"y.vec_id")
         .select($"x.vec_id".as("id1"), $"y.vec_id".as("id2")).distinct()
-      val bc = s.sparkContext.broadcast(
-        v.as[(Long, Array[Double])].collect().toMap)
-      cand.as[(Long, Long)].mapPartitions { it =>
-        val m = bc.value
-        it.flatMap { case (id1, id2) =>
-          val e1 = m(id1); val e2 = m(id2)
-          var acc = 0.0
-          var i = 0
-          while (i < e1.length) { acc += e1(i) * e2(i); i += 1 }
-          if (acc >= 0.4) Iterator.single((id1, id2, acc)) else Iterator.empty
-        }
-      }.toDF("id1", "id2", "cos")
+      cand
+        .join(broadcast(v.select($"vec_id".as("id1"), $"emb".as("e1"))), "id1")
+        .join(broadcast(v.select($"vec_id".as("id2"), $"emb".as("e2"))), "id2")
+        .withColumn("cos", cosine($"e1", $"e2"))
+        .filter($"cos" >= 0.4)
         .select($"id1", $"id2", round($"cos", 4).as("cos"))
         .orderBy($"id1", $"id2")
     }, Some(
@@ -235,10 +231,10 @@ object Similarity {
     // ---- k-NN graph build: every vector's top-3 neighbors among its LSH
     // candidates — the construction pass for near-dup clustering / graph-ANN
     // indexes, i.e. sim_lsh_topk with ALL vectors as queries. Candidates come
-    // from the bucket equi-join (sub-quadratic); scoring is the fused JVM
-    // loop over a broadcast id→vector map (corpus vectors fit executor
-    // memory here; at the scale where they don't, swap the broadcast for the
-    // two re-joins of sim_lsh_topk — the candidate set is the same).
+    // from the bucket equi-join (sub-quadratic); scoring re-joins the vector
+    // table twice on the candidate ids (planner-managed broadcast here; a
+    // shuffled equi-join on the same plan once vectors outgrow the broadcast
+    // threshold — no user-code collect() through the driver either way).
     ("sim_knn_graph", (s, d) => {
       import s.implicits._
       val v = vectors(s, d).cache()
@@ -246,18 +242,10 @@ object Similarity {
       val cand = sigs.as("x").join(sigs.as("y"),
           $"x.tbl" === $"y.tbl" && $"x.sig" === $"y.sig" && $"x.vec_id" =!= $"y.vec_id")
         .select($"x.vec_id".as("q_id"), $"y.vec_id".as("n_id")).distinct()
-      val bc = s.sparkContext.broadcast(
-        v.as[(Long, Array[Double])].collect().toMap)
-      val scored = cand.as[(Long, Long)].mapPartitions { it =>
-        val m = bc.value
-        it.map { case (q, n) =>
-          val a = m(q); val b = m(n)
-          var acc = 0.0
-          var i = 0
-          while (i < a.length) { acc += a(i) * b(i); i += 1 }
-          (q, n, acc)
-        }
-      }.toDF("q_id", "n_id", "cos")
+      val scored = cand
+        .join(broadcast(v.select($"vec_id".as("q_id"), $"emb".as("q_emb"))), "q_id")
+        .join(broadcast(v.select($"vec_id".as("n_id"), $"emb".as("n_emb"))), "n_id")
+        .withColumn("cos", cosine($"q_emb", $"n_emb"))
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
       scored
         .withColumn("rank", row_number().over(w).cast("long"))

@@ -121,6 +121,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scan must read only doc_id/lang:\n$plan")
   }
 
+  test("ngram jaccard: the document-frequency cut gates pair emission") {
+    // The df-cut (stop-shingle removal) is the 100 TB guard against a hot
+    // shingle emitting k²/2 pairs in one task — assert the filter on the
+    // grouped index is in the plan, not just in a comment. (Analyzed plan:
+    // the physical side hides it inside the InMemoryRelation cache.)
+    val analyzed = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    assert(analyzed.contains("<= 512"), s"df-cap filter missing from plan:\n$analyzed")
+  }
+
   test("dedup metrics: two-level aggregation, shuffle keyed by 64-bit hash only") {
     val plan = Chunking.dedupMetrics(Chunking.chunkTable(
       graft.Tables.documents(spark, sfDir), "doc_id", "text", "fastcdc", 64, 42L))
