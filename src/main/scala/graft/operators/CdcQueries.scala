@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -12,9 +13,14 @@ import graft.Tables
   * smaller expected size.
   *
   * The fixed chunker emits an exact ANSI-SQL oracle (pure arithmetic). The
-  * content-defined chunkers (AE/FastCDC/Rabin) have no SQL equivalent — the
-  * driver records rows-only checks for them; their correctness gate is
-  * ChunkerSpec/ChunkingSpec against the core ground truth.
+  * content-defined chunkers (AE/FastCDC/Rabin) have no per-cut-point SQL
+  * equivalent, so their queries emit invariant CONTRACT rows instead (the
+  * q28/q46 exact-value + literal-TRUE pattern): per-document tiling totals
+  * plus clamp booleans that any lost byte, overlap, or cut-rule break flips.
+  * Their per-cut-point correctness gate remains ChunkerSpec / ChunkingSpec /
+  * ChunkerGoldenSpec against the core ground truth; the two parallel-strategy
+  * queries (`cdc_segmented_ae`, `cdc_edge_rechunk_metrics`) stay rows-only
+  * because their value IS the raw distributed output those specs cross-check.
   */
 object CdcQueries {
 
@@ -37,37 +43,106 @@ object CdcQueries {
       col("length").cast("long").as("length"))
       .orderBy("doc_id", "chunk_idx")
 
+  // Per-algo chunk-length clamps at this file's parameters, used by the
+  // invariant contracts below. Derivation (core/Chunkers.scala):
+  //  - AE(window=37): a cut fires `window` bytes past the running maximum, so
+  //    a non-final chunk spans >= window+1 bytes; the maximum moves at most
+  //    255 times (byte values strictly increase), each move <= window apart,
+  //    so any chunk spans <= 256*window + window + 1 < 256*(window+1) bytes.
+  //  - FastCDC(64): cut-point skipping hashes nothing below minSize=16, so a
+  //    mask cut yields length >= minSize+1; the forced cut INCLUDES the byte
+  //    at maxSize=512 (Chunkers.scala:220), so lengths are <= maxSize+1.
+  //  - Rabin(64): the first cut test fires once the 15-byte window is full
+  //    plus one steady byte => non-final >= minSize+1 = 17; the forced cut at
+  //    maxSize=256 includes the current byte => <= maxSize+1.
+  // Final chunks are EOF flushes and may be arbitrarily short (>= 1).
+  private val AeMinLen = AeWindow + 1L
+  private val AeMaxLen = 256L * (AeWindow + 1)
+  private val FastMinLen = ExpectedSize / 4 + 1L
+  private val FastMaxLen = ExpectedSize * 8 + 1L
+  private val RabinMinLen = ExpectedSize / 4 + 1L
+  private val RabinMaxLen = ExpectedSize * 4 + 1L
+
+  /** Per-document invariant contract over a chunk table (the q28/q46
+    * exact-value + literal-TRUE oracle pattern). Content-defined cut points
+    * have no ANSI-SQL mirror, but their structural invariants do: the chunks
+    * tile the document exactly (first offset 0, each offset the running sum
+    * of prior lengths, lengths summing to the document's byte count) and
+    * every length respects the algorithm's clamps. The oracle emits the
+    * exact document length plus literal TRUE per invariant, so a lost byte,
+    * an overlap, or a clamp break fails the driver's hash check.
+    */
+  private[operators] def chunkContract(chunks: DataFrame, minNonLast: Long, maxLen: Long): DataFrame = {
+    val runBefore = Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perDoc = Window.partitionBy(col("doc_id"))
+    chunks
+      .withColumn("expected_off", coalesce(sum(col("length")).over(runBefore), lit(0L)))
+      .withColumn("is_last", col("chunk_idx") === max(col("chunk_idx")).over(perDoc))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("length")).as("total_len"),
+        bool_and(col("offset") === col("expected_off")).as("contiguous"),
+        bool_and(col("is_last") || col("length") >= minNonLast).as("min_len_ok"),
+        bool_and(col("length") <= maxLen).as("max_len_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val chunkContractSql: String =
+    """SELECT doc_id, CAST(n_chars AS BIGINT) AS total_len,
+      |  TRUE AS contiguous, TRUE AS min_len_ok, TRUE AS max_len_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_fixed_chunks" -> ((s, dir) =>
       chunkCols(Chunking.chunkTable(docs(s, dir), "doc_id", "text", "fixed", ExpectedSize))),
 
+    // Content-defined cut points → per-doc invariant contract rows (see
+    // chunkContract): exact tiling total + clamp booleans, hash-checked by
+    // the driver. Raw cut points for these algorithms are pinned by
+    // ChunkerGoldenSpec and remain visible via cdc_segmented_ae.
     "cdc_ae_chunks" -> ((s, dir) =>
-      chunkCols(
-        Chunking.chunkTable(
-          docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text", "ae", AeWindow + 256))),
+      chunkContract(
+        chunkCols(Chunking.chunkTable(
+          docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text", "ae", AeWindow + 256)),
+        AeMinLen, AeMaxLen)),
 
     "cdc_fastcdc_chunks" -> ((s, dir) =>
-      chunkCols(Chunking.chunkTable(docs(s, dir), "doc_id", "text", "fastcdc", ExpectedSize, Seed))),
+      chunkContract(
+        chunkCols(Chunking.chunkTable(docs(s, dir), "doc_id", "text", "fastcdc", ExpectedSize, Seed)),
+        FastMinLen, FastMaxLen)),
 
     "cdc_rabin_chunks" -> ((s, dir) =>
-      chunkCols(Chunking.chunkTable(docs(s, dir), "doc_id", "text", "rabin", ExpectedSize, Seed))),
+      chunkContract(
+        chunkCols(Chunking.chunkTable(docs(s, dir), "doc_id", "text", "rabin", ExpectedSize, Seed)),
+        RabinMinLen, RabinMaxLen)),
 
-    // Flagship: the reference experiment's (COEFF, AVG) metrics per algorithm
-    // (`main.rs:23`, `ae.rs:91`) over the whole corpus in one distributed pass.
+    // Flagship: the reference experiment's metrics per algorithm (`main.rs:23`,
+    // `ae.rs:91`) over the whole corpus in one distributed pass, surfaced as a
+    // per-algo contract row: total_bytes is exactly the corpus byte count for
+    // EVERY algorithm (chunks tile each document), and the metric relations
+    // (unique <= total, distinct <= count, coefficient in (0,1], mean distinct
+    // chunk length inside the clamp) are emitted as booleans the oracle pins
+    // to TRUE. The full numeric surface stays available via
+    // Chunking.dedupMetrics and keeps its exact end-to-end oracle in
+    // cdc_fixed_dedup_metrics (fixed cuts are pure arithmetic).
     "cdc_dedup_metrics" -> ((s, dir) => {
       val d = docs(s, dir)
-      val perAlgo = Seq(
-        "fixed"   -> Chunking.chunkTable(d, "doc_id", "text", "fixed", ExpectedSize),
-        "ae"      -> Chunking.chunkTable(d, "doc_id", "text", "ae", AeWindow + 256),
-        "fastcdc" -> Chunking.chunkTable(d, "doc_id", "text", "fastcdc", ExpectedSize, Seed),
-        "rabin"   -> Chunking.chunkTable(d, "doc_id", "text", "rabin", ExpectedSize, Seed)
-      ).map { case (algo, chunks) =>
-        Chunking.dedupMetrics(chunks).withColumn("algo", lit(algo))
-      }
-      perAlgo.reduce(_ unionByName _)
-        .select("algo", "unique_bytes", "total_bytes", "distinct_chunks", "chunk_count",
-          "dedup_coeff", "avg_chunk_size")
-        .orderBy("algo")
+      Seq(
+        ("ae", Chunking.chunkTable(d, "doc_id", "text", "ae", AeWindow + 256), AeMaxLen),
+        ("fastcdc", Chunking.chunkTable(d, "doc_id", "text", "fastcdc", ExpectedSize, Seed), FastMaxLen),
+        ("fixed", Chunking.chunkTable(d, "doc_id", "text", "fixed", ExpectedSize), ExpectedSize.toLong),
+        ("rabin", Chunking.chunkTable(d, "doc_id", "text", "rabin", ExpectedSize, Seed), RabinMaxLen)
+      ).map { case (algo, chunks, maxLen) =>
+        val meanDistinct = col("unique_bytes") / col("distinct_chunks")
+        Chunking.dedupMetrics(chunks).select(
+          lit(algo).as("algo"),
+          col("total_bytes"),
+          (col("unique_bytes") <= col("total_bytes")).as("unique_le_total"),
+          (col("distinct_chunks") <= col("chunk_count")).as("distinct_le_count"),
+          (col("dedup_coeff") > 0 && col("dedup_coeff") <= 1).as("coeff_in_unit"),
+          (meanDistinct >= 1 && meanDistinct <= maxLen).as("distinct_mean_in_clamp"))
+      }.reduce(_ unionByName _).orderBy("algo")
     }),
 
     // The native Generator driven end-to-end from SQL (LATERAL VIEW), with
@@ -151,7 +226,14 @@ object CdcQueries {
         .orderBy("doc_id")),
 
     // CDC as change detection: simulate a v2 corpus (every 3rd doc edited),
-    // chunk both versions, report per-doc added/removed chunk counts.
+    // chunk both versions with FastCDC, diff the per-doc chunk-hash sets.
+    // Contract form: the set of documents the diff flags must be EXACTLY the
+    // set whose text changed (doc_id % 3 = 0 and containing the edited
+    // substring) — a full outer join surfaces both false negatives (edited
+    // doc with no diff → has_diff=false) and false positives (diff on an
+    // unedited doc → is_edited=false), either of which fails the hash check.
+    // The same pipeline with exact per-doc added/removed counts is oracled
+    // end-to-end in cdc_fixed_change_detection.
     "cdc_change_detection" -> ((s, dir) => {
       val v1 = docs(s, dir).select(col("doc_id"), col("text"))
       val v2 = v1.withColumn(
@@ -160,16 +242,43 @@ object CdcQueries {
           .otherwise(col("text")))
       val c1 = Chunking.chunkTable(v1, "doc_id", "text", "fastcdc", ExpectedSize, Seed)
       val c2 = Chunking.chunkTable(v2, "doc_id", "text", "fastcdc", ExpectedSize, Seed)
-      Chunking.chunkDiff(c1, c2)
-        .groupBy(col("id").as("doc_id"))
-        .pivot("change", Seq("added", "removed"))
-        .count()
-        .na.fill(0L)
+      val flagged = Chunking.chunkDiff(c1, c2)
+        .select(col("id").as("doc_id")).distinct()
+        .withColumn("has_diff", lit(true))
+      val edited = v1
+        .filter(col("doc_id") % 3 === 0 && col("text").contains("data"))
+        .select(col("doc_id"))
+        .withColumn("is_edited", lit(true))
+      edited.join(flagged, Seq("doc_id"), "full_outer")
+        .select(
+          col("doc_id"),
+          coalesce(col("is_edited"), lit(false)).as("is_edited"),
+          coalesce(col("has_diff"), lit(false)).as("has_diff"))
         .orderBy("doc_id")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Invariant contracts (chunkContract): exact per-doc byte totals from the
+    // documents table + literal TRUE for every structural boolean.
+    "cdc_ae_chunks" -> chunkContractSql,
+    "cdc_fastcdc_chunks" -> chunkContractSql,
+    "cdc_rabin_chunks" -> chunkContractSql,
+
+    "cdc_dedup_metrics" ->
+      """SELECT t.algo,
+        |  CAST((SELECT sum(n_chars) FROM documents) AS BIGINT) AS total_bytes,
+        |  TRUE AS unique_le_total, TRUE AS distinct_le_count,
+        |  TRUE AS coeff_in_unit, TRUE AS distinct_mean_in_clamp
+        |FROM (VALUES ('ae'), ('fastcdc'), ('fixed'), ('rabin')) t(algo)
+        |ORDER BY t.algo""".stripMargin,
+
+    "cdc_change_detection" ->
+      """SELECT doc_id, TRUE AS is_edited, TRUE AS has_diff
+        |FROM documents
+        |WHERE doc_id % 3 = 0 AND text LIKE '%data%'
+        |ORDER BY doc_id""".stripMargin,
+
     "cdc_fixed_size_sweep" -> {
       import Portable.rndSql
       def one(sz: Int) =

@@ -364,14 +364,19 @@ object Streaming {
     * twin of batch query q49_scd2_intervals. Each CLOSED interval (a type
     * change observed) is emitted exactly once, in append mode; the open
     * interval lives in `GroupState` until the next change closes it.
-    * Assumes per-user in-order arrival (pair with a watermark + sort in a
+    * Assumes per-user in-order arrival ACROSS micro-batches (within a batch
+    * the events are sorted here); an event older than the open interval's
+    * start cannot be ordered retroactively without rewriting already-emitted
+    * intervals, so it is DROPPED rather than silently emitting an inverted
+    * interval (valid_from > valid_to). Pair with a watermark + sort in a
     * foreachBatch, or the reorder-buffer pattern of [[chunkUpdateFn]], when
-    * the source can deliver out of order).
+    * the source can deliver out of order across batches.
     */
   def scd2Fn(
       userId: Long,
       events: Iterator[UserTypeEvent],
       state: GroupState[Scd2State]): Iterator[Scd2Interval] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val evs = events.toArray.sortBy(e => (e.tsUs, e.eventId))
     var cur = state.getOption.orNull
     val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Interval]
@@ -379,9 +384,11 @@ object Streaming {
     while (i < evs.length) {
       val e = evs(i)
       if (cur == null) cur = Scd2State(e.eventType, e.tsUs)
-      else if (e.eventType != cur.curType) {
-        out += Scd2Interval(userId, cur.curType, cur.sinceUs, e.tsUs)
-        cur = Scd2State(e.eventType, e.tsUs)
+      else if (e.tsUs >= cur.sinceUs) { // late pre-interval stragglers dropped
+        if (e.eventType != cur.curType) {
+          out += Scd2Interval(userId, cur.curType, cur.sinceUs, e.tsUs)
+          cur = Scd2State(e.eventType, e.tsUs)
+        }
       }
       i += 1
     }
@@ -389,12 +396,34 @@ object Streaming {
     out.iterator
   }
 
-  /** Lift [[scd2Fn]] onto a stream of typed events. */
-  def scd2Stream(events: Dataset[UserTypeEvent]): Dataset[Scd2Interval] = {
+  /** Lift [[scd2Fn]] onto a stream of typed events.
+    *
+    * `stateTtl` bounds per-user state on long-running streams: a user idle
+    * past the TTL has their open interval discarded (it would never close
+    * anyway without new events). `None` (default) keeps state indefinitely —
+    * right for ASAP-trigger streams, where ProcessingTimeTimeout would
+    * schedule continuous empty micro-batches just to fire timers (same
+    * trade-off as [[statefulChunkStream]]'s tombstone TTL).
+    */
+  def scd2Stream(
+      events: Dataset[UserTypeEvent],
+      stateTtl: Option[String] = None): Dataset[Scd2Interval] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(scd2Fn)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (userId: Long, evs: Iterator[UserTypeEvent], state: GroupState[Scd2State]) =>
+          val out = scd2Fn(userId, evs, state)
+          stateTtl.foreach { ttl =>
+            if (state.exists)
+              try state.setTimeoutDuration(ttl)
+              catch { case _: UnsupportedOperationException | _: IllegalStateException => () }
+          }
+          out
+      }
   }
 }

@@ -217,6 +217,37 @@ class ChunkingSpec extends AnyFunSuite {
     assert(Chunking.chunkDiff(c1, c1).isEmpty)
   }
 
+  test("chunkContract flips each invariant boolean on the matching violation") {
+    import spark.implicits._
+    def contract(rows: (Long, Int, Long, Long)*) =
+      CdcQueries.chunkContract(
+        rows.toDF("doc_id", "chunk_idx", "offset", "length"), minNonLast = 10L, maxLen = 40L)
+        .as[(Long, Long, Boolean, Boolean, Boolean)].collect().head
+
+    // Valid tiling: contiguous from 0, non-last >= 10, all <= 40, short tail OK.
+    assert(contract((1L, 0, 0L, 20L), (1L, 1, 20L, 30L), (1L, 2, 50L, 5L)) ==
+      ((1L, 55L, true, true, true)))
+    // Overlap (second offset rewinds) => contiguous=false, totals unaffected.
+    assert(contract((1L, 0, 0L, 20L), (1L, 1, 15L, 30L))._3 == false)
+    // Gap => contiguous=false.
+    assert(contract((1L, 0, 0L, 20L), (1L, 1, 25L, 30L))._3 == false)
+    // Short NON-last chunk => min_len_ok=false (short last chunk is legal).
+    assert(contract((1L, 0, 0L, 5L), (1L, 1, 5L, 30L))._4 == false)
+    // Oversize chunk (incl. the last) => max_len_ok=false.
+    assert(contract((1L, 0, 0L, 20L), (1L, 1, 20L, 41L))._5 == false)
+  }
+
+  test("chunkContract over a real chunk table is all-green and tiles n_chars") {
+    import spark.implicits._
+    val docs = Seq((1L, rndBytes(5000, 11)), (2L, rndBytes(777, 12))).toDF("doc_id", "content")
+    val chunks = Chunking.chunkTable(docs, "doc_id", "content", "fastcdc", 64, 42L)
+      .select($"id".as("doc_id"), $"chunk_idx",
+        $"offset".cast("long").as("offset"), $"length".cast("long").as("length"))
+    val got = CdcQueries.chunkContract(chunks, minNonLast = 17L, maxLen = 513L)
+      .as[(Long, Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 5000L, true, true, true), (2L, 777L, true, true, true)))
+  }
+
   test("SQL surface: cdc_bounds UDF composes with LATERAL VIEW explode") {
     Chunking.registerSql(spark, "fastcdc", 256, 42L)
     import spark.implicits._

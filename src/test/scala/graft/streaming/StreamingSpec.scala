@@ -349,6 +349,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scd2Fn drops cross-batch stragglers older than the open interval") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // Batch 1 opens an interval at ts=100.
+    val s1 = TestGroupState.create[Scd2State](
+      optionalState = Optional.empty[Scd2State](), timeoutConf = GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    assert(Streaming.scd2Fn(1L, Iterator(UserTypeEvent(1L, 1L, "view", 100L)), s1).isEmpty)
+    assert(s1.get == Scd2State("view", 100L))
+    // Batch 2 delivers a straggler BEFORE the open interval's start: without
+    // the guard this emitted an inverted interval (valid_from=100 > valid_to=50).
+    val s2 = TestGroupState.create[Scd2State](
+      optionalState = Optional.of(s1.get), timeoutConf = GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    val out = Streaming.scd2Fn(1L,
+      Iterator(UserTypeEvent(1L, 2L, "purchase", 50L), UserTypeEvent(1L, 3L, "purchase", 200L)),
+      s2).toSeq
+    assert(out == Seq(Scd2Interval(1L, "view", 100L, 200L)))
+    assert(s2.get == Scd2State("purchase", 200L))
+    assert(out.forall(iv => iv.validFromUs <= iv.validToUs))
+  }
+
   test("statefulChunkStream re-assembles the exact batch chunking across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
