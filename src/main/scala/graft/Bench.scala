@@ -42,6 +42,11 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val v = if (passes.exists(_ < 0)) -1.0 else passes.sorted.apply(1) // median
+      // Post-query hygiene: drop the last pass's cached relations so they
+      // don't occupy storage memory during the NEXT query's warmup/measure
+      // (suspected source of the r4 q42/q43/mm_frame_sample outliers —
+      // accumulated executor pressure across the 400-pass run).
+      spark.sharedState.cacheManager.clearCache()
       name -> (if (v >= 0) r3(v) else -1.0)
     }
     // JSON-safe double: locale-independent (the f-interpolator uses the JVM

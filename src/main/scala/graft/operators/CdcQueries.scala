@@ -19,8 +19,11 @@ import graft.Tables
   * plus clamp booleans that any lost byte, overlap, or cut-rule break flips.
   * Their per-cut-point correctness gate remains ChunkerSpec / ChunkingSpec /
   * ChunkerGoldenSpec against the core ground truth; the two parallel-strategy
-  * queries (`cdc_segmented_ae`, `cdc_edge_rechunk_metrics`) stay rows-only
-  * because their value IS the raw distributed output those specs cross-check.
+  * queries (`cdc_segmented_ae`, `cdc_edge_rechunk_metrics`) emit their own
+  * invariant contracts too (raw distributed output stays available through
+  * `Chunking.segmentedChunkTable` / `edgeRechunkMetricsPerBlob`, exact
+  * equivalence to the core pinned by ChunkingSpec), so every driver query is
+  * hash-checked.
   */
 object CdcQueries {
 
@@ -69,8 +72,8 @@ object CdcQueries {
     * tile the document exactly (first offset 0, each offset the running sum
     * of prior lengths, lengths summing to the document's byte count) and
     * every length respects the algorithm's clamps. The oracle emits the
-    * exact document length plus literal TRUE per invariant, so a lost byte,
-    * an overlap, or a clamp break fails the driver's hash check.
+    * exact document byte length plus literal TRUE per invariant, so a lost
+    * byte, an overlap, or a clamp break fails the driver's hash check.
     */
   private[operators] def chunkContract(chunks: DataFrame, minNonLast: Long, maxLen: Long): DataFrame = {
     val runBefore = Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
@@ -88,8 +91,27 @@ object CdcQueries {
       .orderBy("doc_id")
   }
 
+  /** [[chunkContract]] anchored to the source documents table: a LEFT join
+    * from documents emits total_len=0 (invariants vacuously true) for a
+    * zero-length document that produces no chunk rows, so the row count
+    * always matches the oracle's one-row-per-document even if the corpus
+    * gains empty docs.
+    */
+  private def chunkContractOverDocs(
+      chunks: DataFrame, documents: DataFrame, minNonLast: Long, maxLen: Long): DataFrame =
+    documents.select(col("doc_id"))
+      .join(chunkContract(chunks, minNonLast, maxLen), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("total_len"), lit(0L)).as("total_len"),
+        coalesce(col("contiguous"), lit(true)).as("contiguous"),
+        coalesce(col("min_len_ok"), lit(true)).as("min_len_ok"),
+        coalesce(col("max_len_ok"), lit(true)).as("max_len_ok"))
+      .orderBy("doc_id")
+
+  // octet_length(encode(...)) = UTF-8 byte count — matches the chunked byte
+  // totals for ANY text, with no ASCII (n_chars == bytes) assumption.
   private val chunkContractSql: String =
-    """SELECT doc_id, CAST(n_chars AS BIGINT) AS total_len,
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS total_len,
       |  TRUE AS contiguous, TRUE AS min_len_ok, TRUE AS max_len_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -102,20 +124,20 @@ object CdcQueries {
     // the driver. Raw cut points for these algorithms are pinned by
     // ChunkerGoldenSpec and remain visible via cdc_segmented_ae.
     "cdc_ae_chunks" -> ((s, dir) =>
-      chunkContract(
+      chunkContractOverDocs(
         chunkCols(Chunking.chunkTable(
           docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text", "ae", AeWindow + 256)),
-        AeMinLen, AeMaxLen)),
+        docs(s, dir), AeMinLen, AeMaxLen)),
 
     "cdc_fastcdc_chunks" -> ((s, dir) =>
-      chunkContract(
+      chunkContractOverDocs(
         chunkCols(Chunking.chunkTable(docs(s, dir), "doc_id", "text", "fastcdc", ExpectedSize, Seed)),
-        FastMinLen, FastMaxLen)),
+        docs(s, dir), FastMinLen, FastMaxLen)),
 
     "cdc_rabin_chunks" -> ((s, dir) =>
-      chunkContract(
+      chunkContractOverDocs(
         chunkCols(Chunking.chunkTable(docs(s, dir), "doc_id", "text", "rabin", ExpectedSize, Seed)),
-        RabinMinLen, RabinMaxLen)),
+        docs(s, dir), RabinMinLen, RabinMaxLen)),
 
     // Flagship: the reference experiment's metrics per algorithm (`main.rs:23`,
     // `ae.rs:91`) over the whole corpus in one distributed pass, surfaced as a
@@ -168,11 +190,39 @@ object CdcQueries {
         .orderBy("doc_id")),
 
     // Strategy-A parallel chunking (overlapped segments + min-distance merge,
-    // SURVEY.md P1) as a distributed query.
-    "cdc_segmented_ae" -> ((s, dir) =>
-      chunkCols(
-        Chunking.segmentedChunkTable(
-          docs(s, dir), "doc_id", "text", "ae", AeWindow + 256, segments = 4))),
+    // SURVEY.md P1) surfaced as a per-doc invariant contract. The merge
+    // accepts a candidate cut only when it is >= window past the previous
+    // accepted cut, so: chunks are contiguous from offset 0, every length is
+    // >= window, and the uncovered tail is < window bytes (the EOF candidate
+    // at byte len-1 is always emitted by the final segment scan, so the only
+    // way bytes go uncovered is that candidate failing the min-distance
+    // test). A doc shorter than window bytes produces no chunks — covered by
+    // the same shortfall bound with total covered = 0. Exact cut-point
+    // equivalence to the core overlap-merge ground truth is pinned by
+    // ChunkingSpec; the raw chunk table remains available via
+    // Chunking.segmentedChunkTable.
+    "cdc_segmented_ae" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val chunks = chunkCols(
+        Chunking.segmentedChunkTable(d, "doc_id", "text", "ae", AeWindow + 256, segments = 4))
+      val runBefore = Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val agg = chunks
+        .withColumn("expected_off", coalesce(sum(col("length")).over(runBefore), lit(0L)))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("length")).as("covered"),
+          bool_and(col("offset") === col("expected_off")).as("contiguous"),
+          bool_and(col("length") >= AeWindow).as("min_len_ok"))
+      d.select(col("doc_id"), octet_length(col("text")).cast("long").as("doc_bytes"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("doc_bytes"),
+          coalesce(col("contiguous"), lit(true)).as("contiguous"),
+          coalesce(col("min_len_ok"), lit(true)).as("min_len_ok"),
+          (col("doc_bytes") - coalesce(col("covered"), lit(0L)))
+            .between(lit(0L), lit(AeWindow - 1L)).as("tail_ok"))
+        .orderBy("doc_id")
+    }),
 
     // Corpus-level metrics over fixed chunking — the one algorithm whose cut
     // points are pure arithmetic, so the WHOLE reference experiment
@@ -216,13 +266,26 @@ object CdcQueries {
     }),
 
     // Strategy-B parallel chunking (edge re-chunking partial+final,
-    // SURVEY.md P3-P7) as a distributed per-doc metrics query. No SQL
-    // oracle (content-defined cuts); contract-tested against the core
-    // ground truth in ChunkingSpec.
+    // SURVEY.md P3-P7) surfaced as a per-doc invariant contract:
+    // total_bytes is exactly the document's byte count (the metric reads it
+    // from the payload, so a doc silently dropped or double-counted flips
+    // it), unique_bytes ∈ (0, total] (per-slice local dedup only removes
+    // bytes; stitched chunks are anti-joined against the interior set),
+    // dedup_coeff ∈ (0, 1], and avg distinct-chunk size >= 1 (every distinct
+    // hash contributes at least its own length once). Docs shorter than the
+    // slice count carry no metrics, mirrored in the oracle's WHERE. Exact
+    // metric equivalence to the core strategy is pinned by ChunkingSpec; the
+    // raw numeric surface stays available via
+    // Chunking.edgeRechunkMetricsPerBlob.
     "cdc_edge_rechunk_metrics" -> ((s, dir) =>
       Chunking.edgeRechunkMetricsPerBlob(
         docs(s, dir), "doc_id", "text", "fastcdc", ExpectedSize, Seed, parts = 4)
-        .withColumnRenamed("id", "doc_id")
+        .select(
+          col("id").as("doc_id"),
+          col("total_bytes"),
+          (col("unique_bytes") > 0 && col("unique_bytes") <= col("total_bytes")).as("unique_in_range"),
+          (col("dedup_coeff") > 0 && col("dedup_coeff") <= 1).as("coeff_in_unit"),
+          (col("distinct_chunks") >= 1 && col("avg_chunk_size") >= 1).as("avg_ge_one"))
         .orderBy("doc_id")),
 
     // CDC as change detection: simulate a v2 corpus (every 3rd doc edited),
@@ -267,11 +330,25 @@ object CdcQueries {
 
     "cdc_dedup_metrics" ->
       """SELECT t.algo,
-        |  CAST((SELECT sum(n_chars) FROM documents) AS BIGINT) AS total_bytes,
+        |  CAST((SELECT sum(octet_length(encode(text))) FROM documents) AS BIGINT) AS total_bytes,
         |  TRUE AS unique_le_total, TRUE AS distinct_le_count,
         |  TRUE AS coeff_in_unit, TRUE AS distinct_mean_in_clamp
         |FROM (VALUES ('ae'), ('fastcdc'), ('fixed'), ('rabin')) t(algo)
         |ORDER BY t.algo""".stripMargin,
+
+    // Strategy-A contract: exact byte anchor + merge invariants (see query).
+    "cdc_segmented_ae" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS doc_bytes,
+        |  TRUE AS contiguous, TRUE AS min_len_ok, TRUE AS tail_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Strategy-B contract: exact byte anchor + metric-relation invariants;
+    // the WHERE mirrors edgeRechunkMetricsPerBlob's >= parts-bytes guard.
+    "cdc_edge_rechunk_metrics" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes,
+        |  TRUE AS unique_in_range, TRUE AS coeff_in_unit, TRUE AS avg_ge_one
+        |FROM documents WHERE octet_length(encode(text)) >= 4
+        |ORDER BY doc_id""".stripMargin,
 
     "cdc_change_detection" ->
       """SELECT doc_id, TRUE AS is_edited, TRUE AS has_diff

@@ -84,16 +84,19 @@ object Dedup {
       .select(col("doc_id"), explode(col("ts")).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
 
-  /** LSH band-key rows (doc_id, band, bkey) from a (doc_id, text) table:
+  /** LSH band-key rows (doc_id, band, bkey) from a (doc_id, ts) shingle-array
+    * table ([[shingleStringArrays]] output — pass the SAME cached DataFrame
+    * the verification join reads, so shingling+tokenizing runs once per
+    * query; typed mapPartitions plans never cache-match a re-derivation):
     * one fused per-doc loop hashes shingles (h60), applies all 16
     * permutations, and emits the 4 band keys — min is order-free, so no
     * explode + min-agg shuffle is needed.
     */
-  private def bandTable(c: DataFrame): DataFrame = {
-    val spark = c.sparkSession
+  private def bandTable(arrays: DataFrame): DataFrame = {
+    val spark = arrays.sparkSession
     import spark.implicits._
     val perms = Perms.toArray
-    shingleStringArrays(c)
+    arrays
       .as[(Long, Array[String])]
       .filter(_._2.nonEmpty) // docs with no shingles have no sig row in the oracle either
       .flatMap { case (id, ts) =>
@@ -258,31 +261,57 @@ object Dedup {
       val capped = sh.groupBy($"h").agg(collect_list($"doc_id").as("ids"))
         .filter(size($"ids") <= JaccardDfCap)
         .select($"ids")
-      // ONE pass over the capped index emits both the ordered pairs and a
-      // per-doc size marker (id2 = -1 sentinel) per group membership; a
-      // single codegen'd hash aggregate counts them together. This replaces
-      // the earlier cache + separate explode/groupBy sizes pass: same
-      // shuffled row volume, one fewer wide stage, and no 250k-array cache.
-      // (A hand-rolled per-partition LongMap combine was measured 5.3s vs
-      // 3.1s here — the UnsafeRow hash agg wins, and it spills.)
-      val counted = capped.as[Array[Long]] // primitive decode — no per-id boxing
+      // Pair emission is SALTED: a group's sorted id array is split into
+      // blocks of JaccardBlock ids, and each (block_i, block_j) combination
+      // becomes its own work-unit row. A round-robin repartition spreads the
+      // units, so a df-cap-sized hot shingle emits its ~131k pairs from ~36
+      // parallel tasks of <= JaccardBlock² pairs each instead of one
+      // straggler task — the output multiset is identical (blocks preserve
+      // the sort, so cross-block pairs keep id1 < id2). Size markers
+      // (id2 = -1 sentinel; ids are non-negative by construction — the
+      // corpus derives them from documents.doc_id >= 0 plus +100000/+200000,
+      // guarded below) ride the diagonal units, one per (shingle, doc).
+      // A single codegen'd hash aggregate then counts pairs and sizes
+      // together. (A hand-rolled per-partition LongMap combine was measured
+      // 5.3s vs 3.1s here — the UnsafeRow hash agg wins, and it spills.)
+      val units = capped.as[Array[Long]] // primitive decode — no per-id boxing
         .flatMap { a =>
           java.util.Arrays.sort(a)
-          // hint clamped: Long math (k² overflows Int past ~65k ids) and a
-          // 1M ceiling — the df-cut bounds k, the clamp survives a raised cap
-          val hint = (a.length.toLong * (a.length + 1) / 2).min(1L << 20).toInt
-          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](hint)
+          require(a.isEmpty || a(0) >= 0,
+            "dedup_ngram_jaccard: negative doc_id collides with the -1 size-marker sentinel")
+          val blocks = a.grouped(JaccardBlock).toArray
+          for {
+            i <- blocks.indices.iterator
+            j <- (i until blocks.length).iterator
+          } yield (blocks(i), blocks(j), i == j)
+        }
+      val counted = units
+        .repartition(s.sparkContext.defaultParallelism) // fan hot groups out across tasks
+        .flatMap { case (bi, bj, diag) =>
+          // <= JaccardBlock² pairs per unit — no sizing hint needed
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+            JaccardBlock * (JaccardBlock + 1))
           var i = 0
-          while (i < a.length) {
-            out += ((a(i), -1L)) // size marker: one per (shingle, doc)
-            var j = i + 1
-            while (j < a.length) { out += ((a(i), a(j))); j += 1 }
+          while (i < bi.length) {
+            if (diag) {
+              out += ((bi(i), -1L)) // size marker: one per (shingle, doc)
+              var j = i + 1
+              while (j < bi.length) { out += ((bi(i), bi(j))); j += 1 }
+            } else {
+              var j = 0
+              while (j < bj.length) { out += ((bi(i), bj(j))); j += 1 }
+            }
             i += 1
           }
           out
         }.toDF("id1", "id2")
         .groupBy($"id1", $"id2").agg(count(lit(1)).as("cnt"))
-        .cache() // tiny (pairs + one row per doc); read by three join sides
+        // Explicit spill-capable persist (Dataset.cache() is MEMORY_AND_DISK
+        // too — spelled out because the exact path must spill, not recompute,
+        // at larger corpora). Tiny here (pairs + one row per doc); read by
+        // three join sides, and Bench clears the cache manager between
+        // passes, so repeated invocations don't accumulate cached relations.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = counted.filter($"id2" === -1L).select($"id1".as("doc_id"), $"cnt".as("n"))
       val common = counted.filter($"id2" =!= -1L)
         .select($"id1", $"id2", $"cnt".as("common"))
@@ -318,8 +347,9 @@ object Dedup {
       val arrays = shingleStringArrays(corpus(s, d)).cache()
       // Signatures straight from the per-doc shingle STRING array (see
       // bandTable) — same arithmetic ((a*hp + b) % P over h60 % P) as the
-      // oracle's aggregated form.
-      val cands = minhashCandidates(bandTable(corpus(s, d)))
+      // oracle's aggregated form; fed the cached arrays so the corpus is
+      // tokenized+shingled exactly once.
+      val cands = minhashCandidates(bandTable(arrays))
       // Verification touches ONLY candidate pairs: rejoin the (small) shingle
       // arrays and intersect per pair — no corpus-wide inverted-index
       // pair-count aggregation (that exact all-pairs shape lives in
@@ -409,7 +439,7 @@ object Dedup {
       // stage 3: drop the larger id of every verified (jaccard >= 0.5)
       // LSH candidate pair among the remaining docs
       val arrays = shingleStringArrays(kept2).cache()
-      val near = minhashCandidates(bandTable(kept2))
+      val near = minhashCandidates(bandTable(arrays))
         .join(arrays.select($"doc_id".as("id1"), $"ts".as("ts1")), "id1")
         .join(arrays.select($"doc_id".as("id2"), $"ts".as("ts2")), "id2")
         .withColumn("common", size(array_intersect($"ts1", $"ts2")))
@@ -467,7 +497,7 @@ object Dedup {
     ("dedup_clusters", (s, d) => {
       import s.implicits._
       val arrays = shingleStringArrays(corpus(s, d)).cache()
-      val verified = minhashCandidates(bandTable(corpus(s, d)))
+      val verified = minhashCandidates(bandTable(arrays))
         .join(arrays.select($"doc_id".as("id1"), $"ts".as("ts1")), "id1")
         .join(arrays.select($"doc_id".as("id2"), $"ts".as("ts2")), "id2")
         .withColumn("common", size(array_intersect($"ts1", $"ts2")))
@@ -565,6 +595,12 @@ object Dedup {
     */
   private val JaccardDfCap = 512
 
+  /** Salting block size for Jaccard pair emission: work units carry at most
+    * JaccardBlock² ≈ 4k pairs, so even a df-cap-sized group fans out across
+    * (cap/block)·(cap/block+1)/2 = 36 tasks instead of one.
+    */
+  private val JaccardBlock = 64
+
   /** Round bound for the dedup_clusters label-propagation fixpoint: one
     * round per hop of component diameter, so 64 covers any cluster a dedup
     * pipeline should ever see (diameter-64 near-dup chains are a data bug,
@@ -580,7 +616,9 @@ object Dedup {
     * pins both the bound and fixpoint-consistency of the labels). Each round
     * is one shuffle of the edge table; localCheckpoint keeps the lineage
     * from re-running every prior round (and the upstream pair generation)
-    * per iteration.
+    * per iteration. The checkpoint is LAZY and the convergence count is the
+    * action that materializes it — ONE Spark job per round, not a
+    * checkpoint job plus a count job (halves actions for deep components).
     */
   private[operators] def connectedComponents(
       pairs: DataFrame, maxRounds: Int = MaxCcRounds): DataFrame = {
@@ -596,8 +634,8 @@ object Dedup {
         .groupBy(col("a")).agg(min(col("ncomp")).as("best"))
       val next = labels.join(prop, col("id") === col("a"), "left")
         .select(col("id"), col("comp"), least(col("comp"), coalesce(col("best"), col("comp"))).as("comp2"))
-        .localCheckpoint()
-      changed = next.filter(col("comp2") < col("comp")).count()
+        .localCheckpoint(eager = false)
+      changed = next.filter(col("comp2") < col("comp")).count() // materializes the checkpoint
       labels = next.select(col("id"), col("comp2").as("comp"))
       round += 1
     }

@@ -171,9 +171,14 @@ object Similarity {
         .select($"q_id", $"vec_id".as("n_id"))
         .distinct()
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      // Vector re-joins carry NO broadcast hint: a hint would force the
+      // broadcast regardless of size (a driver/executor OOM at 100× vectors,
+      // not a graceful fallback). The planner's autoBroadcastJoinThreshold
+      // picks BroadcastHashJoin at this scale (pinned by PlanQualitySpec)
+      // and degrades to a shuffled equi-join when the table outgrows it.
       cand
-        .join(broadcast(v.select($"vec_id".as("q_id"), $"emb".as("q_emb"))), "q_id")
-        .join(broadcast(v.select($"vec_id".as("n_id"), $"emb".as("n_emb"))), "n_id")
+        .join(v.select($"vec_id".as("q_id"), $"emb".as("q_emb")), "q_id")
+        .join(v.select($"vec_id".as("n_id"), $"emb".as("n_emb")), "n_id")
         .withColumn("cos", cosine($"q_emb", $"n_emb"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter($"rank" <= TopK)
@@ -197,11 +202,10 @@ object Similarity {
     // ---- LSH threshold join: ALL near-duplicate pairs (cos >= 0.4) whose
     // members share any LSH bucket — the sub-quadratic scale path for
     // dedup_embedding_cosine's exact O(n²) scan. Candidate generation is the
-    // bucket equi-join; scoring touches only candidates via two planner-
-    // managed broadcast re-joins on the candidate ids (same shape as
-    // sim_lsh_topk — no user-code collect() through the driver; when the
-    // vector table outgrows the broadcast threshold, dropping the hint
-    // degrades gracefully to a shuffled equi-join on the same plan).
+    // bucket equi-join; scoring touches only candidates via two unhinted
+    // re-joins on the candidate ids (same shape as sim_lsh_topk — no
+    // user-code collect() through the driver; the planner broadcasts below
+    // autoBroadcastJoinThreshold and shuffles above it, with no code change).
     ("sim_lsh_pairs", (s, d) => {
       import s.implicits._
       val v = vectors(s, d).cache()
@@ -210,8 +214,8 @@ object Similarity {
           $"x.tbl" === $"y.tbl" && $"x.sig" === $"y.sig" && $"x.vec_id" < $"y.vec_id")
         .select($"x.vec_id".as("id1"), $"y.vec_id".as("id2")).distinct()
       cand
-        .join(broadcast(v.select($"vec_id".as("id1"), $"emb".as("e1"))), "id1")
-        .join(broadcast(v.select($"vec_id".as("id2"), $"emb".as("e2"))), "id2")
+        .join(v.select($"vec_id".as("id1"), $"emb".as("e1")), "id1")
+        .join(v.select($"vec_id".as("id2"), $"emb".as("e2")), "id2")
         .withColumn("cos", cosine($"e1", $"e2"))
         .filter($"cos" >= 0.4)
         .select($"id1", $"id2", round($"cos", 4).as("cos"))
@@ -232,8 +236,8 @@ object Similarity {
     // candidates — the construction pass for near-dup clustering / graph-ANN
     // indexes, i.e. sim_lsh_topk with ALL vectors as queries. Candidates come
     // from the bucket equi-join (sub-quadratic); scoring re-joins the vector
-    // table twice on the candidate ids (planner-managed broadcast here; a
-    // shuffled equi-join on the same plan once vectors outgrow the broadcast
+    // table twice on the candidate ids, unhinted (the planner broadcasts at
+    // this scale and shuffles on the same plan once vectors outgrow the
     // threshold — no user-code collect() through the driver either way).
     ("sim_knn_graph", (s, d) => {
       import s.implicits._
@@ -243,8 +247,8 @@ object Similarity {
           $"x.tbl" === $"y.tbl" && $"x.sig" === $"y.sig" && $"x.vec_id" =!= $"y.vec_id")
         .select($"x.vec_id".as("q_id"), $"y.vec_id".as("n_id")).distinct()
       val scored = cand
-        .join(broadcast(v.select($"vec_id".as("q_id"), $"emb".as("q_emb"))), "q_id")
-        .join(broadcast(v.select($"vec_id".as("n_id"), $"emb".as("n_emb"))), "n_id")
+        .join(v.select($"vec_id".as("q_id"), $"emb".as("q_emb")), "q_id")
+        .join(v.select($"vec_id".as("n_id"), $"emb".as("n_emb")), "n_id")
         .withColumn("cos", cosine($"q_emb", $"n_emb"))
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
       scored

@@ -368,14 +368,18 @@ object Streaming {
     * the events are sorted here); an event older than the open interval's
     * start cannot be ordered retroactively without rewriting already-emitted
     * intervals, so it is DROPPED rather than silently emitting an inverted
-    * interval (valid_from > valid_to). Pair with a watermark + sort in a
-    * foreachBatch, or the reorder-buffer pattern of [[chunkUpdateFn]], when
-    * the source can deliver out of order across batches.
+    * interval (valid_from > valid_to) — and each drop is REPORTED through
+    * `onLateDrop` so the loss is observable (wire it to a LongAccumulator /
+    * metric; silent late-data loss is invisible in a production stream).
+    * Pair with a watermark + sort in a foreachBatch, or the reorder-buffer
+    * pattern of [[chunkUpdateFn]], when the source can deliver out of order
+    * across batches.
     */
   def scd2Fn(
       userId: Long,
       events: Iterator[UserTypeEvent],
-      state: GroupState[Scd2State]): Iterator[Scd2Interval] = {
+      state: GroupState[Scd2State],
+      onLateDrop: () => Unit = () => ()): Iterator[Scd2Interval] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val evs = events.toArray.sortBy(e => (e.tsUs, e.eventId))
     var cur = state.getOption.orNull
@@ -384,12 +388,12 @@ object Streaming {
     while (i < evs.length) {
       val e = evs(i)
       if (cur == null) cur = Scd2State(e.eventType, e.tsUs)
-      else if (e.tsUs >= cur.sinceUs) { // late pre-interval stragglers dropped
+      else if (e.tsUs >= cur.sinceUs) {
         if (e.eventType != cur.curType) {
           out += Scd2Interval(userId, cur.curType, cur.sinceUs, e.tsUs)
           cur = Scd2State(e.eventType, e.tsUs)
         }
-      }
+      } else onLateDrop() // late pre-interval straggler dropped, counted
       i += 1
     }
     if (cur != null) state.update(cur)
@@ -404,20 +408,28 @@ object Streaming {
     * right for ASAP-trigger streams, where ProcessingTimeTimeout would
     * schedule continuous empty micro-batches just to fire timers (same
     * trade-off as [[statefulChunkStream]]'s tombstone TTL).
+    *
+    * `lateDrops` (optional LongAccumulator, visible in the Spark UI and
+    * readable on the driver) counts cross-batch stragglers the operator had
+    * to drop — monitor it to detect late-event loss instead of discovering
+    * missing intervals downstream.
     */
   def scd2Stream(
       events: Dataset[UserTypeEvent],
-      stateTtl: Option[String] = None): Dataset[Scd2Interval] = {
+      stateTtl: Option[String] = None,
+      lateDrops: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[Scd2Interval] = {
     val spark = events.sparkSession
     import spark.implicits._
     val timeoutConf =
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
+    val onLateDrop: () => Unit =
+      lateDrops.map(acc => () => acc.add(1L)).getOrElse(() => ())
     events
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (userId: Long, evs: Iterator[UserTypeEvent], state: GroupState[Scd2State]) =>
-          val out = scd2Fn(userId, evs, state)
+          val out = scd2Fn(userId, evs, state, onLateDrop)
           stateTtl.foreach { ttl =>
             if (state.exists)
               try state.setTimeoutDuration(ttl)

@@ -131,6 +131,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(analyzed.contains("<= 512"), s"df-cap filter missing from plan:\n$analyzed")
   }
 
+  test("sim lsh scoring joins: the PLANNER picks broadcast at test scale (no forced hint)") {
+    // The vector re-joins carry no broadcast() hint — a hint would force the
+    // broadcast past autoBroadcastJoinThreshold and OOM at 100× vectors.
+    // Guard that removing the hint didn't silently degrade the small-scale
+    // plan: the threshold still selects BroadcastHashJoin here.
+    for (q <- Seq("sim_lsh_topk", "sim_lsh_pairs", "sim_knn_graph")) {
+      val plan = executedPlan(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: planner should still broadcast the vector re-join at test scale:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: candidate scoring must stay an equi-join:\n$plan")
+    }
+  }
+
   test("dedup metrics: two-level aggregation, shuffle keyed by 64-bit hash only") {
     val plan = Chunking.dedupMetrics(Chunking.chunkTable(
       graft.Tables.documents(spark, sfDir), "doc_id", "text", "fastcdc", 64, 42L))
