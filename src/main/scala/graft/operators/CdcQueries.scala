@@ -97,7 +97,7 @@ object CdcQueries {
     * always matches the oracle's one-row-per-document even if the corpus
     * gains empty docs.
     */
-  private def chunkContractOverDocs(
+  private[operators] def chunkContractOverDocs(
       chunks: DataFrame, documents: DataFrame, minNonLast: Long, maxLen: Long): DataFrame =
     documents.select(col("doc_id"))
       .join(chunkContract(chunks, minNonLast, maxLen), Seq("doc_id"), "left")

@@ -14,7 +14,10 @@ import graft.Tables
   *  - PII redaction (regex scrub, the standard pre-release pass),
   *  - sliding context-window extraction (token windows for sequence packing),
   *  - single-pass column profiling (the "what's in this table" scan),
-  *  - bloom-filter semi-join pre-filtering (shuffle-avoidance at scale).
+  *  - bloom-filter semi-join pre-filtering (shuffle-avoidance at scale),
+  *  - eval-set decontamination (n-gram overlap between the training corpus
+  *    and a benchmark set — the pass that keeps test questions out of
+  *    training data).
   *
   * All are shuffle-free per-row transforms except the profiler (one aggregate
   * over one scan) and the bloom build (one treeAggregate over the small
@@ -248,8 +251,77 @@ object PipelineOps {
         |  (SELECT count(*) FROM orders o
         |   WHERE o.o_custkey IN (SELECT c_custkey FROM customer
         |                         WHERE c_mktsegment = 'BUILDING')) AS n_member_orders,
-        |  CAST(0 AS BIGINT) AS n_missed, TRUE AS fp_ok""".stripMargin))
+        |  CAST(0 AS BIGINT) AS n_missed, TRUE AS fp_ok""".stripMargin)),
+
+    // ---- eval-set decontamination: flag every training document sharing a
+    // word 8-gram with a benchmark item (the standard n-gram-overlap
+    // decontamination pass a pre-training pipeline runs before a model ever
+    // sees the corpus). The corpus carries no real benchmark, so the eval
+    // set is derived deterministically IN-QUERY on both engines: the
+    // first-12-token prefix of every 50th document stands in for a test
+    // question whose text leaked into training data. Scale shape: each side
+    // is a map-only pass emitting per-doc DISTINCT 8-grams; the match is an
+    // equi-join keyed by the 64-bit xxhash of the gram (the oracle joins the
+    // raw strings — identical counts, as with the shingle index), and the
+    // eval side is tiny by construction, so the planner broadcasts it —
+    // at 100 TB the corpus streams through one scan stage and only matching
+    // (doc, eval) rows reach the final aggregate.
+    ("pipeline_decontaminate", (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      // fused per-doc tokenize → distinct 8-grams (same rationale as the
+      // dedup shingle pass: array HOFs interpret per element; one JVM loop)
+      def ngramRows(df: DataFrame, idName: String): DataFrame =
+        df.select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val toks = text.trim.split("\\s+")
+              val seen = new java.util.LinkedHashSet[String]
+              var i = 0
+              while (i + DecontamN - 1 < toks.length) {
+                val sb = new java.lang.StringBuilder(toks(i))
+                var j = 1
+                while (j < DecontamN) { sb.append(' ').append(toks(i + j)); j += 1 }
+                seen.add(sb.toString)
+                i += 1
+              }
+              (id, seen.toArray(Array.empty[String]))
+            }
+          }.toDF(idName, "gs").select(col(idName), explode(col("gs")).as("g"))
+      val trainG = ngramRows(docs, "doc_id")
+        .select($"doc_id", xxhash64($"g").as("h"))
+      val evalDocs = docs.filter($"doc_id" % 50 === 0)
+        .select($"doc_id",
+          concat_ws(" ", slice(tokens($"text"), 1, DecontamPrefix)).as("text"))
+      val evalG = ngramRows(evalDocs, "eval_id")
+        .select($"eval_id", xxhash64($"g").as("h"))
+      trainG.join(evalG, "h") // tiny eval side — planner broadcasts, no hint
+        .groupBy($"doc_id", $"eval_id")
+        .agg(count(lit(1)).as("n_hits")) // both sides per-id distinct
+        .orderBy($"doc_id", $"eval_id")
+    }, Some {
+      def cat(arr: String) = (1 to DecontamN).map(k => s"$arr[i+$k]").mkString(" || ' ' || ")
+      s"""WITH tr AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(0, len(toks) - ${DecontamN - 1}), i -> ${cat("toks")}))) AS g
+         |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents)),
+         |ev AS (
+         |  SELECT doc_id AS eval_id, unnest(list_distinct(list_transform(
+         |    range(0, len(toks) - ${DecontamN - 1}), i -> ${cat("toks")}))) AS g
+         |  FROM (SELECT doc_id, (${tokensSql("text")})[1:$DecontamPrefix] AS toks
+         |        FROM documents WHERE doc_id % 50 = 0))
+         |SELECT t.doc_id, e.eval_id, count(*) AS n_hits
+         |FROM tr t JOIN ev e ON t.g = e.g
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    })
   )
+
+  /** Decontamination n-gram width (8 words — the common pre-training
+    * overlap window) and the eval-item prefix length (12 tokens → 5
+    * overlapping 8-grams per derived benchmark item).
+    */
+  private val DecontamN = 8
+  private val DecontamPrefix = 12
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, f, _) => n -> f }.toMap

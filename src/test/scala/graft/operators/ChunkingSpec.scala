@@ -237,6 +237,18 @@ class ChunkingSpec extends AnyFunSuite {
     assert(contract((1L, 0, 0L, 20L), (1L, 1, 20L, 41L))._5 == false)
   }
 
+  test("chunkContractOverDocs emits a zero-total row for a chunkless document") {
+    import spark.implicits._
+    // Doc 2 produces no chunk rows (e.g. zero-length payload) — the doc join
+    // must still emit its contract row (total_len=0, invariants vacuously
+    // true) so the row count matches the oracle's one-row-per-document.
+    val docs = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+    val chunks = Seq((1L, 0, 0L, 5L)).toDF("doc_id", "chunk_idx", "offset", "length")
+    val got = CdcQueries.chunkContractOverDocs(chunks, docs, minNonLast = 2L, maxLen = 10L)
+      .as[(Long, Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 5L, true, true, true), (2L, 0L, true, true, true)))
+  }
+
   test("chunkContract over a real chunk table is all-green and tiles n_chars") {
     import spark.implicits._
     val docs = Seq((1L, rndBytes(5000, 11)), (2L, rndBytes(777, 12))).toDF("doc_id", "content")

@@ -363,12 +363,15 @@ class StreamingSpec extends AnyFunSuite {
     val s2 = TestGroupState.create[Scd2State](
       optionalState = Optional.of(s1.get), timeoutConf = GroupStateTimeout.NoTimeout,
       batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    var drops = 0
     val out = Streaming.scd2Fn(1L,
       Iterator(UserTypeEvent(1L, 2L, "purchase", 50L), UserTypeEvent(1L, 3L, "purchase", 200L)),
-      s2).toSeq
+      s2, onLateDrop = () => drops += 1).toSeq
     assert(out == Seq(Scd2Interval(1L, "view", 100L, 200L)))
     assert(s2.get == Scd2State("purchase", 200L))
     assert(out.forall(iv => iv.validFromUs <= iv.validToUs))
+    // The drop is not silent: the straggler at ts=50 is reported exactly once.
+    assert(drops == 1)
   }
 
   test("statefulChunkStream re-assembles the exact batch chunking across micro-batches") {
