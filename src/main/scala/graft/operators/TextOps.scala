@@ -374,7 +374,78 @@ object TextOps {
          |FROM (SELECT source,
          |        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe
          |      FROM documents)
-         |GROUP BY source ORDER BY source""".stripMargin))
+         |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- within-document repetition stats (the Gopher-style repetition
+    // filters): fraction of 2-gram occurrences taken by the single most
+    // frequent 2-gram, and fraction of 3-gram occurrences that are repeats
+    // of an earlier 3-gram in the same doc. Highly repetitive documents
+    // (boilerplate, keyword stuffing, degenerate generations) score high on
+    // both and are flagged. One fused per-doc pass (counts in a HashMap —
+    // the n-gram rows never materialize, so at 100 TB this is a map-only
+    // stage); the flag compares the ROUNDED fractions so both engines
+    // threshold the same 4-decimal value.
+    ("text_repetition_stats", (s, d) => {
+      import s.implicits._
+      val stats = Tables.documents(s, d)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val toks = text.trim.split("\\s+")
+            val c2 = new java.util.HashMap[String, Long]
+            var i = 0
+            while (i + 1 < toks.length) {
+              c2.merge(toks(i) + " " + toks(i + 1), 1L, (a, b) => a + b)
+              i += 1
+            }
+            var top2 = 0L
+            c2.forEach { (_, c) => if (c > top2) top2 = c }
+            val s3 = new java.util.HashSet[String]
+            var n3 = 0L
+            i = 0
+            while (i + 2 < toks.length) {
+              s3.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+              n3 += 1
+              i += 1
+            }
+            (id, toks.length.toLong, top2, math.max(toks.length - 1, 0).toLong,
+              n3 - s3.size, n3)
+          }
+        }.toDF("doc_id", "n_tok", "top2", "n2", "dup3", "n3")
+      stats.select(
+          $"doc_id", $"n_tok",
+          when($"n2" > 0, round($"top2" / $"n2".cast("double"), 4))
+            .otherwise(0.0).as("top2_frac"),
+          when($"n3" > 0, round($"dup3" / $"n3".cast("double"), 4))
+            .otherwise(0.0).as("dup3_frac"))
+        .withColumn("repetitive", $"top2_frac" > 0.2 || $"dup3_frac" > 0.2)
+        .orderBy($"doc_id")
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH t AS (SELECT doc_id, $t AS toks FROM documents),
+         |g2 AS (
+         |  SELECT doc_id, g, count(*) AS cnt FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+         |      i -> toks[i+1] || ' ' || toks[i+2])) AS g FROM t)
+         |  GROUP BY 1, 2),
+         |c2 AS (SELECT doc_id, max(cnt) AS top2, sum(cnt) AS n2 FROM g2 GROUP BY doc_id),
+         |g3 AS (
+         |  SELECT doc_id, g, count(*) AS cnt FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, len(toks) - 2),
+         |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g FROM t)
+         |  GROUP BY 1, 2),
+         |c3 AS (SELECT doc_id, sum(cnt) - count(*) AS dup3, sum(cnt) AS n3 FROM g3 GROUP BY doc_id),
+         |f AS (
+         |  SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         |    CASE WHEN coalesce(n2, 0) > 0
+         |         THEN ${rndSql("top2 / CAST(n2 AS DOUBLE)", 4)} ELSE 0.0 END AS top2_frac,
+         |    CASE WHEN coalesce(n3, 0) > 0
+         |         THEN ${rndSql("dup3 / CAST(n3 AS DOUBLE)", 4)} ELSE 0.0 END AS dup3_frac
+         |  FROM t LEFT JOIN c2 ON c2.doc_id = t.doc_id LEFT JOIN c3 ON c3.doc_id = t.doc_id)
+         |SELECT doc_id, n_tok, top2_frac, dup3_frac,
+         |  (top2_frac > 0.2 OR dup3_frac > 0.2) AS repetitive
+         |FROM f ORDER BY doc_id""".stripMargin
+    })
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
