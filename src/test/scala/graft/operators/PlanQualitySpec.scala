@@ -145,6 +145,24 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate: eval grams broadcast; the corpus side is one narrow scan") {
+    val plan = executedPlan("pipeline_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tiny eval side must broadcast:\n$plan")
+    assert(count(plan, "Exchange hashpartitioning") == 1,
+      s"only the (doc,eval) count aggregate may shuffle:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to doc_id/text:\n$plan")
+  }
+
+  test("repetition stats: map-only per-doc pass — no shuffle before the output sort") {
+    val plan = executedPlan("text_repetition_stats")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the fused counting pass must not shuffle:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to doc_id/text:\n$plan")
+  }
+
   test("dedup metrics: two-level aggregation, shuffle keyed by 64-bit hash only") {
     val plan = Chunking.dedupMetrics(Chunking.chunkTable(
       graft.Tables.documents(spark, sfDir), "doc_id", "text", "fastcdc", 64, 42L))
