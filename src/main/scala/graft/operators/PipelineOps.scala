@@ -236,7 +236,10 @@ object PipelineOps {
       val bc = s.sparkContext.broadcast(bloom)
       val mightContain = udf((k: Long) => bc.value.mightContain(k))
       val orders = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
-      val memberOrders = orders.join(broadcast(members),
+      // members scales with the customer table — no broadcast hint; the
+      // planner broadcasts the semi-join side below the threshold and
+      // shuffles above it (the bloom prefilter is the scale answer anyway).
+      val memberOrders = orders.join(members,
         $"o_custkey" === $"c_custkey", "left_semi")
       val nOrders = orders.count()
       val nMemberOrders = memberOrders.count()

@@ -20,9 +20,14 @@ import graft.operators.Portable.round
   *    timestamp-zone round-trips differ between writers; integers don't);
   *  - every query has a total ORDER BY with a unique tiebreak column.
   *
-  * Scale notes are per-query: dimension sides of joins are `broadcast()`
-  * hinted when they are the small side at any SF (region/nation are fixed
-  * cardinality; customer/supplier/part scale but stay ≪ lineitem).
+  * Scale notes are per-query. Broadcast-hint policy: a `broadcast()` hint
+  * FORCES the build side past `autoBroadcastJoinThreshold`, so hints mark
+  * only dimensions whose cardinality is bounded by the schema at any SF
+  * (region = 5 rows, nation = 25). Tables that scale with the data
+  * (customer/supplier/part — small next to lineitem but unbounded) carry no
+  * hint: the planner broadcasts them below the threshold (pinned at test
+  * scale by PlanQualitySpec) and falls back to a shuffled join at 100×
+  * instead of OOMing on a forced build.
   */
 object Relational {
 
@@ -69,14 +74,18 @@ object Relational {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
 
-    // ---- Q3-style: 3-way join, top-k by computed revenue (broadcast dim).
+    // ---- Q3-style: 3-way join, top-k by computed revenue. customer SCALES
+    // with the data (unlike nation/region), so it carries no broadcast hint —
+    // the planner broadcasts it below the threshold (pinned at test scale by
+    // PlanQualitySpec) and shuffles it at 100× instead of OOMing on a forced
+    // build side.
     ("q03_top_orders", (s, d) => {
       import s.implicits._
       val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
       val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d)
       l.join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(c, $"o_custkey" === $"c_custkey")
         .groupBy($"o_orderkey", $"o_orderpriority")
         .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
         .orderBy($"revenue".desc, $"o_orderkey")
@@ -115,8 +124,12 @@ object Relational {
         |                AND l_shipdate > o_orderdate + INTERVAL 3 MONTH)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
-    // ---- Q5-style: 6-table star join; every dimension broadcast, the one
-    // real shuffle is the lineitem aggregation.
+    // ---- Q5-style: 6-table star join; the one real shuffle is the lineitem
+    // aggregation. Broadcast hints mark ONLY the schema-bounded dimensions
+    // (nation is 25 rows and region 5, at any SF — a hint there is a fact,
+    // not a bet); customer/supplier scale with the data, so their joins are
+    // left to the planner's threshold: broadcast at test scale (pinned by
+    // PlanQualitySpec), shuffled-hash/sort-merge at 100× with no code change.
     ("q05_nation_revenue", (s, d) => {
       import s.implicits._
       val r = Tables.region(s, d).filter($"r_name" === "ASIA")
@@ -128,8 +141,8 @@ object Relational {
       val l = Tables.lineitem(s, d)
       val sup = Tables.supplier(s, d)
       l.join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
-        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
         .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
