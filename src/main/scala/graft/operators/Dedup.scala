@@ -255,11 +255,17 @@ object Dedup {
     ("dedup_ngram_jaccard", (s, d) => {
       import s.implicits._
       val sh = shingles(corpus(s, d))
-      // df-cut: the grouped index is the df count — one filter drops the
-      // stop-shingle groups, then both sizes and pair counts derive from
-      // the capped index.
-      val capped = sh.groupBy($"h").agg(collect_list($"doc_id").as("ids"))
-        .filter(size($"ids") <= JaccardDfCap)
+      // df-cut INSIDE the aggregate: BoundedCollectAgg buffers at most
+      // cap+1 doc_ids and finishes an overflowing group as NULL, so a
+      // corpus-wide stop-shingle costs O(cap) aggregation state instead of
+      // materializing its full id array only for the size filter to drop it
+      // (the 100 TB difference on hot keys). Output is exactly
+      // collect_list + filter(size <= cap) — the oracle keeps its HAVING
+      // count(*) <= cap form.
+      val boundedCollect = udaf(new graft.functions.BoundedCollectAgg(JaccardDfCap))
+        .withName(s"bounded_collect_$JaccardDfCap")
+      val capped = sh.groupBy($"h").agg(boundedCollect($"doc_id").as("ids"))
+        .filter($"ids".isNotNull)
         .select($"ids")
       // Pair emission is SALTED: a group's sorted id array is split into
       // blocks of JaccardBlock ids, and each (block_i, block_j) combination

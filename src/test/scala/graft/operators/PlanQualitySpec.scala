@@ -123,12 +123,16 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("ngram jaccard: the document-frequency cut gates pair emission") {
     // The df-cut (stop-shingle removal) is the 100 TB guard against a hot
-    // shingle emitting k²/2 pairs in one task — assert the filter on the
-    // grouped index is in the plan, not just in a comment. (Analyzed plan:
-    // the physical side hides it inside the InMemoryRelation cache.)
+    // shingle emitting k²/2 pairs in one task — assert the bounded collector
+    // (cap inside the aggregate, O(cap) buffer) and its overflow-drop filter
+    // are in the plan, not just in a comment. (Analyzed plan: the physical
+    // side hides it inside the InMemoryRelation cache.)
     val analyzed = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
       .queryExecution.analyzed.toString
-    assert(analyzed.contains("<= 512"), s"df-cap filter missing from plan:\n$analyzed")
+    assert(analyzed.contains("bounded_collect_512"),
+      s"bounded df-cap collector missing from plan:\n$analyzed")
+    assert(analyzed.toLowerCase.contains("isnotnull(ids"),
+      s"overflow-drop filter missing from plan:\n$analyzed")
   }
 
   test("sim lsh scoring joins: the PLANNER picks broadcast at test scale (no forced hint)") {
