@@ -54,26 +54,31 @@ object Dedup {
     * lambda body are re-evaluated per element (no CSE across lambda
     * invocations), so an inline split() would re-tokenize per trigram.
     */
+  /** One doc's distinct word trigrams, first-seen order — the per-row core
+    * of [[shingleStringArrays]], shared with the streaming near-dup operator.
+    * split("\\s+") on trimmed input is exactly the oracle's
+    * regexp_split_to_array(trim(text), '\s+').
+    */
+  private[graft] def shingleArrayJvm(text: String): Array[String] = {
+    val toks = text.trim.split("\\s+")
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i + 2 < toks.length) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    seen.toArray(Array.empty[String])
+  }
+
   private def shingleStringArrays(c: DataFrame): DataFrame = {
     val spark = c.sparkSession
     import spark.implicits._
     // Fused JVM tokenize+shingle: array HOFs are CodegenFallback (interpreted
     // per element) and this table is re-derived on several join sides, so the
-    // per-doc pass is a plain-String loop. split("\\s+") on trimmed input is
-    // exactly the oracle's regexp_split_to_array(trim(text), '\s+').
+    // per-doc pass is a plain-String loop.
     c.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val toks = text.trim.split("\\s+")
-          val seen = new java.util.LinkedHashSet[String]
-          var i = 0
-          while (i + 2 < toks.length) {
-            seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-            i += 1
-          }
-          (id, seen.toArray(Array.empty[String]))
-        }
-      }.toDF("doc_id", "ts")
+      .mapPartitions(_.map { case (id, text) => (id, shingleArrayJvm(text)) })
+      .toDF("doc_id", "ts")
   }
 
   /** Inverted-index rows (doc_id, h): xxhash64 shingle identity (Spark-side
@@ -92,32 +97,47 @@ object Dedup {
     * permutations, and emits the 4 band keys — min is order-free, so no
     * explode + min-agg shuffle is needed.
     */
+  /** One doc's LSH band keys from its shingle array (empty for shingle-less
+    * docs — they have no sig row in the oracle either): minhash all 16
+    * permutations in one pass, key each band by its row minima. The per-row
+    * core of [[bandTable]], shared with the streaming near-dup operator.
+    */
+  private[graft] def bandKeysJvm(ts: Array[String]): Seq[(Int, String)] = {
+    if (ts.isEmpty) return Seq.empty
+    val perms = PermsArr
+    val mins = Array.fill(perms.length)(Long.MaxValue)
+    var i = 0
+    while (i < ts.length) {
+      val hp = h60Jvm(ts(i)) % P
+      var j = 0
+      while (j < perms.length) {
+        val v = (perms(j)._1 * hp + perms(j)._2) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    (0 until Bands).map { bnd =>
+      (bnd, (bnd * Rows until bnd * Rows + Rows).map(mins).mkString(","))
+    }
+  }
+
   private def bandTable(arrays: DataFrame): DataFrame = {
     val spark = arrays.sparkSession
     import spark.implicits._
-    val perms = Perms.toArray
     arrays
       .as[(Long, Array[String])]
-      .filter(_._2.nonEmpty) // docs with no shingles have no sig row in the oracle either
       .flatMap { case (id, ts) =>
-        val mins = Array.fill(perms.length)(Long.MaxValue)
-        var i = 0
-        while (i < ts.length) {
-          val hp = h60Jvm(ts(i)) % P
-          var j = 0
-          while (j < perms.length) {
-            val v = (perms(j)._1 * hp + perms(j)._2) % P
-            if (v < mins(j)) mins(j) = v
-            j += 1
-          }
-          i += 1
-        }
-        (0 until Bands).map { bnd =>
-          (id, bnd, (bnd * Rows until bnd * Rows + Rows).map(mins).mkString(","))
-        }
+        bandKeysJvm(ts).map { case (bnd, key) => (id, bnd, key) }
       }
       .toDF("doc_id", "band", "bkey")
   }
+
+  /** Batch LSH candidate pairs straight from a (doc_id, text) table — the
+    * ground truth the streaming near-dup operator is spec-checked against.
+    */
+  private[graft] def minhashCandidatePairs(c: DataFrame): DataFrame =
+    minhashCandidates(bandTable(shingleStringArrays(c)))
 
   /** MinHash candidate pairs (id1 < id2) sharing any band bucket. */
   private def minhashCandidates(bands: DataFrame): DataFrame =
@@ -661,6 +681,7 @@ object Dedup {
     (0 until Bands * Rows).map { i =>
       ((2654435761L * (i + 1)) % (P - 2) + 1, (1103515245L * (i + 7)) % P)
     }
+  private val PermsArr: Array[(Long, Long)] = Perms.toArray
 
   // ------------------------------------------------------- simhash pieces
   private val SimBits = 32

@@ -54,6 +54,15 @@ case class Scd2State(curType: String, sinceUs: Long)
 /** A closed SCD2 interval: `[validFromUs, validToUs)` for `eventType`. */
 case class Scd2Interval(userId: Long, eventType: String, validFromUs: Long, validToUs: Long)
 
+/** One streaming document: id + raw text. */
+case class DocEvent(docId: Long, text: String)
+
+/** A candidate near-duplicate pair (id1 < id2) — two documents that share an
+  * LSH band bucket. Candidates only: exact verification (Jaccard over
+  * shingle sets) happens downstream, as in the batch pipeline.
+  */
+case class NearDupPair(id1: Long, id2: Long)
+
 /** One chunk-level change between consecutive versions of a blob. */
 case class ChunkChange(blobId: Long, version: Int, change: String, hash: Long, length: Int)
 
@@ -358,6 +367,61 @@ object Streaming {
       .dropDuplicatesWithinWatermark("k")
       .select(col("doc_id"), col("ts"), round(col("quality"), 4).as("quality"),
         when(h < "1a", "test").when(h < "33", "val").otherwise("train").as("split"))
+  }
+
+  /** Streaming MinHash+LSH near-duplicate candidate detection — the
+    * incremental twin of the batch `dedup_minhash_lsh` candidate stage. Each
+    * arriving document is shingled and banded with EXACTLY the batch
+    * arithmetic (`Dedup.shingleArrayJvm` / `bandKeysJvm`, so streaming and
+    * batch agree signature-for-signature); grouping by band bucket keeps the
+    * ids seen per bucket in `GroupState`, and each arrival emits one
+    * candidate pair against every id already in its bucket. Over any replay
+    * of a corpus — in any arrival order, any micro-batch slicing — the
+    * DISTINCT emitted pair set equals the batch candidate set (pinned by
+    * StreamingSpec), because pairs are normalized to id1 < id2 and a bucket
+    * eventually pairs all its members. Pairs can repeat across bands and
+    * batches (at-least-once semantics): dedupe downstream, e.g.
+    * `dropDuplicatesWithinWatermark`, exactly where the batch pipeline runs
+    * its `distinct()`.
+    *
+    * `maxBucket` bounds per-bucket state and emission: a bucket past the cap
+    * stops accepting members (the streaming mirror of the batch df-cut —
+    * a degenerate band key shared by 10⁶ docs must not hold 10⁶ ids in
+    * state and emit 10¹² pairs). Parity with batch holds while buckets stay
+    * under the cap, which near-dup banding guarantees for non-degenerate
+    * corpora.
+    */
+  def nearDupCandidateStream(
+      docs: Dataset[DocEvent],
+      maxBucket: Int = 512): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.Dedup
+    docs
+      .flatMap { d =>
+        Dedup.bandKeysJvm(Dedup.shingleArrayJvm(d.text))
+          .map { case (band, bkey) => (band + "|" + bkey, d.docId) }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
+          var cur = state.getOption.getOrElse(Array.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+          rows.foreach { case (_, id) =>
+            // contains() also absorbs duplicate delivery of the same doc
+            if (cur.length < maxBucket && !cur.contains(id)) {
+              var i = 0
+              while (i < cur.length) {
+                val p = cur(i)
+                out += (if (p < id) NearDupPair(p, id) else NearDupPair(id, p))
+                i += 1
+              }
+              cur = cur :+ id
+            }
+          }
+          state.update(cur)
+          out.iterator
+      }
   }
 
   /** Streaming SCD2: per-user event-type change intervals, the incremental

@@ -349,6 +349,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupCandidateStream: distinct pairs equal the batch LSH candidate set, any arrival order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Corpus with guaranteed near-dups: base docs + exact copies of every
+    // 5th + tailed copies of every 7th (the batch dedup queries' recipe).
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val corpus = base ++
+      base.filter(_._1 % 5 == 0).map { case (id, t) => (id + 100000L, t) } ++
+      base.filter(_._1 % 7 == 0).map { case (id, t) => (id + 200000L, t + " near duplicate tail") }
+    // batch ground truth: the candidate pairs the LSH banding produces
+    val want = graft.operators.Dedup
+      .minhashCandidatePairs(corpus.toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    // replay SHUFFLED, in several micro-batches — order must not matter
+    val shuffled = new scala.util.Random(31).shuffle(corpus).map(DocEvent.tupled)
+    val ms = MemoryStream[DocEvent]
+    val q = Streaming.nearDupCandidateStream(ms.toDS())
+      .writeStream.format("memory").queryName("ndc_out").outputMode("append").start()
+    try {
+      shuffled.grouped(25).foreach { g =>
+        ms.addData(g)
+        q.processAllAvailable()
+      }
+      val got = spark.table("ndc_out").as[NearDupPair].collect()
+        .map(p => (p.id1, p.id2)).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("scd2Fn drops cross-batch stragglers older than the open interval") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
