@@ -304,20 +304,49 @@ object PipelineOps {
         .orderBy($"doc_id", $"eval_id")
     }, Some {
       def cat(arr: String) = (1 to DecontamN).map(k => s"$arr[i+$k]").mkString(" || ' ' || ")
-      s"""WITH tr AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(0, len(toks) - ${DecontamN - 1}), i -> ${cat("toks")}))) AS g
-         |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents)),
-         |ev AS (
-         |  SELECT doc_id AS eval_id, unnest(list_distinct(list_transform(
-         |    range(0, len(toks) - ${DecontamN - 1}), i -> ${cat("toks")}))) AS g
-         |  FROM (SELECT doc_id, (${tokensSql("text")})[1:$DecontamPrefix] AS toks
-         |        FROM documents WHERE doc_id % 50 = 0))
-         |SELECT t.doc_id, e.eval_id, count(*) AS n_hits
-         |FROM tr t JOIN ev e ON t.g = e.g
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    })
+      decontamSqlTail(cat)
+    }),
+
+    // ---- deterministic global k-sample via the mergeable bottom-k
+    // aggregate: the k docs with the smallest md5(doc_id) — a uniform,
+    // re-run-reproducible sample. The window-rank formulation (see
+    // pipeline_stratified_sample) SORTS the whole table to keep k rows;
+    // BottomKAgg keeps O(k) state per partition and merges in one tiny
+    // final row, so at 100 TB the sample costs one scan, no global sort.
+    ("pipeline_bottomk_sample", (s, d) => {
+      import s.implicits._
+      val bottomK = udaf(new graft.functions.BottomKAgg(SampleK))
+        .withName(s"bottom_k_$SampleK")
+      Tables.documents(s, d)
+        .select(md5($"doc_id".cast("string")).as("k"), $"doc_id")
+        .agg(bottomK($"k", $"doc_id").as("ids"))
+        .select(posexplode($"ids").as(Seq("pos", "doc_id")))
+        .select(($"pos" + 1).cast("long").as("rank"), $"doc_id")
+        .orderBy($"rank")
+    }, Some(
+      s"""SELECT CAST(rn AS BIGINT) AS rank, doc_id FROM (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= $SampleK ORDER BY rank""".stripMargin))
   )
+
+  /** Global-sample size for pipeline_bottomk_sample. */
+  private val SampleK = 100
+
+  private def decontamSqlTail(cat: String => String): String =
+    s"""WITH tr AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(0, len(toks) - ${DecontamN - 1}), i -> ${cat("toks")}))) AS g
+       |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents)),
+       |ev AS (
+       |  SELECT doc_id AS eval_id, unnest(list_distinct(list_transform(
+       |    range(0, len(toks) - ${DecontamN - 1}), i -> ${cat("toks")}))) AS g
+       |  FROM (SELECT doc_id, (${tokensSql("text")})[1:$DecontamPrefix] AS toks
+       |        FROM documents WHERE doc_id % 50 = 0))
+       |SELECT t.doc_id, e.eval_id, count(*) AS n_hits
+       |FROM tr t JOIN ev e ON t.g = e.g
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Decontamination n-gram width (8 words — the common pre-training
     * overlap window) and the eval-item prefix length (12 tokens → 5
