@@ -122,7 +122,7 @@ object CdcQueries {
     // Content-defined cut points → per-doc invariant contract rows (see
     // chunkContract): exact tiling total + clamp booleans, hash-checked by
     // the driver. Raw cut points for these algorithms are pinned by
-    // ChunkerGoldenSpec and remain visible via cdc_segmented_ae.
+    // ChunkerGoldenSpec and remain available via Chunking.chunkTable.
     "cdc_ae_chunks" -> ((s, dir) =>
       chunkContractOverDocs(
         chunkCols(Chunking.chunkTable(
