@@ -271,6 +271,54 @@ object Similarity {
          |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
 
+    // ---- ANN quality evaluation: recall@k of the LSH index against the
+    // brute-force ground truth — the number an ANN deployment is judged by,
+    // computed as a query so the evaluation itself scales (semi-join on the
+    // (q_id, n_id) pairs; no collect, no per-query driver loop). Composes
+    // the two existing result sets, so the oracle is their SQL joined.
+    ("sim_recall_report", (s, d) => {
+      import s.implicits._
+      val brute = queries("sim_brute_topk")(s, d).select($"q_id", $"n_id")
+      val lsh = queries("sim_lsh_topk")(s, d).select($"q_id", $"n_id")
+      val hits = lsh.join(brute, Seq("q_id", "n_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("n_hit"))
+      brute.select($"q_id").distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select($"q_id",
+          coalesce($"n_hit", lit(0L)).as("n_hit"),
+          round(coalesce($"n_hit", lit(0L)) / TopK.toDouble, 4).as("recall"))
+        .orderBy($"q_id")
+    }, Some(
+      s"""WITH $vectorsSql,
+         |$lshSignaturesSql,
+         |brute AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.emb, n.emb) DESC, n.vec_id) AS rank
+         |    FROM v q JOIN v n ON q.vec_id < $NumQueries AND n.vec_id <> q.vec_id)
+         |  WHERE rank <= $TopK),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+         |  FROM sigs q JOIN sigs n ON q.tbl = n.tbl AND q.sig = n.sig
+         |  WHERE q.vec_id < $NumQueries AND n.vec_id <> q.vec_id),
+         |lsh AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT c.q_id, c.n_id,
+         |      row_number() OVER (PARTITION BY c.q_id
+         |        ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS rank
+         |    FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
+         |  WHERE rank <= $TopK),
+         |hits AS (
+         |  SELECT l.q_id, count(*) AS n_hit
+         |  FROM lsh l JOIN brute b ON b.q_id = l.q_id AND b.n_id = l.n_id
+         |  GROUP BY 1),
+         |qids AS (SELECT DISTINCT q_id FROM brute)
+         |SELECT q.q_id, coalesce(h.n_hit, 0) AS n_hit,
+         |  ${rndSql(s"coalesce(h.n_hit, 0) / CAST($TopK AS DOUBLE)", 4)} AS recall
+         |FROM qids q LEFT JOIN hits h ON h.q_id = q.q_id
+         |ORDER BY q.q_id""".stripMargin)),
+
     // ---- IVF top-k: 8 seeded-medoid centroids (every 50th vector), each
     // vector assigned to its max-cosine centroid; queries probe the top-2
     // centroids and scan only those partitions.
