@@ -71,7 +71,8 @@ object Bench {
       "q20_sessionize_events", "q25_snapshot_diff", "cdc_fastcdc_chunks",
       "cdc_fixed_dedup_metrics", "dedup_exact", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "sim_brute_topk", "sim_lsh_topk",
-      "text_token_stats", "pipeline_clean_corpus", "mm_frame_sample")
+      "text_token_stats", "pipeline_clean_corpus", "mm_frame_sample",
+      "pipeline_decontaminate", "sim_recall_report")
     val resultMap = results.toMap
     val hqs = headline.flatMap(k => resultMap.get(k).map(v => s"\"" + k + "\":" + jd(v)))
       .mkString("{", ",", "}")

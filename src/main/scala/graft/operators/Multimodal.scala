@@ -45,6 +45,30 @@ object Multimodal {
 
   private val FrameCount = 4
   private val HistBins = 16
+  private val ThumbW = 8
+  private val ThumbH = 8
+
+  /** STUB resize: nearest-neighbor downsample over the fake decoded pixel
+    * grid (pixel(x, y) = content byte at (y·width + x) mod len — a real
+    * codec would decode width×height pixels here; the sampling arithmetic,
+    * batch shape and downstream hashing are the production plumbing).
+    */
+  private def resizeStub(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val out = new Array[Byte](ThumbW * ThumbH)
+    val n = math.max(content.length, 1)
+    var y = 0
+    while (y < ThumbH) {
+      val sy = y * height / ThumbH
+      var x = 0
+      while (x < ThumbW) {
+        val sx = x * width / ThumbW
+        out(y * ThumbW + x) = content(((sy.toLong * width + sx) % n).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 
   /** Media table derived from documents: media_type cycles by doc_id,
     * metadata is arithmetic on (doc_id, n_chars) — all oracle-computable.
@@ -169,6 +193,41 @@ object Multimodal {
         |        unnest(range(0, (length(text) - 128) // 64 + 1)) AS k
         |      FROM documents WHERE doc_id % 3 = 1 AND length(text) >= 128)
         |ORDER BY doc_id, win_idx""".stripMargin)),
+
+    // ---- resize through the stubbed decode: every image row downsampled
+    // to an 8×8 nearest-neighbor thumbnail — the batch-transcode shape
+    // (decode → resize → re-encode) with the codec stubbed as the
+    // deterministic byte grid. The thumbnail bytes are per-partition JVM
+    // work (the mapInPandas shape); only (id, 64-byte thumb) rows leave the
+    // scan stage. Oracle-checked exactly: the corpus is ASCII, so DuckDB
+    // rebuilds the same 64 bytes with substr arithmetic and md5s them;
+    // pix_sum is the integer checksum of the sampled pixels.
+    ("mm_resize_thumbnail", (s, d) => {
+      import s.implicits._
+      media(s, d).filter($"media_type" === "image")
+        .select($"doc_id", $"content", $"width", $"height")
+        .as[(Long, Array[Byte], Int, Int)]
+        .mapPartitions(_.map { case (id, c, w, h) =>
+          val t = resizeStub(c, w, h)
+          var sum = 0L
+          var i = 0
+          while (i < t.length) { sum += (t(i) & 0xff); i += 1 }
+          (id, t, sum)
+        })
+        .toDF("doc_id", "thumb", "pix_sum")
+        .select($"doc_id",
+          lit(ThumbW.toLong).as("out_w"), lit(ThumbH.toLong).as("out_h"),
+          md5($"thumb").as("thumb_md5"), $"pix_sum")
+        .orderBy($"doc_id")
+    }, Some(
+      s"""SELECT doc_id, CAST($ThumbW AS BIGINT) AS out_w, CAST($ThumbH AS BIGINT) AS out_h,
+         |  md5(array_to_string(list_transform(range(0, ${ThumbW * ThumbH}),
+         |    i -> substr(text, CAST((((i // $ThumbW) * (64 + (doc_id % 9) * 16) // $ThumbH) * (64 + (doc_id % 16) * 16)
+         |                 + ((i % $ThumbW) * (64 + (doc_id % 16) * 16) // $ThumbW)) % length(text) AS INT) + 1, 1)), '')) AS thumb_md5,
+         |  CAST(list_sum(list_transform(range(0, ${ThumbW * ThumbH}),
+         |    i -> ascii(substr(text, CAST((((i // $ThumbW) * (64 + (doc_id % 9) * 16) // $ThumbH) * (64 + (doc_id % 16) * 16)
+         |                 + ((i % $ThumbW) * (64 + (doc_id % 16) * 16) // $ThumbW)) % length(text) AS INT) + 1, 1)))) AS BIGINT) AS pix_sum
+         |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin)),
 
     // ---- feature extraction through the stubbed decode, oracle-checked:
     // the fake codec is a 16-bin byte histogram, and the corpus is pure
