@@ -380,6 +380,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupCandidateStream caps hot buckets: emission and state stop at maxBucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 30 identical docs -> one band bucket per band, all docs in it; with
+    // maxBucket=10 only the first 10 members pair up (45 distinct pairs),
+    // later arrivals are ignored instead of growing state. Batches of 5 so
+    // the cap lands exactly on a batch boundary (within-batch group order
+    // is not guaranteed; whole batches before/after the cap are).
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (0L until 30L).map(id => DocEvent(id, text))
+    val ms = MemoryStream[DocEvent]
+    val q = Streaming.nearDupCandidateStream(ms.toDS(), maxBucket = 10)
+      .writeStream.format("memory").queryName("ndc_cap_out").outputMode("append").start()
+    try {
+      docs.grouped(5).foreach { g => ms.addData(g); q.processAllAvailable() }
+      val got = spark.table("ndc_cap_out").as[NearDupPair].collect()
+        .map(p => (p.id1, p.id2)).toSet
+      val want = (for (i <- 0L until 10L; j <- i + 1 until 10L) yield (i, j)).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("scd2Fn drops cross-batch stragglers older than the open interval") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
