@@ -376,6 +376,57 @@ object TextOps {
          |      FROM documents)
          |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- token-distribution entropy: Shannon entropy of the per-doc token
+    // frequency distribution (nats) and its normalized form — the standard
+    // "gibberish or keyword-stuffed?" quality signal (degenerate docs score
+    // near 0, natural text near ln(n_distinct)). Computed on both engines as
+    // ln(n) - Σ c·ln(c) / n over the token counts: the float sum's order
+    // differs across engines/partitions by ~1e-13, far below the 4-decimal
+    // rounding, so the hash compare holds (same argument as the stats
+    // suite's distributed stddev). Fused per-doc pass; map-only at scale.
+    ("text_entropy", (s, d) => {
+      import s.implicits._
+      val stats = Tables.documents(s, d)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val toks = text.trim.split("\\s+")
+            val cnt = new java.util.HashMap[String, Long]
+            var i = 0
+            while (i < toks.length) {
+              cnt.merge(toks(i), 1L, (a, b) => a + b)
+              i += 1
+            }
+            var s = 0.0
+            cnt.forEach { (_, c) => s += c * math.log(c.toDouble) }
+            val n = toks.length.toDouble
+            val ent = math.log(n) - s / n
+            (id, toks.length.toLong, cnt.size.toLong, ent)
+          }
+        }.toDF("doc_id", "n_tok", "n_distinct", "ent")
+      stats.select(
+          $"doc_id", $"n_tok", $"n_distinct",
+          round($"ent", 4).as("entropy"),
+          when($"n_distinct" > 1, round($"ent" / log($"n_distinct".cast("double")), 4))
+            .otherwise(0.0).as("norm_entropy"))
+        .orderBy($"doc_id")
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH tokcnt AS (
+         |  SELECT doc_id, tok, count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest($t) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |e AS (
+         |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok, count(*) AS n_distinct,
+         |    ln(CAST(sum(cnt) AS DOUBLE)) - sum(cnt * ln(CAST(cnt AS DOUBLE))) / sum(cnt) AS ent
+         |  FROM tokcnt GROUP BY doc_id)
+         |SELECT doc_id, n_tok, n_distinct,
+         |  ${rndSql("ent", 4)} AS entropy,
+         |  CASE WHEN n_distinct > 1 THEN ${rndSql("ent / ln(CAST(n_distinct AS DOUBLE))", 4)}
+         |       ELSE 0.0 END AS norm_entropy
+         |FROM e ORDER BY doc_id""".stripMargin
+    }),
+
     // ---- within-document repetition stats (the Gopher-style repetition
     // filters): fraction of 2-gram occurrences taken by the single most
     // frequent 2-gram, and fraction of 3-gram occurrences that are repeats
