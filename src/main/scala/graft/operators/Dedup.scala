@@ -398,6 +398,53 @@ object Dedup {
          |WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin
     }),
 
+    // ---- dedup quality evaluation: recall of the MinHash+LSH near-dup
+    // path against the exact n-gram-Jaccard ground truth — the number that
+    // justifies running LSH instead of the quadratic exact pass at scale.
+    // Ground truth = exact pairs at jaccard >= 0.6; found = LSH-verified
+    // pairs at >= 0.5 (a candidate the bands missed is missed forever, so
+    // the laxer verify threshold does not inflate recall). Composes the two
+    // existing queries; the intersection is a semi-join on the pair ids —
+    // fully distributed, no driver-side set logic.
+    ("dedup_lsh_recall", (s, d) => {
+      import s.implicits._
+      val ex = queries("dedup_ngram_jaccard")(s, d).select($"id1", $"id2")
+      val fd = queries("dedup_minhash_lsh")(s, d).select($"id1", $"id2")
+      val hit = ex.join(fd, Seq("id1", "id2"), "left_semi")
+      ex.agg(count(lit(1)).as("n_true"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_found")))
+        .select($"n_true", $"n_found",
+          round($"n_found" / $"n_true".cast("double"), 4).as("recall"))
+    }, Some {
+      s"""WITH $corpusSql,
+         |$shinglesSql,
+         |shc AS (
+         |  SELECT doc_id, h FROM sh
+         |  WHERE h IN (SELECT h FROM sh GROUP BY h HAVING count(*) <= $JaccardDfCap)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+         |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT id1, id2,
+         |      ${rndSql("common / CAST(s1.n + s2.n - common AS DOUBLE)", 4)} AS jaccard
+         |    FROM common JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2)
+         |  WHERE jaccard >= 0.6),
+         |${minhashSql("corpus", "3")},
+         |fd AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT c.id1, c.id2,
+         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
+         |    FROM cand3 c JOIN arr3 a1 ON a1.doc_id = c.id1 JOIN arr3 a2 ON a2.doc_id = c.id2)
+         |  WHERE jaccard >= 0.5)
+         |SELECT
+         |  (SELECT count(*) FROM ex) AS n_true,
+         |  (SELECT count(*) FROM ex JOIN fd USING (id1, id2)) AS n_found,
+         |  ${rndSql("(SELECT count(*) FROM ex JOIN fd USING (id1, id2)) / CAST((SELECT count(*) FROM ex) AS DOUBLE)", 4)} AS recall""".stripMargin
+    }),
+
     // ---- SimHash: 32-bit signature from count-weighted token hash bits.
     ("dedup_simhash", (s, d) => {
       import s.implicits._
