@@ -602,50 +602,36 @@ object Dedup {
          |FROM comp c JOIN sizes s USING (cluster_id) ORDER BY doc_id""".stripMargin
     }),
 
-    // ---- embedding cosine near-dup: the exact O(n²) baseline (broadcast
-    // small side; the scalable path is Similarity's LSH/IVF variants).
-    // Dot/norm are sequential array folds in both engines → bit-identical.
+    // ---- embedding cosine near-dup: the exact O(n²) baseline (the
+    // scalable path is Similarity's LSH/IVF variants; this query is the
+    // ground truth they are judged against). Distributed block-pair shape:
+    // vectors are unit-normalized once and assigned to id-range blocks;
+    // the (b1 <= b2) block pairs form the work list, each block pair
+    // scoring its cross product in its own task — no driver-side
+    // collect(), no broadcast of the vector table, and the O(n²) compute
+    // (the inherent cost of an exact baseline) spreads across
+    // nBlocks·(nBlocks+1)/2 tasks whose shuffle keys are block ids. The
+    // dot product is the codegen'd `vec_dot` (plans.VecDot), a sequential
+    // left fold — bit-identical to DuckDB's list_dot_product.
     ("dedup_embedding_cosine", (s, d) => {
+      graft.plans.GraftExtensions.register(s)
       import s.implicits._
-      // Unit-normalize once, then block nested-loop: broadcast the (small)
-      // right side as a plain array and scan each partition with a fused
-      // JVM loop. The while-loop accumulates in the same sequential order
-      // as the HOF fold / DuckDB's list_dot_product, so doubles stay
-      // bit-identical to the oracle. Array HOFs are CodegenFallback
-      // (interpreted per element) — 8M interpreted lambda steps for these
-      // 125k pairs — which is why the hot loop is hand-fused.
+      val B = 256 // block size: bounds one task's pair square at B²
       val unit = Tables.embeddings(s, d)
         .select($"vec_id", transform($"embedding", x => x.cast("double")).as("raw"))
-        .withColumn("nrm", sqrt(aggregate($"raw", lit(0.0), (acc, x) => acc + x * x)))
-        .select($"vec_id", transform($"raw", x => x / $"nrm").as("emb"))
-        .as[(Long, Array[Double])]
-      // Normalize ONCE: the collected array is both the broadcast right side
-      // and (indexed by a round-robin-balanced range) the left side, so the
-      // corpus isn't re-normalized for the probe scan and each row pair is
-      // visited exactly once (j starts at i+1 — no wasted id compares on the
-      // rejected half of the matrix).
-      val bc = s.sparkContext.broadcast(unit.collect().sortBy(_._1))
-      val nVec = bc.value.length
-      val parts = s.sparkContext.defaultParallelism
-      s.range(nVec).repartition(parts).as[Long].mapPartitions { it =>
-        val right = bc.value
-        it.flatMap { iIdx =>
-          val (id1, e1) = right(iIdx.toInt)
-          // plain while-loop with threshold-gated emission: no per-pair
-          // iterator/tuple allocation for the ~n²/2 rejected pairs
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          var j = iIdx.toInt + 1
-          while (j < right.length) {
-            val (id2, e2) = right(j)
-            var acc = 0.0
-            var i = 0
-            while (i < e1.length) { acc += e1(i) * e2(i); i += 1 }
-            if (acc >= 0.4) out += ((id1, id2, acc))
-            j += 1
-          }
-          out
-        }
-      }.toDF("id1", "id2", "cos")
+        .withColumn("nrm", sqrt(call_function("vec_dot", $"raw", $"raw")))
+        .select($"vec_id", transform($"raw", x => x / $"nrm").as("emb"),
+          ($"vec_id" / B).cast("long").as("blk"))
+        .cache() // normalize once; read by both join sides (spills, Bench clears)
+      val blocks = unit.select($"blk").distinct()
+      val blockPairs = blocks.as("x").join(blocks.as("y"), $"x.blk" <= $"y.blk")
+        .select($"x.blk".as("b1"), $"y.blk".as("b2"))
+      blockPairs
+        .join(unit.select($"blk".as("b1"), $"vec_id".as("id1"), $"emb".as("e1")), "b1")
+        .join(unit.select($"blk".as("b2"), $"vec_id".as("id2"), $"emb".as("e2")), "b2")
+        .filter($"id1" < $"id2") // same-block pairs kept once; cross-block always id1<id2
+        .withColumn("cos", call_function("vec_dot", $"e1", $"e2"))
+        .filter($"cos" >= 0.4)
         .select($"id1", $"id2", round($"cos", 4).as("cos"))
         .orderBy($"id1", $"id2")
     }, Some(
