@@ -301,36 +301,11 @@ object Dedup {
       // together. (A hand-rolled per-partition LongMap combine was measured
       // 5.3s vs 3.1s here — the UnsafeRow hash agg wins, and it spills.)
       val units = capped.as[Array[Long]] // primitive decode — no per-id boxing
-        .flatMap { a =>
-          java.util.Arrays.sort(a)
-          require(a.isEmpty || a(0) >= 0,
-            "dedup_ngram_jaccard: negative doc_id collides with the -1 size-marker sentinel")
-          val blocks = a.grouped(JaccardBlock).toArray
-          for {
-            i <- blocks.indices.iterator
-            j <- (i until blocks.length).iterator
-          } yield (blocks(i), blocks(j), i == j)
-        }
+        .flatMap(blockUnits _)
       val counted = units
         .repartition(s.sparkContext.defaultParallelism) // fan hot groups out across tasks
-        .flatMap { case (bi, bj, diag) =>
-          // <= JaccardBlock² pairs per unit — no sizing hint needed
-          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
-            JaccardBlock * (JaccardBlock + 1))
-          var i = 0
-          while (i < bi.length) {
-            if (diag) {
-              out += ((bi(i), -1L)) // size marker: one per (shingle, doc)
-              var j = i + 1
-              while (j < bi.length) { out += ((bi(i), bi(j))); j += 1 }
-            } else {
-              var j = 0
-              while (j < bj.length) { out += ((bi(i), bj(j))); j += 1 }
-            }
-            i += 1
-          }
-          out
-        }.toDF("id1", "id2")
+        .flatMap((unitRows _).tupled)
+        .toDF("id1", "id2")
         .groupBy($"id1", $"id2").agg(count(lit(1)).as("cnt"))
         // Explicit spill-capable persist (Dataset.cache() is MEMORY_AND_DISK
         // too — spelled out because the exact path must spill, not recompute,
@@ -659,6 +634,45 @@ object Dedup {
     * (cap/block)·(cap/block+1)/2 = 36 tasks instead of one.
     */
   private val JaccardBlock = 64
+
+  /** One shingle group's id array → salted (block_i, block_j, diagonal)
+    * work units. The array is sorted in place, so every element of block i
+    * is < every element of block j for i < j, and [[unitRows]] can emit
+    * ordered pairs without comparisons. (BlockedPairsProps pins that the
+    * two stages together reproduce the naive single-pass emission exactly.)
+    */
+  private[operators] def blockUnits(a: Array[Long]): Iterator[(Array[Long], Array[Long], Boolean)] = {
+    java.util.Arrays.sort(a)
+    require(a.isEmpty || a(0) >= 0,
+      "dedup_ngram_jaccard: negative doc_id collides with the -1 size-marker sentinel")
+    val blocks = a.grouped(JaccardBlock).toArray
+    for {
+      i <- blocks.indices.iterator
+      j <- (i until blocks.length).iterator
+    } yield (blocks(i), blocks(j), i == j)
+  }
+
+  /** One work unit → (id1, id2) pair rows plus, on the diagonal unit, one
+    * (id, -1) size marker per member. <= JaccardBlock² pairs per unit.
+    */
+  private[operators] def unitRows(
+      bi: Array[Long], bj: Array[Long], diag: Boolean): Seq[(Long, Long)] = {
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+      JaccardBlock * (JaccardBlock + 1))
+    var i = 0
+    while (i < bi.length) {
+      if (diag) {
+        out += ((bi(i), -1L)) // size marker: one per (shingle, doc)
+        var j = i + 1
+        while (j < bi.length) { out += ((bi(i), bi(j))); j += 1 }
+      } else {
+        var j = 0
+        while (j < bj.length) { out += ((bi(i), bj(j))); j += 1 }
+      }
+      i += 1
+    }
+    out.toSeq
+  }
 
   /** Round bound for the dedup_clusters label-propagation fixpoint: one
     * round per hop of component diameter, so 64 covers any cluster a dedup
