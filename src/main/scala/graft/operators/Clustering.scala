@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-space clustering for LLM training-data curation: deterministic
+  * k-means over the embeddings table, and SemDeDup-style semantic
+  * deduplication (Abbas et al. 2023: cluster the corpus, then drop documents
+  * whose within-cluster cosine to an earlier document exceeds a threshold —
+  * the pair scan is cluster-bounded, never corpus-quadratic).
+  *
+  * Why this k-means is oracle-checkable at all: distributed float averaging
+  * has no deterministic order, so a textbook Lloyd centroid (mean of member
+  * vectors) hashes differently run-to-run at the last ulp. Instead each unit
+  * vector is quantized to integers (round(x·1024) — stored in DOUBLE columns,
+  * but integer-valued), and centroids are kept as EXACT integer sum vectors
+  * `s` plus a member count `n`, never divided into a float mean. Distances
+  * compare `‖q − s/n‖² = (n²·q·q − 2n·q·s + s·s)/n²`: every dot product is a
+  * sum of integer products, exact in IEEE doubles as long as the running
+  * values stay under 2^53 (components ≤1024 = 2^10, so `s·s ≤ 64·(2^10·n)²`
+  * stays exact through n ≈ 2^16 members per cluster — document-scale sf1;
+  * beyond that, widen the quantization budget or shard clusters), and the
+  * final division of two exactly-representable integers is a single IEEE
+  * operation — bit-identical on any engine, in any partition order. Ties
+  * break by lowest cluster id. Two Lloyd iterations from seeded medoids
+  * (every `SeedStride`-th vector, the IVF seeding) are enough to move every
+  * centroid once and re-assign — the fixed iteration count is part of the
+  * query contract, not a convergence claim.
+  *
+  * Scale design (100 TB stance): the assignment step broadcasts only the K
+  * centroids (schema-bounded: K is a literal), never the corpus; the centroid
+  * update is a partial+final integer-sum aggregation (posexplode → sum —
+  * map-side combinable, no collect); the SemDeDup pair scan shuffles on
+  * cluster id, so one task's pair square is bounded by the largest cluster,
+  * which K controls.
+  */
+object Clustering {
+  import Portable._
+
+  private val K = 8
+  private val SeedStride = 50
+  private val QScale = 1024
+  private val Dims = 64
+  private val CosThreshold = 0.85
+
+  private def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Integer-quantized unit vectors: (vec_id, qv: array<double> holding
+    * exact integers in [-1024, 1024]). The rounding shim (Portable.round /
+    * rndSql) keeps both engines rounding the same 8-digit decimal.
+    */
+  private def quantized(u: DataFrame): DataFrame = {
+    val s = u.sparkSession
+    import s.implicits._
+    u.select($"vec_id", transform($"emb", x => round(x * QScale, 0)).as("qv"))
+  }
+
+  private def quantizedSql(src: String): String =
+    s"""q AS (
+       |  SELECT vec_id, list_transform(emb, x -> ${rndSql(s"x*$QScale", 0)}) AS qv
+       |  FROM $src)""".stripMargin
+
+  /** Two deterministic Lloyd iterations over a (vec_id, emb) unit-vector
+    * table → (vec_id, cid). See the object Scaladoc for the exact-integer
+    * distance argument.
+    */
+  private def kmeansAssign(u: DataFrame): DataFrame = {
+    val s = u.sparkSession
+    import s.implicits._
+    val q = quantized(u).cache() // read by both assignment passes + the centroid update (spills; Bench clears)
+    val seeds = q.filter($"vec_id" % SeedStride === 0 && $"vec_id" < SeedStride * K)
+      .select(($"vec_id" / SeedStride).cast("long").as("cid"), $"qv".as("m"))
+    val w = Window.partitionBy($"vec_id").orderBy($"dist", $"cid")
+    val a1 = q.crossJoin(broadcast(seeds)) // K rows — schema-bounded broadcast
+      .withColumn("dist",
+        vecDot($"qv", $"qv") - lit(2) * vecDot($"qv", $"m") + vecDot($"m", $"m"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"cid")
+    val n1 = a1.groupBy($"cid").agg(count(lit(1)).as("n"))
+    // Exact integer centroid state: per-dimension sums via posexplode →
+    // partial+final sum (order-invariant because the addends are integers),
+    // reassembled into an array ordered by dimension.
+    val sums = a1.join(q, "vec_id")
+      .select($"cid", posexplode($"qv").as(Seq("i", "v")))
+      .groupBy($"cid", $"i").agg(sum($"v").as("sm"))
+      .groupBy($"cid")
+      .agg(transform(array_sort(collect_list(struct($"i", $"sm"))), x => x("sm")).as("s"))
+    val cn = sums.join(n1, "cid")
+    q.crossJoin(broadcast(cn)) // K rows again
+      .withColumn("dist",
+        ($"n" * $"n" * vecDot($"qv", $"qv") - lit(2) * $"n" * vecDot($"qv", $"s")
+          + vecDot($"s", $"s")) / ($"n" * $"n"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"cid")
+  }
+
+  /** Oracle twin of [[kmeansAssign]]: CTE chain `q → seeds → a1 → cent →
+    * a2` over a unit-vector CTE named `src`(vec_id, emb).
+    */
+  private def kmeansSql(src: String): String =
+    s"""${quantizedSql(src)},
+       |seeds AS (
+       |  SELECT CAST(vec_id // $SeedStride AS BIGINT) AS cid, qv AS m FROM q
+       |  WHERE vec_id % $SeedStride = 0 AND vec_id < ${SeedStride * K}),
+       |d1 AS (
+       |  SELECT vec_id, cid,
+       |    list_dot_product(qv, qv) - 2*list_dot_product(qv, m) + list_dot_product(m, m) AS dist
+       |  FROM q CROSS JOIN seeds),
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+       |  WHERE rn = 1),
+       |n1 AS (SELECT cid, count(*) AS n FROM a1 GROUP BY cid),
+       |sums AS (
+       |  SELECT cid, i, sum(qv[i]) AS sm
+       |  FROM a1 JOIN q USING (vec_id) CROSS JOIN generate_series(1, $Dims) t(i)
+       |  GROUP BY cid, i),
+       |cent AS (SELECT cid, list(sm ORDER BY i) AS s FROM sums GROUP BY cid),
+       |cn AS (SELECT c.cid, c.s, n1.n FROM cent c JOIN n1 USING (cid)),
+       |d2 AS (
+       |  SELECT vec_id, cid,
+       |    (n*n*list_dot_product(qv, qv) - 2*n*list_dot_product(qv, s) + list_dot_product(s, s)) / (n*n) AS dist
+       |  FROM q CROSS JOIN cn),
+       |a2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Planted near-duplicate embedding corpus (the embeddings table is
+    * near-orthogonal random — max pairwise cosine ≈0.55 — so, mirroring
+    * Dedup's text corpus, duplicates are derived in-query on BOTH engines):
+    * originals, plus exact copies of every vec_id % 5 == 0 (ids +100000),
+    * plus near-duplicates of every vec_id % 7 == 0 (ids +200000) made by
+    * adding 0.5 to the first unit-vector component and renormalizing —
+    * cosine to the source lands in [0.87, 0.93], cleanly above random pairs
+    * and below exact copies.
+    */
+  private def plantedUnit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u0 = Similarity.vectors(s, d)
+    val pert = u0.filter($"vec_id" % 7 === 0)
+      .select(($"vec_id" + 200000).as("vec_id"),
+        concat(array(element_at($"emb", 1) + 0.5), slice($"emb", 2, Dims - 1)).as("p"))
+      .withColumn("nrm", sqrt(vecDot($"p", $"p")))
+      .select($"vec_id", transform($"p", x => x / $"nrm").as("emb"))
+    u0.unionByName(
+        u0.filter($"vec_id" % 5 === 0).select(($"vec_id" + 100000).as("vec_id"), $"emb"))
+      .unionByName(pert)
+  }
+
+  private val plantedSql: String =
+    """u0 AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS emb
+      |  FROM embeddings),
+      |pert AS (
+      |  SELECT vec_id + 200000 AS vec_id, list_concat([emb[1] + 0.5], emb[2:]) AS p
+      |  FROM u0 WHERE vec_id % 7 = 0),
+      |u AS (
+      |  SELECT vec_id, emb FROM u0
+      |  UNION ALL SELECT vec_id + 100000, emb FROM u0 WHERE vec_id % 5 = 0
+      |  UNION ALL SELECT vec_id, list_transform(p, x -> x / sqrt(list_dot_product(p, p))) FROM pert)""".stripMargin
+
+  private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- deterministic k-means over the raw embeddings: cluster id +
+    // cluster size per vector after two Lloyd iterations.
+    ("sim_kmeans_clusters", (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      import s.implicits._
+      val a2 = kmeansAssign(Similarity.vectors(s, d))
+      val n2 = a2.groupBy($"cid").agg(count(lit(1)).as("cluster_size"))
+      a2.join(n2, "cid").select($"vec_id", $"cid", $"cluster_size").orderBy($"vec_id")
+    }, Some(
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS emb
+         |  FROM embeddings),
+         |${kmeansSql("v")},
+         |n2 AS (SELECT cid, count(*) AS cluster_size FROM a2 GROUP BY cid)
+         |SELECT vec_id, cid, cluster_size FROM a2 JOIN n2 USING (cid) ORDER BY vec_id""".stripMargin)),
+
+    // ---- SemDeDup: k-means the planted corpus, then inside each cluster
+    // drop every vector whose cosine to a LOWER-id cluster-mate reaches the
+    // threshold (dominated-by-earlier rule — transitive-blind, so the rule
+    // is a pure pair predicate both engines evaluate identically). Exact
+    // copies always share their source's cluster (identical input ⇒
+    // identical argmin) and are always dropped; near-duplicates are dropped
+    // only when clustering co-locates them — authentic SemDeDup recall.
+    ("dedup_semantic", (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      import s.implicits._
+      val u = plantedUnit(s, d).cache() // read by kmeans + the pair scan (spills; Bench clears)
+      val a2 = kmeansAssign(u)
+      val withEmb = a2.join(u, "vec_id")
+      val dropped = withEmb.as("a").join(withEmb.as("b"),
+          $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id") // shuffle on cid: cluster-bounded pair squares
+        .filter(vecDot($"a.emb", $"b.emb") >= CosThreshold)
+        .select($"b.vec_id".as("vec_id")).distinct()
+      a2.join(dropped.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+        .select($"vec_id", $"cid", coalesce($"dropped", lit(false)).as("dropped"))
+        .orderBy($"vec_id")
+    }, Some(
+      s"""WITH $plantedSql,
+         |${kmeansSql("u")},
+         |pairs AS (
+         |  SELECT b.vec_id AS id2
+         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN u ua ON ua.vec_id = a.vec_id JOIN u ub ON ub.vec_id = b.vec_id
+         |  WHERE list_dot_product(ua.emb, ub.emb) >= $CosThreshold)
+         |SELECT a2.vec_id, cid, (p.id2 IS NOT NULL) AS dropped
+         |FROM a2 LEFT JOIN (SELECT DISTINCT id2 FROM pairs) p ON a2.vec_id = p.id2
+         |ORDER BY a2.vec_id""".stripMargin))
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, f, _) => n -> f }.toMap
+
+  val oracleSql: Map[String, String] =
+    defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

@@ -44,7 +44,7 @@ object Similarity {
     * `plans.VecDot`) rather than the interpreted aggregate HOF — same
     * left-to-right accumulation order, bit-identical doubles.
     */
-  private def vectors(s: SparkSession, d: String): DataFrame = {
+  private[operators] def vectors(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     import s.implicits._
     Tables.embeddings(s, d)
