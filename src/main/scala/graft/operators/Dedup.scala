@@ -618,8 +618,113 @@ object Dedup {
          |  SELECT a.vec_id AS id1, b.vec_id AS id2,
          |    list_dot_product(a.emb, b.emb) AS cos
          |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
-         |WHERE cos >= 0.4 ORDER BY id1, id2""".stripMargin))
+         |WHERE cos >= 0.4 ORDER BY id1, id2""".stripMargin)),
+
+    // ---- exact repeated-span detection (the substring-level dedup of Lee
+    // et al. 2021, "Deduplicating Training Data Makes Language Models
+    // Better", recast on fixed stride-aligned windows instead of a suffix
+    // array — the suffix array's arbitrary-offset matches don't distribute;
+    // stride-aligned spans keep the whole pass map-side + two hash
+    // shuffles): every 32-char span at stride 16 is hashed, spans seen in
+    // >= 2 distinct docs are duplicated text, and each doc reports the
+    // fraction of its distinct spans that are duplicated. Per-doc distinct
+    // is an array HOF (no shuffle); the only shuffles key on the 64-bit
+    // span hash (count) and doc_id (report) — both map-side combinable.
+    ("dedup_repeated_spans", (s, d) => {
+      import s.implicits._
+      val (w, st) = (SpanLen, SpanStride)
+      val c = corpus(s, d)
+      // distinct spans per doc: positions 0, st, 2·st … while pos + w <= len
+      val ex = c.filter(length($"text") >= w)
+        .select($"doc_id", explode(array_distinct(transform(
+          sequence(lit(0), ((length($"text") - w).cast("double") / st).cast("long")),
+          i => $"text".substr((i * st + 1).cast("int"), lit(w))))).as("span"))
+        .select($"doc_id", xxhash64($"span").as("h"))
+      val cnt = ex.groupBy($"h").agg(count(lit(1)).as("ndocs")) // (doc,span) distinct -> count = doc count
+      val per = ex.join(cnt, "h")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when($"ndocs" >= 2, 1L).otherwise(0L)).as("n_dup"))
+      c.select($"doc_id").join(per, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_spans", lit(0L)).as("n_spans"),
+          coalesce($"n_dup", lit(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          when($"n_spans" === 0, lit(0.0)).otherwise(round($"n_dup" / $"n_spans", 4)))
+        .orderBy($"doc_id")
+    }, Some(
+      s"""WITH $corpusSql,
+         |arr AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(0, (length(text)-$SpanLen)//$SpanStride + 1),
+         |      i -> substr(text, CAST(i*$SpanStride+1 AS INT), $SpanLen))) AS spans
+         |  FROM corpus WHERE length(text) >= $SpanLen),
+         |ex AS (SELECT doc_id, unnest(spans) AS span FROM arr),
+         |cnt AS (SELECT span, count(*) AS ndocs FROM ex GROUP BY span),
+         |per AS (
+         |  SELECT e.doc_id, count(*) AS n_spans,
+         |    CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM ex e JOIN cnt USING (span) GROUP BY 1)
+         |SELECT c.doc_id, coalesce(n_spans, 0) AS n_spans, coalesce(n_dup, 0) AS n_dup,
+         |  CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
+         |       ELSE ${rndSql("coalesce(n_dup, 0) / CAST(n_spans AS DOUBLE)", 4)} END AS dup_frac
+         |FROM corpus c LEFT JOIN per USING (doc_id) ORDER BY c.doc_id""".stripMargin)),
+
+    // ---- word 8-gram novelty vs earlier corpus: for each doc, the
+    // fraction of its distinct 8-grams whose FIRST occurrence (min doc_id
+    // over the corpus) is the doc itself — the temporal-dedup curve a
+    // crawl-ordered ingest pipeline uses to measure marginal new content.
+    // Same two-shuffle shape as repeated spans (gram-hash agg, doc report);
+    // gram emission is a per-row HOF.
+    ("dedup_ngram_novelty", (s, d) => {
+      import s.implicits._
+      val n = NoveltyGram
+      val c = corpus(s, d)
+      val ex = c.select($"doc_id", tokens($"text").as("t"))
+        .filter(size($"t") >= n)
+        .select($"doc_id", explode(array_distinct(transform(
+          sequence(lit(1), size($"t") - (n - 1)),
+          i => array_join(slice($"t", i, lit(n)), " ")))).as("g"))
+        .select($"doc_id", xxhash64($"g").as("h"))
+      val firsts = ex.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+      val per = ex.join(firsts, "h")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      c.select($"doc_id").join(per, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_grams", lit(0L)).as("n_grams"),
+          coalesce($"n_novel", lit(0L)).as("n_novel"))
+        .withColumn("novelty",
+          when($"n_grams" === 0, lit(1.0)).otherwise(round($"n_novel" / $"n_grams", 4)))
+        .orderBy($"doc_id")
+    }, Some(
+      s"""WITH $corpusSql,
+         |toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM corpus),
+         |grams AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-${NoveltyGram - 2}),
+         |      i -> array_to_string(t[i:i+${NoveltyGram - 1}], ' '))) AS gs
+         |  FROM toks WHERE len(t) >= $NoveltyGram),
+         |ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+         |firsts AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g),
+         |per AS (
+         |  SELECT e.doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM ex e JOIN firsts USING (g) GROUP BY 1)
+         |SELECT c.doc_id, coalesce(n_grams, 0) AS n_grams, coalesce(n_novel, 0) AS n_novel,
+         |  CASE WHEN coalesce(n_grams, 0) = 0 THEN 1.0
+         |       ELSE ${rndSql("n_novel / CAST(n_grams AS DOUBLE)", 4)} END AS novelty
+         |FROM corpus c LEFT JOIN per USING (doc_id) ORDER BY c.doc_id""".stripMargin))
   )
+
+  /** Repeated-span window: 32 chars at stride 16 — adjacent spans overlap
+    * by half, so any duplicated run >= 47 chars is guaranteed to contain at
+    * least one aligned span on both sides.
+    */
+  private val SpanLen = 32
+  private val SpanStride = 16
+
+  /** Novelty n-gram order (word 8-grams — the decontamination standard). */
+  private val NoveltyGram = 8
 
   /** Document-frequency cut for the Jaccard inverted index: shingles in more
     * than this many docs are stop-shingles and never generate pairs. Bounds
