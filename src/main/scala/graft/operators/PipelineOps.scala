@@ -328,7 +328,56 @@ object PipelineOps {
          |  SELECT doc_id,
          |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
          |  FROM documents)
-         |WHERE rn <= $SampleK ORDER BY rank""".stripMargin))
+         |WHERE rn <= $SampleK ORDER BY rank""".stripMargin)),
+
+    // ---- domain-mixture sampling: given per-domain target weights (derived
+    // here from the source name's digits — a stand-in for a curated mixture
+    // config), compute each domain's deterministic acceptance rate
+    // share_i·N/n_i and sample by hash threshold. The acceptance test is a
+    // CROSS-MULTIPLIED integer comparison (hmod·Σw·n_i < w_i·N·10⁶) — no
+    // float rate ever materializes, so both engines agree exactly and the
+    // rate needs no rounding shim. Two passes: a 20-row domain-stats agg
+    // (broadcast back), then the map-side filter — the 100 TB shape (the
+    // stats agg is map-combinable; no sort, no window over the corpus).
+    ("pipeline_domain_mixture", (s, d) => {
+      import s.implicits._
+      val doc = Tables.documents(s, d).select($"doc_id", $"source")
+        .withColumn("w",
+          (coalesce(regexp_extract($"source", "([0-9]+)", 1).cast("long"), lit(0L)) % 4) + 1)
+      val stats = doc.groupBy($"source", $"w").agg(count(lit(1)).as("n_dom"))
+      val tot = stats.agg(sum($"n_dom").as("n_total"), sum($"w").as("sum_w"))
+      val acc = doc.join(stats, Seq("source", "w")).crossJoin(broadcast(tot))
+        .filter(pmod(h60(concat(lit("mix"), $"doc_id")), lit(1000000L))
+          * $"sum_w" * $"n_dom" < $"w" * $"n_total" * lit(1000000L))
+      val sampled = acc.groupBy($"source").agg(count(lit(1)).as("n_sampled"))
+      val all = Window.partitionBy() // 20-row aggregate — scalar totals are cheap
+      stats.join(sampled, Seq("source"), "left")
+        .crossJoin(broadcast(tot))
+        .select($"source", $"n_dom".as("n_docs"), $"w".as("weight"),
+          round($"w" / $"sum_w", 4).as("target_share"),
+          coalesce($"n_sampled", lit(0L)).as("n_sampled"))
+        .withColumn("achieved_share",
+          round($"n_sampled" / sum($"n_sampled").over(all), 4))
+        .orderBy($"source")
+    }, Some(
+      s"""WITH doc AS (
+         |  SELECT doc_id, source,
+         |    (coalesce(CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT), 0) % 4) + 1 AS w
+         |  FROM documents),
+         |stats AS (SELECT source, w, count(*) AS n_dom FROM doc GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n_dom) AS BIGINT) AS n_total, CAST(sum(w) AS BIGINT) AS sum_w FROM stats),
+         |acc AS (
+         |  SELECT d.source
+         |  FROM doc d JOIN stats ON d.source = stats.source AND d.w = stats.w CROSS JOIN tot
+         |  WHERE (${h60Sql("'mix' || CAST(d.doc_id AS VARCHAR)")} % 1000000) * sum_w * n_dom
+         |        < stats.w * n_total * 1000000),
+         |sampled AS (SELECT source, count(*) AS n_sampled FROM acc GROUP BY 1)
+         |SELECT source, n_dom AS n_docs, w AS weight,
+         |  ${rndSql("w / CAST(sum_w AS DOUBLE)", 4)} AS target_share,
+         |  coalesce(n_sampled, 0) AS n_sampled,
+         |  ${rndSql("coalesce(n_sampled, 0) / CAST(sum(coalesce(n_sampled, 0)) OVER () AS DOUBLE)", 4)} AS achieved_share
+         |FROM stats LEFT JOIN sampled USING (source) CROSS JOIN tot
+         |ORDER BY source""".stripMargin))
   )
 
   /** Global-sample size for pipeline_bottomk_sample. */

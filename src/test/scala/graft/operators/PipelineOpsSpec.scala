@@ -104,4 +104,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(prof._3 == li.select($"l_returnflag").distinct.count())
     assert(prof._4 == "A" && prof._5 == "R")
   }
+
+  test("domain mixture: rates track target shares, sampling bounded by domain size") {
+    import spark.implicits._
+    val rows = PipelineOps.queries("pipeline_domain_mixture")(spark, sfDir)
+      .select($"source", $"n_docs", $"weight", $"target_share", $"n_sampled", $"achieved_share")
+      .as[(String, Long, Long, Double, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, w, tgt, nSamp, _) =>
+      assert(w >= 1 && w <= 4, s"$src weight $w")
+      assert(nSamp <= nDocs, s"$src sampled $nSamp > $nDocs")
+      assert(math.abs(tgt - w.toDouble / rows.map(_._3).sum) < 1e-4)
+    }
+    assert(math.abs(rows.map(_._6).sum - 1.0) < 0.01) // achieved shares sum to ~1
+    // heavier domains sample more: mean sampled count rises with weight
+    val byW = rows.groupBy(_._3).view.mapValues(rs => rs.map(_._5).sum.toDouble / rs.size)
+    assert(byW(4L) > byW(1L))
+  }
 }
