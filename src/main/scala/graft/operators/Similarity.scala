@@ -38,6 +38,10 @@ object Similarity {
   private val IvfCentroids = 8
   private val IvfSeedStride = 50
   private val NProbe = 2
+  private val PqSub = 8 // subspaces: 64 dims -> 8 x 8-dim subvectors
+  private val PqSubDim = 8
+  private val PqCodes = 16 // codebook entries per subspace (4-bit codes)
+  private val PqSeedStride = 3 // medoid seeds: vec_id 0,3,...,45 — present at every SF
 
   /** Embeddings as unit-normalized double arrays (sequential folds). The
     * norm uses the native `vec_dot` expression (codegen'd primitive loop,
@@ -366,6 +370,70 @@ object Similarity {
          |    CAST(row_number() OVER (PARTITION BY c.q_id
          |      ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS BIGINT) AS rank
          |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- product-quantization top-k (the memory-compressed ANN path):
+    // split each vector into 8 contiguous 8-dim subvectors, quantize each
+    // against a 16-entry per-subspace codebook (seeded medoids — stride-3
+    // vec_ids, same no-float-averaging stance as IVF), and score queries
+    // against the RECONSTRUCTED vectors (asymmetric distance computation:
+    // exact query side, quantized corpus side — one sequential 64-dim fold,
+    // so both engines agree bit-for-bit). A corpus vector is then 8 code
+    // bytes instead of 512 raw bytes; at 100 TB the scan reads codes and a
+    // broadcast codebook (128 rows, schema-bounded), and composes with the
+    // IVF partition probe for sub-linear candidates.
+    ("sim_pq_topk", (s, d) => {
+      import s.implicits._
+      val v = vectors(s, d).cache() // read by codebook, encode, and query sides (spills; Bench clears)
+      val subArrays = posexplode(transform(sequence(lit(0), lit(PqSub - 1)),
+        m => slice($"emb", m * PqSubDim + 1, lit(PqSubDim))))
+      val codebook = v.filter($"vec_id" % PqSeedStride === 0 && $"vec_id" < PqSeedStride * PqCodes)
+        .select(($"vec_id" / PqSeedStride).cast("long").as("code"), $"emb")
+        .select($"code", subArrays.as(Seq("m", "csub")))
+      val subs = v.select($"vec_id", subArrays.as(Seq("m", "sub")))
+      val wEnc = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"code")
+      val enc = subs.join(broadcast(codebook), "m") // 128 rows — schema-bounded broadcast
+        .withColumn("dist",
+          cosine($"sub", $"sub") - lit(2) * cosine($"sub", $"csub") + cosine($"csub", $"csub"))
+        .withColumn("rn", row_number().over(wEnc)).filter($"rn" === 1)
+      val recon = enc.groupBy($"vec_id")
+        .agg(flatten(transform(array_sort(collect_list(struct($"m", $"csub"))),
+          x => x("csub"))).as("recon"))
+      val q = v.filter($"vec_id" < NumQueries).select($"vec_id".as("q_id"), $"emb".as("q_emb"))
+      val wTop = Window.partitionBy($"q_id").orderBy($"score".desc, $"n_id")
+      broadcast(q).join(recon.select($"vec_id".as("n_id"), $"recon"), $"q_id" =!= $"n_id")
+        .withColumn("score", cosine($"q_emb", $"recon"))
+        .withColumn("rank", row_number().over(wTop).cast("long"))
+        .filter($"rank" <= TopK)
+        .select($"q_id", $"rank", $"n_id", round($"score", 4).as("approx_cos"))
+        .orderBy($"q_id", $"rank")
+    }, Some(
+      s"""WITH $vectorsSql,
+         |cb AS (
+         |  SELECT CAST(vec_id // $PqSeedStride AS BIGINT) AS code, m,
+         |    emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS csub
+         |  FROM v CROSS JOIN generate_series(0, ${PqSub - 1}) t(m)
+         |  WHERE vec_id % $PqSeedStride = 0 AND vec_id < ${PqSeedStride * PqCodes}),
+         |subs AS (
+         |  SELECT vec_id, m, emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sub
+         |  FROM v CROSS JOIN generate_series(0, ${PqSub - 1}) t(m)),
+         |enc AS (
+         |  SELECT vec_id, m, csub FROM (
+         |    SELECT s.vec_id, s.m, cb.csub,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        list_dot_product(s.sub, s.sub) - 2*list_dot_product(s.sub, cb.csub)
+         |          + list_dot_product(cb.csub, cb.csub),
+         |        cb.code) AS rn
+         |    FROM subs s JOIN cb USING (m))
+         |  WHERE rn = 1),
+         |recon AS (
+         |  SELECT vec_id, flatten(list(csub ORDER BY m)) AS recon FROM enc GROUP BY vec_id),
+         |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NumQueries)
+         |SELECT q_id, rank, n_id, ${rndSql("score", 4)} AS approx_cos FROM (
+         |  SELECT q_id, r.vec_id AS n_id, list_dot_product(q_emb, recon) AS score,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY list_dot_product(q_emb, recon) DESC, r.vec_id) AS BIGINT) AS rank
+         |  FROM q JOIN recon r ON q_id <> r.vec_id)
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin))
   )
 

@@ -31,7 +31,7 @@ class AnnQualitySpec extends AnyFunSuite {
 
   test("LSH and IVF top-k achieve nontrivial recall against the exact baseline") {
     val brute = topkPairs("sim_brute_topk")
-    for (ann <- Seq("sim_lsh_topk", "sim_ivf_topk")) {
+    for (ann <- Seq("sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk")) {
       val got = topkPairs(ann)
       val recalls = brute.map { case (q, exact) =>
         got.getOrElse(q, Seq.empty).count(exact.toSet).toDouble / exact.size
