@@ -167,6 +167,27 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scan must prune to doc_id/text:\n$plan")
   }
 
+  test("kmeans/PQ: centroid and codebook joins broadcast; corpus never cartesian-joins itself") {
+    for (q <- Seq("sim_kmeans_clusters", "sim_pq_topk", "dedup_semantic")) {
+      val plan = executedPlan(q)
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+        s"$q: the K-row centroid/codebook side must broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: no corpus-side cartesian product allowed:\n$plan")
+    }
+  }
+
+  test("repeated spans / novelty / mixture: scans prune to the referenced columns") {
+    val spans = executedPlan("dedup_repeated_spans")
+    assert(spans.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"span scan must prune to doc_id/text:\n$spans")
+    val mix = executedPlan("pipeline_domain_mixture")
+    assert(mix.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"mixture scan must prune to doc_id/source:\n$mix")
+    assert(mix.contains("BroadcastHashJoin") || mix.contains("BroadcastNestedLoopJoin"),
+      s"the 20-row domain stats must broadcast back over the corpus:\n$mix")
+  }
+
   test("dedup metrics: two-level aggregation, shuffle keyed by 64-bit hash only") {
     val plan = Chunking.dedupMetrics(Chunking.chunkTable(
       graft.Tables.documents(spark, sfDir), "doc_id", "text", "fastcdc", 64, 42L))
