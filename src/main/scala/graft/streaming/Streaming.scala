@@ -66,6 +66,15 @@ case class NearDupPair(id1: Long, id2: Long)
 /** One chunk-level change between consecutive versions of a blob. */
 case class ChunkChange(blobId: Long, version: Int, change: String, hash: Long, length: Int)
 
+/** A unit-normalized embedding arriving on a stream. */
+case class VecEvent(vecId: Long, emb: Array[Double])
+
+/** A batch-k-means centroid broadcast into [[Streaming.semanticDedupStream]]. */
+case class ClusterCentroid(cid: Long, emb: Array[Double])
+
+/** Per-vector outcome of streaming SemDeDup. */
+case class SemanticDecision(vecId: Long, cid: Long, dropped: Boolean)
+
 /** Per-blob CDC state: the previous version's chunk hash → length map.
   * Bounded by blob size / expected chunk size entries.
   */
@@ -500,6 +509,71 @@ object Streaming {
               catch { case _: UnsupportedOperationException | _: IllegalStateException => () }
           }
           out
+      }
+  }
+
+  /** Streaming SemDeDup — the incremental twin of the batch `dedup_semantic`
+    * query: arriving vectors are assigned to their nearest centroid (a
+    * stateless argmin over the broadcast centroid array — the inference-time
+    * half of clustering; centroids come from a batch k-means run), then each
+    * cluster's `GroupState` holds the vectors KEPT so far, and an arrival is
+    * dropped iff its cosine to any kept cluster-mate reaches `threshold`.
+    *
+    * Semantics note vs batch: the batch rule drops a vector dominated by any
+    * LOWER-ID cluster-mate (kept or dropped); the streaming rule drops
+    * against the KEPT set in arrival order — the practical online semantics
+    * (a dropped doc can't later justify dropping others). On an id-ordered
+    * replay of a corpus whose duplicate relation is transitive within
+    * clusters (exact copies are), the two agree; StreamingSpec pins that and
+    * the invariants that hold in ANY arrival order.
+    *
+    * State bound: at most `maxCluster` kept vectors per cluster —
+    * K·maxCluster·dims·8 bytes total (the SemDeDup analogue of the near-dup
+    * bucket cap). At the cap, dup DETECTION keeps running (the cosine check
+    * reads state without growing it) but novel vectors pass through untracked
+    * (fail-open: at 100 TB a saturated cluster means K was chosen too small
+    * for the corpus — resize K, don't silently discard data).
+    */
+  def semanticDedupStream(
+      vecs: Dataset[VecEvent],
+      centroids: Array[ClusterCentroid],
+      threshold: Double = 0.85,
+      maxCluster: Int = 4096): Dataset[SemanticDecision] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(centroids.nonEmpty, "semanticDedupStream: empty centroid set")
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    vecs
+      .map { v =>
+        var best = 0L; var bestD = Double.MaxValue
+        centroids.foreach { c =>
+          // unit vectors: squared distance ranks as -cosine; ties -> low cid
+          val d = -dot(v.emb, c.emb)
+          if (d < bestD || (d == bestD && c.cid < best)) { best = c.cid; bestD = d }
+        }
+        (best, v.vecId, v.emb)
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cid: Long, rows: Iterator[(Long, Long, Array[Double])],
+         state: GroupState[Array[(Long, Array[Double])]]) =>
+          var kept = state.getOption.getOrElse(Array.empty[(Long, Array[Double])])
+          val out = scala.collection.mutable.ArrayBuffer.empty[SemanticDecision]
+          rows.foreach { case (_, id, emb) =>
+            if (kept.exists(_._1 == id)) () // duplicate delivery of a kept id: re-emit nothing
+            else if (kept.exists(k => dot(k._2, emb) >= threshold))
+              out += SemanticDecision(id, cid, dropped = true) // dup check needs no state growth — runs even at the cap
+            else {
+              if (kept.length < maxCluster) kept = kept :+ ((id, emb))
+              out += SemanticDecision(id, cid, dropped = false) // at the cap: fail-open, vector kept out of state
+            }
+          }
+          state.update(kept)
+          out.iterator
       }
   }
 }

@@ -493,4 +493,75 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.forall { case (id, split, _) => want(id) == split })
     } finally q.stop()
   }
+
+  private def unitVec(a: Array[Float]): Array[Double] = {
+    val d = a.map(_.toDouble)
+    val n = math.sqrt(d.map(x => x * x).sum)
+    d.map(_ / n)
+  }
+
+  test("semanticDedupStream drops planted duplicates against kept cluster state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) => (id, unitVec(e)) }.sortBy(_._1)
+    def perturb(e: Array[Double]): Array[Double] = {
+      val p = e.clone(); p(0) += 0.5
+      val n = math.sqrt(p.map(x => x * x).sum); p.map(_ / n)
+    }
+    // the batch dedup recipe: exact copies of every 5th, perturbed of every 7th
+    val corpus = (base ++
+      base.filter(_._1 % 5 == 0).map { case (id, e) => (id + 100000L, e) } ++
+      base.filter(_._1 % 7 == 0).map { case (id, e) => (id + 200000L, perturb(e)) })
+      .sortBy(_._1).map { case (id, e) => VecEvent(id, e) }
+    val cents = base.filter { case (id, _) => id % 50 == 0 && id < 400 }
+      .map { case (id, e) => ClusterCentroid(id / 50, e) }
+    val ms = MemoryStream[VecEvent]
+    val q = Streaming.semanticDedupStream(ms.toDS(), cents)
+      .writeStream.format("memory").queryName("sem_out").outputMode("append").start()
+    try {
+      // id-ordered batches: originals land (and are kept) before their copies
+      corpus.grouped(100).foreach { g => ms.addData(g); q.processAllAvailable() }
+      val byId = spark.table("sem_out").as[SemanticDecision].collect()
+        .map(d => d.vecId -> d.dropped).toMap
+      assert(byId.size == corpus.length)
+      // originals are mutually below threshold -> all kept
+      byId.keys.filter(_ < 100000).foreach(id => assert(!byId(id), s"original $id dropped"))
+      // an exact copy co-clusters with its kept source (identical argmin) -> dropped
+      val copies = byId.keys.filter(id => id >= 100000 && id < 200000)
+      assert(copies.nonEmpty)
+      copies.foreach(id => assert(byId(id), s"copy $id kept"))
+      // perturbed near-dups drop when assignment co-locates them with the source
+      val near = byId.keys.filter(_ >= 200000).toSeq
+      assert(near.nonEmpty)
+      assert(near.count(byId(_)).toDouble / near.size >= 0.3, "near-dup drop rate degenerate")
+    } finally q.stop()
+  }
+
+  test("semanticDedupStream cap: dup detection survives saturation, novel vectors fail open") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 64-dim standard basis vectors: mutually orthogonal -> all kept
+    def basis(i: Int): Array[Double] = Array.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+    val cents = Array(ClusterCentroid(0L, basis(0)))
+    val ms = MemoryStream[VecEvent]
+    val q = Streaming.semanticDedupStream(ms.toDS(), cents, maxCluster = 10)
+      .writeStream.format("memory").queryName("sem_cap_out").outputMode("append").start()
+    try {
+      (0 until 10).foreach { i => ms.addData(VecEvent(i.toLong, basis(i))) } // fill to cap
+      q.processAllAvailable()
+      ms.addData(VecEvent(100L, basis(0))) // exact dup of a kept member: still detected at the cap
+      ms.addData(VecEvent(101L, basis(20))) // novel at the cap: fails open, untracked
+      q.processAllAvailable()
+      ms.addData(VecEvent(102L, basis(20))) // dup of the UNTRACKED 101: passes (101 never entered state)
+      q.processAllAvailable()
+      val byId = spark.table("sem_cap_out").as[SemanticDecision].collect()
+        .map(d => d.vecId -> d.dropped).toMap
+      assert((0 until 10).forall(i => !byId(i.toLong)))
+      assert(byId(100L), "dup of kept member must still drop at the cap")
+      assert(!byId(101L), "novel vector at the cap must fail open")
+      assert(!byId(102L), "untracked vector must not act as dedup state")
+    } finally q.stop()
+  }
 }
