@@ -496,7 +496,91 @@ object TextOps {
          |SELECT doc_id, n_tok, top2_frac, dup3_frac,
          |  (top2_frac > 0.2 OR dup3_frac > 0.2) AS repetitive
          |FROM f ORDER BY doc_id""".stripMargin
-    })
+    }),
+
+    // ---- model-based quality scoring: a fixed-weight linear classifier
+    // over the quality features (the fastText-classifier shape of CCNet/
+    // RedPajama quality filters, with literal weights standing in for
+    // trained ones), squashed by the RATIONAL sigmoid z/(1+|z|) — exp() has
+    // no cross-engine bit guarantee, a rational function does. Map-only.
+    ("text_quality_logit", (s, d) => {
+      import s.implicits._
+      val toks = tokens($"text")
+      val nTok = size(toks)
+      val stopRatio = size(filter(toks, t => t.isin(Stops: _*))) / nTok.cast("double")
+      val punctRatio = length(regexp_replace($"text", "[A-Za-z0-9\\s]", "")) /
+        length($"text").cast("double")
+      val avgLen = length(regexp_replace($"text", "\\s+", "")) / nTok.cast("double")
+      val z = lit(2.0) * (lit(1.0) - punctRatio) +
+        lit(1.5) * least(stopRatio * 5.0, lit(1.0)) +
+        lit(1.0) * least(avgLen / 8.0, lit(1.0)) +
+        lit(0.5) * least(nTok / 100.0, lit(1.0)) - lit(2.6)
+      val score = z / (lit(1.0) + abs(z))
+      Tables.documents(s, d)
+        .select($"doc_id", round(z, 4).as("logit"), round(score, 4).as("score"),
+          (score >= 0.1).as("keep"))
+        .orderBy($"doc_id")
+    }, Some {
+      val punct = "length(regexp_replace(text,'[A-Za-z0-9\\s]','','g')) / CAST(length(text) AS DOUBLE)"
+      val stop = s"len(list_filter(${tokensSql("text")}, t -> t IN ($stopsSqlList))) / CAST(len(${tokensSql("text")}) AS DOUBLE)"
+      val avgl = s"length(regexp_replace(text,'\\s+','','g')) / CAST(len(${tokensSql("text")}) AS DOUBLE)"
+      val ntok = s"len(${tokensSql("text")})"
+      val z = s"2.0*(1.0 - $punct) + 1.5*least(($stop) * 5.0, 1.0) + 1.0*least(($avgl) / 8.0, 1.0) + 0.5*least($ntok / 100.0, 1.0) - 2.6"
+      s"""SELECT doc_id, ${rndSql(z, 4)} AS logit,
+         |  ${rndSql(s"($z) / (1.0 + abs($z))", 4)} AS score,
+         |  (($z) / (1.0 + abs($z)) >= 0.1) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }),
+
+    // ---- Heaps-law vocabulary growth: docs fall into 10 id-ordered corpus
+    // slices; each slice reports its token volume, the TRIGRAM types first
+    // seen in it (the word vocabulary of this synthetic corpus saturates in
+    // slice 0 — 31 words — so the type unit is the word trigram, whose
+    // growth curve is live), and the running totals — the vocab-vs-corpus-
+    // size curve that decides tokenizer vocab budgets. Scale shape: one
+    // explode + two hash aggregations (first-slice is a min-agg,
+    // map-combinable); the running sum windows over TEN rows, never the
+    // corpus.
+    ("text_vocab_growth", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val mx = Tables.documents(s, d).agg(max($"doc_id").as("mx"))
+      val doc = Tables.documents(s, d).select($"doc_id", tokens($"text").as("t"))
+        .crossJoin(broadcast(mx)) // 1-row scalar
+        .select((($"doc_id" * 10) / ($"mx" + 1)).cast("long").as("bucket"), $"t")
+      val tokCnt = doc.select($"bucket", explode($"t").as("tok"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n_tokens"))
+      val grams = doc.filter(size($"t") >= 3)
+        .select($"bucket", explode(transform(sequence(lit(1), size($"t") - 2),
+          i => array_join(slice($"t", i, lit(3)), " "))).as("g"))
+      val newTypes = grams.groupBy(xxhash64($"g").as("h")).agg(min($"bucket").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n_new_types"))
+      val w = Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokCnt.join(newTypes, Seq("bucket"), "left")
+        .select($"bucket", coalesce($"n_new_types", lit(0L)).as("n_new_types"), $"n_tokens")
+        .withColumn("cum_types", sum($"n_new_types").over(w))
+        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .orderBy($"bucket")
+    }, Some(
+      s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |doc AS (
+         |  SELECT (doc_id*10) // (mx+1) AS bucket, ${tokensSql("text")} AS t
+         |  FROM documents CROSS JOIN mx),
+         |tc AS (
+         |  SELECT bucket, count(*) AS n_tokens
+         |  FROM (SELECT bucket, unnest(t) AS tok FROM doc) GROUP BY 1),
+         |fs AS (
+         |  SELECT g, min(bucket) AS bucket FROM (
+         |    SELECT bucket, unnest(list_transform(range(0, len(t)-2),
+         |      i -> array_to_string(t[i+1:i+3], ' '))) AS g
+         |    FROM doc WHERE len(t) >= 3)
+         |  GROUP BY 1),
+         |nt AS (SELECT bucket, count(*) AS n_new_types FROM fs GROUP BY 1)
+         |SELECT tc.bucket, coalesce(n_new_types, 0) AS n_new_types, n_tokens,
+         |  CAST(sum(coalesce(n_new_types, 0)) OVER (ORDER BY tc.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types,
+         |  CAST(sum(n_tokens) OVER (ORDER BY tc.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |FROM tc LEFT JOIN nt USING (bucket) ORDER BY tc.bucket""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
