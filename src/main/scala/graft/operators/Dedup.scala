@@ -620,6 +620,46 @@ object Dedup {
          |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.4 ORDER BY id1, id2""".stripMargin)),
 
+    // ---- asymmetric containment over LSH candidates: containment
+    // |A∩B|/|A| separates the "B extends A" case (c12=1, c21<1 — quotes,
+    // tailed copies, boilerplate-wrapped reposts) from symmetric near-dups
+    // (both ≈1), which Jaccard alone can't tell apart. Candidates come from
+    // the banded MinHash join (sub-quadratic); the exact intersection runs
+    // only on candidate pairs, reading ONE cached shingle-array table for
+    // banding and verification (the single-shingling-pass rule).
+    ("dedup_containment", (s, d) => {
+      import s.implicits._
+      val arrays = shingleStringArrays(corpus(s, d)).cache() // banding + both verify sides
+      val cand = minhashCandidates(bandTable(arrays))
+      cand.join(arrays.select($"doc_id".as("id1"), $"ts".as("t1")), "id1")
+        .join(arrays.select($"doc_id".as("id2"), $"ts".as("t2")), "id2")
+        .withColumn("common", size(array_intersect($"t1", $"t2")).cast("long"))
+        .filter($"common" > 0)
+        .select($"id1", $"id2", $"common",
+          round($"common" / size($"t1"), 4).as("c12"),
+          round($"common" / size($"t2"), 4).as("c21"))
+        .withColumn("relation",
+          when($"c12" >= 0.9 && $"c21" >= 0.9, "mutual")
+            .when($"c12" >= 0.9, "id1_in_id2")
+            .when($"c21" >= 0.9, "id2_in_id1")
+            .otherwise("overlap"))
+        .orderBy($"id1", $"id2")
+    }, Some(
+      s"""WITH $corpusSql,
+         |${minhashSql("corpus", "")},
+         |scored AS (
+         |  SELECT c.id1, c.id2,
+         |    CAST(len(list_intersect(a1.ts, a2.ts)) AS BIGINT) AS common,
+         |    ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) AS DOUBLE)", 4)} AS c12,
+         |    ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a2.ts) AS DOUBLE)", 4)} AS c21
+         |  FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
+         |SELECT id1, id2, common, c12, c21,
+         |  CASE WHEN c12 >= 0.9 AND c21 >= 0.9 THEN 'mutual'
+         |       WHEN c12 >= 0.9 THEN 'id1_in_id2'
+         |       WHEN c21 >= 0.9 THEN 'id2_in_id1'
+         |       ELSE 'overlap' END AS relation
+         |FROM scored WHERE common > 0 ORDER BY id1, id2""".stripMargin)),
+
     // ---- exact repeated-span detection (the substring-level dedup of Lee
     // et al. 2021, "Deduplicating Training Data Makes Language Models
     // Better", recast on fixed stride-aligned windows instead of a suffix

@@ -54,6 +54,31 @@ class AnnQualitySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"missed exact dups: ${missing.take(5)}")
   }
 
+  test("containment: exact copies are mutual at 1.0; strict containment is one-sided") {
+    import spark.implicits._
+    val rows = Dedup.queries("dedup_containment")(spark, sfDir)
+      .select($"id1", $"id2", $"c12", $"c21", $"relation")
+      .as[(Long, Long, Double, Double, String)].collect()
+    val byPair = rows.map(r => (r._1, r._2) -> r).toMap
+    // identical text -> identical shingle sets -> both containments exactly 1
+    (0L until 500L).filter(_ % 5 == 0).map(i => (i, i + 100000)).foreach { p =>
+      val r = byPair.get(p)
+      assert(r.isDefined, s"exact pair $p missing from candidates")
+      assert(r.get._3 == 1.0 && r.get._4 == 1.0 && r.get._5 == "mutual", s"$p -> $r")
+    }
+    // one-sided labels are consistent with the 0.9 rule
+    rows.filter(_._5 == "id1_in_id2").foreach { r =>
+      assert(r._3 >= 0.9 && r._4 < 0.9, s"one-sided containment malformed: $r")
+    }
+    // every source->tailed-copy pair is flagged contained (c12 = 1: the tail
+    // only ADDS shingles) — mutual when the tail is small relative to the doc
+    val tailed = rows.filter(r => r._2 == r._1 + 200000)
+    assert(tailed.nonEmpty)
+    tailed.foreach { r =>
+      assert(r._3 == 1.0 && (r._5 == "id1_in_id2" || r._5 == "mutual"), s"tailed pair malformed: $r")
+    }
+  }
+
   test("SimHash pairs include every exact-duplicate pair at hamming 0") {
     import spark.implicits._
     val pairs = Dedup.queries("dedup_simhash_pairs")(spark, sfDir)
