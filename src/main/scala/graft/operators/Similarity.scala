@@ -69,6 +69,52 @@ object Similarity {
   private def cosine(aEmb: Column, bEmb: Column): Column =
     call_function("vec_dot", aEmb, bEmb)
 
+  /** PQ reconstruction table (vec_id, recon): each vector's 8 subvectors
+    * snapped to their nearest per-subspace codebook entry (16 seeded
+    * medoids) and reassembled — the decoded form of an 8-code-byte vector.
+    * Shared by sim_pq_topk and sim_ivfpq_topk.
+    */
+  private def pqRecon(v: DataFrame): DataFrame = {
+    val s = v.sparkSession
+    import s.implicits._
+    val subArrays = posexplode(transform(sequence(lit(0), lit(PqSub - 1)),
+      m => slice($"emb", m * PqSubDim + 1, lit(PqSubDim))))
+    val codebook = v.filter($"vec_id" % PqSeedStride === 0 && $"vec_id" < PqSeedStride * PqCodes)
+      .select(($"vec_id" / PqSeedStride).cast("long").as("code"), $"emb")
+      .select($"code", subArrays.as(Seq("m", "csub")))
+    val subs = v.select($"vec_id", subArrays.as(Seq("m", "sub")))
+    val wEnc = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"code")
+    val enc = subs.join(broadcast(codebook), "m") // 128 rows — schema-bounded broadcast
+      .withColumn("dist",
+        cosine($"sub", $"sub") - lit(2) * cosine($"sub", $"csub") + cosine($"csub", $"csub"))
+      .withColumn("rn", row_number().over(wEnc)).filter($"rn" === 1)
+    enc.groupBy($"vec_id")
+      .agg(flatten(transform(array_sort(collect_list(struct($"m", $"csub"))),
+        x => x("csub"))).as("recon"))
+  }
+
+  /** Oracle twin of [[pqRecon]]: CTE chain cb/subs/enc/recon over CTE `v`. */
+  private val pqReconSql: String =
+    s"""cb AS (
+       |  SELECT CAST(vec_id // $PqSeedStride AS BIGINT) AS code, m,
+       |    emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS csub
+       |  FROM v CROSS JOIN generate_series(0, ${PqSub - 1}) t(m)
+       |  WHERE vec_id % $PqSeedStride = 0 AND vec_id < ${PqSeedStride * PqCodes}),
+       |subs AS (
+       |  SELECT vec_id, m, emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sub
+       |  FROM v CROSS JOIN generate_series(0, ${PqSub - 1}) t(m)),
+       |enc AS (
+       |  SELECT vec_id, m, csub FROM (
+       |    SELECT s.vec_id, s.m, cb.csub,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        list_dot_product(s.sub, s.sub) - 2*list_dot_product(s.sub, cb.csub)
+       |          + list_dot_product(cb.csub, cb.csub),
+       |        cb.code) AS rn
+       |    FROM subs s JOIN cb USING (m))
+       |  WHERE rn = 1),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(csub ORDER BY m)) AS recon FROM enc GROUP BY vec_id)""".stripMargin
+
   // ------------------------------------------------------------------- LSH
   /** Hyperplane weights [table][bit][dim] in [-1, 1], 1/1000 resolution —
     * the exact doubles DuckDB derives in-query from the same h60 formula.
@@ -385,20 +431,7 @@ object Similarity {
     ("sim_pq_topk", (s, d) => {
       import s.implicits._
       val v = vectors(s, d).cache() // read by codebook, encode, and query sides (spills; Bench clears)
-      val subArrays = posexplode(transform(sequence(lit(0), lit(PqSub - 1)),
-        m => slice($"emb", m * PqSubDim + 1, lit(PqSubDim))))
-      val codebook = v.filter($"vec_id" % PqSeedStride === 0 && $"vec_id" < PqSeedStride * PqCodes)
-        .select(($"vec_id" / PqSeedStride).cast("long").as("code"), $"emb")
-        .select($"code", subArrays.as(Seq("m", "csub")))
-      val subs = v.select($"vec_id", subArrays.as(Seq("m", "sub")))
-      val wEnc = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"code")
-      val enc = subs.join(broadcast(codebook), "m") // 128 rows — schema-bounded broadcast
-        .withColumn("dist",
-          cosine($"sub", $"sub") - lit(2) * cosine($"sub", $"csub") + cosine($"csub", $"csub"))
-        .withColumn("rn", row_number().over(wEnc)).filter($"rn" === 1)
-      val recon = enc.groupBy($"vec_id")
-        .agg(flatten(transform(array_sort(collect_list(struct($"m", $"csub"))),
-          x => x("csub"))).as("recon"))
+      val recon = pqRecon(v)
       val q = v.filter($"vec_id" < NumQueries).select($"vec_id".as("q_id"), $"emb".as("q_emb"))
       val wTop = Window.partitionBy($"q_id").orderBy($"score".desc, $"n_id")
       broadcast(q).join(recon.select($"vec_id".as("n_id"), $"recon"), $"q_id" =!= $"n_id")
@@ -409,31 +442,66 @@ object Similarity {
         .orderBy($"q_id", $"rank")
     }, Some(
       s"""WITH $vectorsSql,
-         |cb AS (
-         |  SELECT CAST(vec_id // $PqSeedStride AS BIGINT) AS code, m,
-         |    emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS csub
-         |  FROM v CROSS JOIN generate_series(0, ${PqSub - 1}) t(m)
-         |  WHERE vec_id % $PqSeedStride = 0 AND vec_id < ${PqSeedStride * PqCodes}),
-         |subs AS (
-         |  SELECT vec_id, m, emb[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sub
-         |  FROM v CROSS JOIN generate_series(0, ${PqSub - 1}) t(m)),
-         |enc AS (
-         |  SELECT vec_id, m, csub FROM (
-         |    SELECT s.vec_id, s.m, cb.csub,
-         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-         |        list_dot_product(s.sub, s.sub) - 2*list_dot_product(s.sub, cb.csub)
-         |          + list_dot_product(cb.csub, cb.csub),
-         |        cb.code) AS rn
-         |    FROM subs s JOIN cb USING (m))
-         |  WHERE rn = 1),
-         |recon AS (
-         |  SELECT vec_id, flatten(list(csub ORDER BY m)) AS recon FROM enc GROUP BY vec_id),
+         |$pqReconSql,
          |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NumQueries)
          |SELECT q_id, rank, n_id, ${rndSql("score", 4)} AS approx_cos FROM (
          |  SELECT q_id, r.vec_id AS n_id, list_dot_product(q_emb, recon) AS score,
          |    CAST(row_number() OVER (PARTITION BY q_id
          |      ORDER BY list_dot_product(q_emb, recon) DESC, r.vec_id) AS BIGINT) AS rank
          |  FROM q JOIN recon r ON q_id <> r.vec_id)
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- IVF+PQ: the composed 100 TB ANN query — the IVF coarse probe
+    // shrinks the candidate set to nprobe/8 of the corpus, then PQ codes
+    // (not raw vectors) score the survivors. At scale the scan touches a
+    // partition-pruned slice of an 8-byte-per-vector code table plus two
+    // schema-bounded broadcasts (8 centroids, 128 codebook rows) — the
+    // FAISS IVFPQ layout expressed as joins.
+    ("sim_ivfpq_topk", (s, d) => {
+      import s.implicits._
+      val v = vectors(s, d).cache()
+      val cent = v.filter($"vec_id" % IvfSeedStride === 0 && $"vec_id" < IvfSeedStride * IvfCentroids)
+        .select(($"vec_id" / IvfSeedStride).cast("long").as("cid"), $"emb".as("c_emb"))
+      val ranked = v.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosine($"emb", $"c_emb"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")))
+      val assigned = ranked.filter($"crn" === 1).select($"vec_id", $"cid")
+      val probes = ranked.filter($"vec_id" < NumQueries && $"crn" <= NProbe)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"cid")
+      val recon = pqRecon(v)
+      val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"n_id")
+      probes.join(assigned, "cid")
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"q_emb", $"vec_id".as("n_id"))
+        .distinct()
+        .join(recon.select($"vec_id".as("n_id"), $"recon"), "n_id")
+        .withColumn("score", cosine($"q_emb", $"recon"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= TopK)
+        .select($"q_id", $"rank", $"n_id", round($"score", 4).as("approx_cos"))
+        .orderBy($"q_id", $"rank")
+    }, Some(
+      s"""WITH $vectorsSql,
+         |cent AS (
+         |  SELECT CAST(vec_id // $IvfSeedStride AS BIGINT) AS cid, emb AS c_emb
+         |  FROM v WHERE vec_id % $IvfSeedStride = 0 AND vec_id < ${IvfSeedStride * IvfCentroids}),
+         |ranked AS (
+         |  SELECT v.vec_id, cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_dot_product(v.emb, c_emb) DESC, cid) AS crn
+         |  FROM v CROSS JOIN cent),
+         |assigned AS (SELECT vec_id, cid FROM ranked WHERE crn = 1),
+         |probes AS (SELECT vec_id AS q_id, cid FROM ranked WHERE vec_id < $NumQueries AND crn <= $NProbe),
+         |cand AS (
+         |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
+         |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.q_id),
+         |$pqReconSql
+         |SELECT q_id, rank, n_id, ${rndSql("score", 4)} AS approx_cos FROM (
+         |  SELECT c.q_id, c.n_id, list_dot_product(q.emb, r.recon) AS score,
+         |    CAST(row_number() OVER (PARTITION BY c.q_id
+         |      ORDER BY list_dot_product(q.emb, r.recon) DESC, c.n_id) AS BIGINT) AS rank
+         |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN recon r ON r.vec_id = c.n_id)
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin))
   )
 

@@ -31,15 +31,18 @@ class AnnQualitySpec extends AnyFunSuite {
 
   test("LSH and IVF top-k achieve nontrivial recall against the exact baseline") {
     val brute = topkPairs("sim_brute_topk")
-    for (ann <- Seq("sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk")) {
+    // random 64-dim embeddings are a worst case for ANN; the floors check
+    // the index isn't degenerate (candidates exist, ranking is by cosine).
+    // IVF+PQ compounds two approximations (probe recall × quantization
+    // error), so its floor is lower than the single-approximation paths.
+    for ((ann, floor) <- Seq("sim_lsh_topk" -> 0.15, "sim_ivf_topk" -> 0.15,
+        "sim_pq_topk" -> 0.15, "sim_ivfpq_topk" -> 0.05)) {
       val got = topkPairs(ann)
       val recalls = brute.map { case (q, exact) =>
         got.getOrElse(q, Seq.empty).count(exact.toSet).toDouble / exact.size
       }
       val mean = recalls.sum / recalls.size
-      // random 64-dim embeddings are a worst case for ANN; the floor checks
-      // the index isn't degenerate (candidates exist, ranking is by cosine)
-      assert(mean > 0.15, s"$ann mean recall@5 = $mean")
+      assert(mean > floor, s"$ann mean recall@5 = $mean")
     }
   }
 
