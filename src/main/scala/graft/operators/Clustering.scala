@@ -98,7 +98,7 @@ object Clustering {
   /** Oracle twin of [[kmeansAssign]]: CTE chain `q → seeds → a1 → cent →
     * a2` over a unit-vector CTE named `src`(vec_id, emb).
     */
-  private def kmeansSql(src: String): String =
+  private[operators] def kmeansSql(src: String): String =
     s"""${quantizedSql(src)},
        |seeds AS (
        |  SELECT CAST(vec_id // $SeedStride AS BIGINT) AS cid, qv AS m FROM q
@@ -149,7 +149,7 @@ object Clustering {
       .unionByName(pert)
   }
 
-  private val plantedSql: String =
+  private[operators] val plantedSql: String =
     """u0 AS (
       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
       |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS emb

@@ -31,7 +31,7 @@ object Dedup {
   import Portable._
 
   // ---------------------------------------------------------------- corpus
-  private def corpus(s: SparkSession, d: String): DataFrame = {
+  private[operators] def corpus(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val doc = Tables.documents(s, d).select($"doc_id", $"text")
     doc
@@ -42,7 +42,7 @@ object Dedup {
           concat($"text", lit(" near duplicate tail")).as("text")))
   }
 
-  private val corpusSql: String =
+  private[operators] val corpusSql: String =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
@@ -149,7 +149,7 @@ object Dedup {
   /** DuckDB CTE chain sh/shp/sig/bands/cand/arr (suffixed) deriving the same
     * MinHash+LSH candidates from `src` (a table/CTE with doc_id, text).
     */
-  private def minhashSql(src: String, sfx: String): String = {
+  private[operators] def minhashSql(src: String, sfx: String): String = {
     val toks = tokensSql("text")
     val minExprs = Perms.zipWithIndex
       .map { case ((a, b), i) => s"min(($a * hp + $b) % $P) AS m$i" }.mkString(",\n    ")

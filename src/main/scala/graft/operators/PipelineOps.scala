@@ -377,7 +377,64 @@ object PipelineOps {
          |  coalesce(n_sampled, 0) AS n_sampled,
          |  ${rndSql("coalesce(n_sampled, 0) / CAST(sum(coalesce(n_sampled, 0)) OVER () AS DOUBLE)", 4)} AS achieved_share
          |FROM stats LEFT JOIN sampled USING (source) CROSS JOIN tot
-         |ORDER BY source""".stripMargin))
+         |ORDER BY source""".stripMargin)),
+
+    // ---- the full modern dedup stack as one per-doc verdict table: exact
+    // (normalized-hash canonical), MinHash near-dup (LSH candidates,
+    // Jaccard-verified), and semantic (embedding SemDeDup) — three
+    // independent stage verdicts over the SAME planted id space (the text
+    // corpus recipe and the embedding corpus recipe share ids: originals,
+    // +100000 exact copies, +200000 near-dups), joined into per-doc flags.
+    // This is the cross-modality summary a curation run reports; the
+    // sequential text pipeline lives in pipeline_clean_corpus. Each stage
+    // keeps its native scale shape (window on hash / bucketed LSH join /
+    // cluster-bounded pair scan); the final assembly is three hash joins
+    // on doc_id.
+    ("pipeline_dedup_stack", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"k")
+      val exact = Dedup.corpus(s, d)
+        .withColumn("k", md5(regexp_replace(lower(trim($"text")), "\\s+", " ")))
+        .withColumn("exact_dup", $"doc_id" =!= min($"doc_id").over(w))
+        .select($"doc_id", $"exact_dup")
+      val near = Dedup.queries("dedup_minhash_lsh")(s, d)
+        .select($"id2".as("doc_id")).distinct().withColumn("near_dup", lit(true))
+      val sem = Clustering.queries("dedup_semantic")(s, d)
+        .select($"vec_id".as("doc_id"), $"dropped".as("semantic_dup"))
+      exact.join(near, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
+        .select($"doc_id", $"exact_dup",
+          coalesce($"near_dup", lit(false)).as("near_dup"),
+          coalesce($"semantic_dup", lit(false)).as("semantic_dup"))
+        .withColumn("kept", !($"exact_dup" || $"near_dup" || $"semantic_dup"))
+        .orderBy($"doc_id")
+    }, Some(
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.minhashSql("corpus", "")},
+         |near AS (
+         |  SELECT DISTINCT id2 AS doc_id FROM (
+         |    SELECT c.id2,
+         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
+         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
+         |  WHERE jaccard >= 0.5),
+         |${Clustering.plantedSql},
+         |${Clustering.kmeansSql("u")},
+         |sempairs AS (
+         |  SELECT DISTINCT b.vec_id AS doc_id
+         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN u ua ON ua.vec_id = a.vec_id JOIN u ub ON ub.vec_id = b.vec_id
+         |  WHERE list_dot_product(ua.emb, ub.emb) >= 0.85),
+         |ex AS (
+         |  SELECT doc_id,
+         |    doc_id <> min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS exact_dup
+         |  FROM corpus)
+         |SELECT ex.doc_id, exact_dup,
+         |  (n.doc_id IS NOT NULL) AS near_dup,
+         |  (sp.doc_id IS NOT NULL) AS semantic_dup,
+         |  NOT (exact_dup OR n.doc_id IS NOT NULL OR sp.doc_id IS NOT NULL) AS kept
+         |FROM ex LEFT JOIN near n ON n.doc_id = ex.doc_id
+         |LEFT JOIN sempairs sp ON sp.doc_id = ex.doc_id
+         |ORDER BY ex.doc_id""".stripMargin))
   )
 
   /** Global-sample size for pipeline_bottomk_sample. */
