@@ -1130,7 +1130,47 @@ object Relational {
         |  date_diff('day', cw, aw) // 7 AS week_offset,
         |  CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users
         |FROM c JOIN a ON a.user_id = c.user_id
-        |WHERE aw >= cw GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |WHERE aw >= cw GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- interval sweep-line: peak concurrency of 5-minute activity
+    // windows (each event is active [ts, ts+5min)). Boundary events ±1,
+    // running sum in (ts, delta) order — the -1 leaves before the +1 enters
+    // at the same instant, making intervals half-open. Per event-type so
+    // the output exercises grouped sweeps. SCALE NOTE: a sweep-line needs a
+    // total order per group; at 100 TB shard the timeline (e.g. by day),
+    // sweep within shards, and carry each shard's closing concurrency into
+    // the next — here the per-type global window is the documented
+    // small-group form (20 types × bounded rows).
+    ("q53_peak_concurrency", (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val bounds = ev.select($"event_type", $"ts", lit(1L).as("delta"))
+        .unionByName(ev.select($"event_type",
+          ($"ts" + expr("INTERVAL 5 MINUTES")).as("ts"), lit(-1L).as("delta")))
+      val w = Window.partitionBy($"event_type").orderBy($"ts", $"delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds
+        .withColumn("conc", sum($"delta").over(w))
+        .groupBy($"event_type")
+        .agg(max($"conc").as("peak_concurrency"),
+          unix_micros(min(when($"delta" === 1, $"ts"))).as("first_event_us"),
+          count(when($"delta" === 1, lit(1))).as("n_events"))
+        .orderBy($"event_type")
+    }, Some(
+      """WITH bounds AS (
+        |  SELECT event_type, ts, CAST(1 AS BIGINT) AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts + INTERVAL 5 MINUTE, CAST(-1 AS BIGINT) FROM events),
+        |swept AS (
+        |  SELECT event_type, ts, delta,
+        |    sum(delta) OVER (PARTITION BY event_type ORDER BY ts, delta
+        |      ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM bounds)
+        |SELECT event_type,
+        |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
+        |  epoch_us(min(CASE WHEN delta = 1 THEN ts END)) AS first_event_us,
+        |  count(CASE WHEN delta = 1 THEN 1 END) AS n_events
+        |FROM swept GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -121,4 +121,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     val byW = rows.groupBy(_._3).view.mapValues(rs => rs.map(_._5).sum.toDouble / rs.size)
     assert(byW(4L) > byW(1L))
   }
+
+  test("dedup stack flags agree with the component queries") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val stack = PipelineOps.queries("pipeline_dedup_stack")(spark, sf)
+      .select($"doc_id", $"exact_dup", $"near_dup", $"semantic_dup", $"kept")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    val nearWant = Dedup.queries("dedup_minhash_lsh")(spark, sf)
+      .select($"id2").as[Long].collect().toSet
+    val semWant = Clustering.queries("dedup_semantic")(spark, sf)
+      .select($"vec_id", $"dropped").as[(Long, Boolean)].collect().toMap
+    stack.foreach { case (id, exact, near, sem, kept) =>
+      assert(near == nearWant.contains(id), s"near_dup mismatch for $id")
+      assert(sem == semWant(id), s"semantic_dup mismatch for $id")
+      assert(kept == !(exact || near || sem), s"kept not the all-clear conjunction for $id")
+    }
+  }
 }
