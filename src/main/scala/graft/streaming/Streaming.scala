@@ -75,6 +75,9 @@ case class ClusterCentroid(cid: Long, emb: Array[Double])
 /** Per-vector outcome of streaming SemDeDup. */
 case class SemanticDecision(vecId: Long, cid: Long, dropped: Boolean)
 
+/** Per-(doc, span) outcome of streaming repeated-span detection. */
+case class SpanDecision(docId: Long, spanHash: Long, firstDocId: Long, dup: Boolean)
+
 /** Per-blob CDC state: the previous version's chunk hash → length map.
   * Bounded by blob size / expected chunk size entries.
   */
@@ -509,6 +512,53 @@ object Streaming {
               catch { case _: UnsupportedOperationException | _: IllegalStateException => () }
           }
           out
+      }
+  }
+
+  /** Streaming repeated-span detection — the incremental twin of the batch
+    * `dedup_repeated_spans` query: each arriving document emits its distinct
+    * stride-aligned span hashes (same 32-char/stride-16 geometry, fused
+    * per-doc loop), and per-span `GroupState` records the first document
+    * that carried the span. Later carriers get `dup = true` pointing at the
+    * first — the information a substring-level cleaner needs to excise
+    * duplicated runs. Redelivery of the first carrier re-emits `dup = false`
+    * (idempotent); ties within one micro-batch resolve in arrival order
+    * (at-least-once semantics, same stance as the near-dup stream). State is
+    * one Long per distinct span — bound it operationally by keying the
+    * stream on a rolling corpus epoch or fronting it with a watermarked
+    * dedup, exactly as the batch pipeline bounds its span index by corpus
+    * partition.
+    */
+  def spanDedupStream(
+      docs: Dataset[DocEvent],
+      spanLen: Int = 32,
+      stride: Int = 16): Dataset[SpanDecision] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.Portable
+    docs
+      .flatMap { d =>
+        val t = d.text
+        val seen = new java.util.LinkedHashSet[java.lang.Long]
+        var off = 0
+        while (off + spanLen <= t.length) {
+          seen.add(Portable.h60Jvm(t.substring(off, off + spanLen)))
+          off += stride
+        }
+        val id = d.docId
+        scala.jdk.CollectionConverters.SetHasAsScala(seen).asScala.iterator
+          .map(h => (h.longValue, id))
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SpanDecision]
+          var first = state.getOption.getOrElse(-1L)
+          rows.foreach { case (_, id) =>
+            if (first < 0) { first = id; state.update(id) }
+            out += SpanDecision(id, h, first, dup = id != first)
+          }
+          out.iterator
       }
   }
 

@@ -564,4 +564,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(!byId(102L), "untracked vector must not act as dedup state")
     } finally q.stop()
   }
+
+  test("spanDedupStream: copies fully duplicated against their source, firsts stable across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val corpus = (base ++
+      base.filter(_._1 % 5 == 0).map { case (id, t) => (id + 100000L, t) })
+      .sortBy(_._1).map(DocEvent.tupled)
+    val ms = MemoryStream[DocEvent]
+    val q = Streaming.spanDedupStream(ms.toDS())
+      .writeStream.format("memory").queryName("span_out").outputMode("append").start()
+    try {
+      // id-ordered batches: originals commit span state before their copies
+      corpus.grouped(100).foreach { g => ms.addData(g); q.processAllAvailable() }
+      val got = spark.table("span_out").as[SpanDecision].collect()
+      val byDoc = got.groupBy(_.docId)
+      // an exact copy's every span was first seen in an earlier doc
+      val copies = byDoc.keys.filter(_ >= 100000L).toSeq
+      assert(copies.nonEmpty)
+      copies.foreach { id =>
+        val ds = byDoc(id)
+        assert(ds.nonEmpty && ds.forall(d => d.dup && d.firstDocId < 100000L),
+          s"copy $id spans not fully duplicated")
+      }
+      // firstDocId is consistent per span hash across the whole stream
+      got.groupBy(_.spanHash).foreach { case (h, ds) =>
+        assert(ds.map(_.firstDocId).distinct.length == 1, s"span $h has multiple firsts")
+      }
+      // redelivery is idempotent: the re-emitted decisions equal the originals
+      val firstDoc = corpus.head
+      val before = got.filter(_.docId == firstDoc.docId).toSet
+      ms.addData(firstDoc); q.processAllAvailable()
+      val after = spark.table("span_out").as[SpanDecision].collect()
+        .filter(_.docId == firstDoc.docId).toSet
+      assert(before.nonEmpty && after == before, "redelivery must re-emit identical decisions")
+    } finally q.stop()
+  }
 }
