@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Portable.round
+import graft.operators.Portable.{h60, h60Sql, round}
+import org.apache.spark.sql.expressions.Window
 
 /** One media blob: opaque binary content + typed metadata. Derived
   * deterministically from the documents table (content = UTF-8 bytes of
@@ -250,7 +251,42 @@ object Multimodal {
         |  CAST(length(text) AS BIGINT) AS n_bytes,
         |  CAST(len(list_distinct(list_transform(split(text, ''), ch -> ascii(ch) // 16))) AS BIGINT) AS n_active_bins,
         |  CAST(len(list_filter(split(text, ''), ch -> ascii(ch) // 16 = 6)) AS BIGINT) AS bin6_count
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- scene-change (shot-boundary) detection: per-frame feature, lag
+    // window per blob, flag a cut when the feature jumps. The frame feature
+    // is the stubbed stand-in for a decoded histogram distance (h60 of the
+    // frame bytes mod 1000 — a real codec would emit a color histogram
+    // here); the TEMPORAL-DIFF PLUMBING is the production shape: frames
+    // explode map-side, the lag window partitions by blob over FrameCount
+    // rows (bounded — never a corpus-wide sort), and the cut flag is a
+    // codegen'd comparison.
+    ("mm_scene_changes", (s, d) => {
+      import s.implicits._
+      val n = length($"content")
+      val frames = transform(sequence(lit(0), lit(FrameCount - 1)), k => {
+        val start = (n * k / FrameCount).cast("int")
+        val end = (n * (k + 1) / FrameCount).cast("int")
+        struct(k.as("frame_idx"), h60($"content".substr(start + 1, end - start)).as("feat"))
+      })
+      val w = Window.partitionBy($"doc_id").orderBy($"frame_idx")
+      media(s, d)
+        .select($"doc_id", explode(frames).as("f"))
+        .select($"doc_id", $"f.frame_idx".cast("long").as("frame_idx"),
+          pmod($"f.feat", lit(1000L)).as("feat"))
+        .withColumn("prev_feat", lag($"feat", 1).over(w))
+        .withColumn("is_cut", $"prev_feat".isNotNull && abs($"feat" - $"prev_feat") > 500)
+        .orderBy($"doc_id", $"frame_idx")
+    }, Some(
+      s"""WITH fr AS (
+         |  SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+         |    ${h60Sql(s"substr(text, length(text) * k // $FrameCount + 1, length(text) * (k+1) // $FrameCount - length(text) * k // $FrameCount)")} % 1000 AS feat
+         |  FROM documents, (SELECT unnest(range(0, $FrameCount)) AS k))
+         |SELECT doc_id, frame_idx, feat,
+         |  lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_feat,
+         |  (lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx) IS NOT NULL
+         |    AND abs(feat - lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx)) > 500) AS is_cut
+         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
