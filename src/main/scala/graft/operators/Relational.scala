@@ -1170,7 +1170,38 @@ object Relational {
         |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
         |  epoch_us(min(CASE WHEN delta = 1 THEN ts END)) AS first_event_us,
         |  count(CASE WHEN delta = 1 THEN 1 END) AS n_events
-        |FROM swept GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM swept GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- first-order Markov transition matrix over per-user event
+    // sequences: lag window per user (bounded partitions), then one
+    // map-combinable count aggregate; the row-normalized probability uses
+    // a window over the ~25 distinct from-types, never the event table.
+    // Ties on ts break by event_id so the sequence order is total and
+    // engine-independent.
+    ("q54_markov_transitions", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val trans = Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wf = Window.partitionBy($"from_type")
+      trans
+        .withColumn("p", round($"n" / sum($"n").over(wf), 4))
+        .orderBy($"from_type", $"to_type")
+    }, Some(
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |trans AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM seq
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(round(CAST(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE) AS p
+        |FROM trans ORDER BY from_type, to_type""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
