@@ -78,6 +78,14 @@ case class SemanticDecision(vecId: Long, cid: Long, dropped: Boolean)
 /** Per-(doc, span) outcome of streaming repeated-span detection. */
 case class SpanDecision(docId: Long, spanHash: Long, firstDocId: Long, dup: Boolean)
 
+/** Per-user funnel progression state: event-time of each completed step
+  * (-1 = not reached). Fixed-size — never a buffer of events.
+  */
+case class FunnelState(tS: Long, tV: Long, tP: Long)
+
+/** Emitted once per user per step completion. */
+case class FunnelUpdate(userId: Long, step: String, tsUs: Long)
+
 /** Per-blob CDC state: the previous version's chunk hash → length map.
   * Bounded by blob size / expected chunk size entries.
   */
@@ -512,6 +520,49 @@ object Streaming {
               catch { case _: UnsupportedOperationException | _: IllegalStateException => () }
           }
           out
+      }
+  }
+
+  /** Streaming ordered funnel — the incremental twin of batch
+    * `q51_funnel` (signup → view → purchase): per-user `GroupState` holds
+    * only the event-times of completed steps (fixed-size — never an event
+    * buffer), and a step completes when its event arrives with
+    * `ts >= previous step's ts` and the step isn't already done. Each
+    * completion is emitted exactly once, in append mode — a live
+    * conversion-tracking feed.
+    *
+    * Ordering contract: within a micro-batch each user's events are sorted
+    * by (ts, eventId) before applying the state machine, so intra-batch
+    * disorder is absorbed; ACROSS batches the semantics are online — a
+    * straggler signup older than an already-processed view cannot
+    * retroactively unlock it (the batch query, with the whole corpus in
+    * hand, would). On a time-ordered replay the two agree exactly
+    * (StreamingSpec pins step counts against q51); in production, front
+    * the stream with a watermarked sort or accept online semantics — the
+    * standard trade, stated rather than hidden.
+    */
+  def funnelStream(evs: Dataset[UserTypeEvent]): Dataset[FunnelUpdate] = {
+    val spark = evs.sparkSession
+    import spark.implicits._
+    evs
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserTypeEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelUpdate]
+          rows.toArray.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+            e.eventType match {
+              case "signup" if st.tS < 0 =>
+                st = st.copy(tS = e.tsUs); out += FunnelUpdate(uid, "signup", e.tsUs)
+              case "view" if st.tS >= 0 && st.tV < 0 && e.tsUs >= st.tS =>
+                st = st.copy(tV = e.tsUs); out += FunnelUpdate(uid, "view", e.tsUs)
+              case "purchase" if st.tV >= 0 && st.tP < 0 && e.tsUs >= st.tV =>
+                st = st.copy(tP = e.tsUs); out += FunnelUpdate(uid, "purchase", e.tsUs)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
       }
   }
 

@@ -602,4 +602,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(before.nonEmpty && after == before, "redelivery must re-emit identical decisions")
     } finally q.stop()
   }
+
+  test("funnelStream: step counts on time-ordered replay equal the batch q51 funnel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+      .as[(Long, Long, String, Long)].collect()
+      .map { case (u, id, t, us) => UserTypeEvent(u, id, t, us) }
+      .sortBy(e => (e.tsUs, e.eventId))
+    val Seq(wantS, wantV, wantP) = graft.operators.Relational
+      .queries("q51_funnel")(spark, sf)
+      .as[(Long, Long, Long)].head() match { case (a, b, c) => Seq(a, b, c) }
+    val ms = MemoryStream[UserTypeEvent]
+    val q = Streaming.funnelStream(ms.toDS())
+      .writeStream.format("memory").queryName("funnel_out").outputMode("append").start()
+    try {
+      evs.grouped(500).foreach { g => ms.addData(g); q.processAllAvailable() }
+      val got = spark.table("funnel_out").as[FunnelUpdate].collect()
+      val counts = got.groupBy(_.step).view.mapValues(_.length.toLong).toMap
+      assert(counts.getOrElse("signup", 0L) == wantS)
+      assert(counts.getOrElse("view", 0L) == wantV)
+      assert(counts.getOrElse("purchase", 0L) == wantP)
+      // exactly-once per (user, step)
+      assert(got.map(u => (u.userId, u.step)).distinct.length == got.length)
+    } finally q.stop()
+  }
 }
