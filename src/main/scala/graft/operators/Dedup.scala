@@ -660,6 +660,46 @@ object Dedup {
          |       ELSE 'overlap' END AS relation
          |FROM scored WHERE common > 0 ORDER BY id1, id2""".stripMargin)),
 
+    // ---- triangle census of the verified near-dup graph: a triangle
+    // (three mutually-similar docs) is the signature of a duplication
+    // CLUSTER rather than a chance pair — here every doc_id % 35 == 0
+    // plants one (original, exact copy, tailed copy are pairwise similar).
+    // Graph-analytics shape at scale: the edge list is the (sparse)
+    // verified pair set, oriented a<b<c so each triangle is counted once;
+    // two hash self-joins, never a matrix product. Degree-ordered
+    // orientation (order by degree before id) would bound the join fan-out
+    // on power-law graphs — unnecessary at this graph's near-dup sparsity,
+    // noted for the 100 TB form.
+    ("dedup_graph_triangles", (s, d) => {
+      import s.implicits._
+      val arrays = shingleStringArrays(corpus(s, d)).cache()
+      val cands = minhashCandidates(bandTable(arrays))
+      val edges = cands
+        .join(arrays.select($"doc_id".as("id1"), $"ts".as("ts1")), "id1")
+        .join(arrays.select($"doc_id".as("id2"), $"ts".as("ts2")), "id2")
+        .withColumn("common", size(array_intersect($"ts1", $"ts2")))
+        .withColumn("jaccard", $"common" / (size($"ts1") + size($"ts2") - $"common"))
+        .filter($"jaccard" >= 0.5)
+        .select($"id1", $"id2").cache() // read by all three join legs (spills; Bench clears)
+      edges.as("ab").join(edges.as("bc"), $"ab.id2" === $"bc.id1")
+        .join(edges.as("ac"),
+          $"ac.id1" === $"ab.id1" && $"ac.id2" === $"bc.id2")
+        .select($"ab.id1".as("a"), $"ab.id2".as("b"), $"bc.id2".as("c"))
+        .orderBy($"a", $"b", $"c")
+    }, Some(
+      s"""WITH $corpusSql,
+         |${minhashSql("corpus", "")},
+         |edges AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT c.id1, c.id2,
+         |      len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE) AS jaccard
+         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
+         |  WHERE jaccard >= 0.5)
+         |SELECT ab.id1 AS a, ab.id2 AS b, bc.id2 AS c
+         |FROM edges ab JOIN edges bc ON ab.id2 = bc.id1
+         |JOIN edges ac ON ac.id1 = ab.id1 AND ac.id2 = bc.id2
+         |ORDER BY a, b, c""".stripMargin)),
+
     // ---- exact repeated-span detection (the substring-level dedup of Lee
     // et al. 2021, "Deduplicating Training Data Makes Language Models
     // Better", recast on fixed stride-aligned windows instead of a suffix

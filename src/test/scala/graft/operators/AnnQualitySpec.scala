@@ -82,6 +82,20 @@ class AnnQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("triangle census finds every planted orig/copy/tail clique") {
+    import spark.implicits._
+    val tris = Dedup.queries("dedup_graph_triangles")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc_id % 35 == 0 -> original, exact copy (+100000), tailed copy
+    // (+200000) are pairwise similar: one oriented triangle each
+    val planted = (0L until 500L).filter(_ % 35 == 0)
+      .map(i => (i, i + 100000, i + 200000))
+    val missing = planted.filterNot(tris)
+    assert(missing.isEmpty, s"missed planted triangles: ${missing.take(5)}")
+    // orientation: every triangle is strictly increasing (counted once)
+    tris.foreach { case (a, b, c) => assert(a < b && b < c, s"bad orientation ($a,$b,$c)") }
+  }
+
   test("SimHash pairs include every exact-duplicate pair at hamming 0") {
     import spark.implicits._
     val pairs = Dedup.queries("dedup_simhash_pairs")(spark, sfDir)
