@@ -379,6 +379,59 @@ object PipelineOps {
          |FROM stats LEFT JOIN sampled USING (source) CROSS JOIN tot
          |ORDER BY source""".stripMargin)),
 
+    // ---- dataset card: the one-row summary a curation run publishes —
+    // corpus size, token volume, language spread, exact-duplication rate,
+    // and quality keep-rate, computed in ONE pass over the corpus plus one
+    // hash-window for the duplicate rate (every stat is map-combinable; no
+    // joins, no sort). The per-doc machinery behind each number lives in
+    // its own query; this is the roll-up.
+    ("pipeline_dataset_card", (s, d) => {
+      import s.implicits._
+      val toks = tokens($"text")
+      val nTok = size(toks)
+      val stopRatio = size(filter(toks, t => t.isin(TextOps.Stops: _*))) / nTok.cast("double")
+      val punctRatio = length(regexp_replace($"text", "[A-Za-z0-9\\s]", "")) /
+        length($"text").cast("double")
+      val avgLen = length(regexp_replace($"text", "\\s+", "")) / nTok.cast("double")
+      val z = lit(2.0) * (lit(1.0) - punctRatio) +
+        lit(1.5) * least(stopRatio * 5.0, lit(1.0)) +
+        lit(1.0) * least(avgLen / 8.0, lit(1.0)) +
+        lit(0.5) * least(nTok / 100.0, lit(1.0)) - lit(2.6)
+      val keep = (z / (lit(1.0) + abs(z))) >= 0.1
+      val wk = Window.partitionBy(md5(regexp_replace(lower(trim($"text")), "\\s+", " ")))
+      Tables.documents(s, d)
+        .withColumn("is_dup", $"doc_id" =!= min($"doc_id").over(wk))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(nTok.cast("long")).as("n_tokens"),
+          countDistinct($"lang").as("n_langs"),
+          countDistinct($"source").as("n_sources"),
+          round(avg(length($"text")), 2).as("mean_chars"),
+          round(sum(when($"is_dup", 1L).otherwise(0L)) / count(lit(1)).cast("double"), 4)
+            .as("exact_dup_rate"),
+          round(sum(when(keep, 1L).otherwise(0L)) / count(lit(1)).cast("double"), 4)
+            .as("quality_keep_rate"))
+    }, Some {
+      val punct = "length(regexp_replace(text,'[A-Za-z0-9\\s]','','g')) / CAST(length(text) AS DOUBLE)"
+      val stop = s"len(list_filter(${tokensSql("text")}, t -> t IN (${TextOps.stopsSqlList}))) / CAST(len(${tokensSql("text")}) AS DOUBLE)"
+      val avgl = s"length(regexp_replace(text,'\\s+','','g')) / CAST(len(${tokensSql("text")}) AS DOUBLE)"
+      val ntok = s"len(${tokensSql("text")})"
+      val z = s"2.0*(1.0 - $punct) + 1.5*least(($stop) * 5.0, 1.0) + 1.0*least(($avgl) / 8.0, 1.0) + 0.5*least($ntok / 100.0, 1.0) - 2.6"
+      s"""WITH base AS (
+         |  SELECT doc_id, text, lang, source,
+         |    doc_id <> min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS is_dup,
+         |    (($z) / (1.0 + abs($z)) >= 0.1) AS keep
+         |  FROM documents)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(len(${tokensSql("text")})) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  ${rndSql("avg(length(text))", 2)} AS mean_chars,
+         |  ${rndSql("sum(CASE WHEN is_dup THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 4)} AS exact_dup_rate,
+         |  ${rndSql("sum(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 4)} AS quality_keep_rate
+         |FROM base""".stripMargin
+    }),
+
     // ---- the full modern dedup stack as one per-doc verdict table: exact
     // (normalized-hash canonical), MinHash near-dup (LSH candidates,
     // Jaccard-verified), and semantic (embedding SemDeDup) — three

@@ -80,8 +80,8 @@ object Portable {
 object TextOps {
   import Portable._
 
-  private val Stops = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
-  private def stopsSqlList = Stops.map(s => s"'$s'").mkString(", ")
+  private[operators] val Stops = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+  private[operators] def stopsSqlList = Stops.map(s => s"'$s'").mkString(", ")
 
   private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
