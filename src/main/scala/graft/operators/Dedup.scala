@@ -749,6 +749,61 @@ object Dedup {
          |       ELSE ${rndSql("coalesce(n_dup, 0) / CAST(n_spans AS DOUBLE)", 4)} END AS dup_frac
          |FROM corpus c LEFT JOIN per USING (doc_id) ORDER BY c.doc_id""".stripMargin)),
 
+    // ---- matched-span localization for verified near-dup pairs: WHERE the
+    // shared text lives. For each Jaccard-verified pair, join the two docs'
+    // stride-aligned span hashes and report the matched-span count plus the
+    // first/last matching offsets on BOTH sides — the excision range a
+    // substring-level cleaner needs (detection alone says "similar", not
+    // "cut bytes 128..480"). Span emission is map-side; the only new
+    // shuffles key on (doc, span-hash).
+    ("dedup_matched_spans", (s, d) => {
+      import s.implicits._
+      val (wl, st) = (SpanLen, SpanStride)
+      val c = corpus(s, d)
+      val spans = c.filter(length($"text") >= wl)
+        .select($"doc_id", posexplode(transform(
+          sequence(lit(0), ((length($"text") - wl).cast("double") / st).cast("long")),
+          i => $"text".substr((i * st + 1).cast("int"), lit(wl)))).as(Seq("k", "span")))
+        .select($"doc_id", ($"k" * st).cast("long").as("off"), xxhash64($"span").as("h"))
+      val arrays = shingleStringArrays(c).cache()
+      val pairs = minhashCandidates(bandTable(arrays))
+        .join(arrays.select($"doc_id".as("id1"), $"ts".as("ts1")), "id1")
+        .join(arrays.select($"doc_id".as("id2"), $"ts".as("ts2")), "id2")
+        .withColumn("common", size(array_intersect($"ts1", $"ts2")))
+        .withColumn("j", $"common" / (size($"ts1") + size($"ts2") - $"common"))
+        .filter($"j" >= 0.5)
+        .select($"id1", $"id2")
+      pairs
+        .join(spans.select($"doc_id".as("id1"), $"off".as("off1"), $"h"), "id1")
+        .join(spans.select($"doc_id".as("id2"), $"off".as("off2"), $"h"), Seq("id2", "h"))
+        .groupBy($"id1", $"id2")
+        .agg(countDistinct($"h").as("n_matched_spans"),
+          min($"off1").as("first_off1"), max($"off1").as("last_off1"),
+          min($"off2").as("first_off2"), max($"off2").as("last_off2"))
+        .orderBy($"id1", $"id2")
+    }, Some(
+      s"""WITH $corpusSql,
+         |${minhashSql("corpus", "")},
+         |pairs AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT c.id1, c.id2,
+         |      len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE) AS j
+         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
+         |  WHERE j >= 0.5),
+         |spans AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, (length(text)-$SpanLen)//$SpanStride + 1), i -> CAST(i*$SpanStride AS BIGINT))) AS off,
+         |    unnest(list_transform(range(0, (length(text)-$SpanLen)//$SpanStride + 1), i -> substr(text, CAST(i*$SpanStride+1 AS INT), $SpanLen))) AS span
+         |  FROM corpus WHERE length(text) >= $SpanLen),
+         |m AS (
+         |  SELECT p.id1, p.id2, s1.span, s1.off AS off1, s2.off AS off2
+         |  FROM pairs p JOIN spans s1 ON s1.doc_id = p.id1
+         |  JOIN spans s2 ON s2.doc_id = p.id2 AND s2.span = s1.span)
+         |SELECT id1, id2, CAST(count(DISTINCT span) AS BIGINT) AS n_matched_spans,
+         |  min(off1) AS first_off1, max(off1) AS last_off1,
+         |  min(off2) AS first_off2, max(off2) AS last_off2
+         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- word 8-gram novelty vs earlier corpus: for each doc, the
     // fraction of its distinct 8-grams whose FIRST occurrence (min doc_id
     // over the corpus) is the doc itself — the temporal-dedup curve a
