@@ -804,6 +804,80 @@ object Dedup {
          |  min(off2) AS first_off2, max(off2) AS last_off2
          |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- contiguous excision ranges (gaps-and-islands over matched
+    // spans): the matched offsets of a near-dup pair coalesce into runs —
+    // consecutive offsets ≤ stride apart are one island — giving the
+    // cleaner byte ranges to cut, not a scatter of span starts. The island
+    // window partitions per (pair) over tens of offsets, never the corpus;
+    // island end covers the span tail (+SpanLen).
+    ("dedup_span_islands", (s, d) => {
+      import s.implicits._
+      val (wl, st) = (SpanLen, SpanStride)
+      val c = corpus(s, d)
+      val spans = c.filter(length($"text") >= wl)
+        .select($"doc_id", posexplode(transform(
+          sequence(lit(0), ((length($"text") - wl).cast("double") / st).cast("long")),
+          i => $"text".substr((i * st + 1).cast("int"), lit(wl)))).as(Seq("k", "span")))
+        .select($"doc_id", ($"k" * st).cast("long").as("off"), xxhash64($"span").as("h"))
+      val arrays = shingleStringArrays(c).cache()
+      val pairs = minhashCandidates(bandTable(arrays))
+        .join(arrays.select($"doc_id".as("id1"), $"ts".as("ts1")), "id1")
+        .join(arrays.select($"doc_id".as("id2"), $"ts".as("ts2")), "id2")
+        .withColumn("common", size(array_intersect($"ts1", $"ts2")))
+        .withColumn("j", $"common" / (size($"ts1") + size($"ts2") - $"common"))
+        .filter($"j" >= 0.5)
+        .select($"id1", $"id2")
+      val matched = pairs
+        .join(spans.select($"doc_id".as("id1"), $"h"), "id1")
+        .join(spans.select($"doc_id".as("id2"), $"off", $"h"), Seq("id2", "h"))
+        .select($"id1", $"id2", $"off").distinct()
+      val wp = Window.partitionBy($"id1", $"id2").orderBy($"off")
+      val wrun = Window.partitionBy($"id1", $"id2").orderBy($"off")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      matched
+        .withColumn("gap", when(
+          $"off" - lag($"off", 1).over(wp) > st || lag($"off", 1).over(wp).isNull, 1L).otherwise(0L))
+        .withColumn("island", sum($"gap").over(wrun))
+        .groupBy($"id1", $"id2", $"island")
+        .agg(min($"off").as("start_off"), (max($"off") + wl).as("end_off"),
+          count(lit(1)).as("n_spans"))
+        .select($"id1", $"id2", ($"island" - 1).as("island_idx"),
+          $"start_off", $"end_off", $"n_spans")
+        .orderBy($"id1", $"id2", $"island_idx")
+    }, Some(
+      s"""WITH $corpusSql,
+         |${minhashSql("corpus", "")},
+         |pairs AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT c.id1, c.id2,
+         |      len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE) AS j
+         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
+         |  WHERE j >= 0.5),
+         |spans AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, (length(text)-$SpanLen)//$SpanStride + 1), i -> CAST(i*$SpanStride AS BIGINT))) AS off,
+         |    unnest(list_transform(range(0, (length(text)-$SpanLen)//$SpanStride + 1), i -> substr(text, CAST(i*$SpanStride+1 AS INT), $SpanLen))) AS span
+         |  FROM corpus WHERE length(text) >= $SpanLen),
+         |matched AS (
+         |  SELECT DISTINCT p.id1, p.id2, s2.off
+         |  FROM pairs p JOIN spans s1 ON s1.doc_id = p.id1
+         |  JOIN spans s2 ON s2.doc_id = p.id2 AND s2.span = s1.span),
+         |flagged AS (
+         |  SELECT id1, id2, off,
+         |    CASE WHEN lag(off) OVER (PARTITION BY id1, id2 ORDER BY off) IS NULL
+         |           OR off - lag(off) OVER (PARTITION BY id1, id2 ORDER BY off) > $SpanStride
+         |         THEN 1 ELSE 0 END AS gap
+         |  FROM matched),
+         |runs AS (
+         |  SELECT id1, id2, off,
+         |    sum(gap) OVER (PARTITION BY id1, id2 ORDER BY off ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM flagged)
+         |SELECT id1, id2, CAST(island - 1 AS BIGINT) AS island_idx,
+         |  min(off) AS start_off, max(off) + $SpanLen AS end_off,
+         |  count(*) AS n_spans
+         |FROM runs GROUP BY id1, id2, island
+         |ORDER BY id1, id2, island_idx""".stripMargin)),
+
     // ---- word 8-gram novelty vs earlier corpus: for each doc, the
     // fraction of its distinct 8-grams whose FIRST occurrence (min doc_id
     // over the corpus) is the doc itself — the temporal-dedup curve a
