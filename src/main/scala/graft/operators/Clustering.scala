@@ -65,7 +65,15 @@ object Clustering {
     * table → (vec_id, cid). See the object Scaladoc for the exact-integer
     * distance argument.
     */
-  private def kmeansAssign(u: DataFrame): DataFrame = {
+  private def kmeansAssign(u: DataFrame): DataFrame = kmeansModel(u)._1
+
+  /** [[kmeansAssign]] plus the model internals for quality reporting:
+    * (assignments a2, centroid table cn(cid, s, n), quantized vectors q).
+    * `n` is the ITERATION-1 member count the centroid `s/n` is defined
+    * over — inertia against that centroid must divide by the same n even
+    * though final membership comes from a2.
+    */
+  private def kmeansModel(u: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val s = u.sparkSession
     import s.implicits._
     val q = quantized(u).cache() // read by both assignment passes + the centroid update (spills; Bench clears)
@@ -87,12 +95,13 @@ object Clustering {
       .groupBy($"cid")
       .agg(transform(array_sort(collect_list(struct($"i", $"sm"))), x => x("sm")).as("s"))
     val cn = sums.join(n1, "cid")
-    q.crossJoin(broadcast(cn)) // K rows again
+    val a2 = q.crossJoin(broadcast(cn)) // K rows again
       .withColumn("dist",
         ($"n" * $"n" * vecDot($"qv", $"qv") - lit(2) * $"n" * vecDot($"qv", $"s")
           + vecDot($"s", $"s")) / ($"n" * $"n"))
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
       .select($"vec_id", $"cid")
+    (a2, cn, q)
   }
 
   /** Oracle twin of [[kmeansAssign]]: CTE chain `q → seeds → a1 → cent →
@@ -180,6 +189,41 @@ object Clustering {
          |${kmeansSql("v")},
          |n2 AS (SELECT cid, count(*) AS cluster_size FROM a2 GROUP BY cid)
          |SELECT vec_id, cid, cluster_size FROM a2 JOIN n2 USING (cid) ORDER BY vec_id""".stripMargin)),
+
+    // ---- k-means quality report: per-cluster size and inertia (total
+    // squared distance to the centroid, in unit-vector units). The inertia
+    // stays hash-checkable by the same exact-integer route as assignment:
+    // each member's squared-distance NUMERATOR A = n²·q·q − 2n·q·s + s·s is
+    // an exact integer cast to LONG, the per-cluster sum is exact integer
+    // arithmetic (order-invariant), and only the final division by n²·Q²
+    // touches floating point — one deterministic IEEE op per cluster.
+    ("sim_kmeans_report", (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      import s.implicits._
+      val (a2, cn, q) = kmeansModel(Similarity.vectors(s, d))
+      a2.join(q, "vec_id").join(cn, "cid")
+        .withColumn("num",
+          ($"n" * $"n" * vecDot($"qv", $"qv") - lit(2) * $"n" * vecDot($"qv", $"s")
+            + vecDot($"s", $"s")).cast("long"))
+        .groupBy($"cid", $"n")
+        .agg(count(lit(1)).as("n_members"), sum($"num").as("sum_num"))
+        .select($"cid", $"n_members",
+          round($"sum_num" / ($"n" * $"n" * lit(QScale.toLong * QScale)).cast("double"), 4)
+            .as("inertia"))
+        .orderBy($"cid")
+    }, Some(
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS emb
+         |  FROM embeddings),
+         |${kmeansSql("v")},
+         |nums AS (
+         |  SELECT a2.cid, n,
+         |    CAST(n*n*list_dot_product(qv, qv) - 2*n*list_dot_product(qv, s) + list_dot_product(s, s) AS BIGINT) AS num
+         |  FROM a2 JOIN q USING (vec_id) JOIN cn USING (cid))
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  ${rndSql(s"sum(num) / (CAST(n*n AS DOUBLE) * ${QScale.toLong * QScale})", 4)} AS inertia
+         |FROM nums GROUP BY cid, n ORDER BY cid""".stripMargin)),
 
     // ---- SemDeDup: k-means the planted corpus, then inside each cluster
     // drop every vector whose cosine to a LOWER-id cluster-mate reaches the

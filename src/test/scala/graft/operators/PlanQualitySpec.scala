@@ -188,6 +188,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the 20-row domain stats must broadcast back over the corpus:\n$mix")
   }
 
+  test("span localization: no cartesian products, span emission stays map-side before the hash joins") {
+    for (q <- Seq("dedup_matched_spans", "dedup_span_islands", "dedup_graph_triangles")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: pair/span assembly must stay equi-joins:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: no nested-loop fallback:\n$plan")
+    }
+  }
+
   test("dedup metrics: two-level aggregation, shuffle keyed by 64-bit hash only") {
     val plan = Chunking.dedupMetrics(Chunking.chunkTable(
       graft.Tables.documents(spark, sfDir), "doc_id", "text", "fastcdc", 64, 42L))
