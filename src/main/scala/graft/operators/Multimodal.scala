@@ -73,6 +73,15 @@ object Multimodal {
 
   /** Media table derived from documents: media_type cycles by doc_id,
     * metadata is arithmetic on (doc_id, n_chars) — all oracle-computable.
+    *
+    * ASCII-ONLY ASSUMPTION (ADVICE r6): `content` is the UTF-8 encoding of
+    * `documents.text`, and every oracle that slices/indexes content by BYTE
+    * offset (mm_frame_sample, mm_resize_thumbnail, mm_scene_changes) slices
+    * `text` by CHARACTER offset in SQL — the two agree only because the
+    * synthetic corpus is pure ASCII (verified: codepoints 32..121, spec-
+    * pinned in MultimodalSpec). Real multi-byte media metadata would never
+    * route through a text column at all; this mapping exists only so the
+    * stubbed decode stays DuckDB-checkable.
     */
   def media(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

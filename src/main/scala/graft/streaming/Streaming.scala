@@ -75,6 +75,14 @@ case class ClusterCentroid(cid: Long, emb: Array[Double])
 /** Per-vector outcome of streaming SemDeDup. */
 case class SemanticDecision(vecId: Long, cid: Long, dropped: Boolean)
 
+/** Per-cluster SemDeDup state: the kept vectors (read by the cosine check)
+  * plus the ids already DROPPED — tracked so an at-least-once redelivery
+  * re-emits the original decision instead of re-evaluating against evolved
+  * cluster state (ADVICE r6: kept-id redelivery was suppressed while
+  * dropped-id redelivery re-evaluated — asymmetric).
+  */
+case class SemDedupState(kept: Array[(Long, Array[Double])], dropped: Array[Long])
+
 /** Per-(doc, span) outcome of streaming repeated-span detection. */
 case class SpanDecision(docId: Long, spanHash: Long, firstDocId: Long, dup: Boolean)
 
@@ -630,8 +638,12 @@ object Streaming {
     *
     * State bound: at most `maxCluster` kept vectors per cluster —
     * K·maxCluster·dims·8 bytes total (the SemDeDup analogue of the near-dup
-    * bucket cap). At the cap, dup DETECTION keeps running (the cosine check
-    * reads state without growing it) but novel vectors pass through untracked
+    * bucket cap) — plus a dropped-id ledger (8 bytes/id, capped at
+    * 16·maxCluster) that makes at-least-once redelivery idempotent: a decided
+    * id re-emits its ORIGINAL decision for BOTH outcomes instead of being
+    * suppressed (kept) or re-evaluated against evolved state (dropped). At
+    * the cap, dup DETECTION keeps running (the cosine check reads state
+    * without growing it) but novel vectors pass through untracked
     * (fail-open: at 100 TB a saturated cluster means K was chosen too small
     * for the corpus — resize K, don't silently discard data).
     */
@@ -661,19 +673,31 @@ object Streaming {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (cid: Long, rows: Iterator[(Long, Long, Array[Double])],
-         state: GroupState[Array[(Long, Array[Double])]]) =>
-          var kept = state.getOption.getOrElse(Array.empty[(Long, Array[Double])])
+         state: GroupState[SemDedupState]) =>
+          val st = state.getOption.getOrElse(SemDedupState(Array.empty, Array.empty))
+          var kept = st.kept
+          var dropped = st.dropped
           val out = scala.collection.mutable.ArrayBuffer.empty[SemanticDecision]
           rows.foreach { case (_, id, emb) =>
-            if (kept.exists(_._1 == id)) () // duplicate delivery of a kept id: re-emit nothing
-            else if (kept.exists(k => dot(k._2, emb) >= threshold))
-              out += SemanticDecision(id, cid, dropped = true) // dup check needs no state growth — runs even at the cap
-            else {
+            // Idempotent redelivery, SYMMETRIC for both outcomes (ADVICE r6):
+            // a decided id re-emits its ORIGINAL decision — never re-evaluated
+            // against cluster state that evolved since.
+            if (kept.exists(_._1 == id)) out += SemanticDecision(id, cid, dropped = false)
+            else if (dropped.contains(id)) out += SemanticDecision(id, cid, dropped = true)
+            else if (kept.exists(k => dot(k._2, emb) >= threshold)) {
+              // dup check needs no kept-state growth — runs even at the cap.
+              // Dropped-id ledger is 8 bytes/id, capped at 16x the kept cap;
+              // past it, a redelivery re-evaluates — same verdict regardless,
+              // because the dominator that dropped the id is still kept
+              // (the kept set only grows).
+              if (dropped.length < maxCluster * 16) dropped = dropped :+ id
+              out += SemanticDecision(id, cid, dropped = true)
+            } else {
               if (kept.length < maxCluster) kept = kept :+ ((id, emb))
               out += SemanticDecision(id, cid, dropped = false) // at the cap: fail-open, vector kept out of state
             }
           }
-          state.update(kept)
+          state.update(SemDedupState(kept, dropped))
           out.iterator
       }
   }

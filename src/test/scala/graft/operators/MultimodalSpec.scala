@@ -34,6 +34,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(r => r.n_bytes == nchars(r.doc_id)))
   }
 
+  // Pins the media() ASCII-only assumption (see its scaladoc): every oracle
+  // that slices `content` by BYTE offset slices `text` by CHAR offset in SQL,
+  // which agrees only while the corpus is pure ASCII. If the generator ever
+  // emits a multi-byte codepoint this fails before the oracle diverges.
+  test("corpus text is pure ASCII (byte-offset == char-offset contract)") {
+    import spark.implicits._
+    val nonAscii = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(length($"text") =!= length(encode($"text", "UTF-8")))
+      .count()
+    assert(nonAscii == 0)
+    // and codepoints are printable-range (32..126), matching the bin math
+    val outOfRange = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter($"text".rlike("[^\\x20-\\x7e]"))
+      .count()
+    assert(outOfRange == 0)
+  }
+
   test("frame sampling covers each blob exactly once, in order") {
     import spark.implicits._
     val frames = Multimodal.queries("mm_frame_sample")(spark, sfDir)

@@ -565,6 +565,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("semanticDedupStream redelivery re-emits the original decision for BOTH outcomes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def basis(i: Int): Array[Double] = Array.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+    val cents = Array(ClusterCentroid(0L, basis(0)))
+    val ms = MemoryStream[VecEvent]
+    val q = Streaming.semanticDedupStream(ms.toDS(), cents)
+      .writeStream.format("memory").queryName("sem_redeliver_out").outputMode("append").start()
+    try {
+      ms.addData(VecEvent(1L, basis(0))) // kept
+      ms.addData(VecEvent(2L, basis(0))) // exact dup of 1 -> dropped
+      q.processAllAvailable()
+      // redeliver both, plus a vector that would NOW be dropped if id 2's
+      // redelivery were re-evaluated (cluster state evolved: 1 is kept)
+      ms.addData(VecEvent(1L, basis(0)))
+      ms.addData(VecEvent(2L, basis(0)))
+      q.processAllAvailable()
+      val rows = spark.table("sem_redeliver_out").as[SemanticDecision].collect()
+      // each redelivery re-emitted exactly one row with the ORIGINAL verdict
+      assert(rows.count(r => r.vecId == 1L) == 2)
+      assert(rows.filter(_.vecId == 1L).forall(!_.dropped))
+      assert(rows.count(r => r.vecId == 2L) == 2)
+      assert(rows.filter(_.vecId == 2L).forall(_.dropped))
+    } finally q.stop()
+  }
+
   test("spanDedupStream: copies fully duplicated against their source, firsts stable across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
