@@ -700,6 +700,67 @@ object Dedup {
          |JOIN edges ac ON ac.id1 = ab.id1 AND ac.id2 = bc.id2
          |ORDER BY a, b, c""".stripMargin)),
 
+    // ---- canonical-document selection per near-dup cluster: the operator
+    // a cleaner runs AFTER clustering — which copy to KEEP. Rule: max total
+    // similarity mass to cluster-mates (the most-central copy), tie →
+    // longest text (the least-truncated copy), tie → lowest id
+    // (deterministic). Mass is the exact-integer sum of the 4-decimal
+    // jaccard weights (round(j·10⁴) per edge, summed as LONG —
+    // order-invariant, no float accumulation), so both engines agree
+    // bit-for-bit. Scale shape: the ranking window partitions by cluster
+    // (bounded by cluster size, never corpus-wide); edges and labels are
+    // the same sparse verified-pair set the other graph queries reuse.
+    // PageRank was prototyped and rejected for this pick: near-dup clusters
+    // are cliques, so its scores are uniform within a cluster — similarity
+    // MASS (jaccard-weighted degree) is what actually separates members.
+    ("dedup_canonical_pick", (s, d) => {
+      import s.implicits._
+      val c = corpus(s, d)
+      val arrays = shingleStringArrays(c).cache()
+      val verj = minhashCandidates(bandTable(arrays))
+        .join(arrays.select($"doc_id".as("id1"), $"ts".as("ts1")), "id1")
+        .join(arrays.select($"doc_id".as("id2"), $"ts".as("ts2")), "id2")
+        .withColumn("common", size(array_intersect($"ts1", $"ts2")))
+        .withColumn("jaccard", round($"common" / (size($"ts1") + size($"ts2") - $"common"), 4))
+        .filter($"jaccard" >= 0.5)
+        .select($"id1", $"id2", round($"jaccard" * 10000, 0).cast("long").as("w"))
+        .cache() // read by labels + both mass legs (spills; Bench clears)
+      val labels = connectedComponents(verj.select($"id1", $"id2"))
+      val wdeg = verj.select($"id1".as("id"), $"w")
+        .unionByName(verj.select($"id2".as("id"), $"w"))
+        .groupBy($"id").agg(sum($"w").as("mass_e4"))
+      val lens = c.select($"doc_id".as("id"), length($"text").cast("long").as("tlen"))
+      val rk = Window.partitionBy($"comp")
+        .orderBy($"mass_e4".desc, $"tlen".desc, $"id".asc)
+      labels.join(wdeg, "id").join(lens, "id")
+        .withColumn("is_canonical", row_number().over(rk) === 1)
+        .select($"id".as("doc_id"), $"comp".as("cluster_id"),
+          $"mass_e4", $"tlen", $"is_canonical")
+        .orderBy($"doc_id")
+    }, Some {
+      s"""WITH RECURSIVE $corpusSql,
+         |${minhashSql("corpus", "")},
+         |verj AS (
+         |  SELECT id1, id2, CAST(round(jaccard * 10000, 0) AS BIGINT) AS w FROM (
+         |    SELECT c.id1, c.id2,
+         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
+         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM verj UNION ALL SELECT id2, id1 FROM verj),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |wdeg AS (
+         |  SELECT id, CAST(sum(w) AS BIGINT) AS mass_e4 FROM (
+         |    SELECT id1 AS id, w FROM verj UNION ALL SELECT id2, w FROM verj) GROUP BY id),
+         |lens AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS tlen FROM corpus)
+         |SELECT c.id AS doc_id, c.cluster_id, mass_e4, tlen,
+         |  (row_number() OVER (PARTITION BY cluster_id ORDER BY mass_e4 DESC, tlen DESC, c.id) = 1) AS is_canonical
+         |FROM comp c JOIN wdeg USING (id) JOIN lens USING (id) ORDER BY doc_id""".stripMargin
+    }),
+
     // ---- exact repeated-span detection (the substring-level dedup of Lee
     // et al. 2021, "Deduplicating Training Data Makes Language Models
     // Better", recast on fixed stride-aligned windows instead of a suffix
