@@ -487,7 +487,61 @@ object PipelineOps {
          |  NOT (exact_dup OR n.doc_id IS NOT NULL OR sp.doc_id IS NOT NULL) AS kept
          |FROM ex LEFT JOIN near n ON n.doc_id = ex.doc_id
          |LEFT JOIN sempairs sp ON sp.doc_id = ex.doc_id
-         |ORDER BY ex.doc_id""".stripMargin))
+         |ORDER BY ex.doc_id""".stripMargin)),
+
+    // ---- line-level boilerplate excision (the C4/RefinedWeb "deduplicate
+    // at the line level" pass, on synthetic line boundaries — this corpus
+    // has no newlines, so the unit is the non-overlapping 10-word segment):
+    // a segment seen in >= 2 DISTINCT docs is boilerplate and is CUT; the
+    // doc is rebuilt from its kept segments in order. Unlike the span
+    // queries (which only REPORT duplication), this one produces the
+    // cleaned text — the excision operator itself. Scale shape: segments
+    // explode map-side; the two shuffles key on the 64-bit segment hash
+    // (doc-frequency, map-side combinable) and doc_id (rebuild, state
+    // bounded by doc length). Spark counts df on xxhash64(segment) — see
+    // the COLLISION ASSUMPTION note in Dedup's span family, which this
+    // query shares (oracle groups by the raw string).
+    ("pipeline_line_dedup", (s, d) => {
+      import s.implicits._
+      val c = Dedup.corpus(s, d)
+      val segs = c
+        .withColumn("t", split(trim($"text"), "\\s+"))
+        .select($"doc_id", explode(sequence(lit(0L),
+          floor((size($"t") + 9) / 10).cast("long") - 1)).as("k"),
+          $"t")
+        .select($"doc_id", $"k",
+          array_join(slice($"t", ($"k" * 10 + 1).cast("int"), lit(10)), " ").as("seg"))
+        .withColumn("h", xxhash64($"seg"))
+      val dfreq = segs.groupBy($"h").agg(countDistinct($"doc_id").as("ndocs"))
+      segs.join(dfreq, "h")
+        .withColumn("boiler", $"ndocs" >= 2)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when($"boiler", 1L).otherwise(0L)).as("n_removed"),
+          array_join(transform(array_sort(collect_list(
+              when(!$"boiler", struct($"k", $"seg")))),
+            x => x("seg")), " ").as("rebuilt"))
+        .select($"doc_id", $"n_segments", $"n_removed",
+          length($"rebuilt").cast("long").as("n_chars_after"),
+          h60($"rebuilt").as("clean_h60"))
+        .orderBy($"doc_id")
+    }, Some(
+      s"""WITH ${Dedup.corpusSql},
+         |segs AS (
+         |  SELECT doc_id, CAST(k AS BIGINT) AS k,
+         |    array_to_string(list_slice(${tokensSql("text")}, k*10+1, k*10+10), ' ') AS seg
+         |  FROM corpus, LATERAL (SELECT unnest(range(0, (len(${tokensSql("text")})+9)//10)) AS k)),
+         |df AS (SELECT seg, count(DISTINCT doc_id) AS ndocs FROM segs GROUP BY seg),
+         |marked AS (SELECT s.doc_id, s.k, s.seg, d.ndocs >= 2 AS boiler FROM segs s JOIN df d USING (seg)),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_segments,
+         |    CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |    coalesce(string_agg(CASE WHEN NOT boiler THEN seg END, ' ' ORDER BY k), '') AS rebuilt
+         |  FROM marked GROUP BY doc_id)
+         |SELECT doc_id, n_segments, n_removed,
+         |  CAST(length(rebuilt) AS BIGINT) AS n_chars_after,
+         |  ${h60Sql("rebuilt")} AS clean_h60
+         |FROM per ORDER BY doc_id""".stripMargin))
   )
 
   /** Global-sample size for pipeline_bottomk_sample. */
