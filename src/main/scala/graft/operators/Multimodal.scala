@@ -295,7 +295,94 @@ object Multimodal {
          |  lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_feat,
          |  (lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx) IS NOT NULL
          |    AND abs(feat - lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx)) > 500) AS is_cut
-         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin))
+         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // ---- perceptual-hash (aHash) near-dup detection over image blobs: the
+    // visual analogue of MinHash dedup. Each image's 8x8 thumbnail (the
+    // stubbed decode+resize) becomes a 64-bit hash — bit i set iff pixel i
+    // is above the thumbnail mean (compared as 64·pix > sum: integer-only,
+    // no division) — held as two 32-bit halves so neither engine touches
+    // the BIGINT sign bit. Candidate pairs come from a 4x16-bit band
+    // equi-join (pigeonhole: hamming <= 3 forces at least one equal band,
+    // so the <= 3 output is EXACT, never sampled), then only candidates
+    // pay the bit_count hamming verify — the sub-quadratic LSH shape, by
+    // banding, same as the text-side MinHash. The planted corpus adds
+    // exact copies (+144000) and one-char edits (+288000) of image docs;
+    // both offsets are ≡ 0 mod 144 = lcm(16,9)·
+    // — width/height derive from doc_id so copies keep their dims.
+    ("mm_phash_pairs", (s, d) => {
+      import s.implicits._
+      val base = graft.Tables.documents(s, d)
+        .select($"doc_id", $"text").filter($"doc_id" % 3 === 0)
+      val pm = base
+        .unionByName(base.filter($"doc_id" % 5 === 0)
+          .select(($"doc_id" + 144000).as("doc_id"), $"text"))
+        .unionByName(base.filter($"doc_id" % 7 === 0)
+          .select(($"doc_id" + 288000).as("doc_id"),
+            concat(lit("X"), $"text".substr(lit(2), length($"text"))).as("text")))
+      val ah = pm.select($"doc_id",
+          encode($"text", "UTF-8").as("content"),
+          (lit(64) + ($"doc_id" % 16) * 16).cast("int").as("width"),
+          (lit(64) + ($"doc_id" % 9) * 16).cast("int").as("height"))
+        .as[(Long, Array[Byte], Int, Int)]
+        .mapPartitions(_.map { case (id, c, w, h) =>
+          val t = resizeStub(c, w, h)
+          var sum = 0L; var i = 0
+          while (i < t.length) { sum += (t(i) & 0xff); i += 1 }
+          var lo = 0L; var hi = 0L
+          i = 0
+          while (i < 32) { if (64L * (t(i) & 0xff) > sum) lo |= 1L << i; i += 1 }
+          while (i < 64) { if (64L * (t(i) & 0xff) > sum) hi |= 1L << (i - 32); i += 1 }
+          (id, lo, hi)
+        })
+        .toDF("doc_id", "lo", "hi")
+        .cache() // read by the band join (twice) + hamming verify (Bench clears)
+      val bands = ah.select($"doc_id", posexplode(array(
+        $"lo".bitwiseAND(lit(65535L)), shiftright($"lo", 16).bitwiseAND(lit(65535L)),
+        $"hi".bitwiseAND(lit(65535L)), shiftright($"hi", 16).bitwiseAND(lit(65535L)))))
+        .toDF("doc_id", "b", "bval")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bval") === col("y.bval") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
+      cand
+        .join(ah.select($"doc_id".as("id1"), $"lo".as("lo1"), $"hi".as("hi1")), "id1")
+        .join(ah.select($"doc_id".as("id2"), $"lo".as("lo2"), $"hi".as("hi2")), "id2")
+        .select($"id1", $"id2",
+          (bit_count($"lo1".bitwiseXOR($"lo2")) +
+            bit_count($"hi1".bitwiseXOR($"hi2"))).cast("long").as("hamming"))
+        .filter($"hamming" <= 3)
+        .orderBy($"id1", $"id2")
+    }, Some {
+      val pos = s"CAST((((i // $ThumbW) * (64 + (doc_id % 9) * 16) // $ThumbH) * (64 + (doc_id % 16) * 16) " +
+        s"+ ((i % $ThumbW) * (64 + (doc_id % 16) * 16) // $ThumbW)) % length(text) AS INT) + 1"
+      s"""WITH pm AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id + 144000, text FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+         |  UNION ALL SELECT doc_id + 288000, 'X' || substr(text, 2) FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 = 0),
+         |px AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, ${ThumbW * ThumbH}), i -> ascii(substr(text, $pos, 1))) AS pix
+         |  FROM pm),
+         |ah AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN 64 * pix[i+1] > list_sum(pix) THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS lo,
+         |    CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN 64 * pix[i+33] > list_sum(pix) THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hi
+         |  FROM px),
+         |bands AS (
+         |  SELECT doc_id, lo, hi, b,
+         |    CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+         |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bval
+         |  FROM ah, (SELECT unnest(range(0, 4)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id),
+         |ham AS (
+         |  SELECT c.id1, c.id2,
+         |    CAST(bit_count(xor(a1.lo, a2.lo)) + bit_count(xor(a1.hi, a2.hi)) AS BIGINT) AS hamming
+         |  FROM cand c JOIN ah a1 ON a1.doc_id = c.id1 JOIN ah a2 ON a2.doc_id = c.id2)
+         |SELECT id1, id2, hamming FROM ham WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin
+    })
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
