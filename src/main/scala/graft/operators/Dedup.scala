@@ -102,8 +102,10 @@ object Dedup {
     * permutations in one pass, key each band by its row minima. The per-row
     * core of [[bandTable]], shared with the streaming near-dup operator.
     */
-  private[graft] def bandKeysJvm(ts: Array[String]): Seq[(Int, String)] = {
-    if (ts.isEmpty) return Seq.empty
+  /** One doc's 16 minhash signature values (the shared core of every band
+    * layout): hash each shingle once, fold all permutations in one pass.
+    */
+  private[graft] def minhashMins(ts: Array[String]): Array[Long] = {
     val perms = PermsArr
     val mins = Array.fill(perms.length)(Long.MaxValue)
     var i = 0
@@ -117,8 +119,28 @@ object Dedup {
       }
       i += 1
     }
+    mins
+  }
+
+  private[graft] def bandKeysJvm(ts: Array[String]): Seq[(Int, String)] = {
+    if (ts.isEmpty) return Seq.empty
+    val mins = minhashMins(ts)
     (0 until Bands).map { bnd =>
       (bnd, (bnd * Rows until bnd * Rows + Rows).map(mins).mkString(","))
+    }
+  }
+
+  /** Band rows for the LSH tuning sweep: the SAME 16 signature values keyed
+    * under three layouts — (cfg 0) 2 bands x 8 rows, (cfg 1) the production
+    * 4x4, (cfg 2) 8 bands x 2 rows — from one signature computation.
+    */
+  private[graft] def sweepBandRows(ts: Array[String]): Seq[(Int, Int, String)] = {
+    if (ts.isEmpty) return Seq.empty
+    val mins = minhashMins(ts)
+    Seq((0, 8), (1, 4), (2, 2)).flatMap { case (cfg, r) =>
+      (0 until PermsArr.length / r).map { b =>
+        (cfg, b, (b * r until b * r + r).map(mins).mkString(","))
+      }
     }
   }
 
@@ -759,6 +781,73 @@ object Dedup {
          |SELECT c.id AS doc_id, c.cluster_id, mass_e4, tlen,
          |  (row_number() OVER (PARTITION BY cluster_id ORDER BY mass_e4 DESC, tlen DESC, c.id) = 1) AS is_canonical
          |FROM comp c JOIN wdeg USING (id) JOIN lens USING (id) ORDER BY doc_id""".stripMargin
+    }),
+
+    // ---- LSH band-layout tuning sweep: the SAME 16-value signatures keyed
+    // three ways — 2 bands x 8 rows (high precision, low recall), the
+    // production 4x4, and 8 x 2 (high recall, low precision) — with
+    // candidate count and verified precision per layout in one query. This
+    // is the measurement a pipeline runs BEFORE fixing its LSH config at a
+    // new corpus scale: the S-curve P(cand) = 1-(1-j^r)^b moves with (b,r)
+    // and the right point depends on the corpus' similarity distribution.
+    // One signature pass feeds all three layouts; candidates are banded
+    // equi-joins as ever; the jaccard verify runs ONCE on the distinct pair
+    // union (the 8x2 set — 2x8 and 4x4 candidates are strict subsets: an
+    // 8-row band match implies both 4-row halves match) and joins back per
+    // config.
+    ("dedup_lsh_band_sweep", (s, d) => {
+      import s.implicits._
+      val arrays = shingleStringArrays(corpus(s, d)).cache()
+      val bandsAll = arrays.as[(Long, Array[String])]
+        .flatMap { case (id, ts) => sweepBandRows(ts).map { case (c, b, k) => (id, c, b, k) } }
+        .toDF("doc_id", "cfg", "band", "bkey")
+      val candAll = bandsAll.as("x").join(bandsAll.as("y"),
+          col("x.cfg") === col("y.cfg") && col("x.band") === col("y.band") &&
+            col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.cfg").as("cfg"), col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+        .distinct().cache() // read by the verify semi-pass + the final roll-up
+      val uniq = candAll.select($"id1", $"id2").distinct()
+      val ver = uniq
+        .join(arrays.select($"doc_id".as("id1"), $"ts".as("ts1")), "id1")
+        .join(arrays.select($"doc_id".as("id2"), $"ts".as("ts2")), "id2")
+        .withColumn("common", size(array_intersect($"ts1", $"ts2")))
+        .withColumn("jaccard", round($"common" / (size($"ts1") + size($"ts2") - $"common"), 4))
+        .select($"id1", $"id2", ($"jaccard" >= 0.5).as("ok"))
+      candAll.join(ver, Seq("id1", "id2"))
+        .groupBy($"cfg")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when($"ok", 1L).otherwise(0L)).as("n_verified"))
+        .select(
+          when($"cfg" === 0, "2x8").when($"cfg" === 1, "4x4").otherwise("8x2").as("config"),
+          $"n_candidates", $"n_verified",
+          round($"n_verified" / $"n_candidates", 4).as("prec"))
+        .orderBy($"config")
+    }, Some {
+      val bandSelects = Seq((0, 8), (1, 4), (2, 2)).flatMap { case (cfg, r) =>
+        (0 until 16 / r).map { b =>
+          val key = (b * r until b * r + r).map(i => s"m$i").mkString(", ")
+          s"SELECT doc_id, $cfg AS cfg, $b AS band, concat_ws(',', $key) AS bkey FROM sig"
+        }
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $corpusSql,
+         |${minhashSql("corpus", "")},
+         |bandsall AS (
+         |  $bandSelects),
+         |candall AS (
+         |  SELECT DISTINCT x.cfg, x.doc_id AS id1, y.doc_id AS id2
+         |  FROM bandsall x JOIN bandsall y
+         |    ON x.cfg = y.cfg AND x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |uniq AS (SELECT DISTINCT id1, id2 FROM candall),
+         |verq AS (
+         |  SELECT u.id1, u.id2,
+         |    ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} >= 0.5 AS ok
+         |  FROM uniq u JOIN arr a1 ON a1.doc_id = u.id1 JOIN arr a2 ON a2.doc_id = u.id2)
+         |SELECT CASE c.cfg WHEN 0 THEN '2x8' WHEN 1 THEN '4x4' ELSE '8x2' END AS config,
+         |  count(*) AS n_candidates,
+         |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+         |  ${rndSql("sum(CASE WHEN ok THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 4)} AS prec
+         |FROM candall c JOIN verq v ON v.id1 = c.id1 AND v.id2 = c.id2
+         |GROUP BY c.cfg ORDER BY config""".stripMargin
     }),
 
     // ---- exact repeated-span detection (the substring-level dedup of Lee
