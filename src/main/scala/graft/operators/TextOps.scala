@@ -580,7 +580,126 @@ object TextOps {
          |SELECT tc.bucket, coalesce(n_new_types, 0) AS n_new_types, n_tokens,
          |  CAST(sum(coalesce(n_new_types, 0)) OVER (ORDER BY tc.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types,
          |  CAST(sum(n_tokens) OVER (ORDER BY tc.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-         |FROM tc LEFT JOIN nt USING (bucket) ORDER BY tc.bucket""".stripMargin))
+         |FROM tc LEFT JOIN nt USING (bucket) ORDER BY tc.bucket""".stripMargin)),
+
+    // ---- in-domain bigram-LM scoring: train bigram/unigram counts on the
+    // corpus itself, then score each document by its mean transition
+    // probability — the KenLM-style "how typical is this document" signal
+    // that data pipelines use for quality filtering / domain weighting.
+    // Determinism: every per-bigram probability is quantized to an INTEGER
+    // (q = 1e6·c2 div c1) before summing, so the per-doc aggregate is an
+    // exact integer sum in both engines — no float accumulation order to
+    // diverge. Scale shape: two hash aggregations over the bigram stream
+    // (map-side combinable) and two shuffled equi-joins back on the bigram
+    // key; the model tables are vocabulary-sized (≪ corpus), so at 100 TB
+    // the planner broadcasts them and the score pass stays one scan.
+    ("text_bigram_lm_score", (s, d) => {
+      import s.implicits._
+      val bigrams = when(size($"toks") >= 2,
+        transform(sequence(lit(0), size($"toks") - 2),
+          i => struct(element_at($"toks", i + 1).as("w1"), element_at($"toks", i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val pairs = Tables.documents(s, d)
+        .select($"doc_id", tokens($"text").as("toks"))
+        .select($"doc_id", explode(bigrams).as("b"))
+        .select($"doc_id", $"b.w1", $"b.w2")
+        .cache() // reused 3×: unigram counts, bigram counts, the score pass
+      val uni = pairs.groupBy($"w1".as("w")).agg(count(lit(1)).as("c1"))
+      val bi = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      pairs
+        .join(bi, Seq("w1", "w2"))
+        .join(uni, $"w1" === $"w")
+        .select($"doc_id", expr("(1000000L * c2) div c1").as("q"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          sum($"q").as("lm_mass"),
+          expr("sum(q) div count(1)").as("lm_score"))
+        .orderBy($"doc_id")
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, len($t) - 1),
+         |    i -> struct_pack(w1 := ($t)[i+1], w2 := ($t)[i+2]))) AS b
+         |  FROM documents),
+         |pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+         |uni AS (SELECT w1 AS w, CAST(count(*) AS BIGINT) AS c1 FROM pairs GROUP BY 1),
+         |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM pairs GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT p.doc_id, (1000000 * bi.c2) // uni.c1 AS q
+         |  FROM pairs p JOIN bi ON p.w1 = bi.w1 AND p.w2 = bi.w2
+         |               JOIN uni ON p.w1 = uni.w)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(q) AS BIGINT) AS lm_mass,
+         |  CAST(sum(q) AS BIGINT) // count(*) AS lm_score
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }),
+
+    // ---- BPE merge learning: the first 4 byte-pair merge rules learned
+    // from the corpus vocabulary (Sennrich-style — count symbol pairs
+    // weighted by word frequency, merge the argmax, repeat). Unrolled to 4
+    // data-independent-depth iterations like sim_kmeans's Lloyd steps: each
+    // round is a vocabulary-sized pair aggregation plus a 1-row broadcast
+    // of the winning pair — no driver collect, no per-round action. The
+    // vocabulary table (distinct words × ~10 symbols) is tiny relative to
+    // the corpus at any scale, so only round 0's explode+groupBy touches
+    // corpus-sized data.
+    // Deviation from canonical BPE, identical on both engines: the merge
+    // rewrite consumes the shared delimiter (replace ' l r '→' lr ' scans
+    // left-to-right non-overlapping), so an immediately repeated pair
+    // 'l r l r' merges once per pass, not twice. Ties break (count DESC,
+    // left, right) — both engines compare [a-z]+ strings bytewise.
+    ("text_bpe_learn", (s, d) => {
+      import s.implicits._
+      val w0 = Tables.documents(s, d)
+        .select(explode(tokens($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("wc"))
+      // " a b c " — sentinel-spaced single-char symbols
+      val s0 = w0.select($"w", $"wc",
+        concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("seq"))
+        .cache()
+      def pairCounts(seqs: DataFrame): DataFrame = {
+        val ps = when(size($"sy") >= 2,
+          transform(sequence(lit(0), size($"sy") - 2),
+            i => struct(element_at($"sy", i + 1).as("l"), element_at($"sy", i + 2).as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>"))
+        seqs.select($"wc", split(trim($"seq"), " ").as("sy"))
+          .select($"wc", explode(ps).as("p"))
+          .groupBy($"p.l".as("l"), $"p.r".as("r")).agg(sum($"wc").as("c"))
+      }
+      val (merged, _) = (1 to 4).foldLeft((Seq.empty[DataFrame], s0)) {
+        case ((acc, seqs), k) =>
+          val m = pairCounts(seqs).orderBy($"c".desc, $"l", $"r").limit(1).cache()
+          val next = seqs.crossJoin(broadcast(m.select($"l".as("ml"), $"r".as("mr"))))
+            .select($"w", $"wc",
+              expr("replace(seq, ' ' || ml || ' ' || mr || ' ', ' ' || ml || mr || ' ')").as("seq"))
+          (acc :+ m.select(lit(k.toLong).as("merge_rank"),
+            $"l".as("left_sym"), $"r".as("right_sym"), $"c".as("pair_count")), next)
+      }
+      merged.reduce(_ unionAll _).orderBy($"merge_rank")
+    }, Some {
+      val t = tokensSql("text")
+      val head = s"""w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc
+         |  FROM (SELECT unnest($t) AS w FROM documents) GROUP BY 1),
+         |s0 AS (SELECT w, wc,
+         |  ' ' || array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), ' ') || ' ' AS seq
+         |  FROM w0)""".stripMargin
+      val iters = (0 until 4).map { k =>
+        s"""p$k AS (SELECT b.p1 AS l, b.p2 AS r, CAST(sum(wc) AS BIGINT) AS c FROM (
+           |    SELECT wc, unnest(list_transform(range(1, len(sy)),
+           |      i -> struct_pack(p1 := sy[i], p2 := sy[i+1]))) AS b
+           |    FROM (SELECT wc, regexp_split_to_array(trim(seq), ' ') AS sy FROM s$k))
+           |  GROUP BY 1, 2),
+           |m$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+           |s${k + 1} AS (SELECT w, wc,
+           |  replace(seq, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS seq
+           |  FROM s$k, m$k m)""".stripMargin
+      }
+      val merges = (0 until 4).map { k =>
+        s"SELECT CAST(${k + 1} AS BIGINT) AS merge_rank, l AS left_sym, r AS right_sym, c AS pair_count FROM m$k"
+      }.mkString(" UNION ALL ")
+      (Seq("WITH " + head) ++ iters).mkString(",\n") +
+        s"\nSELECT * FROM ($merges) ORDER BY merge_rank"
+    })
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
