@@ -1201,7 +1201,45 @@ object Relational {
         |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
         |  CAST(round(CAST(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS DECIMAL(28,8)), 4) AS DOUBLE) AS p
-        |FROM trans ORDER BY from_type, to_type""".stripMargin))
+        |FROM trans ORDER BY from_type, to_type""".stripMargin)),
+
+    // ---- q55: frequent event-type trigrams (order-2 sequence mining —
+    // q54's Markov matrix extended one step). Two leads over the per-user
+    // time order produce each length-3 subsequence in one pass; support
+    // counts both occurrences and distinct carriers. The global top-k window
+    // runs over the trigram COUNT table — at most |event_types|³ rows
+    // regardless of corpus size — so the unpartitioned row_number is not a
+    // scale hazard.
+    ("q55_event_trigrams", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val counts = Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("t2", lead($"event_type", 1).over(w))
+        .withColumn("t3", lead($"event_type", 2).over(w))
+        .filter($"t3".isNotNull)
+        .groupBy($"event_type".as("t1"), $"t2", $"t3")
+        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"))
+      counts
+        .withColumn("rank",
+          row_number().over(Window.orderBy($"n".desc, $"t1", $"t2", $"t3")).cast("long"))
+        .filter($"rank" <= 20)
+        .select($"rank", $"t1", $"t2", $"t3", $"n", $"n_users")
+        .orderBy($"rank")
+    }, Some(
+      """WITH sq AS (
+        |  SELECT user_id, event_type AS t1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+        |  FROM events),
+        |c AS (
+        |  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM sq WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY n DESC, t1, t2, t3) AS BIGINT) AS rank,
+        |    t1, t2, t3, n, n_users FROM c)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
