@@ -18,16 +18,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * above `N / (k + 1)` is guaranteed to survive in the sketch. Those two
   * facts are what the oracle-checked `text_heavy_hitters` query asserts.
   */
-final class MisraGriesAgg(k: Int)
-    extends Aggregator[String, mutable.HashMap[String, Long], Map[String, Long]] {
-  require(k > 0, "k must be positive")
-
-  override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
-
+/** The decrement step shared by the batch aggregator below and the streaming
+  * heavy-hitters operator (`Streaming.heavyHittersStream`), so both surfaces
+  * carry identical sketch semantics.
+  */
+object MisraGries {
   /** Drop weight until at most `k` counters remain: subtract the (k+1)-th
     * largest count from every counter and remove the non-positive ones.
     */
-  private def shrink(b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+  def shrink(b: mutable.HashMap[String, Long], k: Int): mutable.HashMap[String, Long] = {
     if (b.size <= k) return b
     val counts = b.values.toArray
     java.util.Arrays.sort(counts)
@@ -36,6 +35,16 @@ final class MisraGriesAgg(k: Int)
     b.foreachEntry { (t, c) => if (c - dec > 0) out(t) = c - dec }
     out
   }
+}
+
+final class MisraGriesAgg(k: Int)
+    extends Aggregator[String, mutable.HashMap[String, Long], Map[String, Long]] {
+  require(k > 0, "k must be positive")
+
+  override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+
+  private def shrink(b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    MisraGries.shrink(b, k)
 
   override def reduce(b: mutable.HashMap[String, Long], t: String): mutable.HashMap[String, Long] = {
     b(t) = b.getOrElse(t, 0L) + 1L

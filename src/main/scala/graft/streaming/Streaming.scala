@@ -57,6 +57,15 @@ case class Scd2Interval(userId: Long, eventType: String, validFromUs: Long, vali
 /** One streaming document: id + raw text. */
 case class DocEvent(docId: Long, text: String)
 
+/** One streaming document with its language tag (heavy-hitters stream). */
+case class LangDocEvent(docId: Long, lang: String, text: String)
+
+/** Per-language Misra-Gries state: surviving counters + total token count. */
+case class MgState(counters: Map[String, Long], nTotal: Long)
+
+/** One current heavy-hitter estimate snapshot row (Update-mode emission). */
+case class HeavyHitter(lang: String, token: String, est: Long, nTotal: Long)
+
 /** A candidate near-duplicate pair (id1 < id2) — two documents that share an
   * LSH band bucket. Candidates only: exact verification (Jaccard over
   * shingle sets) happens downstream, as in the batch pipeline.
@@ -699,6 +708,42 @@ object Streaming {
           }
           state.update(SemDedupState(kept, dropped))
           out.iterator
+      }
+  }
+
+  /** Streaming heavy hitters — the incremental twin of the batch
+    * `text_heavy_hitters` query: per-language Misra-Gries counters carried
+    * in `GroupState`, re-emitting the sketch's current estimates after every
+    * micro-batch (Update-mode semantics: downstream sees the latest believed
+    * top tokens, not an append log). The decrement step is
+    * [[graft.functions.MisraGries.shrink]] — the SAME code the batch
+    * aggregator runs — so the mergeable-summary guarantees (estimates never
+    * exceed true counts; any token with true count > N/(k+1) survives) hold
+    * for the stream regardless of arrival order or batch boundaries, which
+    * is exactly what StreamingSpec asserts. State is O(k) per language —
+    * bounded no matter how many tokens stream through.
+    */
+  def heavyHittersStream(docs: Dataset[LangDocEvent], k: Int = 8): Dataset[HeavyHitter] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.MisraGries
+    docs
+      .flatMap(d => d.text.trim.split("\\s+").iterator.filter(_.nonEmpty).map(t => (d.lang, t)))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[(String, String)], state: GroupState[MgState]) =>
+          val st = state.getOption.getOrElse(MgState(Map.empty, 0L))
+          var cur = scala.collection.mutable.HashMap.from(st.counters)
+          var n = st.nTotal
+          rows.foreach { case (_, t) =>
+            n += 1L
+            cur(t) = cur.getOrElse(t, 0L) + 1L
+            if (cur.size > k) cur = MisraGries.shrink(cur, k)
+          }
+          state.update(MgState(cur.toMap, n))
+          // deterministic emission order: estimate DESC, then token
+          cur.toSeq.sortBy { case (t, c) => (-c, t) }.iterator
+            .map { case (t, c) => HeavyHitter(lang, t, c, n) }
       }
   }
 }

@@ -655,4 +655,53 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.map(u => (u.userId, u.step)).distinct.length == got.length)
     } finally q.stop()
   }
+
+  test("heavyHittersStream: Misra-Gries guarantees hold at every batch boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val k = 8
+    val corpus = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+      .map { case (id, l, t) => LangDocEvent(id, l, t) }.sortBy(_.docId)
+    val ms = MemoryStream[LangDocEvent]
+    val q = Streaming.heavyHittersStream(ms.toDS(), k)
+      .writeStream.format("memory").queryName("hh_out").outputMode("update").start()
+    try {
+      val trueCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val trueTotals = scala.collection.mutable.HashMap.empty[String, Long]
+      corpus.grouped(170).foreach { batch =>
+        batch.foreach { d =>
+          d.text.trim.split("\\s+").filter(_.nonEmpty).foreach { t =>
+            trueCounts((d.lang, t)) = trueCounts.getOrElse((d.lang, t), 0L) + 1L
+            trueTotals(d.lang) = trueTotals.getOrElse(d.lang, 0L) + 1L
+          }
+        }
+        ms.addData(batch); q.processAllAvailable()
+        // latest snapshot per language = rows carrying that language's
+        // current nTotal (update mode re-emits the full sketch each batch)
+        val all = spark.table("hh_out").as[HeavyHitter].collect()
+        val latest = all.groupBy(_.lang).map { case (l, rows) =>
+          l -> rows.filter(_.nTotal == rows.map(_.nTotal).max)
+        }
+        latest.foreach { case (lang, rows) =>
+          val n = trueTotals(lang)
+          assert(rows.head.nTotal == n, s"$lang: sketch total $n")
+          assert(rows.length <= k, s"$lang: at most $k counters")
+          // estimates never exceed true counts
+          rows.foreach { r =>
+            assert(r.est <= trueCounts((lang, r.token)),
+              s"$lang/${r.token}: est ${r.est} > true")
+          }
+          // every token above the N/(k+1) frequency bound survives
+          val floor = n / (k + 1)
+          trueCounts.keysIterator.filter(_._1 == lang).foreach { key =>
+            if (trueCounts(key) > floor)
+              assert(rows.exists(_.token == key._2),
+                s"$lang/${key._2}: true count ${trueCounts(key)} > $floor must survive")
+          }
+        }
+      }
+    } finally q.stop()
+  }
 }
