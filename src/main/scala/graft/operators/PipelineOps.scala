@@ -541,7 +541,33 @@ object PipelineOps {
          |SELECT doc_id, n_segments, n_removed,
          |  CAST(length(rebuilt) AS BIGINT) AS n_chars_after,
          |  ${h60Sql("rebuilt")} AS clean_h60
-         |FROM per ORDER BY doc_id""".stripMargin))
+         |FROM per ORDER BY doc_id""".stripMargin)),
+
+    // ---- export shard manifest: content-hash sharding (h60(text) mod 16 —
+    // skew-free by construction, no hot shard whatever the doc_id
+    // distribution) with per-shard volume stats and the output-file count a
+    // writer would plan at a 64 KiB target. The write-planning pass that
+    // fronts any 100 TB parquet export: one scan, one 16-group aggregation;
+    // file counts stay integer-exact via ceiling division, no float sizing.
+    ("pipeline_shard_manifest", (s, d) => {
+      import s.implicits._
+      val target = 65536L
+      Tables.documents(s, d)
+        .select($"doc_id", $"n_chars", pmod(h60($"text"), lit(16)).as("shard"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("n_chars"),
+          min($"doc_id").as("min_doc_id"),
+          max($"doc_id").as("max_doc_id"))
+        .withColumn("n_files", expr(s"(n_chars + ${target - 1L}) div $target"))
+        .orderBy($"shard")
+    }, Some(
+      s"""SELECT ${h60Sql("text")} % 16 AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+         |  (CAST(sum(n_chars) AS BIGINT) + 65535) // 65536 AS n_files
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Global-sample size for pipeline_bottomk_sample. */

@@ -1239,7 +1239,48 @@ object Relational {
         |SELECT * FROM (
         |  SELECT CAST(row_number() OVER (ORDER BY n DESC, t1, t2, t3) AS BIGINT) AS rank,
         |    t1, t2, t3, n, n_users FROM c)
-        |WHERE rank <= 20 ORDER BY rank""".stripMargin))
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
+    // ---- q56: hourly event-rate anomaly flags, integer-exact. Each
+    // (type, hour) count is judged against its trailing 24 OBSERVED hourly
+    // buckets (≥12 required): anomaly ⟺ (x−μ)² > 9σ², evaluated without
+    // ever materializing μ or σ — cross-multiplied to
+    // (x·m − Σx)² > 9·(m·Σx² − (Σx)²), all integer terms, so both engines
+    // compute the same booleans with no float accumulation. The squared
+    // terms route through DECIMAL(38,0)/HUGEINT: at ~6·10⁸ events per
+    // hourly cell the BIGINT square would wrap. Scale shape: one hash
+    // aggregation to hourly grain, then a bounded 24-row window per type —
+    // the window input is |types|·|hours|, not the event count.
+    ("q56_rate_anomaly", (s, d) => {
+      import s.implicits._
+      val hc = Tables.events(s, d)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val win = Window.partitionBy($"event_type").orderBy($"hr").rowsBetween(-24, -1)
+      val dev = ($"n" * $"m" - $"sx").cast("decimal(38,0)")
+      val varTerm = ($"m" * $"sx2" - $"sx" * $"sx").cast("decimal(38,0)")
+      hc.withColumn("m", count($"n").over(win))
+        .withColumn("sx", sum($"n").over(win))
+        .withColumn("sx2", sum($"n" * $"n").over(win))
+        .filter($"m" >= 12)
+        .withColumn("is_anomaly", dev * dev > lit(9).cast("decimal(38,0)") * varTerm)
+        .select($"event_type", $"hr", $"n", $"m", $"sx", $"sx2", $"is_anomaly")
+        .orderBy($"event_type", $"hr")
+    }, Some(
+      """WITH hc AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, hr, n,
+        |    CAST(count(n) OVER win AS BIGINT) AS m,
+        |    CAST(sum(n) OVER win AS BIGINT) AS sx,
+        |    CAST(sum(n*n) OVER win AS BIGINT) AS sx2
+        |  FROM hc
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hr, n, m, sx, sx2,
+        |  (CAST(n*m - sx AS HUGEINT) * CAST(n*m - sx AS HUGEINT)
+        |     > 9 * CAST(m*sx2 - sx*sx AS HUGEINT)) AS is_anomaly
+        |FROM w WHERE m >= 12 ORDER BY event_type, hr""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

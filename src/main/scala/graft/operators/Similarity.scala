@@ -502,8 +502,55 @@ object Similarity {
          |    CAST(row_number() OVER (PARTITION BY c.q_id
          |      ORDER BY list_dot_product(q.emb, r.recon) DESC, c.n_id) AS BIGINT) AS rank
          |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN recon r ON r.vec_id = c.n_id)
-         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin))
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- cosine-threshold tuning sweep: near-dup pair volume and would-be-
+    // dropped document count at five candidate thresholds, all from ONE
+    // LSH-candidate scan (the embedding-side analogue of
+    // dedup_lsh_band_sweep) — the curve an operator reads to pick the
+    // semantic-dedup threshold before a 100 TB run. Scale shape: candidate
+    // generation is the sub-quadratic bucket equi-join; the sweep itself
+    // explodes each scored pair into its qualifying thresholds (≤5×) and
+    // hash-aggregates — no second pass over the vectors.
+    ("sim_threshold_sweep", (s, d) => {
+      import s.implicits._
+      val v = vectors(s, d).cache()
+      val sigs = lshSignatures(v)
+      val cand = sigs.as("x").join(sigs.as("y"),
+          $"x.tbl" === $"y.tbl" && $"x.sig" === $"y.sig" && $"x.vec_id" < $"y.vec_id")
+        .select($"x.vec_id".as("id1"), $"y.vec_id".as("id2")).distinct()
+      val scored = cand
+        .join(v.select($"vec_id".as("id1"), $"emb".as("e1")), "id1")
+        .join(v.select($"vec_id".as("id2"), $"emb".as("e2")), "id2")
+        .select($"id1", $"id2", cosine($"e1", $"e2").as("cos"))
+      scored
+        .withColumn("th", explode(array(SweepThresholds.map(lit): _*)))
+        .filter($"cos" >= $"th")
+        .groupBy($"th")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"id2").as("n_dropped"))
+        .orderBy($"th")
+    }, Some(
+      s"""WITH $vectorsSql,
+         |$lshSignaturesSql,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+         |  FROM sigs x JOIN sigs y
+         |    ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id < y.vec_id),
+         |scored AS (
+         |  SELECT c.id1, c.id2, list_dot_product(a.emb, b.emb) AS cos
+         |  FROM cand c JOIN v a ON a.vec_id = c.id1 JOIN v b ON b.vec_id = c.id2),
+         |th AS (SELECT unnest([${SweepThresholds.mkString(", ")}]) AS th)
+         |SELECT th, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT id2) AS BIGINT) AS n_dropped
+         |FROM scored, th WHERE cos >= th GROUP BY 1 ORDER BY 1""".stripMargin))
   )
+
+  /** Thresholds swept by sim_threshold_sweep — written with an explicit
+    * decimal point so the Spark literal and the DuckDB literal parse to the
+    * same DOUBLE.
+    */
+  private val SweepThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, f, _) => n -> f }.toMap
