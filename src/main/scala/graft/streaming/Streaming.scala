@@ -66,6 +66,18 @@ case class MgState(counters: Map[String, Long], nTotal: Long)
 /** One current heavy-hitter estimate snapshot row (Update-mode emission). */
 case class HeavyHitter(lang: String, token: String, est: Long, nTotal: Long)
 
+/** Per-type rate-anomaly state: up to 24 closed (hourEpoch, count) buckets
+  * oldest-first, plus the still-open hour — O(25) per event type.
+  */
+case class RateState(closed: Seq[(Long, Long)], openHr: Long, openN: Long)
+
+/** One finalized hourly bucket with its trailing-window stats and verdict —
+  * the streaming twin of a batch q56_rate_anomaly row.
+  */
+case class RateVerdict(
+    eventType: String, hrEpoch: Long, n: Long, m: Long, sx: Long, sx2: Long,
+    isAnomaly: Boolean)
+
 /** A candidate near-duplicate pair (id1 < id2) — two documents that share an
   * LSH band bucket. Candidates only: exact verification (Jaccard over
   * shingle sets) happens downstream, as in the batch pipeline.
@@ -744,6 +756,60 @@ object Streaming {
           // deterministic emission order: estimate DESC, then token
           cur.toSeq.sortBy { case (t, c) => (-c, t) }.iterator
             .map { case (t, c) => HeavyHitter(lang, t, c, n) }
+      }
+  }
+
+  /** Streaming hourly rate-anomaly detection — the incremental twin of the
+    * batch `q56_rate_anomaly` query. Events are keyed by type; `GroupState`
+    * carries the open hour's running count plus the trailing 24 CLOSED
+    * hourly buckets (O(25) per type — state never grows with volume). When
+    * an arriving event opens a later hour, every older open hour closes and
+    * is judged against the same integer-exact cross-multiplied rule the
+    * batch query uses — (x·m − Σx)² > 9·(m·Σx² − (Σx)²), computed in BigInt
+    * so the squares can't wrap — and emitted iff ≥ 12 trailing buckets
+    * exist. On an in-time-order replay the emitted rows equal the batch
+    * rows for every closed hour (StreamingSpec pins this); out-of-order
+    * events within the open hour fold in normally, while an event for an
+    * already-closed hour is DROPPED (the stream's lateness horizon is one
+    * hour bucket — front with a watermark sized to the source's disorder,
+    * same stance as chunkDedupStream).
+    */
+  def rateAnomalyStream(evs: Dataset[UserTypeEvent]): Dataset[RateVerdict] = {
+    val spark = evs.sparkSession
+    import spark.implicits._
+    val usPerHour = 3600L * 1000000L
+    evs
+      .map(e => (e.eventType, e.tsUs / usPerHour))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[(String, Long)], state: GroupState[RateState]) =>
+          var st = state.getOption.getOrElse(RateState(Seq.empty, -1L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RateVerdict]
+          def close(): Unit = if (st.openHr >= 0) {
+            val w = st.closed
+            if (w.length >= 12) {
+              val m = w.length.toLong
+              val sx = w.iterator.map(_._2).sum
+              val sx2 = w.iterator.map(c => c._2 * c._2).sum
+              val dev = BigInt(st.openN) * BigInt(m) - BigInt(sx)
+              val anomaly =
+                dev * dev > BigInt(9) * (BigInt(m) * BigInt(sx2) - BigInt(sx) * BigInt(sx))
+              out += RateVerdict(typ, st.openHr, st.openN, m, sx, sx2, anomaly)
+            }
+            st = RateState((w :+ (st.openHr, st.openN)).takeRight(24), -1L, 0L)
+          }
+          rows.toArray.sortBy(_._2).foreach { case (_, hr) =>
+            if (st.openHr < 0 && (st.closed.isEmpty || hr > st.closed.last._1)) {
+              st = st.copy(openHr = hr, openN = 1L)
+            } else if (hr == st.openHr) {
+              st = st.copy(openN = st.openN + 1L)
+            } else if (hr > st.openHr && st.openHr >= 0) {
+              close()
+              st = st.copy(openHr = hr, openN = 1L)
+            } // hr <= last closed hour: late beyond horizon — dropped
+          }
+          state.update(st)
+          out.iterator
       }
   }
 }

@@ -656,6 +656,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rateAnomalyStream: ordered replay equals batch q56 on every closed hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+      .as[(Long, Long, String, Long)].collect()
+      .map { case (u, id, t, us) => UserTypeEvent(u, id, t, us) }
+      .sortBy(e => (e.tsUs, e.eventId))
+    // batch truth: q56 rows keyed by (type, epoch-hour), minus each type's
+    // final hour (the stream never closes it)
+    val batch = graft.operators.Relational.queries("q56_rate_anomaly")(spark, sf)
+      .select($"event_type".as("eventType"),
+        (unix_micros($"hr") / (3600L * 1000000L)).cast("long").as("hrEpoch"),
+        $"n", $"m", $"sx", $"sx2", $"is_anomaly".as("isAnomaly"))
+      .as[RateVerdict].collect()
+    val lastHr = evs.groupBy(_.eventType).view.mapValues(_.map(_.tsUs / (3600L * 1000000L)).max).toMap
+    val want = batch.filter(r => r.hrEpoch < lastHr(r.eventType)).toSet
+    val ms = MemoryStream[UserTypeEvent]
+    val q = Streaming.rateAnomalyStream(ms.toDS())
+      .writeStream.format("memory").queryName("rate_out").outputMode("append").start()
+    try {
+      evs.grouped(700).foreach { g => ms.addData(g); q.processAllAvailable() }
+      val got = spark.table("rate_out").as[RateVerdict].collect().toSet
+      assert(got == want, s"stream ${got.size} rows vs batch ${want.size}")
+      assert(got.exists(_.m >= 12) && want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("heavyHittersStream: Misra-Gries guarantees hold at every batch boundary") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
