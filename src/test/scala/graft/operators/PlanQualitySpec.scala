@@ -205,4 +205,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(plan, "Exchange hashpartitioning") == 1, "one hash exchange on the chunk hash")
     assert(count(plan, "Exchange SinglePartition") == 1, "one final single-row gather")
   }
+
+  test("bigram LM / threshold sweep: model and candidate joins stay equi-joins, scans prune") {
+    val lm = executedPlan("text_bigram_lm_score")
+    assert(!lm.contains("CartesianProduct") && !lm.contains("BroadcastNestedLoopJoin"),
+      s"bigram LM: model joins must be equi-joins:\n$lm")
+    assert(lm.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "bigram LM: scan must prune to doc_id+text")
+    val sweep = executedPlan("sim_threshold_sweep")
+    assert(!sweep.contains("CartesianProduct") && !sweep.contains("BroadcastNestedLoopJoin"),
+      s"threshold sweep: candidate generation must stay a bucket equi-join:\n$sweep")
+  }
+
+  test("BPE learning: only 1-row argmax broadcasts nested-loop, nothing corpus-sized") {
+    val plan = executedPlan("text_bpe_learn")
+    // Each unrolled merge round crossJoins ONE broadcast row (LIMIT 1
+    // argmax). The plan STRING repeats each argmax subtree in both its
+    // consumers (next round's rewrite + the merge-table output — the
+    // cache() dedupes execution, not the printed tree), so the count is
+    // bounded by the quadratic tree growth of 4 rounds, not equal to 4.
+    val bnlj = count(plan, "BroadcastNestedLoopJoin")
+    assert(bnlj >= 4 && bnlj <= 12, s"unexpected nested-loop count $bnlj:\n$plan")
+    // every nested-loop input is a LIMIT-1 argmax (planned as a top-1
+    // TakeOrderedAndProject), never a corpus-sized side
+    assert(count(plan, "TakeOrderedAndProject(limit=1") >= 4, "argmax rows must be top-1")
+    assert(!plan.contains("CartesianProduct"), "no unbroadcast cartesian")
+  }
+
+  test("rate anomaly: the trailing window partitions by type — never a global single partition") {
+    val plan = executedPlan("q56_rate_anomaly")
+    assert(count(plan, "Exchange SinglePartition") == 0,
+      s"per-type window must not gather to one partition:\n$plan")
+  }
+
+  test("shard manifest: scan prunes to the 3 referenced columns, one agg shuffle") {
+    val plan = executedPlan("pipeline_shard_manifest")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>"),
+      s"manifest scan must prune:\n$plan")
+    assert(count(plan, "Exchange hashpartitioning") == 1,
+      "one partial->final agg shuffle on the shard key")
+  }
 }
