@@ -650,57 +650,111 @@ object TextOps {
     // left, right) — both engines compare [a-z]+ strings bytewise.
     ("text_bpe_learn", (s, d) => {
       import s.implicits._
-      val w0 = Tables.documents(s, d)
-        .select(explode(tokens($"text")).as("w"))
-        .groupBy($"w").agg(count(lit(1)).as("wc"))
-      // " a b c " — sentinel-spaced single-char symbols
-      val s0 = w0.select($"w", $"wc",
-        concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("seq"))
-        .cache()
-      def pairCounts(seqs: DataFrame): DataFrame = {
-        val ps = when(size($"sy") >= 2,
-          transform(sequence(lit(0), size($"sy") - 2),
-            i => struct(element_at($"sy", i + 1).as("l"), element_at($"sy", i + 2).as("r"))))
-          .otherwise(array().cast("array<struct<l:string,r:string>>"))
-        seqs.select($"wc", split(trim($"seq"), " ").as("sy"))
-          .select($"wc", explode(ps).as("p"))
-          .groupBy($"p.l".as("l"), $"p.r".as("r")).agg(sum($"wc").as("c"))
-      }
-      val (merged, _) = (1 to 4).foldLeft((Seq.empty[DataFrame], s0)) {
-        case ((acc, seqs), k) =>
-          val m = pairCounts(seqs).orderBy($"c".desc, $"l", $"r").limit(1).cache()
-          val next = seqs.crossJoin(broadcast(m.select($"l".as("ml"), $"r".as("mr"))))
-            .select($"w", $"wc",
-              expr("replace(seq, ' ' || ml || ' ' || mr || ' ', ' ' || ml || mr || ' ')").as("seq"))
-          (acc :+ m.select(lit(k.toLong).as("merge_rank"),
-            $"l".as("left_sym"), $"r".as("right_sym"), $"c".as("pair_count")), next)
-      }
-      merged.reduce(_ unionAll _).orderBy($"merge_rank")
+      bpeChain(s, d)._1.reduce(_ unionAll _).orderBy($"merge_rank")
     }, Some {
-      val t = tokensSql("text")
-      val head = s"""w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc
-         |  FROM (SELECT unnest($t) AS w FROM documents) GROUP BY 1),
-         |s0 AS (SELECT w, wc,
-         |  ' ' || array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), ' ') || ' ' AS seq
-         |  FROM w0)""".stripMargin
-      val iters = (0 until 4).map { k =>
-        s"""p$k AS (SELECT b.p1 AS l, b.p2 AS r, CAST(sum(wc) AS BIGINT) AS c FROM (
-           |    SELECT wc, unnest(list_transform(range(1, len(sy)),
-           |      i -> struct_pack(p1 := sy[i], p2 := sy[i+1]))) AS b
-           |    FROM (SELECT wc, regexp_split_to_array(trim(seq), ' ') AS sy FROM s$k))
-           |  GROUP BY 1, 2),
-           |m$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
-           |s${k + 1} AS (SELECT w, wc,
-           |  replace(seq, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS seq
-           |  FROM s$k, m$k m)""".stripMargin
-      }
-      val merges = (0 until 4).map { k =>
+      val merges = (0 until BpeMerges).map { k =>
         s"SELECT CAST(${k + 1} AS BIGINT) AS merge_rank, l AS left_sym, r AS right_sym, c AS pair_count FROM m$k"
       }.mkString(" UNION ALL ")
-      (Seq("WITH " + head) ++ iters).mkString(",\n") +
-        s"\nSELECT * FROM ($merges) ORDER BY merge_rank"
+      s"WITH $bpeChainSql\nSELECT * FROM ($merges) ORDER BY merge_rank"
+    }),
+
+    // ---- apply the learned BPE merges: encode every document with the
+    // ruleset text_bpe_learn produced and report its token count and
+    // chars-per-token compression — the learn→apply round trip of a
+    // tokenizer pipeline. The per-WORD segmentations already exist as the
+    // final chain state (vocabulary-sized); application to the corpus is
+    // one explode + an equi-join on the word — at 100 TB the planner
+    // broadcasts the vocabulary and the pass stays one scan, the same
+    // shape a real tokenizer's vocab lookup has.
+    ("text_bpe_apply", (s, d) => {
+      import s.implicits._
+      val wordCost = bpeChain(s, d)._2
+        .select($"w", size(split(trim($"seq"), " ")).cast("long").as("n_sym"))
+      Tables.documents(s, d)
+        .select($"doc_id", explode(tokens($"text")).as("w"))
+        .join(wordCost, "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length($"w")).cast("long").as("n_alpha_chars"),
+          sum($"n_sym").as("n_tokens_bpe"))
+        .withColumn("chars_per_token",
+          Portable.round($"n_alpha_chars" / $"n_tokens_bpe", 4))
+        .orderBy($"doc_id")
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH $bpeChainSql,
+         |wcost AS (SELECT w, CAST(len(regexp_split_to_array(trim(seq), ' ')) AS BIGINT) AS n_sym
+         |  FROM s$BpeMerges),
+         |dw AS (SELECT doc_id, unnest($t) AS w FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(dw.w)) AS BIGINT) AS n_alpha_chars,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_tokens_bpe,
+         |  ${rndSql("CAST(sum(length(dw.w)) AS BIGINT) / CAST(sum(n_sym) AS DOUBLE)", 4)} AS chars_per_token
+         |FROM dw JOIN wcost ON dw.w = wcost.w
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     })
   )
+
+  /** Number of BPE merge rounds learned/applied by the text_bpe_* queries. */
+  private val BpeMerges = 4
+
+  /** Unrolled BPE merge chain, shared by text_bpe_learn and text_bpe_apply:
+    * returns ([[BpeMerges]] one-row merge DataFrames (merge_rank, left_sym,
+    * right_sym, pair_count), final per-word segmentation state). See
+    * text_bpe_learn's comment for semantics and determinism notes.
+    */
+  private def bpeChain(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
+    import s.implicits._
+    val w0 = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+    // " a b c " — sentinel-spaced single-char symbols
+    val s0 = w0.select($"w", $"wc",
+      concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("seq"))
+      .cache()
+    def pairCounts(seqs: DataFrame): DataFrame = {
+      val ps = when(size($"sy") >= 2,
+        transform(sequence(lit(0), size($"sy") - 2),
+          i => struct(element_at($"sy", i + 1).as("l"), element_at($"sy", i + 2).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      seqs.select($"wc", split(trim($"seq"), " ").as("sy"))
+        .select($"wc", explode(ps).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r")).agg(sum($"wc").as("c"))
+    }
+    (1 to BpeMerges).foldLeft((Seq.empty[DataFrame], s0)) {
+      case ((acc, seqs), k) =>
+        val m = pairCounts(seqs).orderBy($"c".desc, $"l", $"r").limit(1).cache()
+        val next = seqs.crossJoin(broadcast(m.select($"l".as("ml"), $"r".as("mr"))))
+          .select($"w", $"wc",
+            expr("replace(seq, ' ' || ml || ' ' || mr || ' ', ' ' || ml || mr || ' ')").as("seq"))
+        (acc :+ m.select(lit(k.toLong).as("merge_rank"),
+          $"l".as("left_sym"), $"r".as("right_sym"), $"c".as("pair_count")), next)
+    }
+  }
+
+  /** DuckDB twin of [[bpeChain]]: CTE list w0, s0, (p_k, m_k, s_{k+1})…,
+    * usable as `WITH $bpeChainSql, …`.
+    */
+  private def bpeChainSql: String = {
+    val t = tokensSql("text")
+    val head = s"""w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc
+       |  FROM (SELECT unnest($t) AS w FROM documents) GROUP BY 1),
+       |s0 AS (SELECT w, wc,
+       |  ' ' || array_to_string(list_transform(range(1, len(w)+1), i -> w[i]), ' ') || ' ' AS seq
+       |  FROM w0)""".stripMargin
+    val iters = (0 until BpeMerges).map { k =>
+      s"""p$k AS (SELECT b.p1 AS l, b.p2 AS r, CAST(sum(wc) AS BIGINT) AS c FROM (
+         |    SELECT wc, unnest(list_transform(range(1, len(sy)),
+         |      i -> struct_pack(p1 := sy[i], p2 := sy[i+1]))) AS b
+         |    FROM (SELECT wc, regexp_split_to_array(trim(seq), ' ') AS sy FROM s$k))
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |s${k + 1} AS (SELECT w, wc,
+         |  replace(seq, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS seq
+         |  FROM s$k, m$k m)""".stripMargin
+    }
+    (Seq(head) ++ iters).mkString(",\n")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, f, _) => n -> f }.toMap
