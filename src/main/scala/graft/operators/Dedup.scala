@@ -1084,7 +1084,72 @@ object Dedup {
          |SELECT c.doc_id, coalesce(n_grams, 0) AS n_grams, coalesce(n_novel, 0) AS n_novel,
          |  CASE WHEN coalesce(n_grams, 0) = 0 THEN 1.0
          |       ELSE ${rndSql("n_novel / CAST(n_grams AS DOUBLE)", 4)} END AS novelty
-         |FROM corpus c LEFT JOIN per USING (doc_id) ORDER BY c.doc_id""".stripMargin))
+         |FROM corpus c LEFT JOIN per USING (doc_id) ORDER BY c.doc_id""".stripMargin)),
+
+    // ---- incremental-ingest dedup: classify an arriving batch against an
+    // EXISTING reference corpus — the crawl-refresh shape (the nightly batch
+    // never re-pairs with itself, only against the index). Existing = base
+    // docs with doc_id % 3 != 0 (the %3==0 holdout plants guaranteed
+    // 'novel' arrivals: their copies have no surviving source); new = the
+    // planted copies/tails (>= 100000). Verdict ladder: 'exact' (md5 text
+    // match) beats 'near' (cross-set LSH candidate verified at jaccard >=
+    // 0.5) beats 'novel'; src_id = lowest matching existing id, -1 for
+    // novel. Scale shape: both probes are equi-joins keyed on md5 / band
+    // buckets — the new batch (small) streams against the existing index
+    // without the index ever self-joining, which is what makes nightly
+    // re-ingest affordable at 100 TB.
+    ("pipeline_incremental_dedup", (s, d) => {
+      import s.implicits._
+      val c = corpus(s, d)
+      val existing = c.filter($"doc_id" < 100000 && $"doc_id" % 3 =!= 0)
+      val nw = c.filter($"doc_id" >= 100000)
+      val exact = nw.select($"doc_id", md5($"text").as("k"))
+        .join(existing.select(md5($"text").as("k"), $"doc_id".as("sid")), "k")
+        .groupBy($"doc_id").agg(min($"sid").as("exact_src"))
+      val arrE = shingleStringArrays(existing).cache()
+      val arrN = shingleStringArrays(nw).cache()
+      val cand = bandTable(arrN).as("x").join(bandTable(arrE).as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+        .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("sid")).distinct()
+      val near = cand
+        .join(arrN.select($"doc_id", $"ts".as("ts1")), "doc_id")
+        .join(arrE.select($"doc_id".as("sid"), $"ts".as("ts2")), "sid")
+        .withColumn("common", size(array_intersect($"ts1", $"ts2")))
+        .withColumn("j", round($"common" / (size($"ts1") + size($"ts2") - $"common"), 4))
+        .filter($"j" >= 0.5)
+        .groupBy($"doc_id").agg(min($"sid").as("near_src"))
+      nw.select($"doc_id")
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"exact_src".isNotNull, "exact")
+            .when($"near_src".isNotNull, "near").otherwise("novel").as("verdict"),
+          coalesce($"exact_src", $"near_src", lit(-1L)).as("src_id"))
+        .orderBy($"doc_id")
+    }, Some(
+      s"""WITH $corpusSql,
+         |existing AS (SELECT doc_id, text FROM corpus WHERE doc_id < 100000 AND doc_id % 3 <> 0),
+         |nw AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 100000),
+         |${minhashSql("existing", "_e")},
+         |${minhashSql("nw", "_n")},
+         |ex AS (
+         |  SELECT n.doc_id, min(e.doc_id) AS exact_src
+         |  FROM nw n JOIN existing e ON md5(n.text) = md5(e.text) GROUP BY 1),
+         |xc AS (
+         |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS sid
+         |  FROM bands_n x JOIN bands_e y ON x.band = y.band AND x.bkey = y.bkey),
+         |nr AS (
+         |  SELECT doc_id, min(sid) AS near_src FROM (
+         |    SELECT c.doc_id, c.sid,
+         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS j
+         |    FROM xc c JOIN arr_n a1 ON a1.doc_id = c.doc_id JOIN arr_e a2 ON a2.doc_id = c.sid)
+         |  WHERE j >= 0.5 GROUP BY 1)
+         |SELECT n.doc_id,
+         |  CASE WHEN ex.exact_src IS NOT NULL THEN 'exact'
+         |       WHEN nr.near_src IS NOT NULL THEN 'near' ELSE 'novel' END AS verdict,
+         |  coalesce(ex.exact_src, nr.near_src, -1) AS src_id
+         |FROM nw n LEFT JOIN ex ON ex.doc_id = n.doc_id LEFT JOIN nr ON nr.doc_id = n.doc_id
+         |ORDER BY n.doc_id""".stripMargin))
   )
 
   /** Repeated-span window: 32 chars at stride 16 — adjacent spans overlap
