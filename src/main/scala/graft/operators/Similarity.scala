@@ -504,6 +504,90 @@ object Similarity {
          |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN recon r ON r.vec_id = c.n_id)
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
 
+    // ---- IVF probe-count tuning sweep: recall@k and candidate volume at
+    // nprobe ∈ {1,2,4} from ONE assignment pass — the third leg of the
+    // tuning triptych (LSH band layouts / cosine thresholds / IVF probes):
+    // how many partitions must a query touch before recall saturates, and
+    // what does each probe cost in candidates. Scale shape: the ranked
+    // assignment is the same broadcast-centroid pass sim_ivf_topk runs;
+    // probe levels explode only the NumQueries query rows (≤3×), and the
+    // per-level top-k windows partition by (level, query) — never global.
+    ("sim_ivf_probe_sweep", (s, d) => {
+      import s.implicits._
+      val v = vectors(s, d).cache()
+      val cent = v.filter($"vec_id" % IvfSeedStride === 0 && $"vec_id" < IvfSeedStride * IvfCentroids)
+        .select(($"vec_id" / IvfSeedStride).cast("long").as("cid"), $"emb".as("c_emb"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+      val ranked = v.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosine($"emb", $"c_emb"))
+        .withColumn("crn", row_number().over(wAssign))
+      val assigned = ranked.filter($"crn" === 1).select($"vec_id", $"emb", $"cid")
+      val cand = ranked.filter($"vec_id" < NumQueries && $"crn" <= ProbeLevels.max)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"cid", $"crn")
+        .withColumn("np", explode(array(ProbeLevels.map(lit): _*)))
+        .filter($"crn" <= $"np")
+        .join(assigned, "cid")
+        .filter($"vec_id" =!= $"q_id")
+        .select($"np", $"q_id", $"q_emb", $"vec_id".as("n_id"), $"emb".as("n_emb"))
+        .distinct()
+        .cache() // read by the top-k pass and the candidate-volume roll-up
+      val w = Window.partitionBy($"np", $"q_id").orderBy($"cos".desc, $"n_id")
+      val topk = cand
+        .withColumn("cos", cosine($"q_emb", $"n_emb"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= TopK)
+        .select($"np", $"q_id", $"n_id")
+      val brute = queries("sim_brute_topk")(s, d).select($"q_id", $"n_id")
+      val hits = topk.join(brute, Seq("q_id", "n_id"), "left_semi")
+        .groupBy($"np").agg(count(lit(1)).as("n_hits"))
+      cand.groupBy($"np").agg(count(lit(1)).as("n_cand"))
+        .join(hits, Seq("np"), "left")
+        .select($"np".cast("long").as("nprobe"), $"n_cand",
+          coalesce($"n_hits", lit(0L)).as("n_hits"),
+          round(coalesce($"n_hits", lit(0L)) / (NumQueries * TopK).toDouble, 4).as("recall"))
+        .orderBy($"nprobe")
+    }, Some(
+      s"""WITH $vectorsSql,
+         |cent AS (
+         |  SELECT CAST(vec_id // $IvfSeedStride AS BIGINT) AS cid, emb AS c_emb
+         |  FROM v WHERE vec_id % $IvfSeedStride = 0 AND vec_id < ${IvfSeedStride * IvfCentroids}),
+         |ranked AS (
+         |  SELECT v.vec_id, cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_dot_product(v.emb, c_emb) DESC, cid) AS crn
+         |  FROM v CROSS JOIN cent),
+         |assigned AS (SELECT vec_id, cid FROM ranked WHERE crn = 1),
+         |lv AS (SELECT unnest([${ProbeLevels.mkString(", ")}]) AS np),
+         |cand AS (
+         |  SELECT DISTINCT l.np, p.vec_id AS q_id, a.vec_id AS n_id
+         |  FROM lv l
+         |  JOIN ranked p ON p.vec_id < $NumQueries AND p.crn <= l.np
+         |  JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.vec_id),
+         |topk AS (
+         |  SELECT np, q_id, n_id FROM (
+         |    SELECT c.np, c.q_id, c.n_id,
+         |      row_number() OVER (PARTITION BY c.np, c.q_id
+         |        ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS rank
+         |    FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
+         |  WHERE rank <= $TopK),
+         |brute AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.emb, n.emb) DESC, n.vec_id) AS rank
+         |    FROM v q JOIN v n ON q.vec_id < $NumQueries AND n.vec_id <> q.vec_id)
+         |  WHERE rank <= $TopK),
+         |hits AS (
+         |  SELECT t.np, count(*) AS n_hits
+         |  FROM topk t JOIN brute b ON b.q_id = t.q_id AND b.n_id = t.n_id
+         |  GROUP BY 1),
+         |nc AS (SELECT np, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1)
+         |SELECT CAST(nc.np AS BIGINT) AS nprobe, n_cand,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  ${rndSql(s"coalesce(h.n_hits, 0) / CAST(${NumQueries * TopK} AS DOUBLE)", 4)} AS recall
+         |FROM nc LEFT JOIN hits h ON h.np = nc.np
+         |ORDER BY nprobe""".stripMargin)),
+
     // ---- cosine-threshold tuning sweep: near-dup pair volume and would-be-
     // dropped document count at five candidate thresholds, all from ONE
     // LSH-candidate scan (the embedding-side analogue of
@@ -551,6 +635,9 @@ object Similarity {
     * same DOUBLE.
     */
   private val SweepThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** Probe counts swept by sim_ivf_probe_sweep. */
+  private val ProbeLevels = Seq(1, 2, 4)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, f, _) => n -> f }.toMap
