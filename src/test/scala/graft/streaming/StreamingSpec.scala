@@ -656,6 +656,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("heavyHittersStream from a REAL file source: readStream.json over a directory") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    graft.Tables.documents(spark, sf)
+      .select($"doc_id".as("docId"), $"lang", $"text")
+      .coalesce(2).write.mode("overwrite").json(dir)
+    val k = 8
+    val src = spark.readStream
+      .schema("docId LONG, lang STRING, text STRING")
+      .option("maxFilesPerTrigger", "1") // force multiple micro-batches from the directory
+      .json(dir)
+      .as[LangDocEvent]
+    val q = Streaming.heavyHittersStream(src, k)
+      .writeStream.format("memory").queryName("hh_file_out").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val all = spark.table("hh_file_out").as[HeavyHitter].collect()
+      assert(all.nonEmpty, "file source produced no batches")
+      val trueCounts = graft.Tables.documents(spark, sf)
+        .select($"lang", explode(split(trim($"text"), "\\s+")).as("t"))
+        .groupBy($"lang", $"t").count()
+        .as[(String, String, Long)].collect()
+        .map { case (l, t, c) => (l, t) -> c }.toMap
+      val totals = trueCounts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      all.groupBy(_.lang).foreach { case (lang, rows) =>
+        val latest = rows.filter(_.nTotal == rows.map(_.nTotal).max)
+        assert(latest.head.nTotal == totals(lang), s"$lang: all files must be ingested")
+        assert(latest.length <= k)
+        latest.foreach(r => assert(r.est <= trueCounts((lang, r.token))))
+      }
+    } finally q.stop()
+  }
+
   test("rateAnomalyStream: ordered replay equals batch q56 on every closed hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
