@@ -1280,7 +1280,40 @@ object Relational {
         |SELECT event_type, hr, n, m, sx, sx2,
         |  (CAST(n*m - sx AS HUGEINT) * CAST(n*m - sx AS HUGEINT)
         |     > 9 * CAST(m*sx2 - sx*sx AS HUGEINT)) AS is_anomaly
-        |FROM w WHERE m >= 12 ORDER BY event_type, hr""".stripMargin))
+        |FROM w WHERE m >= 12 ORDER BY event_type, hr""".stripMargin)),
+
+    // ---- q57: robust outlier counts via median absolute deviation — the
+    // heavy-tail-safe monitoring stat (mean/stddev blow up on the very
+    // outliers they're meant to find). Both medians are Spark's exact
+    // `median` == DuckDB's interpolating `median` (the q27-proven parity);
+    // the 3·MAD comparison runs on identical doubles on both engines, so
+    // the flag booleans agree bit-for-bit. Scale note: exact median needs a
+    // per-type sort — at 100 TB swap `median` for `percentile_approx` and
+    // keep the identical downstream shape (the oracle then becomes a
+    // tolerance check, the documented trade).
+    ("q57_mad_outliers", (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"event_type", $"value")
+      val med = ev.groupBy($"event_type").agg(median($"value").as("med"))
+      val dev = ev.join(med, "event_type")
+      val mad = dev.withColumn("adev", abs($"value" - $"med"))
+        .groupBy($"event_type").agg(median($"adev").as("mad"))
+      dev.join(mad, "event_type")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(min($"med"), 4).as("med"),
+          round(min($"mad"), 4).as("mad"),
+          sum(when(abs($"value" - $"med") > $"mad" * 3, 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy($"event_type")
+    }, Some(
+      s"""WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+         |dev AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+         |        FROM events e JOIN med m USING (event_type)),
+         |mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
+         |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+         |  ${Portable.rndSql("min(d.med)", 4)} AS med, ${Portable.rndSql("min(mad.mad)", 4)} AS mad,
+         |  CAST(sum(CASE WHEN abs(d.value - d.med) > mad.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM dev d JOIN mad USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

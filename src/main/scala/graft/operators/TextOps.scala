@@ -658,6 +658,62 @@ object TextOps {
       s"WITH $bpeChainSql\nSELECT * FROM ($merges) ORDER BY merge_rank"
     }),
 
+    // ---- quality-quartile tiers: score every doc with the same rational-
+    // sigmoid classifier as text_quality_logit, cut the corpus at the exact
+    // score quartiles, and report each tier's doc/token/char budget — the
+    // table a curriculum or quality-weighted sampler is configured from.
+    // Quartile parity: Spark's exact `percentile` and DuckDB's
+    // `quantile_cont` both interpolate linearly over the sorted ROUNDED
+    // scores, and a tier flips only on a boundary EQUAL to a data value —
+    // where interpolation is exact on both engines. Scale note: exact
+    // percentiles need a sort; at 100 TB swap in percentile_approx and keep
+    // the identical downstream shape.
+    ("pipeline_quality_tiers", (s, d) => {
+      import s.implicits._
+      val toks = tokens($"text")
+      val nTok = size(toks)
+      val stopRatio = size(filter(toks, t => t.isin(Stops: _*))) / nTok.cast("double")
+      val punctRatio = length(regexp_replace($"text", "[A-Za-z0-9\\s]", "")) /
+        length($"text").cast("double")
+      val avgLen = length(regexp_replace($"text", "\\s+", "")) / nTok.cast("double")
+      val z = lit(2.0) * (lit(1.0) - punctRatio) +
+        lit(1.5) * least(stopRatio * 5.0, lit(1.0)) +
+        lit(1.0) * least(avgLen / 8.0, lit(1.0)) +
+        lit(0.5) * least(nTok / 100.0, lit(1.0)) - lit(2.6)
+      val sc = Tables.documents(s, d)
+        .select($"doc_id", round(z / (lit(1.0) + abs(z)), 4).as("score"),
+          nTok.cast("long").as("n_toks"), length($"text").cast("long").as("n_chars"))
+      val qs = sc.agg(expr("percentile(score, 0.25)").as("q1"),
+        expr("percentile(score, 0.50)").as("q2"),
+        expr("percentile(score, 0.75)").as("q3"))
+      sc.crossJoin(broadcast(qs)) // 1-row quartile bounds
+        .withColumn("tier", (lit(1) + ($"score" > $"q1").cast("int") +
+          ($"score" > $"q2").cast("int") + ($"score" > $"q3").cast("int")).cast("long"))
+        .groupBy($"tier")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"),
+          sum($"n_chars").as("n_chars"),
+          min($"score").as("min_score"), max($"score").as("max_score"))
+        .orderBy($"tier")
+    }, Some {
+      val t = tokensSql("text")
+      val punct = "length(regexp_replace(text,'[A-Za-z0-9\\s]','','g')) / CAST(length(text) AS DOUBLE)"
+      val stop = s"len(list_filter($t, t -> t IN ($stopsSqlList))) / CAST(len($t) AS DOUBLE)"
+      val avgl = s"length(regexp_replace(text,'\\s+','','g')) / CAST(len($t) AS DOUBLE)"
+      val ntok = s"len($t)"
+      val z = s"2.0*(1.0 - $punct) + 1.5*least(($stop) * 5.0, 1.0) + 1.0*least(($avgl) / 8.0, 1.0) + 0.5*least($ntok / 100.0, 1.0) - 2.6"
+      s"""WITH sc AS (
+         |  SELECT doc_id, ${rndSql(s"($z) / (1.0 + abs($z))", 4)} AS score,
+         |    CAST(len($t) AS BIGINT) AS n_toks, CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM documents),
+         |qs AS (SELECT quantile_cont(score, 0.25) AS q1, quantile_cont(score, 0.50) AS q2,
+         |              quantile_cont(score, 0.75) AS q3 FROM sc)
+         |SELECT CAST(1 + CAST(score > q1 AS INT) + CAST(score > q2 AS INT) + CAST(score > q3 AS INT) AS BIGINT) AS tier,
+         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  min(score) AS min_score, max(score) AS max_score
+         |FROM sc, qs GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
+
     // ---- apply the learned BPE merges: encode every document with the
     // ruleset text_bpe_learn produced and report its token count and
     // chars-per-token compression — the learn→apply round trip of a
