@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Portable.{h60, h60Sql, round}
+import graft.operators.Portable.{h60, h60Sql, rndSql, round}
 import org.apache.spark.sql.expressions.Window
 
 /** One media blob: opaque binary content + typed metadata. Derived
@@ -382,7 +382,60 @@ object Multimodal {
          |    CAST(bit_count(xor(a1.lo, a2.lo)) + bit_count(xor(a1.hi, a2.hi)) AS BIGINT) AS hamming
          |  FROM cand c JOIN ah a1 ON a1.doc_id = c.id1 JOIN ah a2 ON a2.doc_id = c.id2)
          |SELECT id1, id2, hamming FROM ham WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin
-    })
+    }),
+
+    // ---- frame-level redundancy: per video, how many sampled frames are
+    // exact repeats WITHIN the video and how many of its distinct frames
+    // also appear in OTHER videos (intro cards, shared b-roll — the frames
+    // a video-dedup pass would drop or reference-count). Same FrameCount
+    // byte-range geometry as mm_frame_sample; identity is the frame md5.
+    // Scale shape: one frame-hash aggregation for cross-video carriers
+    // (map-combinable) + a semi-join back — frame BYTES never shuffle,
+    // only (doc_id, md5) rows.
+    ("mm_frame_dedup", (s, d) => {
+      import s.implicits._
+      val n = length($"content")
+      val frames = transform(sequence(lit(0), lit(FrameCount - 1)), k => {
+        val start = (n * k / FrameCount).cast("int")
+        val end = (n * (k + 1) / FrameCount).cast("int")
+        md5($"content".substr(start + 1, end - start))
+      })
+      val fr = media(s, d)
+        .select($"doc_id", explode(frames).as("h"))
+        .cache() // read by the per-doc pass + the carrier aggregation
+      val carriers = fr.select($"doc_id", $"h").distinct()
+        .groupBy($"h").agg(count(lit(1)).as("nd"))
+      val shared = fr.select($"doc_id", $"h").distinct()
+        .join(carriers.filter($"nd" >= 2), "h")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      fr.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct($"h").as("n_distinct"))
+        .join(shared, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_frames", $"n_distinct",
+          coalesce($"n_shared", lit(0L)).as("n_shared"),
+          round(($"n_frames" - $"n_distinct") / $"n_frames".cast("double"), 4)
+            .as("intra_dup_frac"))
+        .orderBy($"doc_id")
+    }, Some(
+      s"""WITH fr AS (
+         |  SELECT doc_id,
+         |    md5(substr(text, length(text) * k // $FrameCount + 1,
+         |        length(text) * (k+1) // $FrameCount - length(text) * k // $FrameCount)) AS h
+         |  FROM documents, (SELECT unnest(range(0, $FrameCount)) AS k)),
+         |du AS (SELECT DISTINCT doc_id, h FROM fr),
+         |carriers AS (SELECT h, count(*) AS nd FROM du GROUP BY 1),
+         |shared AS (
+         |  SELECT du.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM du JOIN carriers USING (h) WHERE nd >= 2 GROUP BY 1),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |    CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+         |  FROM fr GROUP BY 1)
+         |SELECT p.doc_id, n_frames, n_distinct,
+         |  coalesce(s.n_shared, 0) AS n_shared,
+         |  ${rndSql("(n_frames - n_distinct) / CAST(n_frames AS DOUBLE)", 4)} AS intra_dup_frac
+         |FROM per p LEFT JOIN shared s USING (doc_id) ORDER BY p.doc_id""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
