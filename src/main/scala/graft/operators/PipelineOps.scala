@@ -543,6 +543,63 @@ object PipelineOps {
          |  ${h60Sql("rebuilt")} AS clean_h60
          |FROM per ORDER BY doc_id""".stripMargin)),
 
+    // ---- dataset snapshot diff: version-to-version provenance at the
+    // DATASET level (q25 is row-level warehouse CDC; this is the "what
+    // changed between corpus releases" roll-up a dataset card references).
+    // v2 is derived deterministically from v1: 10% deleted, 1-in-7 edited,
+    // the deleted ids reincarnated as new docs — so every class is planted.
+    // Identity is the doc_id; change detection is an md5 text compare —
+    // content hashes join/compare, never the texts. Scale shape: one full
+    // outer join on the id + a 4-group aggregation.
+    ("pipeline_dataset_diff", (s, d) => {
+      import s.implicits._
+      val v1 = Tables.documents(s, d).select($"doc_id", $"text")
+      val v2 = v1.filter($"doc_id" % 10 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 7 === 0, concat($"text", lit(" edited tail")))
+            .otherwise($"text").as("text"))
+        .unionByName(v1.filter($"doc_id" % 10 === 0)
+          .select(($"doc_id" + 300000).as("doc_id"), $"text"))
+      val a = v1.select($"doc_id".as("id1"), md5($"text").as("h1"),
+        size(tokens($"text")).cast("long").as("t1"))
+      val b = v2.select($"doc_id".as("id2"), md5($"text").as("h2"),
+        size(tokens($"text")).cast("long").as("t2"))
+      a.join(b, $"id1" === $"id2", "full_outer")
+        .select(
+          when($"id2".isNull, "removed")
+            .when($"id1".isNull, "added")
+            .when($"h1" =!= $"h2", "changed")
+            .otherwise("unchanged").as("status"),
+          coalesce($"t1", lit(0L)).as("t1"), coalesce($"t2", lit(0L)).as("t2"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"t1").as("tokens_v1"), sum($"t2").as("tokens_v2"),
+          (sum($"t2") - sum($"t1")).as("token_delta"))
+        .orderBy($"status")
+    }, Some {
+      val nt = s"len(${tokensSql("text")})"
+      s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+         |v2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' edited tail' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 10 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 10 = 0),
+         |a AS (SELECT doc_id AS id1, md5(text) AS h1, CAST($nt AS BIGINT) AS t1 FROM v1),
+         |b AS (SELECT doc_id AS id2, md5(text) AS h2, CAST($nt AS BIGINT) AS t2 FROM v2),
+         |j AS (
+         |  SELECT CASE WHEN id2 IS NULL THEN 'removed'
+         |              WHEN id1 IS NULL THEN 'added'
+         |              WHEN h1 <> h2 THEN 'changed'
+         |              ELSE 'unchanged' END AS status,
+         |    coalesce(t1, 0) AS t1, coalesce(t2, 0) AS t2
+         |  FROM a FULL OUTER JOIN b ON id1 = id2)
+         |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(t1) AS BIGINT) AS tokens_v1, CAST(sum(t2) AS BIGINT) AS tokens_v2,
+         |  CAST(sum(t2) - sum(t1) AS BIGINT) AS token_delta
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
+
     // ---- export shard manifest: content-hash sharding (h60(text) mod 16 —
     // skew-free by construction, no hot shard whatever the doc_id
     // distribution) with per-shard volume stats and the output-file count a
