@@ -245,4 +245,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(plan, "Exchange hashpartitioning") == 1,
       "one partial->final agg shuffle on the shard key")
   }
+
+  test("dataset diff / frame dedup / quality tiers: equi-joins only, bounded broadcasts") {
+    val diff = executedPlan("pipeline_dataset_diff")
+    assert(!diff.contains("CartesianProduct") && !diff.contains("BroadcastNestedLoopJoin"),
+      s"dataset diff: the version join must stay an equi-join:\n$diff")
+    val fd = executedPlan("mm_frame_dedup")
+    assert(!fd.contains("CartesianProduct") && !fd.contains("BroadcastNestedLoopJoin"),
+      s"frame dedup: hash joins only:\n$fd")
+    // quality tiers: the ONLY nested-loop is the intended 1-row quartile
+    // broadcast; everything corpus-sized stays narrow
+    val qt = executedPlan("pipeline_quality_tiers")
+    assert(count(qt, "BroadcastNestedLoopJoin") == 1,
+      s"quality tiers: exactly the 1-row quartile broadcast:\n$qt")
+    assert(!qt.contains("CartesianProduct"), "no unbroadcast cartesian")
+  }
 }
