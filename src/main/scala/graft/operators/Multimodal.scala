@@ -435,8 +435,84 @@ object Multimodal {
          |SELECT p.doc_id, n_frames, n_distinct,
          |  coalesce(s.n_shared, 0) AS n_shared,
          |  ${rndSql("(n_frames - n_distinct) / CAST(n_frames AS DOUBLE)", 4)} AS intra_dup_frac
-         |FROM per p LEFT JOIN shared s USING (doc_id) ORDER BY p.doc_id""".stripMargin))
+         |FROM per p LEFT JOIN shared s USING (doc_id) ORDER BY p.doc_id""".stripMargin)),
+
+    // ---- voice-activity detection over audio blobs: the segmentation pass
+    // an audio-corpus pipeline runs before transcription (silence costs ASR
+    // compute; VAD crops it out). The decode stub stands in for frame
+    // energy: a window is "speech" when voiced-class bytes ([a-z], the
+    // fake formant band) hold the majority — integer-only (2·voiced >
+    // win_len, no float threshold). Consecutive active windows coalesce
+    // into segments with the same gaps-and-islands trick as
+    // dedup_span_islands; ms offsets are exact integer arithmetic on the
+    // stub's 40 ms/char clock (duration_ms = n_chars·40 in media()).
+    // Scale shape: window emission is map-only (explode over per-row
+    // sequence — content bytes never shuffle, only (doc_id, win_idx,
+    // voiced) rows); both windows partition by doc_id, whose per-key
+    // cardinality is bounded by doc length / 64, never the corpus.
+    ("mm_audio_vad", (s, d) => {
+      import s.implicits._
+      val W = VadWindowChars
+      val au = media(s, d).filter($"media_type" === "audio")
+        .select($"doc_id", decode($"content", "UTF-8").as("text"),
+          length($"content").cast("long").as("n_chars"), $"duration_ms")
+      val wins = au
+        .select($"doc_id", $"text", $"n_chars", $"duration_ms",
+          explode(sequence(lit(0L), (($"n_chars" - 1) / W).cast("long"))).as("win_idx"))
+        .select($"doc_id", $"n_chars", $"duration_ms", $"win_idx",
+          length(regexp_replace(
+            substring($"text", ($"win_idx" * W + 1).cast("int"), lit(W)), "[^a-z]", ""))
+            .cast("long").as("voiced"),
+          least(lit(W.toLong), $"n_chars" - $"win_idx" * W).as("win_len"))
+      val active = wins.filter($"voiced" * 2 > $"win_len")
+      val grp = $"win_idx" - row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"win_idx"))
+      active
+        .withColumn("grp", grp)
+        .groupBy($"doc_id", $"grp")
+        .agg(min($"win_idx").as("start_win"), max($"win_idx").as("end_win"),
+          count(lit(1)).as("n_win"),
+          first($"n_chars").as("n_chars"), first($"duration_ms").as("dur"))
+        .select($"doc_id",
+          row_number().over(Window.partitionBy($"doc_id").orderBy($"start_win"))
+            .cast("long").as("seg_id"),
+          $"start_win", $"end_win", $"n_win",
+          ($"start_win" * W * 40).as("start_ms"),
+          (least(($"end_win" + 1) * W, $"n_chars") * 40).as("end_ms"))
+        .orderBy($"doc_id", $"seg_id")
+    }, Some {
+      val W = VadWindowChars
+      s"""WITH au AS (
+         |  SELECT doc_id, text, CAST(n_chars AS BIGINT) AS n_chars
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |w AS (
+         |  SELECT doc_id, n_chars,
+         |    unnest(range(0, (n_chars + ${W - 1}) // $W)) AS win_idx
+         |  FROM au),
+         |v AS (
+         |  SELECT w.doc_id, w.n_chars, w.win_idx,
+         |    CAST(length(regexp_replace(substr(au.text, CAST(w.win_idx * $W + 1 AS INTEGER), $W), '[^a-z]', '', 'g')) AS BIGINT) AS voiced,
+         |    least($W, w.n_chars - w.win_idx * $W) AS win_len
+         |  FROM w JOIN au ON au.doc_id = w.doc_id),
+         |act AS (
+         |  SELECT doc_id, n_chars, win_idx,
+         |    win_idx - row_number() OVER (PARTITION BY doc_id ORDER BY win_idx) AS grp
+         |  FROM v WHERE voiced * 2 > win_len),
+         |seg AS (
+         |  SELECT doc_id, min(win_idx) AS start_win, max(win_idx) AS end_win,
+         |    CAST(count(*) AS BIGINT) AS n_win, min(n_chars) AS n_chars
+         |  FROM act GROUP BY doc_id, grp)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_win) AS BIGINT) AS seg_id,
+         |  start_win, end_win, n_win,
+         |  start_win * $W * 40 AS start_ms,
+         |  least((end_win + 1) * $W, n_chars) * 40 AS end_ms
+         |FROM seg ORDER BY doc_id, seg_id""".stripMargin
+    })
   )
+
+  /** VAD window length in stub-decoded chars (≈2.5 s at 40 ms/char). */
+  private[operators] val VadWindowChars = 64
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, f, _) => n -> f }.toMap

@@ -1313,7 +1313,55 @@ object Relational {
          |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
          |  ${Portable.rndSql("min(d.med)", 4)} AS med, ${Portable.rndSql("min(mad.mad)", 4)} AS mad,
          |  CAST(sum(CASE WHEN abs(d.value - d.med) > mad.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-         |FROM dev d JOIN mad USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin))
+         |FROM dev d JOIN mad USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q58: backward as-of join — each purchase matched to the latest
+    // click AT OR BEFORE it by the same user (attribution, quote-to-trade,
+    // sensor alignment). Spark has no ASOF JOIN operator; the scalable
+    // encoding is union-tag + one running window: tag clicks 0 / purchases
+    // 1, sort each user's timeline by (ts, tag) so a same-instant click is
+    // visible to its purchase, and carry the last non-null click forward
+    // (`last(_, ignoreNulls)` over an unbounded-preceding window). One
+    // shuffle on user_id, O(1) state per row — vs the naive range-join
+    // (per-purchase scan of all prior clicks, quadratic per hot user).
+    // DuckDB cross-checks with its NATIVE `ASOF LEFT JOIN` — an
+    // independent implementation of the same semantics, not an SQL
+    // transliteration of ours. Clicks are deduped to max(event_id) per
+    // (user, ts) first: ASOF's pick among equal timestamps is otherwise
+    // unspecified. Lag is exact integer microseconds (unix_micros /
+    // epoch_us) — no boundary-counting datediff drift.
+    ("q58_asof_join", (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val tagged = clicks
+        .select($"user_id", $"ts", lit(0).as("tag"), lit(null).cast("long").as("event_id"), $"click_id")
+        .unionByName(purchases.select($"user_id", $"ts", lit(1).as("tag"), $"event_id",
+          lit(null).cast("long").as("click_id")))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_click_id", last($"click_id", ignoreNulls = true).over(w))
+        .withColumn("last_click_ts",
+          last(when($"tag" === 0, $"ts"), ignoreNulls = true).over(w))
+        .filter($"tag" === 1)
+        .select($"event_id", $"user_id", $"ts",
+          $"last_click_id".as("click_id"), $"last_click_ts".as("click_ts"),
+          (unix_micros($"ts") - unix_micros($"last_click_ts")).as("lag_us"))
+        .orderBy($"event_id")
+    }, Some(
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, c.click_id, c.ts AS click_ts,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
