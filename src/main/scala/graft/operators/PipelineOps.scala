@@ -624,7 +624,151 @@ object PipelineOps {
          |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
          |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
          |  (CAST(sum(n_chars) AS BIGINT) + 65535) // 65536 AS n_files
-         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- C4-style heuristic filter battery (Raffel et al. 2020 §2.2 rules
+    // recast for this corpus): the per-rule boolean breakdown a cleaning
+    // run reports BEFORE dropping anything — which rule fires how often is
+    // the tuning signal; `keep` is their conjunction. All six rules are
+    // single-pass string/array expressions (map-only, no shuffle, no UDF):
+    //   min_words     — ≥ 10 whitespace tokens;
+    //   word_len      — mean token length in [3, 10], integer
+    //                   cross-multiplied (3n ≤ Σlen ≤ 10n — no division);
+    //   ends_punct    — text ends in terminal punctuation;
+    //   no_braces     — no '{' / '}' (code leakage into prose);
+    //   no_lorem      — no 'lorem ipsum' placeholder;
+    //   has_stopwords — ≥ 2 distinct common stopwords present (the C4
+    //                   "natural language, not a tag soup" proxy).
+    ("pipeline_c4_filters", (s, d) => {
+      import s.implicits._
+      val toks = tokens($"text")
+      val sumLen = aggregate(transform(toks, t => length(t)),
+        lit(0L), (acc, x) => acc + x)
+      val nStops = size(array_intersect(
+        transform(toks, t => lower(t)),
+        array(TextOps.Stops.map(lit): _*)))
+      Tables.documents(s, d)
+        .select($"doc_id", toks.as("toks"), $"text")
+        .withColumn("sl", sumLen)
+        .withColumn("n", size($"toks").cast("long"))
+        .select($"doc_id",
+          (size($"toks") >= 10).as("r_min_words"),
+          ($"sl" >= $"n" * 3 && $"sl" <= $"n" * 10).as("r_word_len"),
+          $"text".rlike("[.!?\"]$").as("r_ends_punct"),
+          (!$"text".contains("{") && !$"text".contains("}")).as("r_no_braces"),
+          (!lower($"text").contains("lorem ipsum")).as("r_no_lorem"),
+          (nStops >= 2).as("r_has_stopwords"))
+        .withColumn("keep",
+          $"r_min_words" && $"r_word_len" && $"r_ends_punct" &&
+            $"r_no_braces" && $"r_no_lorem" && $"r_has_stopwords")
+        .orderBy($"doc_id")
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len($t) >= 10 AS r_min_words,
+         |    list_sum(list_transform($t, x -> length(x))) BETWEEN len($t) * 3 AND len($t) * 10 AS r_word_len,
+         |    regexp_matches(text, '[.!?"]$$') AS r_ends_punct,
+         |    NOT (contains(text, '{') OR contains(text, '}')) AS r_no_braces,
+         |    NOT contains(lower(text), 'lorem ipsum') AS r_no_lorem,
+         |    len(list_intersect(list_transform($t, x -> lower(x)),
+         |      [${TextOps.stopsSqlList}])) >= 2 AS r_has_stopwords
+         |  FROM documents)
+         |SELECT doc_id, r_min_words, r_word_len, r_ends_punct, r_no_braces,
+         |  r_no_lorem, r_has_stopwords,
+         |  r_min_words AND r_word_len AND r_ends_punct AND r_no_braces
+         |    AND r_no_lorem AND r_has_stopwords AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    }),
+
+    // ---- DSIR-style importance weights (Xie et al. 2023 recast
+    // integer-exact): score every corpus doc by how target-like its hashed
+    // unigram distribution is — the data-selection pass that upsamples
+    // "looks like the target domain" text without a trained classifier.
+    // Target = the English slice (stand-in for any curated target set);
+    // features = h60(token) mod 4096 buckets. Per-token quantized ratio
+    // q_b = (10⁶·(tc_b+1)) div (rc_b+1) (Laplace-smoothed target/corpus
+    // bucket counts; the constant total-count factor drops out of
+    // ranking); a doc's dsir_mass is the sum over its token occurrences —
+    // a monotone surrogate of the DSIR log-likelihood ratio that both
+    // engines compute bit-identically (no log, no float). Scale shape:
+    // bucket table is ≤ 4096 rows (broadcast side), corpus pass is
+    // explode → one equi-join → per-doc sum; no O(vocab) driver state.
+    ("pipeline_dsir_weights", (s, d) => {
+      import s.implicits._
+      val B = 4096
+      val tok = Tables.documents(s, d)
+        .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+        .select($"doc_id", $"lang", pmod(h60($"tok"), lit(B)).as("b"))
+      val rc = tok.groupBy($"b").agg(count(lit(1)).as("rc"))
+      val tc = tok.filter($"lang" === "en").groupBy($"b").agg(count(lit(1)).as("tc"))
+      val ratio = rc.join(tc, Seq("b"), "left")
+        .select($"b",
+          expr("(1000000L * (coalesce(tc, 0L) + 1)) div (rc + 1)").as("q"))
+      tok.join(broadcast(ratio), "b")
+        .groupBy($"doc_id")
+        .agg(first($"lang").as("lang"),
+          count(lit(1)).as("n_tokens"),
+          sum($"q").as("dsir_mass"),
+          expr("sum(q) div count(1)").as("dsir_score"))
+        .orderBy($"doc_id")
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, ${h60Sql("tok")} % 4096 AS b
+         |  FROM (SELECT doc_id, lang, unnest($t) AS tok FROM documents)),
+         |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rc FROM tok GROUP BY 1),
+         |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM tok WHERE lang = 'en' GROUP BY 1),
+         |ratio AS (
+         |  SELECT rc.b, (1000000 * (coalesce(tc.tc, 0) + 1)) // (rc.rc + 1) AS q
+         |  FROM rc LEFT JOIN tc ON rc.b = tc.b)
+         |SELECT tok.doc_id, min(tok.lang) AS lang,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(q) AS BIGINT) AS dsir_mass,
+         |  CAST(sum(q) AS BIGINT) // count(*) AS dsir_score
+         |FROM tok JOIN ratio ON tok.b = ratio.b
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
+
+    // ---- epoch plan: turn per-source token inventories + target mixture
+    // weights into the repeat factors a training run actually uses (the
+    // LLaMA-style "sample source i with weight w_i from a fixed token
+    // budget" table). Weights derive deterministically from the source name
+    // (stand-in for a curated mixture config); epochs are reported in 1e-4
+    // units via integer ceiling-free division — under-sampled sources show
+    // epochs < 1.0, upsampled ones > 1.0, and `over_cap` flags anything
+    // past 4 epochs (the repetition-harm threshold from data-scaling
+    // practice). One corpus scan, one ~20-row aggregation; the mixture
+    // arithmetic is all cross-multiplied BIGINT — no float shares.
+    ("pipeline_epoch_plan", (s, d) => {
+      import s.implicits._
+      val budget = 2000000L
+      val perSrc = Tables.documents(s, d)
+        .select($"source", size(tokens($"text")).cast("long").as("n_tok"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+        .withColumn("weight", pmod(h60($"source"), lit(5)) + 1)
+      val totW = perSrc.agg(sum($"weight").as("tot_w"))
+      perSrc.crossJoin(broadcast(totW))
+        .select($"source", $"n_docs", $"n_tokens", $"weight",
+          expr(s"($budget * weight) div tot_w").as("target_tokens"))
+        .withColumn("epochs_e4", expr("(10000L * target_tokens) div n_tokens"))
+        .withColumn("over_cap", $"epochs_e4" > 40000L)
+        .orderBy($"source")
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len($t)) AS BIGINT) AS n_tokens,
+         |    ${h60Sql("source")} % 5 + 1 AS weight
+         |  FROM documents GROUP BY source),
+         |tw AS (SELECT CAST(sum(weight) AS BIGINT) AS tot_w FROM per)
+         |SELECT source, n_docs, n_tokens, weight,
+         |  (2000000 * weight) // tot_w AS target_tokens,
+         |  (10000 * ((2000000 * weight) // tot_w)) // n_tokens AS epochs_e4,
+         |  (10000 * ((2000000 * weight) // tot_w)) // n_tokens > 40000 AS over_cap
+         |FROM per, tw ORDER BY source""".stripMargin
+    })
   )
 
   /** Global-sample size for pipeline_bottomk_sample. */
