@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -748,6 +749,73 @@ object TextOps {
          |  ${rndSql("CAST(sum(length(dw.w)) AS BIGINT) / CAST(sum(n_sym) AS DOUBLE)", 4)} AS chars_per_token
          |FROM dw JOIN wcost ON dw.w = wcost.w
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }),
+
+    // ---- RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    // are maximal stopword-free token runs; a word scores deg/freq (deg =
+    // Σ length of phrases it appears in — co-occurrence degree; freq =
+    // occurrence count), a phrase scores the sum of its word scores, and
+    // the corpus's top 50 distinct phrases come out ranked. Division-free:
+    // word scores are quantized to 1e4 units ((10⁴·deg) div freq) so the
+    // phrase sums stay integer-exact on both engines. Scale shape: phrase
+    // segmentation is the same islands trick as mm_audio_vad (map-only
+    // emission, per-doc windows); word stats and the score join are plain
+    // hash aggregations/equi-joins on the word — vocabulary-sized, never
+    // corpus-quadratic; the final top-50 is a 50-row ordered limit (at
+    // 100 TB a TakeOrdered, not a global sort materialization).
+    ("text_keywords_rake", (s, d) => {
+      import s.implicits._
+      val toks = transform(tokens($"text"), t => lower(t))
+      val posed = Tables.documents(s, d)
+        .select($"doc_id", posexplode(toks).as(Seq("pos", "tok")))
+        .withColumn("is_stop", $"tok".isInCollection(Stops))
+      val member = posed.filter(!$"is_stop")
+        .withColumn("grp", $"pos" - row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"pos")))
+      val withLen = member.withColumn("plen",
+        count(lit(1)).over(Window.partitionBy($"doc_id", $"grp")))
+      val ws = withLen.groupBy($"tok")
+        .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+        .select($"tok", expr("(10000L * deg) div freq").as("wscore"))
+      withLen.join(ws, "tok")
+        .groupBy($"doc_id", $"grp")
+        .agg(
+          array_join(transform(array_sort(collect_list(struct($"pos", $"tok"))),
+            s => s("tok")), " ").as("phrase"),
+          sum($"wscore").as("pscore"))
+        .groupBy($"phrase")
+        .agg(count(lit(1)).as("n_occ"), min($"pscore").as("score"))
+        .orderBy($"score".desc, $"phrase")
+        .limit(50)
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH posed AS (
+         |  SELECT doc_id, CAST(p.i AS INTEGER) AS pos, p.tok,
+         |    p.tok IN ($stopsSqlList) AS is_stop
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, len($t)),
+         |      i -> struct_pack(i := i, tok := lower(($t)[i+1])))) AS p
+         |    FROM documents)),
+         |member AS (
+         |  SELECT doc_id, pos, tok,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM posed WHERE NOT is_stop),
+         |wl AS (
+         |  SELECT doc_id, pos, tok, grp,
+         |    CAST(count(*) OVER (PARTITION BY doc_id, grp) AS BIGINT) AS plen
+         |  FROM member),
+         |ws AS (
+         |  SELECT tok, (10000 * CAST(sum(plen) AS BIGINT)) // CAST(count(*) AS BIGINT) AS wscore
+         |  FROM wl GROUP BY tok),
+         |ph AS (
+         |  SELECT wl.doc_id, wl.grp,
+         |    string_agg(wl.tok, ' ' ORDER BY wl.pos) AS phrase,
+         |    CAST(sum(ws.wscore) AS BIGINT) AS pscore
+         |  FROM wl JOIN ws ON wl.tok = ws.tok
+         |  GROUP BY wl.doc_id, wl.grp)
+         |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ, min(pscore) AS score
+         |FROM ph GROUP BY phrase
+         |ORDER BY score DESC, phrase LIMIT 50""".stripMargin
     })
   )
 
