@@ -458,7 +458,7 @@ object Multimodal {
           length($"content").cast("long").as("n_chars"), $"duration_ms")
       val wins = au
         .select($"doc_id", $"text", $"n_chars", $"duration_ms",
-          explode(sequence(lit(0L), (($"n_chars" - 1) / W).cast("long"))).as("win_idx"))
+          explode(sequence(lit(0L), expr(s"(n_chars - 1) div $W"))).as("win_idx"))
         .select($"doc_id", $"n_chars", $"duration_ms", $"win_idx",
           length(regexp_replace(
             substring($"text", ($"win_idx" * W + 1).cast("int"), lit(W)), "[^a-z]", ""))

@@ -62,4 +62,36 @@ class MultimodalSpec extends AnyFunSuite {
       .filter($"n" =!= 4 || $"total" =!= $"n_chars" || $"first" =!= 0)
     assert(bad.count() == 0)
   }
+
+  // Independent per-doc re-implementation of the VAD segmentation (plain
+  // Scala over the collected corpus) cross-checked row-for-row against the
+  // distributed query — the NaiveChunkerCrossSpec pattern: same spec, zero
+  // shared code with the Spark-side islands/window machinery.
+  test("audio VAD segments equal a naive sequential re-implementation") {
+    import spark.implicits._
+    val W = 64
+    val naive = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter($"doc_id" % 3 === 1)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .flatMap { case (id, text) =>
+        val nWin = (text.length + W - 1) / W
+        val active = (0 until nWin).filter { w =>
+          val win = text.substring(w * W, math.min((w + 1) * W, text.length))
+          2 * win.count(c => c >= 'a' && c <= 'z') > win.length
+        }
+        // islands over the active window indices
+        val segs = active.foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: rest, w) if w == e0 + 1 => (s0, w) :: rest
+          case (acc, w) => (w, w) :: acc
+        }.reverse
+        segs.zipWithIndex.map { case ((s0, e0), i) =>
+          (id, (i + 1).toLong, s0.toLong, e0.toLong, (e0 - s0 + 1).toLong,
+            s0.toLong * W * 40, math.min((e0 + 1).toLong * W, text.length.toLong) * 40)
+        }
+      }.sorted.toSeq
+    val got = Multimodal.queries("mm_audio_vad")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got.nonEmpty, "sf0.001 corpus must yield at least one speech segment")
+    assert(got == naive)
+  }
 }

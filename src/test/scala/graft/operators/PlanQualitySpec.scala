@@ -260,4 +260,52 @@ class PlanQualitySpec extends AnyFunSuite {
       s"quality tiers: exactly the 1-row quartile broadcast:\n$qt")
     assert(!qt.contains("CartesianProduct"), "no unbroadcast cartesian")
   }
+
+  test("asof join: encoded as union + window — ZERO join operators in the plan") {
+    val plan = executedPlan("q58_asof_join")
+    assert(!plan.contains("Join"),
+      s"the as-of must stay a union+window encoding (no range/hash join):\n$plan")
+    assert(plan.contains("Window"), "the running last-click window is the operator")
+  }
+
+  test("audio VAD: window emission is map-only; segment windows partition by doc_id") {
+    val plan = executedPlan("mm_audio_vad")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"VAD is explode + windows, never a join:\n$plan")
+    // physical Window prints as: Window [row_number() ...], [doc_id#N], [win_idx#M ASC ...]
+    assert("Window \\[row_number\\(\\)[^\\n]*\\], \\[doc_id#".r
+      .findFirstIn(plan).isDefined,
+      s"islands windows must partition by doc_id, not run globally:\n$plan")
+  }
+
+  test("C4 filters: single map-only pass — no shuffle before the output sort") {
+    val plan = executedPlan("pipeline_c4_filters")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the rule battery must not shuffle:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to doc_id/text:\n$plan")
+  }
+
+  test("DSIR weights: bucket-ratio table broadcasts; corpus side equi-joins only") {
+    val plan = executedPlan("pipeline_dsir_weights")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the <=4096-row ratio table must broadcast onto the token stream:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"nothing corpus-sized may sort-merge or cross:\n$plan")
+  }
+
+  test("epoch plan: only the 1-row weight-total broadcast is nested-loop") {
+    val plan = executedPlan("pipeline_epoch_plan")
+    assert(count(plan, "BroadcastNestedLoopJoin") == 1,
+      s"exactly the 1-row tot_w broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "no unbroadcast cartesian")
+  }
+
+  test("RAKE: word-score joins stay equi-joins; the top-50 is a TakeOrdered, not a global sort") {
+    val plan = executedPlan("text_keywords_rake")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"word-stat joins must stay equi-joins:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the limit must plan as TakeOrdered (no full-corpus sort materialization):\n$plan")
+  }
 }
