@@ -700,6 +700,9 @@ object PipelineOps {
       val tok = Tables.documents(s, d)
         .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
         .select($"doc_id", $"lang", pmod(h60($"tok"), lit(B)).as("b"))
+      // NOT cached: measured 1.24 s uncached vs 1.61 s cached at sf0.1 — the
+      // exploded token table is corpus×tokens rows of tiny tuples, so the
+      // memory write outweighs re-running the cheap explode per leg.
       val rc = tok.groupBy($"b").agg(count(lit(1)).as("rc"))
       val tc = tok.filter($"lang" === "en").groupBy($"b").agg(count(lit(1)).as("tc"))
       val ratio = rc.join(tc, Seq("b"), "left")

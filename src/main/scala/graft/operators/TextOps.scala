@@ -774,6 +774,8 @@ object TextOps {
           Window.partitionBy($"doc_id").orderBy($"pos")))
       val withLen = member.withColumn("plen",
         count(lit(1)).over(Window.partitionBy($"doc_id", $"grp")))
+      // NOT cached: measured 1.35 s uncached vs 2.29 s cached at sf0.1 —
+      // same trade as pipeline_dsir_weights (wide per-token intermediates).
       val ws = withLen.groupBy($"tok")
         .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
         .select($"tok", expr("(10000L * deg) div freq").as("wscore"))
