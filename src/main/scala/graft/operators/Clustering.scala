@@ -145,7 +145,7 @@ object Clustering {
     * cosine to the source lands in [0.87, 0.93], cleanly above random pairs
     * and below exact copies.
     */
-  private def plantedUnit(s: SparkSession, d: String): DataFrame = {
+  private[operators] def plantedUnit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val u0 = Similarity.vectors(s, d)
     val pert = u0.filter($"vec_id" % 7 === 0)

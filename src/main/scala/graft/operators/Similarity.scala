@@ -592,30 +592,40 @@ object Similarity {
     // dropped document count at five candidate thresholds, all from ONE
     // LSH-candidate scan (the embedding-side analogue of
     // dedup_lsh_band_sweep) — the curve an operator reads to pick the
-    // semantic-dedup threshold before a 100 TB run. Scale shape: candidate
-    // generation is the sub-quadratic bucket equi-join; the sweep itself
-    // explodes each scored pair into its qualifying thresholds (≤5×) and
-    // hash-aggregates — no second pass over the vectors.
+    // semantic-dedup threshold before a 100 TB run. Runs over the PLANTED
+    // near-dup corpus (Clustering.plantedUnit: originals + exact copies at
+    // cos 1.0 + perturbed copies at cos ≈0.9) because the raw embeddings are
+    // near-orthogonal (max pairwise cos ≈0.55) and every threshold row would
+    // be vacuously zero. A left join against the 5-row threshold spine keeps
+    // all thresholds in the output even where no pair qualifies. Scale
+    // shape: candidate generation is the sub-quadratic bucket equi-join; the
+    // sweep itself explodes each scored pair into its qualifying thresholds
+    // (≤5×) and hash-aggregates — no second pass over the vectors.
     ("sim_threshold_sweep", (s, d) => {
       import s.implicits._
-      val v = vectors(s, d).cache()
-      val sigs = lshSignatures(v)
+      val u = Clustering.plantedUnit(s, d).cache() // read by sigs + both score joins (spills; Bench clears)
+      val sigs = lshSignatures(u)
       val cand = sigs.as("x").join(sigs.as("y"),
           $"x.tbl" === $"y.tbl" && $"x.sig" === $"y.sig" && $"x.vec_id" < $"y.vec_id")
         .select($"x.vec_id".as("id1"), $"y.vec_id".as("id2")).distinct()
       val scored = cand
-        .join(v.select($"vec_id".as("id1"), $"emb".as("e1")), "id1")
-        .join(v.select($"vec_id".as("id2"), $"emb".as("e2")), "id2")
+        .join(u.select($"vec_id".as("id1"), $"emb".as("e1")), "id1")
+        .join(u.select($"vec_id".as("id2"), $"emb".as("e2")), "id2")
         .select($"id1", $"id2", cosine($"e1", $"e2").as("cos"))
-      scored
+      val counts = scored
         .withColumn("th", explode(array(SweepThresholds.map(lit): _*)))
         .filter($"cos" >= $"th")
         .groupBy($"th")
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct($"id2").as("n_dropped"))
+      SweepThresholds.toDF("th")
+        .join(counts, Seq("th"), "left")
+        .select($"th", coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          coalesce($"n_dropped", lit(0L)).as("n_dropped"))
         .orderBy($"th")
     }, Some(
-      s"""WITH $vectorsSql,
+      s"""WITH ${Clustering.plantedSql},
+         |v AS (SELECT vec_id, emb FROM u),
          |$lshSignaturesSql,
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
@@ -624,10 +634,14 @@ object Similarity {
          |scored AS (
          |  SELECT c.id1, c.id2, list_dot_product(a.emb, b.emb) AS cos
          |  FROM cand c JOIN v a ON a.vec_id = c.id1 JOIN v b ON b.vec_id = c.id2),
-         |th AS (SELECT unnest([${SweepThresholds.mkString(", ")}]) AS th)
-         |SELECT th, CAST(count(*) AS BIGINT) AS n_pairs,
-         |  CAST(count(DISTINCT id2) AS BIGINT) AS n_dropped
-         |FROM scored, th WHERE cos >= th GROUP BY 1 ORDER BY 1""".stripMargin))
+         |th AS (SELECT unnest([${SweepThresholds.mkString(", ")}]) AS th),
+         |cnt AS (
+         |  SELECT th, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(count(DISTINCT id2) AS BIGINT) AS n_dropped
+         |  FROM scored, th WHERE cos >= th GROUP BY 1)
+         |SELECT t.th, coalesce(n_pairs, 0) AS n_pairs,
+         |  coalesce(n_dropped, 0) AS n_dropped
+         |FROM th t LEFT JOIN cnt USING (th) ORDER BY th""".stripMargin))
   )
 
   /** Thresholds swept by sim_threshold_sweep — written with an explicit
