@@ -65,6 +65,9 @@ object CdcQueries {
   private val FastMaxLen = ExpectedSize * 8 + 1L
   private val RabinMinLen = ExpectedSize / 4 + 1L
   private val RabinMaxLen = ExpectedSize * 4 + 1L
+  // Strategy-A min-distance for the rabin batch variant = its sliding window
+  // (`rabin.rs:46`), NOT the streaming min-size clamp above.
+  private val RabinSegWindow = (ExpectedSize / 4 - 1).toLong
 
   /** Per-document invariant contract over a chunk table (the q28/q46
     * exact-value + literal-TRUE oracle pattern). Content-defined cut points
@@ -224,6 +227,40 @@ object CdcQueries {
         .orderBy("doc_id")
     }),
 
+    // Strategy A with the RABIN batch chunker (`rabin.rs:92-128` — the
+    // reference's other get_bounds flavor), same contract-row pattern as
+    // cdc_segmented_ae. Two deltas vs the AE contract, both inherited from
+    // the reference batch variant's semantics: the min-distance window is
+    // the Rabin sliding window (expected/4 − 1, `rabin.rs:46`), and there is
+    // NO tail bound — rabin's boundsInRange emits only mask-matching cuts
+    // (no EOF candidate, no forced max-size cut, `rabin.rs:61-90`), so the
+    // uncovered tail after the last accepted cut can be any length up to the
+    // whole doc; the checkable invariant is covered <= doc_bytes. Cut-point
+    // equivalence to the core overlap-merge ground truth is pinned by
+    // ChunkingSpec (algo = "rabin").
+    "cdc_segmented_rabin" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val chunks = chunkCols(
+        Chunking.segmentedChunkTable(d, "doc_id", "text", "rabin", ExpectedSize, segments = 4))
+      val runBefore = Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val agg = chunks
+        .withColumn("expected_off", coalesce(sum(col("length")).over(runBefore), lit(0L)))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("length")).as("covered"),
+          bool_and(col("offset") === col("expected_off")).as("contiguous"),
+          bool_and(col("length") >= RabinSegWindow).as("min_len_ok"))
+      d.select(col("doc_id"), octet_length(col("text")).cast("long").as("doc_bytes"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("doc_bytes"),
+          coalesce(col("contiguous"), lit(true)).as("contiguous"),
+          coalesce(col("min_len_ok"), lit(true)).as("min_len_ok"),
+          coalesce(col("covered"), lit(0L)).between(lit(0L), col("doc_bytes"))
+            .as("covered_le_doc"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-level metrics over fixed chunking — the one algorithm whose cut
     // points are pure arithmetic, so the WHOLE reference experiment
     // (scan → chunk → hash-dedup → COEFF/AVG, `main.rs:16-24`) gets an exact
@@ -340,6 +377,13 @@ object CdcQueries {
     "cdc_segmented_ae" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS doc_bytes,
         |  TRUE AS contiguous, TRUE AS min_len_ok, TRUE AS tail_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Strategy-A rabin contract: exact byte anchor + merge invariants (no
+    // tail bound — see the query comment).
+    "cdc_segmented_rabin" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS doc_bytes,
+        |  TRUE AS contiguous, TRUE AS min_len_ok, TRUE AS covered_le_doc
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Strategy-B contract: exact byte anchor + metric-relation invariants;
