@@ -43,6 +43,10 @@ object Clustering {
   private val QScale = 1024
   private val Dims = 64
   private val CosThreshold = 0.85
+  // Stage-2 pair-scan shard cap: clusters re-split into ceil(n_c / cap)
+  // hash cells, bounding any one task's pair square at ~cap². 256 keeps
+  // every sf0.01 cluster single-shard (bit-identical to the uncapped rule).
+  private val SemDedupShardCap = 256
 
   private def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
@@ -237,31 +241,88 @@ object Clustering {
     // copies always share their source's cluster (identical input ⇒
     // identical argmin) and are always dropped; near-duplicates are dropped
     // only when clustering co-locates them — authentic SemDeDup recall.
+    //
+    // Skew guard (the 100 TB stance): a pathological mega-cluster must not
+    // turn the pair scan quadratic, so it runs in two stages. Stage 1
+    // resolves EXACT duplicates (identical quantized vector within a
+    // cluster — cosine 1 ≥ any threshold) by a linear min-id-per-group
+    // pass; mass-duplicated content, the most common skew source, never
+    // reaches the pair join. Stage 2 pair-scans only the distinct-embedding
+    // survivors, sharded by a portable id-hash into ceil(n_c / cap) cells,
+    // so one task's pair square is bounded by ~cap² regardless of cluster
+    // size (survivors are distinct ids, so the hash spreads them
+    // uniformly). Sub-threshold clusters get shards = 1 — at sf0.01 every
+    // cluster is under the cap and the output is bit-identical to the
+    // uncapped rule; above it, a near-dup pair split across shard cells is
+    // the documented recall trade (exact copies are NEVER missed — stage 1
+    // is shard-blind). Both engines implement the identical rule, so the
+    // oracle hash-match is exact at every scale.
     ("dedup_semantic", (s, d) => {
       graft.plans.GraftExtensions.register(s)
       import s.implicits._
       val u = plantedUnit(s, d).cache() // read by kmeans + the pair scan (spills; Bench clears)
-      val a2 = kmeansAssign(u)
-      val withEmb = a2.join(u, "vec_id")
-      val dropped = withEmb.as("a").join(withEmb.as("b"),
-          $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id") // shuffle on cid: cluster-bounded pair squares
-        .filter(vecDot($"a.emb", $"b.emb") >= CosThreshold)
-        .select($"b.vec_id".as("vec_id")).distinct()
-      a2.join(dropped.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
-        .select($"vec_id", $"cid", coalesce($"dropped", lit(false)).as("dropped"))
-        .orderBy($"vec_id")
+      val (a2, _, q) = kmeansModel(u)
+      semanticDropFlags(u, a2, q, SemDedupShardCap).orderBy($"vec_id")
     }, Some(
       s"""WITH $plantedSql,
          |${kmeansSql("u")},
-         |pairs AS (
+         |ex AS (
+         |  SELECT vec_id, cid, min(vec_id) OVER (PARTITION BY cid, qv) AS keeper
+         |  FROM a2 JOIN q USING (vec_id)),
+         |surv AS (SELECT vec_id, cid FROM ex WHERE vec_id = keeper),
+         |sz AS (SELECT cid, count(*) AS n_c FROM surv GROUP BY cid),
+         |sh AS (
+         |  SELECT s.vec_id, s.cid,
+         |    ${h60Sql("'sc' || s.vec_id")} % CAST(ceil(n_c / $SemDedupShardCap.0) AS BIGINT) AS scell
+         |  FROM surv s JOIN sz USING (cid)),
+         |near AS (
          |  SELECT b.vec_id AS id2
-         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  FROM sh a JOIN sh b
+         |    ON a.cid = b.cid AND a.scell = b.scell AND a.vec_id < b.vec_id
          |  JOIN u ua ON ua.vec_id = a.vec_id JOIN u ub ON ub.vec_id = b.vec_id
-         |  WHERE list_dot_product(ua.emb, ub.emb) >= $CosThreshold)
-         |SELECT a2.vec_id, cid, (p.id2 IS NOT NULL) AS dropped
-         |FROM a2 LEFT JOIN (SELECT DISTINCT id2 FROM pairs) p ON a2.vec_id = p.id2
+         |  WHERE list_dot_product(ua.emb, ub.emb) >= $CosThreshold),
+         |drp AS (
+         |  SELECT vec_id FROM ex WHERE vec_id > keeper
+         |  UNION SELECT id2 FROM near)
+         |SELECT a2.vec_id, cid, (d.vec_id IS NOT NULL) AS dropped
+         |FROM a2 LEFT JOIN drp d USING (vec_id)
          |ORDER BY a2.vec_id""".stripMargin))
   )
+
+  /** Capped SemDeDup drop flags (see the dedup_semantic comment): stage-1
+    * exact-duplicate resolution on the quantized vectors, stage-2 sharded
+    * near-dup pair scan among survivors. Package-private so the skew spec
+    * can drive it with a small cap.
+    *
+    * @param u  (vec_id, emb) unit vectors
+    * @param a2 (vec_id, cid) cluster assignment
+    * @param q  (vec_id, qv) integer-quantized vectors
+    */
+  private[operators] def semanticDropFlags(
+      u: DataFrame, a2: DataFrame, q: DataFrame, cap: Int): DataFrame = {
+    val s = u.sparkSession
+    import s.implicits._
+    val wExact = Window.partitionBy($"cid", $"qv")
+    val ex = a2.join(q, "vec_id")
+      .withColumn("keeper", min($"vec_id").over(wExact))
+      .select($"vec_id", $"cid", $"keeper")
+    val survivors = ex.filter($"vec_id" === $"keeper").select($"vec_id", $"cid")
+    val sz = survivors.groupBy($"cid").agg(count(lit(1)).as("n_c"))
+    val sharded = survivors.join(sz, "cid")
+      .withColumn("scell",
+        pmod(h60(concat(lit("sc"), $"vec_id".cast("string"))),
+          ceil($"n_c" / lit(cap.toDouble)).cast("long")))
+      .join(u, "vec_id")
+    val near = sharded.as("a").join(sharded.as("b"),
+        $"a.cid" === $"b.cid" && $"a.scell" === $"b.scell" &&
+          $"a.vec_id" < $"b.vec_id") // shuffle on (cid, scell): ~cap² pair squares
+      .filter(vecDot($"a.emb", $"b.emb") >= CosThreshold)
+      .select($"b.vec_id".as("vec_id"))
+    val dropped = ex.filter($"vec_id" > $"keeper").select($"vec_id")
+      .unionByName(near).distinct().withColumn("dropped", lit(true))
+    a2.join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id", $"cid", coalesce($"dropped", lit(false)).as("dropped"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, f, _) => n -> f }.toMap

@@ -65,4 +65,54 @@ class ClusteringSpec extends AnyFunSuite {
     val droppedFrac = near.count(out(_)).toDouble / near.size
     assert(droppedFrac >= 0.5, s"near-dup drop fraction $droppedFrac")
   }
+
+  test("skewed mega-cluster: cap bounds the pair scan, exact dups still always dropped") {
+    graft.plans.GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A deliberately pathological single cluster: 400 exact copies of one
+    // vector (ids 0-399) plus 50 DISTINCT near-duplicates (ids 1000+k,
+    // v_k = normalize((1, 0.01k, 0, 0)) — all pairwise cosines >= 0.89, all
+    // above the 0.85 threshold). Uncapped this is a 450² pair square; with
+    // cap=16 stage 1 must absorb all 399 exact copies linearly and stage 2
+    // must scan only ceil(51/16)=4 hash cells of survivors.
+    val cap = 16
+    val dups = (0L until 400L).map(id => (id, Array(1.0, 0.0, 0.0, 0.0)))
+    val nears = (1 to 50).map { k =>
+      val e = 0.01 * k
+      val n = math.sqrt(1 + e * e)
+      (1000L + k, Array(1.0 / n, e / n, 0.0, 0.0))
+    }
+    val u = (dups ++ nears).toDF("vec_id", "emb").repartition(4)
+    val a2 = u.select($"vec_id", lit(0L).as("cid"))
+    val q = u.select($"vec_id", transform($"emb", x => round(x * 1024, 0)).as("qv"))
+    val out = Clustering.semanticDropFlags(u, a2, q, cap)
+      .select($"vec_id", $"dropped").as[(Long, Boolean)].collect().toMap
+    assert(out.size == 450)
+    // stage 1: every exact copy dropped, shard-blind (the cap cannot cost
+    // exact-dedup recall); the group keeper survives
+    (1L until 400L).foreach(id => assert(out(id), s"exact copy $id not dropped"))
+    assert(!out(0L), "keeper of the duplicate group must survive")
+    // stage 2: survivors are {0} ++ nears (51 ids); recompute their shard
+    // cells with the same portable hash and assert (a) the re-split really
+    // happened with a bounded max cell, (b) drops are exactly "dominated by
+    // a lower-id co-sharded survivor" — all survivor pairs here are above
+    // threshold, so each cell keeps only its min id
+    val survivors = 0L +: (1 to 50).map(1000L + _)
+    val shards = math.ceil(survivors.size / cap.toDouble).toLong
+    assert(shards == 4)
+    val cells = survivors.groupBy(id => Portable.h60Jvm("sc" + id) % shards)
+    assert(cells.size > 1, "mega-cluster must actually re-split")
+    assert(cells.values.map(_.size).max <= 2 * cap,
+      s"hash cells must stay near the cap: ${cells.values.map(_.size)}")
+    val expectedSurvivorDrops = cells.values.flatMap(ids => ids.sorted.drop(1)).toSet
+    survivors.foreach { id =>
+      assert(out(id) == expectedSurvivorDrops.contains(id),
+        s"survivor $id: got ${out(id)}, expected ${expectedSurvivorDrops.contains(id)}")
+    }
+    // determinism across partitionings
+    val out2 = Clustering.semanticDropFlags(u.repartition(7), a2, q, cap)
+      .select($"vec_id", $"dropped").as[(Long, Boolean)].collect().toMap
+    assert(out2 == out)
+  }
 }

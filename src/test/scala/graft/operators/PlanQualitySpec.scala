@@ -167,6 +167,12 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scan must prune to doc_id/text:\n$plan")
   }
 
+  test("semantic dedup pair scan is sharded: the pair join keys on the shard cell") {
+    val plan = executedPlan("dedup_semantic")
+    assert(plan.contains("scell"),
+      s"pair join must key on (cid, scell) so a mega-cluster stays cap-bounded:\n$plan")
+  }
+
   test("kmeans/PQ: centroid and codebook joins broadcast; corpus never cartesian-joins itself") {
     for (q <- Seq("sim_kmeans_clusters", "sim_pq_topk", "sim_ivfpq_topk", "dedup_semantic")) {
       val plan = executedPlan(q)
