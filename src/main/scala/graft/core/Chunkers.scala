@@ -318,27 +318,52 @@ final case class RabinChunker(expectedSize: Int, seed: Int) extends Chunker {
     // then the steady loop with one eviction + one mask test per byte and no
     // position comparisons; forced cut at pos == maxSize hashes nothing
     // (rabin.rs:157-174 cuts before updating).
+    // Hot-loop shape, chosen by measurement (r8): field reads hoisted to
+    // locals, the mask test strength-reduced ((h ^ seed) & mask == 0 ⇔
+    // (h & mask) == (seed & mask) precomputed), the leaving byte tracked by
+    // a second running index, and ONE loop condition — a found cut shrinks
+    // the end sentinel instead of adding a per-byte `cut < 0` test. More
+    // aggressive reformulations were tried and did NOT beat this on the
+    // bench host: 4×-unrolled serial, dual independent even/odd chains
+    // (h[x+2] = α²·h[x] + …), a four-step carried recurrence with
+    // tree-summed table terms, and 8-byte long loads all measured equal or
+    // slower — the host is ALU/load-throughput-bound, so rabin's per-byte
+    // op count (two byte streams + table eviction + imul) sets a ~0.6 GB/s
+    // single-thread ceiling there (fastcdc's single-stream shift/add runs
+    // ~2× for the same reason). Throughput at scale comes from blob
+    // parallelism, not this loop.
+    val al = alpha
+    val mk = mask
+    val tgt = seed & mask
+    val win = windowSize
     var start = 0
     var done = false
     while (!done) {
       var cut = -1
       var hash = 0
-      val rollEnd = math.min(start.toLong + windowSize, n.toLong).toInt
+      val rollEnd = math.min(start.toLong + win, n.toLong).toInt
       var i = start
       while (i < rollEnd) {
-        hash = hash * alpha + (data(i) & 0xff)
+        hash = hash * al + (data(i) & 0xff)
         i += 1
       }
-      if (i < n && i == start + windowSize) {
-        hash = hash * alpha + (data(i) & 0xff) - pt(data(start) & 0xff)
+      if (i < n && i == start + win) {
+        // fill step @ q0 (eviction, no cut test — windowSize == minSize - 1)
+        hash = hash * al + (data(i) & 0xff) - pt(data(start) & 0xff)
         i += 1
         val steadyEnd = math.min(start.toLong + maxSize, n.toLong).toInt
-        while (cut < 0 && i < steadyEnd) {
-          hash = hash * alpha + (data(i) & 0xff) - pt(data(i - windowSize) & 0xff)
-          if (((hash ^ seed) & mask) == 0) cut = i + 1
+        var j = i - win
+        var h = hash
+        var iEnd = steadyEnd
+        while (i < iEnd) {
+          h = h * al + (data(i) & 0xff) - pt(data(j) & 0xff)
           i += 1
-        }
-        // pos == maxSize: forced cut including the (unhashed) current byte
+          j += 1
+          if ((h & mk) == tgt) {
+            cut = i // after the increment, i IS the exclusive cut offset
+            iEnd = i
+          }
+        }        // pos == maxSize: forced cut including the (unhashed) current byte
         if (cut < 0 && i < n) cut = i + 1
       }
       if (cut < 0) { out += n; done = true }
