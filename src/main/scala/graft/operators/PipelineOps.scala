@@ -654,7 +654,11 @@ object PipelineOps {
         .select($"doc_id",
           (size($"toks") >= 10).as("r_min_words"),
           ($"sl" >= $"n" * 3 && $"sl" <= $"n" * 10).as("r_word_len"),
-          $"text".rlike("[.!?\"]$").as("r_ends_punct"),
+          // \z, not $: Java-regex $ also matches BEFORE a final line
+          // terminator, while the DuckDB oracle's RE2 $ matches only the
+          // absolute end — \z pins both engines to end-of-string semantics
+          // even if a future corpus carries trailing newlines (ADVICE r7).
+          $"text".rlike("[.!?\"]\\z").as("r_ends_punct"),
           (!$"text".contains("{") && !$"text".contains("}")).as("r_no_braces"),
           (!lower($"text").contains("lorem ipsum")).as("r_no_lorem"),
           (nStops >= 2).as("r_has_stopwords"))

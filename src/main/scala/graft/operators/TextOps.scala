@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -259,13 +259,16 @@ object TextOps {
       import s.implicits._
       val K = 64
       val toks = Tables.documents(s, d).select(explode(tokens($"text")).as("term"))
-      val sketch: Map[String, Long] =
-        toks.as[String].select(new graft.functions.MisraGriesAgg(K).toColumn).head()
-      val n = toks.count()
-      val bound = n.toDouble / (K + 1)
+      // Single-action shape: the sketch and the total count aggregate into
+      // ONE 1-row DataFrame that broadcast-joins into the exact side — the
+      // sketch never rides through the driver as a literal (ADVICE r7).
+      val mg = udaf(new graft.functions.MisraGriesAgg(K), Encoders.STRING)
+      val sk = toks.agg(mg($"term").as("sketch"), count(lit(1)).as("n_tok"))
+      val bound = $"n_tok" / lit((K + 1).toDouble)
       toks.groupBy($"term").agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(sk)) // 1 row — O(k) sketch state
         .filter($"n_exact" > bound)
-        .withColumn("est", coalesce(element_at(typedlit(sketch), $"term"), lit(0L)))
+        .withColumn("est", coalesce(element_at($"sketch", $"term"), lit(0L)))
         .select($"term", $"n_exact",
           ($"est" > 0L && $"est" <= $"n_exact" &&
             ($"n_exact" - $"est") <= bound).as("sketch_ok"))
@@ -292,15 +295,19 @@ object TextOps {
       val D = 3
       val W = 256
       val toks = Tables.documents(s, d).select(explode(tokens($"text")).as("term"))
-      val agg = new graft.functions.CountMinAgg(D, W,
-        (j, t) => (h60Jvm(s"cm${j}_$t") % W).toInt)
-      val sketch: Array[Long] = toks.as[String].select(agg.toColumn).head()
+      // Single-action shape (ADVICE r7): the finished D×W counter array is a
+      // 1-row broadcast join, not a driver literal; estimates index into the
+      // sketch COLUMN per term.
+      val cm = udaf(new graft.functions.CountMinAgg(D, W,
+        (j, t) => (h60Jvm(s"cm${j}_$t") % W).toInt), Encoders.STRING)
+      val sk = toks.agg(cm($"term").as("sketch"))
       val est = (0 until D).map { j =>
-        element_at(typedlit(sketch),
+        element_at($"sketch",
           (h60(concat(lit(s"cm${j}_"), $"term")) % W + j * W + 1).cast("int"))
       }.reduce(least(_, _))
       toks.groupBy($"term").agg(count(lit(1)).as("n_exact"))
         .orderBy($"n_exact".desc, $"term").limit(20)
+        .crossJoin(broadcast(sk)) // 1 row — O(d·w) sketch state
         .select($"term", $"n_exact", est.as("est"))
         .orderBy($"term")
     }, Some {

@@ -1,6 +1,13 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-/** Scratch: time several named queries (cache-cleared, warm JIT). */
+/** Scratch: time several named queries (cache-cleared, warm JIT).
+  *
+  * Timing action is `.count()` — deliberately the SAME action Bench.scala
+  * uses, so numbers here are comparable to BENCH_*.json cells. Caveat for
+  * both: count() lets Catalyst drop a final orderBy and prune unreferenced
+  * projection columns, so it understates full-materialization cost (the
+  * Verify parquet write is the materializing path); since every round's
+  * bench pays the identical discount, cross-round ratios are unaffected. */
 object TimeMany {
   def main(args: Array[String]): Unit = {
     val sfDir = "/root/testdata/sf0.1"
