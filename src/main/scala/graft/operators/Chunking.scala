@@ -1,14 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 import graft.core.{AeChunker, Chunker, RabinChunker}
 import graft.operators.Portable.round
-
-/** Chunk span within a payload; field names surface as the UDF's struct schema. */
-case class ChunkBound(offset: Int, length: Int)
 
 /** Spark lift of the CDC chunkers: blob/text columns → a distributed chunk
   * table → dedup metrics, mirroring the reference pipeline
@@ -16,12 +12,13 @@ case class ChunkBound(offset: Int, length: Int)
   * DataFrame primitives.
   *
   * Design notes (100 TB stance):
-  *  - The boundary scan is the only non-relational step; it runs inside a UDF
-  *    that returns the (offset, length) list per blob. Everything downstream —
-  *    slicing, hashing, dedup, metrics — is built-in, codegen'd expressions
-  *    (`substring` on BinaryType, `xxhash64`, `groupBy(...).agg`), so Catalyst
-  *    handles pushdown/partial-agg and the shuffle keys are 64-bit hashes, not
-  *    chunk payloads.
+  *  - The boundary scan is the only non-relational step; it runs inside the
+  *    native `cdc_chunks` Generator ([[graft.plans.CdcChunks]]) — ONE
+  *    codepath shared by this DataFrame lift, the SQL `LATERAL VIEW`
+  *    surface, and the streaming twin. Everything downstream — hashing,
+  *    dedup, metrics — is built-in, codegen'd expressions (`xxhash64`,
+  *    `groupBy(...).agg`), so Catalyst handles pushdown/partial-agg and the
+  *    shuffle keys are 64-bit hashes, not chunk payloads.
   *  - Chunk identity is `xxhash64` (deterministic) — a documented deviation
   *    from the reference's process-seeded SipHash (`ae.rs:76-78`), required for
   *    reproducible results (SURVEY.md §7.4).
@@ -31,20 +28,14 @@ case class ChunkBound(offset: Int, length: Int)
   */
 object Chunking {
 
-  /** UDF: payload bytes → array<struct<offset int, length int>> via the named
-    * core chunker. Marked nonNullable+deterministic so Catalyst can prune/reuse.
-    */
-  def boundsUdf(algo: String, expectedSize: Int, seed: Long): UserDefinedFunction = {
-    val chunker = Chunker(algo, expectedSize, seed) // serializable, built once per task via closure
-    udf((payload: Array[Byte]) =>
-      if (payload == null) Array.empty[ChunkBound]
-      else chunker.chunks(payload).map { case (off, len) => ChunkBound(off, len) })
-      .asNonNullable()
-  }
-
   /** Chunk a DataFrame with a binary (or string — encoded UTF-8) payload column
     * into the canonical chunk table:
     * `(id, chunk_idx int, offset int, length int, chunk binary, hash long)`.
+    *
+    * Runs the boundary scan through the registered `cdc_chunks` Generator —
+    * the analyzer plans it as a `Generate` node, streaming chunk rows out
+    * without materializing the full per-blob bounds array the old UDF route
+    * needed (r7 unification: UDF path deleted).
     */
   def chunkTable(
       df: DataFrame,
@@ -53,20 +44,13 @@ object Chunking {
       algo: String,
       expectedSize: Int,
       seed: Long = 0L): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
     val payload: Column =
       if (df.schema(payloadCol).dataType == org.apache.spark.sql.types.StringType)
         encode(col(payloadCol), "UTF-8")
       else col(payloadCol)
-    val bounds = boundsUdf(algo, expectedSize, seed)
-    df.select(col(idCol).as("id"), payload.as("payload"))
-      .select(col("id"), col("payload"), posexplode(bounds(col("payload"))).as(Seq("chunk_idx", "b")))
-      .select(
-        col("id"),
-        col("chunk_idx"),
-        col("b.offset").as("offset"),
-        col("b.length").as("length"),
-        // substring is 1-based; works natively on BinaryType (codegen'd).
-        substring(col("payload"), col("b.offset") + lit(1), col("b.length")).as("chunk"))
+    df.select(col(idCol).as("id"),
+        call_function("cdc_chunks", payload, lit(algo), lit(expectedSize), lit(seed)))
       .withColumn("hash", xxhash64(col("chunk")))
   }
 
@@ -328,10 +312,11 @@ object Chunking {
     added.unionByName(removed)
   }
 
-  /** Register the chunker as a SQL-callable function so the surface composes
-    * with LATERAL VIEW / explode from pure SQL:
-    * `SELECT ... FROM docs LATERAL VIEW explode(cdc_bounds(encode(text,'utf-8'))) t AS b`.
+  /** Register the SQL chunking surface (`cdc_chunks` table-valued generator,
+    * `LATERAL VIEW cdc_chunks(payload, algo, size, seed)`) — delegates to the
+    * single native codepath in [[graft.plans.GraftExtensions]]. The old
+    * per-algo `cdc_bounds_<algo>` UDF registration is gone (r7 unification).
     */
-  def registerSql(spark: SparkSession, algo: String, expectedSize: Int, seed: Long = 0L): Unit =
-    spark.udf.register(s"cdc_bounds_$algo", boundsUdf(algo, expectedSize, seed))
+  def registerSql(spark: SparkSession): Unit =
+    graft.plans.GraftExtensions.register(spark)
 }

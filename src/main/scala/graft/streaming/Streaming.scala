@@ -143,18 +143,16 @@ object Streaming {
       algo: String,
       expectedSize: Int,
       seed: Long = 0L): DataFrame = {
+    graft.plans.GraftExtensions.register(blobs.sparkSession)
     val payload: Column =
       if (blobs.schema(payloadCol).dataType == org.apache.spark.sql.types.StringType)
         encode(col(payloadCol), "UTF-8")
       else col(payloadCol)
-    val bounds = Chunking.boundsUdf(algo, expectedSize, seed)
+    // Same native `cdc_chunks` Generator as the batch lift — one boundary-
+    // scan codepath across batch, SQL, and streaming (r7 unification).
     blobs
-      .select(col(idCol).as("id"), col(tsCol).as("ts"), payload.as("payload"))
-      .select(col("id"), col("ts"), col("payload"),
-        posexplode(bounds(col("payload"))).as(Seq("chunk_idx", "b")))
-      .select(col("id"), col("ts"), col("chunk_idx"),
-        col("b.offset").as("offset"), col("b.length").as("length"),
-        substring(col("payload"), col("b.offset") + lit(1), col("b.length")).as("chunk"))
+      .select(col(idCol).as("id"), col(tsCol).as("ts"),
+        call_function("cdc_chunks", payload, lit(algo), lit(expectedSize), lit(seed)))
       .withColumn("hash", xxhash64(col("chunk")))
   }
 

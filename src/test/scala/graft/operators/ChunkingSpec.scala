@@ -260,13 +260,13 @@ class ChunkingSpec extends AnyFunSuite {
     assert(got == Seq((1L, 5000L, true, true, true), (2L, 777L, true, true, true)))
   }
 
-  test("SQL surface: cdc_bounds UDF composes with LATERAL VIEW explode") {
-    Chunking.registerSql(spark, "fastcdc", 256, 42L)
+  test("SQL surface: cdc_chunks generator composes with LATERAL VIEW") {
+    Chunking.registerSql(spark)
     import spark.implicits._
     Seq((1L, rndBytes(4000, 5))).toDF("id", "content").createOrReplaceTempView("blobs")
     val n = spark.sql(
-      """SELECT id, b.offset, b.length
-        |FROM blobs LATERAL VIEW explode(cdc_bounds_fastcdc(content)) t AS b""".stripMargin).count()
+      """SELECT id, c.offset, c.length
+        |FROM blobs LATERAL VIEW cdc_chunks(content, 'fastcdc', 256, 42) c""".stripMargin).count()
     assert(n > 1)
   }
 }

@@ -53,6 +53,10 @@ class PlanQualitySpec extends AnyFunSuite {
       graft.Tables.documents(spark, sfDir), "doc_id", "text", "fastcdc", 64, 42L)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must stay narrow:\n$plan")
+    // One codepath: the DataFrame lift must plan the native cdc_chunks
+    // Generator (a Generate node), not a UDF + posexplode pair.
+    assert(plan.contains("Generate") && plan.contains("cdcchunks"),
+      s"chunkTable must run through the CdcChunks generator:\n$plan")
   }
 
   test("q43: the partkey range filter reaches the parquet scan") {
@@ -267,16 +271,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!qt.contains("CartesianProduct"), "no unbroadcast cartesian")
   }
 
+  // Match the specific physical join operators, not the substring "Join":
+  // an AQE/codegen label that merely contains "Join" (or a column named so)
+  // must not fail these guards spuriously.
+  private val joinOp =
+    "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct".r
+
   test("asof join: encoded as union + window — ZERO join operators in the plan") {
     val plan = executedPlan("q58_asof_join")
-    assert(!plan.contains("Join"),
+    assert(joinOp.findFirstIn(plan).isEmpty,
       s"the as-of must stay a union+window encoding (no range/hash join):\n$plan")
     assert(plan.contains("Window"), "the running last-click window is the operator")
   }
 
   test("audio VAD: window emission is map-only; segment windows partition by doc_id") {
     val plan = executedPlan("mm_audio_vad")
-    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+    assert(joinOp.findFirstIn(plan).isEmpty,
       s"VAD is explode + windows, never a join:\n$plan")
     // physical Window prints as: Window [row_number() ...], [doc_id#N], [win_idx#M ASC ...]
     assert("Window \\[row_number\\(\\)[^\\n]*\\], \\[doc_id#".r
@@ -313,5 +323,48 @@ class PlanQualitySpec extends AnyFunSuite {
       s"word-stat joins must stay equi-joins:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"the limit must plan as TakeOrdered (no full-corpus sort materialization):\n$plan")
+  }
+
+  /** Count Spark jobs started while `build` runs. Listener events post
+    * async, but the bus is ordered: run one sentinel job afterwards and wait
+    * for ITS start event — anything `build` ran was counted before it. The
+    * sentinel itself is then subtracted.
+    */
+  private def jobsDuring(build: => Unit): Int = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      build
+      spark.range(1).count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (jobs.get() == 0 && System.nanoTime() < deadline) Thread.sleep(10)
+      jobs.get() - 1
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("sketch queries are single-action: BUILDING them runs no extra Spark jobs") {
+    // The r7 shape ran .head()/.count() while constructing the DataFrame
+    // (two extra actions per invocation, sketch riding back as a driver
+    // literal). The sketch is now a 1-row aggregate that broadcast-joins
+    // into the exact side, so constructing the query may run only what a
+    // bare parquet read runs (schema-inference footer job) — nothing more.
+    val baseline = jobsDuring { graft.Tables.documents(spark, sfDir) }
+    val hhJobs = jobsDuring { graft.SparkEntry.queries("text_heavy_hitters")(spark, sfDir) }
+    val cmJobs = jobsDuring { graft.SparkEntry.queries("text_countmin_est")(spark, sfDir) }
+    assert(hhJobs <= baseline,
+      s"heavy hitters: construction ran ${hhJobs - baseline} extra jobs vs a bare read")
+    assert(cmJobs <= baseline,
+      s"count-min: construction ran ${cmJobs - baseline} extra jobs vs a bare read")
+    // The one nested-loop in each plan is the intended 1-row sketch broadcast.
+    val hhPlan = executedPlan("text_heavy_hitters")
+    val cmPlan = executedPlan("text_countmin_est")
+    assert(count(hhPlan, "BroadcastNestedLoopJoin") == 1,
+      s"heavy hitters: exactly the 1-row sketch broadcast:\n$hhPlan")
+    assert(count(cmPlan, "BroadcastNestedLoopJoin") == 1,
+      s"count-min: exactly the 1-row sketch broadcast:\n$cmPlan")
   }
 }
