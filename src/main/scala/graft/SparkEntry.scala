@@ -21,10 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ Relational.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      PipelineOps.queries ++ Clustering.queries
+      PipelineOps.queries ++ Clustering.queries ++
+      graft.streaming.Streaming.queries
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracleSql ++ Relational.oracleSql ++ TextOps.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
-      PipelineOps.oracleSql ++ Clustering.oracleSql
+      PipelineOps.oracleSql ++ Clustering.oracleSql ++
+      graft.streaming.Streaming.oracleSql
 }

@@ -31,7 +31,7 @@ object Dedup {
   import Portable._
 
   // ---------------------------------------------------------------- corpus
-  private[operators] def corpus(s: SparkSession, d: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val doc = Tables.documents(s, d).select($"doc_id", $"text")
     doc
@@ -42,7 +42,7 @@ object Dedup {
           concat($"text", lit(" near duplicate tail")).as("text")))
   }
 
-  private[operators] val corpusSql: String =
+  private[graft] val corpusSql: String =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0

@@ -412,7 +412,10 @@ object Streaming {
       .withColumn("k", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("k")
-      .select(col("doc_id"), col("ts"), round(col("quality"), 4).as("quality"),
+      // Portable.round (decimal shim), not functions.round: the replay
+      // contract query hash-compares this column against the DuckDB oracle.
+      .select(col("doc_id"), col("ts"),
+        graft.operators.Portable.round(col("quality"), 4).as("quality"),
         when(h < "1a", "test").when(h < "33", "val").otherwise("train").as("split"))
   }
 
@@ -809,5 +812,99 @@ object Streaming {
           state.update(st)
           out.iterator
       }
+  }
+
+  // ------------------------------------------------------- driver contract
+
+  /** Ordered file-source replay of the dedup corpus through
+    * [[corpusIntakeStream]], materialized for the driver's DuckDB compare —
+    * the q56 pattern promoted to a CORRECTNESS query (VERDICT r7 #8): a real
+    * `readStream` parquet source, micro-batch at a time, through the
+    * quality gate → watermarked exact dedup → stable split assignment, must
+    * reproduce the batch pipeline (quality filter → min-id canonical per
+    * normalized key → md5 split) row for row, hash for hash.
+    *
+    * Determinism engineering (what makes a streaming query hash-checkable):
+    *  - arrival order: `ts` is monotone in `doc_id`, and replay wave `w`
+    *    holds each key's (w+1)-th smallest doc_id — so every micro-batch
+    *    carries AT MOST ONE doc per dedup key, and first-arrival-wins equals
+    *    the batch min-id canonical regardless of intra-batch row order;
+    *  - batch order: one file per wave, `maxFilesPerTrigger=1`, strictly
+    *    increasing mtimes — the file source replays waves in order;
+    *  - no state eviction: the watermark delay (3650 days) exceeds the
+    *    corpus ts spread, so late-arrival re-emission can't occur.
+    *
+    * The wave count equals the corpus's max duplicate-group size (a handful)
+    * — this is a correctness harness at oracle scale, not a prod sink shape.
+    */
+  def intakeReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.expressions.Window
+
+    val corpus = graft.operators.Dedup.corpus(s, d)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      .withColumn("k", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withColumn("wave",
+        row_number().over(Window.partitionBy(col("k")).orderBy(col("doc_id"))) - 1)
+      .select(col("doc_id"), col("text"), col("ts"), col("wave"))
+
+    val root = Files.createTempDirectory("graft_intake_replay")
+    val src = Files.createDirectories(root.resolve("src"))
+    val waves = corpus.agg(max(col("wave"))).head().getInt(0)
+    (0 to waves).foreach { w =>
+      val tmp = root.resolve(s"tmp$w")
+      corpus.filter(col("wave") === w).select(col("doc_id"), col("text"), col("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p =>
+        p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val dst = Files.move(part, src.resolve(f"wave$w%03d.parquet"))
+      dst.toFile.setLastModified(1700000000000L + w * 60000L)
+    }
+
+    val stream = s.readStream
+      .schema(corpus.drop("wave").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    val sink = "intake_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = corpusIntakeStream(stream, watermark = "3650 days")
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", root.resolve("chk").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).select(col("doc_id"), col("quality"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver-surfaced streaming queries (SparkEntry contract). */
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "stream_intake_replay" -> ((s, d) => intakeReplayContract(s, d)))
+
+  /** Batch-equivalent oracle for the replay: quality gate, then min-id
+    * canonical per normalized key among the PASSING docs (the gate runs
+    * before the dedup state on the streaming side too), then the md5 split.
+    * Expression text mirrors `pipeline_clean_corpus`'s oracle fragments.
+    */
+  def oracleSql: Map[String, String] = {
+    val toks = graft.operators.Portable.tokensSql("text")
+    Map("stream_intake_replay" ->
+      s"""WITH ${graft.operators.Dedup.corpusSql},
+         |q AS (
+         |  SELECT doc_id, text,
+         |    (0.5*(1.0 - length(regexp_replace(text,'[A-Za-z0-9\\s]','','g')) / CAST(length(text) AS DOUBLE))
+         |     + 0.5*least(length(regexp_replace(text,'\\s+','','g')) / CAST(len($toks) AS DOUBLE) / 8.0, 1.0)) AS quality
+         |  FROM corpus),
+         |pass AS (SELECT doc_id, text, quality FROM q WHERE quality >= 0.45),
+         |canon AS (
+         |  SELECT doc_id, quality,
+         |    min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS canonical
+         |  FROM pass)
+         |SELECT doc_id,
+         |  ${graft.operators.Portable.rndSql("quality", 4)} AS quality,
+         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'test'
+         |       WHEN md5(CAST(doc_id AS VARCHAR)) < '33' THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM canon WHERE doc_id = canonical
+         |ORDER BY doc_id""".stripMargin)
   }
 }
