@@ -1142,10 +1142,10 @@ object Relational {
     // running sum in (ts, delta) order — the -1 leaves before the +1 enters
     // at the same instant, making intervals half-open. Per event-type so
     // the output exercises grouped sweeps. SCALE NOTE: a sweep-line needs a
-    // total order per group; at 100 TB shard the timeline (e.g. by day),
-    // sweep within shards, and carry each shard's closing concurrency into
-    // the next — here the per-type global window is the documented
-    // small-group form (20 types × bounded rows).
+    // total order per group; the per-type global window here is the
+    // small-group form (20 types × bounded rows). The sharded-timeline
+    // production form is BUILT as q59_peak_concurrency_sharded below —
+    // same oracle, hash-identical output, per-(type,bucket) windows only.
     ("q53_peak_concurrency", (s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d)
@@ -1162,6 +1162,65 @@ object Relational {
           count(when($"delta" === 1, lit(1))).as("n_events"))
         .orderBy($"event_type")
     }, Some(
+      """WITH bounds AS (
+        |  SELECT event_type, ts, CAST(1 AS BIGINT) AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts + INTERVAL 5 MINUTE, CAST(-1 AS BIGINT) FROM events),
+        |swept AS (
+        |  SELECT event_type, ts, delta,
+        |    sum(delta) OVER (PARTITION BY event_type ORDER BY ts, delta
+        |      ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM bounds)
+        |SELECT event_type,
+        |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
+        |  epoch_us(min(CASE WHEN delta = 1 THEN ts END)) AS first_event_us,
+        |  count(CASE WHEN delta = 1 THEN 1 END) AS n_events
+        |FROM swept GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- q59: the SHARDED form of q53's sweep-line — the production shape
+    // at 100 TB, hash-checked against the very same oracle. q53's window
+    // partitions by event_type alone, so one type's whole timeline lands in
+    // one task; here the timeline is time-range-bucketed first:
+    //   1. per (type, bucket) window — bounded by bucket width, not corpus
+    //      size — computes the local running sum, local peak, local total;
+    //   2. a tiny per-type window over the BUCKET AGGREGATES (row count =
+    //      #buckets, independent of data volume) prefix-sums bucket totals
+    //      into each bucket's starting offset;
+    //   3. peak = max(offset + local_peak) — an ordinary hash agg.
+    // Bucketing by ts keeps equal-ts rows in one shard, so the (ts, delta)
+    // tie order — and therefore the sweep — is identical to q53's. The
+    // bucket width (1 hour here) is the memory knob: at higher density,
+    // narrow it; the algorithm is exact for any width.
+    ("q59_peak_concurrency_sharded", (s, d) => {
+      import s.implicits._
+      val bucketUs = 3600L * 1000000L
+      val ev = Tables.events(s, d)
+      val bounds = ev.select($"event_type", $"ts", lit(1L).as("delta"))
+        .unionByName(ev.select($"event_type",
+          ($"ts" + expr("INTERVAL 5 MINUTES")).as("ts"), lit(-1L).as("delta")))
+        .withColumn("bucket", (unix_micros($"ts") / bucketUs).cast("long"))
+      val wLocal = Window.partitionBy($"event_type", $"bucket")
+        .orderBy($"ts", $"delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val perBucket = bounds
+        .withColumn("running", sum($"delta").over(wLocal))
+        .groupBy($"event_type", $"bucket")
+        .agg(max($"running").as("local_peak"),
+          sum($"delta").as("local_total"),
+          unix_micros(min(when($"delta" === 1, $"ts"))).as("first_in_us"),
+          count(when($"delta" === 1, lit(1))).as("n_in"))
+      val wOffset = Window.partitionBy($"event_type").orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perBucket
+        .withColumn("offset", coalesce(sum($"local_total").over(wOffset), lit(0L)))
+        .groupBy($"event_type")
+        .agg(max($"offset" + $"local_peak").as("peak_concurrency"),
+          min($"first_in_us").as("first_event_us"),
+          sum($"n_in").as("n_events"))
+        .orderBy($"event_type")
+    }, Some(
+      // same truth as q53 — the whole point: the sharded plan must be
+      // indistinguishable from the single-window sweep, hash for hash
       """WITH bounds AS (
         |  SELECT event_type, ts, CAST(1 AS BIGINT) AS delta FROM events
         |  UNION ALL

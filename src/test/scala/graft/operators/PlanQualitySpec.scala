@@ -346,6 +346,19 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("q59: the sweep windows partition by (type, bucket); no type-wide timeline window") {
+    val plan = executedPlan("q59_peak_concurrency_sharded")
+    // stage 1 window must shard the timeline: partition spec [event_type, bucket]
+    assert("Window \\[sum\\([^\\n]*\\], \\[event_type#\\d+, bucket#".r.findFirstIn(plan).isDefined,
+      s"the running-sum window must partition by (event_type, bucket):\n$plan")
+    // the only per-type-alone window runs over the bucket AGGREGATES (its
+    // input comes from a HashAggregate, not the raw bounds union)
+    val typeOnlyWindows = "Window \\[[^\\n]*\\], \\[event_type#\\d+\\], \\[bucket#".r
+      .findAllIn(plan).size
+    assert(typeOnlyWindows == 1,
+      s"exactly one tiny per-type offset window over bucket aggregates:\n$plan")
+  }
+
   test("sketch queries are single-action: BUILDING them runs no extra Spark jobs") {
     // The r7 shape ran .head()/.count() while constructing the DataFrame
     // (two extra actions per invocation, sketch riding back as a driver
