@@ -850,9 +850,10 @@ object Streaming {
     * parquet file per wave value, mtimes increasing with the wave — the
     * ordered micro-batch input for a `maxFilesPerTrigger=1` file source.
     */
-  private def waveFiles(key: String, waved: DataFrame): java.nio.file.Path =
+  private def waveFiles(key: String, mkWaved: => DataFrame): java.nio.file.Path =
     replayWaveCache.computeIfAbsent(key, _ => {
       import java.nio.file.Files
+      val waved = mkWaved // by-name: setup actions run only on cache miss
       val root = Files.createTempDirectory("graft_replay")
       val dir = Files.createDirectories(root.resolve("src"))
       val waves = waved.agg(max(col("wave"))).head().getInt(0)
@@ -932,13 +933,14 @@ object Streaming {
     val ev = graft.Tables.events(s, d)
       .select(col("user_id").as("userId"), col("event_id").as("eventId"),
         col("event_type").as("eventType"), unix_micros(col("ts")).as("tsUs"))
-    val (lo, hi) = {
+    val src = waveFiles("funnel:" + d, {
+      // bounds head() is replay SETUP — by-name arg keeps it on the
+      // once-per-JVM cache-miss path, not in every invocation
       val r = ev.agg(min(col("tsUs")), max(col("tsUs"))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    val width = math.max(1L, (hi - lo) / 8 + 1) // 8 waves, last bound-inclusive
-    val src = waveFiles("funnel:" + d,
-      ev.withColumn("wave", ((col("tsUs") - lit(lo)) / lit(width)).cast("int")))
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val width = math.max(1L, (hi - lo) / 8 + 1) // 8 waves, last bound-inclusive
+      ev.withColumn("wave", ((col("tsUs") - lit(lo)) / lit(width)).cast("int"))
+    })
 
     val stream = s.readStream
       .schema(ev.schema)
