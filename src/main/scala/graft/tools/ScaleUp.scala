@@ -23,12 +23,20 @@ object ScaleUp {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS); read + rewrite as int64
-      // nanos so Tables.events' `ts DIV 1000` loader works on the output.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, srcDir, outDir, reps)
+    graft.Tables.names.foreach { t =>
+      println(s"SCALED $t rows=" + spark.read.parquet(s"$outDir/$t.parquet").count())
+    }
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, srcDir: String, outDir: String, reps: Int): Unit = {
+    // events.parquet stores TIMESTAMP(NANOS); read + rewrite as int64
+    // nanos so Tables.events' `ts DIV 1000` loader works on the output.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val Off = 10000000L // per-replica key offset; >> any sf0.1 key range
     def rd(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
@@ -78,10 +86,5 @@ object ScaleUp {
         else concat(slice(col("embedding"), r + 1, 100000), slice(col("embedding"), 1, r))
       d.withColumn("vec_id", shift("vec_id", r)).withColumn("embedding", emb)
     }, "embeddings")
-
-    graft.Tables.names.foreach { t =>
-      println(s"SCALED $t rows=" + spark.read.parquet(s"$outDir/$t.parquet").count())
-    }
-    spark.stop()
   }
 }
