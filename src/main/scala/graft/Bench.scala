@@ -77,7 +77,8 @@ object Bench {
       "cdc_fixed_dedup_metrics", "dedup_exact", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "sim_brute_topk", "sim_lsh_topk",
       "text_token_stats", "pipeline_clean_corpus", "mm_frame_sample",
-      "pipeline_decontaminate", "sim_recall_report")
+      "pipeline_decontaminate", "sim_recall_report",
+      "q59_peak_concurrency_sharded", "stream_intake_replay")
     val resultMap = results.toMap
     val hqs = headline.flatMap(k => resultMap.get(k).map(v => s"\"" + k + "\":" + jd(v)))
       .mkString("{", ",", "}")
