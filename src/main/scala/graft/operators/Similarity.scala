@@ -42,6 +42,8 @@ object Similarity {
   private val PqSubDim = 8
   private val PqCodes = 16 // codebook entries per subspace (4-bit codes)
   private val PqSeedStride = 3 // medoid seeds: vec_id 0,3,...,45 — present at every SF
+  private val Sq8Max = 127.0 // int8 scalar-quantization levels per dimension
+  private val RerankDepth = 3 * TopK // PQ shortlist size fed to the exact rerank
 
   /** Embeddings as unit-normalized double arrays (sequential folds). The
     * norm uses the native `vec_dot` expression (codegen'd primitive loop,
@@ -502,6 +504,122 @@ object Similarity {
          |    CAST(row_number() OVER (PARTITION BY c.q_id
          |      ORDER BY list_dot_product(q.emb, r.recon) DESC, c.n_id) AS BIGINT) AS rank
          |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN recon r ON r.vec_id = c.n_id)
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- SQ8 top-k: per-dimension int8 scalar quantization — the third
+    // compression point on the memory/recall curve (raw 512 B > SQ8 64 B >
+    // PQ 8 B per vector). Each vector carries one double scale
+    // (max|emb|/127) and 64 signed-byte codes; scoring is asymmetric (exact
+    // query against the dequantized corpus), so the whole pipeline is
+    // deterministic double arithmetic in one fixed order on both engines.
+    // The quantizer is written as floor(x/scale + 0.5) — NOT round() —
+    // because Spark's round() is HALF_UP decimal semantics while DuckDB's
+    // is float half-away-from-zero; floor(+0.5) is the same double op
+    // everywhere. Scale shape: quantization is a map-only pass; the scoring
+    // join broadcasts the NumQueries query rows over the code table, never
+    // the corpus.
+    ("sim_sq8_topk", (s, d) => {
+      import s.implicits._
+      val v = vectors(s, d)
+      val recon = v
+        .withColumn("scale", array_max(transform($"emb", x => abs(x))) / lit(Sq8Max))
+        .select($"vec_id".as("n_id"),
+          transform($"emb", x => floor(x / $"scale" + lit(0.5)).cast("double") * $"scale")
+            .as("recon"))
+      val q = v.filter($"vec_id" < NumQueries).select($"vec_id".as("q_id"), $"emb".as("q_emb"))
+      val wTop = Window.partitionBy($"q_id").orderBy($"score".desc, $"n_id")
+      broadcast(q).join(recon, $"q_id" =!= $"n_id")
+        .withColumn("score", cosine($"q_emb", $"recon"))
+        .withColumn("rank", row_number().over(wTop).cast("long"))
+        .filter($"rank" <= TopK)
+        .select($"q_id", $"rank", $"n_id", round($"score", 4).as("approx_cos"))
+        .orderBy($"q_id", $"rank")
+    }, Some(
+      s"""WITH $vectorsSql,
+         |sq AS (
+         |  SELECT vec_id, emb,
+         |    list_max(list_transform(emb, x -> abs(x))) / $Sq8Max AS scale
+         |  FROM v),
+         |recon AS (
+         |  SELECT vec_id, list_transform(emb, x -> floor(x / scale + 0.5) * scale) AS recon
+         |  FROM sq),
+         |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NumQueries)
+         |SELECT q_id, rank, n_id, ${rndSql("score", 4)} AS approx_cos FROM (
+         |  SELECT q_id, r.vec_id AS n_id, list_dot_product(q_emb, recon) AS score,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY list_dot_product(q_emb, recon) DESC, r.vec_id) AS BIGINT) AS rank
+         |  FROM q JOIN recon r ON q_id <> r.vec_id)
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- IVF+PQ with exact rerank: the full serving shape — coarse probe
+    // prunes partitions, PQ codes score the probe slice, and only the
+    // RerankDepth best approximate hits per query are re-scored against
+    // their RAW vectors. At 100 TB the scan cost is the IVF+PQ query's
+    // (partition-pruned 8-byte code slice + two schema-bounded broadcasts);
+    // the refine step adds RerankDepth point lookups per query into the raw
+    // vector table — a per-query constant, not a corpus term. Ranks and
+    // ties are pinned (approx desc, n_id) at the shortlist cut and
+    // (cos desc, n_id) at the final cut, so both engines agree exactly.
+    ("sim_ivfpq_rerank", (s, d) => {
+      import s.implicits._
+      val v = vectors(s, d).cache() // read by centroid, codebook, probe, and rerank sides
+      val cent = v.filter($"vec_id" % IvfSeedStride === 0 && $"vec_id" < IvfSeedStride * IvfCentroids)
+        .select(($"vec_id" / IvfSeedStride).cast("long").as("cid"), $"emb".as("c_emb"))
+      val ranked = v.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosine($"emb", $"c_emb"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")))
+      val assigned = ranked.filter($"crn" === 1).select($"vec_id", $"cid")
+      val probes = ranked.filter($"vec_id" < NumQueries && $"crn" <= NProbe)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"cid")
+      val recon = pqRecon(v)
+      val wApprox = Window.partitionBy($"q_id").orderBy($"approx".desc, $"n_id")
+      val shortlist = probes.join(assigned, "cid")
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"q_emb", $"vec_id".as("n_id"))
+        .distinct()
+        .join(recon.select($"vec_id".as("n_id"), $"recon"), "n_id")
+        .withColumn("approx", cosine($"q_emb", $"recon"))
+        .withColumn("arn", row_number().over(wApprox))
+        .filter($"arn" <= RerankDepth)
+      val wExact = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      shortlist
+        .join(v.select($"vec_id".as("n_id"), $"emb".as("n_emb")), "n_id")
+        .withColumn("cos", cosine($"q_emb", $"n_emb"))
+        .withColumn("rank", row_number().over(wExact).cast("long"))
+        .filter($"rank" <= TopK)
+        .select($"q_id", $"rank", $"n_id", round($"cos", 4).as("cos"),
+          round($"approx", 4).as("approx_cos"))
+        .orderBy($"q_id", $"rank")
+    }, Some(
+      s"""WITH $vectorsSql,
+         |cent AS (
+         |  SELECT CAST(vec_id // $IvfSeedStride AS BIGINT) AS cid, emb AS c_emb
+         |  FROM v WHERE vec_id % $IvfSeedStride = 0 AND vec_id < ${IvfSeedStride * IvfCentroids}),
+         |ranked AS (
+         |  SELECT v.vec_id, cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_dot_product(v.emb, c_emb) DESC, cid) AS crn
+         |  FROM v CROSS JOIN cent),
+         |assigned AS (SELECT vec_id, cid FROM ranked WHERE crn = 1),
+         |probes AS (SELECT vec_id AS q_id, cid FROM ranked WHERE vec_id < $NumQueries AND crn <= $NProbe),
+         |cand AS (
+         |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
+         |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.q_id),
+         |$pqReconSql,
+         |shortlist AS (
+         |  SELECT q_id, n_id, approx FROM (
+         |    SELECT c.q_id, c.n_id, list_dot_product(q.emb, r.recon) AS approx,
+         |      row_number() OVER (PARTITION BY c.q_id
+         |        ORDER BY list_dot_product(q.emb, r.recon) DESC, c.n_id) AS arn
+         |    FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN recon r ON r.vec_id = c.n_id)
+         |  WHERE arn <= $RerankDepth)
+         |SELECT q_id, rank, n_id, ${rndSql("cos", 4)} AS cos,
+         |  ${rndSql("approx", 4)} AS approx_cos FROM (
+         |  SELECT s.q_id, s.n_id, s.approx, list_dot_product(q.emb, n.emb) AS cos,
+         |    CAST(row_number() OVER (PARTITION BY s.q_id
+         |      ORDER BY list_dot_product(q.emb, n.emb) DESC, s.n_id) AS BIGINT) AS rank
+         |  FROM shortlist s JOIN v q ON q.vec_id = s.q_id JOIN v n ON n.vec_id = s.n_id)
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
 
     // ---- IVF probe-count tuning sweep: recall@k and candidate volume at

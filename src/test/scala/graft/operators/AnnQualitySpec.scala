@@ -35,8 +35,11 @@ class AnnQualitySpec extends AnyFunSuite {
     // the index isn't degenerate (candidates exist, ranking is by cosine).
     // IVF+PQ compounds two approximations (probe recall × quantization
     // error), so its floor is lower than the single-approximation paths.
+    // SQ8's per-dim error is ≤ scale/2 ≈ 0.004 on unit vectors — its top-k
+    // should track the exact baseline almost perfectly, hence the 0.8 floor.
     for ((ann, floor) <- Seq("sim_lsh_topk" -> 0.15, "sim_ivf_topk" -> 0.15,
-        "sim_pq_topk" -> 0.15, "sim_ivfpq_topk" -> 0.05)) {
+        "sim_pq_topk" -> 0.15, "sim_ivfpq_topk" -> 0.05,
+        "sim_sq8_topk" -> 0.8, "sim_ivfpq_rerank" -> 0.05)) {
       val got = topkPairs(ann)
       val recalls = brute.map { case (q, exact) =>
         got.getOrElse(q, Seq.empty).count(exact.toSet).toDouble / exact.size
@@ -104,6 +107,46 @@ class AnnQualitySpec extends AnyFunSuite {
     val expected = (0L until 500L).filter(_ % 5 == 0).map(i => (i, i + 100000))
     assert(expected.forall(p => pairs.get(p).contains(0L)),
       "every identical-text pair must collide at hamming 0")
+  }
+
+  test("SQ8: dequantization error is bounded and approx scores track exact cosines") {
+    import spark.implicits._
+    // scale = max|emb|/127 on a unit 64-dim vector is ≤ 1/127 ≈ 0.0079; the
+    // worst-case |approx_cos - cos| over a unit query is sum of per-dim
+    // errors ≤ 64 * scale/2 weighted by |q_i| ≤ sqrt(64) * scale/2 ≈ 0.032.
+    val brute = Similarity.queries("sim_brute_topk")(spark, sfDir)
+      .select($"q_id", $"n_id", $"cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val sq8 = Similarity.queries("sim_sq8_topk")(spark, sfDir)
+      .select($"q_id", $"n_id", $"approx_cos").as[(Long, Long, Double)].collect()
+    assert(sq8.nonEmpty)
+    val overlapping = sq8.flatMap { case (q, n, a) => brute.get((q, n)).map(c => (q, n, a, c)) }
+    assert(overlapping.nonEmpty, "SQ8 top-k shares no pairs with brute — degenerate")
+    overlapping.foreach { case (q, n, approx, exact) =>
+      assert(math.abs(approx - exact) < 0.04, s"SQ8 error too large at ($q,$n): $approx vs $exact")
+    }
+  }
+
+  test("rerank: exact-scored output; refine never loses to the unrefined IVF+PQ cut") {
+    import spark.implicits._
+    val brute = topkPairs("sim_brute_topk")
+    val bruteCos = Similarity.queries("sim_brute_topk")(spark, sfDir)
+      .select($"q_id", $"n_id", $"cos").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val rr = Similarity.queries("sim_ivfpq_rerank")(spark, sfDir)
+      .select($"q_id", $"n_id", $"cos").as[(Long, Long, Double)].collect()
+    // the rerank column is the TRUE cosine: wherever brute scored the same
+    // pair, the values agree to the shared 4-decimal rounding
+    rr.foreach { case (q, n, c) =>
+      bruteCos.get((q, n)).foreach(b => assert(math.abs(c - b) < 1e-9, s"($q,$n): $c vs $b"))
+    }
+    def recall(got: Map[Long, Seq[Long]]): Double = {
+      val rs = brute.map { case (q, exact) =>
+        got.getOrElse(q, Seq.empty).count(exact.toSet).toDouble / exact.size }
+      rs.sum / rs.size
+    }
+    assert(recall(topkPairs("sim_ivfpq_rerank")) >= recall(topkPairs("sim_ivfpq_topk")) - 1e-9,
+      "exact rerank of a superset shortlist must not lose recall vs the PQ-only cut")
   }
 
   test("near-duplicate (tail-appended) docs are found by the Jaccard pipeline") {
