@@ -36,9 +36,18 @@ object Bench {
     // ~40% (measured: ae 636 MB/s post-sweep vs 1038 standalone) — the core
     // number should reflect the loop, not accumulated compiler state.
     val mbpsMeasured = chunkerThroughput()
+    // Scale-rehearsal subset (local iteration only — the driver sets no env
+    // and always runs the full surface): comma-separated exact query names.
+    // Lets a 100× run measure the production paths without paying for the
+    // labeled quadratic eval baselines (dedup_embedding_cosine at 100× is
+    // 10,000× pair work by design).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     // A crashing query must not masquerade as a fast success (ADVICE r1):
     // failures are recorded as -1 and excluded from the total.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).filter(e => selected(e._1))
+      .map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warmup
       val passes = (1 to 3).map { _ =>
         spark.sharedState.cacheManager.clearCache()

@@ -599,6 +599,71 @@ object Dedup {
          |FROM comp c JOIN sizes s USING (cluster_id) ORDER BY doc_id""".stripMargin
     }),
 
+    // ---- centrality over the verified near-dup graph: 3 iterations of
+    // INTEGER-QUANTIZED PageRank (Q=1e9, damping 0.85 as the exact rational
+    // 85/100). Ranks a dup cluster's members by how centrally they sit in
+    // the near-dup web — the "which copy is the hub" signal that
+    // complements dedup_canonical_pick's quality ranking. Quantization is
+    // what makes a distributed PageRank oracle-checkable: every step is
+    // integer division and integer sums, both order-free, so the result is
+    // bit-identical under ANY partitioning (float PageRank would drift by
+    // summation order). Scale shape: the classic distributed PageRank — each
+    // iteration is one equi-join of the edge list with the rank table plus
+    // one hash-aggregate, all shuffles keyed on node id; no driver loops,
+    // iteration count fixed at 3 (near-dup clusters are shallow; diameter
+    // ≈ 2). Dangling nodes cannot exist (every graph member has degree ≥ 1
+    // by construction from the undirected pair list).
+    ("dedup_graph_pagerank", (s, d) => {
+      import s.implicits._
+      val arrays = shingleStringArrays(corpus(s, d)).cache()
+      val verified = minhashCandidates(bandTable(arrays))
+        .join(arrays.select($"doc_id".as("id1"), $"ts".as("ts1")), "id1")
+        .join(arrays.select($"doc_id".as("id2"), $"ts".as("ts2")), "id2")
+        .withColumn("common", size(array_intersect($"ts1", $"ts2")))
+        .withColumn("jaccard", round($"common" / (size($"ts1") + size($"ts2") - $"common"), 4))
+        .filter($"jaccard" >= 0.5)
+        .select($"id1", $"id2")
+      val edges = verified.select($"id1".as("a"), $"id2".as("b"))
+        .union(verified.select($"id2".as("a"), $"id1".as("b")))
+        .cache() // joined once per iteration (3×) + degree pass
+      val deg = edges.groupBy($"a".as("id")).agg(count(lit(1)).as("d"))
+      var r = deg.select($"id", lit(1000000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(r.select($"id".as("a"), $"r"), "a")
+          .join(deg.select($"id".as("a"), $"d"), "a")
+          .select($"b".as("id"), expr("r div d").as("contrib"))
+        r = contrib.groupBy($"id")
+          .agg(expr("CAST(150000000 + (85 * sum(contrib)) div 100 AS BIGINT)").as("r"))
+      }
+      r.join(deg, "id")
+        .select($"id".as("doc_id"), $"d".as("degree"), $"r".as("rank_q9"))
+        .orderBy($"doc_id")
+    }, Some {
+      def iter(prev: String, next: String): String =
+        s"""$next AS (
+           |  SELECT e.b AS id,
+           |    CAST(150000000 + (85 * sum($prev.r // dg.d)) // 100 AS BIGINT) AS r
+           |  FROM edges e JOIN $prev ON $prev.id = e.a JOIN dg ON dg.id = e.a
+           |  GROUP BY e.b)""".stripMargin
+      s"""WITH $corpusSql,
+         |${minhashSql("corpus", "")},
+         |ver AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT c.id1, c.id2,
+         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
+         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ver UNION ALL SELECT id2, id1 FROM ver),
+         |dg AS (SELECT a AS id, count(*) AS d FROM edges GROUP BY 1),
+         |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM dg),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT r3.id AS doc_id, dg.d AS degree, r3.r AS rank_q9
+         |FROM r3 JOIN dg ON dg.id = r3.id ORDER BY doc_id""".stripMargin
+    }),
+
     // ---- embedding cosine near-dup: the exact O(n²) baseline (the
     // scalable path is Similarity's LSH/IVF variants; this query is the
     // ground truth they are judged against). Distributed block-pair shape:

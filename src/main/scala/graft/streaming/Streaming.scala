@@ -961,10 +961,75 @@ object Streaming {
       count(when(col("step") === "purchase", 1)).as("n_purchased"))
   }
 
+  /** File-source replay of the documents table through
+    * [[heavyHittersStream]] (k=64 per language), judged by the sketch
+    * CONTRACT — the third replay-parity query, and the one whose truth is
+    * order-independent by mathematics rather than by replay engineering.
+    *
+    * The Misra-Gries bound (estimates never exceed true counts; any term
+    * with true count > n/(k+1) survives with undercount ≤ n/(k+1)) holds
+    * for ANY arrival order and ANY micro-batch slicing, so the contract
+    * row set — the per-language exact heavy set with three boolean sketch
+    * assertions against the FINAL streaming state — is deterministic even
+    * though the intermediate counter values are not. Same oracle shape as
+    * the batch `text_heavy_hitters` (TRUE AS sketch_ok), lifted per-lang.
+    *
+    * Final-state extraction: nTotal is strictly monotone per language
+    * across emissions (a group only fires on non-empty input), so the
+    * max-nTotal rows per language are exactly the last snapshot.
+    */
+  def heavyHittersReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val K = 64
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id").as("docId"), col("lang"), col("text"))
+    val src = waveFiles("hh:" + d, {
+      // 8 doc_id-range waves — order is irrelevant to the MG guarantee,
+      // but a deterministic slicing keeps the harness reproducible
+      val r = docs.agg(min(col("docId")), max(col("docId"))).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val width = math.max(1L, (hi - lo) / 8 + 1)
+      docs.withColumn("wave", ((col("docId") - lit(lo)) / lit(width)).cast("int"))
+    })
+    val stream = s.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    val sink = "hh_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = Files.createTempDirectory("graft_hh_replay_run")
+    withFewShufflePartitions(s) {
+      val q = heavyHittersStream(stream.as[LangDocEvent], k = K)
+        .writeStream.format("memory").queryName(sink).outputMode("update")
+        .option("checkpointLocation", root.resolve("chk").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val fin = s.table(sink)
+      .withColumn("mx", max(col("nTotal")).over(Window.partitionBy(col("lang"))))
+      .filter(col("nTotal") === col("mx"))
+      .select(col("lang"), col("token").as("term"), col("est"))
+    val tok = graft.Tables.documents(s, d)
+      .select(col("lang"), explode(graft.operators.Portable.tokens(col("text"))).as("term"))
+    val nl = tok.groupBy(col("lang")).agg(count(lit(1)).as("n_tok"))
+    val bound = col("n_tok") / lit((K + 1).toDouble)
+    tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n_exact"))
+      .join(broadcast(nl), "lang") // 5 rows — one per language
+      .filter(col("n_exact") > bound)
+      .join(fin, Seq("lang", "term"), "left")
+      .withColumn("est", coalesce(col("est"), lit(0L)))
+      .select(col("lang"), col("term"), col("n_exact"),
+        (col("est") > 0L && col("est") <= col("n_exact") &&
+          (col("n_exact") - col("est")) <= bound).as("sketch_ok"))
+      .orderBy(col("lang"), col("term"))
+  }
+
   /** Driver-surfaced streaming queries (SparkEntry contract). */
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "stream_intake_replay" -> ((s, d) => intakeReplayContract(s, d)),
-    "stream_funnel_replay" -> ((s, d) => funnelReplayContract(s, d)))
+    "stream_funnel_replay" -> ((s, d) => funnelReplayContract(s, d)),
+    "stream_heavy_hitters_replay" -> ((s, d) => heavyHittersReplayContract(s, d)))
 
   /** Batch-equivalent oracle for the replay: quality gate, then min-id
     * canonical per normalized key among the PASSING docs (the gate runs
@@ -977,6 +1042,16 @@ object Streaming {
       // the funnel replay must reproduce q51's batch truth VERBATIM — share
       // its oracle text so the two contracts can never drift apart
       "stream_funnel_replay" -> graft.operators.Relational.oracleSql("q51_funnel"),
+      // the heavy set (true count > n_lang/65) is exact and deterministic;
+      // the sketch booleans are TRUE for any arrival order by the MG bound
+      "stream_heavy_hitters_replay" ->
+      s"""WITH tok AS (SELECT lang, unnest($toks) AS term FROM documents),
+         |n AS (SELECT lang, count(*) AS n_tok FROM tok GROUP BY 1),
+         |exact AS (SELECT lang, term, count(*) AS n_exact FROM tok GROUP BY 1, 2)
+         |SELECT e.lang, e.term, e.n_exact, TRUE AS sketch_ok
+         |FROM exact e JOIN n USING (lang)
+         |WHERE e.n_exact > n_tok / 65.0
+         |ORDER BY lang, term""".stripMargin,
       "stream_intake_replay" ->
       s"""WITH ${graft.operators.Dedup.corpusSql},
          |q AS (

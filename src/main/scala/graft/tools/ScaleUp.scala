@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-rehearsal data builder (VERDICT r7 #3): derive an sf1-equivalent
@@ -78,13 +78,29 @@ object ScaleUp {
         .withColumn("text", txt)
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
-    // rotating the embedding preserves norms and within-replica geometry but
-    // decorrelates replicas (no 10-way exact-dup clusters)
+    // norm-preserving embedding perturbation per replica (see perturbEmbedding)
     wr(fan(rd("embeddings")) { (d, r) =>
-      val emb =
-        if (r == 0) col("embedding")
-        else concat(slice(col("embedding"), r + 1, 100000), slice(col("embedding"), 1, r))
-      d.withColumn("vec_id", shift("vec_id", r)).withColumn("embedding", emb)
+      d.withColumn("vec_id", shift("vec_id", r))
+        .withColumn("embedding", perturbEmbedding(col("embedding"), r))
     }, "embeddings")
+  }
+
+  /** 64-dim embedding vectors (TESTDATA.md); bounds the distinct perturbations. */
+  private val EmbDims = 64
+
+  /** Replica-r perturbation of an embedding: a pure permutation (rotation by
+    * r mod 64, composed with a reversal every 64 replicas), so norms and
+    * within-replica geometry are exactly preserved while replicas
+    * decorrelate — no cross-replica exact-dup clusters. The reversal leg
+    * matters above 64 replicas: a plain rotation by r would wrap (rotation
+    * 64 = identity ⇒ replica 64 an exact copy of base, doubling dup density
+    * precisely where a 100× rehearsal is looking for superlinear pair
+    * growth). 128 distinct permutations ⇒ reps ≤ 128.
+    */
+  private[tools] def perturbEmbedding(c: Column, r: Int): Column = {
+    require(r < 2 * EmbDims, s"only ${2 * EmbDims} distinct perturbations (got replica $r)")
+    val rot = r % EmbDims
+    val rotated = if (rot == 0) c else concat(slice(c, rot + 1, 100000), slice(c, 1, rot))
+    if ((r / EmbDims) % 2 == 1) reverse(rotated) else rotated
   }
 }

@@ -188,6 +188,14 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: every iteration is an equi-join + hash agg — no cartesian/nested-loop") {
+    val plan = executedPlan("dedup_graph_pagerank")
+    assert(!plan.contains("CartesianProduct"),
+      s"pagerank iterations must join on node id, never cross:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"rank/degree joins are equi-joins; a nested loop means a lost key:\n$plan")
+  }
+
   test("repeated spans / novelty / mixture: scans prune to the referenced columns") {
     val spans = executedPlan("dedup_repeated_spans")
     assert(spans.contains("ReadSchema: struct<doc_id:bigint,text:string>"),

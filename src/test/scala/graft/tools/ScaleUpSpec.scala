@@ -60,4 +60,21 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(base.join(rep, "vec_id").filter($"se" =!= $"ser").count() == 0,
       "embedding rotation is not a permutation of the base vector")
   }
+
+  test("embedding perturbations stay pairwise-distinct past 64 replicas (100x rehearsal)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // One generic 64-dim vector through every replica slot a 100x run uses:
+    // plain rotation wraps at 64 (rotation 64 = identity) — the reversal leg
+    // must keep replicas 64..99 distinct from 0..63 and from each other.
+    val v = Array.tabulate(64)(i => math.sin(i * 1.37) + 0.01 * i)
+    val one = Seq(Tuple1(v)).toDF("embedding")
+    val perturbed = one.select(
+      (0 until 100).map(r => ScaleUp.perturbEmbedding($"embedding", r).as(s"p$r")): _*)
+      .head()
+    val vecs = (0 until 100).map(r => perturbed.getSeq[Double](r).toVector)
+    assert(vecs.distinct.size == 100, "replica perturbations collided — dup density inflated")
+    // every perturbation is a permutation: same sorted multiset of elements
+    vecs.foreach(p => assert(p.sorted == v.toVector.sorted))
+  }
 }
