@@ -21,16 +21,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read nanos as long (legacy flag) and surface a proper
-    * microsecond TimestampType column (the generator emits whole-microsecond
-    * values, so `DIV 1000` is lossless).
+  /** events.parquet's `ts` physical type has varied across generator
+    * versions: TIMESTAMP(NANOS) (which Spark's reader only accepts as int64
+    * nanos via the legacy flag), TIMESTAMP_NTZ (timestamp[us], no tz), or a
+    * plain TIMESTAMP. Normalize all three to session-tz TimestampType
+    * (sessions run UTC, so NTZ -> LTZ is wall-clock identity) so every
+    * downstream query sees one stable schema.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // int64 nanos (legacy nanosAsLong read); whole-us values
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
