@@ -34,8 +34,10 @@ object ScaleUp {
   }
 
   def run(spark: SparkSession, srcDir: String, outDir: String, reps: Int): Unit = {
-    // events.parquet stores TIMESTAMP(NANOS); read + rewrite as int64
-    // nanos so Tables.events' `ts DIV 1000` loader works on the output.
+    // events.ts layout varies by generator version (TESTDATA schema drift);
+    // the nanosAsLong flag makes the legacy TIMESTAMP(NANOS) layout readable
+    // and is a no-op on the timestamp[us] layout. ts passes through verbatim
+    // either way — Tables.events normalizes whichever layout lands here.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val Off = 10000000L // per-replica key offset; >> any sf0.1 key range
