@@ -38,6 +38,7 @@ object Similarity {
   private val IvfCentroids = 8
   private val IvfSeedStride = 50
   private val NProbe = 2
+  private val FilteredProbe = 4 // widened probe for label-filtered search
   private val PqSub = 8 // subspaces: 64 dims -> 8 x 8-dim subvectors
   private val PqSubDim = 8
   private val PqCodes = 16 // codebook entries per subspace (4-bit codes)
@@ -414,6 +415,72 @@ object Similarity {
          |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.q_id)
          |SELECT q_id, rank, n_id, ${rndSql("cos", 4)} AS cos FROM (
          |  SELECT c.q_id, c.n_id,
+         |    list_dot_product(q.emb, n.emb) AS cos,
+         |    CAST(row_number() OVER (PARTITION BY c.q_id
+         |      ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS BIGINT) AS rank
+         |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- metadata-filtered ANN: each query retrieves top-k only among
+    // vectors sharing its `label` (the language/tenant/domain-constrained
+    // retrieval serving shape). PRE-filtering, not post-filtering: the label
+    // predicate lands on the candidate side BEFORE scoring/ranking, so a
+    // 10%-selective filter cannot collapse the shortlist to < k the way
+    // filtering an already-ranked top-k would. The probe is widened 2 -> 4
+    // because filtering thins every IVF partition by the filter's
+    // selectivity. At 100 TB the label column rides the same partition-
+    // pruned code table the IVF scan reads (a zipped attribute column, the
+    // FAISS-with-metadata / vector-DB layout), so the filter is a scan-time
+    // predicate pushdown, not a join against a second corpus-sized table.
+    ("sim_filtered_topk", (s, d) => {
+      import s.implicits._
+      val v = vectors(s, d).cache() // centroid, probe, and scoring sides
+      val labels = Tables.embeddings(s, d)
+        .select($"vec_id", $"label".cast("long").as("label"))
+      val cent = v.filter($"vec_id" % IvfSeedStride === 0 && $"vec_id" < IvfSeedStride * IvfCentroids)
+        .select(($"vec_id" / IvfSeedStride).cast("long").as("cid"), $"emb".as("c_emb"))
+      val ranked = v.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosine($"emb", $"c_emb"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")))
+      val assigned = ranked.filter($"crn" === 1)
+        .select($"vec_id", $"emb", $"cid")
+        .join(labels, "vec_id")
+      val probes = ranked.filter($"vec_id" < NumQueries && $"crn" <= FilteredProbe)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"cid")
+        .join(labels.select($"vec_id".as("q_id"), $"label"), "q_id")
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      probes.join(assigned, Seq("cid", "label"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"label", $"q_emb", $"vec_id".as("n_id"), $"emb".as("n_emb"))
+        .withColumn("cos", cosine($"q_emb", $"n_emb"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= TopK)
+        .select($"q_id", $"label", $"rank", $"n_id", round($"cos", 4).as("cos"))
+        .orderBy($"q_id", $"rank")
+    }, Some(
+      s"""WITH $vectorsSql,
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |cent AS (
+         |  SELECT CAST(vec_id // $IvfSeedStride AS BIGINT) AS cid, emb AS c_emb
+         |  FROM v WHERE vec_id % $IvfSeedStride = 0 AND vec_id < ${IvfSeedStride * IvfCentroids}),
+         |ranked AS (
+         |  SELECT v.vec_id, cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_dot_product(v.emb, c_emb) DESC, cid) AS crn
+         |  FROM v CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT r.vec_id, r.cid, l.label FROM ranked r JOIN lab l USING (vec_id)
+         |  WHERE crn = 1),
+         |probes AS (
+         |  SELECT r.vec_id AS q_id, r.cid, l.label FROM ranked r JOIN lab l USING (vec_id)
+         |  WHERE r.vec_id < $NumQueries AND crn <= $FilteredProbe),
+         |cand AS (
+         |  SELECT p.q_id, p.label, a.vec_id AS n_id
+         |  FROM probes p JOIN assigned a
+         |    ON a.cid = p.cid AND a.label = p.label AND a.vec_id <> p.q_id)
+         |SELECT q_id, label, rank, n_id, ${rndSql("cos", 4)} AS cos FROM (
+         |  SELECT c.q_id, c.label, c.n_id,
          |    list_dot_product(q.emb, n.emb) AS cos,
          |    CAST(row_number() OVER (PARTITION BY c.q_id
          |      ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS BIGINT) AS rank

@@ -149,6 +149,30 @@ class AnnQualitySpec extends AnyFunSuite {
       "exact rerank of a superset shortlist must not lose recall vs the PQ-only cut")
   }
 
+  test("filtered top-k: every neighbor shares the query's label; ranks dense from 1") {
+    import spark.implicits._
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label".cast("long")).as[(Long, Long)].collect().toMap
+    val rows = Similarity.queries("sim_filtered_topk")(spark, sfDir)
+      .select($"q_id", $"label", $"rank", $"n_id").as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, lbl, _, n) =>
+      assert(lbl === labels(q), s"query $q reported label $lbl != its own ${labels(q)}")
+      assert(labels(n) === lbl, s"neighbor $n of query $q violates the label filter")
+      assert(n !== q, s"query $q returned itself")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val ranks = rs.map(_._3).sorted
+      assert(ranks === (1L to ranks.length).toArray.toSeq,
+        s"query $q ranks not dense from 1: ${ranks.mkString(",")}")
+    }
+    // the pre-filter keeps the shortlist near k even at ~10% selectivity —
+    // a post-filtered top-k would average ~0.5 survivors per query here
+    val avg = rows.groupBy(_._1).values.map(_.length).sum.toDouble /
+      rows.groupBy(_._1).size
+    assert(avg >= 4.0, f"avg filtered shortlist $avg%.1f < 4 of k=5")
+  }
+
   test("near-duplicate (tail-appended) docs are found by the Jaccard pipeline") {
     import spark.implicits._
     val pairs = Dedup.queries("dedup_ngram_jaccard")(spark, sfDir)
