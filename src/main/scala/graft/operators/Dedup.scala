@@ -161,6 +161,27 @@ object Dedup {
   private[graft] def minhashCandidatePairs(c: DataFrame): DataFrame =
     minhashCandidates(bandTable(shingleStringArrays(c)))
 
+  /** Exact-Jaccard verification of an externally-supplied candidate pair
+    * set (id1 < id2 columns) against the planted corpus — the verify stage
+    * of dedup_minhash_lsh factored for reuse, so the streaming near-dup
+    * replay contract runs the IDENTICAL batch arithmetic (same shingles,
+    * same rounding, same >= 0.5 cut) over the stream's emitted candidates.
+    * Verification cost stays proportional to the candidate count, never the
+    * corpus pair count.
+    */
+  private[graft] def verifyPairs(s: SparkSession, d: String, cands: DataFrame): DataFrame = {
+    import s.implicits._
+    val arrays = shingleStringArrays(corpus(s, d))
+    cands
+      .join(arrays.select($"doc_id".as("id1"), $"ts".as("ts1")), "id1")
+      .join(arrays.select($"doc_id".as("id2"), $"ts".as("ts2")), "id2")
+      .withColumn("common", size(array_intersect($"ts1", $"ts2")))
+      .withColumn("jaccard", round($"common" / (size($"ts1") + size($"ts2") - $"common"), 4))
+      .filter($"jaccard" >= 0.5)
+      .select($"id1", $"id2", $"jaccard")
+      .orderBy($"id1", $"id2")
+  }
+
   /** MinHash candidate pairs (id1 < id2) sharing any band bucket. */
   private def minhashCandidates(bands: DataFrame): DataFrame =
     bands.as("x").join(bands.as("y"),

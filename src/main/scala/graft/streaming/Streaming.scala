@@ -1025,11 +1025,56 @@ object Streaming {
       .orderBy(col("lang"), col("term"))
   }
 
+  /** File-source replay of the planted near-dup corpus through
+    * [[nearDupCandidateStream]], its DISTINCT emitted candidates verified by
+    * the batch exact-Jaccard stage ([[graft.operators.Dedup.verifyPairs]])
+    * — the fourth replay-parity contract, judged by dedup_minhash_lsh's own
+    * oracle SQL.
+    *
+    * Why this is deterministic: the stream's distinct candidate set equals
+    * the batch band-bucket candidate set for ANY arrival order and ANY
+    * micro-batch slicing (a bucket eventually pairs all its members, pairs
+    * are normalized id1 < id2; pinned adversarially in StreamingSpec), and
+    * candidates stay far under the maxBucket cap on this corpus. At-least-
+    * once duplicate emissions collapse in the distinct() — placed exactly
+    * where the batch pipeline runs its own distinct().
+    */
+  def nearDupReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    import s.implicits._
+    val docs = graft.operators.Dedup.corpus(s, d)
+      .select(col("doc_id").as("docId"), col("text"))
+    val src = waveFiles("neardup:" + d, {
+      // 8 doc_id-range waves: interleaves originals with their planted
+      // +100000/+200000 dups across batches, so pairing spans micro-batches
+      val r = docs.agg(min(col("docId")), max(col("docId"))).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val width = math.max(1L, (hi - lo) / 8 + 1)
+      docs.withColumn("wave", ((col("docId") - lit(lo)) / lit(width)).cast("int"))
+    })
+    val stream = s.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    val sink = "neardup_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = Files.createTempDirectory("graft_neardup_replay_run")
+    withFewShufflePartitions(s) {
+      val q = nearDupCandidateStream(stream.as[DocEvent])
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .option("checkpointLocation", root.resolve("chk").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    graft.operators.Dedup.verifyPairs(s, d,
+      s.table(sink).select(col("id1"), col("id2")).distinct())
+  }
+
   /** Driver-surfaced streaming queries (SparkEntry contract). */
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "stream_intake_replay" -> ((s, d) => intakeReplayContract(s, d)),
     "stream_funnel_replay" -> ((s, d) => funnelReplayContract(s, d)),
-    "stream_heavy_hitters_replay" -> ((s, d) => heavyHittersReplayContract(s, d)))
+    "stream_heavy_hitters_replay" -> ((s, d) => heavyHittersReplayContract(s, d)),
+    "stream_neardup_replay" -> ((s, d) => nearDupReplayContract(s, d)))
 
   /** Batch-equivalent oracle for the replay: quality gate, then min-id
     * canonical per normalized key among the PASSING docs (the gate runs
@@ -1042,6 +1087,9 @@ object Streaming {
       // the funnel replay must reproduce q51's batch truth VERBATIM — share
       // its oracle text so the two contracts can never drift apart
       "stream_funnel_replay" -> graft.operators.Relational.oracleSql("q51_funnel"),
+      // the near-dup replay must reproduce the batch LSH verify VERBATIM —
+      // share dedup_minhash_lsh's oracle text so the contracts cannot drift
+      "stream_neardup_replay" -> graft.operators.Dedup.oracleSql("dedup_minhash_lsh"),
       // the heavy set (true count > n_lang/65) is exact and deterministic;
       // the sketch booleans are TRUE for any arrival order by the MG bound
       "stream_heavy_hitters_replay" ->
