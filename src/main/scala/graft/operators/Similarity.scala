@@ -172,6 +172,40 @@ object Similarity {
   }
 
   // --------------------------------------------------------------- queries
+  /** Oracle CTE chain for the label-filtered IVF probe (over CTE `v`):
+    * lab/cent/ranked/assigned/probes/cand/ftopk — ftopk is the pre-filtered
+    * top-k with RAW cos (callers round). Shared by sim_filtered_topk and
+    * sim_filtered_recall so the serving query and its eval cannot drift.
+    */
+  private def filteredChainSql: String =
+    s"""lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |cent AS (
+       |  SELECT CAST(vec_id // $IvfSeedStride AS BIGINT) AS cid, emb AS c_emb
+       |  FROM v WHERE vec_id % $IvfSeedStride = 0 AND vec_id < ${IvfSeedStride * IvfCentroids}),
+       |ranked AS (
+       |  SELECT v.vec_id, cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY list_dot_product(v.emb, c_emb) DESC, cid) AS crn
+       |  FROM v CROSS JOIN cent),
+       |assigned AS (
+       |  SELECT r.vec_id, r.cid, l.label FROM ranked r JOIN lab l USING (vec_id)
+       |  WHERE crn = 1),
+       |probes AS (
+       |  SELECT r.vec_id AS q_id, r.cid, l.label FROM ranked r JOIN lab l USING (vec_id)
+       |  WHERE r.vec_id < $NumQueries AND crn <= $FilteredProbe),
+       |cand AS (
+       |  SELECT p.q_id, p.label, a.vec_id AS n_id
+       |  FROM probes p JOIN assigned a
+       |    ON a.cid = p.cid AND a.label = p.label AND a.vec_id <> p.q_id),
+       |ftopk AS (
+       |  SELECT q_id, label, n_id, cos, rank FROM (
+       |    SELECT c.q_id, c.label, c.n_id,
+       |      list_dot_product(q.emb, n.emb) AS cos,
+       |      CAST(row_number() OVER (PARTITION BY c.q_id
+       |        ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS BIGINT) AS rank
+       |    FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
+       |  WHERE rank <= $TopK)""".stripMargin
+
   private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- exact brute-force top-k: the ground truth every ANN variant is
@@ -460,32 +494,63 @@ object Similarity {
         .orderBy($"q_id", $"rank")
     }, Some(
       s"""WITH $vectorsSql,
-         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
-         |cent AS (
-         |  SELECT CAST(vec_id // $IvfSeedStride AS BIGINT) AS cid, emb AS c_emb
-         |  FROM v WHERE vec_id % $IvfSeedStride = 0 AND vec_id < ${IvfSeedStride * IvfCentroids}),
-         |ranked AS (
-         |  SELECT v.vec_id, cid,
-         |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY list_dot_product(v.emb, c_emb) DESC, cid) AS crn
-         |  FROM v CROSS JOIN cent),
-         |assigned AS (
-         |  SELECT r.vec_id, r.cid, l.label FROM ranked r JOIN lab l USING (vec_id)
-         |  WHERE crn = 1),
-         |probes AS (
-         |  SELECT r.vec_id AS q_id, r.cid, l.label FROM ranked r JOIN lab l USING (vec_id)
-         |  WHERE r.vec_id < $NumQueries AND crn <= $FilteredProbe),
-         |cand AS (
-         |  SELECT p.q_id, p.label, a.vec_id AS n_id
-         |  FROM probes p JOIN assigned a
-         |    ON a.cid = p.cid AND a.label = p.label AND a.vec_id <> p.q_id)
-         |SELECT q_id, label, rank, n_id, ${rndSql("cos", 4)} AS cos FROM (
-         |  SELECT c.q_id, c.label, c.n_id,
-         |    list_dot_product(q.emb, n.emb) AS cos,
-         |    CAST(row_number() OVER (PARTITION BY c.q_id
-         |      ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS BIGINT) AS rank
-         |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
-         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
+         |$filteredChainSql
+         |SELECT q_id, label, rank, n_id, ${rndSql("cos", 4)} AS cos
+         |FROM ftopk ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- filtered-ANN recall: the eval twin of sim_filtered_topk — its
+    // shortlist judged against the label-constrained EXACT top-k (brute
+    // force restricted to same-label vectors; broadcast the 10-row query
+    // side, one corpus scan — the labeled eval baseline, not the serving
+    // path). The number that justifies FilteredProbe=4: how much of the
+    // true filtered neighborhood the widened probe retains.
+    ("sim_filtered_recall", (s, d) => {
+      import s.implicits._
+      val labels = Tables.embeddings(s, d)
+        .select($"vec_id", $"label".cast("long").as("label"))
+      val v = vectors(s, d).join(labels, "vec_id").cache()
+      val q = v.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"label")
+      val wB = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      val brute = broadcast(q)
+        .join(v.select($"vec_id".as("n_id"), $"emb".as("n_emb"), $"label"), Seq("label"))
+        .filter($"n_id" =!= $"q_id")
+        .withColumn("cos", cosine($"q_emb", $"n_emb"))
+        .withColumn("rank", row_number().over(wB))
+        .filter($"rank" <= TopK)
+        .select($"q_id", $"n_id")
+      val ann = queries("sim_filtered_topk")(s, d).select($"q_id", $"n_id")
+      val hits = ann.join(brute, Seq("q_id", "n_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("n_hit"))
+      brute.select($"q_id").distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select($"q_id",
+          coalesce($"n_hit", lit(0L)).as("n_hit"),
+          round(coalesce($"n_hit", lit(0L)) / TopK.toDouble, 4).as("recall"))
+        .orderBy($"q_id")
+    }, Some(
+      s"""WITH $vectorsSql,
+         |$filteredChainSql,
+         |brute AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.emb, n.emb) DESC, n.vec_id) AS rank
+         |    FROM v q JOIN lab lq ON lq.vec_id = q.vec_id
+         |      JOIN lab ln ON ln.label = lq.label AND ln.vec_id <> q.vec_id
+         |      JOIN v n ON n.vec_id = ln.vec_id
+         |    WHERE q.vec_id < $NumQueries)
+         |  WHERE rank <= $TopK),
+         |hits AS (
+         |  SELECT f.q_id, count(*) AS n_hit
+         |  FROM (SELECT DISTINCT q_id, n_id FROM ftopk) f
+         |  JOIN brute b ON b.q_id = f.q_id AND b.n_id = f.n_id
+         |  GROUP BY 1),
+         |qids AS (SELECT DISTINCT q_id FROM brute)
+         |SELECT q.q_id, coalesce(h.n_hit, 0) AS n_hit,
+         |  ${rndSql(s"coalesce(h.n_hit, 0) / CAST($TopK AS DOUBLE)", 4)} AS recall
+         |FROM qids q LEFT JOIN hits h ON h.q_id = q.q_id
+         |ORDER BY q.q_id""".stripMargin)),
 
     // ---- product-quantization top-k (the memory-compressed ANN path):
     // split each vector into 8 contiguous 8-dim subvectors, quantize each

@@ -173,6 +173,15 @@ class AnnQualitySpec extends AnyFunSuite {
     assert(avg >= 4.0, f"avg filtered shortlist $avg%.1f < 4 of k=5")
   }
 
+  test("filtered top-k holds a nontrivial mean recall vs the label-constrained exact baseline") {
+    import spark.implicits._
+    val rec = Similarity.queries("sim_filtered_recall")(spark, sfDir)
+      .select($"recall").as[Double].collect()
+    assert(rec.length > 0)
+    val mean = rec.sum / rec.length
+    assert(mean >= 0.3, f"mean filtered recall $mean%.2f < 0.3 floor (probe 4/8)")
+  }
+
   test("near-duplicate (tail-appended) docs are found by the Jaccard pipeline") {
     import spark.implicits._
     val pairs = Dedup.queries("dedup_ngram_jaccard")(spark, sfDir)
