@@ -71,6 +71,27 @@ class TablesSpec extends AnyFunSuite {
     assert(readBack(dir) === usInstants.sorted)
   }
 
+  test("driver testdata carries every column the query surface reads") {
+    // early-warning for the next schema regen: list the columns each table
+    // must expose for the current 160-query surface (supersets are fine)
+    val required = Map(
+      "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id", "embedding", "label"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    val d = "/root/testdata/sf0.001"
+    required.foreach { case (t, cols) =>
+      val have = Tables.load(spark, d, t).columns.toSet ++
+        (if (t == "events") Tables.events(spark, d).columns.toSet else Set.empty[String])
+      val missing = cols.filterNot(have)
+      assert(missing.isEmpty, s"$t lost columns ${missing.mkString(", ")} (regen drift)")
+    }
+  }
+
   test("driver testdata loads and covers a sane instant range") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
     assert(df.schema("ts").dataType === TimestampType)
