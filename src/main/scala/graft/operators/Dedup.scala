@@ -646,13 +646,17 @@ object Dedup {
         .select($"id1", $"id2")
       val edges = verified.select($"id1".as("a"), $"id2".as("b"))
         .union(verified.select($"id2".as("a"), $"id1".as("b")))
-        .cache() // joined once per iteration (3×) + degree pass
       val deg = edges.groupBy($"a".as("id")).agg(count(lit(1)).as("d"))
+      // degree rides the edge list: one cached (a, b, d) table means each
+      // iteration is a single equi-join + hash agg, not two joins — at
+      // scale that's one shuffle per iteration saved on the corpus-sized
+      // edge relation
+      val edgesD = edges.join(deg.select($"id".as("a"), $"d"), "a")
+        .cache() // joined once per iteration (3×)
       var r = deg.select($"id", lit(1000000000L).as("r"))
       for (_ <- 1 to 3) {
-        val contrib = edges
+        val contrib = edgesD
           .join(r.select($"id".as("a"), $"r"), "a")
-          .join(deg.select($"id".as("a"), $"d"), "a")
           .select($"b".as("id"), expr("r div d").as("contrib"))
         r = contrib.groupBy($"id")
           .agg(expr("CAST(150000000 + (85 * sum(contrib)) div 100 AS BIGINT)").as("r"))
