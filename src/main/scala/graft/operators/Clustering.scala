@@ -40,6 +40,7 @@ object Clustering {
 
   private val K = 8
   private val SeedStride = 50
+  private val ClusterQuota = 16 // per-cluster quota for the balanced sample
   private val QScale = 1024
   private val Dims = 64
   private val CosThreshold = 0.85
@@ -286,7 +287,42 @@ object Clustering {
          |  UNION SELECT id2 FROM near)
          |SELECT a2.vec_id, cid, (d.vec_id IS NOT NULL) AS dropped
          |FROM a2 LEFT JOIN drp d USING (vec_id)
-         |ORDER BY a2.vec_id""".stripMargin))
+         |ORDER BY a2.vec_id""".stripMargin)),
+
+    // ---- cluster-balanced data selection: equal per-cluster quotas drawn
+    // by deterministic hash order — the diversity-sampling recipe (pick
+    // evenly across embedding clusters so dominant modes can't crowd out
+    // rare ones). The per-cluster draw is BottomKAgg, O(quota) mergeable
+    // state per cluster — no global sort, no per-cluster full sort, and
+    // partition-order invariance by the total (md5, id) key; at 100 TB this
+    // is one hash-shuffle by cid over (cid, 16-byte key, id) triples.
+    ("sim_cluster_balanced_sample", (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      import s.implicits._
+      val bottomK = udaf(new graft.functions.BottomKAgg(ClusterQuota))
+        .withName(s"bottom_k_$ClusterQuota")
+      val a2 = kmeansAssign(Similarity.vectors(s, d))
+      val n2 = a2.groupBy($"cid").agg(count(lit(1)).as("cluster_size"))
+      a2.select($"cid", md5($"vec_id".cast("string")).as("k"), $"vec_id")
+        .groupBy($"cid").agg(bottomK($"k", $"vec_id").as("ids"))
+        .select($"cid", posexplode($"ids").as(Seq("pos", "vec_id")))
+        .select($"cid", ($"pos" + 1).cast("long").as("rank"), $"vec_id")
+        .join(n2, "cid")
+        .select($"cid", $"rank", $"vec_id", $"cluster_size")
+        .orderBy($"cid", $"rank")
+    }, Some(
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS emb
+         |  FROM embeddings),
+         |${kmeansSql("v")},
+         |n2 AS (SELECT cid, count(*) AS cluster_size FROM a2 GROUP BY cid)
+         |SELECT cid, CAST(rn AS BIGINT) AS rank, vec_id, cluster_size FROM (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY cid
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM a2) r JOIN n2 USING (cid)
+         |WHERE rn <= $ClusterQuota ORDER BY cid, rank""".stripMargin))
   )
 
   /** Capped SemDeDup drop flags (see the dedup_semantic comment): stage-1
