@@ -1069,12 +1069,57 @@ object Streaming {
       s.table(sink).select(col("id1"), col("id2")).distinct())
   }
 
+  /** Time-ordered file-source replay of the events table through
+    * [[scd2Stream]] — the fifth replay-parity contract, judged by q49's
+    * oracle restricted to CLOSED intervals (append-mode streaming SCD2
+    * emits an interval only when the next type change closes it; the open
+    * tail interval lives in state and is exactly the rows q49 reports with
+    * a NULL valid_to).
+    *
+    * Why this is deterministic: waves are time-range slices (equal-ts rows
+    * share a wave), so cross-batch arrival is event-time-ordered and the
+    * in-order assumption of [[scd2Fn]] holds with zero late drops; within
+    * a batch scd2Fn sorts each user by (tsUs, eventId) — the exact window
+    * order of the batch lag/lead chain, so tie-breaks agree too.
+    */
+  def scd2ReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    import s.implicits._
+    val ev = graft.Tables.events(s, d)
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        col("event_type").as("eventType"), unix_micros(col("ts")).as("tsUs"))
+    val src = waveFiles("scd2:" + d, {
+      val r = ev.agg(min(col("tsUs")), max(col("tsUs"))).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val width = math.max(1L, (hi - lo) / 8 + 1)
+      ev.withColumn("wave", ((col("tsUs") - lit(lo)) / lit(width)).cast("int"))
+    })
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    val sink = "scd2_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = Files.createTempDirectory("graft_scd2_replay_run")
+    withFewShufflePartitions(s) {
+      val q = scd2Stream(stream.as[UserTypeEvent])
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .option("checkpointLocation", root.resolve("chk").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(sink).select(
+      col("userId").as("user_id"), col("eventType").as("event_type"),
+      col("validFromUs").as("valid_from_us"), col("validToUs").as("valid_to_us"))
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
+
   /** Driver-surfaced streaming queries (SparkEntry contract). */
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "stream_intake_replay" -> ((s, d) => intakeReplayContract(s, d)),
     "stream_funnel_replay" -> ((s, d) => funnelReplayContract(s, d)),
     "stream_heavy_hitters_replay" -> ((s, d) => heavyHittersReplayContract(s, d)),
-    "stream_neardup_replay" -> ((s, d) => nearDupReplayContract(s, d)))
+    "stream_neardup_replay" -> ((s, d) => nearDupReplayContract(s, d)),
+    "stream_scd2_replay" -> ((s, d) => scd2ReplayContract(s, d)))
 
   /** Batch-equivalent oracle for the replay: quality gate, then min-id
     * canonical per normalized key among the PASSING docs (the gate runs
@@ -1090,6 +1135,12 @@ object Streaming {
       // the near-dup replay must reproduce the batch LSH verify VERBATIM —
       // share dedup_minhash_lsh's oracle text so the contracts cannot drift
       "stream_neardup_replay" -> graft.operators.Dedup.oracleSql("dedup_minhash_lsh"),
+      // q49's oracle restricted to closed intervals (append-mode SCD2 never
+      // emits the open tail) — wrapped, not rewritten, so they cannot drift
+      "stream_scd2_replay" ->
+      s"""SELECT * FROM (
+         |${graft.operators.Relational.oracleSql("q49_scd2_intervals")}
+         |) WHERE valid_to_us IS NOT NULL ORDER BY user_id, valid_from_us""".stripMargin,
       // the heavy set (true count > n_lang/65) is exact and deterministic;
       // the sketch booleans are TRUE for any arrival order by the MG bound
       "stream_heavy_hitters_replay" ->
