@@ -188,6 +188,15 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("cluster-balanced sample: bottom-k aggregates partial+final; no per-cluster full sort") {
+    val plan = executedPlan("sim_cluster_balanced_sample")
+    // the O(quota)-state draw must run as a mergeable two-phase aggregate,
+    // not a window/sort over each cluster's full membership
+    assert(count(plan, s"partial_bottom_k") >= 1,
+      s"bottom-k draw should aggregate map-side first:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "no unbroadcast cartesian")
+  }
+
   test("pagerank: every iteration is an equi-join + hash agg — no cartesian/nested-loop") {
     val plan = executedPlan("dedup_graph_pagerank")
     assert(!plan.contains("CartesianProduct"),
