@@ -552,6 +552,93 @@ object Similarity {
          |FROM qids q LEFT JOIN hits h ON h.q_id = q.q_id
          |ORDER BY q.q_id""".stripMargin)),
 
+    // ---- MIPS top-k: maximum-inner-product retrieval over the RAW
+    // (unnormalized) embeddings — the recsys/embedding-score shape where
+    // vector magnitude matters, so cosine search is the wrong operator.
+    // Uses the norm-augmentation reduction (Shrivastava & Li 2014): corpus
+    // vectors become unit vectors [x/M, sqrt(M²−‖x‖²)/M] (M = max corpus
+    // norm, a 1-row broadcast), queries [q, 0] — the augmented COSINE order
+    // equals the raw INNER-PRODUCT order, so the existing IVF machinery
+    // (seeded-medoid coarse partition, nprobe=2) applies unchanged in the
+    // augmented space. Candidates are scored by the exact raw dot product
+    // (approximate candidate set, exact scores — same stance as IVF).
+    ("sim_mips_topk", (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      import s.implicits._
+      val raw = Tables.embeddings(s, d)
+        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("r"))
+        .withColumn("nsq", call_function("vec_dot", $"r", $"r"))
+      val mrow = raw.agg(sqrt(max($"nsq")).as("mnorm"))
+      val aug = raw.crossJoin(broadcast(mrow)) // 1-row scalar broadcast
+        .withColumn("emb", concat(
+          transform($"r", x => x / $"mnorm"),
+          array(sqrt(greatest($"mnorm" * $"mnorm" - $"nsq", lit(0.0))) / $"mnorm")))
+        .select($"vec_id", $"r", $"emb")
+        .cache() // centroid, assignment, and probe sides
+      val cent = aug.filter($"vec_id" % IvfSeedStride === 0 && $"vec_id" < IvfSeedStride * IvfCentroids)
+        .select(($"vec_id" / IvfSeedStride).cast("long").as("cid"), $"emb".as("c_emb"))
+      val wA = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+      val assigned = aug.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosine($"emb", $"c_emb"))
+        .withColumn("crn", row_number().over(wA)).filter($"crn" === 1)
+        .select($"vec_id", $"r", $"cid")
+      // query-side augmentation is [q, 0] — rank centroids by the dot of q
+      // against the centroid's first 64 dims (the appended coordinate
+      // contributes 0), any positive scale of q gives the same order
+      val probes = aug.filter($"vec_id" < NumQueries)
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos", cosine($"r", slice($"c_emb", 1, Dims)))
+        .withColumn("crn", row_number().over(wA)).filter($"crn" <= NProbe)
+        .select($"vec_id".as("q_id"), $"r".as("q_r"), $"cid")
+      val w = Window.partitionBy($"q_id").orderBy($"dot".desc, $"n_id")
+      probes.join(assigned, "cid")
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"q_r", $"vec_id".as("n_id"), $"r".as("n_r"))
+        .distinct()
+        .withColumn("dot", cosine($"q_r", $"n_r"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= TopK)
+        .select($"q_id", $"rank", $"n_id", round($"dot", 4).as("dot"))
+        .orderBy($"q_id", $"rank")
+    }, Some(
+      s"""WITH raw AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS r,
+         |    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS nsq
+         |  FROM embeddings),
+         |m AS (SELECT sqrt(max(nsq)) AS mnorm FROM raw),
+         |aug AS (
+         |  SELECT vec_id, r,
+         |    list_append(list_transform(r, x -> x / mnorm),
+         |      sqrt(greatest(mnorm*mnorm - nsq, 0)) / mnorm) AS emb
+         |  FROM raw CROSS JOIN m),
+         |cent AS (
+         |  SELECT CAST(vec_id // $IvfSeedStride AS BIGINT) AS cid, emb AS c_emb
+         |  FROM aug WHERE vec_id % $IvfSeedStride = 0 AND vec_id < ${IvfSeedStride * IvfCentroids}),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT a.vec_id, cid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.emb, c_emb) DESC, cid) AS crn
+         |    FROM aug a CROSS JOIN cent)
+         |  WHERE crn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cid FROM (
+         |    SELECT a.vec_id, cid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.r, c_emb[1:$Dims]) DESC, cid) AS crn
+         |    FROM aug a CROSS JOIN cent WHERE a.vec_id < $NumQueries)
+         |  WHERE crn <= $NProbe),
+         |cand AS (
+         |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
+         |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.q_id)
+         |SELECT q_id, rank, n_id, ${rndSql("dot", 4)} AS dot FROM (
+         |  SELECT c.q_id, c.n_id,
+         |    list_dot_product(q.r, n.r) AS dot,
+         |    CAST(row_number() OVER (PARTITION BY c.q_id
+         |      ORDER BY list_dot_product(q.r, n.r) DESC, c.n_id) AS BIGINT) AS rank
+         |  FROM cand c JOIN raw q ON q.vec_id = c.q_id JOIN raw n ON n.vec_id = c.n_id)
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
+
     // ---- product-quantization top-k (the memory-compressed ANN path):
     // split each vector into 8 contiguous 8-dim subvectors, quantize each
     // against a 16-entry per-subspace codebook (seeded medoids — stride-3

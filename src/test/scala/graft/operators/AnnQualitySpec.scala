@@ -182,6 +182,28 @@ class AnnQualitySpec extends AnyFunSuite {
     assert(mean >= 0.3, f"mean filtered recall $mean%.2f < 0.3 floor (probe 4/8)")
   }
 
+  test("MIPS top-k holds a nontrivial recall vs the exact inner-product baseline") {
+    import spark.implicits._
+    // exact dot-product ground truth, computed in-memory (500 vectors x 10
+    // queries — a test-scale oracle, not the operator's path)
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val exact = (0L until 10L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (-dot(vecs(q), vecs(n)), n)).take(5).toSet
+    }.toMap
+    val got = topkPairs("sim_mips_topk")
+    val recall = exact.keys.toSeq.map { q =>
+      got.getOrElse(q, Seq.empty).count(exact(q)).toDouble / 5.0
+    }.sum / exact.size
+    assert(recall >= 0.15, f"MIPS recall $recall%.2f < 0.15 floor (nprobe 2/8)")
+  }
+
   test("near-duplicate (tail-appended) docs are found by the Jaccard pipeline") {
     import spark.implicits._
     val pairs = Dedup.queries("dedup_ngram_jaccard")(spark, sfDir)
