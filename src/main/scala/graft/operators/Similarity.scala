@@ -177,7 +177,10 @@ object Similarity {
     * top-k with RAW cos (callers round). Shared by sim_filtered_topk and
     * sim_filtered_recall so the serving query and its eval cannot drift.
     */
-  private def filteredChainSql: String =
+  /** Shared base of the label-aware IVF oracles: lab/cent/ranked/assigned
+    * over CTE `v` — used by the filtered chain and the hard-negative miner.
+    */
+  private def labeledIvfBaseSql: String =
     s"""lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
        |cent AS (
        |  SELECT CAST(vec_id // $IvfSeedStride AS BIGINT) AS cid, emb AS c_emb
@@ -189,7 +192,10 @@ object Similarity {
        |  FROM v CROSS JOIN cent),
        |assigned AS (
        |  SELECT r.vec_id, r.cid, l.label FROM ranked r JOIN lab l USING (vec_id)
-       |  WHERE crn = 1),
+       |  WHERE crn = 1)""".stripMargin
+
+  private def filteredChainSql: String =
+    s"""$labeledIvfBaseSql,
        |probes AS (
        |  SELECT r.vec_id AS q_id, r.cid, l.label FROM ranked r JOIN lab l USING (vec_id)
        |  WHERE r.vec_id < $NumQueries AND crn <= $FilteredProbe),
@@ -551,6 +557,62 @@ object Similarity {
          |  ${rndSql(s"coalesce(h.n_hit, 0) / CAST($TopK AS DOUBLE)", 4)} AS recall
          |FROM qids q LEFT JOIN hits h ON h.q_id = q.q_id
          |ORDER BY q.q_id""".stripMargin)),
+
+    // ---- contrastive hard-negative mining: for each query, the top-k
+    // most-similar vectors with a DIFFERENT label — the training-data op
+    // behind contrastive/metric-learning batches (hard negatives = near in
+    // embedding space, wrong in label space). Same IVF probe as the
+    // filtered query but label-EXCLUDING: the inequality keeps ~90% of
+    // each probed partition, so the standard nprobe=2 is enough (no probe
+    // widening needed); the label filter lands before scoring, same
+    // pre-filter stance as sim_filtered_topk.
+    ("sim_hard_negatives", (s, d) => {
+      import s.implicits._
+      val v = vectors(s, d).cache()
+      val labels = Tables.embeddings(s, d)
+        .select($"vec_id", $"label".cast("long").as("label"))
+      val cent = v.filter($"vec_id" % IvfSeedStride === 0 && $"vec_id" < IvfSeedStride * IvfCentroids)
+        .select(($"vec_id" / IvfSeedStride).cast("long").as("cid"), $"emb".as("c_emb"))
+      val ranked = v.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosine($"emb", $"c_emb"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")))
+      val assigned = ranked.filter($"crn" === 1)
+        .select($"vec_id", $"emb", $"cid")
+        .join(labels, "vec_id")
+      val probes = ranked.filter($"vec_id" < NumQueries && $"crn" <= NProbe)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"cid")
+        .join(labels.select($"vec_id".as("q_id"), $"label".as("q_label")), "q_id")
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      probes.join(assigned, "cid")
+        .filter($"vec_id" =!= $"q_id" && $"label" =!= $"q_label")
+        .select($"q_id", $"q_label", $"q_emb",
+          $"vec_id".as("n_id"), $"label".as("n_label"), $"emb".as("n_emb"))
+        .distinct()
+        .withColumn("cos", cosine($"q_emb", $"n_emb"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= TopK)
+        .select($"q_id", $"q_label", $"rank", $"n_id", $"n_label",
+          round($"cos", 4).as("cos"))
+        .orderBy($"q_id", $"rank")
+    }, Some(
+      s"""WITH $vectorsSql,
+         |$labeledIvfBaseSql,
+         |probes AS (
+         |  SELECT r.vec_id AS q_id, r.cid, l.label AS q_label
+         |  FROM ranked r JOIN lab l USING (vec_id)
+         |  WHERE r.vec_id < $NumQueries AND crn <= $NProbe),
+         |cand AS (
+         |  SELECT DISTINCT p.q_id, p.q_label, a.vec_id AS n_id, a.label AS n_label
+         |  FROM probes p JOIN assigned a
+         |    ON a.cid = p.cid AND a.vec_id <> p.q_id AND a.label <> p.q_label)
+         |SELECT q_id, q_label, rank, n_id, n_label, ${rndSql("cos", 4)} AS cos FROM (
+         |  SELECT c.q_id, c.q_label, c.n_id, c.n_label,
+         |    list_dot_product(q.emb, n.emb) AS cos,
+         |    CAST(row_number() OVER (PARTITION BY c.q_id
+         |      ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS BIGINT) AS rank
+         |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
 
     // ---- MIPS top-k: maximum-inner-product retrieval over the RAW
     // (unnormalized) embeddings — the recsys/embedding-score shape where

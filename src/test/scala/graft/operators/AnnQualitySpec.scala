@@ -182,6 +182,25 @@ class AnnQualitySpec extends AnyFunSuite {
     assert(mean >= 0.3, f"mean filtered recall $mean%.2f < 0.3 floor (probe 4/8)")
   }
 
+  test("hard negatives: every mined negative carries a different label than its query") {
+    import spark.implicits._
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label".cast("long")).as[(Long, Long)].collect().toMap
+    val rows = Similarity.queries("sim_hard_negatives")(spark, sfDir)
+      .select($"q_id", $"q_label", $"rank", $"n_id", $"n_label")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, ql, _, n, nl) =>
+      assert(ql === labels(q) && nl === labels(n), "reported labels must match the table")
+      assert(nl !== ql, s"negative $n of query $q shares its label $ql")
+      assert(n !== q)
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val ranks = rs.map(_._3).sorted
+      assert(ranks === (1L to ranks.length).toArray.toSeq, s"query $q ranks not dense")
+    }
+  }
+
   test("MIPS top-k holds a nontrivial recall vs the exact inner-product baseline") {
     import spark.implicits._
     // exact dot-product ground truth, computed in-memory (500 vectors x 10

@@ -179,7 +179,8 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("kmeans/PQ: centroid and codebook joins broadcast; corpus never cartesian-joins itself") {
     for (q <- Seq("sim_kmeans_clusters", "sim_pq_topk", "sim_ivfpq_topk", "dedup_semantic",
-        "sim_sq8_topk", "sim_ivfpq_rerank", "sim_filtered_topk")) {
+        "sim_sq8_topk", "sim_ivfpq_rerank", "sim_filtered_topk",
+        "sim_hard_negatives", "sim_mips_topk")) {
       val plan = executedPlan(q)
       assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
         s"$q: the K-row centroid/codebook side must broadcast:\n$plan")
