@@ -825,8 +825,38 @@ object TextOps {
          |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ, min(pscore) AS score
          |FROM ph GROUP BY phrase
          |ORDER BY score DESC, phrase LIMIT 50""".stripMargin
-    })
+    }),
+
+    // ---- feature hashing (the hashing-trick featurizer): lowercased
+    // tokens hashed into a fixed 64-bucket space, per-doc term frequencies
+    // L2-normalized — the input representation for linear quality
+    // classifiers (fastText-style) without any vocabulary state. Map-only
+    // per doc + one hash agg; the feature space is fixed-width by
+    // construction, so the operator carries zero model state at any corpus
+    // size (the whole point of hashing over a learned vocab at 100 TB).
+    ("text_hashing_vectorizer", (s, d) => {
+      import s.implicits._
+      val tf = Tables.documents(s, d)
+        .select($"doc_id", explode(tokens(lower($"text"))).as("t"))
+        .select($"doc_id", pmod(h60($"t"), lit(HashVecBuckets.toLong)).as("bucket"))
+        .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("tf"))
+      val nrm = tf.groupBy($"doc_id").agg(sqrt(sum($"tf" * $"tf")).as("nrm"))
+      tf.join(nrm, "doc_id")
+        .select($"doc_id", $"bucket", $"tf", round($"tf" / $"nrm", 4).as("w"))
+        .orderBy($"doc_id", $"bucket")
+    }, Some(
+      s"""WITH tf AS (
+         |  SELECT doc_id, ${h60Sql("t")} % $HashVecBuckets AS bucket, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(${tokensSql("lower(text)")}) AS t FROM documents)
+         |  GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id, sqrt(sum(tf*tf)) AS nrm FROM tf GROUP BY 1)
+         |SELECT doc_id, bucket, tf, ${rndSql("tf / nrm", 4)} AS w
+         |FROM tf JOIN nrm USING (doc_id)
+         |ORDER BY doc_id, bucket""".stripMargin))
   )
+
+  /** Fixed feature-space width for text_hashing_vectorizer. */
+  private val HashVecBuckets = 64
 
   /** Number of BPE merge rounds learned/applied by the text_bpe_* queries. */
   private val BpeMerges = 4
