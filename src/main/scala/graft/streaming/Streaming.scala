@@ -1113,13 +1113,61 @@ object Streaming {
       .orderBy(col("user_id"), col("valid_from_us"))
   }
 
+  /** Time-ordered file-source replay of the events table through
+    * [[rateAnomalyStream]] — the sixth replay-parity contract, judged by
+    * q56's oracle minus each type's FINAL hour (the stream closes an hourly
+    * bucket only when a later hour arrives, so the last bucket per type
+    * stays open in state forever; every closed bucket must carry q56's
+    * exact integer window stats and anomaly verdict).
+    *
+    * Why this is deterministic: waves are time-range slices, so hours
+    * arrive per type in nondecreasing order across batches (the stream's
+    * in-order assumption; an hour spanning a wave boundary accumulates in
+    * the open state) and within a batch the operator sorts by hour. The
+    * trailing-24-closed-hours window at each close equals the batch
+    * ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING over observed hours.
+    */
+  def rateAnomalyReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    import s.implicits._
+    val ev = graft.Tables.events(s, d)
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        col("event_type").as("eventType"), unix_micros(col("ts")).as("tsUs"))
+    val src = waveFiles("rate:" + d, {
+      val r = ev.agg(min(col("tsUs")), max(col("tsUs"))).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val width = math.max(1L, (hi - lo) / 8 + 1)
+      ev.withColumn("wave", ((col("tsUs") - lit(lo)) / lit(width)).cast("int"))
+    })
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    val sink = "rate_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = Files.createTempDirectory("graft_rate_replay_run")
+    withFewShufflePartitions(s) {
+      val q = rateAnomalyStream(stream.as[UserTypeEvent])
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .option("checkpointLocation", root.resolve("chk").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(sink).select(
+      col("eventType").as("event_type"),
+      (col("hrEpoch") * lit(3600000000L)).as("hr_us"),
+      col("n"), col("m"), col("sx"), col("sx2"),
+      col("isAnomaly").as("is_anomaly"))
+      .orderBy(col("event_type"), col("hr_us"))
+  }
+
   /** Driver-surfaced streaming queries (SparkEntry contract). */
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "stream_intake_replay" -> ((s, d) => intakeReplayContract(s, d)),
     "stream_funnel_replay" -> ((s, d) => funnelReplayContract(s, d)),
     "stream_heavy_hitters_replay" -> ((s, d) => heavyHittersReplayContract(s, d)),
     "stream_neardup_replay" -> ((s, d) => nearDupReplayContract(s, d)),
-    "stream_scd2_replay" -> ((s, d) => scd2ReplayContract(s, d)))
+    "stream_scd2_replay" -> ((s, d) => scd2ReplayContract(s, d)),
+    "stream_rate_anomaly_replay" -> ((s, d) => rateAnomalyReplayContract(s, d)))
 
   /** Batch-equivalent oracle for the replay: quality gate, then min-id
     * canonical per normalized key among the PASSING docs (the gate runs
@@ -1141,6 +1189,17 @@ object Streaming {
       s"""SELECT * FROM (
          |${graft.operators.Relational.oracleSql("q49_scd2_intervals")}
          |) WHERE valid_to_us IS NOT NULL ORDER BY user_id, valid_from_us""".stripMargin,
+      // q56's oracle minus each type's final hour (that bucket never closes
+      // in the stream); the exclusion bound comes from the raw events table
+      // so it is exact even if the final hour misses the m >= 12 cut
+      "stream_rate_anomaly_replay" ->
+      s"""SELECT event_type, epoch_us(hr) AS hr_us, n, m, sx, sx2, is_anomaly
+         |FROM (
+         |${graft.operators.Relational.oracleSql("q56_rate_anomaly")}
+         |) b
+         |WHERE b.hr < (SELECT max(date_trunc('hour', ts)) FROM events e2
+         |              WHERE e2.event_type = b.event_type)
+         |ORDER BY event_type, hr_us""".stripMargin,
       // the heavy set (true count > n_lang/65) is exact and deterministic;
       // the sketch booleans are TRUE for any arrival order by the MG bound
       "stream_heavy_hitters_replay" ->
