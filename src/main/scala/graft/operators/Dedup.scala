@@ -620,6 +620,59 @@ object Dedup {
          |FROM comp c JOIN sizes s USING (cluster_id) ORDER BY doc_id""".stripMargin
     }),
 
+    // ---- leakage-safe train/test split: the split hash is keyed on the
+    // NEAR-DUP CLUSTER canonical (min id of the verified component,
+    // falling back to the doc's own id for singletons), not the doc id —
+    // so near-duplicates can never straddle train/test and leak eval
+    // content into training (the split-leakage failure a plain per-doc
+    // hash split has by construction). Same md5 band thresholds as
+    // pipeline_train_test_split; swapping the hash INPUT is the entire
+    // fix. Scale shape: the component labels ride the LSH-verified pair
+    // graph (sub-quadratic) and everything else is a map-side hash.
+    ("pipeline_leakage_safe_split", (s, d) => {
+      import s.implicits._
+      val arrays = shingleStringArrays(corpus(s, d)).cache()
+      val verified = minhashCandidates(bandTable(arrays))
+        .join(arrays.select($"doc_id".as("id1"), $"ts".as("ts1")), "id1")
+        .join(arrays.select($"doc_id".as("id2"), $"ts".as("ts2")), "id2")
+        .withColumn("common", size(array_intersect($"ts1", $"ts2")))
+        .withColumn("jaccard", round($"common" / (size($"ts1") + size($"ts2") - $"common"), 4))
+        .filter($"jaccard" >= 0.5)
+        .select($"id1", $"id2")
+      val labels = connectedComponents(verified)
+        .select($"id".as("doc_id"), $"comp")
+      val h = md5($"cluster_key".cast("string"))
+      corpus(s, d).select($"doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_key", coalesce($"comp", $"doc_id"))
+        .select($"doc_id", $"cluster_key",
+          when(h < "1a", "test").when(h < "33", "val").otherwise("train").as("split"))
+        .orderBy($"doc_id")
+    }, Some {
+      s"""WITH RECURSIVE $corpusSql,
+         |${minhashSql("corpus", "")},
+         |ver AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT c.id1, c.id2,
+         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
+         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ver UNION ALL SELECT id2, id1 FROM ver),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |keyed AS (
+         |  SELECT c.doc_id, coalesce(k.cluster_id, c.doc_id) AS cluster_key
+         |  FROM corpus c LEFT JOIN comp k ON k.id = c.doc_id)
+         |SELECT doc_id, cluster_key,
+         |  CASE WHEN md5(CAST(cluster_key AS VARCHAR)) < '1a' THEN 'test'
+         |       WHEN md5(CAST(cluster_key AS VARCHAR)) < '33' THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM keyed ORDER BY doc_id""".stripMargin
+    }),
+
     // ---- centrality over the verified near-dup graph: 3 iterations of
     // INTEGER-QUANTIZED PageRank (Q=1e9, damping 0.85 as the exact rational
     // 85/100). Ranks a dup cluster's members by how centrally they sit in

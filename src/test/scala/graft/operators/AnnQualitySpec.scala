@@ -182,6 +182,22 @@ class AnnQualitySpec extends AnyFunSuite {
     assert(mean >= 0.3, f"mean filtered recall $mean%.2f < 0.3 floor (probe 4/8)")
   }
 
+  test("leakage-safe split: verified near-dup pairs never straddle splits; bands are sane") {
+    import spark.implicits._
+    val split = Dedup.queries("pipeline_leakage_safe_split")(spark, sfDir)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val pairs = Dedup.queries("dedup_minhash_lsh")(spark, sfDir)
+      .select($"id1", $"id2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b), s"near-dup pair ($a,$b) straddles ${split(a)}/${split(b)}")
+    }
+    // all three bands populated (md5 thresholds ~10/10/80)
+    val by = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(Set("test", "val", "train").subsetOf(by.keySet), s"missing bands: $by")
+    assert(by("train") > by("val") && by("train") > by("test"), s"band skew wrong: $by")
+  }
+
   test("hard negatives: every mined negative carries a different label than its query") {
     import spark.implicits._
     val labels = graft.Tables.embeddings(spark, sfDir)
