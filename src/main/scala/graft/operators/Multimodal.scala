@@ -144,6 +144,45 @@ object Multimodal {
         |  CAST(n_chars * 40 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- per-modality dataset card: the governance roll-up for a mixed
+    // media corpus — item/byte/duration volume, mean dimensions, and the
+    // exact-duplicate rate by content hash, one row per media type. The
+    // means divide exact integer sums (one IEEE division per cell, the
+    // dataset-card parity stance); content bytes never shuffle — only
+    // md5 hashes reach the aggregate.
+    ("mm_dataset_card", (s, d) => {
+      import s.implicits._
+      media(s, d)
+        .select($"media_type", length($"content").cast("long").as("n_bytes"),
+          $"width", $"height", $"duration_ms", md5($"content").as("h"))
+        .groupBy($"media_type")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"n_bytes").as("total_bytes"),
+          sum($"duration_ms").as("total_duration_ms"),
+          round(sum($"width") / count(lit(1)).cast("double"), 2).as("avg_width"),
+          round(sum($"height") / count(lit(1)).cast("double"), 2).as("avg_height"),
+          countDistinct($"h").as("n_distinct"),
+          round((count(lit(1)) - countDistinct($"h")) / count(lit(1)).cast("double"), 4)
+            .as("dup_rate"))
+        .orderBy($"media_type")
+    }, Some(
+      s"""WITH m AS (
+         |  SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+         |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         |    CAST(64 + (doc_id % 16) * 16 AS INT) AS width,
+         |    CAST(64 + (doc_id % 9) * 16 AS INT) AS height,
+         |    CAST(n_chars * 40 AS BIGINT) AS duration_ms,
+         |    md5(text) AS h
+         |  FROM documents)
+         |SELECT media_type, CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         |  CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
+         |  ${rndSql("sum(width) / CAST(count(*) AS DOUBLE)", 2)} AS avg_width,
+         |  ${rndSql("sum(height) / CAST(count(*) AS DOUBLE)", 2)} AS avg_height,
+         |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+         |  ${rndSql("(count(*) - count(DISTINCT h)) / CAST(count(*) AS DOUBLE)", 4)} AS dup_rate
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- frame sampling: split each blob into FrameCount equal byte ranges
     // (video frame-sample / audio window shape); codegen'd substring slices
     // before any shuffle, md5 identifies each frame.
