@@ -1425,7 +1425,58 @@ object Relational {
         |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
         |FROM p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.event_id""".stripMargin))
+        |ORDER BY p.event_id""".stripMargin)),
+
+    // ---- q60: funnel conversion latency per signup-month cohort — how
+    // long completed signup→view→purchase journeys take per first-signup
+    // DAY cohort, summarized as
+    // interpolated median/p90 (the q27/q33-proven percentile parity;
+    // latencies are exact integer microsecond differences, so the
+    // interpolation runs on identical doubles in both engines). Reuses
+    // q51's min-ts chain semantics verbatim; the per-cohort groups are
+    // day-bounded so the exact-percentile sort is cohort-local, never
+    // corpus-wide.
+    ("q60_time_to_convert", (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val su = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("t_s"))
+      val vw = ev.filter($"event_type" === "view").join(su, "user_id")
+        .filter($"ts" >= $"t_s")
+        .groupBy($"user_id").agg(min($"ts").as("t_v"))
+      val pu = ev.filter($"event_type" === "purchase").join(vw, "user_id")
+        .filter($"ts" >= $"t_v")
+        .groupBy($"user_id").agg(min($"ts").as("t_p"))
+      su.join(pu, "user_id")
+        .select(date_trunc("day", $"t_s").as("cohort_day"),
+          (unix_micros($"t_p") - unix_micros($"t_s")).as("lat_us"))
+        .groupBy($"cohort_day")
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(lat_us, 0.5)"), 2).as("med_lat_us"),
+          round(expr("percentile(lat_us, 0.9)"), 2).as("p90_lat_us"))
+        .orderBy($"cohort_day")
+    }, Some {
+      import graft.operators.Portable.rndSql
+      s"""WITH s AS (
+         |  SELECT user_id, min(ts) AS t_s FROM events
+         |  WHERE event_type = 'signup' GROUP BY user_id),
+         |v AS (
+         |  SELECT e.user_id, min(e.ts) AS t_v
+         |  FROM events e JOIN s ON s.user_id = e.user_id
+         |  WHERE e.event_type = 'view' AND e.ts >= s.t_s GROUP BY e.user_id),
+         |p AS (
+         |  SELECT e.user_id, min(e.ts) AS t_p
+         |  FROM events e JOIN v ON v.user_id = e.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts >= v.t_v GROUP BY e.user_id),
+         |conv AS (
+         |  SELECT date_trunc('day', s.t_s) AS cohort_day,
+         |    epoch_us(p.t_p) - epoch_us(s.t_s) AS lat_us
+         |  FROM s JOIN p USING (user_id))
+         |SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_converted,
+         |  ${rndSql("quantile_cont(lat_us, 0.5)", 2)} AS med_lat_us,
+         |  ${rndSql("quantile_cont(lat_us, 0.9)", 2)} AS p90_lat_us
+         |FROM conv GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
+    })
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
