@@ -70,15 +70,16 @@ object Clustering {
     * table → (vec_id, cid). See the object Scaladoc for the exact-integer
     * distance argument.
     */
-  private def kmeansAssign(u: DataFrame): DataFrame = kmeansModel(u)._1
+  private def kmeansAssign(u: DataFrame): DataFrame = kmeansModel(u)._2
 
   /** [[kmeansAssign]] plus the model internals for quality reporting:
-    * (assignments a2, centroid table cn(cid, s, n), quantized vectors q).
+    * (iteration-1 assignments a1, final assignments a2, centroid table
+    * cn(cid, s, n), quantized vectors q).
     * `n` is the ITERATION-1 member count the centroid `s/n` is defined
     * over — inertia against that centroid must divide by the same n even
     * though final membership comes from a2.
     */
-  private def kmeansModel(u: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private def kmeansModel(u: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val s = u.sparkSession
     import s.implicits._
     val q = quantized(u).cache() // read by both assignment passes + the centroid update (spills; Bench clears)
@@ -106,7 +107,7 @@ object Clustering {
           + vecDot($"s", $"s")) / ($"n" * $"n"))
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
       .select($"vec_id", $"cid")
-    (a2, cn, q)
+    (a1, a2, cn, q)
   }
 
   /** Oracle twin of [[kmeansAssign]]: CTE chain `q → seeds → a1 → cent →
@@ -209,7 +210,7 @@ object Clustering {
     ("sim_kmeans_report", (s, d) => {
       graft.plans.GraftExtensions.register(s)
       import s.implicits._
-      val (a2, cn, q) = kmeansModel(Similarity.vectors(s, d))
+      val (_, a2, cn, q) = kmeansModel(Similarity.vectors(s, d))
       a2.join(q, "vec_id").join(cn, "cid")
         .withColumn("num",
           ($"n" * $"n" * vecDot($"qv", $"qv") - lit(2) * $"n" * vecDot($"qv", $"s")
@@ -262,7 +263,7 @@ object Clustering {
       graft.plans.GraftExtensions.register(s)
       import s.implicits._
       val u = plantedUnit(s, d).cache() // read by kmeans + the pair scan (spills; Bench clears)
-      val (a2, _, q) = kmeansModel(u)
+      val (_, a2, _, q) = kmeansModel(u)
       semanticDropFlags(u, a2, q, SemDedupShardCap).orderBy($"vec_id")
     }, Some(
       s"""WITH $plantedSql,
@@ -322,7 +323,52 @@ object Clustering {
          |    row_number() OVER (PARTITION BY cid
          |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
          |  FROM a2) r JOIN n2 USING (cid)
-         |WHERE rn <= $ClusterQuota ORDER BY cid, rank""".stripMargin))
+         |WHERE rn <= $ClusterQuota ORDER BY cid, rank""".stripMargin)),
+
+    // ---- Lloyd-iteration assignment churn: per final cluster, how many
+    // members joined (came from another seed cluster) and left between
+    // iteration 1 and 2 — the convergence diagnostic that tells an operator
+    // whether the fixed 2-iteration contract sits near a fixpoint (low
+    // churn) or mid-flight (high churn). Pure join+agg over the two
+    // assignment tables the model already produces; no extra passes over
+    // the vectors.
+    ("sim_centroid_drift", (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      import s.implicits._
+      val (a1, a2, _, _) = kmeansModel(Similarity.vectors(s, d))
+      val both = a1.select($"vec_id", $"cid".as("cid1"))
+        .join(a2.select($"vec_id", $"cid".as("cid2")), "vec_id")
+        .cache() // read by the joined leg and the left leg
+      val j = both.groupBy($"cid2".as("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when($"cid1" =!= $"cid2", 1L).otherwise(0L)).as("n_joined"))
+      val l = both.filter($"cid1" =!= $"cid2")
+        .groupBy($"cid1".as("cid")).agg(count(lit(1)).as("n_left"))
+      j.join(l, Seq("cid"), "left")
+        .select($"cid", $"n_members", $"n_joined",
+          coalesce($"n_left", lit(0L)).as("n_left"),
+          round(($"n_members" - $"n_joined") / $"n_members".cast("double"), 4)
+            .as("stability"))
+        .orderBy($"cid")
+    }, Some(
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS emb
+         |  FROM embeddings),
+         |${kmeansSql("v")},
+         |both_a AS (
+         |  SELECT a1.vec_id, a1.cid AS cid1, a2.cid AS cid2
+         |  FROM a1 JOIN a2 USING (vec_id)),
+         |j AS (
+         |  SELECT cid2 AS cid, CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(CASE WHEN cid1 <> cid2 THEN 1 ELSE 0 END) AS BIGINT) AS n_joined
+         |  FROM both_a GROUP BY 1),
+         |l AS (
+         |  SELECT cid1 AS cid, CAST(count(*) AS BIGINT) AS n_left
+         |  FROM both_a WHERE cid1 <> cid2 GROUP BY 1)
+         |SELECT cid, n_members, n_joined, coalesce(n_left, 0) AS n_left,
+         |  ${rndSql("(n_members - n_joined) / CAST(n_members AS DOUBLE)", 4)} AS stability
+         |FROM j LEFT JOIN l USING (cid) ORDER BY cid""".stripMargin))
   )
 
   /** Capped SemDeDup drop flags (see the dedup_semantic comment): stage-1
