@@ -84,6 +84,35 @@ object TextOps {
   private[operators] val Stops = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
   private[operators] def stopsSqlList = Stops.map(s => s"'$s'").mkString(", ")
 
+  /** Fixed-weight quality logit z over a `text` column — the classifier
+    * shared by text_quality_logit, pipeline_quality_tiers, and
+    * pipeline_budget_fill (one definition so the three can't drift).
+    */
+  private def qualityZ: Column = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val stopRatio = size(filter(toks, t => t.isin(Stops: _*))) / nTok.cast("double")
+    val punctRatio = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")) /
+      length(col("text")).cast("double")
+    val avgLen = length(regexp_replace(col("text"), "\\s+", "")) / nTok.cast("double")
+    lit(2.0) * (lit(1.0) - punctRatio) +
+      lit(1.5) * least(stopRatio * 5.0, lit(1.0)) +
+      lit(1.0) * least(avgLen / 8.0, lit(1.0)) +
+      lit(0.5) * least(nTok / 100.0, lit(1.0)) - lit(2.6)
+  }
+
+  /** DuckDB text of [[qualityZ]]. */
+  private def qualityZSql: String = {
+    val punct = "length(regexp_replace(text,'[A-Za-z0-9\\s]','','g')) / CAST(length(text) AS DOUBLE)"
+    val stop = s"len(list_filter(${tokensSql("text")}, t -> t IN ($stopsSqlList))) / CAST(len(${tokensSql("text")}) AS DOUBLE)"
+    val avgl = s"length(regexp_replace(text,'\\s+','','g')) / CAST(len(${tokensSql("text")}) AS DOUBLE)"
+    val ntok = s"len(${tokensSql("text")})"
+    s"2.0*(1.0 - $punct) + 1.5*least(($stop) * 5.0, 1.0) + 1.0*least(($avgl) / 8.0, 1.0) + 0.5*least($ntok / 100.0, 1.0) - 2.6"
+  }
+
+  /** Token budget filled by pipeline_budget_fill (quality-first selection). */
+  private val TokenBudget = 25000L
+
   private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- per-document token statistics: counts, distincts, type-token ratio.
@@ -513,31 +542,60 @@ object TextOps {
     // no cross-engine bit guarantee, a rational function does. Map-only.
     ("text_quality_logit", (s, d) => {
       import s.implicits._
-      val toks = tokens($"text")
-      val nTok = size(toks)
-      val stopRatio = size(filter(toks, t => t.isin(Stops: _*))) / nTok.cast("double")
-      val punctRatio = length(regexp_replace($"text", "[A-Za-z0-9\\s]", "")) /
-        length($"text").cast("double")
-      val avgLen = length(regexp_replace($"text", "\\s+", "")) / nTok.cast("double")
-      val z = lit(2.0) * (lit(1.0) - punctRatio) +
-        lit(1.5) * least(stopRatio * 5.0, lit(1.0)) +
-        lit(1.0) * least(avgLen / 8.0, lit(1.0)) +
-        lit(0.5) * least(nTok / 100.0, lit(1.0)) - lit(2.6)
+      val z = qualityZ
       val score = z / (lit(1.0) + abs(z))
       Tables.documents(s, d)
         .select($"doc_id", round(z, 4).as("logit"), round(score, 4).as("score"),
           (score >= 0.1).as("keep"))
         .orderBy($"doc_id")
     }, Some {
-      val punct = "length(regexp_replace(text,'[A-Za-z0-9\\s]','','g')) / CAST(length(text) AS DOUBLE)"
-      val stop = s"len(list_filter(${tokensSql("text")}, t -> t IN ($stopsSqlList))) / CAST(len(${tokensSql("text")}) AS DOUBLE)"
-      val avgl = s"length(regexp_replace(text,'\\s+','','g')) / CAST(len(${tokensSql("text")}) AS DOUBLE)"
-      val ntok = s"len(${tokensSql("text")})"
-      val z = s"2.0*(1.0 - $punct) + 1.5*least(($stop) * 5.0, 1.0) + 1.0*least(($avgl) / 8.0, 1.0) + 0.5*least($ntok / 100.0, 1.0) - 2.6"
+      val z = qualityZSql
       s"""SELECT doc_id, ${rndSql(z, 4)} AS logit,
          |  ${rndSql(s"($z) / (1.0 + abs($z))", 4)} AS score,
          |  (($z) / (1.0 + abs($z)) >= 0.1) AS keep
          |FROM documents ORDER BY doc_id""".stripMargin
+    }),
+
+    // ---- budget-constrained quality-first selection: fill a fixed token
+    // budget with the best-scoring documents (logit DESC, doc_id tiebreak)
+    // and emit the kept prefix with running token totals — the "what fits
+    // in N tokens" data-selection query. The running sum runs in the
+    // SHARDED form (the q59 pattern): docs bucket by floor(score·10)
+    // (score is the 4-digit-rounded logit, so the band count is
+    // schema-bounded ~50 and floor is order-aligned with score), the
+    // per-band token totals prefix over a ~50-row broadcast, and the
+    // per-doc window partitions BY BAND — no global single-partition
+    // window at any corpus size; the oracle computes the identical prefix
+    // with one global window (DuckDB has the whole corpus in hand).
+    ("pipeline_budget_fill", (s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .select($"doc_id", round(qualityZ, 4).as("score"),
+          size(tokens($"text")).cast("long").as("n_toks"))
+        .withColumn("band", floor($"score" * 10).cast("long"))
+      val wB = Window.orderBy($"band".desc).rowsBetween(Window.unboundedPreceding, -1)
+      val offs = base.groupBy($"band").agg(sum($"n_toks").as("band_toks"))
+        .withColumn("off", coalesce(sum($"band_toks").over(wB), lit(0L)))
+        .select($"band", $"off")
+      val wIn = Window.partitionBy($"band").orderBy($"score".desc, $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.join(broadcast(offs), "band")
+        .withColumn("cum_toks", $"off" + sum($"n_toks").over(wIn))
+        .filter($"cum_toks" <= TokenBudget)
+        .select($"doc_id", $"score", $"n_toks", $"cum_toks")
+        .orderBy($"cum_toks", $"doc_id")
+    }, Some {
+      s"""WITH b AS (
+         |  SELECT doc_id, ${rndSql(qualityZSql, 4)} AS score,
+         |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, score, n_toks,
+         |    sum(n_toks) OVER (ORDER BY score DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_toks
+         |  FROM b)
+         |SELECT doc_id, score, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
+         |FROM c WHERE cum_toks <= $TokenBudget ORDER BY cum_toks, doc_id""".stripMargin
     }),
 
     // ---- Heaps-law vocabulary growth: docs fall into 10 id-ordered corpus
