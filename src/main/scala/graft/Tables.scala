@@ -37,6 +37,13 @@ object Tables {
       case LongType => // int64 nanos (legacy nanosAsLong read); whole-us values
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType | TimestampType =>
+        // The NTZ->LTZ cast is instant-preserving ONLY under a UTC session
+        // timezone; any other setting would silently shift every instant
+        // (the r8 regen failure class). Fail loudly on misuse (ADVICE r9).
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"Tables.events requires spark.sql.session.timeZone=UTC (got $tz): " +
+            "the NTZ timestamp cast would silently shift instants")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case other =>
         throw new IllegalStateException(s"unexpected events.ts type: $other")

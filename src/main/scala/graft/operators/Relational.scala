@@ -1427,7 +1427,7 @@ object Relational {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin)),
 
-    // ---- q60: funnel conversion latency per signup-month cohort — how
+    // ---- q60: funnel conversion latency per signup-day cohort — how
     // long completed signup→view→purchase journeys take per first-signup
     // DAY cohort, summarized as
     // interpolated median/p90 (the q27/q33-proven percentile parity;

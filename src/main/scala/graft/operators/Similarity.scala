@@ -172,11 +172,6 @@ object Similarity {
   }
 
   // --------------------------------------------------------------- queries
-  /** Oracle CTE chain for the label-filtered IVF probe (over CTE `v`):
-    * lab/cent/ranked/assigned/probes/cand/ftopk — ftopk is the pre-filtered
-    * top-k with RAW cos (callers round). Shared by sim_filtered_topk and
-    * sim_filtered_recall so the serving query and its eval cannot drift.
-    */
   /** Shared base of the label-aware IVF oracles: lab/cent/ranked/assigned
     * over CTE `v` — used by the filtered chain and the hard-negative miner.
     */
@@ -194,6 +189,11 @@ object Similarity {
        |  SELECT r.vec_id, r.cid, l.label FROM ranked r JOIN lab l USING (vec_id)
        |  WHERE crn = 1)""".stripMargin
 
+  /** Oracle CTE chain for the label-filtered IVF probe (over CTE `v`):
+    * lab/cent/ranked/assigned/probes/cand/ftopk — ftopk is the pre-filtered
+    * top-k with RAW cos (callers round). Shared by sim_filtered_topk and
+    * sim_filtered_recall so the serving query and its eval cannot drift.
+    */
   private def filteredChainSql: String =
     s"""$labeledIvfBaseSql,
        |probes AS (
