@@ -77,6 +77,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cdcChunksDescriptor)
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    ext.injectFunction(GraftExtensions.cdcSegmentBoundsDescriptor)
+    ext.injectFunction(GraftExtensions.cdcSliceChunksDescriptor)
   }
 }
 
@@ -97,9 +99,27 @@ object GraftExtensions {
       VecDot(args(0), args(1))
     })
 
+  private[plans] val cdcSegmentBoundsDescriptor = (
+    FunctionIdentifier("cdc_segment_bounds"),
+    new ExpressionInfo(classOf[CdcSegmentBounds].getName, "cdc_segment_bounds"),
+    (args: Seq[Expression]) => {
+      require(args.length == 6, "cdc_segment_bounds(payload, algo, expected_size, seed, part, n_parts)")
+      CdcSegmentBounds(args(0), args(1), args(2), args(3), args(4), args(5))
+    })
+
+  private[plans] val cdcSliceChunksDescriptor = (
+    FunctionIdentifier("cdc_slice_chunks"),
+    new ExpressionInfo(classOf[CdcSliceChunks].getName, "cdc_slice_chunks"),
+    (args: Seq[Expression]) => {
+      require(args.length == 6, "cdc_slice_chunks(payload, algo, expected_size, seed, part, n_parts)")
+      CdcSliceChunks(args(0), args(1), args(2), args(3), args(4), args(5))
+    })
+
   /** Imperative registration for an existing session. */
   def register(spark: SparkSession): Unit =
-    Seq(cdcChunksDescriptor, vecDotDescriptor).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(cdcChunksDescriptor, vecDotDescriptor,
+      cdcSegmentBoundsDescriptor, cdcSliceChunksDescriptor).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }

@@ -1,0 +1,152 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import graft.core.{AeChunker, Chunker, RabinChunker}
+
+/** Shared argument plumbing for the two segment-parallel chunking
+  * expressions: `(payload, algo, expected_size, seed, part, n_parts)` where
+  * payload and part are per-row and the rest are foldable config.
+  */
+trait CdcSegmentArgs { self: Expression =>
+  def payload: Expression
+  def algo: Expression
+  def expectedSize: Expression
+  def seed: Expression
+  def part: Expression
+  def nParts: Expression
+
+  override def children: Seq[Expression] =
+    Seq(payload, algo, expectedSize, seed, part, nParts)
+
+  protected def checkSegmentArgs(fn: String): TypeCheckResult = {
+    if (!Seq(algo, expectedSize, seed, nParts).forall(_.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        s"$fn(payload, algo, expected_size, seed, part, n_parts): algo/expected_size/seed/n_parts must be constants")
+    else if (payload.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"$fn payload must be BINARY, got ${payload.dataType.simpleString}")
+    else if (algo.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$fn algo must be STRING")
+    else if (!Seq(expectedSize.dataType, seed.dataType, part.dataType, nParts.dataType)
+        .forall(t => t == IntegerType || t == LongType || t == ShortType || t == ByteType))
+      TypeCheckResult.TypeCheckFailure(s"$fn expected_size/seed/part/n_parts must be integral")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient protected lazy val nP: Int = nParts.eval().toString.toInt
+
+  /** [left, right) byte range of slice `p` — the reference's thread-slice
+    * arithmetic (`parallel.rs:30-35`), Long math so multi-GB payloads don't
+    * overflow.
+    */
+  protected def sliceRange(len: Int, p: Int): (Int, Int) =
+    ((p.toLong * len / nP).toInt, ((p + 1).toLong * len / nP).toInt)
+}
+
+/** Native expression for stage 1 of segment-parallel CDC (strategy A,
+  * SURVEY.md §2.3): candidate cut offsets of segment `part` of `n_parts`,
+  * with the chunker's window lookback before the segment start — the
+  * distributable per-byte scan of `cdc_segmented_ae` / `cdc_segmented_rabin`.
+  * Returns `array<int>` of cut end-offsets; the per-blob min-distance merge
+  * downstream is pure higher-order-function SQL (no ScalaUDF in the plan —
+  * VERDICT r9 #3).
+  */
+case class CdcSegmentBounds(
+    payload: Expression, algo: Expression, expectedSize: Expression,
+    seed: Expression, part: Expression, nParts: Expression)
+    extends Expression with CdcSegmentArgs with CodegenFallback {
+
+  override def prettyName: String = "cdc_segment_bounds"
+  override def nullable: Boolean = payload.nullable
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = checkSegmentArgs(prettyName)
+
+  @transient private lazy val bounds: (Array[Byte], Int, Int) => Array[Int] =
+    algo.eval().toString match {
+      case "ae" => AeChunker(expectedSize.eval().toString.toInt).boundsInRange
+      case "rabin" =>
+        RabinChunker(expectedSize.eval().toString.toInt, seed.eval().toString.toLong.toInt).boundsInRange
+      case other => throw new IllegalArgumentException(s"no batch bounds form for algo: $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val bytes = payload.eval(input).asInstanceOf[Array[Byte]]
+    if (bytes == null) return null
+    val p = part.eval(input).toString.toInt
+    val (left, right) = sliceRange(bytes.length, p)
+    ArrayData.toArrayData(bounds(bytes, left, right))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CdcSegmentBounds =
+    copy(payload = c(0), algo = c(1), expectedSize = c(2), seed = c(3), part = c(4), nParts = c(5))
+}
+
+/** Native generator for stage 1 of edge-chunk re-chunking (strategy B,
+  * `parallel.rs:38-51`, SURVEY.md §2.3 P3-P7): chunk slice `part` of
+  * `n_parts` independently and emit
+  *
+  *  - one `(hash, length, edge=null, is_edge=false)` row per LOCALLY
+  *    distinct interior chunk (the reference's per-thread HashSet — a chunk
+  *    repeated across two slices counts twice, faithfully), and
+  *  - one `(0, length, edge=bytes, is_edge=true)` row for the held-back
+  *    edge chunk (even slices their last, odd slices their first).
+  *
+  * Interior chunk BYTES never leave the generator — only 64-bit xxhash64
+  * identities (seed 42, the engine-wide chunk identity) and lengths flow
+  * into the downstream aggregation; edge bytes (one chunk per slice) are
+  * the only payload that shuffles, into the pairwise stitch join.
+  */
+case class CdcSliceChunks(
+    payload: Expression, algo: Expression, expectedSize: Expression,
+    seed: Expression, part: Expression, nParts: Expression)
+    extends Generator with CdcSegmentArgs with CodegenFallback {
+
+  override def prettyName: String = "cdc_slice_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult = checkSegmentArgs(prettyName)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("hash", LongType, nullable = false),
+    StructField("length", IntegerType, nullable = false),
+    StructField("edge", BinaryType, nullable = true),
+    StructField("is_edge", BooleanType, nullable = false)))
+
+  @transient private lazy val chunker: Chunker = Chunker(
+    algo.eval().toString,
+    expectedSize.eval().toString.toInt,
+    seed.eval().toString.toLong)
+
+  private def xxh64(bytes: Array[Byte], from: Int, len: Int): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, len, 42L)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val bytes = payload.eval(input).asInstanceOf[Array[Byte]]
+    if (bytes == null || bytes.length < nP) return Iterator.empty
+    val p = part.eval(input).toString.toInt
+    val (left, right) = sliceRange(bytes.length, p)
+    val slice = java.util.Arrays.copyOfRange(bytes, left, right)
+    val cs = chunker.chunks(slice)
+    val (lo, hi) = if (p % 2 == 0) (0, cs.length - 1) else (1, cs.length)
+    val local = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+    var i = lo
+    while (i < hi) {
+      val (off, len) = cs(i)
+      local.getOrElseUpdate(xxh64(slice, off, len), len)
+      i += 1
+    }
+    val (eo, el) = if (p % 2 == 0) cs.last else cs.head
+    local.iterator.map { case (h, l) => InternalRow(h, l, null, false) } ++
+      Iterator.single(InternalRow(0L, el,
+        java.util.Arrays.copyOfRange(slice, eo, eo + el), true))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CdcSliceChunks =
+    copy(payload = c(0), algo = c(1), expectedSize = c(2), seed = c(3), part = c(4), nParts = c(5))
+}

@@ -59,6 +59,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"chunkTable must run through the CdcChunks generator:\n$plan")
   }
 
+  test("segmented chunking family: native expressions only — no ScalaUDF anywhere (VERDICT r9 #3)") {
+    for (q <- Seq("cdc_segmented_ae", "cdc_segmented_rabin", "cdc_edge_rechunk_metrics")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("pythonudf"),
+        s"$q must plan the cdc_segment_bounds/cdc_slice_chunks native path, not a UDF:\n$plan")
+    }
+    // and the two native entry points actually appear where expected
+    assert(executedPlan("cdc_segmented_ae").contains("cdc_segment_bounds"),
+      "cdc_segmented_ae must scan through CdcSegmentBounds")
+    assert(executedPlan("cdc_edge_rechunk_metrics").contains("cdc_slice_chunks"),
+      "cdc_edge_rechunk_metrics must slice through the CdcSliceChunks generator")
+  }
+
   test("q43: the partkey range filter reaches the parquet scan") {
     val plan = executedPlan("q43_regexp_extract")
     assert(plan.contains("PushedFilters: [IsNotNull(p_partkey), LessThanOrEqual(p_partkey,500)"),
