@@ -121,7 +121,8 @@ object Chunking {
       algo: String,
       expectedSize: Int,
       seed: Long = 0L,
-      segments: Int = 4): DataFrame = {
+      segments: Int = 4,
+      spreadSegments: Boolean = false): DataFrame = {
     graft.plans.GraftExtensions.register(df.sparkSession)
     val window = algo match {
       case "ae" => AeChunker(expectedSize).window
@@ -132,19 +133,9 @@ object Chunking {
       if (df.schema(payloadCol).dataType == org.apache.spark.sql.types.StringType)
         encode(col(payloadCol), "UTF-8")
       else col(payloadCol)
-    val nSeg = segments
 
-    // Stage 1 (wide): per (blob, segment) candidate cut offsets through the
-    // native `cdc_segment_bounds` expression (the per-byte scan). The id
-    // column keeps its ORIGINAL type throughout — a silent cast("long") here
-    // turned non-numeric ids (e.g. binaryFile paths) into null and collapsed
-    // every blob into one merge group (ADVICE r1).
-    val candidates = df
-      .select(col(idCol).as("id"), payload.as("payload"))
-      .select(col("id"), col("payload"), explode(sequence(lit(0), lit(nSeg - 1))).as("seg"))
-      .select(col("id"), col("seg"),
-        call_function("cdc_segment_bounds", col("payload"), lit(algo),
-          lit(expectedSize), lit(seed), col("seg"), lit(nSeg)).as("cuts"))
+    val candidates =
+      segmentCandidates(df, idCol, payload, algo, expectedSize, seed, segments, spreadSegments)
 
     // Stage 2 (narrow): per-blob ordered merge with the min-distance filter
     // (`ae.rs:72-74`) over a few hundred offsets — sort_array on (seg, cuts)
@@ -179,6 +170,47 @@ object Chunking {
         col("length"),
         substring(col("payload"), col("offset") + lit(1), col("length")).as("chunk"))
       .withColumn("hash", xxhash64(col("chunk")))
+  }
+
+  /** Stage 1 of strategy A: per (blob, segment) candidate cut offsets
+    * through the native `cdc_segment_bounds` expression (the per-byte
+    * scan). The id column keeps its ORIGINAL type throughout — a silent
+    * cast("long") here turned non-numeric ids (e.g. binaryFile paths) into
+    * null and collapsed every blob into one merge group (ADVICE r1).
+    *
+    * `spread`: exploded segment rows inherit the parent row's partition, so
+    * a corpus of a FEW huge blobs would scan all segments of a blob in one
+    * task — no within-blob parallelism. `spread = true` hash-repartitions
+    * on (id, seg), shipping the payload once per segment (the distributed
+    * analogue of the reference cloning the input per thread,
+    * `rabin.rs:99`), so the per-byte scans fan across the cluster. Leave it
+    * false for many-blob corpora, where cross-blob parallelism already
+    * saturates and the extra payload shuffle is pure cost.
+    */
+  private[operators] def segmentCandidates(
+      df: DataFrame,
+      idCol: String,
+      payload: Column,
+      algo: String,
+      expectedSize: Int,
+      seed: Long,
+      segments: Int,
+      spread: Boolean): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val exploded = df
+      .select(col(idCol).as("id"), payload.as("payload"))
+      .select(col("id"), col("payload"), explode(sequence(lit(0), lit(segments - 1))).as("seg"))
+    // Explicit partition count: with a bare repartition(cols), AQE sees a
+    // few multi-MB rows as "small" by row stats and coalesces the exchange
+    // back to one partition — exactly the serialization spread exists to
+    // avoid. A user-specified count is exempt from AQE coalescing.
+    val placed = if (spread) {
+      val n = df.sparkSession.sessionState.conf.numShufflePartitions
+      exploded.repartition(n, col("id"), col("seg"))
+    } else exploded
+    placed.select(col("id"), col("seg"),
+      call_function("cdc_segment_bounds", col("payload"), lit(algo),
+        lit(expectedSize), lit(seed), col("seg"), lit(segments)).as("cuts"))
   }
 
   /** JVM twin of the `xxhash64` Column expression (seed 42) for chunk

@@ -165,6 +165,33 @@ class ChunkingSpec extends AnyFunSuite {
       s"segmented ${chunks.length} vs sequential $seqCount")
   }
 
+  test("segmentedChunkTable spreadSegments: one huge blob fans across tasks, cuts unchanged") {
+    import spark.implicits._
+    val data = rndBytes(4 << 20, 7) // 4 MiB single blob
+    val df = Seq((1L, data)).toDF("doc_id", "content")
+
+    // stage 1 actually spreads: the 8 segment rows of ONE blob land on
+    // multiple shuffle partitions (without spread they share the parent
+    // row's single partition — zero within-blob parallelism)
+    val candidates = Chunking.segmentCandidates(
+      df, "doc_id", $"content", "ae", 8192, 0L, segments = 8, spread = true)
+    val partsUsed = candidates
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .distinct().count()
+    assert(partsUsed >= 2, s"8 segments should occupy several tasks, got $partsUsed partition(s)")
+    val unspread = Chunking.segmentCandidates(
+      df, "doc_id", $"content", "ae", 8192, 0L, segments = 8, spread = false)
+      .select(org.apache.spark.sql.functions.spark_partition_id()).distinct().count()
+    assert(unspread == 1L, s"control: unspread segments of one blob share one partition, got $unspread")
+
+    // and the spread path produces byte-identical chunks
+    def cuts(spreadOn: Boolean) = Chunking.segmentedChunkTable(
+      df, "doc_id", "content", "ae", 8192, segments = 8, spreadSegments = spreadOn)
+      .select($"chunk_idx", $"offset", $"length").as[(Int, Int, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(cuts(spreadOn = true) == cuts(spreadOn = false))
+  }
+
   test("distributed edge-rechunk metrics (strategy B) equal the core ground truth per blob") {
     import spark.implicits._
     // blob 2 carries strong internal duplication so the dedup accounting paths
