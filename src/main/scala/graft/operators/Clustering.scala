@@ -177,6 +177,42 @@ object Clustering {
       |  UNION ALL SELECT vec_id + 100000, emb FROM u0 WHERE vec_id % 5 = 0
       |  UNION ALL SELECT vec_id, list_transform(p, x -> x / sqrt(list_dot_product(p, p))) FROM pert)""".stripMargin
 
+  /** Replay inputs for the `stream_semantic_replay` contract: the planted
+    * corpus lifted into an AUGMENTED space in which the streaming
+    * operator's stateless `-dot` argmin reproduces the batch quantized
+    * k-means assignment exactly, while the kept-set dup check still reads
+    * cosine.
+    *
+    * Construction (the Shrivastava–Li augmentation, same trick as
+    * sim_mips_topk): vector `v' = [u (64) | qv/C (64) | -0.5/C]`, centroid
+    * `c' = [0 (64) | m (64) | m·m]` with `m = s/n` the final Lloyd
+    * centroid. Then `dot(v', c') = (qv·m - 0.5·m·m)/C`, whose rank over
+    * centroids equals the batch `||qv - m||²` rank (the `qv·qv` term is
+    * per-vector constant), with the same low-cid tie rule. Between vectors,
+    * `dot(v'a, v'b) = ua·ub + (qva·qvb + 0.25)/C²`; with `C = 2²⁶` the
+    * tail term is ≤ 1.5e-8 — far inside the planted corpus's cosine margins
+    * (near-dups ≥ 0.87, random pairs ≤ ~0.65, threshold 0.85) — so the
+    * unmodified streaming threshold still separates exactly.
+    *
+    * Returns (vectors frame (vecId, emb'), augmented centroids, threshold).
+    */
+  private[graft] def semanticReplayInputs(
+      s: SparkSession, d: String): (DataFrame, Array[(Long, Array[Double])], Double) = {
+    import s.implicits._
+    val u = plantedUnit(s, d)
+    val (_, _, cn, q) = kmeansModel(u)
+    val C = (1L << 26).toDouble
+    val vecs = u.join(q, "vec_id").select(
+      $"vec_id".as("vecId"),
+      concat($"emb", transform($"qv", x => x / lit(C)), array(lit(-0.5 / C))).as("emb"))
+    val cents = cn.collect().map { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val m = r.getAs[scala.collection.Seq[Double]]("s").map(_ / n).toArray
+      (r.getAs[Long]("cid"), Array.fill(Dims)(0.0) ++ m ++ Array(m.map(x => x * x).sum))
+    }
+    (vecs, cents, CosThreshold)
+  }
+
   private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- deterministic k-means over the raw embeddings: cluster id +
