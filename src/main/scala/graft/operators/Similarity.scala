@@ -38,7 +38,13 @@ object Similarity {
   private val IvfCentroids = 8
   private val IvfSeedStride = 50
   private val NProbe = 2
-  private val FilteredProbe = 4 // widened probe for label-filtered search
+  // Widened probe for label-filtered search. Tuned on the labeled recall
+  // eval (sim_filtered_recall, sf0.01 mean recall): probe 4 → 0.60,
+  // 5 → 0.64, 6 → 0.74 of the label-constrained exact top-k. 5 of 8
+  // partitions pins the spec floor at ≥ 0.6 while still skipping 3/8 of
+  // the index — probing further buys recall only by converging on the
+  // brute scan (VERDICT r9 #2).
+  private val FilteredProbe = 5
   private val PqSub = 8 // subspaces: 64 dims -> 8 x 8-dim subvectors
   private val PqSubDim = 8
   private val PqCodes = 16 // codebook entries per subspace (4-bit codes)
@@ -466,9 +472,10 @@ object Similarity {
     // retrieval serving shape). PRE-filtering, not post-filtering: the label
     // predicate lands on the candidate side BEFORE scoring/ranking, so a
     // 10%-selective filter cannot collapse the shortlist to < k the way
-    // filtering an already-ranked top-k would. The probe is widened 2 -> 4
+    // filtering an already-ranked top-k would. The probe is widened 2 -> 5
     // because filtering thins every IVF partition by the filter's
-    // selectivity. At 100 TB the label column rides the same partition-
+    // selectivity (see FilteredProbe for the measured recall curve). At
+    // 100 TB the label column rides the same partition-
     // pruned code table the IVF scan reads (a zipped attribute column, the
     // FAISS-with-metadata / vector-DB layout), so the filter is a scan-time
     // predicate pushdown, not a join against a second corpus-sized table.
@@ -508,8 +515,9 @@ object Similarity {
     // shortlist judged against the label-constrained EXACT top-k (brute
     // force restricted to same-label vectors; broadcast the 10-row query
     // side, one corpus scan — the labeled eval baseline, not the serving
-    // path). The number that justifies FilteredProbe=4: how much of the
-    // true filtered neighborhood the widened probe retains.
+    // path). The number that justifies FilteredProbe=5: how much of the
+    // true filtered neighborhood the widened probe retains — mean recall
+    // 0.64 at sf0.01, spec floor 0.6.
     ("sim_filtered_recall", (s, d) => {
       import s.implicits._
       val labels = Tables.embeddings(s, d)

@@ -179,7 +179,7 @@ class AnnQualitySpec extends AnyFunSuite {
       .select($"recall").as[Double].collect()
     assert(rec.length > 0)
     val mean = rec.sum / rec.length
-    assert(mean >= 0.3, f"mean filtered recall $mean%.2f < 0.3 floor (probe 4/8)")
+    assert(mean >= 0.6, f"mean filtered recall $mean%.2f < 0.6 floor (probe 5/8, measured 0.64)")
   }
 
   test("leakage-safe split: verified near-dup pairs never straddle splits; bands are sane") {
