@@ -60,10 +60,12 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("segmented chunking family: native expressions only — no ScalaUDF anywhere (VERDICT r9 #3)") {
+    // Expression-class traversal, not string matching: a ScalaUDF prints as
+    // "UDF(...)" or its withName label, never as "ScalaUDF".
     for (q <- Seq("cdc_segmented_ae", "cdc_segmented_rabin", "cdc_edge_rechunk_metrics")) {
-      val plan = executedPlan(q)
-      assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("pythonudf"),
-        s"$q must plan the cdc_segment_bounds/cdc_slice_chunks native path, not a UDF:\n$plan")
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      assert(!PlanStats.hasScalaUdf(df),
+        s"$q must plan the cdc_segment_bounds/cdc_slice_chunks native path, not a UDF")
     }
     // and the two native entry points actually appear where expected
     assert(executedPlan("cdc_segmented_ae").contains("cdc_segment_bounds"),
