@@ -40,9 +40,15 @@ object CdcQueries {
   // SQL-exact. Binding constraint: FastCDC/Rabin min = RefExpected/4 = 1024
   // vs max doc ~577 B across the driver's sf dirs.
   private val RefExpected = 4096
-  // cdc_segmented_large corpus multiplier: ~150 KB (sf0.01) / ~1.5 MB
-  // (sf0.1) of concatenated docs ×16 → a 2.4-25 MB single blob.
-  private val LargeRepeat = 16
+  // cdc_segmented_large blob size: FIXED at 16M chars (~16 MB+ of bytes)
+  // at every scale — the demo's claim is "one blob far larger than a task",
+  // which is the operator's own parameter, not a function of corpus volume.
+  // The first cut (×16 corpus concat) grew the blob 10× with the data and
+  // the 10× rehearsal measured the cell at 23.9× wall (a 250 MB single
+  // string); pinning the size makes the cell scale-flat and the byte count
+  // stays SQL-exact (repeat count and truncation are both computable from
+  // the documents table in either engine).
+  private val LargeBlobChars = 16000000L
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -407,20 +413,23 @@ object CdcQueries {
     }),
 
     // 100×-blob demo (VERDICT r9 #6): ONE multi-MB blob — the corpus
-    // concatenated in doc_id order, ×LargeRepeat — through
-    // segmentedChunkTable with spreadSegments=true, so the per-byte scan
-    // parallelizes WITHIN the blob (8 segment tasks shuffled apart; the
-    // per-segment task spread is pinned in ChunkingSpec) and the overlap
-    // merge reconciles at a size where segmentation matters. Contract shape
-    // mirrors cdc_segmented_ae at 8 KiB expected chunks, plus a chunk-count
-    // band implied by the AE length clamps.
+    // concatenated in doc_id order, repeated and truncated to a FIXED
+    // LargeBlobChars characters — through segmentedChunkTable with
+    // spreadSegments=true, so the per-byte scan parallelizes WITHIN the
+    // blob (8 segment tasks shuffled apart; the per-segment task spread is
+    // pinned in ChunkingSpec) and the overlap merge reconciles at a size
+    // where segmentation matters. Contract shape mirrors cdc_segmented_ae
+    // at 8 KiB expected chunks, plus a chunk-count band implied by the AE
+    // length clamps.
     "cdc_segmented_large" -> ((s, dir) => {
       val d = docs(s, dir)
       val w = 8192 - 256L // AE repo-variant window at 8 KiB expected
       val blob = d
         .agg(array_sort(collect_list(struct(col("doc_id"), col("text")))).as("a"))
+        .select(array_join(expr("transform(a, x -> x.text)"), "\n").as("t0"))
         .select(lit(0L).as("blob_id"),
-          repeat(array_join(expr("transform(a, x -> x.text)"), "\n"), LargeRepeat).as("blob"))
+          expr(s"substr(repeat(t0, CAST(ceil($LargeBlobChars / (length(t0) * 1.0)) AS INT)), " +
+            s"1, $LargeBlobChars)").as("blob"))
       val chunks = Chunking.segmentedChunkTable(
         blob, "blob_id", "blob", "ae", 8192, segments = 8, spreadSegments = true)
         .select(col("id").as("blob_id"), col("chunk_idx"),
@@ -537,16 +546,20 @@ object CdcQueries {
          |FROM m CROSS JOIN r""".stripMargin
     },
 
-    // Large-blob strategy-A contract: the blob byte count is exact SQL
-    // (sum of doc bytes + the n-1 single-byte separators, ×LargeRepeat);
+    // Large-blob strategy-A contract: the blob byte count is exact SQL —
+    // rebuild the identical doc_id-ordered join/repeat/char-truncate string
+    // and measure its bytes (substr is char-based in BOTH engines, so the
+    // truncation point is engine-agnostic even with multi-byte text);
     // merge invariants are the cdc_segmented_ae booleans.
     "cdc_segmented_large" ->
-      s"""SELECT CAST(0 AS BIGINT) AS blob_id,
-         |  CAST($LargeRepeat * (sum(octet_length(encode(text))) + count(*) - 1) AS BIGINT)
-         |    AS blob_bytes,
+      s"""WITH t AS (SELECT string_agg(text, chr(10) ORDER BY doc_id) AS t0 FROM documents)
+         |SELECT CAST(0 AS BIGINT) AS blob_id,
+         |  CAST(octet_length(encode(substr(
+         |    repeat(t0, CAST(ceil($LargeBlobChars / (length(t0) * 1.0)) AS INT)),
+         |    1, $LargeBlobChars))) AS BIGINT) AS blob_bytes,
          |  TRUE AS contiguous, TRUE AS min_len_ok, TRUE AS tail_ok,
          |  TRUE AS n_chunks_bounded
-         |FROM documents""".stripMargin,
+         |FROM t""".stripMargin,
 
     "cdc_fixed_dedup_metrics" -> {
       import Portable.rndSql
