@@ -228,6 +228,23 @@ object Dedup {
        |  FROM corpus)""".stripMargin
   }
 
+  /** LSH-candidate pairs verified at exact Jaccard ≥ 0.5 over the derived
+    * corpus — the (id1, id2) edge list the cluster-family queries share
+    * (dedup_clusters, dedup_cc_bigstar). Sub-quadratic: candidates come
+    * from the banded MinHash equi-join; verification touches only them.
+    */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val arrays = shingleStringArrays(corpus(s, d)).cache()
+    minhashCandidates(bandTable(arrays))
+      .join(arrays.select($"doc_id".as("id1"), $"ts".as("ts1")), "id1")
+      .join(arrays.select($"doc_id".as("id2"), $"ts".as("ts2")), "id2")
+      .withColumn("common", size(array_intersect($"ts1", $"ts2")))
+      .withColumn("jaccard", round($"common" / (size($"ts1") + size($"ts2") - $"common"), 4))
+      .filter($"jaccard" >= 0.5)
+      .select($"id1", $"id2")
+  }
+
   // --------------------------------------------------------------- queries
   private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
@@ -596,6 +613,41 @@ object Dedup {
         .filter($"jaccard" >= 0.5)
         .select($"id1", $"id2")
       val labels = connectedComponents(verified)
+      val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "comp")
+        .select($"id".as("doc_id"), $"comp".as("cluster_id"), $"cluster_size")
+        .orderBy($"doc_id")
+    }, Some {
+      s"""WITH RECURSIVE $corpusSql,
+         |${minhashSql("corpus", "")},
+         |ver AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT c.id1, c.id2,
+         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
+         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ver UNION ALL SELECT id2, id1 FROM ver),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+         |SELECT c.id AS doc_id, c.cluster_id, s.cluster_size
+         |FROM comp c JOIN sizes s USING (cluster_id) ORDER BY doc_id""".stripMargin
+    }),
+
+    // ---- the SAME cluster assignment via alternating large-star/small-star
+    // (Kiveris et al. SoCC'14) instead of min-label propagation: O(log n)
+    // rounds on any topology vs O(component diameter), with the edge list
+    // contracting toward the star forest as it runs — the algorithm to use
+    // when a 100 TB corpus can contain chain-shaped near-dup components
+    // that would blow label propagation's round bound. Judged by the
+    // identical recursive-CTE oracle as dedup_clusters: both engines and
+    // both algorithms must agree label-for-label (component = min id).
+    ("dedup_cc_bigstar", (s, d) => {
+      import s.implicits._
+      val labels = ccBigStar(verifiedPairs(s, d))
       val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "comp")
         .select($"id".as("doc_id"), $"comp".as("cluster_id"), $"cluster_size")
@@ -1400,6 +1452,77 @@ object Dedup {
       s"connectedComponents: label propagation did not converge in $maxRounds rounds " +
         "(component diameter exceeds the bound — raise maxRounds or pre-contract the graph)")
     labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) over an
+    * (id1, id2) pair list → (id, comp), comp = component min id — label-
+    * identical to [[connectedComponents]] (pinned by CcBigStarSpec).
+    *
+    * This is the 100 TB counterpart of min-label propagation: propagation
+    * needs O(component diameter) rounds and re-shuffles the FULL edge list
+    * every round, so a chain-shaped component (A~B~C~…, the pathological
+    * corpus that trips the MaxCcRounds guard) costs O(n) rounds.
+    * Large/small-star converges in O(log n) rounds on ANY topology and
+    * CONTRACTS the edge list toward the final star forest as it goes — late
+    * rounds shuffle an already-collapsed graph. Per half-round: one
+    * map-side-combinable min() hash-aggregate keyed on node id plus one
+    * equi-join of the (shrinking) adjacency rows against that per-node min
+    * (skew on a hot canonical is bounded by its current degree, which the
+    * contraction itself collapses). Convergence is exact set-equality,
+    * decided by |next| and |next ∪ cur| against |cur| — two counts, no
+    * except() anti-join.
+    */
+  private[operators] def ccBigStar(
+      pairs: DataFrame, maxRounds: Int = MaxCcRounds): DataFrame = {
+    // canonical big→small orientation (src > dst); the pair list never
+    // contains self-loops (id1 < id2 by construction upstream)
+    var edges = pairs.select(
+        greatest(col("id1"), col("id2")).as("src"),
+        least(col("id1"), col("id2")).as("dst"))
+      .distinct().localCheckpoint()
+    var curCount = edges.count()
+    var changed = curCount > 0
+    var round = 0
+    while (changed && round < maxRounds) {
+      // large-star(u): every strictly-larger neighbor v > u links to
+      // m = min(Γ(u) ∪ {u}); edges to smaller neighbors re-emerge from the
+      // smaller endpoint's own group, so connectivity is preserved.
+      val nbrs = edges.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      val lsMin = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = nbrs.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      // small-star(u): u and all its smaller neighbors N = {v < u} link to
+      // min(N) — run on the big→small orientation, so N is exactly dst(u).
+      val smallN = large.select(col("src").as("u"), col("dst").as("v"))
+      val ssMin = smallN.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = smallN.join(ssMin, "u")
+        .select(col("v").as("x"), col("m"))
+        .unionByName(ssMin.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(greatest(col("x"), col("m")).as("src"),
+          least(col("x"), col("m")).as("dst"))
+        .distinct().localCheckpoint(eager = false)
+      val nextCount = next.count() // materializes the checkpoint
+      val unionCount = next.unionByName(edges).distinct().count()
+      changed = !(nextCount == curCount && unionCount == curCount)
+      edges = next
+      curCount = nextCount
+      round += 1
+    }
+    if (changed) throw new IllegalStateException(
+      s"ccBigStar: large/small-star did not converge in $maxRounds rounds " +
+        "(O(log n) bound exceeded — inspect the edge list for corruption)")
+    // fixpoint = star forest: every non-root points straight at its
+    // component min; roots appear only on the dst side.
+    val nonRoot = edges.select(col("src").as("id"), col("dst").as("comp"))
+    val roots = edges.select(col("dst").as("id")).distinct()
+      .join(nonRoot.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    nonRoot.unionByName(roots)
   }
 
   // ------------------------------------------------------ minhash constants
