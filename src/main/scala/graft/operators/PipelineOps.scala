@@ -229,12 +229,22 @@ object PipelineOps {
     // however Spark schedules the build.
     ("pipeline_bloom_prefilter", (s, d) => {
       import s.implicits._
+      graft.plans.GraftExtensions.register(s)
       val members = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
         .select($"c_custkey")
       val nMembers = members.count()
-      val bloom = members.stat.bloomFilter("c_custkey", nMembers max 1L, 0.01)
-      val bc = s.sparkContext.broadcast(bloom)
-      val mightContain = udf((k: Long) => bc.value.mightContain(k))
+      // the member side scales with the data, so the filter width does too:
+      // next power of two >= 16 bits/member, k=4 -> fpp ~ (1/4)^4 worst-case
+      var mBits = 1 << 10
+      while (mBits < nMembers * 16 && mBits < (1 << 28)) mBits <<= 1
+      // native in-dataflow build: BloomAgg bitset over xxhash64(key), one
+      // broadcast row — no driver-side construction, no UDF probe; the
+      // membership test is the codegen'd bloom_contains expression.
+      val bloomAgg = udaf(new graft.functions.BloomAgg(mBits, BloomK),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val bloomRow = members.agg(bloomAgg(xxhash64($"c_custkey")).as("bloom"))
+      def hit = call_function("bloom_contains",
+        $"bloom", xxhash64($"o_custkey"), lit(BloomK))
       val orders = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
       // members scales with the customer table — no broadcast hint; the
       // planner broadcasts the semi-join side below the threshold and
@@ -243,8 +253,10 @@ object PipelineOps {
         $"o_custkey" === $"c_custkey", "left_semi")
       val nOrders = orders.count()
       val nMemberOrders = memberOrders.count()
-      val nMissed = memberOrders.filter(!mightContain($"o_custkey")).count()
-      val nPass = orders.filter(mightContain($"o_custkey")).count()
+      val nMissed = memberOrders.crossJoin(broadcast(bloomRow))
+        .filter(!hit).count()
+      val nPass = orders.crossJoin(broadcast(bloomRow))
+        .filter(hit).count()
       val fpOk = (nPass - nMemberOrders).toDouble <=
         math.max(0.05 * (nOrders - nMemberOrders), 1.0)
       Seq((nOrders, nMemberOrders, nMissed, fpOk))
@@ -255,6 +267,48 @@ object PipelineOps {
         |   WHERE o.o_custkey IN (SELECT c_custkey FROM customer
         |                         WHERE c_mktsegment = 'BUILDING')) AS n_member_orders,
         |  CAST(0 AS BIGINT) AS n_missed, TRUE AS fp_ok""".stripMargin)),
+
+    // ---- decontamination behind a NATIVE bloom prefilter: the eval set's
+    // n-gram hashes aggregate into a BloomAgg bitset (16 KB, merge = OR,
+    // bit-identical under any partitioning), broadcast as ONE ROW inside
+    // the dataflow — no driver-side build, no UDF. Each training doc tests
+    // `exists(hs, h -> bloom_contains(bloom, h, k))` map-side (O(k) bit
+    // probes per gram via the codegen'd expression); only bloom-candidate
+    // docs explode their grams into the exact verification join, and a
+    // false positive there simply matches nothing. Output is therefore
+    // EXACT (a bloom filter can never miss a member) — the oracle is the
+    // plain exact SQL with no bloom anywhere. The 100 TB shape: benchmark
+    // suites are fixed-size, so the filter stays KBs however big the
+    // corpus; non-candidate documents (almost all of them) never shuffle
+    // a single n-gram.
+    ("pipeline_bloom_decontaminate", (s, d) => {
+      import s.implicits._
+      val flagged = bloomDecontamFlags(s, d)
+      val evalH = evalGramHashes(s, d)
+      val hits = flagged.filter($"cand")
+        .select($"doc_id", explode($"hs").as("h"))
+        .join(evalH, "h") // tiny distinct eval side — planner broadcasts
+        .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      flagged.select($"doc_id").join(hits, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"n", lit(0L)).as("n_hit_grams"),
+          (coalesce($"n", lit(0L)) > 0).as("contaminated"))
+        .orderBy($"doc_id")
+    }, Some {
+      def cat(arr: String) = (1 to DecontamN).map(k => s"$arr[i+$k]").mkString(" || ' ' || ")
+      s"""WITH tr AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(0, len(toks) - ${DecontamN - 1}), i -> ${cat("toks")}))) AS g
+         |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents)),
+         |ev AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    range(0, len(toks) - ${DecontamN - 1}), i -> ${cat("toks")}))) AS g
+         |  FROM (SELECT doc_id, (${tokensSql("text")})[1:$DecontamPrefix] AS toks
+         |        FROM documents WHERE doc_id % 50 = 0)),
+         |hits AS (SELECT doc_id, count(*) AS n FROM tr JOIN ev USING (g) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n, 0) AS n_hit_grams,
+         |  coalesce(n, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin
+    }),
 
     // ---- eval-set decontamination: flag every training document sharing a
     // word 8-gram with a benchmark item (the standard n-gram-overlap
@@ -780,6 +834,83 @@ object PipelineOps {
 
   /** Global-sample size for pipeline_bottomk_sample. */
   private val SampleK = 100
+
+  /** (doc_id, hs: array<bigint>) — each doc's DISTINCT word 8-gram xxhash64
+    * values from one fused JVM pass (tokenize → gram → hash; the same
+    * xxhash64(seed 42) the column function computes, via the catalyst
+    * static, so gram hashes are interchangeable across the decontamination
+    * queries). Map-only: no shuffle, no gram strings on the wire.
+    */
+  private def ngramHashArrays(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.StringType
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.trim.split("\\s+")
+          val seen = new java.util.LinkedHashSet[String]
+          var i = 0
+          while (i + DecontamN - 1 < toks.length) {
+            val sb = new java.lang.StringBuilder(toks(i))
+            var j = 1
+            while (j < DecontamN) { sb.append(' ').append(toks(i + j)); j += 1 }
+            seen.add(sb.toString)
+            i += 1
+          }
+          val hs = new Array[Long](seen.size)
+          val itr = seen.iterator
+          var n = 0
+          while (itr.hasNext) {
+            hs(n) = XxHash64Function.hash(
+              UTF8String.fromString(itr.next()), StringType, 42L)
+            n += 1
+          }
+          (id, hs)
+        }
+      }.toDF("doc_id", "hs")
+  }
+
+  /** Distinct eval-set 8-gram hashes (derived benchmark: first-12-token
+    * prefix of every 50th doc — the same derivation pipeline_decontaminate
+    * uses). One column `h`.
+    */
+  private def evalGramHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val evalDocs = Tables.documents(s, d)
+      .filter($"doc_id" % 50 === 0)
+      .select($"doc_id",
+        concat_ws(" ", slice(tokens($"text"), 1, DecontamPrefix)).as("text"))
+    ngramHashArrays(evalDocs).select(explode($"hs").as("h")).distinct()
+  }
+
+  /** Per-doc bloom prefilter verdicts: (doc_id, hs, cand) where `cand` is
+    * the map-side `exists(hs, h -> bloom_contains(bloom, h, k))` against
+    * the eval-set BloomAgg bitset. Shared by pipeline_bloom_decontaminate
+    * and BloomSpec (which pins no-false-negative and that the prefilter
+    * actually prunes).
+    */
+  private[operators] def bloomDecontamFlags(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val bloomAgg = udaf(new graft.functions.BloomAgg(BloomBits, BloomK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val bloomRow = evalGramHashes(s, d).agg(bloomAgg($"h").as("bloom"))
+    ngramHashArrays(Tables.documents(s, d).select($"doc_id", $"text"))
+      .crossJoin(broadcast(bloomRow))
+      .withColumn("cand",
+        exists($"hs", h => call_function("bloom_contains", $"bloom", h, lit(BloomK))))
+      .select($"doc_id", $"hs", $"cand")
+  }
+
+  /** Eval-set bloom sizing: 2^17 bits (16 KB) holds the ~hundreds of
+    * benchmark grams at k=4 with fpp ≈ (kn/m)^k — negligible here, and the
+    * whole point is that benchmark suites don't grow with the corpus.
+    */
+  private val BloomBits = 1 << 17
+  private val BloomK = 4
 
   private def decontamSqlTail(cat: String => String): String =
     s"""WITH tr AS (

@@ -79,6 +79,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectFunction(GraftExtensions.cdcSegmentBoundsDescriptor)
     ext.injectFunction(GraftExtensions.cdcSliceChunksDescriptor)
+    ext.injectFunction(GraftExtensions.bloomContainsDescriptor)
   }
 }
 
@@ -115,10 +116,19 @@ object GraftExtensions {
       CdcSliceChunks(args(0), args(1), args(2), args(3), args(4), args(5))
     })
 
+  private[plans] val bloomContainsDescriptor = (
+    FunctionIdentifier("bloom_contains"),
+    new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3, "bloom_contains(bloom, hash, k)")
+      BloomContains(args(0), args(1), args(2))
+    })
+
   /** Imperative registration for an existing session. */
   def register(spark: SparkSession): Unit =
     Seq(cdcChunksDescriptor, vecDotDescriptor,
-      cdcSegmentBoundsDescriptor, cdcSliceChunksDescriptor).foreach {
+      cdcSegmentBoundsDescriptor, cdcSliceChunksDescriptor,
+      bloomContainsDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
