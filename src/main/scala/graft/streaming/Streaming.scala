@@ -1283,8 +1283,78 @@ object Streaming {
       .orderBy(col("vec_id"))
   }
 
+  /** Segment-waved file-source replay of the documents corpus through the
+    * incremental stateful chunker ([[statefulChunkStream]], FastCDC at the
+    * batch cdc_fastcdc_chunks parameters 64/seed 42): wave w delivers the
+    * w-th 128-byte segment of every document, so each blob's bytes span
+    * several micro-batches and the reorder/tail-buffer GroupState — the
+    * reference's buffered incremental read (S3, SURVEY §2.1) — does real
+    * cross-batch work. Output is the per-doc chunk contract over the
+    * STREAMED chunks plus `stream_eq_batch`: an exact Spark-side comparison
+    * of the streamed (idx, offset, length, xxhash64) rows against the batch
+    * whole-blob chunk table, so any boundary drift between incremental and
+    * batch chunking breaks the oracle-pinned TRUE (content-defined cuts
+    * must not depend on micro-batch framing — the property under test).
+    *
+    * Determinism: seq-indexed waves + maxFilesPerTrigger=1 deliver each
+    * blob's segments in seq order, and chunkUpdateFn's emission set is then
+    * a pure function of the blob bytes.
+    */
+  def chunkReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val segBytes = 128
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val emitted = replayedSink(s, "chunk:" + d, "graft_chunk_replay_") { (sink, root) =>
+      val src = waveFiles("chunk:" + d, {
+        docs.as[(Long, String)].flatMap { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = math.max(1, (bytes.length + segBytes - 1) / segBytes)
+          (0 until n).map { i =>
+            val to = math.min(bytes.length, (i + 1) * segBytes)
+            (id, i, java.util.Arrays.copyOfRange(bytes, i * segBytes, to), i == n - 1, i)
+          }
+        }.toDF("blobId", "seq", "data", "last", "wave")
+      })
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("blobId", LongType), StructField("seq", IntegerType),
+          StructField("data", BinaryType), StructField("last", BooleanType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+      withFewShufflePartitions(s) {
+        val q = statefulChunkStream(stream.as[SegmentEvent], "fastcdc", 64, 42L)
+          .toDF()
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .option("checkpointLocation", root.resolve("chk").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    val streamed = emitted.select(col("blobId").as("doc_id"),
+      col("chunkIdx").cast("long").as("idx"), col("offset"),
+      col("length").cast("long").as("length"), xxhash64(col("chunk")).as("hash"))
+    val batch = graft.operators.Chunking
+      .chunkTable(docs, "doc_id", "text", "fastcdc", 64, 42L)
+      .select(col("id").as("doc_id"), col("chunk_idx").cast("long").as("idx"),
+        col("offset").cast("long").as("b_offset"),
+        col("length").cast("long").as("b_length"), col("hash").as("b_hash"))
+    val per = streamed.join(batch, Seq("doc_id", "idx"), "full_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("length")).as("total_len"),
+        bool_and(col("offset").isNotNull && col("b_offset").isNotNull &&
+          col("offset") === col("b_offset") && col("length") === col("b_length") &&
+          col("hash") === col("b_hash")).as("stream_eq_batch"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("total_len"), lit(0L)).as("total_len"),
+        coalesce(col("stream_eq_batch"), lit(true)).as("stream_eq_batch"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Driver-surfaced streaming queries (SparkEntry contract). */
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "stream_chunk_replay" -> ((s, d) => chunkReplayContract(s, d)),
     "stream_intake_replay" -> ((s, d) => intakeReplayContract(s, d)),
     "stream_funnel_replay" -> ((s, d) => funnelReplayContract(s, d)),
     "stream_heavy_hitters_replay" -> ((s, d) => heavyHittersReplayContract(s, d)),
@@ -1301,6 +1371,14 @@ object Streaming {
   def oracleSql: Map[String, String] = {
     val toks = graft.operators.Portable.tokensSql("text")
     Map(
+      // the streamed chunks are compared against the batch chunk table
+      // Spark-side (exact idx/offset/length/hash equality per doc); the
+      // oracle pins the exact per-doc byte total and the TRUE — the
+      // cdc_*_chunks contract pattern
+      "stream_chunk_replay" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS total_len,
+        |  TRUE AS stream_eq_batch
+        |FROM documents ORDER BY doc_id""".stripMargin,
       // the funnel replay must reproduce q51's batch truth VERBATIM — share
       // its oracle text so the two contracts can never drift apart
       "stream_funnel_replay" -> graft.operators.Relational.oracleSql("q51_funnel"),
