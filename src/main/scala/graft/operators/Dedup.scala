@@ -1469,9 +1469,12 @@ object Dedup {
     * map-side-combinable min() hash-aggregate keyed on node id plus one
     * equi-join of the (shrinking) adjacency rows against that per-node min
     * (skew on a hot canonical is bounded by its current degree, which the
-    * contraction itself collapses). Convergence is exact set-equality,
-    * decided by |next| and |next ∪ cur| against |cur| — two counts, no
-    * except() anti-join.
+    * contraction itself collapses). Convergence = the star-forest test,
+    * ONE fused action per round: every src has exactly one parent
+    * (|rows| == |distinct src|) and no parent is itself a child (no dst in
+    * the src set). A big→small star forest is exactly the alternation's
+    * fixpoint — each root is its star's min by orientation, and one star
+    * per component because every step preserves connectivity.
     */
   private[operators] def ccBigStar(
       pairs: DataFrame, maxRounds: Int = MaxCcRounds): DataFrame = {
@@ -1481,8 +1484,7 @@ object Dedup {
         greatest(col("id1"), col("id2")).as("src"),
         least(col("id1"), col("id2")).as("dst"))
       .distinct().localCheckpoint()
-    var curCount = edges.count()
-    var changed = curCount > 0
+    var changed = edges.count() > 0
     var round = 0
     while (changed && round < maxRounds) {
       // large-star(u): every strictly-larger neighbor v > u links to
@@ -1506,11 +1508,14 @@ object Dedup {
         .select(greatest(col("x"), col("m")).as("src"),
           least(col("x"), col("m")).as("dst"))
         .distinct().localCheckpoint(eager = false)
-      val nextCount = next.count() // materializes the checkpoint
-      val unionCount = next.unionByName(edges).distinct().count()
-      changed = !(nextCount == curCount && unionCount == curCount)
+      // star-forest test; this single action also materializes the checkpoint
+      val chk = next
+        .join(next.select(col("src").as("z")).distinct(),
+          col("dst") === col("z"), "left")
+        .agg(count(lit(1)).as("n"), count_distinct(col("src")).as("ns"),
+          count(col("z")).as("bad")).head()
+      changed = !(chk.getLong(0) == chk.getLong(1) && chk.getLong(2) == 0L)
       edges = next
-      curCount = nextCount
       round += 1
     }
     if (changed) throw new IllegalStateException(
