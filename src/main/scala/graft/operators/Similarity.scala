@@ -45,6 +45,7 @@ object Similarity {
   // the index — probing further buys recall only by converging on the
   // brute scan (VERDICT r9 #2).
   private val FilteredProbe = 5
+  private val FusionDepth = 20 // per-ranker shortlist depth fed to RRF
   private val PqSub = 8 // subspaces: 64 dims -> 8 x 8-dim subvectors
   private val PqSubDim = 8
   private val PqCodes = 16 // codebook entries per subspace (4-bit codes)
@@ -242,6 +243,81 @@ object Similarity {
          |    CAST(row_number() OVER (PARTITION BY q.vec_id
          |      ORDER BY list_dot_product(q.emb, n.emb) DESC, n.vec_id) AS BIGINT) AS rank
          |  FROM v q JOIN v n ON q.vec_id < $NumQueries AND n.vec_id <> q.vec_id)
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion of a lexical ranker
+    // (the shared BM25 chain, TextOps.bm25Scores) and a dense ranker
+    // (exact cosine over the unit embeddings) for the ids present in BOTH
+    // tables — the standard RAG-stack shape where keyword match and
+    // semantic match each rescue the other's misses. RRF (K=60) runs on
+    // INTEGERS end-to-end: both input ranks are exact (bm25_u6 is the
+    // quantized integer score; cosine ranking is the bit-identical
+    // brute-topk argument), and each rank contributes 1e9 DIV (rank+60)
+    // — integer division, order-free integer sum — so the fused ranking
+    // is immune to float effects entirely. Scale shape: the two
+    // shortlists are per-query top-20 (windows over candidate sets the
+    // underlying rankers already bound), and the fusion join keys on
+    // (query, doc) — 40 rows per query a side, trivially shuffled.
+    ("sim_rank_fusion", (s, d) => {
+      import s.implicits._
+      val v = vectors(s, d).cache()
+      val ids = v.select($"vec_id")
+      val wb = Window.partitionBy($"q_id").orderBy($"bm25_u6".desc, $"doc_id")
+      val bmTop = TextOps.bm25Scores(s, d)
+        .join(ids.select($"vec_id".as("doc_id")), "doc_id")
+        .join(ids.select($"vec_id".as("q_id")), "q_id")
+        .filter($"doc_id" =!= $"q_id")
+        .withColumn("r_text", row_number().over(wb))
+        .filter($"r_text" <= FusionDepth)
+        .select($"q_id", $"doc_id", $"r_text")
+      val q = v.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"))
+      val wc = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      val vecTop = broadcast(q).join(v, $"q_id" =!= $"vec_id")
+        .withColumn("cos", cosine($"q_emb", $"emb"))
+        .withColumn("r_vec", row_number().over(wc))
+        .filter($"r_vec" <= FusionDepth)
+        .select($"q_id", $"vec_id".as("doc_id"), $"r_vec")
+      val wf = Window.partitionBy($"q_id").orderBy($"rrf_u".desc, $"doc_id")
+      bmTop.join(vecTop, Seq("q_id", "doc_id"), "full_outer")
+        .withColumn("rrf_u",
+          coalesce(expr("CAST(1000000000 DIV (r_text + 60) AS BIGINT)"), lit(0L)) +
+            coalesce(expr("CAST(1000000000 DIV (r_vec + 60) AS BIGINT)"), lit(0L)))
+        .withColumn("rank", row_number().over(wf).cast("long"))
+        .filter($"rank" <= TopK)
+        .select($"q_id", $"rank", $"doc_id", $"rrf_u")
+        .orderBy($"q_id", $"rank")
+    }, Some(
+      s"""WITH $vectorsSql,
+         |${TextOps.bm25ScoresSql},
+         |bmtop AS (
+         |  SELECT q_id, doc_id, r_text FROM (
+         |    SELECT sc.q_id, sc.doc_id,
+         |      CAST(row_number() OVER (PARTITION BY sc.q_id
+         |        ORDER BY sc.bm25_u6 DESC, sc.doc_id) AS INT) AS r_text
+         |    FROM sc JOIN v vd ON vd.vec_id = sc.doc_id
+         |      JOIN v vq ON vq.vec_id = sc.q_id
+         |    WHERE sc.doc_id <> sc.q_id)
+         |  WHERE r_text <= $FusionDepth),
+         |vectop AS (
+         |  SELECT q_id, doc_id, r_vec FROM (
+         |    SELECT q.vec_id AS q_id, n.vec_id AS doc_id,
+         |      CAST(row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.emb, n.emb) DESC, n.vec_id) AS INT) AS r_vec
+         |    FROM v q JOIN v n ON q.vec_id % 100 = 0 AND n.vec_id <> q.vec_id)
+         |  WHERE r_vec <= $FusionDepth),
+         |fused AS (
+         |  SELECT coalesce(b.q_id, x.q_id) AS q_id,
+         |    coalesce(b.doc_id, x.doc_id) AS doc_id,
+         |    coalesce(1000000000 // (b.r_text + 60), 0)
+         |      + coalesce(1000000000 // (x.r_vec + 60), 0) AS rrf_u
+         |  FROM bmtop b FULL OUTER JOIN vectop x
+         |    ON b.q_id = x.q_id AND b.doc_id = x.doc_id)
+         |SELECT q_id, rank, doc_id, CAST(rrf_u AS BIGINT) AS rrf_u FROM (
+         |  SELECT q_id, doc_id, rrf_u,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rrf_u DESC, doc_id) AS BIGINT) AS rank
+         |  FROM fused)
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
 
     // ---- LSH bucket table: the index itself (vec_id, table, signature).

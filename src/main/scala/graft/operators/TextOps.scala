@@ -411,51 +411,14 @@ object TextOps {
     ("text_bm25_topk", (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val doc = Tables.documents(s, d)
-      val tf = doc.select($"doc_id", explode(tokens($"text")).as("term"))
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val dfx = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      val dl = doc.select($"doc_id", size(tokens($"text")).cast("long").as("dl"))
-      val st = dl.agg(count(lit(1)).as("n_docs"),
-        (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
-      val q = doc.filter($"doc_id" % 100 === 0)
-        .select($"doc_id".as("q_id"),
-          explode(array_distinct(slice(tokens($"text"), 1, 4))).as("term"))
-      // query volume scales with the corpus — no broadcast hint (planner's
-      // threshold call), same convention as the shingle-index joins
-      val scored = tf.join(q, "term").join(dfx, "term").join(dl, "doc_id")
-        .crossJoin(broadcast(st))
-        .withColumn("idf", log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
-        .withColumn("tfw",
-          $"tf" * 2.2 / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
-        .withColumn("c_u6", floor($"idf" * $"tfw" * 1000000).cast("long"))
-        .groupBy($"q_id", $"doc_id").agg(sum($"c_u6").as("bm25_u6"))
       val w = Window.partitionBy($"q_id").orderBy($"bm25_u6".desc, $"doc_id")
-      scored.withColumn("rank", row_number().over(w).cast("long"))
+      bm25Scores(s, d)
+        .withColumn("rank", row_number().over(w).cast("long"))
         .filter($"rank" <= 5)
         .select($"q_id", $"rank", $"doc_id", $"bm25_u6")
         .orderBy($"q_id", $"rank")
     }, Some {
-      val t = tokensSql("text")
-      s"""WITH tf AS (
-         |  SELECT doc_id, term, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest($t) AS term FROM documents)
-         |  GROUP BY doc_id, term),
-         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |dl AS (SELECT doc_id, CAST(len($t) AS BIGINT) AS dl FROM documents),
-         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         |q AS (
-         |  SELECT doc_id AS q_id, unnest(list_distinct(($t)[1:4])) AS term
-         |  FROM documents WHERE doc_id % 100 = 0),
-         |sc AS (
-         |  SELECT q.q_id, tf.doc_id,
-         |    CAST(sum(CAST(floor(
-         |      ln(1.0 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
-         |      * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
-         |      * 1000000) AS BIGINT)) AS BIGINT) AS bm25_u6
-         |  FROM tf JOIN q USING (term) JOIN dfx USING (term)
-         |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
-         |  GROUP BY 1, 2)
+      s"""WITH $bm25ScoresSql
          |SELECT q_id, rank, doc_id, bm25_u6 FROM (
          |  SELECT q_id, doc_id, bm25_u6,
          |    CAST(row_number() OVER (PARTITION BY q_id
@@ -1045,6 +1008,64 @@ object TextOps {
          |  FROM s$k, m$k m)""".stripMargin
     }
     (Seq(head) ++ iters).mkString(",\n")
+  }
+
+  /** BM25 scoring chain (Robertson k1=1.2, b=0.75, Lucene idf) shared by
+    * text_bm25_topk and the hybrid fusion in Similarity: (q_id, doc_id,
+    * bm25_u6) for every (derived query, doc sharing >= 1 term) pair.
+    * Derived queries = first-4-token prefix of every 100th doc. Per-term
+    * contributions are floor-quantized to integer micro-units BEFORE the
+    * sum — each is a pure scalar of (tf, df, dl, N, avgdl) with avgdl one
+    * exact-integer division, so the order-free integer sum is bit-stable
+    * under any partitioning (the PageRank quantization argument).
+    */
+  private[operators] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val doc = Tables.documents(s, d)
+    val tf = doc.select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val dl = doc.select($"doc_id", size(tokens($"text")).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"),
+      (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+    val q = doc.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("q_id"),
+        explode(array_distinct(slice(tokens($"text"), 1, 4))).as("term"))
+    // query volume scales with the corpus — no broadcast hint (planner's
+    // threshold call), same convention as the shingle-index joins
+    tf.join(q, "term").join(dfx, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("idf", log(lit(1.0) + ($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
+      .withColumn("tfw",
+        $"tf" * 2.2 / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+      .withColumn("c_u6", floor($"idf" * $"tfw" * 1000000).cast("long"))
+      .groupBy($"q_id", $"doc_id").agg(sum($"c_u6").as("bm25_u6"))
+  }
+
+  /** Oracle twin of [[bm25Scores]]: CTE chain tf/dfx/dl/st/q ending at
+    * `sc(q_id, doc_id, bm25_u6)`.
+    */
+  private[operators] def bm25ScoresSql: String = {
+    val t = tokensSql("text")
+    s"""tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($t) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |dl AS (SELECT doc_id, CAST(len($t) AS BIGINT) AS dl FROM documents),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |q AS (
+       |  SELECT doc_id AS q_id, unnest(list_distinct(($t)[1:4])) AS term
+       |  FROM documents WHERE doc_id % 100 = 0),
+       |sc AS (
+       |  SELECT q.q_id, tf.doc_id,
+       |    CAST(sum(CAST(floor(
+       |      ln(1.0 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+       |      * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
+       |      * 1000000) AS BIGINT)) AS BIGINT) AS bm25_u6
+       |  FROM tf JOIN q USING (term) JOIN dfx USING (term)
+       |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+       |  GROUP BY 1, 2)""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
