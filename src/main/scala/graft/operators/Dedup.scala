@@ -604,15 +604,7 @@ object Dedup {
     // shape). The oracle recomputes components via a recursive CTE.
     ("dedup_clusters", (s, d) => {
       import s.implicits._
-      val arrays = shingleStringArrays(corpus(s, d)).cache()
-      val verified = minhashCandidates(bandTable(arrays))
-        .join(arrays.select($"doc_id".as("id1"), $"ts".as("ts1")), "id1")
-        .join(arrays.select($"doc_id".as("id2"), $"ts".as("ts2")), "id2")
-        .withColumn("common", size(array_intersect($"ts1", $"ts2")))
-        .withColumn("jaccard", round($"common" / (size($"ts1") + size($"ts2") - $"common"), 4))
-        .filter($"jaccard" >= 0.5)
-        .select($"id1", $"id2")
-      val labels = connectedComponents(verified)
+      val labels = connectedComponents(verifiedPairs(s, d))
       val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "comp")
         .select($"id".as("doc_id"), $"comp".as("cluster_id"), $"cluster_size")
@@ -683,15 +675,7 @@ object Dedup {
     // graph (sub-quadratic) and everything else is a map-side hash.
     ("pipeline_leakage_safe_split", (s, d) => {
       import s.implicits._
-      val arrays = shingleStringArrays(corpus(s, d)).cache()
-      val verified = minhashCandidates(bandTable(arrays))
-        .join(arrays.select($"doc_id".as("id1"), $"ts".as("ts1")), "id1")
-        .join(arrays.select($"doc_id".as("id2"), $"ts".as("ts2")), "id2")
-        .withColumn("common", size(array_intersect($"ts1", $"ts2")))
-        .withColumn("jaccard", round($"common" / (size($"ts1") + size($"ts2") - $"common"), 4))
-        .filter($"jaccard" >= 0.5)
-        .select($"id1", $"id2")
-      val labels = connectedComponents(verified)
+      val labels = connectedComponents(verifiedPairs(s, d))
         .select($"id".as("doc_id"), $"comp")
       val h = md5($"cluster_key".cast("string"))
       corpus(s, d).select($"doc_id")

@@ -451,7 +451,7 @@ object Streaming {
     docs
       .flatMap { d =>
         Dedup.bandKeysJvm(Dedup.shingleArrayJvm(d.text))
-          .map { case (band, bkey) => (band + "|" + bkey, d.docId) }
+          .map { case (band, bkey) => (s"$band|$bkey", d.docId) }
       }
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
