@@ -664,6 +664,50 @@ object Dedup {
          |FROM comp c JOIN sizes s USING (cluster_id) ORDER BY doc_id""".stripMargin
     }),
 
+    // ---- INCREMENTAL cluster maintenance: when a new batch lands on an
+    // already-clustered corpus, don't re-cluster the world — contract
+    // yesterday's components to their star edges (member → root, O(nodes)
+    // rows), union the delta edges (pairs touching a new doc), and re-run
+    // the log-round CC on that much smaller graph. Star contraction
+    // preserves component minima (the root IS the min), so the result is
+    // IDENTICAL to a full recompute — enforced here by judging against
+    // dedup_clusters' exact oracle verbatim, with the derived corpus's
+    // replica ids (>= 100000) playing the new batch. At 100 TB the
+    // "existing" term is a stored label table, the delta is the new
+    // batch's LSH pass, and the rerun graph is |nodes| + |delta| edges
+    // instead of the full historical pair set.
+    ("dedup_cc_incremental", (s, d) => {
+      import s.implicits._
+      val pairs = verifiedPairs(s, d).cache()
+      val existing = pairs.filter($"id1" < 100000 && $"id2" < 100000)
+      val delta = pairs.filter($"id1" >= 100000 || $"id2" >= 100000)
+      val starEdges = ccBigStar(existing).filter($"id" =!= $"comp")
+        .select($"id".as("id1"), $"comp".as("id2"))
+      val labels = ccBigStar(starEdges.unionByName(delta))
+      val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "comp")
+        .select($"id".as("doc_id"), $"comp".as("cluster_id"), $"cluster_size")
+        .orderBy($"doc_id")
+    }, Some {
+      s"""WITH RECURSIVE $corpusSql,
+         |${minhashSql("corpus", "")},
+         |ver AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT c.id1, c.id2,
+         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
+         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ver UNION ALL SELECT id2, id1 FROM ver),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+         |SELECT c.id AS doc_id, c.cluster_id, s.cluster_size
+         |FROM comp c JOIN sizes s USING (cluster_id) ORDER BY doc_id""".stripMargin
+    }),
+
     // ---- leakage-safe train/test split: the split hash is keyed on the
     // NEAR-DUP CLUSTER canonical (min id of the verified component,
     // falling back to the doc's own id for singletons), not the doc id —

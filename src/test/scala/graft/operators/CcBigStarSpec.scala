@@ -96,4 +96,29 @@ class CcBigStarSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq.sorted
     assert(a.nonEmpty && a == b)
   }
+
+  test("incremental star-contraction CC equals the full recompute on real data") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val inc = graft.SparkEntry.queries("dedup_cc_incremental")(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val full = graft.SparkEntry.queries("dedup_clusters")(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(inc.nonEmpty && inc == full)
+    // the derived corpus genuinely exercises the incremental path: there
+    // must be clusters spanning old (< 100000) and new (>= 100000) ids
+    val byCluster = inc.groupBy(_._2)
+    assert(byCluster.exists { case (_, ms) =>
+      ms.exists(_._1 < 100000) && ms.exists(_._1 >= 100000)
+    }, "no cluster spans the old corpus and the new batch — the delta union did nothing")
+  }
+
+  test("incremental CC on synthetic graphs: delta merging two old components") {
+    // old: {0,1} and {10,11}; delta: new node 100000 bridges both
+    val existing = Seq(0L -> 1L, 10L -> 11L)
+    val delta = Seq(1L -> 100000L, 100000L -> 11L)
+    val got = labelsOf(existing ++ delta)
+    assert(Seq(0L, 1L, 10L, 11L, 100000L).forall(got(_) == 0L),
+      s"bridged components must collapse to min 0: $got")
+  }
 }
