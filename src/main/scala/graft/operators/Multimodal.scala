@@ -71,6 +71,88 @@ object Multimodal {
     out
   }
 
+  /** pHash near-dup pairs (id1, id2, hamming <= 3) over the planted image
+    * corpus — the banded-LSH + hamming-verify pipeline shared by
+    * mm_phash_pairs and mm_phash_clusters. Exact by pigeonhole: hamming
+    * <= 3 across 4 bands forces at least one equal 16-bit band.
+    */
+  private def phashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = graft.Tables.documents(s, d)
+      .select($"doc_id", $"text").filter($"doc_id" % 3 === 0)
+    val pm = base
+      .unionByName(base.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 144000).as("doc_id"), $"text"))
+      .unionByName(base.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 288000).as("doc_id"),
+          concat(lit("X"), $"text".substr(lit(2), length($"text"))).as("text")))
+    val ah = pm.select($"doc_id",
+        encode($"text", "UTF-8").as("content"),
+        (lit(64) + ($"doc_id" % 16) * 16).cast("int").as("width"),
+        (lit(64) + ($"doc_id" % 9) * 16).cast("int").as("height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions(_.map { case (id, c, w, h) =>
+        val t = resizeStub(c, w, h)
+        var sum = 0L; var i = 0
+        while (i < t.length) { sum += (t(i) & 0xff); i += 1 }
+        var lo = 0L; var hi = 0L
+        i = 0
+        while (i < 32) { if (64L * (t(i) & 0xff) > sum) lo |= 1L << i; i += 1 }
+        while (i < 64) { if (64L * (t(i) & 0xff) > sum) hi |= 1L << (i - 32); i += 1 }
+        (id, lo, hi)
+      })
+      .toDF("doc_id", "lo", "hi")
+      .cache() // read by the band join (twice) + hamming verify (Bench clears)
+    val bands = ah.select($"doc_id", posexplode(array(
+      $"lo".bitwiseAND(lit(65535L)), shiftright($"lo", 16).bitwiseAND(lit(65535L)),
+      $"hi".bitwiseAND(lit(65535L)), shiftright($"hi", 16).bitwiseAND(lit(65535L)))))
+      .toDF("doc_id", "b", "bval")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
+    cand
+      .join(ah.select($"doc_id".as("id1"), $"lo".as("lo1"), $"hi".as("hi1")), "id1")
+      .join(ah.select($"doc_id".as("id2"), $"lo".as("lo2"), $"hi".as("hi2")), "id2")
+      .select($"id1", $"id2",
+        (bit_count($"lo1".bitwiseXOR($"lo2")) +
+          bit_count($"hi1".bitwiseXOR($"hi2"))).cast("long").as("hamming"))
+      .filter($"hamming" <= 3)
+  }
+
+  /** Oracle twin of [[phashPairs]]: CTE chain pm/px/ah/bands/cand ending at
+    * `ham(id1, id2, hamming)` (unfiltered — callers apply the <= 3 cut).
+    */
+  private def phashHamSql: String = {
+    val pos = s"CAST((((i // $ThumbW) * (64 + (doc_id % 9) * 16) // $ThumbH) * (64 + (doc_id % 16) * 16) " +
+      s"+ ((i % $ThumbW) * (64 + (doc_id % 16) * 16) // $ThumbW)) % length(text) AS INT) + 1"
+    s"""pm AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id + 144000, text FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+       |  UNION ALL SELECT doc_id + 288000, 'X' || substr(text, 2) FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 = 0),
+       |px AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, ${ThumbW * ThumbH}), i -> ascii(substr(text, $pos, 1))) AS pix
+       |  FROM pm),
+       |ah AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN 64 * pix[i+1] > list_sum(pix) THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS lo,
+       |    CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN 64 * pix[i+33] > list_sum(pix) THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hi
+       |  FROM px),
+       |bands AS (
+       |  SELECT doc_id, lo, hi, b,
+       |    CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+       |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bval
+       |  FROM ah, (SELECT unnest(range(0, 4)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id),
+       |ham AS (
+       |  SELECT c.id1, c.id2,
+       |    CAST(bit_count(xor(a1.lo, a2.lo)) + bit_count(xor(a1.hi, a2.hi)) AS BIGINT) AS hamming
+       |  FROM cand c JOIN ah a1 ON a1.doc_id = c.id1 JOIN ah a2 ON a2.doc_id = c.id2)""".stripMargin
+  }
+
   /** Media table derived from documents: media_type cycles by doc_id,
     * metadata is arithmetic on (doc_id, n_chars) — all oracle-computable.
     *
@@ -349,78 +431,41 @@ object Multimodal {
     // exact copies (+144000) and one-char edits (+288000) of image docs;
     // both offsets are ≡ 0 mod 144 = lcm(16,9)·
     // — width/height derive from doc_id so copies keep their dims.
-    ("mm_phash_pairs", (s, d) => {
-      import s.implicits._
-      val base = graft.Tables.documents(s, d)
-        .select($"doc_id", $"text").filter($"doc_id" % 3 === 0)
-      val pm = base
-        .unionByName(base.filter($"doc_id" % 5 === 0)
-          .select(($"doc_id" + 144000).as("doc_id"), $"text"))
-        .unionByName(base.filter($"doc_id" % 7 === 0)
-          .select(($"doc_id" + 288000).as("doc_id"),
-            concat(lit("X"), $"text".substr(lit(2), length($"text"))).as("text")))
-      val ah = pm.select($"doc_id",
-          encode($"text", "UTF-8").as("content"),
-          (lit(64) + ($"doc_id" % 16) * 16).cast("int").as("width"),
-          (lit(64) + ($"doc_id" % 9) * 16).cast("int").as("height"))
-        .as[(Long, Array[Byte], Int, Int)]
-        .mapPartitions(_.map { case (id, c, w, h) =>
-          val t = resizeStub(c, w, h)
-          var sum = 0L; var i = 0
-          while (i < t.length) { sum += (t(i) & 0xff); i += 1 }
-          var lo = 0L; var hi = 0L
-          i = 0
-          while (i < 32) { if (64L * (t(i) & 0xff) > sum) lo |= 1L << i; i += 1 }
-          while (i < 64) { if (64L * (t(i) & 0xff) > sum) hi |= 1L << (i - 32); i += 1 }
-          (id, lo, hi)
-        })
-        .toDF("doc_id", "lo", "hi")
-        .cache() // read by the band join (twice) + hamming verify (Bench clears)
-      val bands = ah.select($"doc_id", posexplode(array(
-        $"lo".bitwiseAND(lit(65535L)), shiftright($"lo", 16).bitwiseAND(lit(65535L)),
-        $"hi".bitwiseAND(lit(65535L)), shiftright($"hi", 16).bitwiseAND(lit(65535L)))))
-        .toDF("doc_id", "b", "bval")
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.b") === col("y.b") && col("x.bval") === col("y.bval") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
-      cand
-        .join(ah.select($"doc_id".as("id1"), $"lo".as("lo1"), $"hi".as("hi1")), "id1")
-        .join(ah.select($"doc_id".as("id2"), $"lo".as("lo2"), $"hi".as("hi2")), "id2")
-        .select($"id1", $"id2",
-          (bit_count($"lo1".bitwiseXOR($"lo2")) +
-            bit_count($"hi1".bitwiseXOR($"hi2"))).cast("long").as("hamming"))
-        .filter($"hamming" <= 3)
-        .orderBy($"id1", $"id2")
-    }, Some {
-      val pos = s"CAST((((i // $ThumbW) * (64 + (doc_id % 9) * 16) // $ThumbH) * (64 + (doc_id % 16) * 16) " +
-        s"+ ((i % $ThumbW) * (64 + (doc_id % 16) * 16) // $ThumbW)) % length(text) AS INT) + 1"
-      s"""WITH pm AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
-         |  UNION ALL SELECT doc_id + 144000, text FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
-         |  UNION ALL SELECT doc_id + 288000, 'X' || substr(text, 2) FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 = 0),
-         |px AS (
-         |  SELECT doc_id,
-         |    list_transform(range(0, ${ThumbW * ThumbH}), i -> ascii(substr(text, $pos, 1))) AS pix
-         |  FROM pm),
-         |ah AS (
-         |  SELECT doc_id,
-         |    CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN 64 * pix[i+1] > list_sum(pix) THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS lo,
-         |    CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN 64 * pix[i+33] > list_sum(pix) THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS hi
-         |  FROM px),
-         |bands AS (
-         |  SELECT doc_id, lo, hi, b,
-         |    CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
-         |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bval
-         |  FROM ah, (SELECT unnest(range(0, 4)) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id),
-         |ham AS (
-         |  SELECT c.id1, c.id2,
-         |    CAST(bit_count(xor(a1.lo, a2.lo)) + bit_count(xor(a1.hi, a2.hi)) AS BIGINT) AS hamming
-         |  FROM cand c JOIN ah a1 ON a1.doc_id = c.id1 JOIN ah a2 ON a2.doc_id = c.id2)
+    ("mm_phash_pairs", (s, d) =>
+      phashPairs(s, d).orderBy(col("id1"), col("id2")), Some {
+      s"""WITH $phashHamSql
          |SELECT id1, id2, hamming FROM ham WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin
+    }),
+
+    // ---- image near-dup CLUSTERS: the step after pair detection — group
+    // the pHash hamming <= 3 graph into components (a gallery keeps ONE
+    // image per cluster; pair lists double-count transitively-connected
+    // edit chains, the same argument as dedup_clusters). Components run on
+    // the log-round large/small-star CC shared with the text side — one
+    // algorithm for every near-dup graph in the engine, whatever the
+    // modality. Oracle recomputes the pair graph and components via the
+    // recursive CTE, so Spark's banded candidate generation, hamming
+    // verify, AND the star alternation must all agree with the exact SQL.
+    ("mm_phash_clusters", (s, d) => {
+      import s.implicits._
+      val labels = Dedup.ccBigStar(
+        phashPairs(s, d).filter($"hamming" <= 3).select($"id1", $"id2"))
+      val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "comp")
+        .select($"id".as("doc_id"), $"comp".as("cluster_id"), $"cluster_size")
+        .orderBy($"doc_id")
+    }, Some {
+      s"""WITH RECURSIVE $phashHamSql,
+         |ver AS (SELECT id1, id2 FROM ham WHERE hamming <= 3),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ver UNION ALL SELECT id2, id1 FROM ver),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+         |SELECT c.id AS doc_id, c.cluster_id, s.cluster_size
+         |FROM comp c JOIN sizes s USING (cluster_id) ORDER BY doc_id""".stripMargin
     }),
 
     // ---- frame-level redundancy: per video, how many sampled frames are

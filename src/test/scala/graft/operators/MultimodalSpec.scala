@@ -94,4 +94,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.nonEmpty, "sf0.001 corpus must yield at least one speech segment")
     assert(got == naive)
   }
+
+  test("phash clusters are consistent with the pair graph and catch planted copies") {
+    import spark.implicits._
+    val pairs = Multimodal.queries("mm_phash_pairs")(spark, sfDir)
+      .select($"id1", $"id2").as[(Long, Long)].collect()
+    val labels = Multimodal.queries("mm_phash_clusters")(spark, sfDir)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert(pairs.nonEmpty && labels.nonEmpty)
+    // every near-dup pair's endpoints share a cluster, labeled by its min member
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a, $b) split across clusters")
+    }
+    labels.groupBy(_._2).foreach { case (cid, ms) =>
+      assert(ms.keys.min == cid, s"cluster $cid not labeled by its min member")
+    }
+    // an exact planted copy (doc_id + 144000) must land with its original
+    assert(pairs.exists { case (a, b) => b == a + 144000 } ||
+      labels.exists { case (id, c) => id >= 144000 && id < 288000 && labels.get(id - 144000).contains(c) },
+      "no planted exact copy clustered with its original")
+  }
 }
