@@ -268,6 +268,43 @@ object PipelineOps {
         |                         WHERE c_mktsegment = 'BUILDING')) AS n_member_orders,
         |  CAST(0 AS BIGINT) AS n_missed, TRUE AS fp_ok""".stripMargin)),
 
+    // ---- schema-on-read JSON ingestion with corrupt-record capture: the
+    // raw-feed half of a 100 TB intake — json lines (derived from the
+    // documents table, with every 97th record deterministically truncated
+    // to a malformed line) land once per JVM in a temp dir, then the query
+    // reads them back through spark.read.json with an EXPLICIT schema and
+    // PERMISSIVE mode, so malformed records surface in _corrupt_record
+    // instead of killing the job or silently vanishing (FAILFAST/DROPMALFORMED
+    // — the two failure modes an unattended ingest cannot afford). Output
+    // buckets rows by lang with corrupt lines in a '_corrupt' bucket; the
+    // oracle recomputes both directly from the source table, so a parser
+    // that dropped or misclassified a single record hash-mismatches. The
+    // explicit schema keeps the scan single-pass (no sampling job) — the
+    // scale-correct way to read semi-structured feeds.
+    ("pipeline_json_ingest", (s, d) => {
+      import s.implicits._
+      val dir = jsonIngestDir(s, d)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+        .select(
+          when($"_corrupt_record".isNotNull, lit("_corrupt")).otherwise($"lang").as("lang"),
+          coalesce($"n_chars", lit(0L)).as("nc"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"), sum($"nc").as("n_chars_total"))
+        .orderBy($"lang")
+    }, Some(
+      """SELECT CASE WHEN doc_id % 97 = 0 THEN '_corrupt' ELSE lang END AS lang,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS n_chars_total
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- decontamination behind a NATIVE bloom prefilter: the eval set's
     // n-gram hashes aggregate into a BloomAgg bitset (16 KB, merge = OR,
     // bit-identical under any partitioning), broadcast as ONE ROW inside
@@ -911,6 +948,27 @@ object PipelineOps {
     */
   private val BloomBits = 1 << 17
   private val BloomK = 4
+
+  /** Once-per-JVM json-lines feed for pipeline_json_ingest: the documents
+    * table as to_json lines, every 97th record truncated by two chars (the
+    * closing quote/brace) into a deterministically malformed line. Setup,
+    * not query work — the same once-per-JVM temp-dir pattern as the
+    * streaming replay wave files.
+    */
+  private val jsonDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def jsonIngestDir(s: SparkSession, d: String): String =
+    jsonDirCache.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_json")
+        .resolve("data").toString
+      val j = to_json(struct($"doc_id", $"lang", $"n_chars"))
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"n_chars")
+        .select(when($"doc_id" % 97 === 0, j.substr(lit(1), length(j) - 2))
+          .otherwise(j).as("value"))
+        .coalesce(4).write.mode("overwrite").text(root)
+      root
+    })
 
   private def decontamSqlTail(cat: String => String): String =
     s"""WITH tr AS (
