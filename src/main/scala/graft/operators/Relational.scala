@@ -1476,6 +1476,42 @@ object Relational {
          |  ${rndSql("quantile_cont(lat_us, 0.5)", 2)} AS med_lat_us,
          |  ${rndSql("quantile_cont(lat_us, 0.9)", 2)} AS p90_lat_us
          |FROM conv GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
+    }),
+
+    // ---- sketch-based quantiles vs exact (the A4 distinct-count pattern
+    // applied to percentiles): exact `percentile` needs a per-group sort of
+    // every value — fine per cohort, impossible corpus-wide at 100 TB —
+    // while `percentile_approx` is Spark's mergeable Greenwald-Khanna-style
+    // sketch with bounded state and a rank-error guarantee of 1/accuracy.
+    // The contract emits the EXACT p50/p90 per lang (DuckDB quantile_cont
+    // parity, the q27/q60-proven shim) plus booleans pinning the sketch
+    // value inside the exact [q−0.01, q+0.01] percentile envelope — 10×
+    // the sketch's 1/1000 design error, so the booleans hold however Spark
+    // partitions or merges the sketch, and the oracle pins them TRUE.
+    ("q61_approx_quantiles", (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 2).as("p90"),
+          expr("percentile_approx(n_chars, 0.5, 1000)").as("a50"),
+          expr("percentile_approx(n_chars, 0.9, 1000)").as("a90"),
+          expr("percentile(n_chars, 0.49)").as("lo50"),
+          expr("percentile(n_chars, 0.51)").as("hi50"),
+          expr("percentile(n_chars, 0.89)").as("lo90"),
+          expr("percentile(n_chars, 0.91)").as("hi90"))
+        .select($"lang", $"n", $"p50", $"p90",
+          ($"a50" >= $"lo50" && $"a50" <= $"hi50").as("a50_ok"),
+          ($"a90" >= $"lo90" && $"a90" <= $"hi90").as("a90_ok"))
+        .orderBy($"lang")
+    }, Some {
+      import graft.operators.Portable.rndSql
+      s"""SELECT lang, count(*) AS n,
+         |  ${rndSql("quantile_cont(n_chars, 0.5)", 2)} AS p50,
+         |  ${rndSql("quantile_cont(n_chars, 0.9)", 2)} AS p90,
+         |  TRUE AS a50_ok, TRUE AS a90_ok
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
     })
   )
 
