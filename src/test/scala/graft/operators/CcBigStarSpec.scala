@@ -83,6 +83,32 @@ class CcBigStarSpec extends AnyFunSuite {
     assert(labelsOf(pairs) == unionFind(pairs))
   }
 
+  test("randomized sweep: sparse/dense/chain-mixed graphs match union-find") {
+    // a small property sweep (fixed seeds — deterministic) across density
+    // regimes: sparse forests, dense near-cliques, and chain-heavy mixes,
+    // the shapes where star-alternation bugs would hide (lost connectivity
+    // in large-star, wrong root orientation in small-star)
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val nNodes = 20 + rnd.nextInt(100)
+      val nEdges = seed % 3 match {
+        case 0 => nNodes / 2 + 1 // sparse: mostly trees + singleton pairs
+        case 1 => nNodes * 3 // dense: big components
+        case _ => nNodes // mixed
+      }
+      val random = Seq.fill(nEdges) {
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        if (a == b) a -> (b + nNodes) else math.min(a, b) -> math.max(a, b)
+      }
+      // splice in a chain segment so every graph has a deep component
+      val off = 1000L + seed * 100
+      val chain = (0 until 10 + seed).map(i => (off + i) -> (off + i + 1))
+      val pairs = (random ++ chain).distinct
+      assert(labelsOf(pairs) == unionFind(pairs), s"divergence at seed $seed")
+    }
+  }
+
   test("empty edge list yields empty labels") {
     assert(labelsOf(Seq.empty).isEmpty)
   }
