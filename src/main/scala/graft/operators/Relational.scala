@@ -1512,7 +1512,38 @@ object Relational {
          |  ${rndSql("quantile_cont(n_chars, 0.9)", 2)} AS p90,
          |  TRUE AS a50_ok, TRUE AS a90_ok
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
-    })
+    }),
+
+    // ---- sketch-COLUMN pre-aggregation: per-shard HyperLogLog sketches
+    // merged downstream (Datasketches HLL: insertion is hash-deterministic
+    // and union is register-wise max — order-free, so the merged estimate
+    // is bit-stable under any shard order). This is the 100 TB manifest
+    // pattern approx_count_distinct (q28) can't express: q28's sketch
+    // lives and dies inside one aggregation, while a sketch COLUMN is
+    // stored per shard/day and unioned later for any rollup without
+    // touching the raw data again. Contract: exact per-type distinct users
+    // (oracle-exact) + the merged-sketch estimate pinned inside ±10% of
+    // exact (the lgK=12 design error is ~1.6%·3σ ≈ 5%, doubled for slack)
+    // — the q28/q46 exact-value + literal-TRUE pattern.
+    ("q62_hll_shard_merge", (s, d) => {
+      import s.implicits._
+      val perShard = Tables.events(s, d)
+        .withColumn("shard", pmod($"event_id", lit(8)))
+        .groupBy($"event_type", $"shard")
+        .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"),
+          count(lit(1)).as("pn"))
+      perShard.groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"),
+          sum($"pn").as("n_events"))
+        .join(Tables.events(s, d).groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("n_exact")), "event_type")
+        .select($"event_type", $"n_events", $"n_exact",
+          (abs($"est" - $"n_exact") <= $"n_exact" * 0.1).as("hll_ok"))
+        .orderBy($"event_type")
+    }, Some(
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
