@@ -1352,8 +1352,72 @@ object Streaming {
       .orderBy(col("doc_id"))
   }
 
+  /** Time-ordered file-source replay of the events table through the
+    * NATIVE `session_window` streaming aggregation (the operator behind
+    * [[sessionStats]]), judged by q20_sessionize_events' batch oracle
+    * VERBATIM. The final wave is a far-future SENTINEL event (reserved
+    * user −1, +10 days): it drives the watermark past every real
+    * session's end + gap, so append mode finalizes ALL real sessions and
+    * the contract needs no open-tail exclusion — the sentinel's own
+    * session is filtered from the judged output. Session ordinals
+    * (q20's session_id) are reconstructed post-replay as the per-user
+    * row_number over session_start — deterministic because session
+    * starts are distinct within a user by the gap rule.
+    *
+    * Why this is deterministic: time-range waves + maxFilesPerTrigger=1
+    * deliver events in event-time order across batches with a lag-one
+    * watermark, so nothing is late and cross-wave sessions merge in
+    * state before eviction; per-session float sums are few-element and
+    * the 2-decimal rounding absorbs summation-order noise (the q29/
+    * entropy argument).
+    */
+  def sessionReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+    val emitted = replayedSink(s, "session:" + d, "graft_session_replay_") { (sink, root) =>
+      val src = waveFiles("events-session:" + d, {
+        val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val width = math.max(1L, (hi - lo) / 8 + 1)
+        val waved = ev.withColumn("wave",
+          ((unix_micros(col("ts")) - lit(lo)) / lit(width)).cast("int"))
+        val sentinel = s.range(1).select(
+          lit(-1L).as("user_id"), lit(-1L).as("event_id"), lit(0.0).as("value"),
+          timestamp_micros(lit(hi + 864000000000L)).as("ts"), lit(9).as("wave"))
+        waved.unionByName(sentinel)
+      })
+      val stream = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+        .withWatermark("ts", "0 seconds")
+      withFewShufflePartitions(s) {
+        val q = stream
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(unix_micros(col("ts"))).as("session_start_us"),
+            max(unix_micros(col("ts"))).as("session_end_us"),
+            round(sum(col("value")), 2).as("total_value"))
+          .select(col("user_id"), col("n_events"), col("session_start_us"),
+            col("session_end_us"), col("total_value"))
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .option("checkpointLocation", root.resolve("chk").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_start_us"))
+    emitted.filter(col("user_id") =!= -1L)
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start_us"), col("session_end_us"), col("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Driver-surfaced streaming queries (SparkEntry contract). */
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "stream_session_replay" -> ((s, d) => sessionReplayContract(s, d)),
     "stream_chunk_replay" -> ((s, d) => chunkReplayContract(s, d)),
     "stream_intake_replay" -> ((s, d) => intakeReplayContract(s, d)),
     "stream_funnel_replay" -> ((s, d) => funnelReplayContract(s, d)),
@@ -1379,6 +1443,9 @@ object Streaming {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS total_len,
         |  TRUE AS stream_eq_batch
         |FROM documents ORDER BY doc_id""".stripMargin,
+      // the session replay must reproduce q20's batch sessionization
+      // VERBATIM — share its oracle text so the two contracts cannot drift
+      "stream_session_replay" -> graft.operators.Relational.oracleSql("q20_sessionize_events"),
       // the funnel replay must reproduce q51's batch truth VERBATIM — share
       // its oracle text so the two contracts can never drift apart
       "stream_funnel_replay" -> graft.operators.Relational.oracleSql("q51_funnel"),
