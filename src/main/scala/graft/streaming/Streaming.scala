@@ -1415,8 +1415,53 @@ object Streaming {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Time-ordered file-source replay of the events table through the
+    * canonical tumbling-window aggregation ([[windowedEventStats]]'s
+    * operator), judged by q21_hourly_event_stats' batch oracle VERBATIM.
+    * Same sentinel-flush design as the session replay: the far-future
+    * final wave pushes the watermark past every real hour, so append mode
+    * emits ALL real windows and the sentinel's own window is filtered
+    * out. Hour buckets are exact integer truncations and per-bucket float
+    * sums round at 2 decimals (the q29 argument), so the emitted set is
+    * hash-identical to the batch group-by.
+    */
+  def hourlyReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts"))
+    val emitted = replayedSink(s, "hourly:" + d, "graft_hourly_replay_") { (sink, root) =>
+      val src = waveFiles("events-hourly:" + d, {
+        val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val width = math.max(1L, (hi - lo) / 8 + 1)
+        val waved = ev.withColumn("wave",
+          ((unix_micros(col("ts")) - lit(lo)) / lit(width)).cast("int"))
+        val sentinel = s.range(1).select(
+          lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"),
+          timestamp_micros(lit(hi + 864000000000L)).as("ts"), lit(9).as("wave"))
+        waved.unionByName(sentinel)
+      })
+      val stream = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+      withFewShufflePartitions(s) {
+        val q = windowedEventStats(stream, "ts", "1 hour", "0 seconds")
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .option("checkpointLocation", root.resolve("chk").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    emitted.filter(col("event_type") =!= "sentinel")
+      .select(unix_micros(col("window_start")).as("hour_us"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("hour_us"), col("event_type"))
+  }
+
   /** Driver-surfaced streaming queries (SparkEntry contract). */
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "stream_hourly_replay" -> ((s, d) => hourlyReplayContract(s, d)),
     "stream_session_replay" -> ((s, d) => sessionReplayContract(s, d)),
     "stream_chunk_replay" -> ((s, d) => chunkReplayContract(s, d)),
     "stream_intake_replay" -> ((s, d) => intakeReplayContract(s, d)),
@@ -1446,6 +1491,9 @@ object Streaming {
       // the session replay must reproduce q20's batch sessionization
       // VERBATIM — share its oracle text so the two contracts cannot drift
       "stream_session_replay" -> graft.operators.Relational.oracleSql("q20_sessionize_events"),
+      // the tumbling-window replay must reproduce q21's batch hourly stats
+      // VERBATIM — shared text, same no-drift argument
+      "stream_hourly_replay" -> graft.operators.Relational.oracleSql("q21_hourly_event_stats"),
       // the funnel replay must reproduce q51's batch truth VERBATIM — share
       // its oracle text so the two contracts can never drift apart
       "stream_funnel_replay" -> graft.operators.Relational.oracleSql("q51_funnel"),
