@@ -1543,7 +1543,68 @@ object Relational {
     }, Some(
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- binned interval join: events matched into time windows (derived
+    // maintenance windows: per type, 5 slots of 1/20 of the ts range). The
+    // naive formulation is a BETWEEN-predicate join — with only a coarse
+    // equality key it degenerates to a nested-loop multiplied by the hot
+    // key, the classic range-join cliff at scale. The scale shape used
+    // here: pick a bucket width, EXPLODE each interval into the buckets it
+    // covers (bounded fan-out: interval length / width + 1), equi-join
+    // events on (type, bucket), then apply the exact containment filter —
+    // a plain shuffled hash join whose key cardinality the bucket width
+    // controls. All window arithmetic is exact integer microseconds, so
+    // the derived intervals are bit-identical in both engines; the oracle
+    // is the naive BETWEEN join (DuckDB's IEJoin handles it fine at
+    // oracle scale).
+    ("q63_interval_bin_join", (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_type", unix_micros($"ts").as("ts_us"), $"value")
+      // `div` throughout: Spark's `/` on longs is DOUBLE division, and a
+      // float quotient of microsecond magnitudes can land off-by-one after
+      // floor — integer div keeps every boundary exact in both engines
+      val st = ev.groupBy($"event_type")
+        .agg(min($"ts_us").as("lo"), max($"ts_us").as("hi"))
+        .withColumn("width", expr("(hi - lo) div 40 + 1"))
+      val iv2 = st.select($"event_type", $"lo", $"hi", $"width",
+          explode(sequence(lit(0L), lit(4L))).as("k"))
+        .withColumn("ws", expr("lo + k * ((hi - lo) div 5)"))
+        .withColumn("we", expr("ws + (hi - lo) div 20 + 1"))
+      val ivBuckets = iv2.select($"event_type", $"k", $"ws", $"we", $"lo", $"width",
+          explode(sequence(expr("(ws - lo) div width"),
+            expr("(we - 1 - lo) div width"))).as("bucket"))
+      val evBuckets = ev.join(broadcast(st.select($"event_type", $"lo", $"width")), "event_type")
+        .withColumn("bucket", expr("(ts_us - lo) div width"))
+      val matched = evBuckets.join(ivBuckets.select($"event_type", $"k", $"ws", $"we", $"bucket"),
+          Seq("event_type", "bucket"))
+        .filter($"ts_us" >= $"ws" && $"ts_us" < $"we")
+        .groupBy($"event_type", $"k")
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+      iv2.select($"event_type", $"k")
+        .join(matched, Seq("event_type", "k"), "left")
+        .select($"event_type", $"k",
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          coalesce($"total_value", lit(0.0)).as("total_value"))
+        .orderBy($"event_type", $"k")
+    }, Some {
+      import graft.operators.Portable.rndSql
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+         |st AS (SELECT event_type, min(ts_us) AS lo, max(ts_us) AS hi FROM ev GROUP BY 1),
+         |iv AS (
+         |  SELECT event_type, k, lo + k * ((hi - lo) // 5) AS ws,
+         |    lo + k * ((hi - lo) // 5) + (hi - lo) // 20 + 1 AS we
+         |  FROM st, (SELECT unnest(range(0, 5)) AS k)),
+         |m AS (
+         |  SELECT i.event_type, i.k, count(e.ts_us) AS n_events,
+         |    ${rndSql("coalesce(sum(e.value), 0.0)", 2)} AS total_value
+         |  FROM iv i LEFT JOIN ev e
+         |    ON e.event_type = i.event_type AND e.ts_us >= i.ws AND e.ts_us < i.we
+         |  GROUP BY 1, 2)
+         |SELECT event_type, CAST(k AS BIGINT) AS k, n_events, total_value
+         |FROM m ORDER BY event_type, k""".stripMargin
+    })
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
