@@ -1425,22 +1425,35 @@ object Streaming {
     * sums round at 2 decimals (the q29 argument), so the emitted set is
     * hash-identical to the batch group-by.
     */
-  def hourlyReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val ev = graft.Tables.events(s, d)
+  /** Raw-schema events table (user_id, event_id, event_type, value, ts). */
+  private def rawEvents(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts"))
+
+  /** Shared raw-schema time-range waves (8 slices + a far-future sentinel
+    * row in a 9th wave) for the hourly-window and attribution replays.
+    * The sentinel flushes watermark-finalized state for the window
+    * contract and is inert for the eager inner join.
+    */
+  private def rawEventWaves(s: org.apache.spark.sql.SparkSession, d: String): java.nio.file.Path =
+    waveFiles("events-raw:" + d, {
+      val ev = rawEvents(s, d)
+      val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val width = math.max(1L, (hi - lo) / 8 + 1)
+      val waved = ev.withColumn("wave",
+        ((unix_micros(col("ts")) - lit(lo)) / lit(width)).cast("int"))
+      val sentinel = s.range(1).select(
+        lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value"),
+        timestamp_micros(lit(hi + 864000000000L)).as("ts"), lit(9).as("wave"))
+      waved.unionByName(sentinel)
+    })
+
+  def hourlyReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val ev = rawEvents(s, d)
     val emitted = replayedSink(s, "hourly:" + d, "graft_hourly_replay_") { (sink, root) =>
-      val src = waveFiles("events-hourly:" + d, {
-        val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-        val (lo, hi) = (r.getLong(0), r.getLong(1))
-        val width = math.max(1L, (hi - lo) / 8 + 1)
-        val waved = ev.withColumn("wave",
-          ((unix_micros(col("ts")) - lit(lo)) / lit(width)).cast("int"))
-        val sentinel = s.range(1).select(
-          lit(-1L).as("user_id"), lit(-1L).as("event_id"),
-          lit("sentinel").as("event_type"), lit(0.0).as("value"),
-          timestamp_micros(lit(hi + 864000000000L)).as("ts"), lit(9).as("wave"))
-        waved.unionByName(sentinel)
-      })
+      val src = rawEventWaves(s, d)
       val stream = s.readStream
         .schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1459,8 +1472,45 @@ object Streaming {
       .orderBy(col("hour_us"), col("event_type"))
   }
 
+  /** Time-ordered file-source replay through [[purchaseAttribution]] — the
+    * STREAM-STREAM inner join with event-time bounds on both sides (the
+    * remaining Structured Streaming operator family without a driver
+    * contract). Judged by the plain batch self-join oracle: each purchase
+    * matched to the same user's signups within the preceding hour.
+    *
+    * Why the emitted set is exactly the batch join: waves arrive in
+    * event-time order with a lag-one watermark, and the 2-hour watermark
+    * delay means a signup's state survives until every event <= s_ts + 3h
+    * has arrived — which includes every purchase inside its 1-hour match
+    * window — so no qualifying pair is evicted before it matches, and an
+    * inner join emits eagerly (no finalization wait, the sentinel is
+    * inert). Pairs are unique by (purchase_id, signup_id), so the set
+    * comparison is order-free.
+    */
+  def attributionReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val ev = rawEvents(s, d)
+    val emitted = replayedSink(s, "attr:" + d, "graft_attr_replay_") { (sink, root) =>
+      val src = rawEventWaves(s, d)
+      val stream = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+      withFewShufflePartitions(s) {
+        val q = purchaseAttribution(stream, "ts", "1 hour", "2 hours")
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .option("checkpointLocation", root.resolve("chk").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    emitted.select(col("user_id"), col("purchase_id"), col("signup_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"), unix_micros(col("s_ts")).as("s_ts_us"))
+      .orderBy(col("user_id"), col("purchase_id"), col("signup_id"))
+  }
+
   /** Driver-surfaced streaming queries (SparkEntry contract). */
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "stream_attribution_replay" -> ((s, d) => attributionReplayContract(s, d)),
     "stream_hourly_replay" -> ((s, d) => hourlyReplayContract(s, d)),
     "stream_session_replay" -> ((s, d) => sessionReplayContract(s, d)),
     "stream_chunk_replay" -> ((s, d) => chunkReplayContract(s, d)),
@@ -1494,6 +1544,17 @@ object Streaming {
       // the tumbling-window replay must reproduce q21's batch hourly stats
       // VERBATIM — shared text, same no-drift argument
       "stream_hourly_replay" -> graft.operators.Relational.oracleSql("q21_hourly_event_stats"),
+      // the stream-stream join's emitted pairs must equal the batch
+      // self-join: purchases matched to same-user signups in the
+      // preceding hour
+      "stream_attribution_replay" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, s.event_id AS signup_id,
+        |  epoch_us(p.ts) AS p_ts_us, epoch_us(s.ts) AS s_ts_us
+        |FROM events p JOIN events s
+        |  ON s.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        |  AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY p.user_id, purchase_id, signup_id""".stripMargin,
       // the funnel replay must reproduce q51's batch truth VERBATIM — share
       // its oracle text so the two contracts can never drift apart
       "stream_funnel_replay" -> graft.operators.Relational.oracleSql("q51_funnel"),
