@@ -268,6 +268,29 @@ object PipelineOps {
         |                         WHERE c_mktsegment = 'BUILDING')) AS n_member_orders,
         |  CAST(0 AS BIGINT) AS n_missed, TRUE AS fp_ok""".stripMargin)),
 
+    // ---- partitioned write + partition-pruned read: the layout half of
+    // the 100 TB story. The corpus lands once per JVM as parquet
+    // partitioned by lang (hive-style lang=xx/ directories — the layout a
+    // curation pipeline publishes so downstream consumers can prune); the
+    // query then reads it back with a lang predicate, which Spark resolves
+    // at PLANNING time against the directory listing (PartitionFilters in
+    // the scan, pinned by PlanQualitySpec) — non-matching partitions are
+    // never opened, let alone read. The oracle recomputes the same
+    // aggregate from the source table, so a row lost or duplicated through
+    // the write/read round-trip hash-mismatches.
+    ("pipeline_partitioned_prune", (s, d) => {
+      import s.implicits._
+      s.read.parquet(partitionedCorpus(s, d))
+        .filter($"lang".isin("en", "de"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars_total"))
+        .orderBy($"lang")
+    }, Some(
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ---- schema-on-read JSON ingestion with corrupt-record capture: the
     // raw-feed half of a 100 TB intake — json lines (derived from the
     // documents table, with every 97th record deterministically truncated
@@ -948,6 +971,21 @@ object PipelineOps {
     */
   private val BloomBits = 1 << 17
   private val BloomK = 4
+
+  /** Once-per-JVM lang-partitioned parquet layout of the documents table
+    * (hive-style lang=xx/ dirs) for pipeline_partitioned_prune. Setup, not
+    * query work — the jsonIngestDir pattern.
+    */
+  private val partitionedDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[operators] def partitionedCorpus(s: SparkSession, d: String): String =
+    partitionedDirCache.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_part")
+        .resolve("docs").toString
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(root)
+      root
+    })
 
   /** Once-per-JVM json-lines feed for pipeline_json_ingest: the documents
     * table as to_json lines, every 97th record truncated by two chars (the

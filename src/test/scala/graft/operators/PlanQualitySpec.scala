@@ -105,6 +105,13 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_partitioned_prune: the lang predicate prunes at the file index") {
+    val df = graft.SparkEntry.queries("pipeline_partitioned_prune")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*lang.*"),
+      s"lang partition filter not pushed to the file index:\n$plan")
+  }
+
   test("q04: correlated EXISTS plans as a semi join with the date bound as residual, no nested loop") {
     val plan = executedPlan("q04_late_ship_priority")
     assert(plan.contains("LeftSemi"), s"semi join missing:\n$plan")
