@@ -291,6 +291,51 @@ object PipelineOps {
         |FROM documents WHERE lang IN ('en', 'de')
         |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ---- small-files compaction planner: the maintenance pass every
+    // long-lived lakehouse table needs — incremental ingests leave
+    // thousands of undersized files, and scan cost degrades with file
+    // COUNT (per-file open/footer overhead), not bytes. The planner runs
+    // on the MANIFEST (per-file byte stats — here 64 synthetic files from
+    // hash-bucketing the corpus), never the data: files sort by (bytes
+    // desc, id), a running prefix sum assigns each to bin = (cumsum −
+    // bytes) div target (the sorted-fill plan: every bin lands within
+    // max-file-size of the target), and the emitted plan drives a
+    // distributed rewrite job. The single-partition window is bounded by
+    // the manifest's file count per table partition — planner input, not
+    // corpus data. All integer arithmetic; the oracle replays the same
+    // plan in SQL, so both engines must agree bin-for-bin.
+    ("pipeline_compaction_plan", (s, d) => {
+      import s.implicits._
+      val files = Tables.documents(s, d)
+        .withColumn("file_id", pmod(h60($"doc_id".cast("string")), lit(64)))
+        .groupBy($"file_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("bytes"))
+      val target = files.agg(expr("sum(bytes) div 8 + 1").as("target")) // integer div
+      val w = Window.orderBy($"bytes".desc, $"file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      files.crossJoin(broadcast(target))
+        .withColumn("cum", sum($"bytes").over(w))
+        .withColumn("bin", expr("(cum - bytes) div target"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_files"), sum($"n_docs").as("n_docs"),
+          sum($"bytes").as("bin_bytes"))
+        .orderBy($"bin")
+    }, Some(
+      s"""WITH files AS (
+        |  SELECT file_id, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM (SELECT doc_id, n_chars,
+        |          ${h60Sql("CAST(doc_id AS VARCHAR)")} % 64 AS file_id
+        |        FROM documents) GROUP BY 1),
+        |t AS (SELECT CAST(sum(bytes) // 8 + 1 AS BIGINT) AS target FROM files),
+        |planned AS (
+        |  SELECT file_id, n_docs, bytes,
+        |    (sum(bytes) OVER (ORDER BY bytes DESC, file_id ROWS UNBOUNDED PRECEDING)
+        |      - bytes) // target AS bin
+        |  FROM files CROSS JOIN t)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_files,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs, CAST(sum(bytes) AS BIGINT) AS bin_bytes
+        |FROM planned GROUP BY 1 ORDER BY bin""".stripMargin)),
+
     // ---- schema-on-read JSON ingestion with corrupt-record capture: the
     // raw-feed half of a 100 TB intake — json lines (derived from the
     // documents table, with every 97th record deterministically truncated
