@@ -934,7 +934,39 @@ object PipelineOps {
          |  (10000 * ((2000000 * weight) // tot_w)) // n_tokens AS epochs_e4,
          |  (10000 * ((2000000 * weight) // tot_w)) // n_tokens > 40000 AS over_cap
          |FROM per, tw ORDER BY source""".stripMargin
-    })
+    }),
+
+    // ---- hot-key skew report: the pre-flight diagnostic run before any
+    // large keyed join/agg — per-key row counts on the join key, the
+    // top-10 heaviest keys, each key's corpus share (ppm) and its skew
+    // factor vs the mean key (×10⁴) — the numbers that decide whether a
+    // key needs salting (q29's remedy) or AQE skew-join handling. All-
+    // integer outputs, so the report is exact on both engines. Scale
+    // shape: one hash agg keyed on user_id (map-side partial combine,
+    // per-key state O(1)), one single-row stats broadcast, and a global
+    // top-10 over the already-aggregated per-key table — the sort input
+    // is |distinct keys|, not |rows|.
+    ("pipeline_skew_report", (s, d) => {
+      import s.implicits._
+      val perKey = Tables.events(s, d)
+        .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      val stats = perKey.agg(
+        sum($"cnt").as("total"), count(lit(1)).as("n_keys"))
+      perKey.crossJoin(broadcast(stats))
+        .select($"user_id", $"cnt",
+          expr("(cnt * 1000000L) div total").as("share_ppm"),
+          expr("(cnt * n_keys * 10000L) div total").as("skew_x_e4"))
+        .orderBy($"cnt".desc, $"user_id")
+        .limit(10)
+    }, Some(
+      """WITH per AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS n_keys FROM per)
+        |SELECT user_id, cnt,
+        |  (cnt * 1000000) // total AS share_ppm,
+        |  (cnt * n_keys * 10000) // total AS skew_x_e4
+        |FROM per, st ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin))
   )
 
   /** Global-sample size for pipeline_bottomk_sample. */

@@ -1604,6 +1604,72 @@ object Relational {
          |  GROUP BY 1, 2)
          |SELECT event_type, CAST(k AS BIGINT) AS k, n_events, total_value
          |FROM m ORDER BY event_type, k""".stripMargin
+    }),
+
+    // ---- q64: changelog compaction — collapse each key's ordered op log to
+    // its NET effect (the Debezium/Kafka-log-compaction shape: I…D cancels
+    // out entirely, I…U nets to one insert with the final value, U…D nets
+    // to a delete, anything else nets to one update). The events stream is
+    // read as a CDC log: signup=insert, error=delete, other activity=
+    // update, keyed by user_id and ordered by (ts, event_id). One shuffle:
+    // a single window sort per key computes first-op/last-op/last-value in
+    // the same pass (explicit unbounded frame so first/last are
+    // deterministic), then DISTINCT folds the per-key constants to one row.
+    // At 100 TB this is the nightly "compact the day's CDC feed before
+    // merging" step — per-key state is O(1), no driver involvement.
+    ("q64_changelog_compact", (s, d) => {
+      import s.implicits._
+      val log = Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"value",
+          when($"event_type" === "signup", "I")
+            .when($"event_type" === "error", "D")
+            .otherwise("U").as("op"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val per = log.select(
+        $"user_id",
+        first($"op").over(w).as("first_op"),
+        last($"op").over(w).as("last_op"),
+        last($"value").over(w).as("last_value"),
+        count(lit(1)).over(Window.partitionBy($"user_id")).as("n_ops"))
+        .distinct()
+      per
+        .withColumn("net_op",
+          when($"last_op" === "D" && $"first_op" === "I", "none")
+            .when($"last_op" === "D", "delete")
+            .when($"first_op" === "I", "insert")
+            .otherwise("update"))
+        .select($"user_id", $"net_op", $"n_ops",
+          when($"net_op".isin("delete", "none"), lit(null).cast("double"))
+            .otherwise(round($"last_value", 2)).as("net_value"))
+        .orderBy($"user_id")
+    }, Some {
+      import graft.operators.Portable.rndSql
+      s"""WITH log AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+         |    CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op
+         |  FROM events),
+         |per AS (
+         |  SELECT DISTINCT user_id,
+         |    first_value(op) OVER w AS first_op,
+         |    last_value(op) OVER w AS last_op,
+         |    last_value(value) OVER w AS last_value,
+         |    count(*) OVER (PARTITION BY user_id) AS n_ops
+         |  FROM log
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         |net AS (
+         |  SELECT user_id,
+         |    CASE WHEN last_op = 'D' AND first_op = 'I' THEN 'none'
+         |         WHEN last_op = 'D' THEN 'delete'
+         |         WHEN first_op = 'I' THEN 'insert'
+         |         ELSE 'update' END AS net_op,
+         |    n_ops, last_value
+         |  FROM per)
+         |SELECT user_id, net_op, n_ops,
+         |  CASE WHEN net_op IN ('delete', 'none') THEN NULL
+         |       ELSE ${rndSql("last_value", 2)} END AS net_value
+         |FROM net ORDER BY user_id""".stripMargin
     })
   )
 

@@ -52,6 +52,15 @@ object Similarity {
   private val PqSeedStride = 3 // medoid seeds: vec_id 0,3,...,45 — present at every SF
   private val Sq8Max = 127.0 // int8 scalar-quantization levels per dimension
   private val RerankDepth = 3 * TopK // PQ shortlist size fed to the exact rerank
+  // Johnson–Lindenstrauss reduction: 64 → 32 dims (2× cheaper shortlist
+  // dots), shortlist depth 80. Tuned on sf0.01 mean recall@5 of the
+  // rerank-over-shortlist pipeline: (16 dims, 40) → 0.42, (16, 60) → 0.50,
+  // (32, 60) → 0.54, (32, 80) → 0.64 — this corpus is near-isotropic
+  // (tiny exact-neighbor margins), so pure projected-space top-k caps out
+  // at ~0.22 recall and the honest serving shape is JL-prefilter + exact
+  // rerank, mirroring sim_ivfpq_rerank's coarse→fine structure.
+  private val RpDims = 32
+  private val RpShortlist = 80
 
   /** Embeddings as unit-normalized double arrays (sequential folds). The
     * norm uses the native `vec_dot` expression (codegen'd primitive loop,
@@ -176,6 +185,55 @@ object Similarity {
     }.mkString("\n  UNION ALL ")
     s"""sigs AS (
        |  $perTable)""".stripMargin
+  }
+
+  // ------------------------------------------------- random projection (JL)
+  /** Johnson–Lindenstrauss sign matrix [rpDim][dim] ∈ {−1, +1}, derived from
+    * the portable h60 hash (Achlioptas 2003: ±1 entries preserve inner
+    * products in expectation like Gaussian ones, and the signs are derivable
+    * bit-identically in DuckDB). No 1/√k scaling: it is a common positive
+    * factor on every projected coordinate, so it cancels in the top-k
+    * ordering the recall eval ranks by.
+    */
+  private lazy val rpSigns: Array[Array[Double]] =
+    Array.tabulate(RpDims, Dims) { (k, m) =>
+      if (h60Jvm(s"rp${k}_$m") % 2 == 0) 1.0 else -1.0
+    }
+
+  /** (vec_id, p): each unit vector projected to RpDims dims. Fused JVM loop
+    * like [[lshSignatures]] — the accumulation is the same left-to-right
+    * fold DuckDB's `list_dot_product` runs, so projected coordinates (and
+    * hence projected-space ranks) are bit-identical to the oracle.
+    */
+  private def rpProjections(v: DataFrame): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val sg = rpSigns // RpDims×Dims doubles, serialized into the task closure
+    v.select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, emb) =>
+          val p = new Array[Double](RpDims)
+          var k = 0
+          while (k < RpDims) {
+            val w = sg(k)
+            var acc = 0.0
+            var i = 0
+            while (i < emb.length) { acc += emb(i) * w(i); i += 1 }
+            p(k) = acc
+            k += 1
+          }
+          (id, p)
+        }
+      }.toDF("vec_id", "p")
+  }
+
+  /** Oracle twin of [[rpProjections]] over CTE `v`. */
+  private def rpProjectionsSql: String = {
+    val sign = s"CASE WHEN ${h60Sql("'rp' || k || '_' || m")} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    s"""proj AS (
+       |  SELECT vec_id, list_transform(range(0, $RpDims),
+       |    k -> list_dot_product(emb, list_transform(range(0, $Dims), m -> $sign))) AS p
+       |  FROM v)""".stripMargin
   }
 
   // --------------------------------------------------------------- queries
@@ -1124,7 +1182,84 @@ object Similarity {
          |  FROM scored, th WHERE cos >= th GROUP BY 1)
          |SELECT t.th, coalesce(n_pairs, 0) AS n_pairs,
          |  coalesce(n_dropped, 0) AS n_dropped
-         |FROM th t LEFT JOIN cnt USING (th) ORDER BY th""".stripMargin))
+         |FROM th t LEFT JOIN cnt USING (th) ORDER BY th""".stripMargin)),
+
+    // ---- random-projection (JL) prefilter + exact rerank, with recall: a
+    // deterministic ±1 sign matrix (Achlioptas) projects 64-dim unit
+    // vectors to 32 dims; each query shortlists its top-80 by the cheap
+    // projected dot, only the shortlist is rescored at full precision, and
+    // the report grades the reranked top-k against the exact ground truth
+    // per query — the dimensionality-reduction leg of the ANN toolbox
+    // (PQ/SQ8 quantize per-dim precision; this cuts the dim count itself).
+    // Scale shape: projection is one narrow linear map per vector (no
+    // shuffle, the 64-dim corpus column never reaches the shortlist scan);
+    // the shortlist join touches RpShortlist rows per query, exactly like
+    // sim_ivfpq_rerank's coarse→fine structure.
+    ("sim_rp_recall", (s, d) => {
+      import s.implicits._
+      val v = vectors(s, d).cache() // projection input + rerank + ground truth
+      val brute = queries("sim_brute_topk")(s, d).select($"q_id", $"n_id")
+      val proj = rpProjections(v)
+      val q = proj.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"p".as("q_p"))
+      val wShort = Window.partitionBy($"q_id").orderBy($"pdot".desc, $"vec_id")
+      val short = broadcast(q).join(proj, $"q_id" =!= $"vec_id")
+        .withColumn("pdot", cosine($"q_p", $"p"))
+        .withColumn("prank", row_number().over(wShort))
+        .filter($"prank" <= RpShortlist)
+        .select($"q_id", $"vec_id".as("n_id"))
+      val wRerank = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      // the shortlist is ≤ NumQueries×RpShortlist rows by construction —
+      // broadcast it (and its q_emb-enriched successor) so both rerank
+      // joins probe the corpus instead of shuffling it
+      val rtop = broadcast(broadcast(short)
+          .join(v.select($"vec_id".as("q_id"), $"emb".as("q_emb")), "q_id"))
+        .join(v.select($"vec_id".as("n_id"), $"emb".as("n_emb")), "n_id")
+        .withColumn("cos", cosine($"q_emb", $"n_emb"))
+        .withColumn("rank", row_number().over(wRerank))
+        .filter($"rank" <= TopK)
+        .select($"q_id", $"n_id")
+      val hits = rtop.join(brute, Seq("q_id", "n_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("n_hit"))
+      brute.select($"q_id").distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select($"q_id",
+          coalesce($"n_hit", lit(0L)).as("n_hit"),
+          round(coalesce($"n_hit", lit(0L)) / TopK.toDouble, 4).as("recall"))
+        .orderBy($"q_id")
+    }, Some(
+      s"""WITH $vectorsSql,
+         |$rpProjectionsSql,
+         |brute AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.emb, n.emb) DESC, n.vec_id) AS rank
+         |    FROM v q JOIN v n ON q.vec_id < $NumQueries AND n.vec_id <> q.vec_id)
+         |  WHERE rank <= $TopK),
+         |short AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.p, n.p) DESC, n.vec_id) AS prank
+         |    FROM proj q JOIN proj n ON q.vec_id < $NumQueries AND n.vec_id <> q.vec_id)
+         |  WHERE prank <= $RpShortlist),
+         |rtop AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT s.q_id, s.n_id,
+         |      row_number() OVER (PARTITION BY s.q_id
+         |        ORDER BY list_dot_product(q.emb, n.emb) DESC, s.n_id) AS rank
+         |    FROM short s JOIN v q ON q.vec_id = s.q_id JOIN v n ON n.vec_id = s.n_id)
+         |  WHERE rank <= $TopK),
+         |hits AS (
+         |  SELECT p.q_id, count(*) AS n_hit
+         |  FROM rtop p JOIN brute b ON b.q_id = p.q_id AND b.n_id = p.n_id
+         |  GROUP BY 1),
+         |qids AS (SELECT DISTINCT q_id FROM brute)
+         |SELECT q.q_id, coalesce(h.n_hit, 0) AS n_hit,
+         |  ${rndSql(s"coalesce(h.n_hit, 0) / CAST($TopK AS DOUBLE)", 4)} AS recall
+         |FROM qids q LEFT JOIN hits h ON h.q_id = q.q_id
+         |ORDER BY q.q_id""".stripMargin))
   )
 
   /** Thresholds swept by sim_threshold_sweep — written with an explicit

@@ -943,8 +943,49 @@ object TextOps {
          |nrm AS (SELECT doc_id, sqrt(sum(tf*tf)) AS nrm FROM tf GROUP BY 1)
          |SELECT doc_id, bucket, tf, ${rndSql("tf / nrm", 4)} AS w
          |FROM tf JOIN nrm USING (doc_id)
-         |ORDER BY doc_id, bucket""".stripMargin))
+         |ORDER BY doc_id, bucket""".stripMargin)),
+
+    // ---- Zipf conformance check: per-language rank–frequency table for the
+    // top-20 tokens with the integer diagnostic zipf_e4 = n·rank·10⁴ ÷ n₁
+    // (Zipf's law predicts n ≈ n₁/rank, so a Zipfian corpus sits near
+    // 10000 at every rank) — the standard sanity probe that a scraped or
+    // synthetic corpus has natural-language token statistics before
+    // tokenizer training. All-integer arithmetic: counts, ranks, and the
+    // scaled ratio are exact on both engines, no float aggregation order
+    // to pin. Scale shape: one hash-agg keyed on (lang, token) — vocab-
+    // bounded, sub-linear in corpus size — then a per-lang window over
+    // that vocab-bounded count table (same boundedness argument as the
+    // trigram windows, Relational.scala q55).
+    ("text_zipf_check", (s, d) => {
+      import s.implicits._
+      val counts = Tables.documents(s, d)
+        .select($"lang", explode(tokens(lower($"text"))).as("token"))
+        .groupBy($"lang", $"token").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"lang").orderBy($"n".desc, $"token")
+      counts
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("n1", max($"n").over(Window.partitionBy($"lang")))
+        .filter($"rank" <= ZipfTopN)
+        .select($"lang", $"rank", $"token", $"n",
+          expr("(n * rank * 10000L) div n1").as("zipf_e4"))
+        .orderBy($"lang", $"rank")
+    }, Some(
+      s"""WITH counts AS (
+         |  SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT lang, unnest(${tokensSql("lower(text)")}) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT lang, token, n,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS BIGINT) AS rank,
+         |    max(n) OVER (PARTITION BY lang) AS n1
+         |  FROM counts)
+         |SELECT lang, rank, token, n, (n * rank * 10000) // n1 AS zipf_e4
+         |FROM ranked WHERE rank <= $ZipfTopN
+         |ORDER BY lang, rank""".stripMargin))
   )
+
+  /** Ranks reported by text_zipf_check. */
+  private val ZipfTopN = 20
 
   /** Fixed feature-space width for text_hashing_vectorizer. */
   private val HashVecBuckets = 64
