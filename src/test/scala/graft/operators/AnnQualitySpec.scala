@@ -49,6 +49,19 @@ class AnnQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("JL prefilter + exact rerank clears its tuned recall floor") {
+    import spark.implicits._
+    // sim_rp_recall reports per-query recall directly; (32 dims, 80-deep
+    // shortlist) measured 0.64 mean recall@5 at sf0.01 (see the RpDims
+    // tuning note) — pin a 0.5 floor so a regression in the projection or
+    // shortlist depth fails here rather than surfacing as a silent quality
+    // drop behind a still-matching oracle hash.
+    val recalls = Similarity.queries("sim_rp_recall")(spark, sfDir)
+      .select($"recall").as[Double].collect()
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"sim_rp_recall mean recall@5 = $mean")
+  }
+
   test("MinHash-LSH candidates include every exact-duplicate pair") {
     import spark.implicits._
     val pairs = Dedup.queries("dedup_minhash_lsh")(spark, sfDir)

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic contracts for the corpus/CDC diagnostic queries — the DuckDB
+  * oracles pin their outputs bit-for-bit; these specs pin that the outputs
+  * MEAN what they claim, via independent recomputation with a different
+  * plan shape (min_by/max_by instead of windows) and closed-form
+  * invariants of the integer diagnostics.
+  */
+class DiagnosticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("DiagnosticsSpec")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("changelog compaction agrees with an independent min_by/max_by recomputation") {
+    import spark.implicits._
+    val got = Relational.queries("q64_changelog_compact")(spark, sfDir)
+      .select($"user_id", $"net_op", $"n_ops").as[(Long, String, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // independent plan: no windows — order the log by a composite sort key
+    // via min_by/max_by aggregates and re-derive the net op from scratch
+    val log = graft.Tables.events(spark, sfDir)
+      .select($"user_id",
+        struct(unix_micros($"ts").as("t"), $"event_id".as("e")).as("k"),
+        when($"event_type" === "signup", "I")
+          .when($"event_type" === "error", "D")
+          .otherwise("U").as("op"))
+    val expected = log.groupBy($"user_id")
+      .agg(min_by($"op", $"k").as("first_op"),
+        max_by($"op", $"k").as("last_op"),
+        count(lit(1)).as("n_ops"))
+      .as[(Long, String, String, Long)].collect().map { case (u, f, l, n) =>
+        val net =
+          if (l == "D" && f == "I") "none"
+          else if (l == "D") "delete"
+          else if (f == "I") "insert"
+          else "update"
+        u -> (net, n)
+      }.toMap
+
+    assert(got == expected,
+      s"divergent keys: ${(got.toSet diff expected.toSet).take(3)}")
+    // the compacted feed must cover every key exactly once
+    assert(got.size == expected.size)
+  }
+
+  test("changelog compaction: net_value is null exactly for delete/none rows") {
+    import spark.implicits._
+    val rows = Relational.queries("q64_changelog_compact")(spark, sfDir)
+      .select($"net_op", $"net_value".isNull.as("v_null"))
+      .as[(String, Boolean)].collect()
+    rows.foreach { case (op, vNull) =>
+      assert(vNull == (op == "delete" || op == "none"), s"$op null=$vNull")
+    }
+  }
+
+  test("zipf check: rank-1 diagnostic is exactly 10000 and counts are non-increasing") {
+    import spark.implicits._
+    val rows = TextOps.queries("text_zipf_check")(spark, sfDir)
+      .select($"lang", $"rank", $"n", $"zipf_e4").as[(String, Long, Long, Long)]
+      .collect().groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._2 == 1L && sorted.head._4 == 10000L,
+        s"$lang rank-1 diagnostic: ${sorted.head}")
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"$lang ranks not dense")
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._3 >= b._3, s"$lang counts increase at rank ${b._2}")
+      }
+      // zipf_e4 = n·rank·10⁴ ÷ n₁ recomputed from the row's own fields
+      val n1 = sorted.head._3
+      sorted.foreach { case (_, rank, n, z) =>
+        assert(z == n * rank * 10000L / n1, s"$lang rank $rank diagnostic drift")
+      }
+    }
+  }
+
+  test("skew report: shares and skew factors are consistent with the full key histogram") {
+    import spark.implicits._
+    val got = PipelineOps.queries("pipeline_skew_report")(spark, sfDir)
+      .select($"user_id", $"cnt", $"share_ppm", $"skew_x_e4")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 10)
+    // independent histogram
+    val hist = graft.Tables.events(spark, sfDir)
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().toMap
+    val total = hist.values.sum
+    val nKeys = hist.size.toLong
+    // the report's rows are the true top-10 (ties broken by user_id asc)
+    val expectedTop = hist.toSeq.sortBy { case (u, c) => (-c, u) }.take(10)
+    assert(got.map(r => (r._1, r._2)).toSeq == expectedTop)
+    got.foreach { case (u, c, ppm, skew) =>
+      assert(c == hist(u))
+      assert(ppm == c * 1000000L / total)
+      assert(skew == c * nKeys * 10000L / total)
+    }
+  }
+}
