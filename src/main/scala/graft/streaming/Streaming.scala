@@ -115,6 +115,23 @@ case class FunnelState(tS: Long, tV: Long, tP: Long)
 /** Emitted once per user per step completion. */
 case class FunnelUpdate(userId: Long, step: String, tsUs: Long)
 
+/** One CDC op in [[graft.streaming.Streaming.compactionStream]] column
+  * shape: the op is pre-classified (I/U/D) by the feed producer.
+  */
+case class OpEvent(userId: Long, eventId: Long, tsUs: Long, op: String, value: Double)
+
+/** Running changelog-compaction state per key: first/last op seen, the last
+  * op's value, and the cumulative op count. Fixed-size — never an op buffer.
+  */
+case class CompactState(firstOp: String, lastOp: String, lastValue: Double, nOps: Long)
+
+/** Per-key compaction snapshot, emitted once per key per micro-batch that
+  * carried the key. `nOps` is cumulative, so the row with the largest
+  * `nOps` per key is the final compaction.
+  */
+case class CompactUpdate(userId: Long, firstOp: String, lastOp: String,
+    lastValue: Double, nOps: Long)
+
 /** Per-blob CDC state: the previous version's chunk hash → length map.
   * Bounded by blob size / expected chunk size entries.
   */
@@ -599,6 +616,43 @@ object Streaming {
           }
           state.update(st)
           out.iterator
+      }
+  }
+
+  /** Streaming changelog compaction — the incremental twin of batch
+    * `q64_changelog_compact`: per-key `GroupState` folds the op log into
+    * (first_op, last_op, last_value, n_ops) — O(1) per key, never an op
+    * buffer — and each micro-batch that carries a key emits that key's
+    * running compaction snapshot. The FINAL snapshot per key (largest
+    * cumulative `n_ops`) is the net change the batch query computes; a
+    * downstream merge can apply snapshots continuously instead of waiting
+    * for the feed to close.
+    *
+    * Ordering contract: within a micro-batch each key's ops are sorted by
+    * (tsUs, eventId) before folding, so intra-batch disorder is absorbed;
+    * ACROSS batches first/last are online (an op older than an
+    * already-folded one still overwrites `lastOp`). On a time-ordered
+    * replay the stream and the batch window agree exactly; in production,
+    * front the feed with a watermarked sort or accept online semantics —
+    * the same stated trade as [[funnelStream]].
+    */
+  def compactionStream(ops: Dataset[OpEvent]): Dataset[CompactUpdate] = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    ops
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[OpEvent], state: GroupState[CompactState]) =>
+          val sorted = rows.toArray.sortBy(e => (e.tsUs, e.eventId))
+          var st = state.getOption.getOrElse(
+            CompactState(sorted.head.op, sorted.head.op, sorted.head.value, 0L))
+          sorted.foreach { e =>
+            st = CompactState(
+              if (st.nOps == 0L) e.op else st.firstOp,
+              e.op, e.value, st.nOps + 1L)
+          }
+          state.update(st)
+          Iterator.single(CompactUpdate(uid, st.firstOp, st.lastOp, st.lastValue, st.nOps))
       }
   }
 
@@ -1180,6 +1234,74 @@ object Streaming {
       .orderBy(col("user_id"), col("valid_from_us"))
   }
 
+  /** The events table in [[OpEvent]] column shape: ops pre-classified with
+    * q64_changelog_compact's mapping (signup=I, error=D, other=U).
+    */
+  private def opEvents(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        unix_micros(col("ts")).as("tsUs"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"),
+        col("value"))
+
+  /** Wave files for the compaction replay: the same 8 time-range slices as
+    * [[eventTimeWaves]] (equal-ts rows share a wave → cross-batch arrival
+    * order is event-time order), over the [[OpEvent]] projection — a
+    * separate fixture because the shared one doesn't carry `value`.
+    */
+  private def opTimeWaves(s: org.apache.spark.sql.SparkSession, d: String): java.nio.file.Path =
+    waveFiles("events-opval:" + d, {
+      val ev = opEvents(s, d)
+      // bounds head() is replay SETUP — by-name arg keeps it on the
+      // once-per-JVM cache-miss path, not in every invocation
+      val r = ev.agg(min(col("tsUs")), max(col("tsUs"))).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val width = math.max(1L, (hi - lo) / 8 + 1) // 8 waves, last bound-inclusive
+      ev.withColumn("wave", ((col("tsUs") - lit(lo)) / lit(width)).cast("int"))
+    })
+
+  /** Time-ordered file-source replay of the events feed (as a pre-classified
+    * CDC op log) through [[compactionStream]], reduced to each key's FINAL
+    * snapshot (largest cumulative n_ops) and net-op classification —
+    * judged VERBATIM by q64_changelog_compact's batch oracle. Determinism:
+    * within-batch fold order is (tsUs, eventId)-sorted, cross-batch order
+    * is event-time by the wave construction, and n_ops strictly increases
+    * per key across its emissions, so "largest n_ops" picks a unique row.
+    */
+  def compactReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = opEvents(s, d)
+    val emitted = replayedSink(s, "compact:" + d, "graft_compact_replay_") { (sink, root) =>
+      val src = opTimeWaves(s, d)
+      val stream = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+      withFewShufflePartitions(s) {
+        val q = compactionStream(stream.as[OpEvent](org.apache.spark.sql.Encoders.product[OpEvent]))
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .option("checkpointLocation", root.resolve("chk").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    val wFinal = Window.partitionBy(col("userId")).orderBy(col("nOps").desc)
+    emitted
+      .withColumn("rn", row_number().over(wFinal)).filter(col("rn") === 1)
+      .withColumn("net_op",
+        when(col("lastOp") === "D" && col("firstOp") === "I", "none")
+          .when(col("lastOp") === "D", "delete")
+          .when(col("firstOp") === "I", "insert")
+          .otherwise("update"))
+      .select(col("userId").as("user_id"), col("net_op"),
+        col("nOps").as("n_ops"),
+        when(col("net_op").isin("delete", "none"), lit(null).cast("double"))
+          .otherwise(graft.operators.Portable.round(col("lastValue"), 2)).as("net_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Time-ordered file-source replay of the events table through
     * [[rateAnomalyStream]] — the sixth replay-parity contract, judged by
     * q56's oracle minus each type's FINAL hour (the stream closes an hourly
@@ -1519,6 +1641,7 @@ object Streaming {
     "stream_heavy_hitters_replay" -> ((s, d) => heavyHittersReplayContract(s, d)),
     "stream_neardup_replay" -> ((s, d) => nearDupReplayContract(s, d)),
     "stream_scd2_replay" -> ((s, d) => scd2ReplayContract(s, d)),
+    "stream_compact_replay" -> ((s, d) => compactReplayContract(s, d)),
     "stream_rate_anomaly_replay" -> ((s, d) => rateAnomalyReplayContract(s, d)),
     "stream_semantic_replay" -> ((s, d) => semanticReplayContract(s, d)))
 
@@ -1564,6 +1687,10 @@ object Streaming {
       // the semantic replay must reproduce the batch SemDeDup VERBATIM —
       // share dedup_semantic's oracle text so the contracts cannot drift
       "stream_semantic_replay" -> graft.operators.Clustering.oracleSql("dedup_semantic"),
+      // the compaction replay must reproduce q64's batch net changes
+      // VERBATIM — share its oracle text so the two contracts cannot drift
+      "stream_compact_replay" ->
+        graft.operators.Relational.oracleSql("q64_changelog_compact"),
       // q49's oracle restricted to closed intervals (append-mode SCD2 never
       // emits the open tail) — wrapped, not rewritten, so they cannot drift
       "stream_scd2_replay" ->
