@@ -349,6 +349,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("compactionStream's final snapshots reproduce the batch q64 net changes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val ops = graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        when($"event_type" === "signup", "I")
+          .when($"event_type" === "error", "D")
+          .otherwise("U").as("op"),
+        $"value")
+      .as[(Long, Long, Long, String, Double)].collect()
+      .map { case (u, id, us, op, v) => OpEvent(u, id, us, op, v) }
+      .sortBy(e => (e.tsUs, e.eventId))
+    val ms = MemoryStream[OpEvent]
+    val q = Streaming.compactionStream(ms.toDS())
+      .writeStream.format("memory").queryName("compact_out").outputMode("append").start()
+    try {
+      // batches are time-ranged, but rows are REVERSED inside each batch —
+      // the intra-batch (tsUs, eventId) sort must absorb the disorder
+      val third = ops.length / 3
+      ms.addData(ops.take(third).reverse.toSeq: _*); q.processAllAvailable()
+      ms.addData(ops.slice(third, 2 * third).reverse.toSeq: _*); q.processAllAvailable()
+      ms.addData(ops.drop(2 * third).reverse.toSeq: _*); q.processAllAvailable()
+      // final snapshot per key = largest cumulative nOps
+      val got = spark.table("compact_out")
+        .as[CompactUpdate].collect()
+        .groupBy(_.userId).view.mapValues(_.maxBy(_.nOps)).toMap
+        .map { case (u, c) =>
+          val net =
+            if (c.lastOp == "D" && c.firstOp == "I") "none"
+            else if (c.lastOp == "D") "delete"
+            else if (c.firstOp == "I") "insert"
+            else "update"
+          u -> (net, c.nOps)
+        }
+      val want = graft.SparkEntry.queries("q64_changelog_compact")(spark, sfDir)
+        .select($"user_id", $"net_op", $"n_ops").as[(Long, String, Long)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("nearDupCandidateStream: distinct pairs equal the batch LSH candidate set, any arrival order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
