@@ -676,6 +676,59 @@ object Dedup {
     // "existing" term is a stored label table, the delta is the new
     // batch's LSH pass, and the rerun graph is |nodes| + |delta| edges
     // instead of the full historical pair set.
+    // ---- cluster edge density: for every near-dup cluster, the fraction of
+    // its possible pairs actually verified at Jaccard ≥ 0.5 — the standard
+    // audit for transitive-closure over-merging (an LSH cluster glued
+    // together by a chain A~B~C where A and C are NOT near-dups shows up as
+    // density < 1; keeping only min(cluster) would then delete documents
+    // that duplicate nothing kept). chain_risk flags size ≥ 3 clusters
+    // below half density — the ones to re-verify before destructive dedup.
+    // All-integer diagnostic ((2·e·10⁴) div (n·(n−1))), exact on both
+    // engines. Scale shape: reuses the labels/edges the cluster family
+    // already computes; per-cluster aggregation is one hash agg keyed by
+    // label — no pairwise work beyond the already-verified edge list.
+    ("dedup_cluster_density", (s, d) => {
+      import s.implicits._
+      val pairs = verifiedPairs(s, d).cache()
+      val labels = connectedComponents(pairs)
+      val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+      val edges = pairs
+        .join(labels.select($"id".as("id1"), $"comp"), "id1")
+        .groupBy($"comp").agg(count(lit(1)).as("n_edges"))
+      sizes.join(edges, "comp")
+        .select($"comp".as("cluster_id"), $"cluster_size", $"n_edges",
+          expr("(2 * n_edges * 10000L) div (cluster_size * (cluster_size - 1))")
+            .as("density_e4"))
+        .withColumn("chain_risk", $"cluster_size" >= 3 && $"density_e4" < 5000)
+        .orderBy($"cluster_id")
+    }, Some {
+      s"""WITH RECURSIVE $corpusSql,
+         |${minhashSql("corpus", "")},
+         |ver AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT c.id1, c.id2,
+         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
+         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ver UNION ALL SELECT id2, id1 FROM ver),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM comp GROUP BY cluster_id),
+         |ecnt AS (
+         |  SELECT c1.cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+         |  FROM ver v JOIN comp c1 ON c1.id = v.id1 GROUP BY 1)
+         |SELECT s.cluster_id, s.cluster_size, e.n_edges,
+         |  (2 * e.n_edges * 10000) // (s.cluster_size * (s.cluster_size - 1)) AS density_e4,
+         |  s.cluster_size >= 3 AND
+         |    (2 * e.n_edges * 10000) // (s.cluster_size * (s.cluster_size - 1)) < 5000 AS chain_risk
+         |FROM sizes s JOIN ecnt e USING (cluster_id)
+         |ORDER BY s.cluster_id""".stripMargin
+    }),
+
     ("dedup_cc_incremental", (s, d) => {
       import s.implicits._
       val pairs = verifiedPairs(s, d).cache()

@@ -87,6 +87,26 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster density: edge counts bounded by tree/complete graphs, flags consistent") {
+    import spark.implicits._
+    val rows = Dedup.queries("dedup_cluster_density")(spark, sfDir)
+      .select($"cluster_size", $"n_edges", $"density_e4", $"chain_risk")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, e, d, risk) =>
+      assert(n >= 2, "clusters come from the edge list — no singletons")
+      // connected ⇒ at least a spanning tree; verified pairs are distinct
+      // ⇒ at most the complete graph
+      assert(e >= n - 1 && e <= n * (n - 1) / 2, s"n=$n e=$e")
+      assert(d == 2 * e * 10000L / (n * (n - 1)))
+      assert(d <= 10000L)
+      assert(risk == (n >= 3 && d < 5000L))
+    }
+    // the planted corpus builds clusters from exact/tailed copies of one
+    // source doc — every pair verifies, so every cluster is complete
+    assert(rows.forall(_._3 == 10000L))
+  }
+
   test("skew report: shares and skew factors are consistent with the full key histogram") {
     import spark.implicits._
     val got = PipelineOps.queries("pipeline_skew_report")(spark, sfDir)
