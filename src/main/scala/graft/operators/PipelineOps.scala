@@ -373,6 +373,38 @@ object PipelineOps {
         |  CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS n_chars_total
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- schema-on-read CSV ingestion with corrupt-record capture: the
+    // other ubiquitous feed format, with a TYPE-level corruption (n_chars
+    // made non-numeric on every 89th row) where the JSON contract plants a
+    // structural one — PERMISSIVE mode must null the malformed column and
+    // capture the raw line, and the report buckets corrupt rows under a
+    // quarantine key instead of dropping them silently (the production
+    // contract for untrusted feeds). Scale shape identical to the JSON
+    // twin: schema-locked scan (no inference pass), one hash agg.
+    ("pipeline_csv_ingest", (s, d) => {
+      import s.implicits._
+      val dir = csvIngestDir(s, d)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(dir)
+        .select(
+          when($"_corrupt_record".isNotNull, lit("_corrupt")).otherwise($"lang").as("lang"),
+          coalesce($"n_chars", lit(0L)).as("nc"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_rows"), sum($"nc").as("n_chars_total"))
+        .orderBy($"lang")
+    }, Some(
+      """SELECT CASE WHEN doc_id % 89 = 0 THEN '_corrupt' ELSE lang END AS lang,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id % 89 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS n_chars_total
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- decontamination behind a NATIVE bloom prefilter: the eval set's
     // n-gram hashes aggregate into a BloomAgg bitset (16 KB, merge = OR,
     // bit-identical under any partitioning), broadcast as ONE ROW inside
@@ -1071,6 +1103,25 @@ object PipelineOps {
     * streaming replay wave files.
     */
   private val jsonDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val csvDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** CSV twin of [[jsonIngestDir]]: doc_id,lang,n_chars lines with every
+    * doc_id % 89 == 0 row's n_chars made non-numeric — a type-level
+    * corruption (the JSON fixture's is structural), so the CSV reader's
+    * PERMISSIVE mode must catch a different failure class.
+    */
+  private def csvIngestDir(s: SparkSession, d: String): String =
+    csvDirCache.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_csv")
+        .resolve("data").toString
+      Tables.documents(s, d)
+        .select(concat_ws(",", $"doc_id", $"lang",
+          when($"doc_id" % 89 === 0, concat($"n_chars", lit("x")))
+            .otherwise($"n_chars".cast("string"))).as("value"))
+        .coalesce(4).write.mode("overwrite").text(root)
+      root
+    })
   private def jsonIngestDir(s: SparkSession, d: String): String =
     jsonDirCache.computeIfAbsent(d, _ => {
       import s.implicits._
