@@ -1184,6 +1184,54 @@ object Similarity {
          |  coalesce(n_dropped, 0) AS n_dropped
          |FROM th t LEFT JOIN cnt USING (th) ORDER BY th""".stripMargin)),
 
+    // ---- IVF index-health report: per-centroid assignment counts, corpus
+    // shares (ppm) and balance factor vs the ideal uniform list (×10⁴) —
+    // pipeline_skew_report's shape pointed at the ANN index: an IVF list
+    // holding 3× its uniform share makes every probe that hits it 3× more
+    // expensive, and the fix (re-seeding / splitting the hot centroid)
+    // starts from exactly this table. All-integer outputs. Scale shape:
+    // the assignment is the same schema-bounded centroid broadcast every
+    // IVF query plans; the report adds one hash agg keyed by cid (8 rows)
+    // and a single-row stats broadcast.
+    ("sim_ivf_balance", (s, d) => {
+      import s.implicits._
+      val v = vectors(s, d)
+      val cent = v.filter($"vec_id" % IvfSeedStride === 0 && $"vec_id" < IvfSeedStride * IvfCentroids)
+        .select(($"vec_id" / IvfSeedStride).cast("long").as("cid"), $"emb".as("c_emb"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+      val assigned = v.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosine($"emb", $"c_emb"))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter($"crn" === 1)
+      val perList = assigned.groupBy($"cid").agg(count(lit(1)).as("n_assigned"))
+      val stats = perList.agg(sum($"n_assigned").as("total"), count(lit(1)).as("n_lists"))
+      perList.crossJoin(broadcast(stats))
+        .select($"cid", $"n_assigned",
+          expr("(n_assigned * 1000000L) div total").as("share_ppm"),
+          expr("(n_assigned * n_lists * 10000L) div total").as("balance_x_e4"))
+        .withColumn("oversized", $"balance_x_e4" > 20000L)
+        .orderBy($"cid")
+    }, Some(
+      s"""WITH $vectorsSql,
+         |cent AS (
+         |  SELECT CAST(vec_id // $IvfSeedStride AS BIGINT) AS cid, emb AS c_emb
+         |  FROM v WHERE vec_id % $IvfSeedStride = 0 AND vec_id < ${IvfSeedStride * IvfCentroids}),
+         |ranked AS (
+         |  SELECT v.vec_id, cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_dot_product(v.emb, c_emb) DESC, cid) AS crn
+         |  FROM v CROSS JOIN cent),
+         |per AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned
+         |  FROM ranked WHERE crn = 1 GROUP BY 1),
+         |st AS (SELECT CAST(sum(n_assigned) AS BIGINT) AS total,
+         |  CAST(count(*) AS BIGINT) AS n_lists FROM per)
+         |SELECT cid, n_assigned,
+         |  (n_assigned * 1000000) // total AS share_ppm,
+         |  (n_assigned * n_lists * 10000) // total AS balance_x_e4,
+         |  (n_assigned * n_lists * 10000) // total > 20000 AS oversized
+         |FROM per, st ORDER BY cid""".stripMargin)),
+
     // ---- random-projection (JL) prefilter + exact rerank, with recall: a
     // deterministic ±1 sign matrix (Achlioptas) projects 64-dim unit
     // vectors to 32 dims; each query shortlists its top-80 by the cheap
