@@ -1670,7 +1670,64 @@ object Relational {
          |  CASE WHEN net_op IN ('delete', 'none') THEN NULL
          |       ELSE ${rndSql("last_value", 2)} END AS net_value
          |FROM net ORDER BY user_id""".stripMargin
-    })
+    }),
+
+    // ---- q65: NEAREST-match as-of join — each purchase matched to the
+    // CLOSEST same-user signup in either direction (q58/q23 are
+    // backward-only; sensor/feature alignment wants the nearer of the two
+    // sides). Same windowed shape, one sort per user: a backward
+    // unbounded-preceding max and a forward unbounded-following min over
+    // the signup timestamps, then an integer gap comparison picks the
+    // direction (ties → backward, the as-of convention). No
+    // self-join — the probe and build sides are the same sorted stream,
+    // so at 100 TB this costs exactly one shuffle on user_id.
+    ("q65_asof_nearest", (s, d) => {
+      import s.implicits._
+      val sigTs = when($"event_type" === "signup", unix_micros($"ts"))
+      val wb = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wf = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("before_us", max(sigTs).over(wb))
+        .withColumn("after_us", min(sigTs).over(wf))
+        .filter($"event_type" === "purchase")
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("direction",
+          when($"before_us".isNull && $"after_us".isNull, "none")
+            .when($"after_us".isNull, "backward")
+            .when($"before_us".isNull, "forward")
+            .when($"ts_us" - $"before_us" <= $"after_us" - $"ts_us", "backward")
+            .otherwise("forward"))
+        .withColumn("nearest_us",
+          when($"direction" === "backward", $"before_us")
+            .when($"direction" === "forward", $"after_us"))
+        .select($"event_id", $"user_id", $"ts_us",
+          $"before_us", $"after_us", $"nearest_us", $"direction")
+        .orderBy($"event_id")
+    }, Some(
+      """SELECT event_id, user_id, ts_us, before_us, after_us,
+        |  CASE direction WHEN 'backward' THEN before_us
+        |       WHEN 'forward' THEN after_us END AS nearest_us,
+        |  direction
+        |FROM (
+        |  SELECT event_id, user_id, ts_us, before_us, after_us,
+        |    CASE WHEN before_us IS NULL AND after_us IS NULL THEN 'none'
+        |         WHEN after_us IS NULL THEN 'backward'
+        |         WHEN before_us IS NULL THEN 'forward'
+        |         WHEN ts_us - before_us <= after_us - ts_us THEN 'backward'
+        |         ELSE 'forward' END AS direction
+        |  FROM (
+        |    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |      max(CASE WHEN event_type='signup' THEN epoch_us(ts) END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_us,
+        |      min(CASE WHEN event_type='signup' THEN epoch_us(ts) END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS after_us
+        |    FROM events)
+        |  WHERE event_type = 'purchase')
+        |ORDER BY event_id""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
