@@ -107,6 +107,40 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(rows.forall(_._3 == 10000L))
   }
 
+  test("IVF balance: lists partition the corpus, factors consistent with counts") {
+    import spark.implicits._
+    val rows = Similarity.queries("sim_ivf_balance")(spark, sfDir)
+      .select($"cid", $"n_assigned", $"share_ppm", $"balance_x_e4", $"oversized")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    val total = rows.map(_._2).sum
+    val corpus = graft.Tables.embeddings(spark, sfDir).count()
+    assert(total == corpus, s"lists hold $total of $corpus vectors — assignment must partition")
+    rows.foreach { case (_, n, ppm, bal, over) =>
+      assert(ppm == n * 1000000L / total)
+      assert(bal == n * rows.length * 10000L / total)
+      assert(over == (bal > 20000L))
+    }
+  }
+
+  test("nearest as-of: direction picks the strictly closer signup, ties backward") {
+    import spark.implicits._
+    val rows = Relational.queries("q65_asof_nearest")(spark, sfDir)
+      .select($"ts_us", $"before_us", $"after_us", $"nearest_us", $"direction")
+      .as[(Long, Option[Long], Option[Long], Option[Long], String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (ts, before, after, nearest, dir) =>
+      (before, after) match {
+        case (None, None) => assert(dir == "none" && nearest.isEmpty)
+        case (Some(b), None) => assert(dir == "backward" && nearest.contains(b))
+        case (None, Some(a)) => assert(dir == "forward" && nearest.contains(a))
+        case (Some(b), Some(a)) =>
+          assert(b <= ts && a >= ts, "window sides must bracket the probe")
+          if (ts - b <= a - ts) assert(dir == "backward" && nearest.contains(b))
+          else assert(dir == "forward" && nearest.contains(a))
+      }
+    }
+  }
+
   test("skew report: shares and skew factors are consistent with the full key histogram") {
     import spark.implicits._
     val got = PipelineOps.queries("pipeline_skew_report")(spark, sfDir)
