@@ -968,6 +968,58 @@ object PipelineOps {
          |FROM per, tw ORDER BY source""".stripMargin
     }),
 
+    // ---- importance-sampling health: effective sample size of the DSIR
+    // weights per language — ESS = (Σw)²/Σw², the number of "effective
+    // documents" the weighted sample is worth (ESS ≈ n ⇒ weights are
+    // near-uniform and resampling is safe; ESS ≪ n ⇒ a few heavy docs
+    // dominate and the resampled corpus will be repetitive). Weights are
+    // the integer dsir_score milli-quantized (div 1000, ~600 typical), so
+    // Σw ≤ n·~10³ and (Σw)² stays far inside int64 up to ~10⁷ docs — at
+    // larger corpora run per shard and merge the three integer sums
+    // (count/Σw/Σw², all order-free). All-integer outputs.
+    ("pipeline_dsir_ess", (s, d) => {
+      import s.implicits._
+      val w = queries("pipeline_dsir_weights")(s, d)
+        .select($"lang", expr("dsir_score div 1000").as("w"))
+      w.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"w").as("sum_w"),
+          sum($"w" * $"w").as("sum_w2"))
+        .select($"lang", $"n_docs", $"sum_w",
+          when($"sum_w2" === 0, lit(null).cast("long"))
+            .otherwise(expr("(sum_w * sum_w) div sum_w2")).as("ess_docs"))
+        .withColumn("ess_ratio_e4",
+          when($"ess_docs".isNull, lit(null).cast("long"))
+            .otherwise(expr("(ess_docs * 10000L) div n_docs")))
+        .orderBy($"lang")
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, ${h60Sql("tok")} % 4096 AS b
+         |  FROM (SELECT doc_id, lang, unnest($t) AS tok FROM documents)),
+         |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rc FROM tok GROUP BY 1),
+         |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM tok WHERE lang = 'en' GROUP BY 1),
+         |ratio AS (
+         |  SELECT rc.b, (1000000 * (coalesce(tc.tc, 0) + 1)) // (rc.rc + 1) AS q
+         |  FROM rc LEFT JOIN tc ON rc.b = tc.b),
+         |wt AS (
+         |  SELECT tok.doc_id, min(tok.lang) AS lang,
+         |    (CAST(sum(q) AS BIGINT) // count(*)) // 1000 AS w
+         |  FROM tok JOIN ratio ON tok.b = ratio.b
+         |  GROUP BY 1),
+         |agg AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(w) AS BIGINT) AS sum_w,
+         |    CAST(sum(w * w) AS BIGINT) AS sum_w2
+         |  FROM wt GROUP BY 1)
+         |SELECT lang, n_docs, sum_w,
+         |  CASE WHEN sum_w2 = 0 THEN NULL
+         |       ELSE (sum_w * sum_w) // sum_w2 END AS ess_docs,
+         |  CASE WHEN sum_w2 = 0 THEN NULL
+         |       ELSE (((sum_w * sum_w) // sum_w2) * 10000) // n_docs END AS ess_ratio_e4
+         |FROM agg ORDER BY lang""".stripMargin
+    }),
+
     // ---- hot-key skew report: the pre-flight diagnostic run before any
     // large keyed join/agg — per-key row counts on the join key, the
     // top-10 heaviest keys, each key's corpus share (ppm) and its skew

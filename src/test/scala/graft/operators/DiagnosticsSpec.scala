@@ -122,6 +122,22 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR ESS: effective sample size bounded by n and consistent with its sums") {
+    import spark.implicits._
+    val rows = PipelineOps.queries("pipeline_dsir_ess")(spark, sfDir)
+      .select($"n_docs", $"sum_w", $"ess_docs", $"ess_ratio_e4")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, sw, ess, ratio) =>
+      ess.foreach { e =>
+        // Cauchy–Schwarz: (Σw)² ≤ n·Σw² ⇒ ESS ≤ n; and ESS ≥ 1 when any w > 0
+        assert(e >= 1 && e <= n, s"ESS $e outside [1, $n]")
+        assert(ratio.contains(e * 10000L / n))
+      }
+      assert(sw >= 0)
+    }
+  }
+
   test("nearest as-of: direction picks the strictly closer signup, ties backward") {
     import spark.implicits._
     val rows = Relational.queries("q65_asof_nearest")(spark, sfDir)
