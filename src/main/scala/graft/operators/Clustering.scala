@@ -404,8 +404,73 @@ object Clustering {
          |  FROM both_a WHERE cid1 <> cid2 GROUP BY 1)
          |SELECT cid, n_members, n_joined, coalesce(n_left, 0) AS n_left,
          |  ${rndSql("(n_members - n_joined) / CAST(n_members AS DOUBLE)", 4)} AS stability
-         |FROM j LEFT JOIN l USING (cid) ORDER BY cid""".stripMargin))
+         |FROM j LEFT JOIN l USING (cid) ORDER BY cid""".stripMargin)),
+
+    // ---- deterministic k-means++-style seeding via farthest-point
+    // traversal (Gonzalez 1985 — the argmax variant of k-means++'s D²
+    // sampling; deterministic, so oracle-checkable): start from the lowest
+    // vec_id, then K−1 times pick the vector farthest (max over corpus of
+    // min squared distance to the chosen set; ties → lowest id). The
+    // traversal is a 2-approximation of the optimal k-center radius, i.e.
+    // provably spread seeds — the quality knob the stride-seeded IVF/Lloyd
+    // pipeline leaves on the table (ClusteringSpec pins that these seeds
+    // cover the corpus with a radius ≤ the stride seeds'). Exact-integer
+    // distances on the quantized vectors (dist = q·q − 2q·m + m·m, every
+    // term an integer sum ≪ 2⁵³), so dmin hashes bit-identically. Scale
+    // shape per round: the ≤K-row chosen set broadcasts, the corpus never
+    // shuffles (map-side min over ≤K centroids), and the argmax is a
+    // TakeOrdered(1) — K−1 linear scans total, the textbook distributed
+    // farthest-point schedule.
+    ("sim_kmeanspp_init", (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      import s.implicits._
+      val q = quantized(Similarity.vectors(s, d)).cache() // K-1 scan rounds
+      val seed = q.orderBy($"vec_id").limit(1)
+        .select(lit(0L).as("cid"), $"vec_id", $"qv".as("m"), lit(0.0).as("dmin"))
+      val chosen = (1 until K).foldLeft(seed) { (ch, r) =>
+        val dmin = q.crossJoin(broadcast(ch.select($"m")))
+          .withColumn("dist",
+            vecDot($"qv", $"qv") - lit(2) * vecDot($"qv", $"m") + vecDot($"m", $"m"))
+          .groupBy($"vec_id").agg(min($"dist").as("dmin"))
+        val next = dmin.join(q, "vec_id")
+          .orderBy($"dmin".desc, $"vec_id").limit(1)
+          .select(lit(r.toLong).as("cid"), $"vec_id", $"qv".as("m"), $"dmin")
+        ch.unionByName(next)
+      }
+      chosen.select($"cid".as("step"), $"vec_id", $"dmin").orderBy($"step")
+    }, Some(kmeansppSql))
   )
+
+  /** Oracle twin of sim_kmeanspp_init: unrolled farthest-point CTE chain
+    * ch0 → d1/p1/ch1 → … over the quantized unit vectors.
+    */
+  private def kmeansppSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS emb
+         |  FROM embeddings),
+         |${quantizedSql("v")},
+         |ch0 AS (
+         |  SELECT 0 AS cid, vec_id, qv AS m, CAST(0 AS DOUBLE) AS dmin
+         |  FROM q WHERE vec_id = (SELECT min(vec_id) FROM q))""".stripMargin)
+    for (r <- 1 until K) {
+      sb.append(
+        s""",
+           |d$r AS (
+           |  SELECT q.vec_id,
+           |    min(list_dot_product(qv, qv) - 2*list_dot_product(qv, m) + list_dot_product(m, m)) AS dmin
+           |  FROM q CROSS JOIN ch${r - 1} GROUP BY q.vec_id),
+           |p$r AS (
+           |  SELECT $r AS cid, d$r.vec_id, qv AS m, dmin
+           |  FROM d$r JOIN q ON d$r.vec_id = q.vec_id
+           |  ORDER BY dmin DESC, d$r.vec_id LIMIT 1),
+           |ch$r AS (SELECT * FROM ch${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin)
+    }
+    sb.append(s"\nSELECT CAST(cid AS BIGINT) AS step, vec_id, dmin FROM ch${K - 1} ORDER BY step")
+    sb.toString
+  }
 
   /** Capped SemDeDup drop flags (see the dedup_semantic comment): stage-1
     * exact-duplicate resolution on the quantized vectors, stage-2 sharded

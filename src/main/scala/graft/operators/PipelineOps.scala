@@ -1050,7 +1050,175 @@ object PipelineOps {
         |SELECT user_id, cnt,
         |  (cnt * 1000000) // total AS share_ppm,
         |  (cnt * n_keys * 10000) // total AS skew_x_e4
-        |FROM per, st ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin))
+        |FROM per, st ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin)),
+
+    // ---- DSIR importance RESAMPLING — the pass the weights exist for:
+    // keep each doc with probability min(1, w / (2·mean_w)), so target-like
+    // docs (w ≫ mean) survive and off-target docs thin out, shifting the
+    // kept mixture toward the target domain without a trained classifier.
+    // Determinism: u = h60('rs'||doc_id) mod 1e6 is the "coin"; acceptance
+    // is the cross-multiplied integer compare u·2·mean_w < w·1e6 (u < 1e6,
+    // mean_w ≲ 1e6 ⇒ products ≤ ~2e12, far inside int64). The cap is
+    // self-normalizing (2× the corpus mean weight, one scalar broadcast) —
+    // no tuning constant that drifts when the corpus changes. Output is the
+    // per-lang mixture report. Honesty note: THIS synthetic corpus draws
+    // every language from the same 31-token vocabulary, so the hashed-
+    // unigram weights are near-uniform across langs (mean_w flat, keep_ppm
+    // ≈ ½ everywhere — p = min(1, w/2w̄) with w ≈ w̄); the contract
+    // exercises the machinery (doc-level selection, self-normalizing cap,
+    // integer acceptance), and the mixture shift appears on any corpus
+    // whose target actually has a distinct unigram profile. Scale: the
+    // weight chain's cost (explode + one broadcast-joined agg) + one
+    // scalar agg + one per-lang agg.
+    ("pipeline_dsir_resample", (s, d) => {
+      import s.implicits._
+      val w = queries("pipeline_dsir_weights")(s, d)
+        .select($"doc_id", $"lang", $"n_tokens", $"dsir_score".as("w"))
+      val mean = w.agg(expr("sum(w) div count(1)").as("mean_w"))
+      w.crossJoin(broadcast(mean))
+        .withColumn("kept",
+          pmod(h60(concat(lit("rs"), $"doc_id")), lit(1000000L)) * 2L * $"mean_w"
+            < $"w" * lit(1000000L))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"kept", $"n_tokens").otherwise(0L)).as("kept_tokens"),
+          expr("sum(w) div count(1)").as("mean_w"))
+        .withColumn("keep_ppm", expr("(n_kept * 1000000L) div n_docs"))
+        .orderBy($"lang")
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, ${h60Sql("tok")} % 4096 AS b
+         |  FROM (SELECT doc_id, lang, unnest($t) AS tok FROM documents)),
+         |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rc FROM tok GROUP BY 1),
+         |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM tok WHERE lang = 'en' GROUP BY 1),
+         |ratio AS (
+         |  SELECT rc.b, (1000000 * (coalesce(tc.tc, 0) + 1)) // (rc.rc + 1) AS q
+         |  FROM rc LEFT JOIN tc ON rc.b = tc.b),
+         |wt AS (
+         |  SELECT tok.doc_id, min(tok.lang) AS lang,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(q) AS BIGINT) // count(*) AS w
+         |  FROM tok JOIN ratio ON tok.b = ratio.b
+         |  GROUP BY 1),
+         |mn AS (SELECT CAST(sum(w) AS BIGINT) // count(*) AS mean_w FROM wt),
+         |k AS (
+         |  SELECT lang, n_tokens, w,
+         |    (${h60Sql("'rs' || CAST(doc_id AS VARCHAR)")} % 1000000) * 2 * mean_w
+         |      < w * 1000000 AS kept
+         |  FROM wt, mn)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+         |  CAST(sum(w) AS BIGINT) // count(*) AS mean_w,
+         |  (CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS keep_ppm
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
+
+    // ---- weighted sampling without replacement (integer A-ES): each doc
+    // gets w ∈ 1..16 "tickets" (a clamped token-count bucket — the sampling
+    // weight), its priority is the MIN of the w independent h60 hashes of
+    // (doc_id, ticket), and the sample is the global bottom-k by that
+    // priority. Min-stability makes this exactly the Efraimidis–Spirakis
+    // exponential-keys sampler in integer form: P(priority < t·2⁶⁰) =
+    // 1−(1−t)^w, so heavier docs sit lower and the k-frontier includes a
+    // doc with probability ≈ proportional to its weight — no floats, no
+    // ln(), both engines bit-identical. Scale shape: the per-doc min folds
+    // the ≤16-element ticket sequence MAP-SIDE inside one higher-order
+    // `aggregate` (no explode row blow-up, no shuffle), and the global
+    // bottom-k is TakeOrderedAndProject — O(k) per partition, O(k·parts)
+    // on the driver, never a full sort.
+    ("pipeline_weighted_sample", (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", size(tokens($"text")).cast("long").as("n_toks"))
+        .withColumn("w_tickets", expr("least(15L, n_toks div 32L) + 1L"))
+        .withColumn("pri", expr(
+          """aggregate(sequence(0L, w_tickets - 1L), 9223372036854775807L,
+            |  (acc, i) -> least(acc, CAST(conv(substring(md5(
+            |    concat(CAST(doc_id AS STRING), '#', CAST(i AS STRING))
+            |  ), 1, 15), 16, 10) AS BIGINT)))""".stripMargin))
+        .orderBy($"pri", $"doc_id")
+        .limit(SampleK)
+    }, Some(
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_toks,
+         |    least(15, CAST(len(${tokensSql("text")}) AS BIGINT) // 32) + 1 AS w_tickets
+         |  FROM documents)
+         |SELECT doc_id, n_toks, w_tickets,
+         |  list_min(list_transform(range(0, w_tickets),
+         |    i -> ${h60Sql("CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)")})) AS pri
+         |FROM b ORDER BY pri, doc_id LIMIT $SampleK""".stripMargin)),
+
+    // ---- balanced shard assignment (serpentine LPT): sort docs by token
+    // count descending and deal them shard 0→7, then 7→0, alternating — the
+    // longest-processing-time-first heuristic that packs near-equal token
+    // loads per shard (the GPU-batch / output-file balancing pass; hash
+    // sharding leaves the token imbalance at the mercy of doc-length
+    // variance). Report compares both: serpentine imbalance lands within
+    // ±a few ‱ of the 10000 ideal, hash sharding visibly wider. The global
+    // rank runs in the SHARDED form (the q59/budget_fill pattern): docs
+    // band by n_toks div 32 (order-aligned with the sort key), per-band doc
+    // counts prefix over a band-count-bounded broadcast, and the per-doc
+    // row_number partitions BY BAND — no global single-partition window at
+    // any corpus size; the oracle computes the identical rank with one
+    // global window (DuckDB has the whole corpus in hand).
+    ("pipeline_balanced_shards", (s, d) => {
+      import s.implicits._
+      val nSh = 8L
+      val base = Tables.documents(s, d)
+        .select($"doc_id", size(tokens($"text")).cast("long").as("n_toks"))
+        .withColumn("band", expr("n_toks div 32L"))
+      val wB = Window.orderBy($"band".desc).rowsBetween(Window.unboundedPreceding, -1)
+      val offs = base.groupBy($"band").agg(count(lit(1)).as("band_docs"))
+        .withColumn("off", coalesce(sum($"band_docs").over(wB), lit(0L)))
+        .select($"band", $"off")
+      val wIn = Window.partitionBy($"band").orderBy($"n_toks".desc, $"doc_id")
+      val ranked = base.join(broadcast(offs), "band")
+        .withColumn("rnk", $"off" + row_number().over(wIn) - 1L)
+        .withColumn("shard",
+          expr(s"CASE WHEN (rnk div $nSh) % 2 = 0 THEN rnk % $nSh " +
+            s"ELSE ${nSh - 1} - rnk % $nSh END"))
+        .withColumn("hash_shard", pmod(h60($"doc_id".cast("string")), lit(nSh)))
+      val tot = ranked.agg(sum($"n_toks").as("tot_toks"))
+      val serp = ranked.groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("serp_tokens"))
+      val hash = ranked.groupBy($"hash_shard".as("shard"))
+        .agg(sum($"n_toks").as("hash_tokens"))
+      serp.join(hash, "shard").crossJoin(broadcast(tot))
+        .select($"shard", $"n_docs", $"serp_tokens",
+          expr(s"(serp_tokens * $nSh * 10000L) div tot_toks").as("serp_imbalance_e4"),
+          $"hash_tokens",
+          expr(s"(hash_tokens * $nSh * 10000L) div tot_toks").as("hash_imbalance_e4"))
+        .orderBy($"shard")
+    }, Some(
+      s"""WITH b AS (
+         |  SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_toks,
+         |    row_number() OVER (ORDER BY n_toks DESC, doc_id) - 1 AS rnk,
+         |    ${h60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS hash_shard
+         |  FROM b),
+         |a AS (
+         |  SELECT doc_id, n_toks, hash_shard,
+         |    CASE WHEN (rnk // 8) % 2 = 0 THEN rnk % 8 ELSE 7 - rnk % 8 END AS shard
+         |  FROM r),
+         |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS tot_toks FROM a),
+         |serp AS (
+         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS serp_tokens
+         |  FROM a GROUP BY 1),
+         |hsh AS (
+         |  SELECT hash_shard AS shard, CAST(sum(n_toks) AS BIGINT) AS hash_tokens
+         |  FROM a GROUP BY 1)
+         |SELECT shard, n_docs, serp_tokens,
+         |  (serp_tokens * 8 * 10000) // tot_toks AS serp_imbalance_e4,
+         |  hash_tokens,
+         |  (hash_tokens * 8 * 10000) // tot_toks AS hash_imbalance_e4
+         |FROM serp JOIN hsh USING (shard) CROSS JOIN tot ORDER BY shard""".stripMargin))
   )
 
   /** Global-sample size for pipeline_bottomk_sample. */

@@ -1727,7 +1727,92 @@ object Relational {
         |              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS after_us
         |    FROM events)
         |  WHERE event_type = 'purchase')
-        |ORDER BY event_id""".stripMargin))
+        |ORDER BY event_id""".stripMargin)),
+
+    // ---- KMV (k-minimum-values / bottom-k) distinct sketches as COLUMNS,
+    // with set INTERSECTION — the audience-overlap estimate HLL cannot give
+    // (HLL unions; KMV's kth-smallest-hash sample supports Jaccard): per
+    // event type, keep the K=64 smallest h60 hashes of the distinct
+    // (user, day) active pairs; for a pair of types, the bottom-K of the
+    // union is a uniform coordinated sample, the fraction of it present in
+    // BOTH sketches estimates Jaccard (Beyer et al. 2007), and
+    // (K−1)·2⁶⁰/kth_min estimates the union cardinality. Deterministic end
+    // to end: the "sample" is the hash order itself, both engines rebuild
+    // it bit-identically, and the estimator arithmetic is integer (div-
+    // first quantization documented inline). The exact legs (n1/n2/inter)
+    // are EVAL columns computable here because |distinct| is small; at
+    // 100 TB only the O(K) sketches ship — per-shard bottom-K states merge
+    // by sorted-union-truncate (BottomKAgg), raw pairs never re-scanned.
+    ("q66_kmv_audience", (s, d) => {
+      import s.implicits._
+      val K = 64
+      val bottomK = udaf(new graft.functions.BottomKAgg(K)).withName(s"bottom_k_$K")
+      val ud = Tables.events(s, d)
+        .select($"event_type",
+          Portable.h60(concat_ws("|", $"user_id", to_date($"ts").cast("string"))).as("h"))
+        .distinct()
+      val sk = ud
+        .select($"event_type", lpad($"h".cast("string"), 20, "0").as("k"), $"h")
+        .groupBy($"event_type")
+        .agg(bottomK($"k", $"h").as("sk"), count(lit(1)).as("n_exact"))
+      val inter = ud.as("x")
+        .join(ud.as("y"), $"x.h" === $"y.h" && $"x.event_type" < $"y.event_type")
+        .groupBy($"x.event_type".as("e1"), $"y.event_type".as("e2"))
+        .agg(count(lit(1)).as("inter"))
+      sk.select($"event_type".as("e1"), $"sk".as("a"), $"n_exact".as("n1"))
+        .join(sk.select($"event_type".as("e2"), $"sk".as("b"), $"n_exact".as("n2")),
+          $"e1" < $"e2")
+        .join(inter, Seq("e1", "e2"))
+        .withColumn("u", expr(s"slice(array_sort(array_union(a, b)), 1, $K)"))
+        .withColumn("mu", size($"u"))
+        .withColumn("kth", expr("element_at(u, mu)"))
+        .withColumn("n_match",
+          expr("size(filter(u, x -> array_contains(a, x) AND array_contains(b, x)))"))
+        .withColumn("est_union",
+          expr(s"CASE WHEN mu < $K THEN CAST(mu AS BIGINT) " +
+            s"ELSE (1152921504606846976L div kth) * ${K - 1} END"))
+        .withColumn("est_jaccard_e4", expr("(n_match * 10000L) div mu"))
+        .withColumn("exact_union", $"n1" + $"n2" - $"inter")
+        .withColumn("exact_jaccard_e4", expr("(inter * 10000L) div (n1 + n2 - inter)"))
+        .withColumn("err_e4", abs($"est_jaccard_e4" - $"exact_jaccard_e4"))
+        .select($"e1", $"e2", $"n1", $"n2", $"est_union", $"exact_union",
+          $"est_jaccard_e4", $"exact_jaccard_e4", $"err_e4")
+        .orderBy($"e1", $"e2")
+    }, Some(
+      s"""WITH ud AS (
+         |  SELECT DISTINCT event_type,
+         |    ${Portable.h60Sql("CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d')")} AS h
+         |  FROM events),
+         |sk AS (
+         |  SELECT event_type, (list(h ORDER BY h))[1:64] AS sk,
+         |    CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM ud GROUP BY 1),
+         |ix AS (
+         |  SELECT x.event_type AS e1, y.event_type AS e2,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM ud x JOIN ud y ON x.h = y.h AND x.event_type < y.event_type
+         |  GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT a.event_type AS e1, b.event_type AS e2,
+         |    a.sk AS sa, b.sk AS sb, a.n_exact AS n1, b.n_exact AS n2
+         |  FROM sk a JOIN sk b ON a.event_type < b.event_type),
+         |c AS (
+         |  SELECT e1, e2, n1, n2, sa, sb,
+         |    (list_sort(list_distinct(list_concat(sa, sb))))[1:64] AS u
+         |  FROM pr),
+         |m AS (
+         |  SELECT e1, e2, n1, n2, len(u) AS mu, u[len(u)] AS kth,
+         |    CAST(len(list_filter(u, x -> list_contains(sa, x) AND list_contains(sb, x))) AS BIGINT) AS n_match
+         |  FROM c)
+         |SELECT m.e1, m.e2, n1, n2,
+         |  CASE WHEN mu < 64 THEN CAST(mu AS BIGINT)
+         |       ELSE (1152921504606846976 // kth) * 63 END AS est_union,
+         |  n1 + n2 - inter AS exact_union,
+         |  (n_match * 10000) // mu AS est_jaccard_e4,
+         |  (inter * 10000) // (n1 + n2 - inter) AS exact_jaccard_e4,
+         |  abs((n_match * 10000) // mu - (inter * 10000) // (n1 + n2 - inter)) AS err_e4
+         |FROM m JOIN ix ON m.e1 = ix.e1 AND m.e2 = ix.e2
+         |ORDER BY m.e1, m.e2""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

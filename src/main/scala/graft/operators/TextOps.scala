@@ -849,6 +849,106 @@ object TextOps {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }),
 
+    // ---- tokenizer fertility by language: tokens-per-word and chars-per-
+    // token under the learned BPE ruleset, aggregated per lang — the metric
+    // a tokenizer evaluation actually publishes (fertility ≫ 1 on a
+    // language means its text costs proportionally more sequence length per
+    // word, the classic under-served-language signal; Ács 2019). Pure
+    // integer outputs: fertility_e4 = 10⁴·bpe_tokens div words and
+    // chars_per_token_e4 = 10⁴·alpha_chars div bpe_tokens, so the report is
+    // bit-exact on both engines with no float division. Scale shape: the
+    // same vocabulary-lookup join as text_bpe_apply (vocab side broadcast
+    // at 100 TB) followed by a ≤|langs|-row hash agg — one corpus scan.
+    ("text_tokenizer_fertility", (s, d) => {
+      import s.implicits._
+      val wordCost = bpeChain(s, d)._2
+        .select($"w", size(split(trim($"seq"), " ")).cast("long").as("n_sym"))
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", explode(tokens($"text")).as("w"))
+        .join(wordCost, "w")
+        .groupBy($"lang")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(length($"w")).cast("long").as("n_alpha_chars"),
+          sum($"n_sym").as("n_tokens_bpe"))
+        .withColumn("fertility_e4", expr("(n_tokens_bpe * 10000L) div n_words"))
+        .withColumn("chars_per_token_e4",
+          expr("(n_alpha_chars * 10000L) div n_tokens_bpe"))
+        .orderBy($"lang")
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH $bpeChainSql,
+         |wcost AS (SELECT w, CAST(len(regexp_split_to_array(trim(seq), ' ')) AS BIGINT) AS n_sym
+         |  FROM s$BpeMerges),
+         |dw AS (SELECT doc_id, lang, unnest($t) AS w FROM documents),
+         |ag AS (
+         |  SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(length(dw.w)) AS BIGINT) AS n_alpha_chars,
+         |    CAST(sum(n_sym) AS BIGINT) AS n_tokens_bpe
+         |  FROM dw JOIN wcost ON dw.w = wcost.w
+         |  GROUP BY lang)
+         |SELECT lang, n_docs, n_words, n_alpha_chars, n_tokens_bpe,
+         |  (n_tokens_bpe * 10000) // n_words AS fertility_e4,
+         |  (n_alpha_chars * 10000) // n_tokens_bpe AS chars_per_token_e4
+         |FROM ag ORDER BY lang""".stripMargin
+    }),
+
+    // ---- skip-gram PMI word association: count (center, context) pairs
+    // within a forward window of 4 tokens, score each pair by the
+    // integer-quantized PMI ratio c_ab·N/(c_a·c_b) (the word2vec-era SGNS
+    // training objective's implicit matrix, Levy & Goldberg 2014; ranking
+    // by the ratio = ranking by PMI since log is monotone — no log, no
+    // float). The division chain is ordered to keep every intermediate
+    // bounded: ((c_ab·10⁴) div c_a) ≤ 10⁴·window, then ·N div c_b — safe in
+    // int64 at any corpus size, and both engines evaluate the identical
+    // truncation. Scale shape: pair emission is a map-only nested
+    // higher-order transform (no self-join, no shuffle per token); the
+    // count tables are vocabulary²-bounded hash aggs; marginals broadcast;
+    // the final top-50 is a TakeOrdered, never a global sort.
+    ("text_pmi_pairs", (s, d) => {
+      import s.implicits._
+      val toks = transform(tokens($"text"), t => lower(t))
+      val pairs = Tables.documents(s, d)
+        .select(toks.as("t"))
+        .filter(size($"t") >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(t) - 2), i ->
+            |  transform(sequence(i + 1, least(i + 4, size(t) - 1)), j ->
+            |    struct(t[i] AS a, t[j] AS b))))""".stripMargin)).as("p"))
+        .select($"p.a", $"p.b")
+      val cAb = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+      val cA = pairs.groupBy($"a").agg(count(lit(1)).as("c_a"))
+      val cB = pairs.groupBy($"b").agg(count(lit(1)).as("c_b"))
+      val n = pairs.agg(count(lit(1)).as("n_pairs"))
+      cAb.join(broadcast(cA), "a").join(broadcast(cB), "b").crossJoin(broadcast(n))
+        .filter($"c_ab" >= 5)
+        .withColumn("assoc_e4", expr("((c_ab * 10000L) div c_a) * n_pairs div c_b"))
+        .select($"a", $"b", $"c_ab", $"c_a", $"c_b", $"assoc_e4")
+        .orderBy($"assoc_e4".desc, $"a", $"b")
+        .limit(50)
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH dt AS (
+         |  SELECT list_transform($t, x -> lower(x)) AS t FROM documents
+         |  WHERE len($t) >= 2),
+         |pr AS (
+         |  SELECT unnest(flatten(list_transform(range(0, len(t) - 1), i ->
+         |    list_transform(range(i + 1, least(i + 5, len(t))), j ->
+         |      struct_pack(a := t[i+1], b := t[j+1]))))) AS p
+         |  FROM dt),
+         |p2 AS (SELECT p.a AS a, p.b AS b FROM pr),
+         |ab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM p2 GROUP BY 1, 2),
+         |ca AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM p2 GROUP BY 1),
+         |cb AS (SELECT b, CAST(count(*) AS BIGINT) AS c_b FROM p2 GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM p2)
+         |SELECT a, b, c_ab, c_a, c_b,
+         |  ((c_ab * 10000) // c_a) * n_pairs // c_b AS assoc_e4
+         |FROM ab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN n
+         |WHERE c_ab >= 5
+         |ORDER BY assoc_e4 DESC, a, b LIMIT 50""".stripMargin
+    }),
+
     // ---- RAKE keyword extraction (Rose et al. 2010): candidate phrases
     // are maximal stopword-free token runs; a word scores deg/freq (deg =
     // Σ length of phrases it appears in — co-occurrence degree; freq =

@@ -974,11 +974,25 @@ object Streaming {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Best-effort recursive delete of a replay temp dir. `q.stop()` does not
+    * join the state store's ASYNC maintenance thread, which can still be
+    * writing `.snapshot` files while we sweep — a single pass then races
+    * (DirectoryNotEmptyException / files reappearing). Retry a few times
+    * with a short pause; if the dir still won't die, leave it — it is a
+    * per-JVM /tmp directory and cleanup must never fail the contract.
+    */
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file.Files
-    if (Files.exists(root)) {
-      val it = Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      try it.forEach(p => Files.deleteIfExists(p)) finally it.close()
+    var attempt = 0
+    while (attempt < 5 && Files.exists(root)) {
+      try {
+        val it = Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        try it.forEach(p => Files.deleteIfExists(p)) finally it.close()
+      } catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException => // retry
+      }
+      if (Files.exists(root)) Thread.sleep(200L)
+      attempt += 1
     }
   }
 

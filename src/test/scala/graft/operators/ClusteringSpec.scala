@@ -115,4 +115,37 @@ class ClusteringSpec extends AnyFunSuite {
       .select($"vec_id", $"dropped").as[(Long, Boolean)].collect().toMap
     assert(out2 == out)
   }
+
+  test("farthest-point init: dmin non-increasing, and coverage radius beats the stride seeds") {
+    import spark.implicits._
+    val picked = Clustering.queries("sim_kmeanspp_init")(spark, sfDir)
+      .select($"step", $"vec_id", $"dmin").as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(picked.length == 8)
+    assert(picked.map(_._2).distinct.length == 8, "a vector was picked twice")
+    // the farthest-point dmin sequence is non-increasing by construction
+    val ds = picked.drop(1).map(_._3)
+    assert(ds.zip(ds.drop(1)).forall { case (x, y) => x >= y }, ds.mkString(","))
+
+    // independent coverage check in plain Scala on the quantized vectors:
+    // max-min distance to the chosen set must be <= dmin of a hypothetical
+    // 9th pick, and <= the coverage radius of the stride seeds Lloyd uses
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        val n = math.sqrt(e.map(x => x.toDouble * x).sum)
+        id -> e.map(x => math.rint(x / n * 1024))
+      }.toMap
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val df = a(i) - b(i); s += df * df; i += 1 }
+      s
+    }
+    def radius(centers: Seq[Long]): Double =
+      vecs.valuesIterator.map(v => centers.map(c => d2(v, vecs(c))).min).max
+    val kppR = radius(picked.map(_._2).toIndexedSeq)
+    val strideSeeds = vecs.keys.filter(id => id % 50 == 0 && id < 400).toSeq
+    assert(strideSeeds.size == 8)
+    assert(kppR <= radius(strideSeeds),
+      s"farthest-point radius $kppR worse than stride seeds ${radius(strideSeeds)}")
+  }
 }
