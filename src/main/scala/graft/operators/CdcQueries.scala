@@ -454,6 +454,51 @@ object CdcQueries {
           coalesce(col("n_chunks"), lit(0L))
             .between(col("blob_bytes") / lit(256L * (w + 1)) - 1L, col("blob_bytes") / lit(w))
             .as("n_chunks_bounded"))
+    }),
+
+    // ---- boundary-shift resilience: THE experiment content-defined
+    // chunking exists for (the motivating claim of every CDC paper —
+    // `ae.rs:14`'s cited abstract opens with it): inject a 9-byte prefix
+    // into every document and measure how many distinct chunk hashes the
+    // re-chunked corpus still shares with the original. Content-defined
+    // boundaries re-synchronize after the edit (measured here: AE ≈82%,
+    // Rabin ≈78%, FastCDC ≈37% reuse — FastCDC's skip-to-min hurts resync
+    // on short docs), while fixed-size boundaries all slide by 9 and reuse
+    // collapses (<1%). Contract columns are exact where DuckDB can
+    // recompute them (corpus bytes; the +9·n_docs byte delta; tiling of
+    // both chunkings) and threshold booleans where only the engine can
+    // (reuse ≥20% separates every CDC algo from fixed with ≥17 pp margin
+    // at all three SFs; ≥60% separates the rolling/extremum algos from
+    // FastCDC). Exact reuse numbers are pinned in ShiftResilienceSpec.
+    // Scale shape: two chunk scans (map-side Generator), two distinct
+    // hash aggs, one equi-join on hash — no pairwise work anywhere.
+    "cdc_shift_resilience" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = d.select(col("doc_id"), concat(lit("SHIFTED::"), col("text")).as("text"))
+      val corp = d.agg(
+        sum(octet_length(col("text"))).cast("long").as("corpus_bytes"),
+        count(lit(1)).as("n_docs"))
+      Seq(("ae", AeWindow + 256), ("fastcdc", ExpectedSize),
+          ("fixed", ExpectedSize), ("rabin", ExpectedSize))
+        .map { case (algo, exp) =>
+          val o = Chunking.chunkTable(d, "doc_id", "text", algo, exp, Seed)
+          val c = Chunking.chunkTable(sh, "doc_id", "text", algo, exp, Seed)
+          val so = o.agg(sum(col("length")).cast("long").as("total_orig"),
+            countDistinct(col("hash")).as("d_orig"))
+          val ss = c.agg(sum(col("length")).cast("long").as("total_shift"))
+          val shared = o.select(col("hash")).distinct
+            .join(c.select(col("hash")).distinct, "hash")
+            .agg(count(lit(1)).as("shared"))
+          so.crossJoin(ss).crossJoin(shared).crossJoin(corp)
+            .select(
+              lit(algo).as("algo"),
+              col("corpus_bytes"),
+              (col("total_orig") === col("corpus_bytes")).as("tiles_orig"),
+              (col("total_shift") === col("corpus_bytes") + lit(9L) * col("n_docs"))
+                .as("tiles_shift"),
+              (col("shared") * 5L >= col("d_orig")).as("resyncs_20pct"),
+              (col("shared") * 5L >= col("d_orig") * 3L).as("resyncs_60pct"))
+        }.reduce(_ unionByName _).orderBy("algo")
     })
   )
 
@@ -470,6 +515,17 @@ object CdcQueries {
         |  TRUE AS unique_le_total, TRUE AS distinct_le_count,
         |  TRUE AS coeff_in_unit, TRUE AS distinct_mean_in_clamp
         |FROM (VALUES ('ae'), ('fastcdc'), ('fixed'), ('rabin')) t(algo)
+        |ORDER BY t.algo""".stripMargin,
+
+    // Shift-resilience contract: exact byte anchors + tiling TRUEs + the
+    // per-algo resync verdicts (see the query comment for the margins).
+    "cdc_shift_resilience" ->
+      """WITH c AS (SELECT CAST(sum(octet_length(encode(text))) AS BIGINT) AS corpus_bytes
+        |           FROM documents)
+        |SELECT t.algo, corpus_bytes, TRUE AS tiles_orig, TRUE AS tiles_shift,
+        |  t.algo <> 'fixed' AS resyncs_20pct,
+        |  t.algo IN ('ae', 'rabin') AS resyncs_60pct
+        |FROM (VALUES ('ae'), ('fastcdc'), ('fixed'), ('rabin')) t(algo), c
         |ORDER BY t.algo""".stripMargin,
 
     // Strategy-A contract: exact byte anchor + merge invariants (see query).
