@@ -1218,7 +1218,111 @@ object PipelineOps {
          |  (serp_tokens * 8 * 10000) // tot_toks AS serp_imbalance_e4,
          |  hash_tokens,
          |  (hash_tokens * 8 * 10000) // tot_toks AS hash_imbalance_e4
-         |FROM serp JOIN hsh USING (shard) CROSS JOIN tot ORDER BY shard""".stripMargin))
+         |FROM serp JOIN hsh USING (shard) CROSS JOIN tot ORDER BY shard""".stripMargin)),
+
+    // ---- data-contract validation (the expectations/dbt-test stage a
+    // production pipeline runs before publishing a table): six checks —
+    // two referential-integrity anti-joins (orders→customer,
+    // lineitem→orders), a range check, a NOT NULL check, a primary-key
+    // uniqueness check, and a derived-column consistency check — each one
+    // row (check_name, n_checked, n_violations, pass). Everything is
+    // exact-integer, so a single silently-dropped or misclassified row
+    // flips the hash. Scale shape: each FK check is one equi-anti-join on
+    // the key (broadcastable dimension side), the rest are map-side
+    // predicates folded by one agg; checks run independently so the
+    // planner parallelizes the union's legs.
+    ("pipeline_expectations", (s, d) => {
+      import s.implicits._
+      def row(name: String, checked: DataFrame): DataFrame = checked
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when($"bad", 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("check_name"), $"n_checked", $"n_violations",
+          ($"n_violations" === 0L).as("pass"))
+      val cust = Tables.customer(s, d).select($"c_custkey")
+      val ord = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val fkOC = row("fk_orders_customer",
+        ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left")
+          .select($"c_custkey".isNull.as("bad")))
+      val fkLO = row("fk_lineitem_orders",
+        li.join(ord.select($"o_orderkey".as("ok")), li("l_orderkey") === $"ok", "left")
+          .select($"ok".isNull.as("bad")))
+      val rng = row("range_lineitem_qty",
+        li.select((!$"l_quantity".between(1.0, 50.0)).as("bad")))
+      val nn = row("not_null_events_ts",
+        Tables.events(s, d).select($"ts".isNull.as("bad")))
+      val pk = row("unique_orders_pk",
+        ord.groupBy($"o_orderkey").agg(count(lit(1)).as("c"))
+          .select(($"c" > 1L).as("bad")))
+      val dc = row("docs_chars_consistent",
+        Tables.documents(s, d).select(($"n_chars" =!= length($"text")).as("bad")))
+      Seq(fkOC, fkLO, rng, nn, pk, dc).reduce(_ unionByName _)
+        .orderBy($"check_name")
+    }, Some(
+      """SELECT * FROM (
+        |  SELECT 'fk_orders_customer' AS check_name,
+        |    CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS pass
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'range_lineitem_qty', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'not_null_events_ts', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) = 0
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'unique_orders_pk', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0
+        |  FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'docs_chars_consistent', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) = 0
+        |  FROM documents)
+        |ORDER BY check_name""".stripMargin)),
+
+    // ---- schema evolution on read: two parquet releases of the same
+    // table, the newer one with an ADDED column, unified by mergeSchema +
+    // partition discovery (release=<v> dirs) — the additive-evolution read
+    // path a long-lived lakehouse table needs (reading old files yields
+    // NULL for the new column; no rewrite of historical data). The report
+    // proves the semantics: r1 rows carry only NULL tiers, r2 rows all
+    // carry one, both releases' row/char totals survive the union. Oracle
+    // recomputes both releases from the source table, so one misfilled
+    // NULL or dropped row hash-mismatches. Scale note: mergeSchema reads
+    // every file FOOTER at planning time — on a 100 TB table pin the
+    // unified schema in a catalog/metastore instead and keep per-file
+    // schema reconciliation at the scan (this read path is exactly what
+    // the catalog would replay); the data-plane shape (scan + 2-row agg)
+    // is unchanged.
+    ("pipeline_schema_evolution", (s, d) => {
+      import s.implicits._
+      s.read.option("mergeSchema", "true").parquet(schemaEvoDir(s, d))
+        .groupBy($"release")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"quality_tier".isNull, 1L).otherwise(0L)).as("n_null_tier"),
+          countDistinct($"quality_tier").as("n_tiers"),
+          sum($"n_chars").as("n_chars_total"))
+        .orderBy($"release")
+    }, Some(
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'r1' ELSE 'r2' END AS release,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_tier,
+        |  CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN n_chars // 100 END) AS BIGINT) AS n_tiers,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Global-sample size for pipeline_bottomk_sample. */
@@ -1306,6 +1410,28 @@ object PipelineOps {
     * query work — the jsonIngestDir pattern.
     */
   private val partitionedDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Once-per-JVM two-release parquet fixture for pipeline_schema_evolution:
+    * release=r1 (even doc_ids) writes (doc_id, lang, n_chars); release=r2
+    * (odd doc_ids) ADDS a quality_tier column — the additive schema change
+    * a long-lived lakehouse table accumulates. Directory layout uses
+    * release=<v> partition dirs so discovery yields the release column.
+    */
+  private val schemaEvoDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def schemaEvoDir(s: SparkSession, d: String): String =
+    schemaEvoDirCache.computeIfAbsent(d, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_schevo").toString
+      val doc = Tables.documents(s, d)
+      doc.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$root/release=r1")
+      doc.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars") / lit(100)).cast("long").as("quality_tier"))
+        .write.mode("overwrite").parquet(s"$root/release=r2")
+      root
+    })
+
   private[operators] def partitionedCorpus(s: SparkSession, d: String): String =
     partitionedDirCache.computeIfAbsent(d, _ => {
       val root = java.nio.file.Files.createTempDirectory("graft_part")

@@ -28,6 +28,24 @@ object Portable {
   private val md5Local: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
+  /** Full lowercase-hex md5 of a string — the JVM twin of Spark's `md5()`
+    * column function (and DuckDB's `md5()`), for operators that order by
+    * the full digest string.
+    */
+  def md5Hex(s: String): String = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
   def h60Jvm(s: String): Long = {
     val md = md5Local.get()
     md.reset()
@@ -177,35 +195,87 @@ object TextOps {
     // count = (len(t) - len(replace(t, m))) / len(m) — exact on both engines.
     ("text_lang_id", (s, d) => {
       import s.implicits._
-      def occ(m: String): Column =
-        (length($"text") - length(regexp_replace($"text", java.util.regex.Pattern.quote(m), ""))) / m.length
-      val sEn = occ("the") + occ(" is ")
-      val sDe = occ("sch") + occ("ein")
-      val sFr = occ("les") + occ("eau")
-      val sEs = occ("los") + occ("cion")
       Tables.documents(s, d)
         .select(
           $"doc_id", $"lang",
-          sEn.cast("long").as("s_en"), sDe.cast("long").as("s_de"),
-          sFr.cast("long").as("s_fr"), sEs.cast("long").as("s_es"))
-        .withColumn("lang_pred",
-          when($"s_en" >= greatest($"s_de", $"s_fr", $"s_es"), "en")
-            .when($"s_de" >= greatest($"s_fr", $"s_es"), "de")
-            .when($"s_fr" >= $"s_es", "fr")
-            .otherwise("es"))
+          langSignal("the", " is ").cast("long").as("s_en"),
+          langSignal("sch", "ein").cast("long").as("s_de"),
+          langSignal("les", "eau").cast("long").as("s_fr"),
+          langSignal("los", "cion").cast("long").as("s_es"))
+        .withColumn("lang_pred", langPredCase)
         .orderBy($"doc_id")
-    }, Some {
-      def occ(m: String) = s"CAST((length(text) - length(replace(text,'$m',''))) / ${m.length} AS BIGINT)"
-      val (en, de, fr, es) =
-        (s"${occ("the")} + ${occ(" is ")}", s"${occ("sch")} + ${occ("ein")}",
-          s"${occ("les")} + ${occ("eau")}", s"${occ("los")} + ${occ("cion")}")
+    }, Some(
       s"""SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
-         |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
-         |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
-         |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
-         |FROM (SELECT doc_id, lang, $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es
-         |      FROM documents) ORDER BY doc_id""".stripMargin
-    }),
+         |  $langPredCaseSql AS lang_pred
+         |FROM (SELECT doc_id, lang, $langSignalsSql
+         |      FROM documents) ORDER BY doc_id""".stripMargin)),
+
+    // ---- language-ID confusion matrix: the eval artifact for the
+    // heuristic above — per (true lang, predicted lang) doc counts with
+    // integer row-normalized recall and column-normalized precision
+    // (×10⁴). The signals/argmax are the SAME shared definitions as
+    // text_lang_id, so classifier and eval cannot drift. The synthetic
+    // corpus draws every language from one shared token pool (no real
+    // language signal — the raw heuristic predicts 'en' for all 500 docs,
+    // which a first cut of this matrix exposed), so the eval runs over a
+    // deterministically MARKED corpus twin (the planted-corpus pattern
+    // Dedup/Clustering use): docs with doc_id % 3 ≠ 0 get their lang's
+    // marker phrase appended 5·(doc_id % 3) times (score +10/+20, above
+    // the ≤8 baseline 'the'/' is ' mass), doc_id % 3 == 0 docs stay
+    // unmarked and fall to 'en' on the tie rule, and zh has no marker
+    // rule at all — so the matrix shows a real diagonal, a deterministic
+    // error mass, and an out-of-scope class row. Scale shape: one
+    // map-side scoring scan + a ≤|langs|²-row hash agg; marginals
+    // broadcast.
+    ("text_langid_confusion", (s, d) => {
+      import s.implicits._
+      val marker = when($"lang" === "en", " the is")
+        .when($"lang" === "de", " sch ein")
+        .when($"lang" === "fr", " les eau")
+        .when($"lang" === "es", " los cion")
+        .otherwise("")
+      val cells = Tables.documents(s, d)
+        .select($"lang",
+          concat($"text",
+            repeat(marker, (($"doc_id" % 3) * 5).cast("int"))).as("text"))
+        .select($"lang",
+          langSignal("the", " is ").cast("long").as("s_en"),
+          langSignal("sch", "ein").cast("long").as("s_de"),
+          langSignal("les", "eau").cast("long").as("s_fr"),
+          langSignal("los", "cion").cast("long").as("s_es"))
+        .withColumn("lang_pred", langPredCase)
+        .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n_docs"))
+      val rowT = cells.groupBy($"lang").agg(sum($"n_docs").as("n_true"))
+      val colT = cells.groupBy($"lang_pred").agg(sum($"n_docs").as("n_pred"))
+      cells.join(broadcast(rowT), "lang").join(broadcast(colT), "lang_pred")
+        .select($"lang", $"lang_pred", $"n_docs",
+          expr("(n_docs * 10000L) div n_true").as("recall_e4"),
+          expr("(n_docs * 10000L) div n_pred").as("precision_e4"))
+        .orderBy($"lang", $"lang_pred")
+    }, Some(
+      s"""WITH marked AS (
+         |  SELECT doc_id, lang,
+         |    text || repeat(CASE lang WHEN 'en' THEN ' the is'
+         |                             WHEN 'de' THEN ' sch ein'
+         |                             WHEN 'fr' THEN ' les eau'
+         |                             WHEN 'es' THEN ' los cion'
+         |                             ELSE '' END,
+         |                   CAST((doc_id % 3) * 5 AS INT)) AS text
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang, $langSignalsSql FROM marked),
+         |pred AS (
+         |  SELECT lang, $langPredCaseSql AS lang_pred FROM scored),
+         |cells AS (
+         |  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM pred GROUP BY 1, 2),
+         |rt AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_true FROM cells GROUP BY 1),
+         |ct AS (SELECT lang_pred, CAST(sum(n_docs) AS BIGINT) AS n_pred FROM cells GROUP BY 1)
+         |SELECT lang, lang_pred, n_docs,
+         |  (n_docs * 10000) // n_true AS recall_e4,
+         |  (n_docs * 10000) // n_pred AS precision_e4
+         |FROM cells JOIN rt USING (lang) JOIN ct USING (lang_pred)
+         |ORDER BY lang, lang_pred""".stripMargin)),
 
     // ---- document fingerprinting: 8-char shingle rolling window, winnowing
     // style (min/max shingle hash as the fingerprint) — all inside array HOFs,
@@ -1208,6 +1278,37 @@ object TextOps {
        |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
        |  GROUP BY 1, 2)""".stripMargin
   }
+
+  // ------------------------------------------ shared lang-ID definitions
+  // (text_lang_id classifies, text_langid_confusion evaluates — one
+  // definition so classifier and eval cannot drift). Marker occurrence
+  // count = (len(t) − len(replace(t, m))) / len(m), exact on both engines.
+  private def langOcc(m: String): Column =
+    (length(col("text")) -
+      length(regexp_replace(col("text"), java.util.regex.Pattern.quote(m), ""))) / m.length
+
+  private def langSignal(m1: String, m2: String): Column = langOcc(m1) + langOcc(m2)
+
+  /** Argmax over the four score columns with the fixed priority tie rule. */
+  private def langPredCase: Column =
+    when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+      .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+      .when(col("s_fr") >= col("s_es"), "fr")
+      .otherwise("es")
+
+  private def langOccSql(m: String): String =
+    s"(length(text) - length(replace(text,'$m',''))) / ${m.length}"
+
+  private val langSignalsSql: String =
+    s"""CAST(${langOccSql("the")} + ${langOccSql(" is ")} AS BIGINT) AS s_en,
+       |      CAST(${langOccSql("sch")} + ${langOccSql("ein")} AS BIGINT) AS s_de,
+       |      CAST(${langOccSql("les")} + ${langOccSql("eau")} AS BIGINT) AS s_fr,
+       |      CAST(${langOccSql("los")} + ${langOccSql("cion")} AS BIGINT) AS s_es""".stripMargin
+
+  private val langPredCaseSql: String =
+    """CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+      |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+      |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, f, _) => n -> f }.toMap

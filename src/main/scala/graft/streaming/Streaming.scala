@@ -115,6 +115,20 @@ case class FunnelState(tS: Long, tV: Long, tP: Long)
 /** Emitted once per user per step completion. */
 case class FunnelUpdate(userId: Long, step: String, tsUs: Long)
 
+/** One corpus doc offered to the streaming bottom-k sampler. */
+case class SampleDoc(docId: Long)
+
+/** O(k) mergeable bottom-k sampler state: the kept (md5 key, id) pairs and
+  * the cumulative input count. Never an input buffer.
+  */
+case class BottomKState(nSeen: Long, keys: Array[String], ids: Array[Long])
+
+/** Bottom-k snapshot row, emitted k-at-a-time after each micro-batch that
+  * carried input; `nSeen` is cumulative and strictly increasing, so the
+  * rows with the largest `nSeen` are the final sample.
+  */
+case class BottomKSnapshot(nSeen: Long, rank: Long, docId: Long)
+
 /** One CDC op in [[graft.streaming.Streaming.compactionStream]] column
   * shape: the op is pre-classified (I/U/D) by the feed producer.
   */
@@ -636,6 +650,45 @@ object Streaming {
     * front the feed with a watermarked sort or accept online semantics —
     * the same stated trade as [[funnelStream]].
     */
+  /** Streaming bottom-k sampler — the incremental twin of the batch
+    * `pipeline_bottomk_sample` query (BottomKAgg): keep the k input docs
+    * with the smallest (md5(doc_id), doc_id) in O(k) GroupState, emit the
+    * current sample after every micro-batch. ARRIVAL-ORDER INDEPENDENT by
+    * the bottom-k merge law (bottom-k of a union = bottom-k of
+    * concatenated bottom-k's) — unlike the time-ordered replay contracts,
+    * any wave permutation converges to the same final sample, which the
+    * StreamingSpec parity test exercises with a reversed replay. The
+    * single group key is the merge point: at production scale front it
+    * with per-partition pre-reduction (the same mergeable property the
+    * batch aggregator exploits); the state and every emission stay O(k).
+    * Buffer compaction mirrors BottomKAgg: appends are O(1) amortized,
+    * sort+truncate at 4k.
+    */
+  def bottomKStream(docs: Dataset[SampleDoc], k: Int): Dataset[BottomKSnapshot] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.Portable
+    docs
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[SampleDoc], state: GroupState[BottomKState]) =>
+          val st = state.getOption.getOrElse(BottomKState(0L, Array.empty, Array.empty))
+          var buf = scala.collection.mutable.ArrayBuffer.from(st.keys.zip(st.ids))
+          var n = st.nSeen
+          rows.foreach { r =>
+            buf += ((Portable.md5Hex(r.docId.toString), r.docId))
+            n += 1
+            if (buf.length > 4 * k) buf = buf.sortBy(identity).take(k)
+          }
+          val kept = buf.sortBy(identity).take(k)
+          state.update(BottomKState(n, kept.map(_._1).toArray, kept.map(_._2).toArray))
+          val total = n
+          kept.iterator.zipWithIndex.map { case ((_, id), i) =>
+            BottomKSnapshot(total, i + 1L, id)
+          }
+      }
+  }
+
   def compactionStream(ops: Dataset[OpEvent]): Dataset[CompactUpdate] = {
     val spark = ops.sparkSession
     import spark.implicits._
@@ -1284,6 +1337,38 @@ object Streaming {
     * is event-time by the wave construction, and n_ops strictly increases
     * per key across its emissions, so "largest n_ops" picks a unique row.
     */
+  /** File-source replay of the documents table (waved by doc_id % 7 — an
+    * ARBITRARY slicing, deliberately not time-ordered, because the sampler
+    * is order-independent) through [[bottomKStream]], reduced to the final
+    * snapshot (largest cumulative nSeen — strictly increasing, so unique)
+    * and judged VERBATIM by pipeline_bottomk_sample's batch oracle.
+    */
+  def bottomKReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val corpus = graft.Tables.documents(s, d)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(7)).cast("int").as("wave"))
+    val emitted = replayedSink(s, "bottomk:" + d, "graft_bottomk_replay_") { (sink, root) =>
+      val src = waveFiles("bottomk:" + d, corpus)
+      val stream = s.readStream
+        .schema(corpus.drop("wave").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+      withFewShufflePartitions(s) {
+        val q = bottomKStream(
+            stream.select(col("doc_id").as("docId"))
+              .as[SampleDoc](org.apache.spark.sql.Encoders.product[SampleDoc]),
+            k = 100)
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .option("checkpointLocation", root.resolve("chk").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    val mx = emitted.agg(max(col("nSeen")).as("mx"))
+    emitted.crossJoin(broadcast(mx)).filter(col("nSeen") === col("mx"))
+      .select(col("rank"), col("docId").as("doc_id"))
+      .orderBy(col("rank"))
+  }
+
   def compactReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = opEvents(s, d)
@@ -1656,6 +1741,7 @@ object Streaming {
     "stream_neardup_replay" -> ((s, d) => nearDupReplayContract(s, d)),
     "stream_scd2_replay" -> ((s, d) => scd2ReplayContract(s, d)),
     "stream_compact_replay" -> ((s, d) => compactReplayContract(s, d)),
+    "stream_bottomk_replay" -> ((s, d) => bottomKReplayContract(s, d)),
     "stream_rate_anomaly_replay" -> ((s, d) => rateAnomalyReplayContract(s, d)),
     "stream_semantic_replay" -> ((s, d) => semanticReplayContract(s, d)))
 
@@ -1698,6 +1784,9 @@ object Streaming {
       // the near-dup replay must reproduce the batch LSH verify VERBATIM —
       // share dedup_minhash_lsh's oracle text so the contracts cannot drift
       "stream_neardup_replay" -> graft.operators.Dedup.oracleSql("dedup_minhash_lsh"),
+      // the streaming bottom-k sampler must converge to the batch sample
+      // VERBATIM — share pipeline_bottomk_sample's oracle text
+      "stream_bottomk_replay" -> graft.operators.PipelineOps.oracleSql("pipeline_bottomk_sample"),
       // the semantic replay must reproduce the batch SemDeDup VERBATIM —
       // share dedup_semantic's oracle text so the contracts cannot drift
       "stream_semantic_replay" -> graft.operators.Clustering.oracleSql("dedup_semantic"),

@@ -810,4 +810,33 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("bottomKStream is arrival-order independent and matches the batch bottom-k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ids = (0L until 200L)
+    val k = 10
+
+    def finalSample(batches: Seq[Seq[Long]], name: String): Seq[(Long, Long)] = {
+      val ms = MemoryStream[SampleDoc]
+      val q = Streaming.bottomKStream(ms.toDS(), k)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => ms.addData(b.map(SampleDoc(_))); q.processAllAvailable() }
+        val all = spark.table(name).as[(Long, Long, Long)].collect()
+        val mx = all.map(_._1).max
+        assert(mx == ids.length, "every input row must be counted")
+        all.filter(_._1 == mx).sortBy(_._2).map(t => (t._2, t._3)).toSeq
+      } finally q.stop()
+    }
+
+    val forward = finalSample(ids.grouped(50).map(_.toSeq).toSeq, "bk_fwd")
+    val reversed = finalSample(ids.reverse.grouped(37).map(_.toSeq).toSeq, "bk_rev")
+    assert(forward == reversed, "wave permutation changed the sample")
+
+    // batch truth: ORDER BY md5(id), id LIMIT k, recomputed in plain Scala
+    val expect = ids.map(id => (graft.operators.Portable.md5Hex(id.toString), id))
+      .sorted.take(k).zipWithIndex.map { case ((_, id), i) => (i + 1L, id) }
+    assert(forward == expect)
+  }
 }
