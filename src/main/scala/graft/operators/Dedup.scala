@@ -598,35 +598,51 @@ object Dedup {
             .when($"near", "near_dup")
             .otherwise("kept").as("stage"))
         .orderBy($"doc_id")
-    }, Some {
-      val toks = tokensSql("text")
-      s"""WITH $corpusSql,
-         |q AS (
-         |  SELECT doc_id, text,
-         |    (0.5*(1.0 - length(regexp_replace(text,'[A-Za-z0-9\\s]','','g')) / CAST(length(text) AS DOUBLE))
-         |     + 0.5*least(length(regexp_replace(text,'\\s+','','g')) / CAST(len($toks) AS DOUBLE) / 8.0, 1.0)) >= 0.45 AS q_ok
-         |  FROM corpus),
-         |kept1 AS (SELECT doc_id, text FROM q WHERE q_ok),
-         |canon AS (
-         |  SELECT doc_id, text,
-         |    min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS canonical
-         |  FROM kept1),
-         |kept2 AS (SELECT doc_id, text FROM canon WHERE doc_id = canonical),
-         |${minhashSql("kept2", "2")},
-         |near AS (
-         |  SELECT DISTINCT id2 AS doc_id FROM (
-         |    SELECT c.id1, c.id2,
-         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
-         |    FROM cand2 c JOIN arr2 a1 ON a1.doc_id = c.id1 JOIN arr2 a2 ON a2.doc_id = c.id2)
-         |  WHERE jaccard >= 0.5)
-         |SELECT q.doc_id,
-         |  CASE WHEN NOT q.q_ok THEN 'quality'
-         |       WHEN c.doc_id <> c.canonical THEN 'exact_dup'
-         |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
-         |       ELSE 'kept' END AS stage
-         |FROM q LEFT JOIN canon c ON c.doc_id = q.doc_id LEFT JOIN near n ON n.doc_id = q.doc_id
-         |ORDER BY q.doc_id""".stripMargin
-    }),
+    }, Some(cleanCorpusOracleSql)),
+
+    // ---- pipeline run report: the stage funnel every curation run
+    // publishes — docs dropped per stage (quality gate → exact dedup →
+    // near dedup) with corpus share and the surviving count after each
+    // stage, derived from pipeline_clean_corpus's per-doc verdicts (the
+    // SAME query chain, so report and pipeline cannot drift). Scale
+    // shape: one ≤4-row hash agg + a 4-row ordered window on top of the
+    // clean-corpus pass.
+    ("pipeline_stage_funnel", (s, d) => {
+      import s.implicits._
+      // static 4-stage spine so a stage that dropped ZERO docs still shows
+      // its row (a funnel report with silently-missing stages reads as a
+      // pipeline that never ran the stage)
+      val spine = Seq(("quality", 1L), ("exact_dup", 2L), ("near_dup", 3L), ("kept", 4L))
+        .toDF("stage", "stage_order")
+      val agg = queries("pipeline_clean_corpus")(s, d)
+        .groupBy($"stage").agg(count(lit(1)).as("n_raw"))
+      val tot = agg.agg(sum($"n_raw").as("total"))
+      val w = Window.orderBy($"stage_order")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(agg, Seq("stage"), "left")
+        .withColumn("n_docs", coalesce($"n_raw", lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("(n_docs * 1000000L) div total"))
+        .withColumn("surviving_after",
+          $"total" - sum(when($"stage" =!= "kept", $"n_docs").otherwise(0L)).over(w))
+        .select($"stage_order", $"stage", $"n_docs", $"share_ppm", $"surviving_after")
+        .orderBy($"stage_order")
+    }, Some(
+      s"""WITH stages AS ($cleanCorpusOracleSql),
+         |agg AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_raw FROM stages GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS total FROM agg),
+         |spine AS (
+         |  SELECT * FROM (VALUES ('quality', 1), ('exact_dup', 2),
+         |                        ('near_dup', 3), ('kept', 4)) s(stage, stage_order)),
+         |ord AS (
+         |  SELECT spine.stage, CAST(spine.stage_order AS BIGINT) AS stage_order,
+         |    coalesce(n_raw, 0) AS n_docs
+         |  FROM spine LEFT JOIN agg ON agg.stage = spine.stage)
+         |SELECT stage_order, stage, n_docs,
+         |  (n_docs * 1000000) // total AS share_ppm,
+         |  total - CAST(sum(CASE WHEN stage <> 'kept' THEN n_docs ELSE 0 END)
+         |    OVER (ORDER BY stage_order ROWS UNBOUNDED PRECEDING) AS BIGINT) AS surviving_after
+         |FROM ord, tot ORDER BY stage_order""".stripMargin)),
 
     // ---- near-dup cluster assignment: connected components over the
     // verified MinHash pair graph — the step an actual dedup pipeline runs
@@ -1716,6 +1732,40 @@ object Dedup {
        |    $sumExprs
        |  FROM tokcnt GROUP BY doc_id),
        |sim AS (SELECT doc_id, $combine AS simhash FROM sums)""".stripMargin
+  }
+
+  /** Oracle for pipeline_clean_corpus, shared VERBATIM with
+    * pipeline_stage_funnel (which wraps it in a roll-up) so the per-doc
+    * verdicts and the run report cannot drift.
+    */
+  private lazy val cleanCorpusOracleSql: String = {
+    val toks = tokensSql("text")
+    s"""WITH $corpusSql,
+       |q AS (
+       |  SELECT doc_id, text,
+       |    (0.5*(1.0 - length(regexp_replace(text,'[A-Za-z0-9\\s]','','g')) / CAST(length(text) AS DOUBLE))
+       |     + 0.5*least(length(regexp_replace(text,'\\s+','','g')) / CAST(len($toks) AS DOUBLE) / 8.0, 1.0)) >= 0.45 AS q_ok
+       |  FROM corpus),
+       |kept1 AS (SELECT doc_id, text FROM q WHERE q_ok),
+       |canon AS (
+       |  SELECT doc_id, text,
+       |    min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS canonical
+       |  FROM kept1),
+       |kept2 AS (SELECT doc_id, text FROM canon WHERE doc_id = canonical),
+       |${minhashSql("kept2", "2")},
+       |near AS (
+       |  SELECT DISTINCT id2 AS doc_id FROM (
+       |    SELECT c.id1, c.id2,
+       |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
+       |    FROM cand2 c JOIN arr2 a1 ON a1.doc_id = c.id1 JOIN arr2 a2 ON a2.doc_id = c.id2)
+       |  WHERE jaccard >= 0.5)
+       |SELECT q.doc_id,
+       |  CASE WHEN NOT q.q_ok THEN 'quality'
+       |       WHEN c.doc_id <> c.canonical THEN 'exact_dup'
+       |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+       |       ELSE 'kept' END AS stage
+       |FROM q LEFT JOIN canon c ON c.doc_id = q.doc_id LEFT JOIN near n ON n.doc_id = q.doc_id
+       |ORDER BY q.doc_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -88,6 +88,58 @@ object Similarity {
   private def cosine(aEmb: Column, bEmb: Column): Column =
     call_function("vec_dot", aEmb, bEmb)
 
+  /** Shared oracle for sim_ivf_topk and sim_ivf_persisted — same retrieval
+    * contract, two physical serving paths (in-flight assignment vs the
+    * cid-partitioned on-disk index), so the text is shared VERBATIM.
+    */
+  private lazy val ivfTopkSql: String =
+    s"""WITH $vectorsSql,
+       |cent AS (
+       |  SELECT CAST(vec_id // $IvfSeedStride AS BIGINT) AS cid, emb AS c_emb
+       |  FROM v WHERE vec_id % $IvfSeedStride = 0 AND vec_id < ${IvfSeedStride * IvfCentroids}),
+       |ranked AS (
+       |  SELECT v.vec_id, cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY list_dot_product(v.emb, c_emb) DESC, cid) AS crn
+       |  FROM v CROSS JOIN cent),
+       |assigned AS (SELECT vec_id, cid FROM ranked WHERE crn = 1),
+       |probes AS (SELECT vec_id AS q_id, cid FROM ranked WHERE vec_id < $NumQueries AND crn <= $NProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
+       |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.q_id)
+       |SELECT q_id, rank, n_id, ${rndSql("cos", 4)} AS cos FROM (
+       |  SELECT c.q_id, c.n_id,
+       |    list_dot_product(q.emb, n.emb) AS cos,
+       |    CAST(row_number() OVER (PARTITION BY c.q_id
+       |      ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS BIGINT) AS rank
+       |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  /** Once-per-JVM persisted IVF index for sim_ivf_persisted: the coarse
+    * assignment (vec_id, emb) written as parquet PARTITIONED BY cid — the
+    * on-disk inverted-list layout. Same fixture pattern as the
+    * partitioned-prune corpus.
+    */
+  private val ivfIndexDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfIndexDir(s: SparkSession, d: String): String =
+    ivfIndexDirCache.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_ivfidx")
+        .resolve("index").toString
+      val v = vectors(s, d)
+      val cent = v.filter($"vec_id" % IvfSeedStride === 0 && $"vec_id" < IvfSeedStride * IvfCentroids)
+        .select(($"vec_id" / IvfSeedStride).cast("long").as("cid"), $"emb".as("c_emb"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+      v.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosine($"emb", $"c_emb"))
+        .withColumn("crn", row_number().over(wAssign)).filter($"crn" === 1)
+        .select($"vec_id", $"emb", $"cid")
+        .write.mode("overwrite").partitionBy("cid").parquet(root)
+      root
+    })
+
   /** PQ reconstruction table (vec_id, recon): each vector's 8 subvectors
     * snapped to their nearest per-subspace codebook entry (16 seeded
     * medoids) and reassembled — the decoded form of an 8-code-byte vector.
@@ -578,28 +630,46 @@ object Similarity {
         .filter($"rank" <= TopK)
         .select($"q_id", $"rank", $"n_id", round($"cos", 4).as("cos"))
         .orderBy($"q_id", $"rank")
-    }, Some(
-      s"""WITH $vectorsSql,
-         |cent AS (
-         |  SELECT CAST(vec_id // $IvfSeedStride AS BIGINT) AS cid, emb AS c_emb
-         |  FROM v WHERE vec_id % $IvfSeedStride = 0 AND vec_id < ${IvfSeedStride * IvfCentroids}),
-         |ranked AS (
-         |  SELECT v.vec_id, cid,
-         |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY list_dot_product(v.emb, c_emb) DESC, cid) AS crn
-         |  FROM v CROSS JOIN cent),
-         |assigned AS (SELECT vec_id, cid FROM ranked WHERE crn = 1),
-         |probes AS (SELECT vec_id AS q_id, cid FROM ranked WHERE vec_id < $NumQueries AND crn <= $NProbe),
-         |cand AS (
-         |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
-         |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.q_id)
-         |SELECT q_id, rank, n_id, ${rndSql("cos", 4)} AS cos FROM (
-         |  SELECT c.q_id, c.n_id,
-         |    list_dot_product(q.emb, n.emb) AS cos,
-         |    CAST(row_number() OVER (PARTITION BY c.q_id
-         |      ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS BIGINT) AS rank
-         |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
-         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
+    }, Some(ivfTopkSql)),
+
+    // ---- the SAME retrieval contract served from a PERSISTED index: the
+    // IVF assignment (vec_id, emb, cid) is written ONCE as parquet
+    // partitioned by cid — the build-once/serve-many layout every vector
+    // store uses — and the query path joins the probe list against the
+    // index READ FROM DISK. The scale point is the physical plan, pinned
+    // in PlanQualitySpec: the probe side broadcasts and Spark inserts a
+    // dynamic-partition-pruning subquery on cid, so a serving query reads
+    // only the nprobe/K fraction of index FILES it probes (at 100 TB: of
+    // index bytes) — the other partitions are never opened. Results are
+    // bit-identical to sim_ivf_topk (doubles round-trip parquet exactly),
+    // so the oracle text is shared VERBATIM and the two paths cannot
+    // drift. Index build is a once-per-JVM fixture (the same pattern as
+    // the partitioned-prune / schema-evolution fixtures): build cost is
+    // amortized across every serve, which is the layout's entire point.
+    ("sim_ivf_persisted", (s, d) => {
+      import s.implicits._
+      val v = vectors(s, d).cache()
+      val cent = v.filter($"vec_id" % IvfSeedStride === 0 && $"vec_id" < IvfSeedStride * IvfCentroids)
+        .select(($"vec_id" / IvfSeedStride).cast("long").as("cid"), $"emb".as("c_emb"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+      val probes = v.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosine($"emb", $"c_emb"))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter($"vec_id" < NumQueries && $"crn" <= NProbe)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"),
+          $"cid".cast("int").as("cid")) // match the partition column's inferred INT
+      val index = s.read.parquet(ivfIndexDir(s, d))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      probes.join(index, "cid")
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"q_emb", $"vec_id".as("n_id"), $"emb".as("n_emb"))
+        .distinct()
+        .withColumn("cos", cosine($"q_emb", $"n_emb"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= TopK)
+        .select($"q_id", $"rank", $"n_id", round($"cos", 4).as("cos"))
+        .orderBy($"q_id", $"rank")
+    }, Some(ivfTopkSql)),
 
     // ---- metadata-filtered ANN: each query retrieves top-k only among
     // vectors sharing its `label` (the language/tenant/domain-constrained

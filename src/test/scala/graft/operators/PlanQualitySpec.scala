@@ -421,4 +421,10 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(count(cmPlan, "BroadcastNestedLoopJoin") == 1,
       s"count-min: exactly the 1-row sketch broadcast:\n$cmPlan")
   }
+
+  test("persisted IVF index: the serve scan carries a dynamic-partition-pruning filter on cid") {
+    val plan = executedPlan("sim_ivf_persisted")
+    assert(plan.contains("dynamicpruning"),
+      s"index scan must be dynamically pruned to the probed cid partitions:\n$plan")
+  }
 }
