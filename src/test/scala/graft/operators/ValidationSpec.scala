@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic contracts for the validation / eval-report queries added late in
+  * round 10 (confusion matrix, schema evolution, expectations, stage
+  * funnel) — the oracles pin outputs bit-for-bit; these pin the meanings.
+  */
+class ValidationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("ValidationSpec")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("confusion matrix: marked docs land on the diagonal, unmarked and zh fall to 'en'") {
+    import spark.implicits._
+    val cells = TextOps.queries("text_langid_confusion")(spark, sfDir)
+      .select($"lang", $"lang_pred", $"n_docs").as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val byLang = graft.Tables.documents(spark, sfDir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"doc_id" % 3 =!= 0, 1L).otherwise(0L)).as("marked"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // marked de/fr/es docs are classified as their own language, the
+    // unmarked remainder falls to 'en' on the tie rule
+    Seq("de", "fr", "es").foreach { l =>
+      val (n, marked) = byLang(l)
+      assert(cells((l, l)) == marked, s"$l diagonal")
+      assert(cells((l, "en")) == n - marked, s"$l error mass")
+    }
+    // en rows and the rule-less zh rows are all-en
+    assert(cells(("en", "en")) == byLang("en")._1)
+    assert(cells(("zh", "en")) == byLang("zh")._1)
+    // the matrix partitions the corpus exactly
+    assert(cells.values.sum == byLang.values.map(_._1).sum)
+  }
+
+  test("schema evolution: r1 rows carry only NULL tiers, r2 rows all carry one; totals survive") {
+    import spark.implicits._
+    val rows = PipelineOps.queries("pipeline_schema_evolution")(spark, sfDir)
+      .select($"release", $"n_docs", $"n_null_tier", $"n_tiers")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (even, odd) = {
+      val d = graft.Tables.documents(spark, sfDir)
+      (d.filter($"doc_id" % 2 === 0).count(), d.filter($"doc_id" % 2 === 1).count())
+    }
+    val (r1Docs, r1Null, r1Tiers) = rows("r1")
+    val (r2Docs, r2Null, r2Tiers) = rows("r2")
+    assert(r1Docs == even && r1Null == even && r1Tiers == 0L,
+      "release without the column must read back all-NULL")
+    assert(r2Docs == odd && r2Null == 0L && r2Tiers > 0L,
+      "release with the column must read back no NULLs")
+  }
+
+  test("expectations: six checks, all passing on the generated tables, with exact check counts") {
+    import spark.implicits._
+    val rows = PipelineOps.queries("pipeline_expectations")(spark, sfDir)
+      .select($"check_name", $"n_checked", $"n_violations", $"pass")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(rows.length == 6)
+    rows.foreach { case (name, checked, viol, pass) =>
+      assert(checked > 0, s"$name checked nothing")
+      assert(viol == 0L && pass, s"$name reports violations on clean synthetic data")
+    }
+    val byName = rows.map(r => r._1 -> r._2).toMap
+    assert(byName("fk_orders_customer") == graft.Tables.orders(spark, sfDir).count())
+    assert(byName("fk_lineitem_orders") == graft.Tables.lineitem(spark, sfDir).count())
+    assert(byName("docs_chars_consistent") == graft.Tables.documents(spark, sfDir).count())
+  }
+
+  test("stage funnel: spine complete, counts reconcile with the per-doc verdicts, survivors telescope") {
+    import spark.implicits._
+    val rows = Dedup.queries("pipeline_stage_funnel")(spark, sfDir)
+      .select($"stage_order", $"stage", $"n_docs", $"surviving_after")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq("quality", "exact_dup", "near_dup", "kept"))
+    val verdicts = Dedup.queries("pipeline_clean_corpus")(spark, sfDir)
+      .groupBy($"stage").agg(count(lit(1))).as[(String, Long)].collect().toMap
+    rows.foreach { case (_, stage, n, _) =>
+      assert(n == verdicts.getOrElse(stage, 0L), s"$stage count drifted from the verdicts")
+    }
+    val total = verdicts.values.sum
+    // survivors telescope: total minus cumulative drops, ending at the kept count
+    var remaining = total
+    rows.foreach { case (_, stage, n, surv) =>
+      if (stage != "kept") remaining -= n
+      assert(surv == remaining, s"$stage survivors")
+    }
+    assert(rows.last._4 == verdicts.getOrElse("kept", 0L))
+  }
+}
