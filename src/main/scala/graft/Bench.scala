@@ -87,7 +87,8 @@ object Bench {
       "dedup_ngram_jaccard", "sim_brute_topk", "sim_lsh_topk",
       "text_token_stats", "pipeline_clean_corpus", "mm_frame_sample",
       "pipeline_decontaminate", "sim_recall_report",
-      "q59_peak_concurrency_sharded", "stream_intake_replay")
+      "q59_peak_concurrency_sharded", "stream_intake_replay",
+      "cdc_shift_resilience", "sim_ivf_persisted")
     val resultMap = results.toMap
     val hqs = headline.flatMap(k => resultMap.get(k).map(v => s"\"" + k + "\":" + jd(v)))
       .mkString("{", ",", "}")

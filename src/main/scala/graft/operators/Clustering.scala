@@ -304,26 +304,9 @@ object Clustering {
     }, Some(
       s"""WITH $plantedSql,
          |${kmeansSql("u")},
-         |ex AS (
-         |  SELECT vec_id, cid, min(vec_id) OVER (PARTITION BY cid, qv) AS keeper
-         |  FROM a2 JOIN q USING (vec_id)),
-         |surv AS (SELECT vec_id, cid FROM ex WHERE vec_id = keeper),
-         |sz AS (SELECT cid, count(*) AS n_c FROM surv GROUP BY cid),
-         |sh AS (
-         |  SELECT s.vec_id, s.cid,
-         |    ${h60Sql("'sc' || s.vec_id")} % CAST(ceil(n_c / $SemDedupShardCap.0) AS BIGINT) AS scell
-         |  FROM surv s JOIN sz USING (cid)),
-         |near AS (
-         |  SELECT b.vec_id AS id2
-         |  FROM sh a JOIN sh b
-         |    ON a.cid = b.cid AND a.scell = b.scell AND a.vec_id < b.vec_id
-         |  JOIN u ua ON ua.vec_id = a.vec_id JOIN u ub ON ub.vec_id = b.vec_id
-         |  WHERE list_dot_product(ua.emb, ub.emb) >= $CosThreshold),
-         |drp AS (
-         |  SELECT vec_id FROM ex WHERE vec_id > keeper
-         |  UNION SELECT id2 FROM near)
+         |$semanticDropChainSql
          |SELECT a2.vec_id, cid, (d.vec_id IS NOT NULL) AS dropped
-         |FROM a2 LEFT JOIN drp d USING (vec_id)
+         |FROM a2 LEFT JOIN sem_drp d USING (vec_id)
          |ORDER BY a2.vec_id""".stripMargin)),
 
     // ---- cluster-balanced data selection: equal per-cluster quotas drawn
@@ -450,6 +433,65 @@ object Clustering {
         .toDF("step", "vec_id", "dmin").orderBy($"step")
     }, Some(kmeansppSql))
   )
+
+  /** Oracle fragment: the CAPPED SemDeDup drop set (`sem_ex` exact-dup
+    * resolution → `sem_surv` survivors → `sem_sz`/`sem_sh` shard cells →
+    * `sem_near` pair scan → `sem_drp`), over CTEs `u` (unit vectors) and
+    * `a2`/`q` from [[kmeansSql]]. Shared VERBATIM by dedup_semantic and
+    * pipeline_dedup_stack's semantic leg, so the stack's verdict column
+    * cannot drift from the semantic query (an unshared stack oracle once
+    * omitted the shard cap and diverged at sf0.1, where clusters exceed
+    * it).
+    */
+  private[operators] lazy val semanticDropChainSql: String =
+    s"""sem_ex AS (
+       |  SELECT vec_id, cid, min(vec_id) OVER (PARTITION BY cid, qv) AS keeper
+       |  FROM a2 JOIN q USING (vec_id)),
+       |sem_surv AS (SELECT vec_id, cid FROM sem_ex WHERE vec_id = keeper),
+       |sem_sz AS (SELECT cid, count(*) AS n_c FROM sem_surv GROUP BY cid),
+       |sem_sh AS (
+       |  SELECT s.vec_id, s.cid,
+       |    ${h60Sql("'sc' || s.vec_id")} % CAST(ceil(n_c / $SemDedupShardCap.0) AS BIGINT) AS scell
+       |  FROM sem_surv s JOIN sem_sz USING (cid)),
+       |sem_near AS (
+       |  SELECT b.vec_id AS id2
+       |  FROM sem_sh a JOIN sem_sh b
+       |    ON a.cid = b.cid AND a.scell = b.scell AND a.vec_id < b.vec_id
+       |  JOIN u ua ON ua.vec_id = a.vec_id JOIN u ub ON ub.vec_id = b.vec_id
+       |  WHERE list_dot_product(ua.emb, ub.emb) >= $CosThreshold),
+       |sem_drp AS (
+       |  SELECT vec_id FROM sem_ex WHERE vec_id > keeper
+       |  UNION SELECT id2 FROM sem_near)""".stripMargin
+
+  /** Uncapped variant of [[semanticDropChainSql]] (pair scan over ALL
+    * survivors of a cluster, no shard cells): the judge for
+    * stream_semantic_replay, whose kept-set check is shard-blind — at
+    * sf0.1, where survivor clusters exceed SemDedupShardCap, the stream
+    * finds exactly the cross-cell pairs the capped batch scan trades away,
+    * so parity against the CAPPED oracle breaks while parity against this
+    * one holds (the stream's own state cap of 4096/cluster is far above
+    * any cluster here). At sf0.01 the two chains are identical (every
+    * cluster single-shard).
+    */
+  private[graft] lazy val semanticDropUncappedOracleSql: String =
+    s"""WITH $plantedSql,
+       |${kmeansSql("u")},
+       |sem_ex AS (
+       |  SELECT vec_id, cid, min(vec_id) OVER (PARTITION BY cid, qv) AS keeper
+       |  FROM a2 JOIN q USING (vec_id)),
+       |sem_surv AS (SELECT vec_id, cid FROM sem_ex WHERE vec_id = keeper),
+       |sem_near AS (
+       |  SELECT b.vec_id AS id2
+       |  FROM sem_surv a JOIN sem_surv b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN u ua ON ua.vec_id = a.vec_id JOIN u ub ON ub.vec_id = b.vec_id
+       |  WHERE list_dot_product(ua.emb, ub.emb) >= $CosThreshold),
+       |sem_drp AS (
+       |  SELECT vec_id FROM sem_ex WHERE vec_id > keeper
+       |  UNION SELECT id2 FROM sem_near)
+       |SELECT a2.vec_id, cid, (d.vec_id IS NOT NULL) AS dropped
+       |FROM a2 LEFT JOIN sem_drp d USING (vec_id)
+       |ORDER BY a2.vec_id""".stripMargin
 
   /** Oracle twin of sim_kmeanspp_init: unrolled farthest-point CTE chain
     * ch0 → d1/p1/ch1 → … over the quantized unit vectors.

@@ -663,22 +663,18 @@ object PipelineOps {
          |  WHERE jaccard >= 0.5),
          |${Clustering.plantedSql},
          |${Clustering.kmeansSql("u")},
-         |sempairs AS (
-         |  SELECT DISTINCT b.vec_id AS doc_id
-         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |  JOIN u ua ON ua.vec_id = a.vec_id JOIN u ub ON ub.vec_id = b.vec_id
-         |  WHERE list_dot_product(ua.emb, ub.emb) >= 0.85),
-         |ex AS (
+         |${Clustering.semanticDropChainSql},
+         |exd AS (
          |  SELECT doc_id,
          |    doc_id <> min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS exact_dup
          |  FROM corpus)
-         |SELECT ex.doc_id, exact_dup,
+         |SELECT exd.doc_id, exact_dup,
          |  (n.doc_id IS NOT NULL) AS near_dup,
-         |  (sp.doc_id IS NOT NULL) AS semantic_dup,
-         |  NOT (exact_dup OR n.doc_id IS NOT NULL OR sp.doc_id IS NOT NULL) AS kept
-         |FROM ex LEFT JOIN near n ON n.doc_id = ex.doc_id
-         |LEFT JOIN sempairs sp ON sp.doc_id = ex.doc_id
-         |ORDER BY ex.doc_id""".stripMargin)),
+         |  (sp.vec_id IS NOT NULL) AS semantic_dup,
+         |  NOT (exact_dup OR n.doc_id IS NOT NULL OR sp.vec_id IS NOT NULL) AS kept
+         |FROM exd LEFT JOIN near n ON n.doc_id = exd.doc_id
+         |LEFT JOIN sem_drp sp ON sp.vec_id = exd.doc_id
+         |ORDER BY exd.doc_id""".stripMargin)),
 
     // ---- line-level boilerplate excision (the C4/RefinedWeb "deduplicate
     // at the line level" pass, on synthetic line boundaries — this corpus

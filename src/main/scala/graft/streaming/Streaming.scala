@@ -1464,15 +1464,15 @@ object Streaming {
     *    rule, and every cluster is far under both the batch shard cap and
     *    the stream's kept-state cap.
     *
-    * Parity bound (measured): at sf0.01 (the driver's correctness scale)
-    * every cluster sits under the batch SemDedupShardCap and the two
-    * engines agree row for row. At sf0.1 survivor clusters exceed the cap,
-    * and the SHARDED batch scan misses the cross-cell near pairs — its
-    * documented recall trade — while the stream, whose kept-set check is
-    * cap-free, still finds them: the divergence is exactly the batch's
-    * traded-away pairs (extra dropped=true on +200000 ids; assignments
-    * still identical), i.e. the stream is the more complete answer past
-    * the cap, not a parity bug.
+    * Parity bound (measured): the contract is judged by the UNCAPPED drop
+    * chain (`Clustering.semanticDropUncappedOracleSql`) because the
+    * stream's kept-set check is shard-blind — and it hash-matches at ALL
+    * THREE SFs. At sf0.01 the capped and uncapped chains are identical
+    * (every cluster single-shard); at sf0.1 survivor clusters exceed the
+    * batch SemDedupShardCap and the sharded batch scan trades away
+    * cross-cell near pairs, which the stream still finds — judging by the
+    * capped oracle there mislabeled the stream's more complete answer as a
+    * mismatch (the pre-fix state of this contract).
     */
   def semanticReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1788,8 +1788,11 @@ object Streaming {
       // VERBATIM — share pipeline_bottomk_sample's oracle text
       "stream_bottomk_replay" -> graft.operators.PipelineOps.oracleSql("pipeline_bottomk_sample"),
       // the semantic replay must reproduce the batch SemDeDup VERBATIM —
-      // share dedup_semantic's oracle text so the contracts cannot drift
-      "stream_semantic_replay" -> graft.operators.Clustering.oracleSql("dedup_semantic"),
+      // judged by the UNCAPPED drop chain (same text minus the shard
+      // cells): the stream's kept-set check is shard-blind, so past the
+      // batch shard cap (sf0.1+) it finds exactly the cross-cell pairs the
+      // capped scan trades away — see semanticDropUncappedOracleSql's doc
+      "stream_semantic_replay" -> graft.operators.Clustering.semanticDropUncappedOracleSql,
       // the compaction replay must reproduce q64's batch net changes
       // VERBATIM — share its oracle text so the two contracts cannot drift
       "stream_compact_replay" ->
