@@ -555,6 +555,107 @@ object Dedup {
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY id1, id2""".stripMargin)),
 
+    // ---- dedup method evaluation against the PLANTED labels — the
+    // "which dedup method do I run" selection table: the corpus's planted
+    // relation is knowable by id (+100000 = byte-exact copy, +200000 =
+    // near-dup tail), so each method's flagged set grades against it.
+    // Per method: flagged count, recall on the planted exact class, recall
+    // on the planted near class, and flags among ORIGINAL ids — labeled
+    // extra_flagged, NOT false positives, because the raw corpus carries
+    // real intrinsic duplicates (21 token-permuted groups) that several
+    // methods legitimately catch. The differentiation the table shows:
+    // exact hashing catches only byte-exact copies; the set fingerprint
+    // adds permutations but not tails; SimHash (order-invariant frequency
+    // signature) catches copies + permutations + most tails; MinHash+LSH
+    // catches everything planted. Every flagged set reuses the SAME query
+    // chain the per-method contracts verify (higher-id-of-pair convention
+    // throughout), so the eval cannot drift from the methods. Scale: four
+    // already-bounded method pipelines + one conditional agg each.
+    ("dedup_method_eval", (s, d) => {
+      import s.implicits._
+      val pl = corpus(s, d).agg(
+        sum(when($"doc_id" >= 100000L && $"doc_id" < 200000L, 1L).otherwise(0L))
+          .as("n_planted_exact"),
+        sum(when($"doc_id" >= 200000L, 1L).otherwise(0L)).as("n_planted_near"))
+      def row(name: String, flagged: DataFrame): DataFrame =
+        flagged.select($"doc_id").distinct()
+          .agg(
+            count(lit(1)).as("n_flagged"),
+            sum(when($"doc_id" >= 100000L && $"doc_id" < 200000L, 1L).otherwise(0L))
+              .as("f_exact"),
+            sum(when($"doc_id" >= 200000L, 1L).otherwise(0L)).as("f_near"),
+            sum(when($"doc_id" < 100000L, 1L).otherwise(0L)).as("extra_flagged"))
+          .crossJoin(broadcast(pl))
+          .select(lit(name).as("method"), $"n_flagged",
+            expr("(f_exact * 10000L) div n_planted_exact").as("exact_recall_e4"),
+            expr("(f_near * 10000L) div n_planted_near").as("near_recall_e4"),
+            $"extra_flagged")
+      Seq(
+        row("exact", queries("dedup_exact")(s, d)),
+        row("minhash_lsh",
+          queries("dedup_minhash_lsh")(s, d).select($"id2".as("doc_id"))),
+        row("set_fingerprint", queries("dedup_set_fingerprint")(s, d)),
+        row("simhash",
+          queries("dedup_simhash_pairs")(s, d).select($"id2".as("doc_id"))))
+        .reduce(_ unionByName _).orderBy($"method")
+    }, Some(
+      s"""WITH $corpusSql,
+         |${minhashSql("corpus", "")},
+         |$simhashSql,
+         |pl AS (
+         |  SELECT CAST(sum(CASE WHEN doc_id >= 100000 AND doc_id < 200000 THEN 1 ELSE 0 END) AS BIGINT) AS pe,
+         |    CAST(sum(CASE WHEN doc_id >= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS pn
+         |  FROM corpus),
+         |ex_f AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS c FROM corpus)
+         |  WHERE doc_id <> c),
+         |sfp_f AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(
+         |      regexp_split_to_array(trim(lower(text)), '\\s+'))), ' '))) AS c
+         |    FROM corpus)
+         |  WHERE doc_id <> c),
+         |mh_f AS (
+         |  SELECT DISTINCT id2 AS doc_id FROM (
+         |    SELECT c.id2,
+         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
+         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
+         |  WHERE jaccard >= 0.5),
+         |sh_chunks AS (
+         |  SELECT doc_id, simhash, k, (simhash // (1 << (8 * k))) % 256 AS ck
+         |  FROM sim, (SELECT unnest(range(0, 4)) AS k)),
+         |sh_f AS (
+         |  SELECT DISTINCT y.doc_id AS doc_id
+         |  FROM sh_chunks x JOIN sh_chunks y
+         |    ON x.k = y.k AND x.ck = y.ck AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3)
+         |SELECT method, n_flagged, exact_recall_e4, near_recall_e4, extra_flagged FROM (
+         |  SELECT 'exact' AS method, CAST(count(*) AS BIGINT) AS n_flagged,
+         |    (CAST(sum(CASE WHEN doc_id >= 100000 AND doc_id < 200000 THEN 1 ELSE 0 END) AS BIGINT) * 10000) // pe AS exact_recall_e4,
+         |    (CAST(sum(CASE WHEN doc_id >= 200000 THEN 1 ELSE 0 END) AS BIGINT) * 10000) // pn AS near_recall_e4,
+         |    CAST(sum(CASE WHEN doc_id < 100000 THEN 1 ELSE 0 END) AS BIGINT) AS extra_flagged
+         |  FROM ex_f, pl GROUP BY pe, pn
+         |  UNION ALL
+         |  SELECT 'minhash_lsh', CAST(count(*) AS BIGINT),
+         |    (CAST(sum(CASE WHEN doc_id >= 100000 AND doc_id < 200000 THEN 1 ELSE 0 END) AS BIGINT) * 10000) // pe,
+         |    (CAST(sum(CASE WHEN doc_id >= 200000 THEN 1 ELSE 0 END) AS BIGINT) * 10000) // pn,
+         |    CAST(sum(CASE WHEN doc_id < 100000 THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM mh_f, pl GROUP BY pe, pn
+         |  UNION ALL
+         |  SELECT 'set_fingerprint', CAST(count(*) AS BIGINT),
+         |    (CAST(sum(CASE WHEN doc_id >= 100000 AND doc_id < 200000 THEN 1 ELSE 0 END) AS BIGINT) * 10000) // pe,
+         |    (CAST(sum(CASE WHEN doc_id >= 200000 THEN 1 ELSE 0 END) AS BIGINT) * 10000) // pn,
+         |    CAST(sum(CASE WHEN doc_id < 100000 THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM sfp_f, pl GROUP BY pe, pn
+         |  UNION ALL
+         |  SELECT 'simhash', CAST(count(*) AS BIGINT),
+         |    (CAST(sum(CASE WHEN doc_id >= 100000 AND doc_id < 200000 THEN 1 ELSE 0 END) AS BIGINT) * 10000) // pe,
+         |    (CAST(sum(CASE WHEN doc_id >= 200000 THEN 1 ELSE 0 END) AS BIGINT) * 10000) // pn,
+         |    CAST(sum(CASE WHEN doc_id < 100000 THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM sh_f, pl GROUP BY pe, pn)
+         |ORDER BY method""".stripMargin)),
+
     // ---- end-to-end corpus cleaning: the composition a training-data
     // pipeline actually runs — quality gate → exact normalized dedup →
     // MinHash+LSH near-dup removal — in ONE query, labeling every corpus doc

@@ -97,4 +97,25 @@ class ValidationSpec extends AnyFunSuite {
     }
     assert(rows.last._4 == verdicts.getOrElse("kept", 0L))
   }
+
+  test("method eval: every method catches all byte-copies; the near-recall ladder orders as designed") {
+    import spark.implicits._
+    val m = Dedup.queries("dedup_method_eval")(spark, sfDir)
+      .select($"method", $"exact_recall_e4", $"near_recall_e4", $"extra_flagged")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m.keySet == Set("exact", "minhash_lsh", "set_fingerprint", "simhash"))
+    // byte-exact copies hash/signature-collide under every method
+    m.values.foreach { case (er, _, _) => assert(er == 10000L) }
+    // exact hashing sees NOTHING beyond byte equality
+    assert(m("exact")._2 == 0L && m("exact")._3 == 0L)
+    // the set fingerprint catches permutations (extra flags > 0) but the
+    // appended-tail near-dups change the token set, so its near recall
+    // sits far below the similarity methods'
+    assert(m("set_fingerprint")._3 > 0L)
+    assert(m("minhash_lsh")._2 > m("set_fingerprint")._2)
+    assert(m("simhash")._2 > m("set_fingerprint")._2)
+    // verified-Jaccard MinHash is the most complete on the planted tails
+    assert(m("minhash_lsh")._2 >= m("simhash")._2)
+  }
 }
