@@ -1812,7 +1812,91 @@ object Relational {
          |  (inter * 10000) // (n1 + n2 - inter) AS exact_jaccard_e4,
          |  abs((n_match * 10000) // mu - (inter * 10000) // (n1 + n2 - inter)) AS err_e4
          |FROM m JOIN ix ON m.e1 = ix.e1 AND m.e2 = ix.e2
-         |ORDER BY m.e1, m.e2""".stripMargin))
+         |ORDER BY m.e1, m.e2""".stripMargin)),
+
+    // ---- CUSUM change-point detection with a PLANTED level shift (Page
+    // 1954 — the sequential drift detector ops teams run beside the q56
+    // z-score spike detector: z-scores catch single bad hours, CUSUM
+    // catches a small persistent rate change by accumulating it). The
+    // recurrence S_t = max(0, S_{t-1} + x_t − μ − k) is windowed-SQL
+    // expressible via the running-minimum identity S_t = cums_t −
+    // min(0, min_{s≤t} cums_s) — no recursion, one sort per event type.
+    // Ground truth: each type's DAILY series gets +μ/2 injected from the
+    // last third of its span (the marked-corpus pattern), so the contract
+    // reports a DETECTION DELAY against a known shift point (1-2 days at
+    // sf0.01/0.1, spec-pinned) plus the PRE-shift alarm count — the
+    // false-alarm rate, which is honestly nonzero at sf0.001 where μ ≈ 6
+    // events/day puts the noise σ on the order of the threshold (ARL
+    // shrinks with μ/σ — the detector's real small-sample behavior, not a
+    // bug; daily buckets were chosen over hourly precisely because hourly
+    // μ ≈ 2 drowns the planted shift at every SF). All-integer (μ, slack
+    // k=μ/20 and threshold h=μ are integer divisions; the CUSUM is a sum
+    // of integers), so both engines agree exactly. Scale shape: one daily
+    // hash agg, a per-type stats broadcast, per-TYPE ordered windows
+    // (never a global sort), one summary agg.
+    ("q67_cusum_changepoint", (s, d) => {
+      import s.implicits._
+      val dc = Tables.events(s, d)
+        .groupBy($"event_type", expr("unix_micros(ts) div 86400000000L").as("day_d"))
+        .agg(count(lit(1)).as("n"))
+      val stats = dc.groupBy($"event_type")
+        .agg(expr("sum(n) div count(1)").as("mu"),
+          min($"day_d").as("d0"), max($"day_d").as("d1"))
+        .withColumn("shift_d", expr("d0 + (2 * (d1 - d0)) div 3"))
+      val wRun = Window.partitionBy($"event_type").orderBy($"day_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = dc.join(broadcast(stats), "event_type")
+        .withColumn("x",
+          $"n" + when($"day_d" >= $"shift_d", expr("mu div 2")).otherwise(0L))
+        .withColumn("dlt", expr("x - mu - (mu div 20)"))
+        .withColumn("cums", sum($"dlt").over(wRun))
+        .withColumn("cmin", min($"cums").over(wRun))
+        .withColumn("cusum", $"cums" - least($"cmin", lit(0L)))
+        .withColumn("alarm", $"cusum" >= $"mu")
+      scored.groupBy($"event_type")
+        .agg(min($"mu").as("mu"), min($"shift_d").as("shift_d"),
+          count(lit(1)).as("n_days"),
+          sum(when($"alarm" && $"day_d" < $"shift_d", 1L).otherwise(0L))
+            .as("n_pre_alarms"),
+          min(when($"alarm" && $"day_d" >= $"shift_d", $"day_d")).as("first_alarm_d"),
+          max($"cusum").as("max_cusum"))
+        .withColumn("detect_delay_d",
+          when($"first_alarm_d".isNull, lit(null).cast("long"))
+            .otherwise($"first_alarm_d" - $"shift_d"))
+        .orderBy($"event_type")
+    }, Some(
+      """WITH dc AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) // count(*) AS mu,
+        |    min(day_d) + (2 * (max(day_d) - min(day_d))) // 3 AS shift_d
+        |  FROM dc GROUP BY 1),
+        |sc AS (
+        |  SELECT dc.event_type, day_d, mu, shift_d,
+        |    n + CASE WHEN day_d >= shift_d THEN mu // 2 ELSE 0 END
+        |      - mu - (mu // 20) AS dlt
+        |  FROM dc JOIN st USING (event_type)),
+        |cua AS (
+        |  SELECT event_type, day_d, mu, shift_d,
+        |    CAST(sum(dlt) OVER win AS BIGINT) AS cums
+        |  FROM sc
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day_d ROWS UNBOUNDED PRECEDING)),
+        |cu AS (
+        |  SELECT event_type, day_d, mu, shift_d,
+        |    cums - least(CAST(min(cums) OVER win AS BIGINT), 0) AS cusum
+        |  FROM cua
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day_d ROWS UNBOUNDED PRECEDING)),
+        |al AS (SELECT event_type, day_d, mu, shift_d, cusum, cusum >= mu AS alarm FROM cu)
+        |SELECT event_type, CAST(min(mu) AS BIGINT) AS mu,
+        |  CAST(min(shift_d) AS BIGINT) AS shift_d,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(CASE WHEN alarm AND day_d < shift_d THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_alarms,
+        |  CAST(min(CASE WHEN alarm AND day_d >= shift_d THEN day_d END) AS BIGINT) AS first_alarm_d,
+        |  CAST(max(cusum) AS BIGINT) AS max_cusum,
+        |  CAST(min(CASE WHEN alarm AND day_d >= shift_d THEN day_d END) - min(shift_d) AS BIGINT) AS detect_delay_d
+        |FROM al GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

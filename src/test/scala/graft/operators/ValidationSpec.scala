@@ -118,4 +118,17 @@ class ValidationSpec extends AnyFunSuite {
     // verified-Jaccard MinHash is the most complete on the planted tails
     assert(m("minhash_lsh")._2 >= m("simhash")._2)
   }
+
+  test("CUSUM: zero false alarms before the planted shift, detection within 3 days after it") {
+    import spark.implicits._
+    val rows = Relational.queries("q67_cusum_changepoint")(spark, sfDir)
+      .select($"event_type", $"mu", $"n_pre_alarms", $"detect_delay_d")
+      .as[(String, Long, Long, Option[Long])].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (et, mu, pre, delay) =>
+      assert(mu >= 30L, s"$et: daily mean $mu too small for the pinned regime")
+      assert(pre == 0L, s"$et: $pre false alarms before the shift")
+      assert(delay.exists(d => d >= 0L && d <= 3L), s"$et: detection delay $delay")
+    }
+  }
 }
