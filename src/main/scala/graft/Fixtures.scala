@@ -1,0 +1,82 @@
+package graft
+
+/** Per-JVM on-disk fixtures (persisted indexes, derived corpora, ingest
+  * feeds). Two jobs:
+  *
+  *  1. `tempDir` hands out temp directories that are REGISTERED for a
+  *     best-effort recursive delete at JVM exit — fixture dirs must never
+  *     outlive the session that wrote them (previously each call site
+  *     leaked its `Files.createTempDirectory` result).
+  *  2. `dirKey` fingerprints a source-data directory (relative file names +
+  *     sizes + mtimes, order-free XOR fold) so once-per-JVM fixture caches
+  *     can key on WHAT the data is, not just where it lives: if the parquet
+  *     under a path is regenerated mid-JVM, the fingerprint changes and the
+  *     fixture rebuilds instead of serving a stale index.
+  *
+  * At 100 TB the same pattern holds with a durable store in place of /tmp:
+  * the fixture is an owned artifact keyed by a snapshot id, rebuilt when the
+  * snapshot moves, deleted when its owner goes away.
+  */
+object Fixtures {
+  import java.nio.file.{Files, Path, Paths}
+
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+
+  // Registered once at class init; fixture dirs are small (sf-test scale)
+  // so exit-time sweep cost is negligible.
+  sys.addShutdownHook {
+    registered.forEach(p => deleteRecursively(p))
+  }
+
+  /** A temp directory slated for deletion at JVM exit. */
+  def tempDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    registered.add(p)
+    p
+  }
+
+  /** Content fingerprint of a dataset directory: XOR-fold of
+    * hash(relative path, size, mtime) over all regular files. Order-free
+    * (directory walk order doesn't matter) and cheap (metadata only — no
+    * bytes read), which is the right cost for a cache key consulted on
+    * every query construction.
+    */
+  def dirKey(dir: String): String = {
+    val root = Paths.get(dir)
+    var acc = 0L
+    if (Files.exists(root)) {
+      val it = Files.walk(root)
+      try {
+        it.forEach { p =>
+          if (Files.isRegularFile(p)) {
+            val h = scala.util.hashing.MurmurHash3.stringHash(
+              root.relativize(p).toString + "|" + Files.size(p) + "|" +
+                Files.getLastModifiedTime(p).toMillis)
+            acc ^= (h.toLong << 32) | (h.toLong & 0xffffffffL)
+          }
+        }
+      } finally it.close()
+    }
+    dir + "#" + java.lang.Long.toHexString(acc)
+  }
+
+  /** Best-effort recursive delete (same retry contract as the streaming
+    * replay sweep: async writers may still be flushing — retry briefly,
+    * then give up; cleanup must never throw).
+    */
+  def deleteRecursively(root: Path): Unit = {
+    var attempt = 0
+    while (attempt < 5 && Files.exists(root)) {
+      try {
+        val it = Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[Path]())
+        try it.forEach(p => Files.deleteIfExists(p)) finally it.close()
+      } catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException => // retry
+      }
+      if (Files.exists(root)) Thread.sleep(100L)
+      attempt += 1
+    }
+  }
+}

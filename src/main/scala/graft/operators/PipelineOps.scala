@@ -1415,8 +1415,8 @@ object PipelineOps {
   private val schemaEvoDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def schemaEvoDir(s: SparkSession, d: String): String =
-    schemaEvoDirCache.computeIfAbsent(d, _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft_schevo").toString
+    schemaEvoDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      val root = graft.Fixtures.tempDir("graft_schevo").toString
       val doc = Tables.documents(s, d)
       doc.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -1429,8 +1429,8 @@ object PipelineOps {
     })
 
   private[operators] def partitionedCorpus(s: SparkSession, d: String): String =
-    partitionedDirCache.computeIfAbsent(d, _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft_part")
+    partitionedDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      val root = graft.Fixtures.tempDir("graft_part")
         .resolve("docs").toString
       Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"), col("lang"))
@@ -1453,9 +1453,9 @@ object PipelineOps {
     * PERMISSIVE mode must catch a different failure class.
     */
   private def csvIngestDir(s: SparkSession, d: String): String =
-    csvDirCache.computeIfAbsent(d, _ => {
+    csvDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
       import s.implicits._
-      val root = java.nio.file.Files.createTempDirectory("graft_csv")
+      val root = graft.Fixtures.tempDir("graft_csv")
         .resolve("data").toString
       Tables.documents(s, d)
         .select(concat_ws(",", $"doc_id", $"lang",
@@ -1465,9 +1465,9 @@ object PipelineOps {
       root
     })
   private def jsonIngestDir(s: SparkSession, d: String): String =
-    jsonDirCache.computeIfAbsent(d, _ => {
+    jsonDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
       import s.implicits._
-      val root = java.nio.file.Files.createTempDirectory("graft_json")
+      val root = graft.Fixtures.tempDir("graft_json")
         .resolve("data").toString
       val j = to_json(struct($"doc_id", $"lang", $"n_chars"))
       Tables.documents(s, d)

@@ -124,9 +124,12 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def ivfIndexDir(s: SparkSession, d: String): String =
-    ivfIndexDirCache.computeIfAbsent(d, _ => {
+    // Keyed on the dataset FINGERPRINT (not the path): regenerated data
+    // rebuilds the index instead of serving stale lists. Dir is swept at
+    // JVM exit by the Fixtures shutdown hook.
+    ivfIndexDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
       import s.implicits._
-      val root = java.nio.file.Files.createTempDirectory("graft_ivfidx")
+      val root = graft.Fixtures.tempDir("graft_ivfidx")
         .resolve("index").toString
       val v = vectors(s, d)
       val cent = v.filter($"vec_id" % IvfSeedStride === 0 && $"vec_id" < IvfSeedStride * IvfCentroids)

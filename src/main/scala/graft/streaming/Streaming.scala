@@ -971,7 +971,7 @@ object Streaming {
     replayWaveCache.computeIfAbsent(key, _ => {
       import java.nio.file.Files
       val waved = mkWaved // by-name: setup actions run only on cache miss
-      val root = Files.createTempDirectory("graft_replay")
+      val root = graft.Fixtures.tempDir("graft_replay") // swept at JVM exit
       val dir = Files.createDirectories(root.resolve("src"))
       val waves = waved.agg(max(col("wave"))).head().getInt(0)
       (0 to waves).foreach { w =>
