@@ -53,6 +53,30 @@ object CdcQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
+  /** Once-per-JVM file-tree twin of the documents table (one UTF-8 file per
+    * doc), written DISTRIBUTED via foreachPartition — no driver collect; in
+    * local mode every task shares /tmp, the exact analogue of tasks writing
+    * a DFS directory. Keyed on the dataset fingerprint; swept at JVM exit.
+    */
+  private val fileCorpusCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def fileCorpusDir(s: SparkSession, dir: String): String =
+    fileCorpusCache.computeIfAbsent(graft.Fixtures.dirKey(dir), _ => {
+      val root = graft.Fixtures.tempDir("graft_filecorpus").resolve("docs")
+      java.nio.file.Files.createDirectories(root)
+      val rootStr = root.toString
+      docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(rootStr, f"doc_${r.getLong(0)}%07d.txt"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      rootStr
+    })
+
   private def chunkCols(df: DataFrame): DataFrame =
     df.select(
       col("id").as("doc_id"),
@@ -283,6 +307,27 @@ object CdcQueries {
     "cdc_fixed_dedup_metrics" -> ((s, dir) =>
       Chunking.dedupMetrics(
         Chunking.chunkTable(docs(s, dir), "doc_id", "text", "fixed", ExpectedSize))),
+
+    // The reference's ACTUAL entry shape: a DIRECTORY OF FILES, not a parquet
+    // column (`main.rs:16-24` reads a file corpus; `chunker.rs:31-37` is the
+    // per-file whole-read). The docs corpus is materialized once per JVM as
+    // one UTF-8 file per document, then the full experiment runs THROUGH the
+    // binaryFile source: distributed listing → per-file chunk → corpus-level
+    // hash-dedup metrics. Fixed algorithm so the chunk contents stay pure
+    // arithmetic and the whole files-in → metrics-out pipeline carries an
+    // exact DuckDB oracle recomputed from the source table (plus n_files
+    // pinning that the tree round-trips the corpus 1:1). At 100 TB the
+    // fixture step disappears — users already have the files on DFS.
+    "cdc_files_dedup_metrics" -> ((s, dir) => {
+      val files = graft.sources.BinaryFiles.load(s, fileCorpusDir(s, dir), Some("*.txt"))
+      val nf = files.agg(count(lit(1)).as("n_files"))
+      Chunking.dedupMetrics(
+        Chunking.chunkTable(files, "path", "content", "fixed", ExpectedSize))
+        .crossJoin(nf) // 1-row × 1-row scalar attach
+        .select(col("n_files"), col("unique_bytes"), col("total_bytes"),
+          col("distinct_chunks"), col("chunk_count"), col("dedup_coeff"),
+          col("avg_chunk_size"))
+    }),
 
     // The reference experiment's parameter sweep (`main.rs:18` varies n):
     // corpus dedup metrics at several expected sizes in one distributed
@@ -634,6 +679,28 @@ object CdcQueries {
          |  ${rndSql("unique_bytes / CAST(total_bytes AS DOUBLE)", 6)} AS dedup_coeff,
          |  ${rndSql("total_bytes / CAST(distinct_chunks AS DOUBLE)", 2)} AS avg_chunk_size
          |FROM m""".stripMargin
+    },
+
+    // Same exact fixed-metrics chain recomputed from the SOURCE TABLE (the
+    // file tree is a 1:1 materialization of it), plus an exact file count.
+    "cdc_files_dedup_metrics" -> {
+      import Portable.rndSql
+      s"""WITH ch AS (
+         |  SELECT substr(text, off + 1, least($ExpectedSize, n_chars - off)) AS chunk,
+         |         least($ExpectedSize, n_chars - off) AS len
+         |  FROM (SELECT text, n_chars, unnest(range(0, n_chars, $ExpectedSize)) AS off
+         |        FROM documents)),
+         |g AS (SELECT chunk, min(len) AS len, count(*) AS cnt FROM ch GROUP BY 1),
+         |m AS (SELECT CAST(sum(len) AS BIGINT) AS unique_bytes,
+         |             CAST(sum(len * cnt) AS BIGINT) AS total_bytes,
+         |             count(*) AS distinct_chunks,
+         |             CAST(sum(cnt) AS BIGINT) AS chunk_count
+         |      FROM g),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_files FROM documents)
+         |SELECT n_files, unique_bytes, total_bytes, distinct_chunks, chunk_count,
+         |  ${rndSql("unique_bytes / CAST(total_bytes AS DOUBLE)", 6)} AS dedup_coeff,
+         |  ${rndSql("total_bytes / CAST(distinct_chunks AS DOUBLE)", 2)} AS avg_chunk_size
+         |FROM m CROSS JOIN n""".stripMargin
     },
 
     "cdc_fixed_change_detection" ->
