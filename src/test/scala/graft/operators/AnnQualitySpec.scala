@@ -37,9 +37,13 @@ class AnnQualitySpec extends AnyFunSuite {
     // error), so its floor is lower than the single-approximation paths.
     // SQ8's per-dim error is ≤ scale/2 ≈ 0.004 on unit vectors — its top-k
     // should track the exact baseline almost perfectly, hence the 0.8 floor.
+    // sim_graph_topk (beam search, deg 16 / beam 16 / 3 hops) measured 0.82
+    // mean recall@5 at sf0.01 — the highest of the approximate paths, as a
+    // graph index should be; floor 0.6 leaves tuning headroom.
     for ((ann, floor) <- Seq("sim_lsh_topk" -> 0.15, "sim_ivf_topk" -> 0.15,
         "sim_pq_topk" -> 0.15, "sim_ivfpq_topk" -> 0.05,
-        "sim_sq8_topk" -> 0.8, "sim_ivfpq_rerank" -> 0.05)) {
+        "sim_sq8_topk" -> 0.8, "sim_ivfpq_rerank" -> 0.05,
+        "sim_graph_topk" -> 0.6)) {
       val got = topkPairs(ann)
       val recalls = brute.map { case (q, exact) =>
         got.getOrElse(q, Seq.empty).count(exact.toSet).toDouble / exact.size
