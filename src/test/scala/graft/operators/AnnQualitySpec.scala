@@ -66,6 +66,17 @@ class AnnQualitySpec extends AnyFunSuite {
     assert(mean >= 0.5, s"sim_rp_recall mean recall@5 = $mean")
   }
 
+  test("incremental IVF delta-upsert serves bit-identically to the fresh rebuild") {
+    import spark.implicits._
+    // Frozen centroids make coarse assignment a pure per-vector function,
+    // so base-build + cid-partitioned append must equal the full build —
+    // row for row, including the 4-decimal cosines.
+    def rows(name: String) = Similarity.queries(name)(spark, sfDir)
+      .select($"q_id", $"rank", $"n_id", $"cos")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows("sim_ivf_incremental") == rows("sim_ivf_persisted"))
+  }
+
   test("MinHash-LSH candidates include every exact-duplicate pair") {
     import spark.implicits._
     val pairs = Dedup.queries("dedup_minhash_lsh")(spark, sfDir)
