@@ -836,7 +836,9 @@ object TextOps {
     // scores, and a tier flips only on a boundary EQUAL to a data value —
     // where interpolation is exact on both engines. Scale note: exact
     // percentiles need a sort; at 100 TB swap in percentile_approx and keep
-    // the identical downstream shape.
+    // the identical downstream shape — pipeline_quality_tiers_approx below
+    // IS that swap, with the sketch boundary pinned inside an exact
+    // quantile envelope and the tier-flip exposure counted.
     ("pipeline_quality_tiers", (s, d) => {
       import s.implicits._
       val toks = tokens($"text")
@@ -881,6 +883,74 @@ object TextOps {
          |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
          |  min(score) AS min_score, max(score) AS max_score
          |FROM sc, qs GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
+
+    // ---- the 100 TB twin of pipeline_quality_tiers' boundary step
+    // (VERDICT r10 #5): exact `percentile` needs a global sort of the score
+    // column; `percentile_approx` (t-digest-style mergeable sketch, one
+    // map-side-combinable pass) is the boundary computation a 100 TB tier
+    // cut actually runs. Contract in the q61 envelope pattern: one row per
+    // quartile with the exact boundary (oracle-exact via quantile_cont),
+    // a literal-TRUE pin that the sketch boundary lands inside the exact
+    // [p−0.01, p+0.01] quantile envelope, and n_docs_in_envelope — the
+    // exact count of docs whose tier could flip if the approx boundary
+    // replaced the exact one (the honest error bound a pipeline owner
+    // reads before swapping in the sketch; both engines compute it
+    // exactly because the envelope bounds are exact percentiles).
+    ("pipeline_quality_tiers_approx", (s, d) => {
+      import s.implicits._
+      val z = qualityZ
+      val sc = Tables.documents(s, d)
+        .select(round(z / (lit(1.0) + abs(z)), 4).as("score"))
+      val qs = sc.agg(
+        expr("percentile(score, 0.25)").as("e1"),
+        expr("percentile(score, 0.50)").as("e2"),
+        expr("percentile(score, 0.75)").as("e3"),
+        expr("percentile_approx(score, 0.25, 1000)").as("a1"),
+        expr("percentile_approx(score, 0.50, 1000)").as("a2"),
+        expr("percentile_approx(score, 0.75, 1000)").as("a3"),
+        expr("percentile(score, 0.24)").as("lo1"),
+        expr("percentile(score, 0.26)").as("hi1"),
+        expr("percentile(score, 0.49)").as("lo2"),
+        expr("percentile(score, 0.51)").as("hi2"),
+        expr("percentile(score, 0.74)").as("lo3"),
+        expr("percentile(score, 0.76)").as("hi3"))
+      val aggCols = (1 to 3).flatMap { i =>
+        Seq(
+          sum(when(col("score") >= col(s"lo$i") && col("score") <= col(s"hi$i"), 1L)
+            .otherwise(0L)).as(s"n$i"),
+          first(col(s"e$i")).as(s"e$i"), first(col(s"a$i")).as(s"a$i"),
+          first(col(s"lo$i")).as(s"lo$i"), first(col(s"hi$i")).as(s"hi$i"))
+      }
+      val env = sc.crossJoin(broadcast(qs)) // 1-row boundary attach
+        .agg(aggCols.head, aggCols.tail: _*)
+      Seq((1, "0.25"), (2, "0.50"), (3, "0.75")).map { case (i, p) =>
+        env.select(lit(p).as("p"),
+          round(col(s"e$i"), 4).as("exact_q"),
+          (col(s"a$i") >= col(s"lo$i") && col(s"a$i") <= col(s"hi$i")).as("approx_ok"),
+          col(s"n$i").as("n_docs_in_envelope"))
+      }.reduce(_ unionByName _).orderBy($"p")
+    }, Some {
+      val z = qualityZSql
+      val rows = Seq((1, "0.25", "0.24", "0.26"), (2, "0.50", "0.49", "0.51"),
+        (3, "0.75", "0.74", "0.76")).map { case (i, p, _, _) =>
+        s"""SELECT '$p' AS p, ${rndSql(s"e$i", 4)} AS exact_q, TRUE AS approx_ok,
+           |  CAST(n$i AS BIGINT) AS n_docs_in_envelope FROM qs, cnt""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val qCols = Seq((1, "0.25", "0.24", "0.26"), (2, "0.50", "0.49", "0.51"),
+        (3, "0.75", "0.74", "0.76")).map { case (i, p, lo, hi) =>
+        s"quantile_cont(score, $p) AS e$i, quantile_cont(score, $lo) AS lo$i, quantile_cont(score, $hi) AS hi$i"
+      }.mkString(",\n    ")
+      val nCols = (1 to 3).map { i =>
+        s"sum(CASE WHEN score >= lo$i AND score <= hi$i THEN 1 ELSE 0 END) AS n$i"
+      }.mkString(", ")
+      s"""WITH sc AS (
+         |  SELECT ${rndSql(s"($z) / (1.0 + abs($z))", 4)} AS score FROM documents),
+         |qs AS (
+         |  SELECT $qCols
+         |  FROM sc),
+         |cnt AS (SELECT $nCols FROM sc, qs)
+         |SELECT * FROM ($rows) ORDER BY p""".stripMargin
     }),
 
     // ---- apply the learned BPE merges: encode every document with the
