@@ -411,26 +411,34 @@ object Clustering {
     // distributed scan + a 1-row argmax collect. A fully-lazy unioned-plan
     // formulation re-computes every prior round inside every later one
     // (measured 17 s at sf0.1 vs ~1 s for this schedule).
+    // NOTE (queries-map contract): k-means++ seeding is inherently
+    // sequential (center r depends on the argmax under centers 0..r−1), so
+    // CONSTRUCTING this query runs the K−1 distributed argmax rounds
+    // eagerly — callers that only want the plan/schema should skip this
+    // entry. The scan cache is released before returning; the result is a
+    // K-row LocalRelation.
     ("sim_kmeanspp_init", (s, d) => {
       graft.plans.GraftExtensions.register(s)
       import s.implicits._
       val q = quantized(Similarity.vectors(s, d)).cache() // K-1 scan rounds
-      val first = q.orderBy($"vec_id").limit(1).select($"vec_id", $"qv")
-        .as[(Long, Array[Double])].head()
-      var chosen = Vector((0L, first._1, first._2, 0.0))
-      for (r <- 1 until K) {
-        val cenDf = chosen.map(_._3).toDF("m")
-        val next = q.crossJoin(broadcast(cenDf))
-          .withColumn("dist",
-            vecDot($"qv", $"qv") - lit(2) * vecDot($"qv", $"m") + vecDot($"m", $"m"))
-          .groupBy($"vec_id").agg(min($"dist").as("dmin"))
-          .join(q, "vec_id")
-          .orderBy($"dmin".desc, $"vec_id").limit(1)
-          .select($"vec_id", $"qv", $"dmin").as[(Long, Array[Double], Double)].head()
-        chosen = chosen :+ ((r.toLong, next._1, next._2, next._3))
-      }
-      chosen.map { case (cid, id, _, dm) => (cid, id, dm) }
-        .toDF("step", "vec_id", "dmin").orderBy($"step")
+      try {
+        val first = q.orderBy($"vec_id").limit(1).select($"vec_id", $"qv")
+          .as[(Long, Array[Double])].head()
+        var chosen = Vector((0L, first._1, first._2, 0.0))
+        for (r <- 1 until K) {
+          val cenDf = chosen.map(_._3).toDF("m")
+          val next = q.crossJoin(broadcast(cenDf))
+            .withColumn("dist",
+              vecDot($"qv", $"qv") - lit(2) * vecDot($"qv", $"m") + vecDot($"m", $"m"))
+            .groupBy($"vec_id").agg(min($"dist").as("dmin"))
+            .join(q, "vec_id")
+            .orderBy($"dmin".desc, $"vec_id").limit(1)
+            .select($"vec_id", $"qv", $"dmin").as[(Long, Array[Double], Double)].head()
+          chosen = chosen :+ ((r.toLong, next._1, next._2, next._3))
+        }
+        chosen.map { case (cid, id, _, dm) => (cid, id, dm) }
+          .toDF("step", "vec_id", "dmin").orderBy($"step")
+      } finally q.unpersist() // rounds are done; don't leak a cached relation per call
     }, Some(kmeansppSql))
   )
 

@@ -219,6 +219,53 @@ object Dedup {
        |arr$sfx AS (SELECT doc_id, list(h) AS ts FROM sh$sfx GROUP BY doc_id)""".stripMargin
   }
 
+  /** Scored LSH candidate pairs (id1, id2, jaccard) over the [[minhashSql]]
+    * CTEs — the SINGLE oracle source for every query that verifies
+    * candidates at the rounded >= 0.5 cut (the cluster family, canonical
+    * pick, dedup_method_eval's minhash leg), so the verification
+    * arithmetic cannot drift between the methods and their eval.
+    */
+  private[operators] val scoredCandSql: String =
+    s"""SELECT c.id1, c.id2,
+       |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
+       |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2""".stripMargin
+
+  /** `ver` CTE: the verified (id1, id2) edge list — [[verifiedPairs]]'
+    * oracle text, composed from [[scoredCandSql]].
+    */
+  private[operators] val verCteSql: String =
+    s"""ver AS (
+       |  SELECT id1, id2 FROM (
+       |    $scoredCandSql)
+       |  WHERE jaccard >= 0.5)""".stripMargin
+
+  /** Content-key SQL shared by dedup_exact's oracle and dedup_method_eval's
+    * exact leg. */
+  private[operators] val exactKeySql: String = "md5(text)"
+
+  /** Order-invariant set-fingerprint key SQL shared by
+    * dedup_set_fingerprint's oracle and dedup_method_eval's leg.
+    */
+  private[operators] val setFpKeySql: String =
+    "md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))), ' '))"
+
+  /** SimHash byte-chunk CTE (pigeonhole bucketing) + the hamming-verified
+    * pair select — shared by dedup_simhash_pairs' oracle and
+    * dedup_method_eval's simhash leg (requires the `sim` CTE from
+    * simhashSql in scope).
+    */
+  private[operators] val simhashChunksCteSql: String =
+    """chunks AS (
+      |  SELECT doc_id, simhash, k, (simhash // (1 << (8 * k))) % 256 AS ck
+      |  FROM sim, (SELECT unnest(range(0, 4)) AS k))""".stripMargin
+
+  private[operators] val simhashPairsSelectSql: String =
+    """SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+      |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+      |FROM chunks x JOIN chunks y
+      |  ON x.k = y.k AND x.ck = y.ck AND x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
+
   private def shinglesSql: String = {
     val toks = tokensSql("text")
     s"""sh AS (
@@ -291,8 +338,8 @@ object Dedup {
       s"""WITH $corpusSql
          |SELECT doc_id, canonical_id, group_size FROM (
          |  SELECT doc_id,
-         |    min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
-         |    count(*) OVER (PARTITION BY md5(text)) AS group_size
+         |    min(doc_id) OVER (PARTITION BY $exactKeySql) AS canonical_id,
+         |    count(*) OVER (PARTITION BY $exactKeySql) AS group_size
          |  FROM corpus)
          |WHERE doc_id <> canonical_id ORDER BY doc_id""".stripMargin)),
 
@@ -348,8 +395,7 @@ object Dedup {
     }, Some(
       s"""WITH $corpusSql,
          |fp AS (
-         |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
-         |    regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS k
+         |  SELECT doc_id, $setFpKeySql AS k
          |  FROM corpus)
          |SELECT doc_id, canonical_id, group_size FROM (
          |  SELECT doc_id,
@@ -572,14 +618,8 @@ object Dedup {
     }, Some(
       s"""WITH $corpusSql,
          |${simhashSql},
-         |chunks AS (
-         |  SELECT doc_id, simhash, k, (simhash // (1 << (8 * k))) % 256 AS ck
-         |  FROM sim, (SELECT unnest(range(0, 4)) AS k))
-         |SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
-         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-         |FROM chunks x JOIN chunks y
-         |  ON x.k = y.k AND x.ck = y.ck AND x.doc_id < y.doc_id
-         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |$simhashChunksCteSql
+         |$simhashPairsSelectSql
          |ORDER BY id1, id2""".stripMargin)),
 
     // ---- dedup method evaluation against the PLANTED labels — the
@@ -635,28 +675,17 @@ object Dedup {
          |  FROM corpus),
          |ex_f AS (
          |  SELECT doc_id FROM (
-         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS c FROM corpus)
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY $exactKeySql) AS c FROM corpus)
          |  WHERE doc_id <> c),
          |sfp_f AS (
          |  SELECT doc_id FROM (
-         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(
-         |      regexp_split_to_array(trim(lower(text)), '\\s+'))), ' '))) AS c
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY $setFpKeySql) AS c
          |    FROM corpus)
          |  WHERE doc_id <> c),
-         |mh_f AS (
-         |  SELECT DISTINCT id2 AS doc_id FROM (
-         |    SELECT c.id2,
-         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
-         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
-         |  WHERE jaccard >= 0.5),
-         |sh_chunks AS (
-         |  SELECT doc_id, simhash, k, (simhash // (1 << (8 * k))) % 256 AS ck
-         |  FROM sim, (SELECT unnest(range(0, 4)) AS k)),
-         |sh_f AS (
-         |  SELECT DISTINCT y.doc_id AS doc_id
-         |  FROM sh_chunks x JOIN sh_chunks y
-         |    ON x.k = y.k AND x.ck = y.ck AND x.doc_id < y.doc_id
-         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3)
+         |$verCteSql,
+         |mh_f AS (SELECT DISTINCT id2 AS doc_id FROM ver),
+         |$simhashChunksCteSql,
+         |sh_f AS (SELECT DISTINCT id2 AS doc_id FROM ($simhashPairsSelectSql))
          |SELECT method, n_flagged, exact_recall_e4, near_recall_e4, extra_flagged FROM (
          |  SELECT 'exact' AS method, CAST(count(*) AS BIGINT) AS n_flagged,
          |    (CAST(sum(CASE WHEN doc_id >= 100000 AND doc_id < 200000 THEN 1 ELSE 0 END) AS BIGINT) * 10000) // pe AS exact_recall_e4,
@@ -795,12 +824,7 @@ object Dedup {
     }, Some {
       s"""WITH RECURSIVE $corpusSql,
          |${minhashSql("corpus", "")},
-         |ver AS (
-         |  SELECT id1, id2 FROM (
-         |    SELECT c.id1, c.id2,
-         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
-         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
-         |  WHERE jaccard >= 0.5),
+         |$verCteSql,
          |edges AS (SELECT id1 AS a, id2 AS b FROM ver UNION ALL SELECT id2, id1 FROM ver),
          |reach AS (
          |  SELECT a AS id, a AS r FROM edges
@@ -830,12 +854,7 @@ object Dedup {
     }, Some {
       s"""WITH RECURSIVE $corpusSql,
          |${minhashSql("corpus", "")},
-         |ver AS (
-         |  SELECT id1, id2 FROM (
-         |    SELECT c.id1, c.id2,
-         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
-         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
-         |  WHERE jaccard >= 0.5),
+         |$verCteSql,
          |edges AS (SELECT id1 AS a, id2 AS b FROM ver UNION ALL SELECT id2, id1 FROM ver),
          |reach AS (
          |  SELECT a AS id, a AS r FROM edges
@@ -887,12 +906,7 @@ object Dedup {
     }, Some {
       s"""WITH RECURSIVE $corpusSql,
          |${minhashSql("corpus", "")},
-         |ver AS (
-         |  SELECT id1, id2 FROM (
-         |    SELECT c.id1, c.id2,
-         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
-         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
-         |  WHERE jaccard >= 0.5),
+         |$verCteSql,
          |edges AS (SELECT id1 AS a, id2 AS b FROM ver UNION ALL SELECT id2, id1 FROM ver),
          |reach AS (
          |  SELECT a AS id, a AS r FROM edges
@@ -927,12 +941,7 @@ object Dedup {
     }, Some {
       s"""WITH RECURSIVE $corpusSql,
          |${minhashSql("corpus", "")},
-         |ver AS (
-         |  SELECT id1, id2 FROM (
-         |    SELECT c.id1, c.id2,
-         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
-         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
-         |  WHERE jaccard >= 0.5),
+         |$verCteSql,
          |edges AS (SELECT id1 AS a, id2 AS b FROM ver UNION ALL SELECT id2, id1 FROM ver),
          |reach AS (
          |  SELECT a AS id, a AS r FROM edges
@@ -967,12 +976,7 @@ object Dedup {
     }, Some {
       s"""WITH RECURSIVE $corpusSql,
          |${minhashSql("corpus", "")},
-         |ver AS (
-         |  SELECT id1, id2 FROM (
-         |    SELECT c.id1, c.id2,
-         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
-         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
-         |  WHERE jaccard >= 0.5),
+         |$verCteSql,
          |edges AS (SELECT id1 AS a, id2 AS b FROM ver UNION ALL SELECT id2, id1 FROM ver),
          |reach AS (
          |  SELECT a AS id, a AS r FROM edges
@@ -1035,12 +1039,7 @@ object Dedup {
            |  GROUP BY e.b)""".stripMargin
       s"""WITH $corpusSql,
          |${minhashSql("corpus", "")},
-         |ver AS (
-         |  SELECT id1, id2 FROM (
-         |    SELECT c.id1, c.id2,
-         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
-         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
-         |  WHERE jaccard >= 0.5),
+         |$verCteSql,
          |edges AS (SELECT id1 AS a, id2 AS b FROM ver UNION ALL SELECT id2, id1 FROM ver),
          |dg AS (SELECT a AS id, count(*) AS d FROM edges GROUP BY 1),
          |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM dg),
@@ -1208,9 +1207,7 @@ object Dedup {
          |${minhashSql("corpus", "")},
          |verj AS (
          |  SELECT id1, id2, CAST(round(jaccard * 10000, 0) AS BIGINT) AS w FROM (
-         |    SELECT c.id1, c.id2,
-         |      ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
-         |    FROM cand c JOIN arr a1 ON a1.doc_id = c.id1 JOIN arr a2 ON a2.doc_id = c.id2)
+         |    $scoredCandSql)
          |  WHERE jaccard >= 0.5),
          |edges AS (SELECT id1 AS a, id2 AS b FROM verj UNION ALL SELECT id2, id1 FROM verj),
          |reach AS (

@@ -1743,6 +1743,11 @@ object Relational {
     // are EVAL columns computable here because |distinct| is small; at
     // 100 TB only the O(K) sketches ship — per-shard bottom-K states merge
     // by sorted-union-truncate (BottomKAgg), raw pairs never re-scanned.
+    // Caveats (ADVICE r10): type pairs with ZERO shared (user, day) hashes
+    // stay in the report (left join, jaccard 0) — absence of overlap is a
+    // finding, not a missing row; and the exact_* columns are exact over
+    // the 60-bit hashes of the pairs, i.e. exact modulo h60 collisions
+    // (~10⁻¹⁸ per pair at these cardinalities), not over raw pairs.
     ("q66_kmv_audience", (s, d) => {
       import s.implicits._
       val K = 64
@@ -1762,7 +1767,8 @@ object Relational {
       sk.select($"event_type".as("e1"), $"sk".as("a"), $"n_exact".as("n1"))
         .join(sk.select($"event_type".as("e2"), $"sk".as("b"), $"n_exact".as("n2")),
           $"e1" < $"e2")
-        .join(inter, Seq("e1", "e2"))
+        .join(inter, Seq("e1", "e2"), "left") // zero-overlap pairs stay in the report
+        .withColumn("inter", coalesce($"inter", lit(0L)))
         .withColumn("u", expr(s"slice(array_sort(array_union(a, b)), 1, $K)"))
         .withColumn("mu", size($"u"))
         .withColumn("kth", expr("element_at(u, mu)"))
@@ -1789,7 +1795,7 @@ object Relational {
          |  FROM ud GROUP BY 1),
          |ix AS (
          |  SELECT x.event_type AS e1, y.event_type AS e2,
-         |    CAST(count(*) AS BIGINT) AS inter
+         |    CAST(count(*) AS BIGINT) AS inter0
          |  FROM ud x JOIN ud y ON x.h = y.h AND x.event_type < y.event_type
          |  GROUP BY 1, 2),
          |pr AS (
@@ -1807,11 +1813,11 @@ object Relational {
          |SELECT m.e1, m.e2, n1, n2,
          |  CASE WHEN mu < 64 THEN CAST(mu AS BIGINT)
          |       ELSE (1152921504606846976 // kth) * 63 END AS est_union,
-         |  n1 + n2 - inter AS exact_union,
+         |  n1 + n2 - coalesce(inter0, 0) AS exact_union,
          |  (n_match * 10000) // mu AS est_jaccard_e4,
-         |  (inter * 10000) // (n1 + n2 - inter) AS exact_jaccard_e4,
-         |  abs((n_match * 10000) // mu - (inter * 10000) // (n1 + n2 - inter)) AS err_e4
-         |FROM m JOIN ix ON m.e1 = ix.e1 AND m.e2 = ix.e2
+         |  (coalesce(inter0, 0) * 10000) // (n1 + n2 - coalesce(inter0, 0)) AS exact_jaccard_e4,
+         |  abs((n_match * 10000) // mu - (coalesce(inter0, 0) * 10000) // (n1 + n2 - coalesce(inter0, 0))) AS err_e4
+         |FROM m LEFT JOIN ix ON m.e1 = ix.e1 AND m.e2 = ix.e2
          |ORDER BY m.e1, m.e2""".stripMargin)),
 
     // ---- CUSUM change-point detection with a PLANTED level shift (Page
