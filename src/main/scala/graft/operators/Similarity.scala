@@ -298,6 +298,120 @@ object Similarity {
        |  $perTable)""".stripMargin
   }
 
+  // Two-regime kNN candidate generation (graph builds). The naive bucket
+  // self-join is quadratic PER BUCKET, and the 6-bit signatures give only 64
+  // buckets/table — fine at the driver SFs (max bucket 20/24/80 at
+  // sf0.001/0.01/0.1), but at the 100× rehearsal (200k vectors ⇒ ~3k/bucket)
+  // the all-pairs join emits ~2.5B candidates and OOMs. Above
+  // BucketAllPairsMax the builder switches to projection-sorted neighborhood
+  // blocking: bucket members are ordered by one extra deterministic
+  // hyperplane projection (near vectors land at near positions), and each
+  // member pairs only with the ≤ NeighborhoodWidth positions either side —
+  // candidate count is ≤ 2·width per vector per table, i.e. LINEAR in the
+  // corpus. Buckets at or under the cap keep the exact all-pairs set — the
+  // cap sits above every driver-SF bucket, so driver-SF results are the
+  // original semantics verbatim. (At real scale the signature width should
+  // also grow ~log n; the threshold regime is what keeps a fixed-width
+  // index safe against hot buckets either way.)
+  private val BucketAllPairsMax = 128
+  private val NeighborhoodWidth = 16
+
+  private lazy val ordPlane: Array[Double] =
+    Array.tabulate(Dims)(m => (h60Jvm(s"ord_$m") % 2001 - 1000) / 1000.0)
+
+  /** (src, dst) distinct directed candidate pairs for kNN-graph builds.
+    *
+    * EAGER STRATEGY PROBE at query construction (the sim_kmeanspp_init
+    * pattern, documented at the queries-map contract level): one ~256-group
+    * aggregate job reads the max bucket size and picks the execution
+    * strategy. The RESULT is strategy-independent — the banded legs are
+    * empty exactly when every bucket fits the cap, in which case the plain
+    * all-pairs self-join (the original, cheapest plan) computes the same
+    * set. The probe costs one small job; at the driver SFs it keeps the
+    * whole two-regime machinery out of the executed plan entirely.
+    */
+  private case class KnnCandidates(cand: DataFrame, banded: Boolean)
+
+  private def knnCandidates(v: DataFrame): DataFrame =
+    knnCandidatesWithRegime(v).cand
+
+  private def knnCandidatesWithRegime(v: DataFrame): KnnCandidates = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val sigs = lshSignatures(v)
+    // ≤ LshTables · 2^LshBits groups — schema-bounded agg, tiny either way
+    val sizes = sigs.groupBy($"tbl", $"sig").agg(count(lit(1)).as("cnt"))
+    val maxBucket = sizes.agg(max($"cnt")).head().getLong(0)
+    if (maxBucket <= BucketAllPairsMax) {
+      // every bucket fits: the banded legs below would be empty — run the
+      // original all-pairs bucket self-join verbatim
+      KnnCandidates(sigs.as("x").join(sigs.as("y"),
+          $"x.tbl" === $"y.tbl" && $"x.sig" === $"y.sig" && $"x.vec_id" =!= $"y.vec_id")
+        .select($"x.vec_id".as("src"), $"y.vec_id".as("dst")).distinct(), banded = false)
+    } else {
+      val small = sigs.join(
+        broadcast(sizes.filter($"cnt" <= BucketAllPairsMax)), Seq("tbl", "sig"))
+      val smallPairs = small.as("x").join(small.as("y"),
+          $"x.tbl" === $"y.tbl" && $"x.sig" === $"y.sig" && $"x.vec_id" =!= $"y.vec_id")
+        .select($"x.vec_id".as("src"), $"y.vec_id".as("dst"))
+      // Banded execution of the |pos diff| <= width join: each left row
+      // lands in its own block and the next (blocks of width positions), the
+      // join is EQUI on (tbl, sig, blk) — never the raw bucket cross product
+      // — and the residual keeps forward pairs within the width. Directed
+      // closure via the union of both orientations. pos within a bucket is
+      // independent of other buckets, so computing it over big-bucket rows
+      // only matches the oracle's all-rows window. The native vec_dot
+      // expression keeps the ordering projection codegen'd and bit-identical
+      // to list_dot_product.
+      val big = sigs.join(
+          broadcast(sizes.filter($"cnt" > BucketAllPairsMax)), Seq("tbl", "sig"))
+        .join(v.select($"vec_id", $"emb"), "vec_id")
+        .withColumn("ordv", call_function("vec_dot", $"emb", typedLit(ordPlane)))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy($"tbl", $"sig").orderBy($"ordv", $"vec_id")))
+        .withColumn("blk", floor($"pos" / NeighborhoodWidth))
+        .select($"tbl", $"sig", $"vec_id", $"pos", $"blk")
+        .cache() // read by both banded sides and re-read per downstream hop
+      val bigL = big.withColumn("kblk", explode(array($"blk", $"blk" + 1)))
+      val fwd = bigL.as("x").join(big.as("y"),
+          $"x.tbl" === $"y.tbl" && $"x.sig" === $"y.sig" && $"x.kblk" === $"y.blk" &&
+            $"y.pos" > $"x.pos" && $"y.pos" - $"x.pos" <= NeighborhoodWidth)
+        .select($"x.vec_id".as("src"), $"y.vec_id".as("dst"))
+      KnnCandidates(smallPairs.unionByName(fwd)
+        .unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
+        .distinct(), banded = true)
+    }
+  }
+
+  /** Oracle twin of [[knnCandidates]]: CTE chain sigs/ordv/posd/cand over
+    * CTE `v`. The big-bucket leg is the plain inequality form — same pair
+    * set as the banded Spark execution.
+    */
+  private def knnCandidatesSql: String = {
+    val ordDot = s"list_dot_product(emb, list_transform(range(0, $Dims), " +
+      s"m -> (${h60Sql("'ord_' || m")} % 2001 - 1000) / 1000.0))"
+    s"""$lshSignaturesSql,
+       |ordv AS (SELECT vec_id, $ordDot AS ordv FROM v),
+       |posd AS (
+       |  SELECT vec_id, tbl, sig,
+       |    row_number() OVER (PARTITION BY tbl, sig ORDER BY ordv, vec_id) AS pos,
+       |    count(*) OVER (PARTITION BY tbl, sig) AS cnt
+       |  FROM sigs JOIN ordv USING (vec_id)),
+       |candb AS (
+       |  SELECT x.vec_id AS src, y.vec_id AS dst FROM posd x JOIN posd y
+       |    ON x.tbl = y.tbl AND x.sig = y.sig
+       |  WHERE x.cnt > $BucketAllPairsMax
+       |    AND y.pos > x.pos AND y.pos - x.pos <= $NeighborhoodWidth),
+       |cand AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT x.vec_id AS src, y.vec_id AS dst FROM posd x JOIN posd y
+       |      ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id <> y.vec_id
+       |    WHERE x.cnt <= $BucketAllPairsMax
+       |    UNION ALL SELECT src, dst FROM candb
+       |    UNION ALL SELECT dst AS src, src AS dst FROM candb))""".stripMargin
+  }
+
   // ------------------------------------------------- random projection (JL)
   /** Johnson–Lindenstrauss sign matrix [rpDim][dim] ∈ {−1, +1}, derived from
     * the portable h60 hash (Achlioptas 2003: ±1 entries preserve inner
@@ -586,10 +700,8 @@ object Similarity {
     ("sim_knn_graph", (s, d) => {
       import s.implicits._
       val v = vectors(s, d).cache()
-      val sigs = lshSignatures(v)
-      val cand = sigs.as("x").join(sigs.as("y"),
-          $"x.tbl" === $"y.tbl" && $"x.sig" === $"y.sig" && $"x.vec_id" =!= $"y.vec_id")
-        .select($"x.vec_id".as("q_id"), $"y.vec_id".as("n_id")).distinct()
+      val cand = knnCandidates(v)
+        .select($"src".as("q_id"), $"dst".as("n_id"))
       val scored = cand
         .join(v.select($"vec_id".as("q_id"), $"emb".as("q_emb")), "q_id")
         .join(v.select($"vec_id".as("n_id"), $"emb".as("n_emb")), "n_id")
@@ -602,17 +714,13 @@ object Similarity {
         .orderBy($"q_id", $"rank")
     }, Some(
       s"""WITH $vectorsSql,
-         |$lshSignaturesSql,
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS n_id
-         |  FROM sigs x JOIN sigs y
-         |    ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id <> y.vec_id)
+         |$knnCandidatesSql
          |SELECT q_id, rank, n_id, ${rndSql("cos", 4)} AS cos FROM (
-         |  SELECT c.q_id, c.n_id,
+         |  SELECT c.src AS q_id, c.dst AS n_id,
          |    list_dot_product(q.emb, n.emb) AS cos,
-         |    CAST(row_number() OVER (PARTITION BY c.q_id
-         |      ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS BIGINT) AS rank
-         |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
+         |    CAST(row_number() OVER (PARTITION BY c.src
+         |      ORDER BY list_dot_product(q.emb, n.emb) DESC, c.dst) AS BIGINT) AS rank
+         |  FROM cand c JOIN v q ON q.vec_id = c.src JOIN v n ON n.vec_id = c.dst)
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
 
     // ---- graph-ANN serve path (VERDICT r10 #6): BEAM SEARCH over the kNN
@@ -637,11 +745,10 @@ object Similarity {
       val v = vectors(s, d).cache()
       val qs = v.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"emb".as("q_emb"))
-      // the index build: directed kNN edges, verbatim sim_knn_graph shape
-      val sigs = lshSignatures(v)
-      val ecand = sigs.as("x").join(sigs.as("y"),
-          $"x.tbl" === $"y.tbl" && $"x.sig" === $"y.sig" && $"x.vec_id" =!= $"y.vec_id")
-        .select($"x.vec_id".as("src"), $"y.vec_id".as("dst")).distinct()
+      // the index build: directed kNN edges over the shared two-regime
+      // candidate generator (bucket-capped — see knnCandidates)
+      val kc = knnCandidatesWithRegime(v)
+      val ecand = kc.cand
       val we = Window.partitionBy($"src").orderBy($"ecos".desc, $"dst")
       val edges = ecand
         .join(v.select($"vec_id".as("src"), $"emb".as("s_emb")), "src")
@@ -649,6 +756,11 @@ object Similarity {
         .withColumn("ecos", cosine($"s_emb", $"d_emb"))
         .withColumn("rn", row_number().over(we)).filter($"rn" <= GraphDegree)
         .select($"src", $"dst")
+      // In the banded regime the reusable serve index is cached so the
+      // candidate+score subtree runs once, not once per hop; in the plain
+      // regime the subtree is cheap and exchange reuse covers the repeats —
+      // a cache there costs more in materialization than it saves.
+      val edgesServed = if (kc.banded) edges.cache() else edges
       val entries = v.filter(
           $"vec_id" % IvfSeedStride === 0 && $"vec_id" < IvfSeedStride * IvfCentroids)
         .select($"vec_id".as("node"))
@@ -665,7 +777,7 @@ object Similarity {
         .crossJoin(broadcast(entries)) // K-row entry-point attach
         .filter($"node" =!= $"q_id"))
       for (_ <- 1 to GraphHops) {
-        val expand = beam.as("b").join(edges.as("e"), $"b.node" === $"e.src")
+        val expand = beam.as("b").join(edgesServed.as("e"), $"b.node" === $"e.src")
           .select($"b.q_id".as("q_id"), $"e.dst".as("node"))
           .filter($"node" =!= $"q_id")
         beam = beamCut(beam.select($"q_id", $"node").unionByName(expand).distinct())
@@ -690,16 +802,13 @@ object Similarity {
            |    FROM $cand c JOIN qs q ON q.q_id = c.q_id JOIN v n ON n.vec_id = c.node)
            |  WHERE rn <= $GraphBeam)""".stripMargin
       s"""WITH $vectorsSql,
-         |$lshSignaturesSql,
+         |$knnCandidatesSql,
          |g AS (
          |  SELECT src, dst FROM (
          |    SELECT c.src, c.dst,
          |      row_number() OVER (PARTITION BY c.src
          |        ORDER BY list_dot_product(s.emb, n.emb) DESC, c.dst) AS rn
-         |    FROM (
-         |      SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
-         |      FROM sigs x JOIN sigs y
-         |        ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id <> y.vec_id) c
+         |    FROM cand c
          |    JOIN v s ON s.vec_id = c.src JOIN v n ON n.vec_id = c.dst)
          |  WHERE rn <= $GraphDegree),
          |qs AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NumQueries),
