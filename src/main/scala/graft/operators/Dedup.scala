@@ -587,6 +587,80 @@ object Dedup {
          |  ${rndSql("(SELECT count(*) FROM ex JOIN fd USING (id1, id2)) / CAST((SELECT count(*) FROM ex) AS DOUBLE)", 4)} AS recall""".stripMargin
     }),
 
+    // ---- SAMPLED LSH recall — the recall eval that survives 100 TB.
+    // dedup_lsh_recall's ground truth is the full exact-Jaccard pair pass
+    // (documented eval-only: ~32× wall at the 100× rehearsal, impossible at
+    // corpus scale). Here exact truth is computed ONLY for a deterministic
+    // probe subset (doc_id % ProbeStride = 0, ~2% of docs): the exact leg
+    // is a probe-postings join — probes × df-capped posting lists, LINEAR
+    // in the corpus — and the found leg reads the PERSISTED verified edge
+    // list (the production artifact the cluster family serves from), so
+    // the eval measures exactly what production would ship. Micro recall
+    // over directed (probe → neighbor) pairs; truth at >= 0.6, found at
+    // the pipeline's >= 0.5 verify cut, same thresholds as the full eval.
+    ("dedup_lsh_recall_sampled", (s, d) => {
+      import s.implicits._
+      val sh = shingles(corpus(s, d))
+      val hc = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" <= JaccardDfCap).select($"h")
+      // cached: the probe side, the posting side, and the size agg all read
+      // the capped postings
+      val shc = sh.join(hc, "h").cache()
+      val sizes = shc.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val common = shc.filter($"doc_id" % ProbeStride === 0)
+        .select($"doc_id".as("q_id"), $"h")
+        .join(shc.select($"doc_id".as("o_id"), $"h"), "h")
+        .filter($"o_id" =!= $"q_id")
+        .groupBy($"q_id", $"o_id").agg(count(lit(1)).as("common"))
+      val ex = common
+        .join(sizes.select($"doc_id".as("q_id"), $"n".as("n1")), "q_id")
+        .join(sizes.select($"doc_id".as("o_id"), $"n".as("n2")), "o_id")
+        .filter(round($"common" / ($"n1" + $"n2" - $"common"), 4) >= 0.6)
+        .select($"q_id", $"o_id")
+      val fd = verifiedPairs(s, d)
+      val fdd = fd.filter($"id1" % ProbeStride === 0)
+          .select($"id1".as("q_id"), $"id2".as("o_id"))
+        .unionByName(fd.filter($"id2" % ProbeStride === 0)
+          .select($"id2".as("q_id"), $"id1".as("o_id")))
+      val hit = ex.join(fdd, Seq("q_id", "o_id"), "left_semi")
+      corpus(s, d).filter($"doc_id" % ProbeStride === 0)
+        .agg(count(lit(1)).as("n_probes"))
+        .crossJoin(ex.agg(count(lit(1)).as("n_true")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_found")))
+        .select($"n_probes", $"n_true", $"n_found",
+          when($"n_true" === 0, lit(0.0))
+            .otherwise(round($"n_found" / $"n_true".cast("double"), 4))
+            .as("recall"))
+    }, Some {
+      s"""WITH $corpusSql,
+         |${minhashSql("corpus", "")},
+         |shc AS (
+         |  SELECT doc_id, h FROM sh
+         |  WHERE h IN (SELECT h FROM sh GROUP BY h HAVING count(*) <= $JaccardDfCap)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |cm AS (
+         |  SELECT p.doc_id AS q_id, o.doc_id AS o_id, count(*) AS common
+         |  FROM shc p JOIN shc o ON p.h = o.h AND o.doc_id <> p.doc_id
+         |  WHERE p.doc_id % $ProbeStride = 0
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT q_id, o_id FROM cm c
+         |  JOIN sizes s1 ON s1.doc_id = c.q_id JOIN sizes s2 ON s2.doc_id = c.o_id
+         |  WHERE ${rndSql("common / CAST(s1.n + s2.n - common AS DOUBLE)", 4)} >= 0.6),
+         |$verCteSql,
+         |fdd AS (
+         |  SELECT id1 AS q_id, id2 AS o_id FROM ver WHERE id1 % $ProbeStride = 0
+         |  UNION ALL
+         |  SELECT id2 AS q_id, id1 AS o_id FROM ver WHERE id2 % $ProbeStride = 0)
+         |SELECT
+         |  (SELECT count(*) FROM corpus WHERE doc_id % $ProbeStride = 0) AS n_probes,
+         |  (SELECT count(*) FROM ex) AS n_true,
+         |  (SELECT count(*) FROM ex JOIN fdd USING (q_id, o_id)) AS n_found,
+         |  CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 0.0
+         |    ELSE ${rndSql("(SELECT count(*) FROM ex JOIN fdd USING (q_id, o_id)) / CAST((SELECT count(*) FROM ex) AS DOUBLE)", 4)}
+         |  END AS recall""".stripMargin
+    }),
+
     // ---- SimHash: 32-bit signature from count-weighted token hash bits.
     ("dedup_simhash", (s, d) => {
       import s.implicits._
@@ -1682,6 +1756,12 @@ object Dedup {
     * applies the identical cut, keeping the hash check exact.)
     */
   private val JaccardDfCap = 512
+
+  /** Probe sampling stride for dedup_lsh_recall_sampled: exact ground truth
+    * is computed only for doc_id % ProbeStride = 0 (~2% of the corpus), so
+    * the exact leg stays linear at any scale.
+    */
+  private val ProbeStride = 50
 
   /** Salting block size for Jaccard pair emission: work units carry at most
     * JaccardBlock² ≈ 4k pairs, so even a df-cap-sized group fans out across

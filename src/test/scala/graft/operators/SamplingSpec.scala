@@ -113,6 +113,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(setDups.size > exact.size)
   }
 
+  test("sampled LSH recall is consistent and its truth pairs all involve probes") {
+    val row = graft.SparkEntry.queries("dedup_lsh_recall_sampled")(spark, sfDir).head()
+    val (nProbes, nTrue, nFound, recall) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    assert(nProbes > 0, "probe subset must be non-empty at sf0.01")
+    assert(nTrue > 0, "planted dups guarantee probe-involving true pairs")
+    assert(nFound <= nTrue, "found pairs are a subset of truth by the semi-join")
+    val expect = math.round(nFound.toDouble / nTrue * 10000) / 10000.0
+    assert(recall == expect, s"recall column must equal n_found/n_true: $recall vs $expect")
+    // the sampled estimate must stay in the neighborhood of the full eval's
+    // recall (both measure the same pipeline; sampling noise only)
+    val full = graft.SparkEntry.queries("dedup_lsh_recall")(spark, sfDir).head().getDouble(2)
+    assert((recall - full).abs <= 0.1, s"sampled $recall vs full $full drifted > 0.1")
+  }
+
   test("KMV sketch estimates stay inside deterministic error bands vs the exact columns") {
     import spark.implicits._
     val rows = Relational.queries("q66_kmv_audience")(spark, sfDir)
