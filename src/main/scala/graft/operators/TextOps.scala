@@ -1089,6 +1089,96 @@ object TextOps {
          |ORDER BY assoc_e4 DESC, a, b LIMIT 50""".stripMargin
     }),
 
+    // ---- bigram-LM perplexity scoring (the CCNet/KenLM quality-filter
+    // shape, Wenzek et al. 2020): a bigram LM with Laplace smoothing is
+    // trained on the ORIGINAL documents (the clean reference corpus) and
+    // scores a corpus containing those documents plus planted out-of-vocab
+    // gibberish twins (+300000, every 13th doc) — the crawl-junk stand-in.
+    // Per-bigram conditional p(w2|w1) = (c2+1)/(c1l+V) with c1l the
+    // left-marginal and V the trained vocabulary; the log is floor-quantized
+    // to integer micro-nats PER SCORED BIGRAM (the bm25_u6 pattern), so the
+    // per-doc sum is an order-free integer sum, bit-stable under any
+    // partitioning, and avg_nll_u6 is one integer division. Unseen bigrams
+    // fall to the smoothing floor ~ln(V) — gibberish docs sit AT the floor
+    // while natural docs sit below it, which is what the tier cut keys on.
+    // Scale shape: the scored-bigram → count-table join keys on the bigram
+    // (vocab²-bounded right side, map-side combined); the unigram marginal
+    // and V are vocabulary-bounded broadcasts; everything else is per-doc.
+    ("text_bigram_ppl", (s, d) => {
+      import s.implicits._
+      val doc = Tables.documents(s, d)
+      val scored = doc.select($"doc_id", $"text").unionByName(
+        doc.filter($"doc_id" % 13 === 0).select(
+          ($"doc_id" + 300000).as("doc_id"), lit(PplGibberish).as("text")))
+      def bigrams(src: DataFrame): DataFrame = src
+        .select($"doc_id", transform(tokens($"text"), t => lower(t)).as("t"))
+        .filter(size($"t") >= 2)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(0, size(t) - 2), i ->
+            |  struct(t[i] AS w1, t[i+1] AS w2))""".stripMargin)).as("b"))
+        .select($"doc_id", $"b.w1", $"b.w2")
+      val train = bigrams(doc)
+      val c2 = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      val c1l = train.groupBy($"w1").agg(count(lit(1)).as("c1l"))
+      val vb = doc.select(explode(transform(tokens($"text"), t => lower(t))).as("w"))
+        .agg(countDistinct($"w").as("v"))
+      val db = bigrams(scored).groupBy($"doc_id", $"w1", $"w2")
+        .agg(count(lit(1)).as("m"))
+      db.join(c2, Seq("w1", "w2"), "left")
+        .join(broadcast(c1l), Seq("w1"), "left")
+        .crossJoin(broadcast(vb))
+        .withColumn("llp_u6", floor(log(
+          (coalesce($"c2", lit(0L)) + 1.0) /
+            (coalesce($"c1l", lit(0L)) + $"v")) * 1000000).cast("long"))
+        .groupBy($"doc_id")
+        .agg(sum($"m").as("n_bigrams"), sum(-$"m" * $"llp_u6").as("nll_u6"))
+        .withColumn("avg_nll_u6", expr("nll_u6 div n_bigrams"))
+        .withColumn("tier",
+          when($"avg_nll_u6" >= PplSuspectU6, lit("suspect"))
+            .otherwise(lit("ok")))
+        .select($"doc_id", $"n_bigrams", $"avg_nll_u6", $"tier")
+        .orderBy($"doc_id")
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH sc AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 300000, '$PplGibberish' FROM documents
+         |  WHERE doc_id % 13 = 0),
+         |tr AS (
+         |  SELECT doc_id, list_transform($t, x -> lower(x)) AS t FROM documents
+         |  WHERE len($t) >= 2),
+         |trb AS (
+         |  SELECT unnest(list_transform(range(0, len(t) - 1), i ->
+         |    struct_pack(w1 := t[i+1], w2 := t[i+2]))) AS b
+         |  FROM tr),
+         |c2 AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c2
+         |  FROM trb GROUP BY 1, 2),
+         |c1l AS (SELECT b.w1 AS w1, CAST(count(*) AS BIGINT) AS c1l
+         |  FROM trb GROUP BY 1),
+         |vb AS (
+         |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
+         |    SELECT unnest(list_transform($t, x -> lower(x))) AS w FROM documents)),
+         |scb AS (
+         |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS m
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, len(t) - 1), i ->
+         |      struct_pack(w1 := t[i+1], w2 := t[i+2]))) AS b
+         |    FROM (SELECT doc_id, list_transform($t, x -> lower(x)) AS t FROM sc
+         |          WHERE len($t) >= 2))
+         |  GROUP BY 1, 2, 3),
+         |pd AS (
+         |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(-m * CAST(floor(ln(
+         |      (coalesce(c2, 0) + 1.0) / (coalesce(c1l, 0) + v)) * 1000000) AS BIGINT)) AS BIGINT) AS nll_u6
+         |  FROM scb LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1l USING (w1)
+         |  CROSS JOIN vb
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, nll_u6 // n_bigrams AS avg_nll_u6,
+         |  CASE WHEN nll_u6 // n_bigrams >= $PplSuspectU6 THEN 'suspect'
+         |    ELSE 'ok' END AS tier
+         |FROM pd ORDER BY doc_id""".stripMargin
+    }),
+
     // ---- RAKE keyword extraction (Rose et al. 2010): candidate phrases
     // are maximal stopword-free token runs; a word scores deg/freq (deg =
     // Σ length of phrases it appears in — co-occurrence degree; freq =
@@ -1226,6 +1316,27 @@ object TextOps {
 
   /** Ranks reported by text_zipf_check. */
   private val ZipfTopN = 20
+
+  /** Planted junk text for text_bigram_ppl (+300000 twins): the corpus's
+    * most frequent token alternating with out-of-vocab tokens. The
+    * (seen, novel) bigrams are the detector's teeth — p = 1/(c1l+V) with
+    * c1l the big left-marginal, so their NLL ≈ ln(c1l+V) GROWS with the
+    * corpus (≈6.9 nats at sf0.01) while natural docs stay near ln V ≈ 3.4;
+    * an all-OOV string would sit AT the ln V floor, inside the originals'
+    * band on this structure-free shared-vocab corpus, and be undetectable.
+    */
+  private val PplGibberish =
+    "join zzq join qzx join jvw join zzq join qzx join jvw"
+
+  /** Suspect cut for text_bigram_ppl in micro-nats (avg NLL per bigram).
+    * Measured at sf0.001/0.01/0.1: originals max 3.60/3.61/3.83 nats (the
+    * corpus bigram LM is near-uniform over its 31-token vocabulary, so
+    * natural docs cluster at ~ln V ≈ 3.4), planted docs ≥ 5.30 nats at
+    * every SF and GROWING with corpus size (their teeth are seen→novel
+    * bigrams at ln(c1l+V)). 4.0 nats splits both with ≥ 0.17/1.30-nat
+    * margins; the spec pins both sides at sf0.01.
+    */
+  private val PplSuspectU6 = 4000000L
 
   /** Fixed feature-space width for text_hashing_vectorizer. */
   private val HashVecBuckets = 64

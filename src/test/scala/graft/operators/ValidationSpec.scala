@@ -119,6 +119,26 @@ class ValidationSpec extends AnyFunSuite {
     assert(m("minhash_lsh")._2 >= m("simhash")._2)
   }
 
+  test("bigram perplexity: planted junk all suspect, originals all clean, scores explain the cut") {
+    import spark.implicits._
+    val rows = TextOps.queries("text_bigram_ppl")(spark, sfDir)
+      .select($"doc_id", $"n_bigrams", $"avg_nll_u6", $"tier")
+      .as[(Long, Long, Long, String)].collect()
+    val (planted, orig) = rows.partition(_._1 >= 300000)
+    assert(planted.nonEmpty && orig.nonEmpty)
+    assert(planted.forall(_._4 == "suspect"),
+      "every planted seen→novel junk doc must cross the 4.0-nat cut")
+    assert(orig.forall(_._4 == "ok"),
+      "no original doc crosses the cut at sf0.01 (measured max 3.61 nats)")
+    // the tier is exactly the threshold on the reported score — no hidden state
+    assert(rows.forall(r => (r._3 >= 4000000L) == (r._4 == "suspect")))
+    // margin claim: planted minimum clears the originals' maximum by >= 1 nat
+    assert(planted.map(_._3).min - orig.map(_._3).max >= 1000000L,
+      "separation between junk floor and natural band must stay >= 1 nat")
+    // n_bigrams sanity: every scored doc has at least one bigram
+    assert(rows.forall(_._2 >= 1))
+  }
+
   test("CUSUM: zero false alarms before the planted shift, detection within 3 days after it") {
     import spark.implicits._
     val rows = Relational.queries("q67_cusum_changepoint")(spark, sfDir)
