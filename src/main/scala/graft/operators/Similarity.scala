@@ -833,6 +833,142 @@ object Similarity {
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
     }),
 
+    // ---- MMR diversity rerank (Carbonell & Goldstein 1998): the serve-side
+    // pass that keeps a result page from being five copies of the same
+    // near-dup — greedy argmax of λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) over
+    // the IVF probe shortlist, λ = 0.7. All-integer once the shortlist is
+    // scored: rel and pairwise sims are floor-quantized to micro-units, so
+    // each round's argmax is integer arithmetic (mmr10_u6 = 7·rel − 3·maxsim)
+    // with id tie-breaks — deterministic on both engines, and the greedy
+    // loop unrolls to a static TopK-round dataflow (the beam-search
+    // pattern). Scale shape: the shortlist (≤ RerankDepth/query) and its
+    // ≤ depth² pairwise sims are computed once and cached; the rounds never
+    // touch the corpus again.
+    ("sim_mmr_rerank", (s, d) => {
+      import s.implicits._
+      val v = vectors(s, d).cache()
+      val cent = v.filter($"vec_id" % IvfSeedStride === 0 && $"vec_id" < IvfSeedStride * IvfCentroids)
+        .select(($"vec_id" / IvfSeedStride).cast("long").as("cid"), $"emb".as("c_emb"))
+      val scoredC = v.crossJoin(broadcast(cent))
+        .withColumn("ccos", cosine($"emb", $"c_emb"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+      val rankedC = scoredC.withColumn("crn", row_number().over(wAssign))
+      val assigned = rankedC.filter($"crn" === 1).select($"vec_id", $"emb", $"cid")
+      val probes = rankedC.filter($"vec_id" < NumQueries && $"crn" <= NProbe)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"cid")
+      val wS = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      val short = probes.join(assigned, "cid")
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"q_emb", $"vec_id".as("n_id"), $"emb".as("n_emb"))
+        .distinct()
+        .withColumn("cos", cosine($"q_emb", $"n_emb"))
+        .withColumn("srn", row_number().over(wS)).filter($"srn" <= RerankDepth)
+        .select($"q_id", $"n_id", $"n_emb",
+          floor($"cos" * 1000000).cast("long").as("rel_u6"))
+        .cache() // two readers: the candidate agg and the pairwise self-join
+      val ps = short.as("a").join(short.as("b"),
+          $"a.q_id" === $"b.q_id" && $"a.n_id" =!= $"b.n_id")
+        .select($"a.q_id".as("q_id"), $"a.n_id".as("id_a"), $"b.n_id".as("id_b"),
+          floor(cosine($"a.n_emb", $"b.n_emb") * 1000000).cast("long").as("sim_u6"))
+      // The greedy itself is ONE bounded per-query fold, not an unrolled
+      // per-round dataflow: a first cut as TopK chained anti-join/agg/window
+      // rounds grew the logical plan combinatorially (each round references
+      // the previous selection three times — 322 shuffles, 16 s at sf0.1).
+      // Per-query state is ≤ depth candidates + depth² sims, so collect_list
+      // is bounded and the fold is exact integer arithmetic identical to
+      // the oracle's unrolled round chain (the hash-match proves it).
+      val agg = short.groupBy($"q_id")
+        .agg(collect_list(struct($"n_id", $"rel_u6")).as("cands"))
+        .join(ps.groupBy($"q_id")
+          .agg(collect_list(struct($"id_a", $"id_b", $"sim_u6")).as("sims")),
+          Seq("q_id"), "left")
+      agg.select($"q_id", $"cands", $"sims")
+        .flatMap { r =>
+          val q = r.getLong(0)
+          val cands = r.getSeq[org.apache.spark.sql.Row](1)
+            .map(c => (c.getLong(0), c.getLong(1)))
+          val sim: Map[(Long, Long), Long] =
+            (if (r.isNullAt(2)) Seq.empty[org.apache.spark.sql.Row]
+             else r.getSeq[org.apache.spark.sql.Row](2))
+              .map(p => ((p.getLong(0), p.getLong(1)), p.getLong(2))).toMap
+          val rel = cands.toMap
+          val remaining = scala.collection.mutable.TreeSet(cands.map(_._1): _*)
+          val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          while (chosen.size < TopK && remaining.nonEmpty) {
+            var bestId = -1L
+            var bestScore = Long.MinValue
+            for (c <- remaining) {
+              // penalty clamped at 0: anti-correlated picks earn no bonus,
+              // and the clamp makes the reported scores provably
+              // non-increasing in rank (spec-pinned)
+              val ms =
+                if (chosen.isEmpty) 0L
+                else math.max(chosen.iterator.map(s => sim((c, s._1))).max, 0L)
+              val score = rel(c) * 7 - ms * 3
+              if (score > bestScore) { bestScore = score; bestId = c }
+            }
+            chosen += ((bestId, bestScore))
+            remaining -= bestId
+          }
+          chosen.iterator.zipWithIndex.map { case ((id, sc), i) =>
+            (q, id, (i + 1).toLong, sc)
+          }
+        }.toDF("q_id", "n_id", "rank", "mmr10_u6")
+        .orderBy($"q_id", $"rank")
+    }, Some {
+      def round(r: Int): String = {
+        val prev = s"sel${r - 1}"
+        s"""p$r AS (
+           |  SELECT q_id, n_id, CAST($r AS BIGINT) AS rank, mmr10_u6 FROM (
+           |    SELECT c.q_id, c.n_id, 7*c.rel_u6 - 3*greatest(m.msim, 0) AS mmr10_u6,
+           |      row_number() OVER (PARTITION BY c.q_id
+           |        ORDER BY 7*c.rel_u6 - 3*greatest(m.msim, 0) DESC, c.n_id) AS rn
+           |    FROM short c
+           |    JOIN (SELECT ps.q_id, ps.id_a, max(ps.sim_u6) AS msim
+           |          FROM ps JOIN $prev s ON s.q_id = ps.q_id AND s.n_id = ps.id_b
+           |          GROUP BY 1, 2) m ON m.q_id = c.q_id AND m.id_a = c.n_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM $prev s
+           |      WHERE s.q_id = c.q_id AND s.n_id = c.n_id))
+           |  WHERE rn = 1),
+           |sel$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM p$r)""".stripMargin
+      }
+      s"""WITH $vectorsSql,
+         |cent AS (
+         |  SELECT CAST(vec_id // $IvfSeedStride AS BIGINT) AS cid, emb AS c_emb
+         |  FROM v WHERE vec_id % $IvfSeedStride = 0 AND vec_id < ${IvfSeedStride * IvfCentroids}),
+         |ranked AS (
+         |  SELECT v.vec_id, cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY list_dot_product(v.emb, c_emb) DESC, cid) AS crn
+         |  FROM v CROSS JOIN cent),
+         |assigned AS (SELECT vec_id, cid FROM ranked WHERE crn = 1),
+         |probes AS (SELECT vec_id AS q_id, cid FROM ranked WHERE vec_id < $NumQueries AND crn <= $NProbe),
+         |cand AS (
+         |  SELECT DISTINCT p.q_id, a.vec_id AS n_id
+         |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.q_id),
+         |short AS (
+         |  SELECT q_id, n_id, rel_u6 FROM (
+         |    SELECT c.q_id, c.n_id,
+         |      CAST(floor(list_dot_product(q.emb, n.emb) * 1000000) AS BIGINT) AS rel_u6,
+         |      row_number() OVER (PARTITION BY c.q_id
+         |        ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS srn
+         |    FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
+         |  WHERE srn <= $RerankDepth),
+         |ps AS (
+         |  SELECT a.q_id, a.n_id AS id_a, b.n_id AS id_b,
+         |    CAST(floor(list_dot_product(na.emb, nb.emb) * 1000000) AS BIGINT) AS sim_u6
+         |  FROM short a JOIN short b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+         |  JOIN v na ON na.vec_id = a.n_id JOIN v nb ON nb.vec_id = b.n_id),
+         |sel1 AS (
+         |  SELECT q_id, n_id, CAST(1 AS BIGINT) AS rank, 7*rel_u6 AS mmr10_u6 FROM (
+         |    SELECT q_id, n_id, rel_u6,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY rel_u6 DESC, n_id) AS rn
+         |    FROM short)
+         |  WHERE rn = 1),
+         |${(2 to TopK).map(round).mkString(",\n")}
+         |SELECT q_id, rank, n_id, mmr10_u6 FROM sel$TopK ORDER BY q_id, rank""".stripMargin
+    }),
+
     // ---- ANN quality evaluation: recall@k of the LSH index against the
     // brute-force ground truth — the number an ANN deployment is judged by,
     // computed as a query so the evaluation itself scales (semi-join on the

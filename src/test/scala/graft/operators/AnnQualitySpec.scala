@@ -267,6 +267,38 @@ class AnnQualitySpec extends AnyFunSuite {
     assert(recall >= 0.15, f"MIPS recall $recall%.2f < 0.15 floor (nprobe 2/8)")
   }
 
+  test("MMR rerank: scores non-increasing by rank; page no less diverse than the plain IVF page") {
+    import spark.implicits._
+    val mmr = Similarity.queries("sim_mmr_rerank")(spark, sfDir)
+      .select($"q_id", $"rank", $"n_id", $"mmr10_u6")
+      .as[(Long, Long, Long, Long)].collect()
+    val byQ = mmr.groupBy(_._1)
+    assert(byQ.values.forall(_.map(_._2).sorted.sameElements(1L to 5L)),
+      "each query serves exactly ranks 1..5")
+    assert(byQ.values.forall { rs =>
+      val ordered = rs.sortBy(_._2).map(_._4)
+      ordered.zip(ordered.tail).forall { case (a, b) => a >= b }
+    }, "greedy MMR scores must be non-increasing in rank (penalty only grows)")
+    // aggregate diversity: mean max pairwise cosine of the MMR page must not
+    // exceed the plain relevance-ranked IVF page's
+    val vecs = Similarity.vectors(spark, sfDir)
+      .as[(Long, Array[Double])].collect().toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def meanMaxPairSim(pages: Map[Long, Seq[Long]]): Double =
+      pages.values.map { ids =>
+        (for (a <- ids; b <- ids if a < b) yield dot(vecs(a), vecs(b))).max
+      }.sum / pages.size
+    val mmrPages = byQ.map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+    val ivfPages = Similarity.queries("sim_ivf_topk")(spark, sfDir)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSeq }
+    assert(mmrPages.keySet == ivfPages.keySet)
+    val (dm, di) = (meanMaxPairSim(mmrPages), meanMaxPairSim(ivfPages))
+    assert(dm <= di + 1e-9,
+      f"MMR page redundancy $dm%.4f exceeds the plain page's $di%.4f")
+  }
+
   test("near-duplicate (tail-appended) docs are found by the Jaccard pipeline") {
     import spark.implicits._
     val pairs = Dedup.queries("dedup_ngram_jaccard")(spark, sfDir)
