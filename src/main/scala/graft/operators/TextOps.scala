@@ -1107,9 +1107,7 @@ object TextOps {
     ("text_bigram_ppl", (s, d) => {
       import s.implicits._
       val doc = Tables.documents(s, d)
-      val scored = doc.select($"doc_id", $"text").unionByName(
-        doc.filter($"doc_id" % 13 === 0).select(
-          ($"doc_id" + 300000).as("doc_id"), lit(PplGibberish).as("text")))
+      val scored = pplScoredCorpus(s, d)
       def bigrams(src: DataFrame): DataFrame = src
         .select($"doc_id", transform(tokens($"text"), t => lower(t)).as("t"))
         .filter(size($"t") >= 2)
@@ -1336,7 +1334,78 @@ object TextOps {
     * bigrams at ln(c1l+V)). 4.0 nats splits both with ≥ 0.17/1.30-nat
     * margins; the spec pins both sides at sf0.01.
     */
-  private val PplSuspectU6 = 4000000L
+  private[graft] val PplSuspectU6 = 4000000L
+
+  /** The trained bigram LM as a driver-side artifact for the STREAMING
+    * scorer: (c2 counts, c1l left-marginals, V). This is the CCNet serving
+    * shape — the LM is a model file shipped to every worker, not a join
+    * side; its size is vocab²-bounded (a few thousand entries here, and a
+    * KenLM-style artifact at real scale). Fixture-cached per JVM on the
+    * dataset fingerprint like the persisted indexes.
+    */
+  private[graft] case class PplModel(
+      c2: Map[(String, String), Long], c1l: Map[String, Long], v: Long)
+
+  private val pplModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PplModel]()
+
+  private[graft] def pplModel(s: SparkSession, d: String): PplModel =
+    pplModelCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val doc = Tables.documents(s, d)
+      val big = doc
+        .select(transform(tokens($"text"), t => lower(t)).as("t"))
+        .filter(size($"t") >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(t) - 2), i ->
+            |  struct(t[i] AS w1, t[i+1] AS w2))""".stripMargin)).as("b"))
+        .select($"b.w1", $"b.w2")
+      val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+        .as[(String, String, Long)].collect()
+        .map { case (a, b, c) => (a, b) -> c }.toMap
+      val c1l = big.groupBy($"w1").agg(count(lit(1)).as("c"))
+        .as[(String, Long)].collect().toMap
+      val v = doc.select(explode(transform(tokens($"text"), t => lower(t))).as("w"))
+        .agg(countDistinct($"w")).head().getLong(0)
+      PplModel(c2, c1l, v)
+    })
+
+  /** Per-doc scorer over a [[PplModel]] — the per-row core of the streaming
+    * perplexity gate. Bit-identical to the batch dataflow: same tokenizer
+    * (trim-split-lower), same Laplace p, same floor(ln·1e6) micro-nat
+    * quantization summed per position, same integer division and tier cut.
+    * Returns None for docs with fewer than two tokens (the batch path
+    * filters them the same way).
+    */
+  private[graft] def pplScoreJvm(
+      m: PplModel, text: String): Option[(Long, Long, String)] = {
+    val t = text.trim.split("\\s+").map(_.toLowerCase(java.util.Locale.ROOT))
+    if (t.length < 2) None
+    else {
+      var nll = 0L
+      var i = 0
+      while (i + 1 < t.length) {
+        val p = (m.c2.getOrElse((t(i), t(i + 1)), 0L) + 1.0) /
+          (m.c1l.getOrElse(t(i), 0L) + m.v)
+        nll -= math.floor(math.log(p) * 1000000).toLong
+        i += 1
+      }
+      val n = (t.length - 1).toLong
+      val avg = nll / n
+      Some((n, avg, if (avg >= PplSuspectU6) "suspect" else "ok"))
+    }
+  }
+
+  /** The corpus text_bigram_ppl scores (originals + planted junk twins) —
+    * shared with the streaming replay so both paths score the same rows.
+    */
+  private[graft] def pplScoredCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val doc = Tables.documents(s, d)
+    doc.select($"doc_id", $"text").unionByName(
+      doc.filter($"doc_id" % 13 === 0).select(
+        ($"doc_id" + 300000).as("doc_id"), lit(PplGibberish).as("text")))
+  }
 
   /** Fixed feature-space width for text_hashing_vectorizer. */
   private val HashVecBuckets = 64

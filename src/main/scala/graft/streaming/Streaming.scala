@@ -1729,8 +1729,48 @@ object Streaming {
       .orderBy(col("user_id"), col("purchase_id"), col("signup_id"))
   }
 
+  /** Stateless streaming perplexity gate — the incremental twin of
+    * text_bigram_ppl, and the CCNet serving shape: the bigram LM is a
+    * per-JVM ARTIFACT (TextOps.pplModel, fixture-cached on the dataset
+    * fingerprint) shipped to workers inside the task closure, and each
+    * arriving doc is scored by one pure function (same tokenizer, same
+    * Laplace p, same micro-nat floor quantization, same tier cut as the
+    * batch dataflow). No state store at all — scoring is per-row — so the
+    * contract waves by doc_id % 5, an arbitrary slicing, and the emitted
+    * rows are judged VERBATIM by text_bigram_ppl's batch oracle.
+    */
+  def pplReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = graft.operators.TextOps.pplScoredCorpus(s, d)
+      .withColumn("wave", pmod(col("doc_id"), lit(5)).cast("int"))
+    val model = graft.operators.TextOps.pplModel(s, d)
+    val emitted = replayedSink(s, "ppl:" + d, "graft_ppl_replay_") { (sink, root) =>
+      val src = waveFiles("ppl:" + d, scored)
+      val stream = s.readStream
+        .schema(scored.drop("wave").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+      withFewShufflePartitions(s) {
+        val q = stream.as[(Long, String)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, text) =>
+              graft.operators.TextOps.pplScoreJvm(model, text)
+                .map { case (n, avg, tier) => (id, n, avg, tier) }
+            }
+          }
+          .toDF("doc_id", "n_bigrams", "avg_nll_u6", "tier")
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .option("checkpointLocation", root.resolve("chk").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    emitted.orderBy(col("doc_id"))
+  }
+
   /** Driver-surfaced streaming queries (SparkEntry contract). */
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "stream_ppl_replay" -> ((s, d) => pplReplayContract(s, d)),
     "stream_attribution_replay" -> ((s, d) => attributionReplayContract(s, d)),
     "stream_hourly_replay" -> ((s, d) => hourlyReplayContract(s, d)),
     "stream_session_replay" -> ((s, d) => sessionReplayContract(s, d)),
@@ -1753,6 +1793,10 @@ object Streaming {
   def oracleSql: Map[String, String] = {
     val toks = graft.operators.Portable.tokensSql("text")
     Map(
+      // the streaming perplexity gate must reproduce the batch bigram-LM
+      // scoring VERBATIM — share text_bigram_ppl's oracle text so the
+      // model artifact and the batch dataflow can never drift
+      "stream_ppl_replay" -> graft.operators.TextOps.oracleSql("text_bigram_ppl"),
       // the streamed chunks are compared against the batch chunk table
       // Spark-side (exact idx/offset/length/hash equality per doc); the
       // oracle pins the exact per-doc byte total and the TRUE — the

@@ -811,6 +811,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming perplexity gate scores every doc exactly like the batch dataflow") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val stream = Streaming.queries("stream_ppl_replay")(spark, d)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val batch = graft.operators.TextOps.queries("text_bigram_ppl")(spark, d)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(stream.length == batch.length && stream.length > 0)
+    assert(stream.sameElements(batch),
+      "stateless JVM scorer over the model artifact must be bit-identical to the batch plan")
+    // the per-row scorer itself is arrival-order independent by construction;
+    // pin that the planted junk is flagged on the streaming side too
+    assert(stream.filter(_._1 >= 300000).forall(_._4 == "suspect"))
+  }
+
   test("bottomKStream is arrival-order independent and matches the batch bottom-k") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
