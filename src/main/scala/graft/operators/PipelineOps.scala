@@ -32,6 +32,98 @@ object PipelineOps {
 
   private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
+    // ---- Z-order layout statistics: THE storage-layout lever for scan
+    // pruning at 100 TB (Delta/Iceberg OPTIMIZE ZORDER). Each row's
+    // (l_partkey, l_suppkey) is normalized to 16 bits per dimension and
+    // bit-interleaved into a Morton z-value; rows are bucketed into 64
+    // equal-width z ranges ("files") and, as the baseline, into 64
+    // arrival-order (l_orderkey) ranges. Per bucket the min/max envelope of
+    // BOTH keys is the file-skipping metadata; the report compares the two
+    // layouts on envelope tightness (avg span per dimension) and on a fixed
+    // 2-D probe (partkey AND suppkey each in [max/4, max/2]) — the count of
+    // buckets whose envelopes intersect the probe IS the files-scanned
+    // number a pruning reader would pay. All-integer end to end (scaled
+    // division, bit ops, integer spans). Scale shape: normalization bounds
+    // are one broadcast agg; the z-value is a map-side expression (at scale
+    // it is the repartitionByRange key when actually rewriting the table);
+    // one hash-agg per layout over 64 groups.
+    ("pipeline_zorder_stats", (s, d) => {
+      import s.implicits._
+      val zExpr = (0 until 16).map(i =>
+        s"((shiftright(px, $i) & 1) * ${1L << (2 * i)}L) + " +
+          s"((shiftright(sy, $i) & 1) * ${1L << (2 * i + 1)}L)").mkString(" + ")
+      val li = Tables.lineitem(s, d).select(
+        $"l_orderkey".cast("long").as("o"),
+        $"l_partkey".cast("long").as("p"),
+        $"l_suppkey".cast("long").as("sk"))
+      val mx = li.agg(max($"p").as("pmax"), max($"sk").as("smax"),
+        min($"o").as("omin"), max($"o").as("omax"))
+      val t = li.crossJoin(broadcast(mx))
+        .withColumn("px", expr("p * 65536 div (pmax + 1)"))
+        .withColumn("sy", expr("sk * 65536 div (smax + 1)"))
+        .withColumn("z", expr(zExpr))
+      val zr = t.agg(min($"z").as("zmin"), max($"z").as("zmax"))
+      val b = t.crossJoin(broadcast(zr))
+        .withColumn("zbkt", expr("(z - zmin) * 64 div (zmax - zmin + 1)"))
+        .withColumn("lbkt", expr("(o - omin) * 64 div (omax - omin + 1)"))
+      def layoutStats(bcol: String, label: String): DataFrame =
+        b.groupBy(col(bcol).as("bkt"))
+          .agg(min($"p").as("minp"), max($"p").as("maxp"),
+            min($"sk").as("mins"), max($"sk").as("maxs"),
+            max($"pmax").as("pmax"), max($"smax").as("smax"))
+          .agg(count(lit(1)).as("n_buckets"),
+            expr("sum(maxp - minp) div count(1)").as("avg_part_span"),
+            expr("sum(maxs - mins) div count(1)").as("avg_supp_span"),
+            sum(when(
+              $"minp" <= expr("pmax div 2") && $"maxp" >= expr("pmax div 4") &&
+                $"mins" <= expr("smax div 2") && $"maxs" >= expr("smax div 4"),
+              1L).otherwise(0L)).as("probe_buckets_hit"))
+          .withColumn("layout", lit(label))
+          .select($"layout", $"n_buckets", $"avg_part_span",
+            $"avg_supp_span", $"probe_buckets_hit")
+      layoutStats("zbkt", "zorder").unionByName(layoutStats("lbkt", "linear"))
+        .orderBy($"layout")
+    }, Some {
+      val zDuck = (0 until 16).map(i =>
+        s"(((px >> $i) & 1) * ${1L << (2 * i)}) + " +
+          s"(((sy >> $i) & 1) * ${1L << (2 * i + 1)})").mkString(" + ")
+      def layoutCte(bcol: String): String =
+        s"""SELECT $bcol AS bkt, min(p) AS minp, max(p) AS maxp,
+           |    min(sk) AS mins, max(sk) AS maxs,
+           |    max(pmax) AS pmax, max(smax) AS smax
+           |  FROM b GROUP BY 1""".stripMargin
+      def layoutStats(src: String, label: String): String =
+        s"""SELECT '$label' AS layout, CAST(count(*) AS BIGINT) AS n_buckets,
+           |    CAST(sum(maxp - minp) // count(*) AS BIGINT) AS avg_part_span,
+           |    CAST(sum(maxs - mins) // count(*) AS BIGINT) AS avg_supp_span,
+           |    CAST(sum(CASE WHEN minp <= pmax // 2 AND maxp >= pmax // 4
+           |      AND mins <= smax // 2 AND maxs >= smax // 4
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS probe_buckets_hit
+           |  FROM $src""".stripMargin
+      s"""WITH li AS (
+         |  SELECT CAST(l_orderkey AS BIGINT) AS o, CAST(l_partkey AS BIGINT) AS p,
+         |    CAST(l_suppkey AS BIGINT) AS sk FROM lineitem),
+         |mx AS (SELECT max(p) AS pmax, max(sk) AS smax,
+         |  min(o) AS omin, max(o) AS omax FROM li),
+         |t AS (
+         |  SELECT o, p, sk, pmax, smax, omin, omax,
+         |    (p * 65536) // (pmax + 1) AS px,
+         |    (sk * 65536) // (smax + 1) AS sy
+         |  FROM li CROSS JOIN mx),
+         |tz AS (SELECT *, $zDuck AS z FROM t),
+         |zr AS (SELECT min(z) AS zmin, max(z) AS zmax FROM tz),
+         |b AS (
+         |  SELECT *, ((z - zmin) * 64) // (zmax - zmin + 1) AS zbkt,
+         |    ((o - omin) * 64) // (omax - omin + 1) AS lbkt
+         |  FROM tz CROSS JOIN zr),
+         |zb AS (${layoutCte("zbkt")}),
+         |lb AS (${layoutCte("lbkt")})
+         |${layoutStats("zb", "zorder")}
+         |UNION ALL
+         |${layoutStats("lb", "linear")}
+         |ORDER BY layout""".stripMargin
+    }),
+
     // ---- deterministic train/val/test split: threshold on the md5 hex of
     // the stable doc key. No RNG, no seed state to ship to 1000 executors —
     // re-running on a grown corpus keeps every old doc's assignment (the

@@ -157,6 +157,19 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("zorder stats: interleaved layout tightens envelopes and prunes the 2-D probe") {
+    import spark.implicits._
+    val rows = PipelineOps.queries("pipeline_zorder_stats")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val z = rows("zorder"); val l = rows("linear")
+    assert(z._2 > 0 && z._2 <= 64 && l._2 > 0 && l._2 <= 64, "64 buckets max per layout")
+    assert(z._3 < l._3 && z._4 < l._4,
+      s"z-order must tighten BOTH key envelopes: part ${z._3} vs ${l._3}, supp ${z._4} vs ${l._4}")
+    assert(z._5 < l._5,
+      s"z-order must scan fewer buckets for the 2-D probe: ${z._5} vs ${l._5}")
+    assert(z._5 <= z._2 && l._5 <= l._2, "hits bounded by bucket count")
+  }
+
   test("skew report: shares and skew factors are consistent with the full key histogram") {
     import spark.implicits._
     val got = PipelineOps.queries("pipeline_skew_report")(spark, sfDir)
