@@ -1902,7 +1902,97 @@ object Relational {
         |  CAST(min(CASE WHEN alarm AND day_d >= shift_d THEN day_d END) AS BIGINT) AS first_alarm_d,
         |  CAST(max(cusum) AS BIGINT) AS max_cusum,
         |  CAST(min(CASE WHEN alarm AND day_d >= shift_d THEN day_d END) - min(shift_d) AS BIGINT) AS detect_delay_d
-        |FROM al GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |FROM al GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- EWMA control chart (Roberts 1959) — the SMOOTHING forecaster
+    // beside q56's window z-score and q67's CUSUM drift detector: per
+    // event-type daily counts with a PLANTED single-day spike (+2μ at the
+    // series midpoint), smoothed by y_t = 0.9·y_{t−1} + 0.1·x_t in exact
+    // milli-units ((9·y + 1000·x) div 10 — integer, so the recurrence is
+    // bit-stable), alarm when the one-step-ahead residual |1000·x_t −
+    // y_{t−1}| exceeds 1000·μ. The recurrence is inherently sequential, so
+    // the Spark side folds each type's day-ordered series in ONE bounded
+    // per-group pass (days × types state — the CUSUM/MMR pattern), while
+    // the oracle runs the same recurrence as a RECURSIVE CTE over the day
+    // index. Reports per type: first alarm day (the spike), total alarms
+    // (honestly includes small-μ noise alarms at sf0.001), the
+    // max-|residual| day, and the final smoothed level.
+    ("q68_ewma_daily", (s, d) => {
+      import s.implicits._
+      val dc = Tables.events(s, d)
+        .groupBy($"event_type", expr("unix_micros(ts) div 86400000000L").as("day_d"))
+        .agg(count(lit(1)).as("n"))
+      val st = dc.groupBy($"event_type")
+        .agg(expr("sum(n) div count(1)").as("mu"),
+          expr("min(day_d) + (max(day_d) - min(day_d)) div 2").as("spike_d"))
+      val grouped = dc.join(broadcast(st), "event_type")
+        .withColumn("x", $"n" + when($"day_d" === $"spike_d", $"mu" * 2).otherwise(0L))
+        .groupBy($"event_type")
+        .agg(min($"mu").as("mu"), min($"spike_d").as("spike_d"),
+          collect_list(struct($"day_d", $"x")).as("days"))
+      grouped.select($"event_type", $"mu", $"spike_d", $"days")
+        .map { r =>
+          val (et, mu, spikeD) = (r.getString(0), r.getLong(1), r.getLong(2))
+          val series = r.getSeq[org.apache.spark.sql.Row](3)
+            .map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+          var y = series.head._2 * 1000L
+          var nAlarms = 0L
+          var firstAlarm: Option[Long] = None
+          var maxAbsResid = -1L
+          var maxResidD: Option[Long] = None
+          for ((day, x) <- series.tail) {
+            val resid = x * 1000L - y
+            if (math.abs(resid) > mu * 1000L) {
+              nAlarms += 1
+              if (firstAlarm.isEmpty) firstAlarm = Some(day)
+            }
+            if (math.abs(resid) > maxAbsResid) {
+              maxAbsResid = math.abs(resid); maxResidD = Some(day)
+            }
+            y = (9L * y + x * 1000L) / 10L
+          }
+          (et, mu, spikeD, series.size.toLong, nAlarms,
+            firstAlarm, maxResidD, y)
+        }
+        .toDF("event_type", "mu", "spike_d", "n_days", "n_alarms",
+          "first_alarm_d", "max_resid_d", "ewma_final_u3")
+        .orderBy($"event_type")
+    }, Some(
+      """WITH RECURSIVE dc AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) // count(*) AS mu,
+        |    min(day_d) + (max(day_d) - min(day_d)) // 2 AS spike_d
+        |  FROM dc GROUP BY 1),
+        |sx AS (
+        |  SELECT dc.event_type, day_d, mu, spike_d,
+        |    n + CASE WHEN day_d = spike_d THEN 2 * mu ELSE 0 END AS x,
+        |    CAST(row_number() OVER (PARTITION BY dc.event_type ORDER BY day_d) AS BIGINT) AS idx
+        |  FROM dc JOIN st USING (event_type)),
+        |r AS (
+        |  SELECT event_type, idx, day_d, mu, spike_d, x,
+        |    x * 1000 AS y, CAST(0 AS BIGINT) AS resid, FALSE AS alarm
+        |  FROM sx WHERE idx = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.idx, s.day_d, s.mu, s.spike_d, s.x,
+        |    (9 * r.y + s.x * 1000) // 10 AS y,
+        |    s.x * 1000 - r.y AS resid,
+        |    abs(s.x * 1000 - r.y) > s.mu * 1000 AS alarm
+        |  FROM r JOIN sx s ON s.event_type = r.event_type AND s.idx = r.idx + 1),
+        |mx AS (
+        |  SELECT event_type, max(abs(resid)) AS mxr FROM r WHERE idx > 1 GROUP BY 1),
+        |fin AS (SELECT event_type, max(idx) AS mi FROM r GROUP BY 1)
+        |SELECT r.event_type, CAST(min(r.mu) AS BIGINT) AS mu,
+        |  CAST(min(r.spike_d) AS BIGINT) AS spike_d,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(CASE WHEN r.alarm THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        |  CAST(min(CASE WHEN r.alarm THEN r.day_d END) AS BIGINT) AS first_alarm_d,
+        |  CAST(min(CASE WHEN r.idx > 1 AND abs(r.resid) = m.mxr THEN r.day_d END) AS BIGINT) AS max_resid_d,
+        |  CAST(min(CASE WHEN r.idx = f.mi THEN r.y END) AS BIGINT) AS ewma_final_u3
+        |FROM r LEFT JOIN mx m USING (event_type) JOIN fin f USING (event_type)
+        |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -119,6 +119,24 @@ class ValidationSpec extends AnyFunSuite {
     assert(m("minhash_lsh")._2 >= m("simhash")._2)
   }
 
+  test("EWMA: exactly one alarm per type at sf0.01 — on the spike day, which is also max-residual day") {
+    import spark.implicits._
+    val rows = Relational.queries("q68_ewma_daily")(spark, sfDir)
+      .select($"event_type", $"mu", $"spike_d", $"n_days", $"n_alarms",
+        $"first_alarm_d", $"max_resid_d", $"ewma_final_u3")
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long], Long)].collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r._5 == 1L, s"${r._1}: expected exactly the spike alarm, got ${r._5}")
+      assert(r._6.contains(r._3), s"${r._1}: first alarm must be the planted spike day")
+      assert(r._7.contains(r._3), s"${r._1}: the spike is the largest one-step residual")
+      // the final smoothed level has absorbed the spike only geometrically:
+      // above the pre-spike mean, but far below the spike itself
+      assert(r._8 > r._2 * 1000 && r._8 < r._2 * 2000,
+        s"${r._1}: final EWMA ${r._8} outside (mu, 2*mu) milli-units")
+    }
+  }
+
   test("bigram perplexity: planted junk all suspect, originals all clean, scores explain the cut") {
     import spark.implicits._
     val rows = TextOps.queries("text_bigram_ppl")(spark, sfDir)
