@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,6 +31,60 @@ object PipelineOps {
   import Portable._
 
   private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- k-anonymity audit (Sweeney 2002) — the privacy counterpart of
+    // pipeline_pii_redact: how re-identifiable is each row from its
+    // quasi-identifiers alone? Three generalization levels over customer
+    // (nation, segment, balance bucket): L0 = 1k-dollar buckets, L1 = 5k
+    // buckets, L2 additionally suppresses the segment. Per level the report
+    // carries the class count, the worst-case k (k_min), the rows living
+    // in classes below k=5, and that mass as ppm — the numbers a release
+    // gate checks before publishing, with the generalization ladder showing
+    // the anonymity/utility trade. All-integer: balances go through exact
+    // cents (round(bal·100)) shifted positive so truncating division IS
+    // floor division on both engines. Scale shape: one hash-agg per level
+    // (map-side combined), then a 1-row reduction each — no joins, no
+    // windows, nothing driver-side.
+    ("pipeline_k_anonymity", (s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d).select(
+          $"c_nationkey".cast("long").as("nat"), $"c_mktsegment".as("seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        .withColumn("b1", expr("(cents + 100000000) div 100000"))
+        .withColumn("b5", expr("(cents + 100000000) div 500000"))
+      def level(label: String, cols: Seq[Column]): DataFrame =
+        c.groupBy(cols: _*).agg(count(lit(1)).as("k"))
+          .agg(count(lit(1)).as("n_classes"), sum($"k").as("n_rows"),
+            min($"k").as("k_min"),
+            sum(when($"k" < 5, $"k").otherwise(0L)).as("rows_below_k"))
+          .withColumn("risk_ppm", expr("rows_below_k * 1000000 div n_rows"))
+          .withColumn("level", lit(label))
+          .select($"level", $"n_rows", $"n_classes", $"k_min",
+            $"rows_below_k", $"risk_ppm")
+      level("L0_nat_seg_bal1k", Seq($"nat", $"seg", $"b1"))
+        .unionByName(level("L1_nat_seg_bal5k", Seq($"nat", $"seg", $"b5")))
+        .unionByName(level("L2_nat_bal5k", Seq($"nat", $"b5")))
+        .orderBy($"level")
+    }, Some {
+      def levelSql(label: String, keys: String): String =
+        s"""SELECT '$label' AS level, CAST(sum(k) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_classes, CAST(min(k) AS BIGINT) AS k_min,
+           |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_below_k,
+           |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000000
+           |    // sum(k) AS BIGINT) AS risk_ppm
+           |FROM (SELECT $keys, CAST(count(*) AS BIGINT) AS k FROM qi GROUP BY $keys)""".stripMargin
+      s"""WITH qi AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) // 100000 AS b1,
+         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) // 500000 AS b5
+         |  FROM customer)
+         |${levelSql("L0_nat_seg_bal1k", "nat, seg, b1")}
+         |UNION ALL
+         |${levelSql("L1_nat_seg_bal5k", "nat, seg, b5")}
+         |UNION ALL
+         |${levelSql("L2_nat_bal5k", "nat, b5")}
+         |ORDER BY level""".stripMargin
+    }),
 
     // ---- Z-order layout statistics: THE storage-layout lever for scan
     // pruning at 100 TB (Delta/Iceberg OPTIMIZE ZORDER). Each row's

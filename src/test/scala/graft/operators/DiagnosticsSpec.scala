@@ -157,6 +157,21 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-anonymity: generalization monotonically raises k_min and shrinks at-risk mass") {
+    import spark.implicits._
+    val rows = PipelineOps.queries("pipeline_k_anonymity")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 3)
+    assert(rows.map(_._2).distinct.length == 1, "every level audits the same row count")
+    // each coarser level's classes are unions of finer ones, so k_min can
+    // only rise, class count only fall, and the below-k mass only shrink
+    assert(rows.map(_._4).sameElements(rows.map(_._4).sorted), "k_min non-decreasing")
+    assert(rows.map(_._3).sameElements(rows.map(_._3).sorted.reverse), "classes non-increasing")
+    assert(rows.map(_._5).sameElements(rows.map(_._5).sorted.reverse), "at-risk rows non-increasing")
+    val l0 = rows.head
+    assert(l0._6 == l0._5 * 1000000 / l0._2, "risk_ppm is exactly the integer ratio")
+  }
+
   test("zorder stats: interleaved layout tightens envelopes and prunes the 2-D probe") {
     import spark.implicits._
     val rows = PipelineOps.queries("pipeline_zorder_stats")(spark, sfDir)
