@@ -32,6 +32,50 @@ object PipelineOps {
 
   private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
+    // ---- differentially-private noisy histogram (Dwork et al. 2006) — the
+    // third leg of the privacy family (pii_redact: content; k_anonymity:
+    // quasi-identifiers; here: published AGGREGATES). Customers-per-nation
+    // with Laplace(b = Δ/ε = 1/0.5 = 2) noise via the inverse CDF
+    // −b·sign(u−½)·ln(1−2|u−½|). The uniform u is DERIVED (h60 of the
+    // bucket key, mid-point offset into (0,1)) — a seeded mechanism, which
+    // is what makes the query oracle-checkable; a production release draws
+    // u from a CSPRNG and publishes ONLY the noisy column. True counts ride
+    // along here because this is the mechanism AUDIT on a non-sensitive
+    // test table (the noise column is the point under test). Noise is
+    // floor-quantized to milli-counts (the bm25 pattern) so everything
+    // after the one ln() is integer. Scale: one hash-agg, then per-row
+    // map-side expressions; nothing driver-side, no joins.
+    ("pipeline_dp_histogram", (s, d) => {
+      import s.implicits._
+      val M = 4503599627370496L // 2^52
+      val n = Tables.customer(s, d)
+        .groupBy($"c_nationkey".cast("long").as("nat"))
+        .agg(count(lit(1)).as("n"))
+      n.withColumn("u",
+          (h60(concat(lit("dpn_"), $"nat")) % M + 0.5) / lit(M.toDouble))
+        .withColumn("noise_m3", floor(
+          lit(-2000.0) * when($"u" >= 0.5, 1.0).otherwise(-1.0) *
+            log(lit(1.0) - lit(2.0) * abs($"u" - 0.5))).cast("long"))
+        .withColumn("noisy_m3", $"n" * 1000 + $"noise_m3")
+        .withColumn("eps_e3", lit(500L))
+        .select($"nat", $"n", $"noise_m3", $"noisy_m3", $"eps_e3")
+        .orderBy($"nat")
+    }, Some {
+      val M = "4503599627370496"
+      val u = s"(CAST(${h60Sql("'dpn_' || nat")} % $M AS DOUBLE) + 0.5) / $M"
+      s"""WITH n AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nat, CAST(count(*) AS BIGINT) AS n
+         |  FROM customer GROUP BY 1),
+         |z AS (SELECT nat, n, $u AS u FROM n)
+         |SELECT nat, n,
+         |  CAST(floor(-2000.0 * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+         |    * ln(1.0 - 2.0 * abs(u - 0.5))) AS BIGINT) AS noise_m3,
+         |  n * 1000 + CAST(floor(-2000.0 * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+         |    * ln(1.0 - 2.0 * abs(u - 0.5))) AS BIGINT) AS noisy_m3,
+         |  CAST(500 AS BIGINT) AS eps_e3
+         |FROM z ORDER BY nat""".stripMargin
+    }),
+
     // ---- k-anonymity audit (Sweeney 2002) — the privacy counterpart of
     // pipeline_pii_redact: how re-identifiable is each row from its
     // quasi-identifiers alone? Three generalization levels over customer

@@ -157,6 +157,23 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("DP histogram: noise is Laplace-plausible, reconstruction exact, mechanism deterministic") {
+    import spark.implicits._
+    val rows = PipelineOps.queries("pipeline_dp_histogram")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 25, "one bucket per nation")
+    assert(rows.forall(r => r._4 == r._2 * 1000 + r._3), "noisy = 1000*n + noise exactly")
+    assert(rows.forall(_._5 == 500L), "epsilon accounting column fixed at 0.5")
+    // Laplace(b=2) has E|noise| = 2 counts = 2000 milli; the 25-bucket mean
+    // must land in a generous band around it (seeded, so this is exact-stable)
+    val meanAbs = rows.map(r => math.abs(r._3)).sum / rows.length
+    assert(meanAbs >= 500 && meanAbs <= 8000, s"mean |noise| $meanAbs m3 implausible for b=2")
+    // determinism: the mechanism is a pure function of the bucket key
+    val again = PipelineOps.queries("pipeline_dp_histogram")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("k-anonymity: generalization monotonically raises k_min and shrinks at-risk mass") {
     import spark.implicits._
     val rows = PipelineOps.queries("pipeline_k_anonymity")(spark, sfDir)
