@@ -213,7 +213,68 @@ object Clustering {
     (vecs, cents, CosThreshold)
   }
 
+  /** Magnitude-outlier corpus for sim_ood_report: the unit vectors plus a
+    * ×2-scaled copy of every vec_id % 11 == 0 (ids +400000) — the corrupted
+    * -embedding shape (bad normalization upstream, truncated writes) that
+    * OOD screens catch before training. Deliberately NOT renormalized: on a
+    * near-orthogonal corpus a renormalized perturbation is indistinguishable
+    * from any other direction; magnitude is the honest planted signal.
+    */
+  private def oodUnit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u0 = Similarity.vectors(s, d)
+    u0.unionByName(u0.filter($"vec_id" % 11 === 0)
+      .select(($"vec_id" + 400000).as("vec_id"),
+        transform($"emb", x => x * 2).as("emb")))
+  }
+
+  private val oodSql: String =
+    """u0 AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS emb
+      |  FROM embeddings),
+      |u AS (
+      |  SELECT vec_id, emb FROM u0
+      |  UNION ALL SELECT vec_id + 400000, list_transform(emb, x -> x * 2)
+      |  FROM u0 WHERE vec_id % 11 = 0)""".stripMargin
+
+  /** Flag cut for sim_ood_report, in quantized-squared-distance units
+    * (qv = round(1000·x), so a unit vector's ||qv−m||² sits near 1e6 and a
+    * ×2 outlier near 4e6). Measured: naturals ≤ ~1.1e6 at every SF, planted
+    * ≥ ~3.9e6 — 2.5e6 splits with wide margins (OodSpec pins both sides).
+    */
+  private val OodCut = 2500000L
+
   private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- out-of-distribution screen (the data-curation pass before
+    // training): every vector's exact quantized squared distance to its
+    // OWN final k-means centroid — the same integer-state model the
+    // cluster family shares — flagging rows above the cut. The planted
+    // magnitude outliers (×2 copies) land at ~4× the natural distance on
+    // a unit corpus; centroids stay the exact-integer (s, n) pairs, so the
+    // only float is the final n²-normalized division, identical IEEE on
+    // both engines and floor-quantized before the cut. Scale shape: the
+    // k-means chain's two broadcast-K passes + one broadcast-K join here;
+    // no all-pairs anything.
+    ("sim_ood_report", (s, d) => {
+      import s.implicits._
+      val (_, a2, cn, q) = kmeansModel(oodUnit(s, d))
+      a2.join(q, "vec_id").join(broadcast(cn), "cid")
+        .withColumn("dist",
+          ($"n" * $"n" * vecDot($"qv", $"qv") - lit(2) * $"n" * vecDot($"qv", $"s")
+            + vecDot($"s", $"s")) / ($"n" * $"n"))
+        .withColumn("dist_q", floor($"dist").cast("long"))
+        .filter($"dist_q" >= OodCut)
+        .select($"vec_id", $"cid", $"dist_q")
+        .orderBy($"dist_q".desc, $"vec_id")
+    }, Some(
+      s"""WITH $oodSql,
+         |${kmeansSql("u")}
+         |SELECT vec_id, cid, dist_q FROM (
+         |  SELECT a2.vec_id, a2.cid, CAST(floor(d2.dist) AS BIGINT) AS dist_q
+         |  FROM a2 JOIN d2 USING (vec_id, cid))
+         |WHERE dist_q >= $OodCut ORDER BY dist_q DESC, vec_id""".stripMargin)),
 
     // ---- deterministic k-means over the raw embeddings: cluster id +
     // cluster size per vector after two Lloyd iterations.

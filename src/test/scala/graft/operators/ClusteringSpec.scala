@@ -116,6 +116,18 @@ class ClusteringSpec extends AnyFunSuite {
     assert(out2 == out)
   }
 
+  test("OOD screen: exactly the planted magnitude outliers, with margin above the cut") {
+    import spark.implicits._
+    val flagged = Clustering.queries("sim_ood_report")(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    val nVec = graft.Tables.embeddings(spark, sfDir).count()
+    val expected = (0L until nVec).count(_ % 11 == 0)
+    assert(flagged.length == expected, s"${flagged.length} flagged vs $expected planted")
+    assert(flagged.forall(_._1 >= 400000L), "no natural vector may be flagged")
+    assert(flagged.map(_._3).min >= 2500000L + 500000L,
+      "planted outliers must clear the cut with >= 5e5 margin")
+  }
+
   test("farthest-point init: dmin non-increasing, and coverage radius beats the stride seeds") {
     import spark.implicits._
     val picked = Clustering.queries("sim_kmeanspp_init")(spark, sfDir)
