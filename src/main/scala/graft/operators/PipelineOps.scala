@@ -32,6 +32,90 @@ object PipelineOps {
 
   private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
+    // ---- incremental profile maintenance (the table-stats merge law):
+    // column profiles (count / min / max / NDV) maintained by MERGING a
+    // base-slice profile with a delta-slice profile instead of rescanning —
+    // how 100 TB table statistics actually stay fresh. count/min/max merge
+    // by sum/min/max; the NDV sketch is a KMV bottom-64 of the distinct
+    // value hashes, and bottom-k is CLOSED under union (any of the global
+    // 64 smallest is among its own slice's 64 smallest), so the merged
+    // sketch equals the full-scan sketch EXACTLY — not approximately — and
+    // the merge_eq column asserts that identity per column, while
+    // ndv_est = (K−1)·2⁶⁰ div kth (Beyer et al. 2007, the q66 estimator)
+    // shows what the sketch would report at scale beside the exact NDV.
+    // Scale shape: per column one distinct + TakeOrdered(64) per slice
+    // (never a collect of the value set), 1-row profile frames combined
+    // with array functions.
+    ("pipeline_profile_merge", (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      def profile(src: DataFrame, c: String): DataFrame = {
+        val vals = src.select(col(c).cast("long").as("v"))
+        val kmv = vals.distinct()
+          .select(h60(concat(lit(c + ":"), $"v")).as("h"))
+          .orderBy($"h").limit(64)
+          .agg(sort_array(collect_list($"h")).as("kmv"))
+        vals.agg(count(lit(1)).as("n"), min($"v").as("min_v"),
+            max($"v").as("max_v"), countDistinct($"v").as("ndv_exact"))
+          .crossJoin(kmv)
+      }
+      def one(c: String): DataFrame = {
+        val base = profile(li.filter($"l_orderkey" % 10 =!= 9), c)
+          .select($"n".as("n_b"), $"min_v".as("mn_b"), $"max_v".as("mx_b"),
+            $"kmv".as("k_b"))
+        val delta = profile(li.filter($"l_orderkey" % 10 === 9), c)
+          .select($"n".as("n_d"), $"min_v".as("mn_d"), $"max_v".as("mx_d"),
+            $"kmv".as("k_d"))
+        profile(li, c).crossJoin(base).crossJoin(delta)
+          .withColumn("k_m",
+            slice(array_sort(array_distinct(concat($"k_b", $"k_d"))), 1, 64))
+          .withColumn("merge_eq",
+            $"n_b" + $"n_d" === $"n" && least($"mn_b", $"mn_d") === $"min_v" &&
+              greatest($"mx_b", $"mx_d") === $"max_v" && $"k_m" === $"kmv")
+          .withColumn("ndv_est",
+            when(size($"kmv") < 64, size($"kmv").cast("long"))
+              .otherwise(expr("(1152921504606846976L div element_at(kmv, 64)) * 63L")))
+          .select(lit(c).as("col"), $"n", $"min_v", $"max_v",
+            $"ndv_exact", $"ndv_est", $"merge_eq")
+      }
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .map(one).reduce(_ unionByName _).orderBy($"col")
+    }, Some {
+      def colSql(c: String): String = {
+        val h = h60Sql(s"'$c:' || v")
+        s"""SELECT '$c' AS col, f.n, f.min_v, f.max_v, f.ndv_exact,
+           |  CASE WHEN len(f.kmv) < 64 THEN CAST(len(f.kmv) AS BIGINT)
+           |    ELSE (1152921504606846976 // f.kmv[64]) * 63 END AS ndv_est,
+           |  (b.n + de.n = f.n AND least(b.min_v, de.min_v) = f.min_v
+           |    AND greatest(b.max_v, de.max_v) = f.max_v
+           |    AND (list_sort(list_distinct(list_concat(b.kmv, de.kmv)))[1:64] = f.kmv))
+           |    AS merge_eq
+           |FROM (
+           |  SELECT count(*) AS n, min(v) AS min_v, max(v) AS max_v,
+           |    count(DISTINCT v) AS ndv_exact,
+           |    (SELECT list(h ORDER BY h) FROM (
+           |      SELECT DISTINCT $h AS h FROM (SELECT CAST($c AS BIGINT) AS v FROM lineitem)
+           |      ORDER BY h LIMIT 64)) AS kmv
+           |  FROM (SELECT CAST($c AS BIGINT) AS v FROM lineitem)) f
+           |CROSS JOIN (
+           |  SELECT count(*) AS n, min(v) AS min_v, max(v) AS max_v,
+           |    (SELECT list(h ORDER BY h) FROM (
+           |      SELECT DISTINCT $h AS h FROM (
+           |        SELECT CAST($c AS BIGINT) AS v FROM lineitem WHERE l_orderkey % 10 <> 9)
+           |      ORDER BY h LIMIT 64)) AS kmv
+           |  FROM (SELECT CAST($c AS BIGINT) AS v FROM lineitem WHERE l_orderkey % 10 <> 9)) b
+           |CROSS JOIN (
+           |  SELECT count(*) AS n, min(v) AS min_v, max(v) AS max_v,
+           |    (SELECT list(h ORDER BY h) FROM (
+           |      SELECT DISTINCT $h AS h FROM (
+           |        SELECT CAST($c AS BIGINT) AS v FROM lineitem WHERE l_orderkey % 10 = 9)
+           |      ORDER BY h LIMIT 64)) AS kmv
+           |  FROM (SELECT CAST($c AS BIGINT) AS v FROM lineitem WHERE l_orderkey % 10 = 9)) de""".stripMargin
+      }
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .map(colSql).mkString("", "\nUNION ALL\n", "\nORDER BY col")
+    }),
+
     // ---- differentially-private noisy histogram (Dwork et al. 2006) — the
     // third leg of the privacy family (pii_redact: content; k_anonymity:
     // quasi-identifiers; here: published AGGREGATES). Customers-per-nation

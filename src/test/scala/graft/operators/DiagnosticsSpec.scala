@@ -157,6 +157,26 @@ class DiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("profile merge: base+delta merge is bit-identical to the full scan, KMV in band") {
+    import spark.implicits._
+    val rows = PipelineOps.queries("pipeline_profile_merge")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_._7), "bottom-k closure must make every merged profile EXACT")
+    val n = graft.Tables.lineitem(spark, sfDir).count()
+    assert(rows.forall(_._2 == n), "every column profiles the full row count")
+    rows.foreach { r =>
+      if (r._5 < 64) assert(r._6 == r._5, s"${r._1}: sketch must be exact below k")
+      // K=64 KMV: ~1/sqrt(K) relative error once the sketch is well past
+      // capacity; just past capacity (NDV < 4K) the kth-value estimator is
+      // known-biased low, so the band is generous there
+      else if (r._5 < 256) assert(math.abs(r._6 - r._5).toDouble / r._5 <= 0.5,
+        s"${r._1}: near-capacity KMV estimate ${r._6} off exact ${r._5} by > 50%")
+      else assert(math.abs(r._6 - r._5).toDouble / r._5 <= 0.25,
+        s"${r._1}: KMV estimate ${r._6} off exact ${r._5} by > 25%")
+    }
+  }
+
   test("DP histogram: noise is Laplace-plausible, reconstruction exact, mechanism deterministic") {
     import spark.implicits._
     val rows = PipelineOps.queries("pipeline_dp_histogram")(spark, sfDir)
