@@ -41,4 +41,19 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS orders_b")
     }
   }
+
+  test("pipeline_bucketed_join's executed join is exchange-free on the bucket key") {
+    val df = PipelineOps.queries("pipeline_bucketed_join")(spark, sfDir)
+    df.count() // force execution so AQE (if any) finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join keys must be satisfied by the bucket layout, not a shuffle:\n$plan")
+    // (a local per-bucket Sort above each scan is expected: Spark 3+ does
+    // not propagate bucket-file sort order to the scan's outputOrdering —
+    // the sort is partition-local and cheap; the EXCHANGE is what the
+    // layout eliminates)
+    assert(plan.contains("Bucketed: true"), s"scans should be bucketed:\n$plan")
+  }
 }
