@@ -214,6 +214,66 @@ object PipelineOps {
          |ORDER BY level""".stripMargin
     }),
 
+    // ---- l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    // necessary complement: a class of k=50 rows is still a disclosure if
+    // all 50 share the SENSITIVE value (the homogeneity attack). Same
+    // generalization ladder as pipeline_k_anonymity (QIs = nation +
+    // balance bucket at 1k / 5k), sensitive attribute = market segment;
+    // per level the report carries the worst-case distinct-value count
+    // (l_min), the rows living in classes below l=3 (as ppm), and the
+    // worst single-value concentration across classes (max_share_ppm —
+    // the number the homogeneity attack reads). All-integer via the exact
+    // cents bucketing. Scale shape: two stacked hash-aggs per level
+    // ((QI, sensitive) cells, then QI classes) and a 1-row reduction —
+    // map-side combined, no joins, no windows, nothing driver-side.
+    ("pipeline_l_diversity", (s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d).select(
+          $"c_nationkey".cast("long").as("nat"), $"c_mktsegment".as("seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        .withColumn("b1", expr("(cents + 100000000) div 100000"))
+        .withColumn("b5", expr("(cents + 100000000) div 500000"))
+      def level(label: String, qi: Seq[Column]): DataFrame = {
+        val cells = c.groupBy(qi :+ $"seg": _*).agg(count(lit(1)).as("cnt"))
+        val classes = cells.groupBy(qi: _*).agg(
+          count(lit(1)).as("l"), sum($"cnt").as("k"), max($"cnt").as("top"))
+        classes.agg(count(lit(1)).as("n_classes"), sum($"k").as("n_rows"),
+            min($"l").as("l_min"),
+            sum(when($"l" < 3, $"k").otherwise(0L)).as("rows_below_l3"),
+            max(expr("top * 1000000 div k")).as("max_share_ppm"))
+          .withColumn("risk_ppm", expr("rows_below_l3 * 1000000 div n_rows"))
+          .withColumn("level", lit(label))
+          .select($"level", $"n_rows", $"n_classes", $"l_min",
+            $"rows_below_l3", $"risk_ppm", $"max_share_ppm")
+      }
+      level("L0_nat_bal1k", Seq($"nat", $"b1"))
+        .unionByName(level("L1_nat_bal5k", Seq($"nat", $"b5")))
+        .orderBy($"level")
+    }, Some {
+      def levelSql(label: String, qi: String): String =
+        s"""SELECT '$label' AS level, CAST(sum(k) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_classes, CAST(min(l) AS BIGINT) AS l_min,
+           |  CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT) AS rows_below_l3,
+           |  CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) * 1000000
+           |    // sum(k) AS BIGINT) AS risk_ppm,
+           |  CAST(max(top * 1000000 // k) AS BIGINT) AS max_share_ppm
+           |FROM (
+           |  SELECT $qi, CAST(count(*) AS BIGINT) AS l, CAST(sum(cnt) AS BIGINT) AS k,
+           |    CAST(max(cnt) AS BIGINT) AS top
+           |  FROM (SELECT $qi, seg, CAST(count(*) AS BIGINT) AS cnt
+           |        FROM qi GROUP BY $qi, seg)
+           |  GROUP BY $qi)""".stripMargin
+      s"""WITH qi AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) // 100000 AS b1,
+         |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) // 500000 AS b5
+         |  FROM customer)
+         |${levelSql("L0_nat_bal1k", "nat, b1")}
+         |UNION ALL
+         |${levelSql("L1_nat_bal5k", "nat, b5")}
+         |ORDER BY level""".stripMargin
+    }),
+
     // ---- Z-order layout statistics: THE storage-layout lever for scan
     // pruning at 100 TB (Delta/Iceberg OPTIMIZE ZORDER). Each row's
     // (l_partkey, l_suppkey) is normalized to 16 bits per dimension and

@@ -209,6 +209,26 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(l0._6 == l0._5 * 1000000 / l0._2, "risk_ppm is exactly the integer ratio")
   }
 
+  test("l-diversity: coarsening raises l_min and lowers the worst concentration") {
+    import spark.implicits._
+    val rows = PipelineOps.queries("pipeline_l_diversity")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 2)
+    val Array(l0, l1) = rows
+    assert(l0._2 == l1._2, "both levels audit the same row count")
+    // b5 buckets are exact unions of b1 buckets (b5 = b1 div 5), so classes
+    // merge: distinct sensitive values per class can only grow, and the
+    // worst single-value share (a weighted mean of the merged classes'
+    // shares) can only fall
+    assert(l1._4 >= l0._4, "l_min non-decreasing under generalization")
+    assert(l1._3 <= l0._3, "class count non-increasing")
+    assert(l1._7 <= l0._7, "max_share_ppm non-increasing")
+    assert(l1._5 <= l0._5, "below-l3 mass non-increasing")
+    // the sensitive attribute has 5 segments, so l is bounded by 5
+    assert(l0._4 >= 1 && l1._4 <= 5)
+    assert(l0._6 == l0._5 * 1000000 / l0._2, "risk_ppm is exactly the integer ratio")
+  }
+
   test("zorder stats: interleaved layout tightens envelopes and prunes the 2-D probe") {
     import spark.implicits._
     val rows = PipelineOps.queries("pipeline_zorder_stats")(spark, sfDir)
