@@ -274,6 +274,64 @@ object PipelineOps {
          |ORDER BY level""".stripMargin
     }),
 
+    // ---- PSI drift report (population stability index — the standard
+    // release-gate number for "did the data distribution move?"): the
+    // documents table as the reference release, Dedup.corpus()'s planted
+    // exact-copy/tail twin as the candidate, compared on the length-bucket
+    // histogram (floor(length/100) capped at 19 — a schema-bounded ≤20-bin
+    // feature). Per bucket: counts on both sides and the PSI contribution
+    // (q−p)·ln(q/p) with add-1 smoothing (every term ≥ 0; smoothing keeps
+    // ln finite for one-sided buckets), floor-quantized to integer
+    // micro-units (the bm25 pattern) so the per-bucket terms and their sum
+    // are order-free integers; bucket −1 carries the totals — psi_total
+    // against the folklore 0.1/0.2 bands is the drift verdict. Scale
+    // shape: one ≤20-group hash-agg per side, a ≤20-row join, and a 1-row
+    // broadcast of the totals — nothing scales with the corpus but the
+    // two scans.
+    ("pipeline_psi_drift", (s, d) => {
+      import s.implicits._
+      def hist(src: DataFrame): DataFrame = src
+        .select(least(expr("length(text) div 100"), lit(19)).cast("long").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
+      val j = hist(Tables.documents(s, d)).withColumnRenamed("cnt", "n_base")
+        .join(hist(Dedup.corpus(s, d)).withColumnRenamed("cnt", "n_cur"),
+          Seq("bucket"), "full_outer")
+        .select($"bucket", coalesce($"n_base", lit(0L)).as("n_base"),
+          coalesce($"n_cur", lit(0L)).as("n_cur"))
+      val tot = j.agg(sum($"n_base").as("tb"), sum($"n_cur").as("tc"),
+        count(lit(1)).as("nb"))
+      val c = j.crossJoin(broadcast(tot))
+        .withColumn("p", ($"n_base" + 1.0) / ($"tb" + $"nb"))
+        .withColumn("q", ($"n_cur" + 1.0) / ($"tc" + $"nb"))
+        .withColumn("psi_u6",
+          floor(($"q" - $"p") * log($"q" / $"p") * 1e6).cast("long"))
+        .select($"bucket", $"n_base", $"n_cur", $"psi_u6")
+      c.unionByName(c.agg(lit(-1L).as("bucket"), sum($"n_base").as("n_base"),
+          sum($"n_cur").as("n_cur"), sum($"psi_u6").as("psi_u6")))
+        .orderBy($"bucket")
+    }, Some(
+      s"""WITH ${graft.operators.Dedup.corpusSql},
+         |hb AS (SELECT least(length(text) // 100, 19) AS b, count(*) AS n FROM documents GROUP BY 1),
+         |hc AS (SELECT least(length(text) // 100, 19) AS b, count(*) AS n FROM corpus GROUP BY 1),
+         |j AS (
+         |  SELECT CAST(coalesce(hb.b, hc.b) AS BIGINT) AS bucket,
+         |    CAST(coalesce(hb.n, 0) AS BIGINT) AS n_base,
+         |    CAST(coalesce(hc.n, 0) AS BIGINT) AS n_cur
+         |  FROM hb FULL OUTER JOIN hc ON hb.b = hc.b),
+         |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+         |  CAST(sum(n_cur) AS BIGINT) AS tc, count(*) AS nb FROM j),
+         |c AS (
+         |  SELECT bucket, n_base, n_cur,
+         |    CAST(floor(((n_cur + 1.0) / (tc + nb) - (n_base + 1.0) / (tb + nb))
+         |      * ln(((n_cur + 1.0) / (tc + nb)) / ((n_base + 1.0) / (tb + nb)))
+         |      * 1000000) AS BIGINT) AS psi_u6
+         |  FROM j CROSS JOIN t)
+         |SELECT bucket, n_base, n_cur, psi_u6 FROM c
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST(sum(n_base) AS BIGINT),
+         |  CAST(sum(n_cur) AS BIGINT), CAST(sum(psi_u6) AS BIGINT) FROM c
+         |ORDER BY bucket""".stripMargin)),
+
     // ---- Z-order layout statistics: THE storage-layout lever for scan
     // pruning at 100 TB (Delta/Iceberg OPTIMIZE ZORDER). Each row's
     // (l_partkey, l_suppkey) is normalized to 16 bits per dimension and

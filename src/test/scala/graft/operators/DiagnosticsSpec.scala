@@ -229,6 +229,27 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(l0._6 == l0._5 * 1000000 / l0._2, "risk_ppm is exactly the integer ratio")
   }
 
+  test("PSI drift: contributions non-negative, totals consistent, planted drift detected") {
+    import spark.implicits._
+    val rows = PipelineOps.queries("pipeline_psi_drift")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    val (total, buckets) = rows.partition(_._1 == -1L)
+    assert(total.length == 1 && buckets.nonEmpty)
+    // (q-p)·ln(q/p) >= 0 for every bucket, so each floored term is >= 0
+    assert(buckets.forall(_._4 >= 0L), "PSI contributions are non-negative")
+    assert(total.head._2 == buckets.map(_._2).sum &&
+      total.head._3 == buckets.map(_._3).sum &&
+      total.head._4 == buckets.map(_._4).sum, "total row sums the buckets")
+    // the planted copies/tails are a biased subset of lengths — the
+    // candidate histogram must actually drift
+    assert(total.head._4 > 0L, "planted release drifts (psi_total > 0)")
+    // candidate adds exactly the doc_id%5 copies and doc_id%7 tails
+    val doc = spark.read.parquet(s"$sfDir/documents.parquet")
+    val planted = doc.filter(col("doc_id") % 5 === 0).count() +
+      doc.filter(col("doc_id") % 7 === 0).count()
+    assert(total.head._3 - total.head._2 == planted)
+  }
+
   test("zorder stats: interleaved layout tightens envelopes and prunes the 2-D probe") {
     import spark.implicits._
     val rows = PipelineOps.queries("pipeline_zorder_stats")(spark, sfDir)
