@@ -152,6 +152,12 @@ object TextOps {
        |      + 0.3*least(length(regexp_replace(text,'\\s+','','g'))
        |                  / CAST(len(${tokensSql("text")}) AS DOUBLE) / 8.0, 1.0)""".stripMargin
 
+  /** Winnowing parameters: char-5-grams, window 4 — guarantee threshold
+    * t = W + K − 1 = 8 shared chars. Shared with WinnowingSpec.
+    */
+  private[operators] val WinnowK = 5
+  private[operators] val WinnowW = 4
+
   /** Token budget filled by pipeline_budget_fill (quality-first selection). */
   private val TokenBudget = 25000L
 
@@ -723,6 +729,67 @@ object TextOps {
          |  CAST((n * (n11 + n00) - $peNum) * 10000
          |    // (n * n - $peNum) AS BIGINT) AS kappa_e4
          |FROM c""".stripMargin
+    }),
+
+    // ---- winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD'03 —
+    // the MOSS algorithm): from each window of W consecutive char-K-gram
+    // hashes select the leftmost minimum; the distinct selected hashes are
+    // the document's fingerprint set, with the paper's guarantee that any
+    // shared substring of length ≥ W+K−1 contributes a shared fingerprint
+    // (WinnowingSpec pins the per-window guarantee and a full plain-Scala
+    // parity recompute). This is the principled counterpart of the
+    // stride-sampled span hashes in dedup_matched_spans: selection density
+    // ≈ 2/(W+1) regardless of content alignment. The whole pass is nested
+    // higher-order functions over the per-doc gram array — map-side only,
+    // no windows, no explode, no shuffle before the final sort; at 100 TB
+    // the fingerprint sets feed the usual postings join, never raw text.
+    ("text_winnowing", (s, d) => {
+      import s.implicits._
+      val (k, w) = (WinnowK, WinnowW)
+      Tables.documents(s, d)
+        .filter(length($"text") >= k + w - 1)
+        .withColumn("n", (length($"text") - (k - 1)).cast("int"))
+        .withColumn("hs", transform(sequence(lit(1), $"n"),
+          p => h60($"text".substr(p, lit(k)))))
+        .withColumn("sel_pos", array_distinct(
+          transform(sequence(lit(w), $"n"), e => {
+            val win = slice($"hs", e - (w - 1), lit(w))
+            (e - w + array_position(win, array_min(win))).cast("long")
+          })))
+        .withColumn("fps", array_distinct(
+          transform($"sel_pos", p => element_at($"hs", p.cast("int")))))
+        // the driver's compare hashes scalars, so the fingerprint SET is
+        // pinned by count + min + max + an order-free XOR fold
+        .select($"doc_id", $"n".cast("long").as("n_grams"),
+          size($"sel_pos").cast("long").as("n_selected"),
+          size($"fps").cast("long").as("n_fingerprints"),
+          expr(s"CAST(size(sel_pos) * 10000 div (n - ${w - 1}) AS BIGINT)")
+            .as("density_e4"),
+          array_min($"fps").as("fp_min"), array_max($"fps").as("fp_max"),
+          expr("aggregate(fps, 0L, (acc, x) -> acc ^ x)").as("fp_xor"))
+        .orderBy($"doc_id")
+    }, Some {
+      val (k, w) = (WinnowK, WinnowW)
+      s"""SELECT doc_id, CAST(n AS BIGINT) AS n_grams,
+         |  CAST(len(sel_pos) AS BIGINT) AS n_selected,
+         |  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+         |  CAST(len(sel_pos) * 10000 // (n - ${w - 1}) AS BIGINT) AS density_e4,
+         |  list_min(fps) AS fp_min, list_max(fps) AS fp_max,
+         |  CAST(list_aggregate(fps, 'bit_xor') AS BIGINT) AS fp_xor
+         |FROM (
+         |  SELECT doc_id, n, list_distinct(
+         |      list_transform(sel_pos, p -> hs[CAST(p AS INT)])) AS fps,
+         |    sel_pos
+         |  FROM (
+         |    SELECT doc_id, n, hs, list_distinct(list_transform(range($w, n + 1),
+         |      e -> CAST(e - $w + list_position(hs[e - ${w - 1} : e],
+         |        list_min(hs[e - ${w - 1} : e])) AS BIGINT))) AS sel_pos
+         |    FROM (
+         |      SELECT doc_id, length(text) - ${k - 1} AS n,
+         |        list_transform(range(1, length(text) - ${k - 2}),
+         |          p -> ${h60Sql(s"substr(text, p, $k)")}) AS hs
+         |      FROM documents WHERE length(text) >= ${k + w - 1})))
+         |ORDER BY doc_id""".stripMargin
     }),
 
     // ---- budget-constrained quality-first selection: fill a fixed token
