@@ -746,27 +746,52 @@ object TextOps {
     ("text_winnowing", (s, d) => {
       import s.implicits._
       val (k, w) = (WinnowK, WinnowW)
+      // Fused JVM kernel (the lshSignatures pattern): one pass per doc over
+      // h60Jvm — the md5-per-gram Column chain (substring → md5 → conv per
+      // position) measured 6.9 s at sf0.1 vs 0.9 s fused, identical values.
+      // The driver's compare hashes scalars, so the fingerprint SET is
+      // pinned by count + min + max + an order-free XOR fold.
       Tables.documents(s, d)
         .filter(length($"text") >= k + w - 1)
-        .withColumn("n", (length($"text") - (k - 1)).cast("int"))
-        .withColumn("hs", transform(sequence(lit(1), $"n"),
-          p => h60($"text".substr(p, lit(k)))))
-        .withColumn("sel_pos", array_distinct(
-          transform(sequence(lit(w), $"n"), e => {
-            val win = slice($"hs", e - (w - 1), lit(w))
-            (e - w + array_position(win, array_min(win))).cast("long")
-          })))
-        .withColumn("fps", array_distinct(
-          transform($"sel_pos", p => element_at($"hs", p.cast("int")))))
-        // the driver's compare hashes scalars, so the fingerprint SET is
-        // pinned by count + min + max + an order-free XOR fold
-        .select($"doc_id", $"n".cast("long").as("n_grams"),
-          size($"sel_pos").cast("long").as("n_selected"),
-          size($"fps").cast("long").as("n_fingerprints"),
-          expr(s"CAST(size(sel_pos) * 10000 div (n - ${w - 1}) AS BIGINT)")
-            .as("density_e4"),
-          array_min($"fps").as("fp_min"), array_max($"fps").as("fp_max"),
-          expr("aggregate(fps, 0L, (acc, x) -> acc ^ x)").as("fp_xor"))
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val n = text.length - (k - 1)
+            val hs = new Array[Long](n)
+            var i = 0
+            while (i < n) { hs(i) = h60Jvm(text.substring(i, i + k)); i += 1 }
+            val selected = new Array[Boolean](n)
+            var e = w - 1 // 0-based end of each w-gram window
+            while (e < n) {
+              var best = e - (w - 1)
+              var j = best + 1
+              while (j <= e) { if (hs(j) < hs(best)) best = j; j += 1 }
+              selected(best) = true // leftmost minimum of this window
+              e += 1
+            }
+            val fpSet = new java.util.HashSet[java.lang.Long]()
+            var nSel = 0
+            var fpMin = Long.MaxValue
+            var fpMax = Long.MinValue
+            var fpXor = 0L
+            i = 0
+            while (i < n) {
+              if (selected(i)) {
+                nSel += 1
+                if (fpSet.add(hs(i))) {
+                  if (hs(i) < fpMin) fpMin = hs(i)
+                  if (hs(i) > fpMax) fpMax = hs(i)
+                  fpXor ^= hs(i)
+                }
+              }
+              i += 1
+            }
+            (id, n.toLong, nSel.toLong, fpSet.size.toLong,
+              nSel.toLong * 10000 / (n - (w - 1)), fpMin, fpMax, fpXor)
+          }
+        }
+        .toDF("doc_id", "n_grams", "n_selected", "n_fingerprints",
+          "density_e4", "fp_min", "fp_max", "fp_xor")
         .orderBy($"doc_id")
     }, Some {
       val (k, w) = (WinnowK, WinnowW)
