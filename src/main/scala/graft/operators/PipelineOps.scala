@@ -290,25 +290,9 @@ object PipelineOps {
     // two scans.
     ("pipeline_psi_drift", (s, d) => {
       import s.implicits._
-      def hist(src: DataFrame): DataFrame = src
-        .select(least(expr("length(text) div 100"), lit(19)).cast("long").as("bucket"))
-        .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
-      val j = hist(Tables.documents(s, d)).withColumnRenamed("cnt", "n_base")
-        .join(hist(Dedup.corpus(s, d)).withColumnRenamed("cnt", "n_cur"),
-          Seq("bucket"), "full_outer")
-        .select($"bucket", coalesce($"n_base", lit(0L)).as("n_base"),
-          coalesce($"n_cur", lit(0L)).as("n_cur"))
-      val tot = j.agg(sum($"n_base").as("tb"), sum($"n_cur").as("tc"),
-        count(lit(1)).as("nb"))
-      val c = j.crossJoin(broadcast(tot))
-        .withColumn("p", ($"n_base" + 1.0) / ($"tb" + $"nb"))
-        .withColumn("q", ($"n_cur" + 1.0) / ($"tc" + $"nb"))
-        .withColumn("psi_u6",
-          floor(($"q" - $"p") * log($"q" / $"p") * 1e6).cast("long"))
-        .select($"bucket", $"n_base", $"n_cur", $"psi_u6")
-      c.unionByName(c.agg(lit(-1L).as("bucket"), sum($"n_base").as("n_base"),
-          sum($"n_cur").as("n_cur"), sum($"psi_u6").as("psi_u6")))
-        .orderBy($"bucket")
+      psiFromHists(
+        psiLenHistogram(Tables.documents(s, d)).withColumnRenamed("cnt", "n_base"),
+        psiLenHistogram(Dedup.corpus(s, d)).withColumnRenamed("cnt", "n_cur"))
     }, Some(
       s"""WITH ${graft.operators.Dedup.corpusSql},
          |hb AS (SELECT least(length(text) // 100, 19) AS b, count(*) AS n FROM documents GROUP BY 1),
@@ -1850,6 +1834,38 @@ object PipelineOps {
         .write.mode("overwrite").parquet(s"$root/release=r2")
       root
     })
+
+  /** PSI length bucket: floor(length/100) capped at 19 — the ≤20-bin
+    * feature pipeline_psi_drift and its streaming twin share.
+    */
+  private[graft] def psiLenBucket: Column =
+    least(expr("length(text) div 100"), lit(19)).cast("long")
+
+  private[graft] def psiLenHistogram(src: DataFrame): DataFrame =
+    src.select(psiLenBucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** The PSI computation over two ≤20-row histograms (bucket, n_base) /
+    * (bucket, n_cur) — ONE definition shared by pipeline_psi_drift and
+    * stream_psi_replay so the batch report and the streaming monitor's
+    * judging chain cannot drift. See pipeline_psi_drift for the math.
+    */
+  private[graft] def psiFromHists(base: DataFrame, cur: DataFrame): DataFrame = {
+    val j = base.join(cur, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = j.agg(sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"),
+      count(lit(1)).as("nb"))
+    val c = j.crossJoin(broadcast(tot))
+      .withColumn("p", (col("n_base") + 1.0) / (col("tb") + col("nb")))
+      .withColumn("q", (col("n_cur") + 1.0) / (col("tc") + col("nb")))
+      .withColumn("psi_u6",
+        floor((col("q") - col("p")) * log(col("q") / col("p")) * 1e6).cast("long"))
+      .select(col("bucket"), col("n_base"), col("n_cur"), col("psi_u6"))
+    c.unionByName(c.agg(lit(-1L).as("bucket"), sum(col("n_base")).as("n_base"),
+        sum(col("n_cur")).as("n_cur"), sum(col("psi_u6")).as("psi_u6")))
+      .orderBy(col("bucket"))
+  }
 
   /** Once-per-JVM bucketed-table fixture for pipeline_bucketed_join:
     * lineitem and orders saved as parquet tables hash-bucketed AND

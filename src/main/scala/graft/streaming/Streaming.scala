@@ -129,6 +129,15 @@ case class BottomKState(nSeen: Long, keys: Array[String], ids: Array[Long])
   */
 case class BottomKSnapshot(nSeen: Long, rank: Long, docId: Long)
 
+/** One incoming doc's PSI length bucket (PipelineOps.psiLenBucket). */
+case class PsiBucketRow(bucket: Long)
+
+/** Running per-bucket count snapshot from the streaming drift monitor;
+  * `cnt` is cumulative and strictly increasing per bucket, so max(cnt) per
+  * bucket is the final histogram.
+  */
+case class PsiBucketCount(bucket: Long, cnt: Long)
+
 /** One CDC op in [[graft.streaming.Streaming.compactionStream]] column
   * shape: the op is pre-classified (I/U/D) by the feed producer.
   */
@@ -687,6 +696,62 @@ object Streaming {
             BottomKSnapshot(total, i + 1L, id)
           }
       }
+  }
+
+  /** Streaming PSI drift monitor: running per-length-bucket counts of the
+    * incoming release, O(1) state per bucket (the feature is ≤20 buckets by
+    * construction), one snapshot row per (batch, bucket with input).
+    * Arrival-order independent — counts are additive — so the replay waves
+    * by doc_id % 7, deliberately not time-ordered. At scale the bucket key
+    * IS the pre-reduction (map-side combine feeds one state row per
+    * bucket); the PSI against the frozen reference histogram is a ≤20-row
+    * batch computation downstream of the monitor.
+    */
+  def psiHistogramStream(rows: Dataset[PsiBucketRow]): Dataset[PsiBucketCount] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (b: Long, it: Iterator[PsiBucketRow], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + it.size
+          state.update(c)
+          Iterator.single(PsiBucketCount(b, c))
+      }
+  }
+
+  /** File-source replay of the planted-release corpus (waved by doc_id % 7
+    * — arbitrary slicing; the monitor is order-independent) through
+    * [[psiHistogramStream]]: the final per-bucket counts (max cnt —
+    * strictly increasing) are the candidate histogram, which then runs
+    * through the SHARED PipelineOps.psiFromHists chain against the batch
+    * reference histogram and is judged VERBATIM by pipeline_psi_drift's
+    * oracle — the fifteenth replay-parity contract.
+    */
+  def psiReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import graft.operators.PipelineOps
+    val waved = graft.operators.Dedup.corpus(s, d)
+      .select(PipelineOps.psiLenBucket.as("bucket"),
+        pmod(col("doc_id"), lit(7)).cast("int").as("wave"))
+    val emitted = replayedSink(s, "psi:" + d, "graft_psi_replay_") { (sink, root) =>
+      val src = waveFiles("psi:" + d, waved)
+      val stream = s.readStream
+        .schema(waved.drop("wave").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+      withFewShufflePartitions(s) {
+        val q = psiHistogramStream(
+            stream.as[PsiBucketRow](org.apache.spark.sql.Encoders.product[PsiBucketRow]))
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .option("checkpointLocation", root.resolve("chk").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    PipelineOps.psiFromHists(
+      PipelineOps.psiLenHistogram(graft.Tables.documents(s, d))
+        .withColumnRenamed("cnt", "n_base"),
+      emitted.groupBy(col("bucket")).agg(max(col("cnt")).as("n_cur")))
   }
 
   def compactionStream(ops: Dataset[OpEvent]): Dataset[CompactUpdate] = {
@@ -1783,6 +1848,7 @@ object Streaming {
     "stream_compact_replay" -> ((s, d) => compactReplayContract(s, d)),
     "stream_bottomk_replay" -> ((s, d) => bottomKReplayContract(s, d)),
     "stream_rate_anomaly_replay" -> ((s, d) => rateAnomalyReplayContract(s, d)),
+    "stream_psi_replay" -> ((s, d) => psiReplayContract(s, d)),
     "stream_semantic_replay" -> ((s, d) => semanticReplayContract(s, d)))
 
   /** Batch-equivalent oracle for the replay: quality gate, then min-id
@@ -1831,6 +1897,11 @@ object Streaming {
       // the streaming bottom-k sampler must converge to the batch sample
       // VERBATIM — share pipeline_bottomk_sample's oracle text
       "stream_bottomk_replay" -> graft.operators.PipelineOps.oracleSql("pipeline_bottomk_sample"),
+      // the streaming drift monitor's final histogram must reproduce the
+      // batch PSI report VERBATIM — share pipeline_psi_drift's oracle text
+      // (the judging chain is the shared psiFromHists, so both sides of
+      // the comparison are single-sourced)
+      "stream_psi_replay" -> graft.operators.PipelineOps.oracleSql("pipeline_psi_drift"),
       // the semantic replay must reproduce the batch SemDeDup VERBATIM —
       // judged by the UNCAPPED drop chain (same text minus the shard
       // cells): the stream's kept-set check is shard-blind, so past the

@@ -166,13 +166,20 @@ class PlanQualitySpec extends AnyFunSuite {
     // broadcast past autoBroadcastJoinThreshold and OOM at 100× vectors.
     // Guard that removing the hint didn't silently degrade the small-scale
     // plan: the threshold still selects BroadcastHashJoin here.
-    for (q <- Seq("sim_lsh_topk", "sim_lsh_pairs", "sim_knn_graph")) {
+    for (q <- Seq("sim_lsh_topk", "sim_lsh_pairs")) {
       val plan = executedPlan(q)
       assert(plan.contains("BroadcastHashJoin"),
         s"$q: planner should still broadcast the vector re-join at test scale:\n$plan")
       assert(!plan.contains("CartesianProduct"),
         s"$q: candidate scoring must stay an equi-join:\n$plan")
     }
+    // sim_knn_graph serves from the persisted graph fixture: the plan is a
+    // bare parquet scan with the rn <= 3 degree cut PUSHED to the reader —
+    // no joins at all (the build's joins run once per JVM in knnGraphDir)
+    val knn = executedPlan("sim_knn_graph")
+    assert(!knn.contains("Join"), s"sim_knn_graph must be a fixture read:\n$knn")
+    assert(knn.contains("PushedFilters: [IsNotNull(rn), LessThanOrEqual(rn,3)]"),
+      s"degree cut must reach the parquet reader:\n$knn")
   }
 
   test("decontaminate: eval grams broadcast; the corpus side is one narrow scan") {

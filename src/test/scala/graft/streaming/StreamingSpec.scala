@@ -854,4 +854,27 @@ class StreamingSpec extends AnyFunSuite {
       .sorted.take(k).zipWithIndex.map { case ((_, id), i) => (i + 1L, id) }
     assert(forward == expect)
   }
+
+  test("psiHistogramStream is arrival-order independent and matches the batch histogram") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val buckets = (0L until 300L).map(_ % 13) // skewed multiset over 13 keys
+
+    def finalHist(batches: Seq[Seq[Long]], name: String): Map[Long, Long] = {
+      val ms = MemoryStream[PsiBucketRow]
+      val q = Streaming.psiHistogramStream(ms.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => ms.addData(b.map(PsiBucketRow(_))); q.processAllAvailable() }
+        spark.table(name).as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (b, rows) => b -> rows.map(_._2).max }
+      } finally q.stop()
+    }
+
+    val forward = finalHist(buckets.grouped(80).map(_.toSeq).toSeq, "psi_fwd")
+    val reversed = finalHist(buckets.reverse.grouped(47).map(_.toSeq).toSeq, "psi_rev")
+    assert(forward == reversed, "wave permutation changed the histogram")
+    val expect = buckets.groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    assert(forward == expect, "final snapshot must be the exact batch histogram")
+  }
 }
