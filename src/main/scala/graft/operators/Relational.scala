@@ -1992,6 +1992,95 @@ object Relational {
         |  CAST(min(CASE WHEN r.idx > 1 AND abs(r.resid) = m.mxr THEN r.day_d END) AS BIGINT) AS max_resid_d,
         |  CAST(min(CASE WHEN r.idx = f.mi THEN r.y END) AS BIGINT) AS ewma_final_u3
         |FROM r LEFT JOIN mx m USING (event_type) JOIN fin f USING (event_type)
+        |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin)),
+
+    // ---- Holt double-exponential smoothing (Holt 1957) with a PLANTED
+    // TREND RAMP — the drift detector beside q68's level-only EWMA (a level
+    // chart alarms on steps and spikes but keeps absorbing a slow ramp into
+    // its level; Holt's separate trend term is what catches sustained
+    // drift). Per event type, daily counts grow by mu div 5 per day after
+    // the midpoint; the fold tracks level l and trend b in exact
+    // milli-units — α = β = 0.3 as integer (3·x + 7·prev) div 10 steps,
+    // all divisions TRUNCATING toward zero (Scala `/` ≡ DuckDB `//`:
+    // -7 // 2 = -3, NOT floor — b goes negative on noise, where a floorDiv
+    // on one side diverges by one milli-unit; found empirically here).
+    // Report: residual alarms vs the ±mu band on the one-step forecast
+    // l+b, the first day the trend estimate crosses HALF the planted slope
+    // (mu·100 milli-units — the detection-delay readout), and the final
+    // level/trend. Oracle = the SAME recurrence as a recursive CTE (third
+    // use of the recursive-oracle technique). Scale shape: state is
+    // days × types structs in one collect_list per type — bounded by the
+    // calendar, not the corpus; one shuffle to daily counts, one to types.
+    ("q69_holt_trend", (s, d) => {
+      import s.implicits._
+      val dc = Tables.events(s, d)
+        .groupBy($"event_type", expr("unix_micros(ts) div 86400000000L").as("day_d"))
+        .agg(count(lit(1)).as("n"))
+      val st = dc.groupBy($"event_type")
+        .agg(expr("sum(n) div count(1)").as("mu"),
+          expr("min(day_d) + (max(day_d) - min(day_d)) div 2").as("ramp_d"))
+      val grouped = dc.join(broadcast(st), "event_type")
+        .withColumn("x",
+          $"n" + greatest(lit(0L), $"day_d" - $"ramp_d") * expr("mu div 5"))
+        .groupBy($"event_type")
+        .agg(min($"mu").as("mu"), min($"ramp_d").as("ramp_d"),
+          collect_list(struct($"day_d", $"x")).as("days"))
+      grouped.select($"event_type", $"mu", $"ramp_d", $"days")
+        .map { r =>
+          val (et, mu, rampD) = (r.getString(0), r.getLong(1), r.getLong(2))
+          val series = r.getSeq[org.apache.spark.sql.Row](3)
+            .map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+          var l = series.head._2 * 1000L
+          var b = 0L
+          var nAlarms = 0L
+          var trendHit: Option[Long] = None
+          for ((day, x) <- series.tail) {
+            val f = l + b
+            val resid = x * 1000L - f
+            if (math.abs(resid) > mu * 1000L) nAlarms += 1
+            val l1 = (3L * x * 1000L + 7L * (l + b)) / 10L
+            b = (3L * (l1 - l) + 7L * b) / 10L
+            l = l1
+            if (trendHit.isEmpty && b >= mu * 100L) trendHit = Some(day)
+          }
+          (et, mu, rampD, series.size.toLong, nAlarms, trendHit, l, b)
+        }
+        .toDF("event_type", "mu", "ramp_d", "n_days", "n_alarms",
+          "trend_hit_d", "level_final_u3", "trend_final_u3")
+        .orderBy($"event_type")
+    }, Some(
+      """WITH RECURSIVE dc AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) // count(*) AS mu,
+        |    min(day_d) + (max(day_d) - min(day_d)) // 2 AS ramp_d
+        |  FROM dc GROUP BY 1),
+        |sx AS (
+        |  SELECT dc.event_type, day_d, mu, ramp_d,
+        |    n + greatest(0, day_d - ramp_d) * (mu // 5) AS x,
+        |    CAST(row_number() OVER (PARTITION BY dc.event_type ORDER BY day_d) AS BIGINT) AS idx
+        |  FROM dc JOIN st USING (event_type)),
+        |r AS (
+        |  SELECT event_type, idx, day_d, mu, ramp_d, x,
+        |    x * 1000 AS l, CAST(0 AS BIGINT) AS b, FALSE AS alarm
+        |  FROM sx WHERE idx = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.idx, s.day_d, s.mu, s.ramp_d, s.x,
+        |    (3 * s.x * 1000 + 7 * (r.l + r.b)) // 10 AS l,
+        |    (3 * ((3 * s.x * 1000 + 7 * (r.l + r.b)) // 10 - r.l) + 7 * r.b) // 10 AS b,
+        |    abs(s.x * 1000 - (r.l + r.b)) > s.mu * 1000 AS alarm
+        |  FROM r JOIN sx s ON s.event_type = r.event_type AND s.idx = r.idx + 1),
+        |fin AS (SELECT event_type, max(idx) AS mi FROM r GROUP BY 1)
+        |SELECT r.event_type, CAST(min(r.mu) AS BIGINT) AS mu,
+        |  CAST(min(r.ramp_d) AS BIGINT) AS ramp_d,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(CASE WHEN r.alarm THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        |  CAST(min(CASE WHEN r.b >= r.mu * 100 THEN r.day_d END) AS BIGINT) AS trend_hit_d,
+        |  CAST(min(CASE WHEN r.idx = f.mi THEN r.l END) AS BIGINT) AS level_final_u3,
+        |  CAST(min(CASE WHEN r.idx = f.mi THEN r.b END) AS BIGINT) AS trend_final_u3
+        |FROM r JOIN fin f USING (event_type)
         |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin))
   )
 

@@ -169,4 +169,26 @@ class ValidationSpec extends AnyFunSuite {
       assert(delay.exists(d => d >= 0L && d <= 3L), s"$et: detection delay $delay")
     }
   }
+
+  test("Holt trend: ramp detected 1-6 days in, trend converges to the planted slope, no residual alarms") {
+    import spark.implicits._
+    val rows = Relational.queries("q69_holt_trend")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Option[Long], Long, Long)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (et, mu, rampD, nDays, nAlarms, trendHit, _, trendFinal) =>
+      assert(nDays == 30L, s"$et: expected the 30-day calendar")
+      // the planted slope is (mu div 5) counts/day = mu*200 milli-units;
+      // after ~14 ramp days the α=β=0.3 estimate sits near it (measured
+      // mu*201..mu*226 at sf0.01/sf0.1)
+      assert(trendFinal >= mu * 150 && trendFinal <= mu * 260,
+        s"$et: final trend $trendFinal vs planted slope ${mu * 200}")
+      // the detection readout: trend crosses HALF the slope 1-6 days after
+      // the ramp starts (measured +3..+5 at sf0.01/sf0.1) — a level-only
+      // EWMA never isolates this (q68 absorbs ramps into its level)
+      assert(trendHit.exists(d => d > rampD && d <= rampD + 6),
+        s"$et: trend hit $trendHit vs ramp $rampD")
+      // the ±mu residual band stays quiet: the ramp is smooth at this scale
+      assert(nAlarms == 0L, s"$et: $nAlarms residual alarms on a smooth ramp")
+    }
+  }
 }
