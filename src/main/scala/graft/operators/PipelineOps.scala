@@ -30,6 +30,12 @@ import graft.Tables
 object PipelineOps {
   import Portable._
 
+  // Materialized-view refresh boundary (pipeline_mv_refresh / _mv_serve):
+  // ship rows before this are the base build; at/after are the delta the
+  // incremental refresh merges in. Date-based, so the split is stable as
+  // the corpus scales (the generator's ship range is 1995-01..2001-11).
+  private val MvCutoff = "2001-08-01"
+
   private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- incremental profile maintenance (the table-stats merge law):
@@ -438,6 +444,57 @@ object PipelineOps {
         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- materialized-view serving after INCREMENTAL refresh — the third
+    // storage-layout lever beside zorder (scan cost) and bucketing (shuffle
+    // cost): aggregate cost. The once-per-JVM fixture ([[mvRollupDir]])
+    // builds a daily rollup of everything shipped before MvCutoff, then
+    // merges the post-cutoff delta into ONLY the touched month partitions
+    // via dynamic partition overwrite (additive measures, so incremental
+    // merge ≡ full rebuild EXACTLY). This query is the full monthly report
+    // served from the refreshed view; the oracle recomputes it from the raw
+    // fact table, so the hash match proves base ⊕ delta ≡ direct scan — a
+    // clobbered untouched month, a double-counted delta, or a missed one
+    // all mismatch. The serve plan reads ~rows-per-day rollup rows, never
+    // lineitem.
+    ("pipeline_mv_refresh", (s, d) => {
+      import s.implicits._
+      s.read.parquet(mvRollupDir(s, d))
+        .groupBy($"ship_month")
+        .agg(countDistinct($"ship_day").as("n_days"),
+          sum($"n_items").as("n_items"),
+          sum($"sum_qty").as("sum_qty"),
+          sum($"revenue_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT) AS n_days,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // ---- the dashboard point query over the same materialized view: a
+    // recent-months revenue readout whose month predicate prunes at the
+    // FILE INDEX of the ship_month-partitioned rollup (PlanQualitySpec pins
+    // the PartitionFilters entry) — the query opens 6 month directories out
+    // of ~82, and those 6 span both build paths (2001-06/07 are base-built,
+    // 2001-08..11 came through the incremental refresh), so serving
+    // correctness across the base/refresh seam is oracle-checked too.
+    ("pipeline_mv_serve", (s, d) => {
+      import s.implicits._
+      s.read.parquet(mvRollupDir(s, d))
+        .filter($"ship_month" >= "2001-06")
+        .groupBy($"ship_month")
+        .agg(sum($"n_items").as("n_items"),
+          sum($"revenue_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') >= '2001-06'
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
     // ---- deterministic train/val/test split: threshold on the md5 hex of
     // the stable doc key. No RNG, no seed state to ship to 1000 executors —
@@ -1902,6 +1959,59 @@ object PipelineOps {
         .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
         .option("path", oroot).saveAsTable(ot)
       (lt, ot)
+    })
+
+  private val mvDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM materialized daily-rollup view of lineitem, partitioned by
+    * ship month, INCREMENTALLY REFRESHED: the base build covers everything
+    * shipped before [[MvCutoff]]; the delta (the last ~4 ship months) is then
+    * merged in by additive re-aggregation of ONLY the touched month
+    * partitions and written back with dynamic partition overwrite — the
+    * Delta/Iceberg `replaceWhere` refresh shape. Additive measures (counts,
+    * integer cents, integer quantities) make merge ≡ rebuild exact, and the
+    * serving queries' DuckDB oracles recompute from the raw fact table, so a
+    * wrong merge or an overwrite that clobbers an untouched month
+    * hash-mismatches. At 100 TB: the fact scan is paid once at build, each
+    * refresh costs O(delta + touched partitions), and every dashboard query
+    * reads a summary ~3 orders of magnitude smaller than the fact table.
+    * The merged months are staged to a scratch dir first because Spark
+    * (correctly) refuses to overwrite a path that feeds the running plan.
+    */
+  private[operators] def mvRollupDir(s: SparkSession, d: String): String =
+    mvDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val root = graft.Fixtures.tempDir("graft_mv").resolve("mv").toString
+      val li = Tables.lineitem(s, d)
+      def daily(src: DataFrame): DataFrame = src
+        .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"),
+          to_date($"l_shipdate").as("ship_day"))
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast("bigint")).as("sum_qty"),
+          sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+            .as("revenue_cents"))
+      daily(li.filter($"l_shipdate" < lit(MvCutoff)))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(root)
+      val delta = daily(li.filter($"l_shipdate" >= lit(MvCutoff)))
+      val touched = delta.select($"ship_month").distinct() // ≤ a few months
+      val merged = s.read.parquet(root)
+        .join(broadcast(touched), Seq("ship_month"), "left_semi")
+        .unionByName(delta)
+        .groupBy($"ship_month", $"ship_day")
+        .agg(sum($"n_items").as("n_items"), sum($"sum_qty").as("sum_qty"),
+          sum($"revenue_cents").as("revenue_cents"))
+      val stage = graft.Fixtures.tempDir("graft_mvstage").resolve("s").toString
+      merged.write.mode("overwrite").parquet(stage)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.read.parquet(stage)
+        .write.mode("overwrite").partitionBy("ship_month").parquet(root)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      root
     })
 
   private[operators] def partitionedCorpus(s: SparkSession, d: String): String =

@@ -138,4 +138,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(kept == !(exact || near || sem), s"kept not the all-clear conjunction for $id")
     }
   }
+
+  // The DuckDB oracle proves the MONTHLY report matches a direct fact scan;
+  // this pins the refresh machinery one level deeper: after the base build +
+  // dynamic-partition-overwrite delta merge, the stored DAILY rows are
+  // bit-identical to a single full-scan rebuild — no clobbered untouched
+  // month, no double-counted delta, no day lost at the cutoff seam.
+  test("mv incremental refresh equals a full rebuild at day granularity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mv = spark.read.parquet(PipelineOps.mvRollupDir(spark, sfDir))
+      .select($"ship_month", $"ship_day", $"n_items", $"sum_qty", $"revenue_cents")
+    val rebuild = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"),
+        to_date($"l_shipdate").as("ship_day"))
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity".cast("bigint")).as("sum_qty"),
+        sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+    assert(mv.count() == rebuild.count())
+    assert(mv.except(rebuild).isEmpty && rebuild.except(mv).isEmpty,
+      "refreshed MV diverges from the full rebuild")
+  }
 }

@@ -112,6 +112,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"lang partition filter not pushed to the file index:\n$plan")
   }
 
+  test("pipeline_mv_serve: month predicate prunes the rollup's file index; neither MV query scans the fact table") {
+    val serve = graft.SparkEntry.queries("pipeline_mv_serve")(spark, sfDir)
+    val servePlan = serve.queryExecution.executedPlan.toString
+    assert(servePlan.matches("(?s).*PartitionFilters: \\[[^\\]]*ship_month.*"),
+      s"ship_month partition filter not pushed to the rollup file index:\n$servePlan")
+    val refreshPlan = graft.SparkEntry.queries("pipeline_mv_refresh")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    for (plan <- Seq(servePlan, refreshPlan))
+      assert(!plan.contains("lineitem"),
+        s"MV serving must read the materialized rollup, not the fact table:\n$plan")
+  }
+
   test("q04: correlated EXISTS plans as a semi join with the date bound as residual, no nested loop") {
     val plan = executedPlan("q04_late_ship_priority")
     assert(plan.contains("LeftSemi"), s"semi join missing:\n$plan")
