@@ -36,6 +36,13 @@ object PipelineOps {
   // the corpus scales (the generator's ship range is 1995-01..2001-11).
   private val MvCutoff = "2001-08-01"
 
+  // Point-lookup probe keys for pipeline_bloom_index: fixed literals below
+  // the smallest SF's max orderkey (1499 at sf0.001), so the SAME seven
+  // dashboard lookups run at every scale — a modulus-defined probe set
+  // would grow with the corpus and the union of matched files would stop
+  // demonstrating skipping.
+  private val BloomIdxKeys = Seq(7L, 212L, 388L, 701L, 994L, 1207L, 1403L)
+
   private def defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- incremental profile maintenance (the table-stats merge law):
@@ -495,6 +502,41 @@ object PipelineOps {
         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') >= '2001-06'
         |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // ---- bloom data-skipping index serve: point-lookup of seven order
+    // keys against a fact laid out by ship month — a layout that CANNOT
+    // serve this lookup by partition pruning (an order's items scatter
+    // across months). The per-file bloom sidecars ([[bloomIdxDir]]) say
+    // which files might contain any probe; the scan then opens ONLY those
+    // (~25-30 of 83+ at driver SFs, and within-month file pruning grows the
+    // skip as files multiply at scale — DiagnosticsSpec pins the ratio).
+    // Exactness rides the bloom's no-false-negative guarantee: a missed
+    // file would drop rows and hash-mismatch the oracle, a false positive
+    // only opens one extra file. NOTE eager construction (the
+    // sim_kmeanspp_init caveat): the metadata-scale bloom probe + file-list
+    // collect run when the DataFrame is BUILT — that's the point, the file
+    // list must exist before the scan is planned (Delta log replay does
+    // the same driver-side).
+    ("pipeline_bloom_index", (s, d) => {
+      import s.implicits._
+      val (files, _) = bloomIdxMatchedFiles(s, d)
+      val probes = broadcast(BloomIdxKeys.toDF("k"))
+      s.read.option("basePath", bloomIdxDataDir(s, d)).parquet(files: _*)
+        .join(probes, $"l_orderkey" === $"k")
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"),
+          countDistinct($"ship_month").as("n_ship_months"))
+        .orderBy($"l_orderkey")
+    }, Some(
+      s"""SELECT l_orderkey,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         |  CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT) AS n_ship_months
+         |FROM lineitem WHERE l_orderkey IN (${BloomIdxKeys.mkString(", ")})
+         |GROUP BY 1 ORDER BY l_orderkey""".stripMargin)),
 
     // ---- deterministic train/val/test split: threshold on the md5 hex of
     // the stable doc key. No RNG, no seed state to ship to 1000 executors —
@@ -2013,6 +2055,73 @@ object PipelineOps {
       }
       root
     })
+
+  private val bloomIdxDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM bloom data-skipping index (the Delta/Iceberg bloom-index
+    * sidecar pattern — the fourth storage-layout lever: zorder kills scan
+    * cost, bucketing kills shuffle cost, the MV kills aggregate cost, this
+    * kills POINT-LOOKUP cost on a column the layout was NOT organized by).
+    * `data/` is the slim fact laid out by ship month (the natural arrival
+    * order — an orderkey's items scatter across months, so month pruning
+    * can't serve an orderkey lookup); `index/` holds one row per data FILE:
+    * (file, bloom bitset over xxhash64(l_orderkey), n_rows). The bitset is
+    * [[graft.functions.BloomAgg]]'s mergeable aggregate, sized to ~16 bits
+    * per row per file (fpp ≈ (1−e^(−1/4))⁴ ≈ 0.24%), built in ONE pass
+    * grouped by `input_file_name()`. A false positive only opens one extra
+    * file; a false negative is impossible — which is why the serving
+    * query's exact DuckDB oracle works at all.
+    */
+  private def bloomIdxDir(s: SparkSession, d: String): String =
+    bloomIdxDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val root = graft.Fixtures.tempDir("graft_bloomidx")
+      val dataDir = root.resolve("data").toString
+      val li = Tables.lineitem(s, d)
+      li.select($"l_orderkey", $"l_partkey",
+          $"l_quantity".cast("bigint").as("qty"),
+          expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+            .as("net_cents"),
+          date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(dataDir)
+      val data = s.read.parquet(dataDir)
+      val perFile = math.max(64L, li.count() /
+        math.max(1, data.inputFiles.length))
+      var mBits = 1 << 10
+      while (mBits < perFile * 16 && mBits < (1 << 27)) mBits <<= 1
+      val bloomAgg = udaf(new graft.functions.BloomAgg(mBits, BloomK),
+        org.apache.spark.sql.Encoders.scalaLong)
+      data.select(input_file_name().as("file"), xxhash64($"l_orderkey").as("h"))
+        .groupBy($"file")
+        .agg(bloomAgg($"h").as("bloom"), count(lit(1)).as("n_rows"))
+        .write.mode("overwrite").parquet(root.resolve("index").toString)
+      root.toString
+    })
+
+  /** Data-skipping plan step for pipeline_bloom_index: probe every file's
+    * bloom sidecar with the seven lookup keys and return (files that might
+    * contain any probe, total file count). The collect is METADATA-scale —
+    * one row per data file, the same driver-side planning a Delta log
+    * replay or an Iceberg manifest scan does — never data rows.
+    */
+  private[operators] def bloomIdxMatchedFiles(
+      s: SparkSession, d: String): (Array[String], Long) = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val root = bloomIdxDir(s, d)
+    val idx = s.read.parquet(s"$root/index")
+    val probes = BloomIdxKeys.toDF("k")
+    val matched = idx.crossJoin(broadcast(probes)) // |files| × 7, metadata-scale
+      .filter(call_function("bloom_contains",
+        $"bloom", xxhash64($"k"), lit(BloomK)))
+      .select($"file").distinct().as[String].collect()
+    (matched.sorted, idx.count())
+  }
+
+  private[operators] def bloomIdxDataDir(s: SparkSession, d: String): String =
+    s"${bloomIdxDir(s, d)}/data"
 
   private[operators] def partitionedCorpus(s: SparkSession, d: String): String =
     partitionedDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {

@@ -300,4 +300,26 @@ class DiagnosticsSpec extends AnyFunSuite {
       assert(skew == c * nKeys * 10000L / total)
     }
   }
+
+  // The DuckDB oracle proves the bloom-index lookup returns exactly the
+  // probe keys' rows; this pins the SKIPPING: (a) no false negative — every
+  // file that truly holds a probe row is in the matched set (a miss would
+  // silently drop rows at some future layout), and (b) the index actually
+  // skips — the matched set stays well under the file total, which is the
+  // entire point of paying for the sidecars.
+  test("bloom index: matched files superset the true files and skip most of the layout") {
+    import spark.implicits._
+    val (matched, total) = PipelineOps.bloomIdxMatchedFiles(spark, sfDir)
+    val probes = Seq(7L, 212L, 388L, 701L, 994L, 1207L, 1403L)
+    val truth = spark.read
+      .option("basePath", PipelineOps.bloomIdxDataDir(spark, sfDir))
+      .parquet(PipelineOps.bloomIdxDataDir(spark, sfDir))
+      .filter($"l_orderkey".isin(probes: _*))
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    assert(truth.subsetOf(matched.toSet),
+      s"bloom index missed files truly containing probe rows: ${truth -- matched.toSet}")
+    assert(matched.length < 0.6 * total,
+      s"bloom index stopped skipping: ${matched.length} of $total files matched")
+    assert(matched.nonEmpty && total > 50)
+  }
 }
