@@ -1076,6 +1076,48 @@ object PipelineOps {
          |FROM stats LEFT JOIN sampled USING (source) CROSS JOIN tot
          |ORDER BY source""".stripMargin)),
 
+    // ---- temperature-scaled mixture plan (the GPT-3 / mT5 / XLM-R
+    // data-mixing method): resample domains with share ∝ n^α, α < 1, so
+    // low-resource domains are UPWEIGHTED relative to their natural share —
+    // here over the lang column, the method's canonical use (en is 44% of
+    // this corpus; at α = ½ its share drops to ~30% and each rare language
+    // rises). α = ½ is the exactness-friendly member of the published
+    // family (mT5 uses 0.3, GPT-3 ~0.43): IEEE sqrt is correctly rounded
+    // and perfect squares are exactly representable, so floor(sqrt(n))
+    // IS isqrt(n) on both engines for any count below 2⁵², and every
+    // downstream number stays integer (ppm shares, doc targets for a
+    // half-corpus budget, per-domain epochs in milli-units — epochs > 1000
+    // means the domain REPEATS, the upsampling a mixture config publishes).
+    // One 5-row aggregate + scalar totals; nothing scales with the corpus.
+    ("pipeline_temperature_mix", (s, d) => {
+      import s.implicits._
+      val st = Tables.documents(s, d).groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("s_root", expr("CAST(floor(sqrt(n_docs)) AS BIGINT)"))
+      val tot = st.agg(sum($"n_docs").as("nt"), sum($"s_root").as("ss"))
+      st.crossJoin(broadcast(tot))
+        .select($"lang", $"n_docs",
+          expr("n_docs * 1000000 div nt").as("share_ppm"),
+          $"s_root",
+          expr("s_root * 1000000 div ss").as("temp_share_ppm"),
+          expr("s_root * (nt div 2) div ss").as("target_docs"),
+          expr("s_root * (nt div 2) * 1000 div (ss * n_docs)").as("epochs_milli"))
+        .orderBy($"lang")
+    }, Some(
+      """WITH st AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS s_root
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nt,
+        |               CAST(sum(s_root) AS BIGINT) AS ss FROM st)
+        |SELECT lang, n_docs,
+        |  CAST(n_docs * 1000000 // nt AS BIGINT) AS share_ppm,
+        |  s_root,
+        |  CAST(s_root * 1000000 // ss AS BIGINT) AS temp_share_ppm,
+        |  CAST(s_root * (nt // 2) // ss AS BIGINT) AS target_docs,
+        |  CAST(s_root * (nt // 2) * 1000 // (ss * n_docs) AS BIGINT) AS epochs_milli
+        |FROM st CROSS JOIN tot ORDER BY lang""".stripMargin)),
+
     // ---- dataset card: the one-row summary a curation run publishes —
     // corpus size, token volume, language spread, exact-duplication rate,
     // and quality keep-rate, computed in ONE pass over the corpus plus one

@@ -191,4 +191,30 @@ class ValidationSpec extends AnyFunSuite {
       assert(nAlarms == 0L, s"$et: $nAlarms residual alarms on a smooth ramp")
     }
   }
+
+  // Temperature sampling's defining property, checked on the EXACT integers
+  // (not the ppm projections): α < 1 contracts share ratios — for any two
+  // domains with n_i ≥ n_j, s_i·n_j ≤ s_j·n_i (the temperature share ratio
+  // never exceeds the natural ratio), repeats (epochs) are anti-monotone in
+  // corpus presence, and the integer doc targets never overrun the budget.
+  test("temperature mix flattens toward rare domains within the budget") {
+    import spark.implicits._
+    val rows = PipelineOps.queries("pipeline_temperature_mix")(spark, sfDir)
+      .select($"lang", $"n_docs", $"s_root", $"target_docs", $"epochs_milli")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val nt = rows.map(_._2).sum
+    assert(rows.map(_._4).sum <= nt / 2, "doc targets overran the half-corpus budget")
+    for (a <- rows; b <- rows if a._2 >= b._2) {
+      assert(a._3 * b._2 <= b._3 * a._2,
+        s"share ratio not contracted for ${a._1} vs ${b._1}")
+      assert(a._5 <= b._5,
+        s"epochs not anti-monotone: ${a._1}(${a._5}) vs ${b._1}(${b._5})")
+    }
+    // the corpus's actual skew is demonstrably flattened: en dominates
+    // naturally and must lose share; the rarest language must gain
+    val en = rows.find(_._1 == "en").get
+    val rare = rows.minBy(_._2)
+    assert(en._3 * nt < en._2 * rows.map(_._3).sum, "en share did not shrink")
+    assert(rare._3 * nt > rare._2 * rows.map(_._3).sum, "rarest share did not grow")
+  }
 }
