@@ -1335,6 +1335,115 @@ object TextOps {
          |FROM pd ORDER BY doc_id""".stripMargin
     }),
 
+    // ---- Kneser-Ney bigram perplexity (Kneser & Ney 1995; Chen & Goodman
+    // 1999's interpolated form — the published STANDARD n-gram smoother,
+    // beside text_bigram_ppl's Laplace baseline): p(w2|w1) =
+    // (max(c(w1,w2)−D,0) + D·N1+(w1·)·p_cont(w2)) / c(w1·), D = 0.75,
+    // where p_cont(w2) ∝ the number of DISTINCT left contexts of w2 — the
+    // continuation count that makes KN famous ("Francisco" is frequent but
+    // only ever follows "San", so its continuation probability is tiny).
+    // A fully-OOV context backs off to p_cont alone, and p_cont carries a
+    // +1-over-types Laplace floor so OOV words score finite (an
+    // engineering floor, documented — pure KN assigns OOV zero mass).
+    // Exactness: every probability is the SAME arithmetic tree of exact
+    // integer-valued doubles on both engines (D = 3/4 is exactly
+    // representable), ln is floor-quantized to integer micro-nats per
+    // bigram (the text_bigram_ppl pattern), per-doc sums are order-free
+    // integer sums. Scale shape identical to the Laplace query: type/count
+    // tables are vocab²-bounded map-combined aggregates, the continuation
+    // table is vocab-bounded, scoring is one equi-join per table.
+    // The suspect cut ([[KnSuspectU6]]) is measured per the PplSuspectU6
+    // method; gibberish sits at the seen→novel teeth like the Laplace
+    // detector but with a HIGHER floor (ln of types+V, not c1l+V).
+    ("text_kneser_ney_ppl", (s, d) => {
+      import s.implicits._
+      val doc = Tables.documents(s, d)
+      val scored = pplScoredCorpus(s, d)
+      def bigrams(src: DataFrame): DataFrame = src
+        .select($"doc_id", transform(tokens($"text"), t => lower(t)).as("t"))
+        .filter(size($"t") >= 2)
+        .select($"doc_id", explode(expr(
+          """transform(sequence(0, size(t) - 2), i ->
+            |  struct(t[i] AS w1, t[i+1] AS w2))""".stripMargin)).as("b"))
+        .select($"doc_id", $"b.w1", $"b.w2")
+      val train = bigrams(doc)
+      val types = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      val ctx = types.groupBy($"w1")
+        .agg(sum($"c2").as("c1l"), count(lit(1)).as("n1f"))
+      val cont = types.groupBy($"w2").agg(count(lit(1)).as("nl"))
+      val tot = types.agg(count(lit(1)).as("nbt")).crossJoin(
+        doc.select(explode(transform(tokens($"text"), t => lower(t))).as("w"))
+          .agg(countDistinct($"w").as("v")))
+      val db = bigrams(scored).groupBy($"doc_id", $"w1", $"w2")
+        .agg(count(lit(1)).as("m"))
+      db.join(types, Seq("w1", "w2"), "left")
+        .join(broadcast(ctx), Seq("w1"), "left")
+        .join(broadcast(cont), Seq("w2"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("pcont",
+          expr("(coalesce(nl, 0) + 1.0D) / (nbt + v)"))
+        .withColumn("p", expr(
+          """CASE WHEN c1l IS NULL THEN pcont
+            |ELSE (greatest(coalesce(c2, 0) - 0.75D, 0.0D) + 0.75D * n1f * pcont) / c1l
+            |END""".stripMargin))
+        .withColumn("llp_u6", floor(log($"p") * 1000000).cast("long"))
+        .groupBy($"doc_id")
+        .agg(sum($"m").as("n_bigrams"), sum(-$"m" * $"llp_u6").as("nll_u6"))
+        .withColumn("avg_nll_u6", expr("nll_u6 div n_bigrams"))
+        .withColumn("tier",
+          when($"avg_nll_u6" >= KnSuspectU6, lit("suspect"))
+            .otherwise(lit("ok")))
+        .select($"doc_id", $"n_bigrams", $"avg_nll_u6", $"tier")
+        .orderBy($"doc_id")
+    }, Some {
+      val t = tokensSql("text")
+      s"""WITH sc AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 300000, '$PplGibberish' FROM documents
+         |  WHERE doc_id % 13 = 0),
+         |tr AS (
+         |  SELECT doc_id, list_transform($t, x -> lower(x)) AS t FROM documents
+         |  WHERE len($t) >= 2),
+         |trb AS (
+         |  SELECT unnest(list_transform(range(0, len(t) - 1), i ->
+         |    struct_pack(w1 := t[i+1], w2 := t[i+2]))) AS b
+         |  FROM tr),
+         |ty AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c2
+         |  FROM trb GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1l,
+         |    CAST(count(*) AS BIGINT) AS n1f FROM ty GROUP BY 1),
+         |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nl FROM ty GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM ty) AS nbt,
+         |    (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM (
+         |      SELECT unnest(list_transform($t, x -> lower(x))) AS w
+         |      FROM documents)) AS v),
+         |scb AS (
+         |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS m
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, len(t) - 1), i ->
+         |      struct_pack(w1 := t[i+1], w2 := t[i+2]))) AS b
+         |    FROM (SELECT doc_id, list_transform($t, x -> lower(x)) AS t FROM sc
+         |          WHERE len($t) >= 2))
+         |  GROUP BY 1, 2, 3),
+         |pb AS (
+         |  SELECT doc_id, m,
+         |    CASE WHEN c1l IS NULL THEN (coalesce(nl, 0) + 1.0) / (nbt + v)
+         |    ELSE (greatest(coalesce(c2, 0) - 0.75, 0.0)
+         |          + 0.75 * n1f * ((coalesce(nl, 0) + 1.0) / (nbt + v))) / c1l
+         |    END AS p
+         |  FROM scb LEFT JOIN ty USING (w1, w2) LEFT JOIN ctx USING (w1)
+         |  LEFT JOIN cont USING (w2) CROSS JOIN tot),
+         |pd AS (
+         |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(-m * CAST(floor(ln(p) * 1000000) AS BIGINT)) AS BIGINT) AS nll_u6
+         |  FROM pb GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, nll_u6 // n_bigrams AS avg_nll_u6,
+         |  CASE WHEN nll_u6 // n_bigrams >= $KnSuspectU6 THEN 'suspect'
+         |    ELSE 'ok' END AS tier
+         |FROM pd ORDER BY doc_id""".stripMargin
+    }),
+
     // ---- RAKE keyword extraction (Rose et al. 2010): candidate phrases
     // are maximal stopword-free token runs; a word scores deg/freq (deg =
     // Σ length of phrases it appears in — co-occurrence degree; freq =
@@ -1493,6 +1602,18 @@ object TextOps {
     * margins; the spec pins both sides at sf0.01.
     */
   private[graft] val PplSuspectU6 = 4000000L
+
+  /** Suspect cut for text_kneser_ney_ppl in micro-nats, measured by the
+    * PplSuspectU6 method. At sf0.001/0.01/0.1: originals max
+    * 3.64/3.66/3.85 nats, planted junk min 7.32/7.31/8.55 — KN separates
+    * ~2× wider than Laplace (junk ≥ 5.30 there) because the planted
+    * seen→novel bigrams pay BOTH the discount backoff and a continuation
+    * probability of 1/(types+V) (an OOV word has zero distinct left
+    * contexts), while Laplace only charges 1/(c1l+V). 5.0 nats splits with
+    * ≥ 1.15 / 2.31-nat margins at every SF; ValidationSpec pins both sides
+    * plus the strictly-sharper-than-Laplace contrast per planted doc.
+    */
+  private[graft] val KnSuspectU6 = 5000000L
 
   /** The trained bigram LM as a driver-side artifact for the STREAMING
     * scorer: (c2 counts, c1l left-marginals, V). This is the CCNet serving

@@ -217,4 +217,29 @@ class ValidationSpec extends AnyFunSuite {
     assert(en._3 * nt < en._2 * rows.map(_._3).sum, "en share did not shrink")
     assert(rare._3 * nt > rare._2 * rows.map(_._3).sum, "rarest share did not grow")
   }
+
+  // KN vs Laplace on the same planted corpus: every planted gibberish doc
+  // must score strictly HIGHER under Kneser-Ney (its seen→novel bigrams pay
+  // the discount backoff times a 1/(types+V) continuation floor, vs
+  // Laplace's single 1/(c1l+V) charge), and both tiers must be clean with
+  // the measured margins around the 5.0-nat cut.
+  test("kneser-ney separates planted junk wider than laplace, tiers clean") {
+    import spark.implicits._
+    def scores(q: String) = TextOps.queries(q)(spark, sfDir)
+      .select($"doc_id", $"avg_nll_u6", $"tier")
+      .as[(Long, Long, String)].collect()
+    val kn = scores("text_kneser_ney_ppl")
+    val lp = scores("text_bigram_ppl").map(r => r._1 -> r._2).toMap
+    val (junk, orig) = kn.partition(_._1 >= 300000)
+    assert(junk.nonEmpty && orig.nonEmpty)
+    junk.foreach { case (id, nll, tier) =>
+      assert(tier == "suspect", s"planted $id not flagged")
+      assert(nll > lp(id), s"KN not sharper than Laplace on planted $id")
+      assert(nll >= TextOps.KnSuspectU6 + 2000000L, s"junk margin eroded: $id at $nll")
+    }
+    orig.foreach { case (id, nll, tier) =>
+      assert(tier == "ok", s"original $id misflagged")
+      assert(nll <= TextOps.KnSuspectU6 - 1000000L, s"original margin eroded: $id at $nll")
+    }
+  }
 }
