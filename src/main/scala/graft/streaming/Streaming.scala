@@ -1758,6 +1758,95 @@ object Streaming {
       .orderBy(col("hour_us"), col("event_type"))
   }
 
+  /** Observed watermark drop counts per dataset dir, written by
+    * [[lateReplayContract]]'s one-per-JVM run: the sum of
+    * `numRowsDroppedByWatermark` across every micro-batch's state-operator
+    * progress. StreamingSpec pins this EQUAL to the planted late-row count
+    * — late-data loss must be observable and exactly accounted, never
+    * silent (the scd2Fn onLateDrop principle, now for the watermark path).
+    */
+  private[graft] val lateDropCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Planted-late predicate for [[lateReplayContract]], on (event_id,
+    * base wave): every 17th event whose timestamp falls in the first six
+    * of the eight time waves. Kept in one place so the wave builder, the
+    * oracle text, and the spec's expected-drop count share it.
+    */
+  private def isLate(baseWave: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    col("event_id") % 17 === 0 && baseWave <= 5
+
+  /** Event waves with PLANTED LATENESS: wave slicing as [[rawEventWaves]],
+    * but every 17th event from the first six waves arrives THREE waves
+    * after its event time (wave width is the span/8 — days at every SF, so
+    * the lateness dwarfs the 1-hour watermark delay plus the window width
+    * and the drop decision is far from any boundary tie). Wave assignment
+    * uses exact LONG integer division (`div`) so the oracle's `//` computes
+    * the identical base wave — a double-division truncation could disagree
+    * with floor at a quotient boundary.
+    */
+  private def lateEventWaves(s: org.apache.spark.sql.SparkSession, d: String): java.nio.file.Path =
+    waveFiles("events-late:" + d, {
+      val ev = rawEvents(s, d)
+      val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val width = math.max(1L, (hi - lo) / 8 + 1)
+      val waved = ev
+        .withColumn("base", expr(s"(unix_micros(ts) - ${lo}L) div ${width}L").cast("int"))
+        .withColumn("wave",
+          when(isLate(col("base")), col("base") + 3).otherwise(col("base")))
+        .drop("base")
+      val sentinel = s.range(1).select(
+        lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value"),
+        timestamp_micros(lit(hi + 864000000000L)).as("ts"), lit(9).as("wave"))
+      waved.unionByName(sentinel)
+    })
+
+  /** Late-data WATERMARK SEMANTICS contract — the one streaming behavior
+    * the in-order replays never exercise: what happens when events arrive
+    * after their window closed. The hourly aggregation runs with a 1-hour
+    * watermark over waves where every 17th early-wave event is delayed by
+    * three waves (days). By the time a late row arrives, the watermark —
+    * advanced by the on-time waves — is days past its window's end, so
+    * Structured Streaming DROPS it from the append-mode aggregate, and the
+    * emitted windows equal the batch aggregate over the ON-TIME rows only:
+    * that exact on-time-only SQL is the DuckDB oracle, so a row that
+    * leaked back in (or an on-time row wrongly dropped) hash-mismatches.
+    * The drops themselves are not silent: the run records
+    * Σ numRowsDroppedByWatermark in [[lateDropCounts]] and StreamingSpec
+    * pins it EQUAL to the planted late GROUP count — the metric counts at
+    * the state operator, AFTER map-side partial aggregation, so it sees
+    * one row per (window, type) group per batch (measured: 76 raw rows →
+    * 75 counted in one batch where two shared a group). Determinism: waves
+    * arrive in file order one per trigger, the watermark sequence is a
+    * pure function of per-wave max event times, and every drop decision
+    * sits days from the eviction boundary.
+    */
+  def lateReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val ev = rawEvents(s, d)
+    val emitted = replayedSink(s, "late:" + d, "graft_late_replay_") { (sink, root) =>
+      val src = lateEventWaves(s, d)
+      val stream = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+      withFewShufflePartitions(s) {
+        val q = windowedEventStats(stream, "ts", "1 hour", "1 hour")
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .option("checkpointLocation", root.resolve("chk").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        lateDropCounts.put(d, q.recentProgress.toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsDroppedByWatermark).sum)
+      }
+    }
+    emitted.filter(col("event_type") =!= "sentinel")
+      .select(unix_micros(col("window_start")).as("hour_us"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("hour_us"), col("event_type"))
+  }
+
   /** Time-ordered file-source replay through [[purchaseAttribution]] — the
     * STREAM-STREAM inner join with event-time bounds on both sides (the
     * remaining Structured Streaming operator family without a driver
@@ -1849,6 +1938,7 @@ object Streaming {
     "stream_bottomk_replay" -> ((s, d) => bottomKReplayContract(s, d)),
     "stream_rate_anomaly_replay" -> ((s, d) => rateAnomalyReplayContract(s, d)),
     "stream_psi_replay" -> ((s, d) => psiReplayContract(s, d)),
+    "stream_late_replay" -> ((s, d) => lateReplayContract(s, d)),
     "stream_semantic_replay" -> ((s, d) => semanticReplayContract(s, d)))
 
   /** Batch-equivalent oracle for the replay: quality gate, then min-id
@@ -1877,6 +1967,20 @@ object Streaming {
       // the tumbling-window replay must reproduce q21's batch hourly stats
       // VERBATIM — shared text, same no-drift argument
       "stream_hourly_replay" -> graft.operators.Relational.oracleSql("q21_hourly_event_stats"),
+      // the late-data contract's emitted windows must equal the batch
+      // aggregate over the ON-TIME rows only: same q21 aggregate text, the
+      // planted-late predicate (event_id % 17 in the first six waves)
+      // excluded with the SAME exact integer wave arithmetic (`//` here,
+      // `div` on longs in lateEventWaves)
+      "stream_late_replay" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+        |w AS (SELECT lo, greatest(1, (hi - lo) // 8 + 1) AS width FROM b),
+        |ot AS (
+        |  SELECT e.* FROM events e CROSS JOIN w
+        |  WHERE NOT (e.event_id % 17 = 0 AND (epoch_us(e.ts) - lo) // width <= 5))
+        |SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        |  count(*) AS n, CAST(round(CAST((sum(value)) AS DECIMAL(28,8)), 2) AS DOUBLE) AS total_value
+        |FROM ot GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
       // the stream-stream join's emitted pairs must equal the batch
       // self-join: purchases matched to same-user signups in the
       // preceding hour

@@ -877,4 +877,39 @@ class StreamingSpec extends AnyFunSuite {
     val expect = buckets.groupBy(identity).map { case (b, v) => b -> v.size.toLong }
     assert(forward == expect, "final snapshot must be the exact batch histogram")
   }
+
+  // The late-data contract's oracle proves the emitted windows equal the
+  // on-time-only batch aggregate; this pins the ACCOUNTING side: the drops
+  // Structured Streaming reported at the watermark equal the planted late
+  // data exactly — late loss is observable, never silent. Measured
+  // semantics of numRowsDroppedByWatermark (found by per-batch dump): the
+  // state operator counts AFTER map-side partial aggregation, so it drops
+  // one row per (window, event_type) GROUP per arrival batch, not one per
+  // raw input row (76 raw base-0 rows -> 75 counted: two shared an hour
+  // and type). Each wave is a single file/partition, so the partial agg
+  // merges a batch's late rows deterministically and the expected count is
+  // the distinct (arrival batch, window, type) triple count. Raw-row loss
+  // is still fully pinned: the oracle fixes every emitted sum, so any
+  // on-time row dropped or late row leaked in would hash-mismatch there.
+  test("late replay drop metric equals the planted late group count exactly") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    Streaming.queries("stream_late_replay")(spark, d).count() // ensure the one-per-JVM run
+    val dropped = Streaming.lateDropCounts.get(d)
+    val ev = graft.Tables.events(spark, d)
+      .select($"event_id", $"event_type", $"ts", unix_micros($"ts").as("us"))
+    val (lo, hi) = ev.agg(min($"us"), max($"us")).as[(Long, Long)].head()
+    val width = math.max(1L, (hi - lo) / 8 + 1)
+    val late = ev.filter($"event_id" % 17 === 0 &&
+      expr(s"(us - ${lo}L) div ${width}L") <= 5)
+    val plantedRows = late.count()
+    val plantedGroups = late
+      .select(expr(s"(us - ${lo}L) div ${width}L").as("arrival"),
+        date_trunc("hour", $"ts").as("h"), $"event_type")
+      .distinct().count()
+    assert(plantedRows > 0, "no late rows planted — the contract tests nothing")
+    assert(plantedGroups <= plantedRows)
+    assert(dropped == plantedGroups,
+      s"drop metric $dropped != planted late groups $plantedGroups (rows $plantedRows)")
+  }
 }
