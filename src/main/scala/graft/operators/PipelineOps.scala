@@ -503,6 +503,29 @@ object PipelineOps {
         |FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') >= '2001-06'
         |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
+    // ---- AUTOMATIC MV rewrite (aggregate navigation — Oracle/Calcite's
+    // QUERY REWRITE, as a Catalyst optimizer rule): this query is written
+    // NAIVELY against the 60M-row fact table — groupBy month over
+    // Tables.lineitem, no mention of any rollup — and the installed
+    // MvAggregateRewrite rule rewrites it at optimization time to read the
+    // month-partitioned MV instead, mapping count(*) → sum(n_items) and
+    // each additive sum onto its pre-aggregated measure. The DuckDB oracle
+    // is the NAIVE fact-table SQL, so the hash match proves the rewrite is
+    // semantics-preserving; PlanQualitySpec pins that the executed plan
+    // reads the MV files and never scans lineitem, and that the rule
+    // actually fired. At 100 TB this is the feature that makes the rollup
+    // USEFUL: dashboards keep their natural SQL and the engine serves it
+    // from the summary.
+    ("pipeline_mv_rewrite", (s, d) => {
+      graft.plans.MvRewrite.install(s, mvRewriteTemplate(s, d), mvRollupDir(s, d))
+      mvRewriteTemplate(s, d)
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     // ---- bloom data-skipping index serve: point-lookup of seven order
     // keys against a fact laid out by ship month — a layout that CANNOT
     // serve this lookup by partition pruning (an order's items scatter
@@ -2141,6 +2164,24 @@ object PipelineOps {
         .write.mode("overwrite").parquet(root.resolve("index").toString)
       root.toString
     })
+
+  /** The naive fact-table monthly aggregate — BOTH the MV-rewrite template
+    * registered with [[graft.plans.MvRewrite.install]] and the query
+    * pipeline_mv_rewrite runs, built once here so the registered shapes
+    * and the demonstrated query are the same Column code by construction.
+    * Output names match the MV's measure columns ([[mvRollupDir]]'s daily
+    * schema), group key first — the install contract.
+    */
+  private[operators] def mvRewriteTemplate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity".cast("bigint")).as("sum_qty"),
+        sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+      .orderBy($"ship_month")
+  }
 
   /** Data-skipping plan step for pipeline_bloom_index: probe every file's
     * bloom sidecar with the seven lookup keys and return (files that might

@@ -112,6 +112,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"lang partition filter not pushed to the file index:\n$plan")
   }
 
+  test("pipeline_mv_rewrite: the naive fact aggregate is rewritten to read the MV") {
+    val before = graft.plans.MvRewrite.fired.get()
+    val df = graft.SparkEntry.queries("pipeline_mv_rewrite")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(graft.plans.MvRewrite.fired.get() > before, "rewrite rule did not fire")
+    assert(plan.contains("graft_mv"), s"plan does not scan the MV:\n$plan")
+    assert(!plan.contains("lineitem"),
+      s"naive aggregate still scans the fact table:\n$plan")
+    assert(!plan.contains("ship_day"), "MV scan not pruned to the used measures")
+    // the rule is conservative: the same session's OTHER lineitem
+    // aggregates must be untouched (different grouping shape)
+    val q1 = graft.SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    assert(q1.queryExecution.executedPlan.toString.contains("lineitem"),
+      "rewrite overfired onto an unrelated aggregate")
+  }
+
   test("pipeline_mv_serve: month predicate prunes the rollup's file index; neither MV query scans the fact table") {
     val serve = graft.SparkEntry.queries("pipeline_mv_serve")(spark, sfDir)
     val servePlan = serve.queryExecution.executedPlan.toString
