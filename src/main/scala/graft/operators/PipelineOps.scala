@@ -1099,6 +1099,92 @@ object PipelineOps {
          |FROM stats LEFT JOIN sampled USING (source) CROSS JOIN tot
          |ORDER BY source""".stripMargin)),
 
+    // ---- entity resolution with MULTI-PASS BLOCKING (record linkage,
+    // Fellegi & Sunter 1969 shape; blocking per Hernández & Stolfo's
+    // merge/purge): match customers against a planted registry — every 3rd
+    // customer appears with ONE name character overwritten (position
+    // (custkey div 3) % 9 sweeps all nine digit slots, so perturbations
+    // land in both blocking regions), and
+    // every 11th as a same-balance GHOST with an unrelated name (blocks,
+    // then must be rejected by the verifier). Two blocking passes, each a
+    // plain equi-join (never all-pairs): exact balance cents, and
+    // (nation, segment, name-suffix-4). A single-character perturbation
+    // cannot break the balance key, so twin recall is 100% by
+    // construction; a suffix perturbation breaks pass B and the union of
+    // passes still catches it — the multi-pass argument. Verification is
+    // levenshtein ≤ 1 (the planted distance; both engines implement the
+    // same DP), and via_bal/via_name report which pass found each match.
+    // Scale shape: candidates are linear (cents are near-unique, name
+    // blocks are nation×segment×suffix-bounded); the verifier runs only
+    // on blocked pairs.
+    ("pipeline_entity_match", (s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d).select($"c_custkey", $"c_name",
+        $"c_nationkey", $"c_mktsegment",
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val twins = cust.filter($"c_custkey" % 3 === 0).select(
+        ($"c_custkey" + 500000).as("r_id"),
+        expr("""concat(substr(c_name, 1, CAST(9 + (c_custkey div 3) % 9 AS INT)), 'X',
+                substr(c_name, CAST(11 + (c_custkey div 3) % 9 AS INT)))""").as("r_name"),
+        $"c_nationkey".as("r_nat"), $"c_mktsegment".as("r_seg"),
+        $"cents".as("r_cents"))
+      val ghosts = cust.filter($"c_custkey" % 11 === 0).select(
+        ($"c_custkey" + 600000).as("r_id"),
+        concat(lit("Ghost#"), $"c_custkey").as("r_name"),
+        $"c_nationkey".as("r_nat"), $"c_mktsegment".as("r_seg"),
+        $"cents".as("r_cents"))
+      val reg = twins.unionByName(ghosts)
+      def pass(j: DataFrame, bal: Int, nm: Int): DataFrame = j.select(
+        $"c_custkey", $"r_id", $"c_name", $"r_name",
+        lit(bal).as("via_bal"), lit(nm).as("via_name"))
+      val pa = pass(cust.join(reg, $"cents" === $"r_cents"), 1, 0)
+      val pb = pass(cust.join(reg, $"c_nationkey" === $"r_nat" &&
+        $"c_mktsegment" === $"r_seg" &&
+        expr("substr(c_name, 15, 4)") === expr("substr(r_name, 15, 4)")), 0, 1)
+      pa.unionByName(pb)
+        .groupBy($"c_custkey", $"r_id", $"c_name", $"r_name")
+        .agg(max($"via_bal").as("vb"), max($"via_name").as("vn"))
+        .withColumn("lev", levenshtein($"c_name", $"r_name"))
+        .filter($"lev" <= 1)
+        .select($"c_custkey", $"r_id".as("registry_id"),
+          $"lev".cast("long").as("lev"),
+          $"vb".cast("long").as("via_bal"), $"vn".cast("long").as("via_name"))
+        .orderBy($"c_custkey", $"registry_id")
+    }, Some(
+      """WITH cust AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |reg AS (
+        |  SELECT c_custkey + 500000 AS r_id,
+        |    concat(substr(c_name, 1, CAST(9 + (c_custkey // 3) % 9 AS INT)), 'X',
+        |      substr(c_name, CAST(11 + (c_custkey // 3) % 9 AS INT))) AS r_name,
+        |    c_nationkey AS r_nat, c_mktsegment AS r_seg, cents AS r_cents
+        |  FROM cust WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 600000, 'Ghost#' || c_custkey,
+        |    c_nationkey, c_mktsegment, cents
+        |  FROM cust WHERE c_custkey % 11 = 0),
+        |pa AS (
+        |  SELECT c.c_custkey, r.r_id, c.c_name, r.r_name,
+        |    1 AS via_bal, 0 AS via_name
+        |  FROM cust c JOIN reg r ON c.cents = r.r_cents),
+        |pb AS (
+        |  SELECT c.c_custkey, r.r_id, c.c_name, r.r_name,
+        |    0 AS via_bal, 1 AS via_name
+        |  FROM cust c JOIN reg r ON c.c_nationkey = r.r_nat
+        |    AND c.c_mktsegment = r.r_seg
+        |    AND substr(c.c_name, 15, 4) = substr(r.r_name, 15, 4)),
+        |u AS (
+        |  SELECT c_custkey, r_id, c_name, r_name,
+        |    max(via_bal) AS vb, max(via_name) AS vn
+        |  FROM (SELECT * FROM pa UNION ALL SELECT * FROM pb)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT c_custkey, r_id AS registry_id,
+        |  CAST(levenshtein(c_name, r_name) AS BIGINT) AS lev,
+        |  CAST(vb AS BIGINT) AS via_bal, CAST(vn AS BIGINT) AS via_name
+        |FROM u WHERE levenshtein(c_name, r_name) <= 1
+        |ORDER BY c_custkey, registry_id""".stripMargin)),
+
     // ---- temperature-scaled mixture plan (the GPT-3 / mT5 / XLM-R
     // data-mixing method): resample domains with share ∝ n^α, α < 1, so
     // low-resource domains are UPWEIGHTED relative to their natural share —

@@ -160,4 +160,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(mv.except(rebuild).isEmpty && rebuild.except(mv).isEmpty,
       "refreshed MV diverges from the full rebuild")
   }
+
+  // The entity-match oracle pins the output bit-for-bit; this pins what the
+  // output MEANS against the planted truth: perfect recall on the perturbed
+  // twins, zero false matches (in particular every same-balance GHOST was
+  // blocked into a candidate pair and rejected by the verifier — the
+  // blocking/verification division of labor), and the multi-pass split is
+  // the planted arithmetic (a twin misses the name-suffix block exactly
+  // when its perturbed slot (custkey div 3) % 9 falls in the suffix
+  // region, i.e. >= 5 — the balance pass alone catches those).
+  test("entity match: planted recall 100%, ghosts rejected, pass split exact") {
+    import spark.implicits._
+    val got = PipelineOps.queries("pipeline_entity_match")(spark, sfDir)
+      .select($"c_custkey", $"registry_id", $"via_name")
+      .as[(Long, Long, Long)].collect()
+    val nCust = graft.Tables.customer(spark, sfDir).count()
+    val twins = (0L until nCust).filter(_ % 3 == 0)
+    assert(got.map(r => r._1 -> r._2).toSet ==
+      twins.map(k => k -> (k + 500000)).toSet,
+      "matched pairs are not exactly the planted twins")
+    val balOnly = got.filter(_._3 == 0).map(_._1).toSet
+    val wantBalOnly = twins.filter(k => (k / 3) % 9 >= 5).toSet
+    assert(balOnly == wantBalOnly, "pass split diverged from the planted positions")
+    assert(balOnly.nonEmpty && balOnly.size < got.length,
+      "both blocking passes must contribute")
+  }
 }
