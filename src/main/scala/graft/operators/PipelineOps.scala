@@ -526,6 +526,35 @@ object PipelineOps {
         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
+    // ---- the FILTERED naive dashboard query through the same rewrite
+    // rule: a month-range predicate on the fact aggregate's group key is
+    // recognized as group-selecting (it can only keep or drop WHOLE
+    // months), translated onto the MV's ship_month column, and — because
+    // the rollup is month-partitioned — becomes partition pruning: the
+    // naive filtered query ends up reading 6 month directories of the
+    // summary instead of scanning the fact table (PlanQualitySpec pins
+    // fired + PartitionFilters + no lineitem). A predicate on any OTHER
+    // column disqualifies the rewrite (spec-pinned negative case), which
+    // is the correctness boundary of aggregate navigation.
+    ("pipeline_mv_rewrite_range", (s, d) => {
+      import s.implicits._
+      graft.plans.MvRewrite.install(s, mvRewriteTemplate(s, d), mvRollupDir(s, d))
+      Tables.lineitem(s, d)
+        .filter(date_format($"l_shipdate", "yyyy-MM") >= "2001-06")
+        .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast("bigint")).as("sum_qty"),
+          sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+            .as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') >= '2001-06'
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     // ---- bloom data-skipping index serve: point-lookup of seven order
     // keys against a fact laid out by ship month — a layout that CANNOT
     // serve this lookup by partition pruning (an order's items scatter

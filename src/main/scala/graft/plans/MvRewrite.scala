@@ -30,8 +30,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    registered fact files (path-set equality, so sf0.01 and sf0.1
   *    registrations coexist without cross-firing);
   *  - the plan between Aggregate and leaf is only Project (column
-  *    pruning) — any Filter/Join disqualifies (a predicate could select
-  *    rows the month-grain rollup cannot reproduce);
+  *    pruning) plus Filters whose every conjunct constrains the GROUP KEY
+  *    alone (key-vs-literal comparison / IN / null check) — those select
+  *    whole groups, so they translate verbatim onto the rollup's key
+  *    column, where the month-partitioned layout turns them into
+  *    partition pruning; a predicate on any other column selects part of
+  *    a group's rows, which the rollup cannot reproduce, and disqualifies;
   *  - the grouping expressions and every aggregate function match a
   *    registered shape under [[MvRewrite.shape]] (attribute names
   *    normalized, then Catalyst's `canonicalized` — exprIds, aliases and
@@ -52,6 +56,7 @@ object MvRewrite {
   private[plans] final case class Target(
       factPaths: Set[String],
       groupShapes: Seq[Expression],
+      groupSourceCols: Set[String], // lowercased fact columns the key reads
       aggToMvColumn: Map[Expression, String],
       groupMvColumn: String,
       mvPath: String)
@@ -82,12 +87,13 @@ object MvRewrite {
   def install(spark: SparkSession, template: DataFrame, mvPath: String): Unit = {
     val key = spark.hashCode() + "|" + mvPath
     targets.computeIfAbsent(key, _ => {
-      val (agg, leaf) = findAggAndLeaf(template.queryExecution.optimizedPlan)
+      val (agg, si) = findAggAndScan(template.queryExecution.optimizedPlan)
         .getOrElse(throw new IllegalArgumentException(
           "MV rewrite template must optimize to Aggregate over Project*/parquet scan"))
+      require(si.filters.isEmpty, "MV rewrite template must be unfiltered")
       val groupKeyName = agg.aggregateExpressions.head.name
       val aggMap = agg.aggregateExpressions.tail.map {
-        case al @ Alias(child, _) => shape(child) -> al.name
+        case al @ Alias(child, _) => shape(inline(child, si.aliases)) -> al.name
         case other => throw new IllegalArgumentException(
           s"unexpected template aggregate output: $other")
       }.toMap
@@ -99,7 +105,9 @@ object MvRewrite {
           spark.experimental.extraOptimizations =
             spark.experimental.extraOptimizations :+ new MvAggregateRewrite(spark)
       }
-      Target(leafPaths(leaf), agg.groupingExpressions.map(shape),
+      val inlinedGroups = agg.groupingExpressions.map(inline(_, si.aliases))
+      Target(leafPaths(si.leaf), inlinedGroups.map(shape),
+        inlinedGroups.flatMap(_.references.map(_.name.toLowerCase)).toSet,
         aggMap, groupKeyName, mvPath)
     })
     ()
@@ -110,22 +118,63 @@ object MvRewrite {
     targets.values.asScala.toSeq
   }
 
-  /** Aggregate over only Project/SubqueryAlias wrappers over a parquet
-    * LogicalRelation — the rewritable silhouette.
+  /** Aggregate over only Project/Filter/SubqueryAlias wrappers over a
+    * parquet LogicalRelation — the rewritable silhouette.
     */
-  private[plans] def findAggAndLeaf(p: LogicalPlan): Option[(Aggregate, LogicalRelation)] =
+  private[plans] def findAggAndScan(p: LogicalPlan): Option[(Aggregate, ScanInfo)] =
     p match {
-      case a: Aggregate => pureScan(a.child).map(a -> _)
-      case Project(_, c) => findAggAndLeaf(c)
-      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => findAggAndLeaf(s.child)
+      case a: Aggregate => scanInfo(a.child).map(a -> _)
+      case Project(_, c) => findAggAndScan(c)
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => findAggAndScan(s.child)
       case _ => None
     }
 
-  private[plans] def pureScan(p: LogicalPlan): Option[LogicalRelation] = p match {
-    case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] => Some(lr)
-    case Project(_, c) => pureScan(c)
-    case SubqueryAlias(_, c) => pureScan(c)
+  /** What sits between an Aggregate and its scan: the parquet leaf, the
+    * Filter conjuncts collected on the way down, and the Project alias map
+    * (the optimizer extracts computed grouping expressions into child
+    * Projects as `_groupingexpression#N` — [[inline]] substitutes those
+    * back so shape matching sees the real expression tree). Anything else
+    * (Join, Window, …) disqualifies the subtree.
+    */
+  private[plans] final case class ScanInfo(
+      leaf: LogicalRelation,
+      filters: Seq[Expression],
+      aliases: Map[ExprId, Expression])
+
+  private[plans] def scanInfo(p: LogicalPlan): Option[ScanInfo] = p match {
+    case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+      Some(ScanInfo(lr, Nil, Map.empty))
+    case Project(projList, c) =>
+      scanInfo(c).map { si =>
+        val more = projList.collect { case a: Alias => a.exprId -> a.child }
+        si.copy(aliases = si.aliases ++ more)
+      }
+    case SubqueryAlias(_, c) => scanInfo(c)
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, c) =>
+      scanInfo(c).map(si => si.copy(filters = splitConjuncts(cond) ++ si.filters))
     case _ => None
+  }
+
+  /** Substitute Project-extracted aliases back into `e` until fixpoint
+    * (alias chains are shallow; the cap is a safety net).
+    */
+  private[plans] def inline(e: Expression, aliases: Map[ExprId, Expression]): Expression = {
+    var cur = e
+    var i = 0
+    while (i < 8) {
+      val next = cur.transformUp {
+        case a: AttributeReference if aliases.contains(a.exprId) => aliases(a.exprId)
+      }
+      if (next.fastEquals(cur)) return cur
+      cur = next
+      i += 1
+    }
+    cur
+  }
+
+  private[plans] def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
   }
 
   private[plans] def leafPaths(lr: LogicalRelation): Set[String] =
@@ -145,24 +194,56 @@ final class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (ts.isEmpty) plan
     else plan.transformUp {
       case agg: Aggregate =>
-        pureScan(agg.child).flatMap { leaf =>
-          ts.find(t => leafPaths(leaf) == t.factPaths &&
-              agg.groupingExpressions.map(shape) == t.groupShapes)
-            .flatMap(t => rewrite(agg, t))
+        scanInfo(agg.child).flatMap { si =>
+          ts.find(t => leafPaths(si.leaf) == t.factPaths &&
+              agg.groupingExpressions.map(g => shape(inline(g, si.aliases))) == t.groupShapes)
+            .flatMap(t => rewrite(agg, si, t))
         }.getOrElse(agg)
     }
   }
 
-  private def rewrite(agg: Aggregate, t: Target): Option[LogicalPlan] = {
+  /** A fact-side filter conjunct is rewritable iff it constrains ONLY the
+    * group key: a binary comparison of the group-key expression against a
+    * literal (either side), an IN over literals, or a null check on an
+    * attribute the group key is built from (the key is null exactly when
+    * its source column is — same rows survive on the month-grain rollup).
+    * Such predicates select whole groups, so applying them to the rollup's
+    * key column is semantics-preserving; anything else (a predicate on a
+    * non-key column selects PART of a group's rows) disqualifies.
+    */
+  private def translateFilter(
+      f: Expression, groupShape: Expression, groupSourceCols: Set[String],
+      groupAttr: Attribute): Option[Expression] = f match {
+    case cmp: BinaryComparison =>
+      (cmp.left, cmp.right) match {
+        case (k, l: Literal) if shape(k) == groupShape =>
+          Some(cmp.withNewChildren(Seq(groupAttr, l)))
+        case (l: Literal, k) if shape(k) == groupShape =>
+          Some(cmp.withNewChildren(Seq(l, groupAttr)))
+        case _ => None
+      }
+    case In(k, vs) if shape(k) == groupShape && vs.forall(_.isInstanceOf[Literal]) =>
+      Some(In(groupAttr, vs))
+    case IsNotNull(a: AttributeReference)
+        if groupSourceCols == Set(a.name.toLowerCase) || shape(a) == groupShape =>
+      Some(IsNotNull(groupAttr))
+    case _ => None
+  }
+
+  private def rewrite(
+      agg: Aggregate, si: ScanInfo, t: Target): Option[LogicalPlan] = {
     val mvPlan = spark.read.parquet(t.mvPath).queryExecution.analyzed
     val mvOut = mvPlan.output.map(a => a.name -> a).toMap
     val groupAttr = mvOut(t.groupMvColumn)
     val groupShape = t.groupShapes.head
+    val translated = si.filters.map(f =>
+      translateFilter(inline(f, si.aliases), groupShape, t.groupSourceCols, groupAttr))
+    if (translated.exists(_.isEmpty)) return None // non-key predicate: bail
     val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
-      case al @ Alias(child, name) if shape(child) == groupShape =>
+      case al @ Alias(child, name) if shape(inline(child, si.aliases)) == groupShape =>
         Some(Alias(groupAttr, name)(al.exprId))
       case al @ Alias(child, name) =>
-        t.aggToMvColumn.get(shape(child)).map { col =>
+        t.aggToMvColumn.get(shape(inline(child, si.aliases))).map { col =>
           Alias(AggregateExpression(Sum(mvOut(col)), Complete, isDistinct = false),
             name)(al.exprId)
         }
@@ -177,7 +258,11 @@ final class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val needed = (Seq(groupAttr) ++ mapped.flatten.flatMap(_.collect {
         case a: AttributeReference => a
       })).distinct.filterNot(_ == groupAttr).prepended(groupAttr)
-      Some(Aggregate(Seq(groupAttr), mapped.flatten, Project(needed, mvPlan)))
+      val filtered =
+        if (translated.isEmpty) mvPlan
+        else org.apache.spark.sql.catalyst.plans.logical.Filter(
+          translated.flatten.reduce(And), mvPlan)
+      Some(Aggregate(Seq(groupAttr), mapped.flatten, Project(needed, filtered)))
     }
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-quality regression guards: the scale story is carried by plan shape
@@ -126,6 +127,28 @@ class PlanQualitySpec extends AnyFunSuite {
     val q1 = graft.SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
     assert(q1.queryExecution.executedPlan.toString.contains("lineitem"),
       "rewrite overfired onto an unrelated aggregate")
+  }
+
+  test("pipeline_mv_rewrite_range: the group-key filter becomes MV partition pruning; non-key filters disqualify") {
+    import spark.implicits._
+    val df = graft.SparkEntry.queries("pipeline_mv_rewrite_range")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv") && !plan.contains("lineitem"),
+      s"filtered naive aggregate not rewritten to the MV:\n$plan")
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*ship_month.*"),
+      s"translated key filter did not prune the MV's file index:\n$plan")
+    // negative case: a predicate on a NON-key column selects part of a
+    // group's rows — the rollup cannot reproduce it, the rewrite must bail
+    val monthKey = F.date_format($"l_shipdate", "yyyy-MM")
+    val nonKey = graft.Tables.lineitem(spark, sfDir)
+      .filter($"l_discount" > 0.05)
+      .groupBy(monthKey.as("ship_month"))
+      .agg(F.count(F.lit(1)).as("n_items"),
+        F.sum($"l_quantity".cast("bigint")).as("sum_qty"),
+        F.sum(F.expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+    assert(nonKey.queryExecution.executedPlan.toString.contains("lineitem"),
+      "rewrite must NOT fire for a non-group-key predicate")
   }
 
   test("pipeline_mv_serve: month predicate prunes the rollup's file index; neither MV query scans the fact table") {
