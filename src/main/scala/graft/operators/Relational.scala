@@ -2081,7 +2081,73 @@ object Relational {
         |  CAST(min(CASE WHEN r.idx = f.mi THEN r.l END) AS BIGINT) AS level_final_u3,
         |  CAST(min(CASE WHEN r.idx = f.mi THEN r.b END) AS BIGINT) AS trend_final_u3
         |FROM r JOIN fin f USING (event_type)
-        |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin))
+        |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin)),
+
+    // ---- multi-touch attribution (the marketing-analytics standard
+    // beside q38's single-touch match): every view/click/signup by the
+    // same user in the 24 h before a purchase is a TOUCH; each purchase
+    // distributes 1000 milli-credits across its touches under two models —
+    // LINEAR (equal split, 1000 div n) and TIME-DECAY (6-hour half-life;
+    // the touch's weight halves per 6 h bucket, w ∈ {10⁶, 5·10⁵, …},
+    // credit = 1000·w div Σw). All-integer: bucket index by exact µs
+    // division, weights by CASE over the 5 possible buckets, so both
+    // engines truncate identically; per-purchase credit sums are ≤ 1000
+    // with the remainder left unassigned (documented — no float ever).
+    // Scale shape: one range self-join on user_id (the q38 pattern), one
+    // per-purchase aggregate broadcast back, one 3-row rollup.
+    ("q70_multi_touch", (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val p = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+      val t = e.filter($"event_type".isin("view", "click", "signup"))
+        .select($"user_id".as("t_user"), $"event_type".as("touch_type"),
+          $"event_id".as("touch_id"), $"ts".as("t_ts"))
+      val touches = p.join(t, $"user_id" === $"t_user" &&
+          $"t_ts" < $"p_ts" && $"t_ts" >= $"p_ts" - expr("INTERVAL 24 HOURS"))
+        .withColumn("dh",
+          expr("(unix_micros(p_ts) - unix_micros(t_ts)) div 21600000000"))
+        .withColumn("w", expr(
+          """CASE dh WHEN 0 THEN 1000000 WHEN 1 THEN 500000 WHEN 2 THEN 250000
+            |WHEN 3 THEN 125000 ELSE 62500 END""".stripMargin))
+      val perP = touches.groupBy($"purchase_id")
+        .agg(count(lit(1)).as("n_t"), sum($"w").as("sum_w"))
+      touches.join(perP, "purchase_id")
+        .withColumn("lin", expr("1000 div n_t"))
+        .withColumn("dec", expr("1000 * w div sum_w"))
+        .groupBy($"touch_type")
+        .agg(count(lit(1)).as("n_touches"),
+          sum($"lin").as("credit_linear_milli"),
+          sum($"dec").as("credit_decay_milli"))
+        .orderBy($"touch_type")
+    }, Some(
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id AS t_user, event_type AS touch_type,
+        |    event_id AS touch_id, ts AS t_ts
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        |tc AS (
+        |  SELECT p.purchase_id, t.touch_type,
+        |    (epoch_us(p.p_ts) - epoch_us(t.t_ts)) // 21600000000 AS dh
+        |  FROM p JOIN t ON p.user_id = t.t_user
+        |    AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 24 HOURS),
+        |tw AS (
+        |  SELECT purchase_id, touch_type,
+        |    CASE dh WHEN 0 THEN 1000000 WHEN 1 THEN 500000 WHEN 2 THEN 250000
+        |    WHEN 3 THEN 125000 ELSE 62500 END AS w
+        |  FROM tc),
+        |pp AS (
+        |  SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_t,
+        |    CAST(sum(w) AS BIGINT) AS sum_w
+        |  FROM tw GROUP BY 1)
+        |SELECT touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(1000 // n_t) AS BIGINT) AS credit_linear_milli,
+        |  CAST(sum(1000 * w // sum_w) AS BIGINT) AS credit_decay_milli
+        |FROM tw JOIN pp USING (purchase_id)
+        |GROUP BY 1 ORDER BY touch_type""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -218,6 +218,48 @@ class ValidationSpec extends AnyFunSuite {
     assert(rare._3 * nt > rare._2 * rows.map(_._3).sum, "rarest share did not grow")
   }
 
+  // Multi-touch credit conservation, recomputed independently at touch
+  // granularity: each purchase hands out AT MOST 1000 milli-credits per
+  // model, and the integer-truncation loss is < 1 milli-credit per touch
+  // (so ≥ 1000 − n_touches survives); the aggregate query's per-type sums
+  // must equal the sums of these per-purchase distributions.
+  test("multi-touch attribution conserves per-purchase credit under both models") {
+    import spark.implicits._
+    val e = graft.Tables.events(spark, sfDir)
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+    val t = e.filter($"event_type".isin("view", "click", "signup"))
+      .select($"user_id".as("t_user"), $"event_type".as("touch_type"), $"ts".as("t_ts"))
+    val touches = p.join(t, $"user_id" === $"t_user" &&
+        $"t_ts" < $"p_ts" && $"t_ts" >= $"p_ts" - expr("INTERVAL 24 HOURS"))
+      .withColumn("dh", expr("(unix_micros(p_ts) - unix_micros(t_ts)) div 21600000000"))
+      .withColumn("w", expr(
+        "CASE dh WHEN 0 THEN 1000000 WHEN 1 THEN 500000 WHEN 2 THEN 250000 WHEN 3 THEN 125000 ELSE 62500 END"))
+      .select($"purchase_id", $"touch_type", $"w")
+      .as[(Long, String, Long)].collect()
+    assert(touches.nonEmpty)
+    var linTot = Map.empty[String, Long].withDefaultValue(0L)
+    var decTot = Map.empty[String, Long].withDefaultValue(0L)
+    touches.groupBy(_._1).foreach { case (_, ts) =>
+      val n = ts.length
+      val sumW = ts.map(_._3).sum
+      val lin = ts.map(x => (x._2, 1000L / n))
+      val dec = ts.map(x => (x._2, 1000L * x._3 / sumW))
+      for (m <- Seq(lin, dec)) {
+        val tot = m.map(_._2).sum
+        assert(tot <= 1000 && tot >= 1000 - n, s"credit not conserved: $tot for n=$n")
+      }
+      lin.foreach { case (ty, c) => linTot += ty -> (linTot(ty) + c) }
+      dec.foreach { case (ty, c) => decTot += ty -> (decTot(ty) + c) }
+    }
+    val got = Relational.queries("q70_multi_touch")(spark, sfDir)
+      .select($"touch_type", $"credit_linear_milli", $"credit_decay_milli")
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (ty, l, dv) =>
+      assert(l == linTot(ty) && dv == decTot(ty), s"per-type credit mismatch for $ty")
+    }
+  }
+
   // KN vs Laplace on the same planted corpus: every planted gibberish doc
   // must score strictly HIGHER under Kneser-Ney (its seen→novel bigrams pay
   // the discount backoff times a 1/(types+V) continuation floor, vs
