@@ -2147,7 +2147,138 @@ object Relational {
         |  CAST(sum(1000 // n_t) AS BIGINT) AS credit_linear_milli,
         |  CAST(sum(1000 * w // sum_w) AS BIGINT) AS credit_decay_milli
         |FROM tw JOIN pp USING (purchase_id)
-        |GROUP BY 1 ORDER BY touch_type""".stripMargin))
+        |GROUP BY 1 ORDER BY touch_type""".stripMargin)),
+
+    // ---- Holt-Winters additive seasonal forecaster (Winters 1960 —
+    // completing the q56 z-score / q67 CUSUM / q68 EWMA / q69 Holt
+    // ladder with the SEASONAL component): a weekly cycle is PLANTED on
+    // the daily counts (day_d % 7 == 3 gains mu/2 — a 50% day-of-week
+    // spike), and the model's 7-slot seasonal state absorbs it — the
+    // readout pins peak_dow == 3 and contrasts n_alarms against
+    // the season-blind twin (q69's level+trend model from the same
+    // initialization) via sae_u3 vs sae_blind_u3 — the total one-step
+    // |forecast error|: at sf0.01+ the seasonal model cuts it 16-37% on
+    // every type (spec-pinned), because the blind forecast re-pays the
+    // dow-3 spike weekly while the seasonal state absorbs it. HONEST
+    // small-sample regime: at sf0.001 (mu ≈ 7, spike ≈ 3 < Poisson σ)
+    // the seasonal state fits noise and can LOSE to the blind model —
+    // the q67 ARL caveat's seasonal analogue, reported not hidden.
+    // n_alarms under the mu-threshold residual test stays 0 for BOTH
+    // models at sf0.01+ (the mu/2 spike is below the mu alarm bar — the
+    // alarm ladder needs q56/q67/q68 for spikes; this query is about
+    // FORECAST error). Exact integer
+    // recurrences in milli-units (α=β=3/10, γ=1/2), init l₀ = first-week
+    // mean / s_i = x_i·1000 − l₀ / b₀ = 0, TRUNCATING division everywhere
+    // — seasonals go negative, and there Scala's `/` and DuckDB's `//`
+    // agree on truncation toward zero (MEASURED: -7//2 = -3 in DuckDB)
+    // while Math.floorDiv/Python floor to -4, so floorDiv here would
+    // hash-mismatch by one milli-unit; oracle = the same recurrence
+    // as a recursive CTE carrying the 7-slot seasonal LIST (fourth
+    // recursive-oracle use, first with list state). The 30-day grid is
+    // dense at every SF (spec-pinned), so slot j's day-of-week is stable:
+    // dow(slot j) = (last_day + j) % 7. One bounded per-type fold —
+    // state is (l, b, s[7]) per event type, never corpus-sized.
+    ("q71_holt_winters", (s, d) => {
+      import s.implicits._
+      val dc = Tables.events(s, d)
+        .groupBy($"event_type", expr("unix_micros(ts) div 86400000000L").as("day_d"))
+        .agg(count(lit(1)).as("n"))
+      val st = dc.groupBy($"event_type")
+        .agg(expr("sum(n) div count(1)").as("mu"))
+      val grouped = dc.join(broadcast(st), "event_type")
+        .withColumn("x",
+          $"n" + when($"day_d" % 7 === 3, expr("mu div 2")).otherwise(lit(0L)))
+        .groupBy($"event_type")
+        .agg(min($"mu").as("mu"), collect_list(struct($"day_d", $"x")).as("days"))
+      grouped.select($"event_type", $"mu", $"days")
+        .map { r =>
+          val (et, mu) = (r.getString(0), r.getLong(1))
+          val series = r.getSeq[org.apache.spark.sql.Row](2)
+            .map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+          val warm = series.take(7)
+          val l0 = warm.map(_._2).sum * 1000L / 7L
+          val sArr = scala.collection.mutable.ArrayBuffer(
+            warm.map(_._2 * 1000L - l0): _*)
+          var (l, b) = (l0, 0L)
+          var (lb, bb) = (l0, 0L) // season-blind twin (q69's model, same init)
+          var (nAlarms, nBlind) = (0L, 0L)
+          var (sae, saeBlind) = (0L, 0L)
+          for ((_, x) <- series.drop(7)) {
+            val s7 = sArr.remove(0)
+            val (rs, rb) = (x * 1000L - (l + b + s7), x * 1000L - (lb + bb))
+            sae += math.abs(rs); saeBlind += math.abs(rb)
+            if (math.abs(rs) > mu * 1000L) nAlarms += 1
+            if (math.abs(rb) > mu * 1000L) nBlind += 1
+            val l1 = (3L * (x * 1000L - s7) + 7L * (l + b)) / 10L
+            b = (3L * (l1 - l) + 7L * b) / 10L
+            l = l1
+            sArr += ((x * 1000L - l1) + s7) / 2L
+            val lb1 = (3L * x * 1000L + 7L * (lb + bb)) / 10L
+            bb = (3L * (lb1 - lb) + 7L * bb) / 10L
+            lb = lb1
+          }
+          val lastDay = series.last._1
+          val peakJ = sArr.indexOf(sArr.max) + 1 // slot j holds day lastDay-7+j
+          val peakDow = java.lang.Math.floorMod(lastDay + peakJ, 7L)
+          (et, mu, series.size.toLong, nAlarms, nBlind, sae, saeBlind,
+            peakDow, sArr.max, l, b)
+        }
+        .toDF("event_type", "mu", "n_days", "n_alarms", "n_alarms_blind",
+          "sae_u3", "sae_blind_u3",
+          "peak_dow", "peak_s_u3", "level_final_u3", "trend_final_u3")
+        .orderBy($"event_type")
+    }, Some(
+      """WITH RECURSIVE dc AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) // count(*) AS mu
+        |  FROM dc GROUP BY 1),
+        |sx AS (
+        |  SELECT dc.event_type, day_d, mu,
+        |    n + CASE WHEN day_d % 7 = 3 THEN mu // 2 ELSE 0 END AS x,
+        |    CAST(row_number() OVER (PARTITION BY dc.event_type ORDER BY day_d) AS BIGINT) AS idx
+        |  FROM dc JOIN st USING (event_type)),
+        |init AS (
+        |  SELECT event_type, min(mu) AS mu,
+        |    CAST(sum(x) * 1000 // 7 AS BIGINT) AS l0,
+        |    list(x * 1000 ORDER BY idx) AS xs
+        |  FROM sx WHERE idx <= 7 GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, mu, CAST(7 AS BIGINT) AS idx,
+        |    l0 AS l, CAST(0 AS BIGINT) AS b,
+        |    l0 AS lb, CAST(0 AS BIGINT) AS bb,
+        |    list_transform(xs, v -> v - l0) AS s,
+        |    CAST(0 AS BIGINT) AS n_alarms, CAST(0 AS BIGINT) AS n_blind,
+        |    CAST(0 AS BIGINT) AS sae, CAST(0 AS BIGINT) AS sae_b
+        |  FROM init
+        |  UNION ALL
+        |  SELECT r.event_type, r.mu, x.idx,
+        |    (3 * (x.x * 1000 - r.s[1]) + 7 * (r.l + r.b)) // 10,
+        |    (3 * ((3 * (x.x * 1000 - r.s[1]) + 7 * (r.l + r.b)) // 10 - r.l) + 7 * r.b) // 10,
+        |    (3 * x.x * 1000 + 7 * (r.lb + r.bb)) // 10,
+        |    (3 * ((3 * x.x * 1000 + 7 * (r.lb + r.bb)) // 10 - r.lb) + 7 * r.bb) // 10,
+        |    r.s[2:7] ||
+        |      [(x.x * 1000 - (3 * (x.x * 1000 - r.s[1]) + 7 * (r.l + r.b)) // 10 + r.s[1]) // 2],
+        |    r.n_alarms + CASE WHEN abs(x.x * 1000 - (r.l + r.b + r.s[1])) > r.mu * 1000
+        |      THEN 1 ELSE 0 END,
+        |    r.n_blind + CASE WHEN abs(x.x * 1000 - (r.lb + r.bb)) > r.mu * 1000
+        |      THEN 1 ELSE 0 END,
+        |    r.sae + abs(x.x * 1000 - (r.l + r.b + r.s[1])),
+        |    r.sae_b + abs(x.x * 1000 - (r.lb + r.bb))
+        |  FROM r JOIN sx x ON x.event_type = r.event_type AND x.idx = r.idx + 1),
+        |lastd AS (SELECT event_type, max(day_d) AS last_day, max(idx) AS mi FROM sx GROUP BY 1),
+        |fin AS (
+        |  SELECT r.event_type, r.mu, r.idx AS n_days, r.n_alarms, r.n_blind,
+        |    r.sae, r.sae_b, r.l, r.b, r.s, d.last_day
+        |  FROM r JOIN lastd d ON d.event_type = r.event_type AND r.idx = d.mi)
+        |SELECT event_type, CAST(mu AS BIGINT) AS mu, n_days, n_alarms,
+        |  n_blind AS n_alarms_blind, sae AS sae_u3, sae_b AS sae_blind_u3,
+        |  CAST((last_day + list_position(s, list_max(s))) % 7 AS BIGINT) AS peak_dow,
+        |  CAST(list_max(s) AS BIGINT) AS peak_s_u3,
+        |  l AS level_final_u3, b AS trend_final_u3
+        |FROM fin ORDER BY event_type""".stripMargin))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -218,6 +218,25 @@ class ValidationSpec extends AnyFunSuite {
     assert(rare._3 * nt > rare._2 * rows.map(_._3).sum, "rarest share did not grow")
   }
 
+  // Holt-Winters: the planted dow-3 weekly spike must surface as every
+  // type's seasonal peak, and the seasonal model must beat the
+  // season-blind twin on total one-step |forecast error| (the planted
+  // cycle is exactly what the blind model re-pays weekly). sf0.01 —
+  // the sf0.001 small-sample regime is documented on the query.
+  test("holt-winters finds the planted weekly peak and beats the blind forecaster") {
+    import spark.implicits._
+    val rows = Relational.queries("q71_holt_winters")(spark, sfDir)
+      .select($"event_type", $"peak_dow", $"sae_u3", $"sae_blind_u3", $"n_alarms")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (et, peak, sae, saeB, al) =>
+      assert(peak == 3, s"$et: seasonal peak at dow $peak, planted 3")
+      assert(sae < saeB, s"$et: seasonal SAE $sae not below blind $saeB")
+      assert(saeB - sae > saeB / 10, s"$et: SAE margin under 10%")
+      assert(al == 0, s"$et: residual alarms on the absorbed cycle")
+    }
+  }
+
   // Multi-touch credit conservation, recomputed independently at touch
   // granularity: each purchase hands out AT MOST 1000 milli-credits per
   // model, and the integer-truncation loss is < 1 milli-credit per touch
