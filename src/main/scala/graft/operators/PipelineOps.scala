@@ -555,6 +555,28 @@ object PipelineOps {
         |FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') >= '2001-06'
         |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
+    // ---- GRAIN NAVIGATION through the same rule: the naive QUARTERLY
+    // aggregate — a grain the rollup does not store — is rewritten to
+    // aggregate the MONTHLY MV under a derived key (quarter-of-ship_month,
+    // registered as a SQL expression over the MV's columns), sound because
+    // every measure is additive and months nest inside quarters. This is
+    // the full aggregate-navigation feature: one summary table serves its
+    // own grain, coarser grains, and filtered slices of both. Oracle is
+    // the naive quarterly fact SQL; spec pins fired + MV scan + 3-row
+    // aggregate input per quarter (the MV's months) instead of 60M rows.
+    ("pipeline_mv_rewrite_quarter", (s, d) => {
+      import s.implicits._
+      graft.plans.MvRewrite.install(s, mvQuarterTemplate(s, d), mvRollupDir(s, d),
+        Some("concat(substr(ship_month, 1, 4), '-Q', " +
+          "(CAST(substr(ship_month, 6, 2) AS INT) + 2) DIV 3)"))
+      mvQuarterTemplate(s, d)
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y') || '-Q' || quarter(l_shipdate) AS ship_quarter,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem GROUP BY 1 ORDER BY ship_quarter""".stripMargin)),
+
     // ---- bloom data-skipping index serve: point-lookup of seven order
     // keys against a fact laid out by ship month — a layout that CANNOT
     // serve this lookup by partition pruning (an order's items scatter
@@ -2296,6 +2318,23 @@ object PipelineOps {
         sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
           .as("revenue_cents"))
       .orderBy($"ship_month")
+  }
+
+  /** The naive QUARTERLY fact aggregate — the grain-navigation template
+    * and query (pipeline_mv_rewrite_quarter), one definition so the
+    * registered shapes and the demonstrated query cannot drift. Quarter
+    * key as 'yyyy-Qn' text, identical on both engines.
+    */
+  private[operators] def mvQuarterTemplate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy(concat(date_format($"l_shipdate", "yyyy"), lit("-Q"),
+        quarter($"l_shipdate")).as("ship_quarter"))
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity".cast("bigint")).as("sum_qty"),
+        sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+      .orderBy($"ship_quarter")
   }
 
   /** Data-skipping plan step for pipeline_bloom_index: probe every file's

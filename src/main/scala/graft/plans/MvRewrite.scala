@@ -59,7 +59,12 @@ object MvRewrite {
       groupSourceCols: Set[String], // lowercased fact columns the key reads
       aggToMvColumn: Map[Expression, String],
       groupMvColumn: String,
-      mvPath: String)
+      mvPath: String,
+      // GRAIN NAVIGATION: when set, the fact grouping key corresponds not
+      // to an MV column but to this SQL expression over the MV's columns
+      // (e.g. quarter-of-ship_month) — the rollup serves a COARSER grain
+      // than it stores, which is sound for the all-additive measure set.
+      mvKeySql: Option[String] = None)
 
   private val targets =
     new java.util.concurrent.ConcurrentHashMap[String, Target]()
@@ -84,8 +89,9 @@ object MvRewrite {
     * key first) as rewritable to the rollup at `mvPath`, and install the
     * rule into the session once.
     */
-  def install(spark: SparkSession, template: DataFrame, mvPath: String): Unit = {
-    val key = spark.hashCode() + "|" + mvPath
+  def install(spark: SparkSession, template: DataFrame, mvPath: String,
+      mvKeySql: Option[String] = None): Unit = {
+    val key = spark.hashCode() + "|" + mvPath + "|" + mvKeySql.getOrElse("")
     targets.computeIfAbsent(key, _ => {
       val (agg, si) = findAggAndScan(template.queryExecution.optimizedPlan)
         .getOrElse(throw new IllegalArgumentException(
@@ -108,7 +114,7 @@ object MvRewrite {
       val inlinedGroups = agg.groupingExpressions.map(inline(_, si.aliases))
       Target(leafPaths(si.leaf), inlinedGroups.map(shape),
         inlinedGroups.flatMap(_.references.map(_.name.toLowerCase)).toSet,
-        aggMap, groupKeyName, mvPath)
+        aggMap, groupKeyName, mvPath, mvKeySql)
     })
     ()
   }
@@ -213,35 +219,49 @@ final class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def translateFilter(
       f: Expression, groupShape: Expression, groupSourceCols: Set[String],
-      groupAttr: Attribute): Option[Expression] = f match {
+      mvKey: Expression): Option[Expression] = f match {
     case cmp: BinaryComparison =>
       (cmp.left, cmp.right) match {
         case (k, l: Literal) if shape(k) == groupShape =>
-          Some(cmp.withNewChildren(Seq(groupAttr, l)))
+          Some(cmp.withNewChildren(Seq(mvKey, l)))
         case (l: Literal, k) if shape(k) == groupShape =>
-          Some(cmp.withNewChildren(Seq(l, groupAttr)))
+          Some(cmp.withNewChildren(Seq(l, mvKey)))
         case _ => None
       }
     case In(k, vs) if shape(k) == groupShape && vs.forall(_.isInstanceOf[Literal]) =>
-      Some(In(groupAttr, vs))
+      Some(In(mvKey, vs))
     case IsNotNull(a: AttributeReference)
         if groupSourceCols == Set(a.name.toLowerCase) || shape(a) == groupShape =>
-      Some(IsNotNull(groupAttr))
+      Some(IsNotNull(mvKey))
     case _ => None
   }
 
   private def rewrite(
       agg: Aggregate, si: ScanInfo, t: Target): Option[LogicalPlan] = {
-    val mvPlan = spark.read.parquet(t.mvPath).queryExecution.analyzed
+    // the MV relation and the expression over it that realizes the fact
+    // query's group key: a plain column for same-grain serving, or (grain
+    // navigation) a derived expression resolved by analyzing a throwaway
+    // select over a fresh MV scan and unwrapping its Project
+    val base = spark.read.parquet(t.mvPath)
+    val (mvPlan: LogicalPlan, mvKey: Expression) = t.mvKeySql match {
+      case None =>
+        val pl = base.queryExecution.analyzed
+        (pl, pl.output.find(_.name == t.groupMvColumn).get)
+      case Some(txt) =>
+        base.select(org.apache.spark.sql.functions.expr(txt).as("__mvkey"))
+          .queryExecution.analyzed match {
+          case Project(Seq(al: Alias), rel) => (rel, al.child)
+          case _ => return None
+        }
+    }
     val mvOut = mvPlan.output.map(a => a.name -> a).toMap
-    val groupAttr = mvOut(t.groupMvColumn)
     val groupShape = t.groupShapes.head
     val translated = si.filters.map(f =>
-      translateFilter(inline(f, si.aliases), groupShape, t.groupSourceCols, groupAttr))
+      translateFilter(inline(f, si.aliases), groupShape, t.groupSourceCols, mvKey))
     if (translated.exists(_.isEmpty)) return None // non-key predicate: bail
     val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
       case al @ Alias(child, name) if shape(inline(child, si.aliases)) == groupShape =>
-        Some(Alias(groupAttr, name)(al.exprId))
+        Some(Alias(mvKey, name)(al.exprId))
       case al @ Alias(child, name) =>
         t.aggToMvColumn.get(shape(inline(child, si.aliases))).map { col =>
           Alias(AggregateExpression(Sum(mvOut(col)), Complete, isDistinct = false),
@@ -255,14 +275,15 @@ final class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // prune explicitly: this rule runs in extraOptimizations, AFTER the
       // standard column-pruning batch, so nothing downstream would strip
       // the MV's unused columns (ship_day) from the scan otherwise
-      val needed = (Seq(groupAttr) ++ mapped.flatten.flatMap(_.collect {
+      val keyAttrs = mvKey.collect { case a: AttributeReference => a }
+      val needed = (keyAttrs ++ mapped.flatten.flatMap(_.collect {
         case a: AttributeReference => a
-      })).distinct.filterNot(_ == groupAttr).prepended(groupAttr)
+      })).distinct
       val filtered =
         if (translated.isEmpty) mvPlan
         else org.apache.spark.sql.catalyst.plans.logical.Filter(
           translated.flatten.reduce(And), mvPlan)
-      Some(Aggregate(Seq(groupAttr), mapped.flatten, Project(needed, filtered)))
+      Some(Aggregate(Seq(mvKey), mapped.flatten, Project(needed, filtered)))
     }
   }
 }

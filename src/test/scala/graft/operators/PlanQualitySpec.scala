@@ -151,6 +151,15 @@ class PlanQualitySpec extends AnyFunSuite {
       "rewrite must NOT fire for a non-group-key predicate")
   }
 
+  test("pipeline_mv_rewrite_quarter: grain navigation — the quarterly aggregate reads the monthly MV") {
+    val before = graft.plans.MvRewrite.fired.get()
+    val df = graft.SparkEntry.queries("pipeline_mv_rewrite_quarter")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(graft.plans.MvRewrite.fired.get() > before, "grain rewrite did not fire")
+    assert(plan.contains("graft_mv") && !plan.contains("lineitem"),
+      s"quarterly aggregate not served from the monthly MV:\n$plan")
+  }
+
   test("pipeline_mv_serve: month predicate prunes the rollup's file index; neither MV query scans the fact table") {
     val serve = graft.SparkEntry.queries("pipeline_mv_serve")(spark, sfDir)
     val servePlan = serve.queryExecution.executedPlan.toString
