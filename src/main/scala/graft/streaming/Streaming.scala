@@ -1847,6 +1847,103 @@ object Streaming {
       .orderBy(col("hour_us"), col("event_type"))
   }
 
+  private val mvStreamDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING INCREMENTAL MV MAINTENANCE — the seventeenth replay
+    * contract, and the streaming twin of pipeline_mv_refresh's batch
+    * refresh: lineitem rows arrive in six ship-date-ordered waves, and a
+    * `foreachBatch` writer maintains the month-partitioned daily rollup
+    * after every micro-batch — aggregate the batch to daily grain, read
+    * back ONLY the touched month partitions, merge additively, stage, and
+    * dynamic-partition-overwrite those months (the exact merge the batch
+    * fixture performs once, now performed per arriving batch; this is the
+    * Delta Live Tables / streaming-upsert serving shape). Additive
+    * integer measures make the final MV independent of how rows were
+    * sliced into batches, so the monthly report read from the streamed MV
+    * is judged VERBATIM by pipeline_mv_refresh's oracle — the direct
+    * fact-table SQL — and any double-count, clobbered month, or dropped
+    * batch hash-mismatches. Once per JVM like every replay contract.
+    */
+  def mvReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val mvDir = mvStreamDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      val root = graft.Fixtures.tempDir("graft_mvstream")
+      val out = root.resolve("mv").toString
+      val slim = graft.Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_quantity").cast("bigint").as("qty"),
+        expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+          .as("net_cents"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        to_date(col("l_shipdate")).as("ship_day"))
+      val src = waveFiles("mvli:" + d, {
+        val r = slim.agg(min(unix_date(col("ship_day"))),
+          max(unix_date(col("ship_day")))).head()
+        val (lo, hi) = (r.getInt(0).toLong, r.getInt(1).toLong)
+        val width = math.max(1L, (hi - lo) / 6 + 1)
+        slim.withColumn("wave",
+          expr(s"(unix_date(ship_day) - ${lo}L) div ${width}L").cast("int"))
+      })
+      def daily(src: DataFrame): DataFrame = src
+        .groupBy(col("ship_month"), col("ship_day"))
+        .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("sum_qty"),
+          sum(col("net_cents")).as("revenue_cents"))
+      val stream = s.readStream
+        .schema(slim.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+      withFewShufflePartitions(s) {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val delta = daily(batch)
+            val exists = java.nio.file.Files.exists(
+              java.nio.file.Paths.get(out))
+            val merged = if (!exists) delta
+            else {
+              val touched = delta.select(col("ship_month")).distinct()
+              s.read.parquet(out)
+                .join(broadcast(touched), Seq("ship_month"), "left_semi")
+                .unionByName(delta)
+                .groupBy(col("ship_month"), col("ship_day"))
+                .agg(sum(col("n_items")).as("n_items"),
+                  sum(col("sum_qty")).as("sum_qty"),
+                  sum(col("revenue_cents")).as("revenue_cents"))
+            }
+            val stage = root.resolve(s"stage").toString
+            merged.write.mode("overwrite").parquet(stage)
+            val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try s.read.parquet(stage)
+              .write.mode("overwrite").partitionBy("ship_month").parquet(out)
+            finally prev match {
+              case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+              case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            }
+          }
+          .option("checkpointLocation", root.resolve("chk").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      out
+    })
+    s.read.parquet(mvDir)
+      .groupBy(col("ship_month"))
+      .agg(countDistinct(col("ship_day")).as("n_days"),
+        sum(col("n_items")).as("n_items"),
+        sum(col("sum_qty")).as("sum_qty"),
+        sum(col("revenue_cents")).as("revenue_cents"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** Streamed-MV directory for StreamingSpec's day-granularity pin
+    * (runs the contract first so the once-per-JVM maintenance happened).
+    */
+  private[graft] def mvStreamDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    mvReplayContract(s, d).count()
+    mvStreamDirCache.get(graft.Fixtures.dirKey(d))
+  }
+
   /** Time-ordered file-source replay through [[purchaseAttribution]] — the
     * STREAM-STREAM inner join with event-time bounds on both sides (the
     * remaining Structured Streaming operator family without a driver
@@ -1939,6 +2036,7 @@ object Streaming {
     "stream_rate_anomaly_replay" -> ((s, d) => rateAnomalyReplayContract(s, d)),
     "stream_psi_replay" -> ((s, d) => psiReplayContract(s, d)),
     "stream_late_replay" -> ((s, d) => lateReplayContract(s, d)),
+    "stream_mv_replay" -> ((s, d) => mvReplayContract(s, d)),
     "stream_semantic_replay" -> ((s, d) => semanticReplayContract(s, d)))
 
   /** Batch-equivalent oracle for the replay: quality gate, then min-id
@@ -1967,6 +2065,11 @@ object Streaming {
       // the tumbling-window replay must reproduce q21's batch hourly stats
       // VERBATIM — shared text, same no-drift argument
       "stream_hourly_replay" -> graft.operators.Relational.oracleSql("q21_hourly_event_stats"),
+      // the streamed MV's monthly report must equal the batch refresh's —
+      // share pipeline_mv_refresh's oracle text (the direct fact-table
+      // SQL) so the streaming maintenance and the batch fixture cannot
+      // drift
+      "stream_mv_replay" -> graft.operators.PipelineOps.oracleSql("pipeline_mv_refresh"),
       // the late-data contract's emitted windows must equal the batch
       // aggregate over the ON-TIME rows only: same q21 aggregate text, the
       // planted-late predicate (event_id % 17 in the first six waves)

@@ -878,6 +878,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(forward == expect, "final snapshot must be the exact batch histogram")
   }
 
+  // The streaming-MV oracle proves the MONTHLY report equals a direct
+  // fact scan; this pins the maintenance one level deeper: after six
+  // incremental foreachBatch merges, the stored DAILY rows are
+  // bit-identical to a single full-scan rebuild — the additive merge is
+  // batch-slicing-independent all the way down.
+  test("streamed MV equals a full rebuild at day granularity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val mv = spark.read.parquet(Streaming.mvStreamDir(spark, d))
+      .select($"ship_month", $"ship_day", $"n_items", $"sum_qty", $"revenue_cents")
+    val rebuild = graft.Tables.lineitem(spark, d)
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"),
+        to_date($"l_shipdate").as("ship_day"))
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity".cast("bigint")).as("sum_qty"),
+        sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+    assert(mv.count() == rebuild.count())
+    assert(mv.except(rebuild).isEmpty && rebuild.except(mv).isEmpty,
+      "streamed MV diverges from the full rebuild")
+  }
+
   // The late-data contract's oracle proves the emitted windows equal the
   // on-time-only batch aggregate; this pins the ACCOUNTING side: the drops
   // Structured Streaming reported at the watermark equal the planted late
