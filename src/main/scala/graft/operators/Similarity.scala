@@ -886,8 +886,8 @@ object Similarity {
     // the flat 8-medoid-entry serve's 0.82 — random near-isotropic
     // embeddings have no cluster structure for the hierarchy to exploit,
     // so eight DIVERSE entries beat one routed region (a third routing hop
-    // changes nothing — routing converges after 2; mod-8 layering measured
-    // 0.54). Layering pays on clustered production embeddings; this keeps
+    // changes nothing and ONE hop loses 0.06 (measured 0.62) — two is the
+    // knee; mod-8 layering measured 0.54). Layering pays on clustered production embeddings; this keeps
     // the structural serve path beside the flat one with the honest
     // readout, floor spec-pinned in AnnQualitySpec. Same static unrolled
     // dataflow + exact DuckDB oracle as the flat serve.
