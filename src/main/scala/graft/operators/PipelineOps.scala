@@ -1236,6 +1236,42 @@ object PipelineOps {
         |FROM u WHERE levenshtein(c_name, r_name) <= 1
         |ORDER BY c_custkey, registry_id""".stripMargin)),
 
+    // ---- GDPR deletion planning (right-to-be-forgotten, the fourth
+    // privacy leg after pii_redact / k_anonymity+l_diversity /
+    // dp_histogram — and the one that touches STORAGE): erase-requests
+    // arrive as customer keys (every 271st customer); the planner resolves
+    // them to order keys, probes the lineitem bloom sidecars with those
+    // keys, and builds the per-month rewrite manifest — rows to purge and
+    // orders affected per partition — by scanning ONLY the bloom-matched
+    // files (the deletion-vector / rewrite-planning pass of a lakehouse
+    // DELETE; scanning the full fact table to find a handful of users is
+    // exactly what the sidecars exist to avoid). Exactness rides the
+    // bloom's no-false-negative guarantee — a missed file would drop
+    // purge rows and hash-mismatch the oracle, which recomputes the
+    // manifest from the raw tables. Same eager metadata-scale planning
+    // collect as pipeline_bloom_index (documented there).
+    ("pipeline_delete_plan", (s, d) => {
+      import s.implicits._
+      val erased = Tables.customer(s, d).filter($"c_custkey" % 271 === 0)
+        .select($"c_custkey")
+      val keys = Tables.orders(s, d)
+        .join(erased, $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey".as("k"))
+      val (files, _) = bloomIdxMatchedFilesFor(s, d, keys)
+      s.read.option("basePath", bloomIdxDataDir(s, d)).parquet(files: _*)
+        .join(keys.withColumnRenamed("k", "l_orderkey"), Seq("l_orderkey"))
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows_purge"),
+          countDistinct($"l_orderkey").as("n_orders"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_rows_purge,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey % 271 = 0
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     // ---- temperature-scaled mixture plan (the GPT-3 / mT5 / XLM-R
     // data-mixing method): resample domains with share ∝ n^α, α < 1, so
     // low-resource domains are UPWEIGHTED relative to their natural share —
@@ -2346,11 +2382,23 @@ object PipelineOps {
   private[operators] def bloomIdxMatchedFiles(
       s: SparkSession, d: String): (Array[String], Long) = {
     import s.implicits._
+    bloomIdxMatchedFilesFor(s, d, BloomIdxKeys.toDF("k"))
+  }
+
+  /** Bloom-sidecar probe for an arbitrary orderkey set (column `k`):
+    * returns (files that might contain any probe key, total file count).
+    * The probe side joins the metadata-scale index (one row per data
+    * file), never data rows; used by the point-lookup serve and by the
+    * GDPR deletion planner.
+    */
+  private[operators] def bloomIdxMatchedFilesFor(
+      s: SparkSession, d: String,
+      probes: DataFrame): (Array[String], Long) = {
+    import s.implicits._
     graft.plans.GraftExtensions.register(s)
     val root = bloomIdxDir(s, d)
     val idx = s.read.parquet(s"$root/index")
-    val probes = BloomIdxKeys.toDF("k")
-    val matched = idx.crossJoin(broadcast(probes)) // |files| × 7, metadata-scale
+    val matched = idx.crossJoin(broadcast(probes)) // |files| × |keys|, metadata-scale
       .filter(call_function("bloom_contains",
         $"bloom", xxhash64($"k"), lit(BloomK)))
       .select($"file").distinct().as[String].collect()

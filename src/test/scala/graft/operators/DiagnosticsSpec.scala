@@ -322,4 +322,30 @@ class DiagnosticsSpec extends AnyFunSuite {
       s"bloom index stopped skipping: ${matched.length} of $total files matched")
     assert(matched.nonEmpty && total > 50)
   }
+
+  // Deletion-plan completeness: the bloom-matched file set must cover
+  // every file that truly holds a purge row (a miss would leave erased
+  // users' rows behind — the one failure a right-to-be-forgotten pass
+  // cannot have), and the probe stays metadata-scale. The per-month purge
+  // counts themselves are oracle-checked; skip RATIO is data-determined
+  // here (a customer's order history scatters across most months), so it
+  // is reported, not pinned.
+  test("delete plan: matched files cover every file holding a purge row") {
+    import spark.implicits._
+    val erased = graft.Tables.customer(spark, sfDir)
+      .filter($"c_custkey" % 271 === 0).select($"c_custkey")
+    val keys = graft.Tables.orders(spark, sfDir)
+      .join(erased, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey".as("k"))
+    val (matched, total) = PipelineOps.bloomIdxMatchedFilesFor(spark, sfDir, keys)
+    val dataDir = PipelineOps.bloomIdxDataDir(spark, sfDir)
+    val truth = spark.read.option("basePath", dataDir).parquet(dataDir)
+      .select($"l_orderkey", input_file_name().as("f")) // before the join:
+      // input_file_name is per-source and a join has two
+      .join(keys.withColumnRenamed("k", "l_orderkey"), Seq("l_orderkey"))
+      .select($"f").distinct().as[String].collect().toSet
+    assert(truth.nonEmpty && truth.subsetOf(matched.toSet),
+      s"deletion plan missed files holding purge rows: ${truth -- matched.toSet}")
+    assert(matched.length <= total)
+  }
 }
