@@ -1236,6 +1236,35 @@ object PipelineOps {
         |FROM u WHERE levenshtein(c_name, r_name) <= 1
         |ORDER BY c_custkey, registry_id""".stripMargin)),
 
+    // ---- compaction EXECUTION (the execute half of
+    // pipeline_compaction_plan, which only plans bins): the ship-month
+    // fact layout ([[bloomIdxDir]]'s data tree, written by whatever task
+    // parallelism produced it — several small files per month) is
+    // rewritten once per JVM to ONE file per partition
+    // (repartition(ship_month) before partitionBy aligns tasks to
+    // partitions — the OPTIMIZE/rewriteDataFiles pass). The query reports
+    // the per-month row/order counts FROM THE COMPACTED TREE and the
+    // oracle recomputes them from the raw fact table, so a row lost or
+    // duplicated by the rewrite hash-mismatches; DiagnosticsSpec pins the
+    // structural claim (exactly one file per month dir, total file count
+    // strictly down). At 100 TB compaction is what keeps the file count —
+    // and with it planning time and open-file cost — bounded as
+    // micro-batches accumulate.
+    ("pipeline_compaction_exec", (s, d) => {
+      import s.implicits._
+      s.read.parquet(compactedDir(s, d))
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     // ---- GDPR deletion planning (right-to-be-forgotten, the fourth
     // privacy leg after pii_redact / k_anonymity+l_diversity /
     // dp_histogram — and the one that touches STORAGE): erase-requests
@@ -2372,6 +2401,23 @@ object PipelineOps {
           .as("revenue_cents"))
       .orderBy($"ship_quarter")
   }
+
+  private val compactedDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM compacted rewrite of [[bloomIdxDir]]'s ship-month data
+    * tree: repartition on the partition column so each month is written by
+    * exactly one task → one file per month dir (pipeline_compaction_exec;
+    * spec-pinned structure in DiagnosticsSpec).
+    */
+  private[operators] def compactedDir(s: SparkSession, d: String): String =
+    compactedDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      val root = graft.Fixtures.tempDir("graft_compact").resolve("data").toString
+      s.read.parquet(bloomIdxDataDir(s, d))
+        .repartition(col("ship_month"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(root)
+      root
+    })
 
   /** Data-skipping plan step for pipeline_bloom_index: probe every file's
     * bloom sidecar with the seven lookup keys and return (files that might

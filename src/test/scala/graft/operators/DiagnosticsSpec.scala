@@ -348,4 +348,27 @@ class DiagnosticsSpec extends AnyFunSuite {
       s"deletion plan missed files holding purge rows: ${truth -- matched.toSet}")
     assert(matched.length <= total)
   }
+
+  // Compaction execution's structural claim (the oracle pins the data):
+  // after the rewrite every month directory holds exactly ONE parquet
+  // file and the total never grows. "Strictly fewer" is data-dependent —
+  // at this spec's small SF the source layout may already be one file
+  // per month (few input splits), in which case compaction is a verified
+  // no-op; the multi-file shrink shows at larger inputs.
+  test("compaction exec: one file per month partition, total files down") {
+    def parquetFilesByDir(root: String): Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.groupBy(_.getParent.toString).view.mapValues(_.size).toMap
+    }
+    val before = parquetFilesByDir(PipelineOps.bloomIdxDataDir(spark, sfDir))
+    PipelineOps.queries("pipeline_compaction_exec")(spark, sfDir).count()
+    val after = parquetFilesByDir(PipelineOps.compactedDir(spark, sfDir))
+    assert(after.nonEmpty && after.values.forall(_ == 1),
+      s"months with >1 file after compaction: ${after.filter(_._2 > 1)}")
+    assert(after.size == before.size, "partition count changed by compaction")
+    assert(after.values.sum <= before.values.sum,
+      s"file count grew: ${before.values.sum} -> ${after.values.sum}")
+  }
 }
