@@ -36,29 +36,48 @@ object Fixtures {
     p
   }
 
-  /** Content fingerprint of a dataset directory: XOR-fold of
-    * hash(relative path, size, mtime) over all regular files. Order-free
-    * (directory walk order doesn't matter) and cheap (metadata only — no
-    * bytes read), which is the right cost for a cache key consulted on
-    * every query construction.
+  /** Content fingerprint of a dataset directory: order-insensitive SUM of
+    * avalanche-mixed 64-bit hashes of (relative path, size, mtime) over all
+    * regular files, plus the file count and total byte size appended
+    * verbatim. Sum-of-mixed beats the previous plain-XOR fold: XOR lets a
+    * PAIR of offsetting changes cancel back to the same key (and sets the
+    * key to 0 for any file appearing twice via symlinked walks); a full
+    * 64-bit avalanche before a wrapping sum makes engineered cancellation
+    * infeasible, and the explicit count/bytes catch gross shape changes
+    * outright. Cheap (metadata only — no bytes read), which is the right
+    * cost for a cache key consulted on every query construction.
     */
   def dirKey(dir: String): String = {
     val root = Paths.get(dir)
     var acc = 0L
+    var nFiles = 0L
+    var totBytes = 0L
     if (Files.exists(root)) {
       val it = Files.walk(root)
       try {
         it.forEach { p =>
           if (Files.isRegularFile(p)) {
+            val sz = Files.size(p)
             val h = scala.util.hashing.MurmurHash3.stringHash(
-              root.relativize(p).toString + "|" + Files.size(p) + "|" +
+              root.relativize(p).toString + "|" + sz + "|" +
                 Files.getLastModifiedTime(p).toMillis)
-            acc ^= (h.toLong << 32) | (h.toLong & 0xffffffffL)
+            acc += mix64(h.toLong)
+            nFiles += 1
+            totBytes += sz
           }
         }
       } finally it.close()
     }
-    dir + "#" + java.lang.Long.toHexString(acc)
+    dir + "#" + java.lang.Long.toHexString(acc) +
+      "-" + nFiles + "-" + java.lang.Long.toHexString(totBytes)
+  }
+
+  /** SplitMix64 finalizer — full-avalanche 64-bit mix. */
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
   }
 
   /** Best-effort recursive delete (same retry contract as the streaming

@@ -1441,7 +1441,8 @@ object Dedup {
     // longest_dup_span = max_run + K - 1. Planted contract: docs with an
     // exact copy or a tailed variant have their ENTIRE text duplicated —
     // full_dup = (longest_dup_span = length(text)) — which stride-aligned
-    // spans cannot certify. The 64-bit-hash collision note above applies.
+    // spans cannot certify. Corpus-wide counts group by the gram STRING —
+    // the oracle's exact key domain (no one-sided hash approximation).
     ("dedup_exact_substrings", (s, d) => {
       import s.implicits._
       val k = SubstrK
@@ -1454,10 +1455,13 @@ object Dedup {
           }
         })
         .toDF("doc_id", "g", "offs")
-        .select($"doc_id", xxhash64($"g").as("h"), $"offs",
+        .select($"doc_id", $"g", $"offs",
           size($"offs").cast("long").as("n_occ"))
-      val cnt = ex.groupBy($"h").agg(sum($"n_occ").as("tot"))
-      val dupOff = ex.join(cnt, "h").filter($"tot" >= 2)
+      // group by the gram STRING, the same key domain as the DuckDB
+      // oracle — hashing only one side would make a 64-bit collision a
+      // structural asymmetry rather than a shared approximation
+      val cnt = ex.groupBy($"g").agg(sum($"n_occ").as("tot"))
+      val dupOff = ex.join(cnt, "g").filter($"tot" >= 2)
         .select($"doc_id", explode($"offs").as("off"))
       val isl = dupOff.withColumn("grp",
         $"off" - row_number().over(Window.partitionBy($"doc_id").orderBy($"off")))

@@ -595,7 +595,7 @@ object PipelineOps {
       import s.implicits._
       val (files, _) = bloomIdxMatchedFiles(s, d)
       val probes = broadcast(BloomIdxKeys.toDF("k"))
-      s.read.option("basePath", bloomIdxDataDir(s, d)).parquet(files: _*)
+      readBloomMatched(s, d, files.toSeq)
         .join(probes, $"l_orderkey" === $"k")
         .groupBy($"l_orderkey")
         .agg(count(lit(1)).as("n_items"),
@@ -1287,7 +1287,7 @@ object PipelineOps {
         .join(erased, $"o_custkey" === $"c_custkey")
         .select($"o_orderkey".as("k"))
       val (files, _) = bloomIdxMatchedFilesFor(s, d, keys)
-      s.read.option("basePath", bloomIdxDataDir(s, d)).parquet(files: _*)
+      readBloomMatched(s, d, files.toSeq)
         .join(keys.withColumnRenamed("k", "l_orderkey"), Seq("l_orderkey"))
         .groupBy($"ship_month")
         .agg(count(lit(1)).as("n_rows_purge"),
@@ -2312,14 +2312,11 @@ object PipelineOps {
           sum($"revenue_cents").as("revenue_cents"))
       val stage = graft.Fixtures.tempDir("graft_mvstage").resolve("s").toString
       merged.write.mode("overwrite").parquet(stage)
-      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try s.read.parquet(stage)
-        .write.mode("overwrite").partitionBy("ship_month").parquet(root)
-      finally prev match {
-        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      // per-write option, NOT a session-conf flip: a concurrent query
+      // planned during a conf-flip window would inherit dynamic overwrite
+      s.read.parquet(stage)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ship_month").parquet(root)
       root
     })
 
@@ -2453,6 +2450,19 @@ object PipelineOps {
 
   private[operators] def bloomIdxDataDir(s: SparkSession, d: String): String =
     s"${bloomIdxDir(s, d)}/data"
+
+  /** Read a bloom-matched file subset of the ship-month data tree,
+    * degrading to a 0-row frame (correct schema, partition columns
+    * included) when NO file matched — `parquet()` with zero paths throws
+    * instead. `Filter(false)` over the full-tree scan optimizes to an
+    * empty LocalRelation (PruneFilters), so the empty case plans no I/O.
+    */
+  private[operators] def readBloomMatched(
+      s: SparkSession, d: String, files: Seq[String]): DataFrame = {
+    val base = bloomIdxDataDir(s, d)
+    if (files.isEmpty) s.read.parquet(base).filter(lit(false))
+    else s.read.option("basePath", base).parquet(files: _*)
+  }
 
   private[operators] def partitionedCorpus(s: SparkSession, d: String): String =
     partitionedDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {

@@ -237,23 +237,29 @@ object Similarity {
         .resolve("graph").toString
       val v = vectors(s, d).cache()
       val we = Window.partitionBy($"src").orderBy($"ecos".desc, $"dst")
-      val scored = knnCandidatesWithRegime(v).cand
+      val kc = knnCandidatesWithRegime(v)
+      val scored = kc.cand
         .join(v.select($"vec_id".as("src"), $"emb".as("s_emb")), "src")
         .join(v.select($"vec_id".as("dst"), $"emb".as("d_emb")), "dst")
         .withColumn("ecos", cosine($"s_emb", $"d_emb"))
         .select($"src", $"dst", $"ecos") // drop the embeddings BEFORE caching:
         .cache() // cut twice (l0 + l1) — score once; 3 narrow columns cache
       // fine at 200k vectors where the emb-carrying frame OOMed a 4.6 GB heap
-      scored
-        .withColumn("rn", row_number().over(we)).filter($"rn" <= GraphDegree)
-        .select($"src", $"dst", $"ecos", $"rn")
-        .write.mode("overwrite").parquet(s"$root/l0")
-      scored
-        .filter($"src" % HnswLayerMod === 0 && $"dst" % HnswLayerMod === 0)
-        .withColumn("rn", row_number().over(we)).filter($"rn" <= HnswL1Degree)
-        .select($"src", $"dst", $"ecos", $"rn")
-        .write.mode("overwrite").parquet(s"$root/l1")
-      scored.unpersist()
+      try {
+        scored
+          .withColumn("rn", row_number().over(we)).filter($"rn" <= GraphDegree)
+          .select($"src", $"dst", $"ecos", $"rn")
+          .write.mode("overwrite").parquet(s"$root/l0")
+        scored
+          .filter($"src" % HnswLayerMod === 0 && $"dst" % HnswLayerMod === 0)
+          .withColumn("rn", row_number().over(we)).filter($"rn" <= HnswL1Degree)
+          .select($"src", $"dst", $"ecos", $"rn")
+          .write.mode("overwrite").parquet(s"$root/l1")
+      } finally { // build is once-per-JVM: nothing may stay cached after it
+        scored.unpersist()
+        kc.cached.foreach(_.unpersist())
+        v.unpersist()
+      }
       root
     })
 
@@ -388,10 +394,13 @@ object Similarity {
     * set. The probe costs one small job; at the driver SFs it keeps the
     * whole two-regime machinery out of the executed plan entirely.
     */
-  private case class KnnCandidates(cand: DataFrame, banded: Boolean)
-
-  private def knnCandidates(v: DataFrame): DataFrame =
-    knnCandidatesWithRegime(v).cand
+  /** `cached` carries every relation this builder persisted (sigs, and the
+    * big-bucket position table in the banded regime) so the CALLER can
+    * unpersist them once its own terminal action finishes — without it each
+    * graph build leaked cached relations for the life of the JVM.
+    */
+  private case class KnnCandidates(
+      cand: DataFrame, banded: Boolean, cached: Seq[DataFrame])
 
   private def knnCandidatesWithRegime(v: DataFrame): KnnCandidates = {
     val spark = v.sparkSession
@@ -409,7 +418,8 @@ object Similarity {
       // original all-pairs bucket self-join verbatim
       KnnCandidates(sigs.as("x").join(sigs.as("y"),
           $"x.tbl" === $"y.tbl" && $"x.sig" === $"y.sig" && $"x.vec_id" =!= $"y.vec_id")
-        .select($"x.vec_id".as("src"), $"y.vec_id".as("dst")).distinct(), banded = false)
+        .select($"x.vec_id".as("src"), $"y.vec_id".as("dst")).distinct(),
+        banded = false, cached = Seq(sigs))
     } else {
       val small = sigs.join(
         broadcast(sizes.filter($"cnt" <= BucketAllPairsMax)), Seq("tbl", "sig"))
@@ -441,7 +451,7 @@ object Similarity {
         .select($"x.vec_id".as("src"), $"y.vec_id".as("dst"))
       KnnCandidates(smallPairs.unionByName(fwd)
         .unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
-        .distinct(), banded = true)
+        .distinct(), banded = true, cached = Seq(sigs, big))
     }
   }
 

@@ -1912,14 +1912,11 @@ object Streaming {
             }
             val stage = root.resolve(s"stage").toString
             merged.write.mode("overwrite").parquet(stage)
-            val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-            s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try s.read.parquet(stage)
-              .write.mode("overwrite").partitionBy("ship_month").parquet(out)
-            finally prev match {
-              case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-              case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-            }
+            // per-write option, NOT a session-conf flip (concurrent plans
+            // on the shared session must not inherit dynamic overwrite)
+            s.read.parquet(stage)
+              .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ship_month").parquet(out)
           }
           .option("checkpointLocation", root.resolve("chk").toString)
           .start()
