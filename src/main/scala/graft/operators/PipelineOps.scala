@@ -1281,11 +1281,7 @@ object PipelineOps {
     // collect as pipeline_bloom_index (documented there).
     ("pipeline_delete_plan", (s, d) => {
       import s.implicits._
-      val erased = Tables.customer(s, d).filter($"c_custkey" % 271 === 0)
-        .select($"c_custkey")
-      val keys = Tables.orders(s, d)
-        .join(erased, $"o_custkey" === $"c_custkey")
-        .select($"o_orderkey".as("k"))
+      val keys = eraseOrderKeys(s, d)
       val (files, _) = bloomIdxMatchedFilesFor(s, d, keys)
       readBloomMatched(s, d, files.toSeq)
         .join(keys.withColumnRenamed("k", "l_orderkey"), Seq("l_orderkey"))
@@ -1300,6 +1296,94 @@ object PipelineOps {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_custkey % 271 = 0
         |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // ---- GDPR deletion EXECUTION (the plan above, run to completion —
+    // see [[deleteExecDir]]): unmatched files carry over by hard link
+    // (zero bytes rewritten), matched files are rewritten minus the purge
+    // rows, bloom sidecars reconcile incrementally (retained rows remapped,
+    // fresh bitsets only for rewritten files), and the daily MV refreshes
+    // only months that actually lost rows. This query is the post-delete
+    // monthly report FROM THE REWRITTEN TREE; the oracle recomputes it from
+    // the raw tables minus the erased customers' orders, so any under- or
+    // over-purge hash-mismatches. DiagnosticsSpec pins the metadata story:
+    // index rows ↔ tree files 1:1, retained files untouched, erased keys
+    // unfindable through the new sidecars.
+    ("pipeline_delete_exec", (s, d) => {
+      import s.implicits._
+      s.read.parquet(s"${deleteExecDir(s, d)}/data")
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey % 271 <> 0
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // ---- the MV after the delete: the daily rollup incremental-refreshed
+    // through the mutation (untouched months linked over, lost-row months
+    // recomputed from the post-delete tree). Reading the WHOLE view and
+    // oracle-recomputing it from raw-minus-erased is the strongest
+    // consistency check: a stale touched month, a clobbered untouched one,
+    // or a refresh computed from pre-delete data all hash-mismatch. Output
+    // is calendar-bounded (~2.5k daily rows for the 1995-2001 ship range)
+    // at every SF.
+    ("pipeline_delete_mv", (s, d) => {
+      import s.implicits._
+      s.read.parquet(s"${deleteExecDir(s, d)}/mv")
+        .select($"ship_month", $"ship_day", $"n_items", $"sum_qty",
+          $"revenue_cents")
+        .orderBy($"ship_month", $"ship_day")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(l_shipdate AS DATE) AS ship_day,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey % 271 <> 0
+        |GROUP BY 1, 2 ORDER BY ship_month, ship_day""".stripMargin)),
+
+    // ---- point-lookup service through the RECONCILED sidecars: probes mix
+    // the seven dashboard order keys with the erased orders of the lowest
+    // erased customers (custkey ≤ 271 — deterministic at every SF). The
+    // lookup plans its file list against the POST-delete index and scans
+    // only those files of the post-delete tree; erased orders come back
+    // with zero rows (right-to-be-forgotten, served), retained keys with
+    // their true aggregates. The oracle recomputes from raw-minus-erased,
+    // so a stale sidecar row pointing at a rewritten-away file, or purge
+    // rows surviving in a matched file, both surface.
+    ("pipeline_delete_serve", (s, d) => {
+      import s.implicits._
+      val root = deleteExecDir(s, d)
+      val probes = eraseOrderKeys(s, d)
+        .join(Tables.orders(s, d).filter($"o_custkey" <= 271L)
+          .select($"o_orderkey"), $"k" === $"o_orderkey", "left_semi")
+        .unionByName(BloomIdxKeys.toDF("k")).distinct()
+      val (files, _) = matchedFilesInIndex(s, s"$root/index", probes)
+      readMatchedFiles(s, s"$root/data", files.toSeq)
+        .join(broadcast(probes), $"l_orderkey" === $"k")
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"l_orderkey")
+    }, Some(
+      s"""SELECT l_orderkey,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_custkey % 271 <> 0
+         |  AND (l_orderkey IN (${BloomIdxKeys.mkString(", ")})
+         |    OR o_orderkey IN (SELECT o_orderkey FROM orders
+         |         WHERE o_custkey % 271 = 0 AND o_custkey <= 271))
+         |GROUP BY 1 ORDER BY l_orderkey""".stripMargin)),
 
     // ---- temperature-scaled mixture plan (the GPT-3 / mT5 / XLM-R
     // data-mixing method): resample domains with share ∝ n^α, α < 1, so
@@ -2348,6 +2432,8 @@ object PipelineOps {
           $"l_quantity".cast("bigint").as("qty"),
           expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
             .as("net_cents"),
+          to_date($"l_shipdate").as("ship_day"), // lets the daily MV refresh
+          // recompute touched months from THIS tree after a delete rewrite
           date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
         .write.mode("overwrite").partitionBy("ship_month").parquet(dataDir)
       val data = s.read.parquet(dataDir)
@@ -2436,11 +2522,19 @@ object PipelineOps {
     */
   private[operators] def bloomIdxMatchedFilesFor(
       s: SparkSession, d: String,
+      probes: DataFrame): (Array[String], Long) =
+    matchedFilesInIndex(s, s"${bloomIdxDir(s, d)}/index", probes)
+
+  /** Probe an arbitrary per-file bloom-sidecar index (rows: file, bloom,
+    * n_rows) with an orderkey set (column `k`): (files that might contain
+    * any probe, total file count). Metadata-scale — one row per data file.
+    */
+  private[operators] def matchedFilesInIndex(
+      s: SparkSession, idxPath: String,
       probes: DataFrame): (Array[String], Long) = {
     import s.implicits._
     graft.plans.GraftExtensions.register(s)
-    val root = bloomIdxDir(s, d)
-    val idx = s.read.parquet(s"$root/index")
+    val idx = s.read.parquet(idxPath)
     val matched = idx.crossJoin(broadcast(probes)) // |files| × |keys|, metadata-scale
       .filter(call_function("bloom_contains",
         $"bloom", xxhash64($"k"), lit(BloomK)))
@@ -2458,11 +2552,158 @@ object PipelineOps {
     * empty LocalRelation (PruneFilters), so the empty case plans no I/O.
     */
   private[operators] def readBloomMatched(
-      s: SparkSession, d: String, files: Seq[String]): DataFrame = {
-    val base = bloomIdxDataDir(s, d)
+      s: SparkSession, d: String, files: Seq[String]): DataFrame =
+    readMatchedFiles(s, bloomIdxDataDir(s, d), files)
+
+  private[operators] def readMatchedFiles(
+      s: SparkSession, base: String, files: Seq[String]): DataFrame =
     if (files.isEmpty) s.read.parquet(base).filter(lit(false))
     else s.read.option("basePath", base).parquet(files: _*)
+
+  /** `input_file_name()` / `DataFrame.inputFiles` URI → plain local path
+    * (`file:///tmp/x` and `file:/tmp/x` both → `/tmp/x`); identity for a
+    * path that carries no scheme. Lets file sets from different listing
+    * APIs compare and feed `spark.read.parquet` uniformly.
+    */
+  private[operators] def normPath(f: String): String =
+    if (f.startsWith("file:")) "/" + f.stripPrefix("file:").dropWhile(_ == '/')
+    else f
+
+  /** The customer keys the GDPR fixture erases (every 271st customer) and
+    * their order keys — shared by the planner, the executor and the
+    * post-delete serving queries so all three speak about the same purge.
+    */
+  private[operators] def eraseOrderKeys(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val erased = Tables.customer(s, d).filter($"c_custkey" % 271 === 0)
+      .select($"c_custkey")
+    Tables.orders(s, d).join(erased, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey".as("k"))
   }
+
+  private val deleteExecDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM GDPR delete EXECUTION over the bloom-indexed ship-month
+    * layout — the rewrite pass `pipeline_delete_plan` only plans, run to
+    * completion with full metadata reconciliation (the lakehouse
+    * DELETE-with-index-maintenance loop):
+    *
+    *  1. resolve erase requests (customer keys) to order keys;
+    *  2. probe the bloom sidecars — only MATCHED files can hold purge rows
+    *     (no false negatives), so every UNMATCHED file is RETAINED
+    *     verbatim: hard-linked into the new tree, zero bytes rewritten
+    *     (the copy-on-write `DELETE` of Delta/Iceberg, where retained
+    *     files carry over by reference in the new snapshot);
+    *  3. matched files are read, purge rows anti-joined out, and the
+    *     remainder appended into the same month partitions;
+    *  4. the bloom INDEX is reconciled incrementally: retained files keep
+    *     their sidecar rows (path-remapped), rewritten files get freshly
+    *     built bitsets — never a full-tree re-index;
+    *  5. the daily MV is incremental-refreshed: only months that actually
+    *     lost rows are recomputed (from the post-delete tree), untouched
+    *     month partitions carry over by link.
+    *
+    * Correctness: the serving queries' DuckDB oracles recompute the
+    * post-delete state from the RAW tables (lineitem minus erased
+    * customers' orders), so an under-purge (missed file), over-purge
+    * (wrong anti-join), stale index row, or unrefreshed MV month all
+    * hash-mismatch; DiagnosticsSpec pins index↔tree consistency, retained
+    * files carrying over untouched and erased keys being unfindable.
+    * At 100 TB: cost scales with |matched files| + |touched months|, not
+    * table size — the whole point of the sidecar-planned rewrite.
+    */
+  private[operators] def deleteExecDir(s: SparkSession, d: String): String =
+    deleteExecDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val root = graft.Fixtures.tempDir("graft_delexec")
+      val newData = root.resolve("data")
+      val oldData = java.nio.file.Paths.get(normPath(bloomIdxDataDir(s, d)))
+      val keys = eraseOrderKeys(s, d)
+
+      // 2. plan: bloom-matched files; everything else is retained by link
+      val (matched, _) = bloomIdxMatchedFilesFor(s, d, keys)
+      val matchedSet = matched.map(normPath).toSet
+      val retainedDst = s.read.parquet(oldData.toString).inputFiles
+        .map(normPath).filterNot(matchedSet.contains).map { f =>
+          val src = java.nio.file.Paths.get(f)
+          val dst = newData.resolve(oldData.relativize(src).toString)
+          java.nio.file.Files.createDirectories(dst.getParent)
+          try java.nio.file.Files.createLink(dst, src)
+          catch { case _: Exception => // cross-device etc. — fall back
+            java.nio.file.Files.copy(src, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+          dst.toString
+        }.toSet
+
+      // 3. rewrite matched files minus purge rows, appended per month
+      // (append never touches the linked files; month dirs may mix both)
+      readBloomMatched(s, d, matched.toSeq)
+        .join(keys, $"l_orderkey" === $"k", "left_anti")
+        .write.mode("append").partitionBy("ship_month").parquet(newData.toString)
+
+      // 4. index reconciliation: remap retained rows, fresh rows for the
+      // rewritten files only
+      val oldDataStr = oldData.toString
+      val newDataStr = normPath(newData.toString)
+      val newFiles = s.read.parquet(newData.toString).inputFiles
+        .map(normPath).filterNot(retainedDst.contains).toSeq
+      val retainedIdx = s.read.parquet(s"${bloomIdxDir(s, d)}/index")
+        .withColumn("file", regexp_replace($"file", "^file:/+", "/"))
+        .filter(!$"file".isin(matched.map(normPath).toSeq: _*))
+        .withColumn("file",
+          concat(lit(newDataStr), expr(s"substr(file, ${oldDataStr.length + 1})")))
+      val freshIdx = {
+        val data = readMatchedFiles(s, newData.toString, newFiles)
+        val nRows = data.count()
+        val perFile = math.max(64L, nRows / math.max(1, newFiles.length))
+        var mBits = 1 << 10
+        while (mBits < perFile * 16 && mBits < (1 << 27)) mBits <<= 1
+        val bloomAgg = udaf(new graft.functions.BloomAgg(mBits, BloomK),
+          org.apache.spark.sql.Encoders.scalaLong)
+        data.select(regexp_replace(input_file_name(), "^file:/+", "/").as("file"),
+            xxhash64($"l_orderkey").as("h"))
+          .groupBy($"file")
+          .agg(bloomAgg($"h").as("bloom"), count(lit(1)).as("n_rows"))
+      }
+      retainedIdx.unionByName(freshIdx)
+        .write.mode("overwrite").parquet(root.resolve("index").toString)
+
+      // 5. MV incremental refresh: recompute ONLY months that lost rows
+      val touched = readBloomMatched(s, d, matched.toSeq)
+        .join(keys, $"l_orderkey" === $"k", "left_semi")
+        .select($"ship_month").distinct().as[String].collect().toSeq
+      val newMv = root.resolve("mv")
+      val oldMv = java.nio.file.Paths.get(normPath(mvRollupDir(s, d)))
+      val monthDirs = java.nio.file.Files.list(oldMv)
+      try monthDirs.forEach { md =>
+        val name = md.getFileName.toString // ship_month=YYYY-MM
+        if (name.startsWith("ship_month=") &&
+            !touched.contains(name.stripPrefix("ship_month="))) {
+          val dstDir = newMv.resolve(name)
+          java.nio.file.Files.createDirectories(dstDir)
+          val fs = java.nio.file.Files.list(md)
+          try fs.forEach { f =>
+            if (java.nio.file.Files.isRegularFile(f))
+              try java.nio.file.Files.createLink(dstDir.resolve(f.getFileName.toString), f)
+              catch { case _: Exception =>
+                java.nio.file.Files.copy(f, dstDir.resolve(f.getFileName.toString),
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              }
+          } finally fs.close()
+        }
+      } finally monthDirs.close()
+      if (touched.nonEmpty)
+        s.read.parquet(newData.toString)
+          .filter($"ship_month".isin(touched: _*))
+          .groupBy($"ship_month", $"ship_day")
+          .agg(count(lit(1)).as("n_items"), sum($"qty").as("sum_qty"),
+            sum($"net_cents").as("revenue_cents"))
+          .write.mode("append").partitionBy("ship_month").parquet(newMv.toString)
+      root.toString
+    })
 
   private[operators] def partitionedCorpus(s: SparkSession, d: String): String =
     partitionedDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {

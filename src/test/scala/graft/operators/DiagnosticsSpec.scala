@@ -371,4 +371,102 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(after.values.sum <= before.values.sum,
       s"file count grew: ${before.values.sum} -> ${after.values.sum}")
   }
+
+  // Delete EXECUTION metadata story (the oracles pin the data; these pin
+  // the mutation's bookkeeping): (a) the reconciled sidecar index describes
+  // exactly the post-delete tree — file sets equal 1:1 and every n_rows
+  // matches a physical recount, so the index survived the mutation in sync;
+  // (b) retained (bloom-unmatched) files carried over by REFERENCE — same
+  // file name, same byte size, i.e. the rewrite touched only matched files;
+  // (c) erased orders are unfindable THROUGH the new index: scanning only
+  // its matched files yields zero purge rows.
+  test("delete exec: reconciled index describes the post-delete tree exactly") {
+    import spark.implicits._
+    val root = PipelineOps.deleteExecDir(spark, sfDir)
+    val idx = spark.read.parquet(s"$root/index")
+      .select($"file", $"n_rows").as[(String, Long)].collect().toMap
+    val actual = spark.read.parquet(s"$root/data")
+      .select(input_file_name().as("f"))
+      .groupBy($"f").count().as[(String, Long)].collect()
+      .map { case (f, n) => PipelineOps.normPath(f) -> n }.toMap
+    assert(idx.keySet == actual.keySet,
+      s"index/tree drift: onlyIdx=${idx.keySet -- actual.keySet} " +
+        s"onlyTree=${actual.keySet -- idx.keySet}")
+    val badCounts = idx.filter { case (f, n) => actual(f) != n }
+    assert(badCounts.isEmpty, s"stale n_rows after reconcile: $badCounts")
+  }
+
+  test("delete exec: unmatched files are retained by reference, not rewritten") {
+    import spark.implicits._
+    val root = PipelineOps.deleteExecDir(spark, sfDir)
+    val keys = PipelineOps.eraseOrderKeys(spark, sfDir)
+    val (matched, total) = PipelineOps.bloomIdxMatchedFilesFor(spark, sfDir, keys)
+    val matchedSet = matched.map(PipelineOps.normPath).toSet
+    val oldData = PipelineOps.normPath(PipelineOps.bloomIdxDataDir(spark, sfDir))
+    val newData = s"$root/data"
+    val retained = spark.read.parquet(oldData).inputFiles
+      .map(PipelineOps.normPath).filterNot(matchedSet.contains)
+    assert(retained.nonEmpty && matched.nonEmpty && matched.length < total)
+    retained.foreach { f =>
+      val dst = java.nio.file.Paths.get(newData + f.stripPrefix(oldData))
+      assert(java.nio.file.Files.isRegularFile(dst),
+        s"retained file missing from post-delete tree: $dst")
+      assert(java.nio.file.Files.size(dst) ==
+        java.nio.file.Files.size(java.nio.file.Paths.get(f)),
+        s"retained file was rewritten: $dst")
+    }
+  }
+
+  test("delete exec: erased orders are unfindable via the reconciled index") {
+    import spark.implicits._
+    val root = PipelineOps.deleteExecDir(spark, sfDir)
+    val keys = PipelineOps.eraseOrderKeys(spark, sfDir)
+    val (files, _) = PipelineOps.matchedFilesInIndex(spark, s"$root/index", keys)
+    val survivors = PipelineOps.readMatchedFiles(spark, s"$root/data", files.toSeq)
+      .join(keys, $"l_orderkey" === $"k", "left_semi").count()
+    assert(survivors == 0L, s"$survivors purge rows survive the delete")
+  }
+
+  // MV maintenance through the mutation: untouched month partitions carry
+  // over by reference (same file names and sizes as the pre-delete MV),
+  // and the refreshed view as a whole equals a from-scratch daily rollup
+  // of the post-delete tree — incremental refresh ≡ rebuild.
+  test("delete exec: MV untouched months carried over, refreshed view ≡ rebuild") {
+    import spark.implicits._
+    val root = PipelineOps.deleteExecDir(spark, sfDir)
+    val keys = PipelineOps.eraseOrderKeys(spark, sfDir)
+    val (matched, _) = PipelineOps.bloomIdxMatchedFilesFor(spark, sfDir, keys)
+    val touched = PipelineOps.readBloomMatched(spark, sfDir, matched.toSeq)
+      .join(keys, $"l_orderkey" === $"k", "left_semi")
+      .select($"ship_month").distinct().as[String].collect().toSet
+    val oldMv = java.nio.file.Paths.get(
+      PipelineOps.normPath(PipelineOps.mvRollupDir(spark, sfDir)))
+    val newMv = java.nio.file.Paths.get(s"$root/mv")
+    import scala.jdk.CollectionConverters._
+    val untouched = java.nio.file.Files.list(oldMv).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("ship_month="))
+      .filterNot(p => touched(p.getFileName.toString.stripPrefix("ship_month=")))
+      .toSeq
+    assert(untouched.nonEmpty && touched.nonEmpty)
+    untouched.foreach { md =>
+      val files = java.nio.file.Files.list(md).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+      files.foreach { f =>
+        val dst = newMv.resolve(md.getFileName.toString)
+          .resolve(f.getFileName.toString)
+        assert(java.nio.file.Files.isRegularFile(dst) &&
+          java.nio.file.Files.size(dst) == java.nio.file.Files.size(f),
+          s"untouched MV month not carried over by reference: $dst")
+      }
+    }
+    val rebuilt = spark.read.parquet(s"$root/data")
+      .groupBy($"ship_month", $"ship_day")
+      .agg(count(lit(1)).as("n_items"), sum($"qty").as("sum_qty"),
+        sum($"net_cents").as("revenue_cents"))
+    val served = spark.read.parquet(s"$root/mv")
+      .select($"ship_month", $"ship_day", $"n_items", $"sum_qty",
+        $"revenue_cents")
+    assert(served.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(served).isEmpty,
+      "incremental-refreshed MV diverges from a from-scratch rebuild")
+  }
 }
