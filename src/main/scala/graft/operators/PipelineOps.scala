@@ -577,6 +577,84 @@ object PipelineOps {
         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem GROUP BY 1 ORDER BY ship_quarter""".stripMargin)),
 
+    // ---- MULTI-KEY aggregate navigation: the naive two-key rollup
+    // (month × return flag) rewritten onto a two-key MV — the common real
+    // MV shape (date × dimension). Every key must map onto its MV column
+    // and every measure onto its partial; the DuckDB oracle is the naive
+    // fact SQL, PlanQualitySpec pins the executed plan reads the wide MV.
+    ("pipeline_mv_rewrite_multi", (s, d) => {
+      import s.implicits._
+      graft.plans.MvRewrite.install(s, mvFlagTemplate(s, d), mvFlagDir(s, d))
+      Tables.lineitem(s, d)
+        .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"),
+          $"l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast("bigint")).as("sum_qty"),
+          sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+            .as("revenue_cents"),
+          min($"l_quantity".cast("bigint")).as("min_qty"),
+          max($"l_quantity".cast("bigint")).as("max_qty"))
+        .orderBy($"ship_month", $"l_returnflag")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+        |  CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY ship_month, l_returnflag""".stripMargin)),
+
+    // ---- AVG navigation: the naive monthly avg(quantity) decomposes onto
+    // the EXISTING monthly MV's sum-pair — avg(x) → sum(sum_qty) /
+    // sum(n_items) (the rollup stores no average; none is needed). Exact
+    // because the operands are integer partials: the long sums cast to
+    // double exactly below 2^53, so the one division equals the naive
+    // double-accumulated avg bit-for-bit on integral columns — the reason
+    // the rule refuses to navigate decimal/float averages.
+    ("pipeline_mv_rewrite_avg", (s, d) => {
+      import s.implicits._
+      graft.plans.MvRewrite.install(s, mvRewriteTemplate(s, d), mvRollupDir(s, d))
+      Tables.lineitem(s, d)
+        .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+        .agg(count(lit(1)).as("n_items"),
+          avg($"l_quantity".cast("bigint")).as("avg_qty"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  avg(CAST(l_quantity AS BIGINT)) AS avg_qty
+        |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // ---- min/max + per-key filter translation through the multi-key MV:
+    // predicates on BOTH keys (month range + flag IN-list) are each
+    // group-selecting, translate onto their MV columns, and the month one
+    // becomes partition pruning on the month-partitioned rollup. min/max
+    // re-aggregate as MIN/MAX of the stored extrema — sound here because
+    // the wide MV is insert-only (the GDPR-delete pipeline maintains a
+    // DIFFERENT rollup; a deleted row could make a stored extremum stale,
+    // which is why lakehouse engines, and this rule, scope min/max
+    // navigation to append-only facts).
+    ("pipeline_mv_rewrite_minmax", (s, d) => {
+      import s.implicits._
+      graft.plans.MvRewrite.install(s, mvFlagTemplate(s, d), mvFlagDir(s, d))
+      Tables.lineitem(s, d)
+        .filter(date_format($"l_shipdate", "yyyy-MM") >= "2001-06" &&
+          $"l_returnflag".isin("R", "A"))
+        .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"),
+          $"l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          min($"l_quantity".cast("bigint")).as("min_qty"),
+          max($"l_quantity".cast("bigint")).as("max_qty"))
+        .orderBy($"ship_month", $"l_returnflag")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+        |  CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+        |FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m') >= '2001-06' AND l_returnflag IN ('R', 'A')
+        |GROUP BY 1, 2 ORDER BY ship_month, l_returnflag""".stripMargin)),
+
     // ---- bloom data-skipping index serve: point-lookup of seven order
     // keys against a fact laid out by ship month — a layout that CANNOT
     // serve this lookup by partition pruning (an order's items scatter
@@ -2484,6 +2562,41 @@ object PipelineOps {
           .as("revenue_cents"))
       .orderBy($"ship_quarter")
   }
+
+  /** The naive (month, returnflag) fact aggregate with additive AND
+    * extremal measures — template and demonstrated queries for the
+    * multi-key / min-max MV navigation, one definition so the registered
+    * shapes and the queries cannot drift. min/max re-aggregate soundly
+    * because this MV is insert-only (never maintained through a delete).
+    */
+  private[operators] def mvFlagTemplate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"),
+        $"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity".cast("bigint")).as("sum_qty"),
+        sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"),
+        min($"l_quantity".cast("bigint")).as("min_qty"),
+        max($"l_quantity".cast("bigint")).as("max_qty"))
+      .orderBy($"ship_month", $"l_returnflag")
+  }
+
+  private val mvFlagDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM (ship_month, l_returnflag) rollup — the multi-key MV the
+    * wide-navigation queries serve from, month-partitioned so translated
+    * month predicates still prune at the file index.
+    */
+  private[operators] def mvFlagDir(s: SparkSession, d: String): String =
+    mvFlagDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      val root = graft.Fixtures.tempDir("graft_mvflag").resolve("mv").toString
+      mvFlagTemplate(s, d).write.mode("overwrite")
+        .partitionBy("ship_month").parquet(root)
+      root
+    })
 
   private val compactedDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -49,21 +49,32 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object MvRewrite {
 
+  /** How a fact-side aggregate re-aggregates over the MV's partial rows:
+    * additive measures (count/sum) re-SUM; min/max re-MIN/re-MAX (sound on
+    * an insert-only fact — a delete could make a stored extremum stale).
+    */
+  private[plans] sealed trait ReAgg
+  private[plans] case object ReSum extends ReAgg
+  private[plans] case object ReMin extends ReAgg
+  private[plans] case object ReMax extends ReAgg
+
   /** One registered rewrite target: fact leaf paths, the canonical
-    * grouping shapes, per-aggregate-shape MV measure column, the MV path,
-    * and the group-key MV column.
+    * grouping shapes (one per group key, template order), per-key source
+    * columns and MV key columns, per-aggregate-shape (re-agg kind, MV
+    * measure column), and the MV path.
     */
   private[plans] final case class Target(
       factPaths: Set[String],
       groupShapes: Seq[Expression],
-      groupSourceCols: Set[String], // lowercased fact columns the key reads
-      aggToMvColumn: Map[Expression, String],
-      groupMvColumn: String,
+      groupSourceCols: Seq[Set[String]], // per key: lowercased fact columns
+      aggToMvColumn: Map[Expression, (ReAgg, String)],
+      groupMvColumns: Seq[String],
       mvPath: String,
-      // GRAIN NAVIGATION: when set, the fact grouping key corresponds not
-      // to an MV column but to this SQL expression over the MV's columns
-      // (e.g. quarter-of-ship_month) — the rollup serves a COARSER grain
-      // than it stores, which is sound for the all-additive measure set.
+      // GRAIN NAVIGATION: when set, the (single) fact grouping key
+      // corresponds not to an MV column but to this SQL expression over
+      // the MV's columns (e.g. quarter-of-ship_month) — the rollup serves
+      // a COARSER grain than it stores, which is sound for the
+      // all-additive measure set.
       mvKeySql: Option[String] = None)
 
   private val targets =
@@ -97,12 +108,35 @@ object MvRewrite {
         .getOrElse(throw new IllegalArgumentException(
           "MV rewrite template must optimize to Aggregate over Project*/parquet scan"))
       require(si.filters.isEmpty, "MV rewrite template must be unfiltered")
-      val groupKeyName = agg.aggregateExpressions.head.name
-      val aggMap = agg.aggregateExpressions.tail.map {
-        case al @ Alias(child, _) => shape(inline(child, si.aliases)) -> al.name
-        case other => throw new IllegalArgumentException(
-          s"unexpected template aggregate output: $other")
-      }.toMap
+      val nKeys = agg.groupingExpressions.length
+      require(mvKeySql.isEmpty || nKeys == 1,
+        "grain navigation (mvKeySql) is a single-key contract")
+      val inlinedGroups0 = agg.groupingExpressions.map(inline(_, si.aliases))
+      val groupShapes0 = inlinedGroups0.map(shape)
+      def outShape(ne: NamedExpression): Expression = ne match {
+        case Alias(child, _) => shape(inline(child, si.aliases))
+        case other => shape(inline(other, si.aliases))
+      }
+      // keys and measures located by SHAPE, not position: a plain-column
+      // group key survives as an AttributeReference wherever the optimizer
+      // put it
+      val keyNames = groupShapes0.map { gs =>
+        agg.aggregateExpressions.find(outShape(_) == gs).getOrElse(
+          throw new IllegalArgumentException(
+            s"template output does not expose group key $gs")).name
+      }
+      val aggMap = agg.aggregateExpressions
+        .filterNot(ne => groupShapes0.contains(outShape(ne))).map {
+          case al @ Alias(child, _) =>
+            val kind = inline(child, si.aliases) match {
+              case AggregateExpression(_: Min, _, false, _, _) => ReMin
+              case AggregateExpression(_: Max, _, false, _, _) => ReMax
+              case _ => ReSum // Count/Sum — additive, re-aggregates by SUM
+            }
+            shape(inline(child, si.aliases)) -> (kind, al.name)
+          case other => throw new IllegalArgumentException(
+            s"unexpected template aggregate output: $other")
+        }.toMap
       // install the rule once per session
       synchronized {
         val already = spark.experimental.extraOptimizations
@@ -111,10 +145,9 @@ object MvRewrite {
           spark.experimental.extraOptimizations =
             spark.experimental.extraOptimizations :+ new MvAggregateRewrite(spark)
       }
-      val inlinedGroups = agg.groupingExpressions.map(inline(_, si.aliases))
-      Target(leafPaths(si.leaf), inlinedGroups.map(shape),
-        inlinedGroups.flatMap(_.references.map(_.name.toLowerCase)).toSet,
-        aggMap, groupKeyName, mvPath, mvKeySql)
+      Target(leafPaths(si.leaf), groupShapes0,
+        inlinedGroups0.map(_.references.map(_.name.toLowerCase).toSet),
+        aggMap, keyNames, mvPath, mvKeySql)
     })
     ()
   }
@@ -208,65 +241,110 @@ final class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** A fact-side filter conjunct is rewritable iff it constrains ONLY the
-    * group key: a binary comparison of the group-key expression against a
+  /** A fact-side filter conjunct is rewritable iff it constrains ONLY a
+    * group key: a binary comparison of a group-key expression against a
     * literal (either side), an IN over literals, or a null check on an
-    * attribute the group key is built from (the key is null exactly when
-    * its source column is — same rows survive on the month-grain rollup).
-    * Such predicates select whole groups, so applying them to the rollup's
-    * key column is semantics-preserving; anything else (a predicate on a
-    * non-key column selects PART of a group's rows) disqualifies.
+    * attribute a group key is built from (the key is null exactly when
+    * its source column is — same rows survive on the rollup). Such
+    * predicates select whole groups, so applying them to the rollup's key
+    * column is semantics-preserving; anything else (a predicate on a
+    * non-key column selects PART of a group's rows) disqualifies. With
+    * multiple group keys, each conjunct may constrain ANY one of them.
     */
   private def translateFilter(
-      f: Expression, groupShape: Expression, groupSourceCols: Set[String],
-      mvKey: Expression): Option[Expression] = f match {
-    case cmp: BinaryComparison =>
-      (cmp.left, cmp.right) match {
-        case (k, l: Literal) if shape(k) == groupShape =>
-          Some(cmp.withNewChildren(Seq(mvKey, l)))
-        case (l: Literal, k) if shape(k) == groupShape =>
-          Some(cmp.withNewChildren(Seq(l, mvKey)))
+      f: Expression,
+      keys: Seq[(Expression, Set[String], Expression)]): Option[Expression] =
+    keys.iterator.map { case (groupShape, groupSourceCols, mvKey) =>
+      f match {
+        case cmp: BinaryComparison =>
+          (cmp.left, cmp.right) match {
+            case (k, l: Literal) if shape(k) == groupShape =>
+              Some(cmp.withNewChildren(Seq(mvKey, l)))
+            case (l: Literal, k) if shape(k) == groupShape =>
+              Some(cmp.withNewChildren(Seq(l, mvKey)))
+            case _ => None
+          }
+        case In(k, vs) if shape(k) == groupShape && vs.forall(_.isInstanceOf[Literal]) =>
+          Some(In(mvKey, vs))
+        case IsNotNull(a: AttributeReference)
+            if groupSourceCols == Set(a.name.toLowerCase) || shape(a) == groupShape =>
+          Some(IsNotNull(mvKey))
         case _ => None
       }
-    case In(k, vs) if shape(k) == groupShape && vs.forall(_.isInstanceOf[Literal]) =>
-      Some(In(mvKey, vs))
-    case IsNotNull(a: AttributeReference)
-        if groupSourceCols == Set(a.name.toLowerCase) || shape(a) == groupShape =>
-      Some(IsNotNull(mvKey))
-    case _ => None
-  }
+    }.collectFirst { case Some(e) => e }
 
   private def rewrite(
       agg: Aggregate, si: ScanInfo, t: Target): Option[LogicalPlan] = {
-    // the MV relation and the expression over it that realizes the fact
-    // query's group key: a plain column for same-grain serving, or (grain
-    // navigation) a derived expression resolved by analyzing a throwaway
-    // select over a fresh MV scan and unwrapping its Project
+    // the MV relation and the expressions over it that realize the fact
+    // query's group keys: plain columns for same-grain serving, or (grain
+    // navigation, single-key) a derived expression resolved by analyzing a
+    // throwaway select over a fresh MV scan and unwrapping its Project
     val base = spark.read.parquet(t.mvPath)
-    val (mvPlan: LogicalPlan, mvKey: Expression) = t.mvKeySql match {
+    val (mvPlan: LogicalPlan, mvKeys: Seq[Expression]) = t.mvKeySql match {
       case None =>
         val pl = base.queryExecution.analyzed
-        (pl, pl.output.find(_.name == t.groupMvColumn).get)
+        val out = pl.output.map(a => a.name -> a).toMap
+        (pl, t.groupMvColumns.map(out(_)))
       case Some(txt) =>
         base.select(org.apache.spark.sql.functions.expr(txt).as("__mvkey"))
           .queryExecution.analyzed match {
-          case Project(Seq(al: Alias), rel) => (rel, al.child)
+          case Project(Seq(al: Alias), rel) => (rel, Seq(al.child))
           case _ => return None
         }
     }
     val mvOut = mvPlan.output.map(a => a.name -> a).toMap
-    val groupShape = t.groupShapes.head
+    val keys = t.groupShapes.lazyZip(t.groupSourceCols).lazyZip(mvKeys).toSeq
     val translated = si.filters.map(f =>
-      translateFilter(inline(f, si.aliases), groupShape, t.groupSourceCols, mvKey))
+      translateFilter(inline(f, si.aliases), keys))
     if (translated.exists(_.isEmpty)) return None // non-key predicate: bail
+
+    def reAgg(kind: ReAgg, col: String): AggregateExpression = {
+      val fn = kind match {
+        case ReSum => Sum(mvOut(col))
+        case ReMin => Min(mvOut(col))
+        case ReMax => Max(mvOut(col))
+      }
+      AggregateExpression(fn, Complete, isDistinct = false)
+    }
+    // A measure maps directly by shape (count/sum → SUM of the partial,
+    // min/max → MIN/MAX of the partial extrema), or — AVG navigation —
+    // avg(x) decomposes into sum-pair division when the MV stores BOTH
+    // sum(x) and the row count. Integral x only: the long partials are
+    // exact, their double casts exact below 2^53, so the division equals
+    // the naive avg bit-for-bit; decimal/float avgs don't re-associate
+    // exactly and must not navigate.
+    def mapMeasure(inl: Expression): Option[Expression] =
+      t.aggToMvColumn.get(shape(inl)).map { case (kind, col) =>
+        reAgg(kind, col): Expression
+      }.orElse(inl match {
+        case AggregateExpression(avg: Average, _, false, _, _)
+            if Seq(org.apache.spark.sql.types.LongType,
+              org.apache.spark.sql.types.IntegerType,
+              org.apache.spark.sql.types.ShortType,
+              org.apache.spark.sql.types.ByteType).contains(avg.child.dataType) =>
+          val sumShape = shape(
+            AggregateExpression(Sum(avg.child), Complete, isDistinct = false))
+          val cntShape = shape(AggregateExpression(
+            Count(Seq(Literal(1))), Complete, isDistinct = false))
+          (t.aggToMvColumn.get(sumShape), t.aggToMvColumn.get(cntShape)) match {
+            case (Some((ReSum, sc)), Some((ReSum, cc))) =>
+              Some(Divide(
+                Cast(reAgg(ReSum, sc), org.apache.spark.sql.types.DoubleType),
+                Cast(reAgg(ReSum, cc), org.apache.spark.sql.types.DoubleType)))
+            case _ => None
+          }
+        case _ => None
+      })
+    def keyIdxOf(inl: Expression): Int = t.groupShapes.indexOf(shape(inl))
     val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
-      case al @ Alias(child, name) if shape(inline(child, si.aliases)) == groupShape =>
-        Some(Alias(mvKey, name)(al.exprId))
       case al @ Alias(child, name) =>
-        t.aggToMvColumn.get(shape(inline(child, si.aliases))).map { col =>
-          Alias(AggregateExpression(Sum(mvOut(col)), Complete, isDistinct = false),
-            name)(al.exprId)
-        }
+        val inl = inline(child, si.aliases)
+        val ki = keyIdxOf(inl)
+        if (ki >= 0) Some(Alias(mvKeys(ki), name)(al.exprId))
+        else mapMeasure(inl).map(e => Alias(e, name)(al.exprId))
+      case a: AttributeReference => // plain-column group key in the output
+        val ki = keyIdxOf(inline(a, si.aliases))
+        if (ki >= 0) Some(Alias(mvKeys(ki), a.name)(a.exprId)) else None
       case _ => None
     }
     if (mapped.exists(_.isEmpty)) None // any unmapped output -> leave untouched
@@ -275,7 +353,7 @@ final class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // prune explicitly: this rule runs in extraOptimizations, AFTER the
       // standard column-pruning batch, so nothing downstream would strip
       // the MV's unused columns (ship_day) from the scan otherwise
-      val keyAttrs = mvKey.collect { case a: AttributeReference => a }
+      val keyAttrs = mvKeys.flatMap(_.collect { case a: AttributeReference => a })
       val needed = (keyAttrs ++ mapped.flatten.flatMap(_.collect {
         case a: AttributeReference => a
       })).distinct
@@ -283,7 +361,7 @@ final class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         if (translated.isEmpty) mvPlan
         else org.apache.spark.sql.catalyst.plans.logical.Filter(
           translated.flatten.reduce(And), mvPlan)
-      Some(Aggregate(Seq(mvKey), mapped.flatten, Project(needed, filtered)))
+      Some(Aggregate(mvKeys, mapped.flatten, Project(needed, filtered)))
     }
   }
 }

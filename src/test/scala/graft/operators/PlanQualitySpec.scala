@@ -160,6 +160,47 @@ class PlanQualitySpec extends AnyFunSuite {
       s"quarterly aggregate not served from the monthly MV:\n$plan")
   }
 
+  test("pipeline_mv_rewrite_multi: the two-key naive aggregate reads the wide MV") {
+    val before = graft.plans.MvRewrite.fired.get()
+    val df = graft.SparkEntry.queries("pipeline_mv_rewrite_multi")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(graft.plans.MvRewrite.fired.get() > before, "multi-key rewrite did not fire")
+    assert(plan.contains("graft_mvflag") && !plan.contains("lineitem"),
+      s"two-key aggregate not served from the wide MV:\n$plan")
+  }
+
+  test("pipeline_mv_rewrite_avg: avg navigates as sum-pair division; decimal/double avg must not") {
+    import spark.implicits._
+    val before = graft.plans.MvRewrite.fired.get()
+    val df = graft.SparkEntry.queries("pipeline_mv_rewrite_avg")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(graft.plans.MvRewrite.fired.get() > before, "avg rewrite did not fire")
+    assert(plan.contains("graft_mv") && !plan.contains("lineitem"),
+      s"avg aggregate not served from the monthly MV:\n$plan")
+    // negative: a non-integral avg cannot be reproduced bit-for-bit from
+    // integer partials — the rule must leave it on the fact table
+    val nonIntegral = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(F.date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+      .agg(F.count(F.lit(1)).as("n_items"),
+        F.avg($"l_quantity").as("avg_qty"))
+    assert(nonIntegral.queryExecution.executedPlan.toString.contains("lineitem"),
+      "avg navigation must not fire for a non-integral column")
+  }
+
+  test("pipeline_mv_rewrite_minmax: both key filters translate; month prunes the wide MV's file index") {
+    val before = graft.plans.MvRewrite.fired.get()
+    val df = graft.SparkEntry.queries("pipeline_mv_rewrite_minmax")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(graft.plans.MvRewrite.fired.get() > before, "min/max rewrite did not fire")
+    assert(plan.contains("graft_mvflag") && !plan.contains("lineitem"),
+      s"filtered min/max aggregate not served from the wide MV:\n$plan")
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*ship_month.*"),
+      s"translated month filter did not prune the wide MV's file index:\n$plan")
+    assert(plan.matches("(?s).*l_returnflag.*IN.*") ||
+      plan.matches("(?s).*l_returnflag.* IN .*"),
+      s"flag IN-list filter not translated onto the MV:\n$plan")
+  }
+
   test("pipeline_mv_serve: month predicate prunes the rollup's file index; neither MV query scans the fact table") {
     val serve = graft.SparkEntry.queries("pipeline_mv_serve")(spark, sfDir)
     val servePlan = serve.queryExecution.executedPlan.toString
