@@ -230,38 +230,233 @@ object Similarity {
     * query to the right neighborhood in few hops over a 1/4-size graph;
     * the base layer refines locally (sim_hnsw_topk).
     */
-  private def knnGraphDir(s: SparkSession, d: String): String =
+  private[operators] def knnGraphDir(s: SparkSession, d: String): String =
     knnGraphDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
-      import s.implicits._
       val root = graft.Fixtures.tempDir("graft_knngraph")
         .resolve("graph").toString
-      val v = vectors(s, d).cache()
-      val we = Window.partitionBy($"src").orderBy($"ecos".desc, $"dst")
-      val kc = knnCandidatesWithRegime(v)
-      val scored = kc.cand
-        .join(v.select($"vec_id".as("src"), $"emb".as("s_emb")), "src")
-        .join(v.select($"vec_id".as("dst"), $"emb".as("d_emb")), "dst")
-        .withColumn("ecos", cosine($"s_emb", $"d_emb"))
-        .select($"src", $"dst", $"ecos") // drop the embeddings BEFORE caching:
-        .cache() // cut twice (l0 + l1) — score once; 3 narrow columns cache
-      // fine at 200k vectors where the emb-carrying frame OOMed a 4.6 GB heap
-      try {
-        scored
-          .withColumn("rn", row_number().over(we)).filter($"rn" <= GraphDegree)
-          .select($"src", $"dst", $"ecos", $"rn")
-          .write.mode("overwrite").parquet(s"$root/l0")
-        scored
-          .filter($"src" % HnswLayerMod === 0 && $"dst" % HnswLayerMod === 0)
-          .withColumn("rn", row_number().over(we)).filter($"rn" <= HnswL1Degree)
-          .select($"src", $"dst", $"ecos", $"rn")
-          .write.mode("overwrite").parquet(s"$root/l1")
-      } finally { // build is once-per-JVM: nothing may stay cached after it
-        scored.unpersist()
-        kc.cached.foreach(_.unpersist())
-        v.unpersist()
+      writeGraphLayers(vectors(s, d), root)
+      root
+    })
+
+  /** Build and write both layers of the serve graph for vector set `v0`
+    * under `root` (`l0`: full degree-[[GraphDegree]]; `l1`: the mod-4
+    * upper layer at degree-[[HnswL1Degree]]) — one candidate-generation +
+    * scoring pass, two window cuts. Shared by the full build and the
+    * incremental builder's day-0 base (and its honest rebuild fallback).
+    */
+  private def writeGraphLayers(v0: DataFrame, root: String): Unit = {
+    val s = v0.sparkSession
+    import s.implicits._
+    val v = v0.cache()
+    val we = Window.partitionBy($"src").orderBy($"ecos".desc, $"dst")
+    val kc = knnCandidatesWithRegime(v)
+    val scored = kc.cand
+      .join(v.select($"vec_id".as("src"), $"emb".as("s_emb")), "src")
+      .join(v.select($"vec_id".as("dst"), $"emb".as("d_emb")), "dst")
+      .withColumn("ecos", cosine($"s_emb", $"d_emb"))
+      .select($"src", $"dst", $"ecos") // drop the embeddings BEFORE caching:
+      .cache() // cut twice (l0 + l1) — score once; 3 narrow columns cache
+    // fine at 200k vectors where the emb-carrying frame OOMed a 4.6 GB heap
+    try {
+      scored
+        .withColumn("rn", row_number().over(we)).filter($"rn" <= GraphDegree)
+        .select($"src", $"dst", $"ecos", $"rn")
+        .write.mode("overwrite").parquet(s"$root/l0")
+      scored
+        .filter($"src" % HnswLayerMod === 0 && $"dst" % HnswLayerMod === 0)
+        .withColumn("rn", row_number().over(we)).filter($"rn" <= HnswL1Degree)
+        .select($"src", $"dst", $"ecos", $"rn")
+        .write.mode("overwrite").parquet(s"$root/l1")
+    } finally { // build is once-per-JVM: nothing may stay cached after it
+      scored.unpersist()
+      kc.cached.foreach(_.unpersist())
+      v.unpersist()
+    }
+  }
+
+  private val knnIncrDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Set when [[knnIncrementalDir]] had to take its full-rebuild fallback
+    * instead of the delta upsert — specs assert the upsert path actually
+    * ran at the driver SFs.
+    */
+  private[graft] val knnIncrFellBack =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** INCREMENTALLY-MAINTAINED serve graph: built on the base slice
+    * (vec_id % 10 != 9 — the same batch split as the IVF incremental
+    * index), then the remaining tenth is DELTA-UPSERTED. New nodes get
+    * fresh top-k lists; existing lists are re-cut ONLY where a new node
+    * enters their candidate set: merge(old top-k, new-endpoint edges) →
+    * top-k. That merge-recut equals the full-rebuild list EXACTLY because
+    * insertion never changes existing scores — it can only displace — so
+    * any full-set top-k member that is an old candidate already sat in the
+    * old top-k; unaffected source lists carry over verbatim. Exactness
+    * additionally requires the bucket-stable all-pairs candidate regime
+    * (LSH bucket membership is a pure per-vector function; the banded
+    * big-bucket regime's position blocks SHIFT under insertion), so the
+    * builder probes the full set's max bucket and falls back to an honest
+    * full rebuild past the cap — the same boundary at which a real HNSW
+    * engine re-links whole neighborhoods. AnnQualitySpec pins l0/l1
+    * frame-equality against a fresh rebuild and that the upsert path ran;
+    * sim_graph_incremental serves through sim_graph_topk's verbatim
+    * oracle (the fresh-rebuild contract). At 100 TB: a vector batch costs
+    * candidates-of-the-batch + re-cuts of adjacent lists — never a
+    * corpus-wide rebuild.
+    */
+  private[operators] def knnIncrementalDir(s: SparkSession, d: String): String =
+    knnIncrDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val root = graft.Fixtures.tempDir("graft_knnincr")
+        .resolve("graph").toString
+      val v = vectors(s, d)
+      val sigsAll = lshSignatures(v).cache()
+      val maxBucket = sigsAll.groupBy($"tbl", $"sig").agg(count(lit(1)).as("cnt"))
+        .agg(max($"cnt")).head().getLong(0)
+      if (maxBucket > BucketAllPairsMax) {
+        knnIncrFellBack.set(true)
+        sigsAll.unpersist()
+        writeGraphLayers(v, root) // documented honest fallback
+      } else {
+        // day 0: both layers over the base slice
+        writeGraphLayers(v.filter($"vec_id" % 10 =!= 9), s"$root/base")
+        // day 1: candidate pairs with a NEW endpoint (either side),
+        // bucket-equality over the full signature set
+        val half = sigsAll.filter($"vec_id" % 10 === 9).as("x")
+          .join(sigsAll.as("y"),
+            $"x.tbl" === $"y.tbl" && $"x.sig" === $"y.sig" &&
+              $"x.vec_id" =!= $"y.vec_id")
+          .select($"x.vec_id".as("src"), $"y.vec_id".as("dst"))
+        val newScored = half
+          .unionByName(half.select($"dst".as("src"), $"src".as("dst")))
+          .distinct()
+          .join(v.select($"vec_id".as("src"), $"emb".as("s_emb")), "src")
+          .join(v.select($"vec_id".as("dst"), $"emb".as("d_emb")), "dst")
+          .withColumn("ecos", cosine($"s_emb", $"d_emb"))
+          .select($"src", $"dst", $"ecos").cache()
+        try {
+          val we = Window.partitionBy($"src").orderBy($"ecos".desc, $"dst")
+          def upsert(layer: String, deg: Int, fresh: DataFrame): Unit = {
+            val old = s.read.parquet(s"$root/base/$layer")
+            val affected = fresh.select($"src").distinct()
+            val carry = old // unaffected lists: verbatim carry-over
+              .join(affected, Seq("src"), "left_anti")
+            val recut = old.select($"src", $"dst", $"ecos")
+              .join(affected, Seq("src"), "left_semi")
+              .unionByName(fresh) // disjoint: fresh edges have a new endpoint
+              .withColumn("rn", row_number().over(we)).filter($"rn" <= deg)
+              .select($"src", $"dst", $"ecos", $"rn")
+            carry.unionByName(recut)
+              .write.mode("overwrite").parquet(s"$root/$layer")
+          }
+          upsert("l0", GraphDegree, newScored)
+          upsert("l1", HnswL1Degree, newScored.filter(
+            $"src" % HnswLayerMod === 0 && $"dst" % HnswLayerMod === 0))
+        } finally {
+          newScored.unpersist()
+          sigsAll.unpersist()
+        }
       }
       root
     })
+
+  /** Beam search over a persisted serve graph's `l0` layer — the shared
+    * execution of sim_graph_topk (fresh-built graph) and
+    * sim_graph_incremental (delta-upserted graph): entry points are the 8
+    * IVF seed medoids; each hop expands the beam along the directed
+    * top-[[GraphDegree]] edges and re-cuts to the best [[GraphBeam]] nodes
+    * by exact cosine; after [[GraphHops]] hops the beam's top-K is served.
+    */
+  private def graphBeamServe(
+      s: SparkSession, d: String, graphRoot: String): DataFrame = {
+    import s.implicits._
+    val v = vectors(s, d).cache()
+    val qs = v.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"))
+    // the index: each hop re-scans a 2-column slice of small parquet
+    // instead of re-running the candidate generator (see knnGraphDir)
+    val edgesServed = s.read.parquet(s"$graphRoot/l0")
+      .select($"src", $"dst")
+    val entries = v.filter(
+        $"vec_id" % IvfSeedStride === 0 && $"vec_id" < IvfSeedStride * IvfCentroids)
+      .select($"vec_id".as("node"))
+    // score a (q_id, node) frontier and keep the top GraphBeam per query
+    def beamCut(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"node")
+      cand.join(v.select($"vec_id".as("node"), $"emb".as("n_emb")), "node")
+        .join(broadcast(qs), "q_id")
+        .withColumn("cos", cosine($"q_emb", $"n_emb"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= GraphBeam)
+        .select($"q_id", $"node", $"cos")
+    }
+    var beam = beamCut(qs.select($"q_id")
+      .crossJoin(broadcast(entries)) // K-row entry-point attach
+      .filter($"node" =!= $"q_id"))
+    for (_ <- 1 to GraphHops) {
+      val expand = beam.as("b").join(edgesServed.as("e"), $"b.node" === $"e.src")
+        .select($"b.q_id".as("q_id"), $"e.dst".as("node"))
+        .filter($"node" =!= $"q_id")
+      beam = beamCut(beam.select($"q_id", $"node").unionByName(expand).distinct())
+    }
+    val wr = Window.partitionBy($"q_id").orderBy($"cos".desc, $"node")
+    beam.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"node".as("n_id"), round($"cos", 4).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** The DuckDB twin of [[graphBeamServe]] over a FRESH full-corpus graph
+    * — shared verbatim by sim_graph_topk and sim_graph_incremental (for
+    * the latter, hash-matching it is the serve-level proof that the
+    * delta-upserted graph ≡ a fresh rebuild).
+    */
+  private def graphTopkOracle: String = {
+    def hop(prev: String, cand: String, next: String): String =
+      s"""$cand AS (
+         |  SELECT q_id, node FROM $prev
+         |  UNION
+         |  SELECT b.q_id, g.dst AS node FROM $prev b
+         |  JOIN g ON g.src = b.node WHERE g.dst <> b.q_id),
+         |$next AS (
+         |  SELECT q_id, node, cos FROM (
+         |    SELECT c.q_id, c.node, list_dot_product(q.q_emb, n.emb) AS cos,
+         |      row_number() OVER (PARTITION BY c.q_id
+         |        ORDER BY list_dot_product(q.q_emb, n.emb) DESC, c.node) AS rn
+         |    FROM $cand c JOIN qs q ON q.q_id = c.q_id JOIN v n ON n.vec_id = c.node)
+         |  WHERE rn <= $GraphBeam)""".stripMargin
+    s"""WITH $vectorsSql,
+       |$knnCandidatesSql,
+       |g AS (
+       |  SELECT src, dst FROM (
+       |    SELECT c.src, c.dst,
+       |      row_number() OVER (PARTITION BY c.src
+       |        ORDER BY list_dot_product(s.emb, n.emb) DESC, c.dst) AS rn
+       |    FROM cand c
+       |    JOIN v s ON s.vec_id = c.src JOIN v n ON n.vec_id = c.dst)
+       |  WHERE rn <= $GraphDegree),
+       |qs AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NumQueries),
+       |ent AS (SELECT vec_id AS node FROM v
+       |  WHERE vec_id % $IvfSeedStride = 0 AND vec_id < ${IvfSeedStride * IvfCentroids}),
+       |c0 AS (SELECT q_id, node FROM qs CROSS JOIN ent WHERE node <> q_id),
+       |b0 AS (
+       |  SELECT q_id, node, cos FROM (
+       |    SELECT c.q_id, c.node, list_dot_product(q.q_emb, n.emb) AS cos,
+       |      row_number() OVER (PARTITION BY c.q_id
+       |        ORDER BY list_dot_product(q.q_emb, n.emb) DESC, c.node) AS rn
+       |    FROM c0 c JOIN qs q ON q.q_id = c.q_id JOIN v n ON n.vec_id = c.node)
+       |  WHERE rn <= $GraphBeam),
+       |${hop("b0", "c1", "b1")},
+       |${hop("b1", "c2", "b2")},
+       |${hop("b2", "c3", "b3")}
+       |SELECT q_id, rank, node AS n_id, ${rndSql("cos", 4)} AS cos FROM (
+       |  SELECT q_id, node, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, node) AS BIGINT) AS rank
+       |  FROM b3)
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
 
   /** PQ reconstruction table (vec_id, recon): each vector's 8 subvectors
     * snapped to their nearest per-subspace codebook entry (16 seeded
@@ -804,87 +999,17 @@ object Similarity {
     // rows per query); the graph and entry points are the reusable index,
     // queries never scan the corpus. Recall floor vs sim_brute_topk is
     // pinned in AnnQualitySpec.
-    ("sim_graph_topk", (s, d) => {
-      import s.implicits._
-      val v = vectors(s, d).cache()
-      val qs = v.filter($"vec_id" < NumQueries)
-        .select($"vec_id".as("q_id"), $"emb".as("q_emb"))
-      // the index: the per-JVM persisted degree-16 serve graph — each hop
-      // re-scans a 2-column slice of small parquet instead of re-running
-      // the candidate generator (see knnGraphDir)
-      val edgesServed = s.read.parquet(knnGraphDir(s, d) + "/l0")
-        .select($"src", $"dst")
-      val entries = v.filter(
-          $"vec_id" % IvfSeedStride === 0 && $"vec_id" < IvfSeedStride * IvfCentroids)
-        .select($"vec_id".as("node"))
-      // score a (q_id, node) frontier and keep the top GraphBeam per query
-      def beamCut(cand: DataFrame): DataFrame = {
-        val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"node")
-        cand.join(v.select($"vec_id".as("node"), $"emb".as("n_emb")), "node")
-          .join(broadcast(qs), "q_id")
-          .withColumn("cos", cosine($"q_emb", $"n_emb"))
-          .withColumn("rn", row_number().over(w)).filter($"rn" <= GraphBeam)
-          .select($"q_id", $"node", $"cos")
-      }
-      var beam = beamCut(qs.select($"q_id")
-        .crossJoin(broadcast(entries)) // K-row entry-point attach
-        .filter($"node" =!= $"q_id"))
-      for (_ <- 1 to GraphHops) {
-        val expand = beam.as("b").join(edgesServed.as("e"), $"b.node" === $"e.src")
-          .select($"b.q_id".as("q_id"), $"e.dst".as("node"))
-          .filter($"node" =!= $"q_id")
-        beam = beamCut(beam.select($"q_id", $"node").unionByName(expand).distinct())
-      }
-      val wr = Window.partitionBy($"q_id").orderBy($"cos".desc, $"node")
-      beam.withColumn("rank", row_number().over(wr).cast("long"))
-        .filter($"rank" <= TopK)
-        .select($"q_id", $"rank", $"node".as("n_id"), round($"cos", 4).as("cos"))
-        .orderBy($"q_id", $"rank")
-    }, Some {
-      def hop(prev: String, cand: String, next: String): String =
-        s"""$cand AS (
-           |  SELECT q_id, node FROM $prev
-           |  UNION
-           |  SELECT b.q_id, g.dst AS node FROM $prev b
-           |  JOIN g ON g.src = b.node WHERE g.dst <> b.q_id),
-           |$next AS (
-           |  SELECT q_id, node, cos FROM (
-           |    SELECT c.q_id, c.node, list_dot_product(q.q_emb, n.emb) AS cos,
-           |      row_number() OVER (PARTITION BY c.q_id
-           |        ORDER BY list_dot_product(q.q_emb, n.emb) DESC, c.node) AS rn
-           |    FROM $cand c JOIN qs q ON q.q_id = c.q_id JOIN v n ON n.vec_id = c.node)
-           |  WHERE rn <= $GraphBeam)""".stripMargin
-      s"""WITH $vectorsSql,
-         |$knnCandidatesSql,
-         |g AS (
-         |  SELECT src, dst FROM (
-         |    SELECT c.src, c.dst,
-         |      row_number() OVER (PARTITION BY c.src
-         |        ORDER BY list_dot_product(s.emb, n.emb) DESC, c.dst) AS rn
-         |    FROM cand c
-         |    JOIN v s ON s.vec_id = c.src JOIN v n ON n.vec_id = c.dst)
-         |  WHERE rn <= $GraphDegree),
-         |qs AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NumQueries),
-         |ent AS (SELECT vec_id AS node FROM v
-         |  WHERE vec_id % $IvfSeedStride = 0 AND vec_id < ${IvfSeedStride * IvfCentroids}),
-         |c0 AS (SELECT q_id, node FROM qs CROSS JOIN ent WHERE node <> q_id),
-         |b0 AS (
-         |  SELECT q_id, node, cos FROM (
-         |    SELECT c.q_id, c.node, list_dot_product(q.q_emb, n.emb) AS cos,
-         |      row_number() OVER (PARTITION BY c.q_id
-         |        ORDER BY list_dot_product(q.q_emb, n.emb) DESC, c.node) AS rn
-         |    FROM c0 c JOIN qs q ON q.q_id = c.q_id JOIN v n ON n.vec_id = c.node)
-         |  WHERE rn <= $GraphBeam),
-         |${hop("b0", "c1", "b1")},
-         |${hop("b1", "c2", "b2")},
-         |${hop("b2", "c3", "b3")}
-         |SELECT q_id, rank, node AS n_id, ${rndSql("cos", 4)} AS cos FROM (
-         |  SELECT q_id, node, cos,
-         |    CAST(row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos DESC, node) AS BIGINT) AS rank
-         |  FROM b3)
-         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
-    }),
+    ("sim_graph_topk", (s, d) =>
+      graphBeamServe(s, d, knnGraphDir(s, d)), Some(graphTopkOracle)),
+
+    // ---- the SAME beam serve over the incrementally-maintained graph
+    // ([[knnIncrementalDir]]: base build on 9/10ths, delta upsert of the
+    // rest — new nodes linked in, only adjacent source lists re-cut). The
+    // oracle is sim_graph_topk's VERBATIM full-corpus SQL: hash-matching it
+    // proves the upserted graph serves bit-identically to a fresh rebuild,
+    // which AnnQualitySpec additionally pins edge-for-edge on both layers.
+    ("sim_graph_incremental", (s, d) =>
+      graphBeamServe(s, d, knnIncrementalDir(s, d)), Some(graphTopkOracle)),
 
     // ---- hierarchical graph serve (HNSW, Malkov & Yashunin 2016): route
     // on the sparse UPPER layer first — the vec_id % 4 subsample with its

@@ -312,4 +312,22 @@ class AnnQualitySpec extends AnyFunSuite {
     assert(found >= nearDups.size * 9 / 10,
       s"only $found/${nearDups.size} tail-edited near-dups at J>=0.6")
   }
+
+  // The serve-level proof is sim_graph_incremental's shared oracle; this
+  // pins the stronger structural claim: the delta-upserted graph equals a
+  // fresh full rebuild EDGE FOR EDGE on both layers (src, dst, ecos, rn),
+  // and the upsert path actually ran (no silent rebuild fallback).
+  test("incremental kNN graph upsert is edge-for-edge identical to a fresh rebuild") {
+    val fresh = Similarity.knnGraphDir(spark, sfDir)
+    val incr = Similarity.knnIncrementalDir(spark, sfDir)
+    assert(!Similarity.knnIncrFellBack.get(),
+      "incremental graph build took the rebuild fallback at spec SF")
+    for (layer <- Seq("l0", "l1")) {
+      val a = spark.read.parquet(s"$fresh/$layer")
+      val b = spark.read.parquet(s"$incr/$layer")
+      assert(a.count() == b.count(), s"$layer edge count differs")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$layer: upserted graph diverges from the fresh rebuild")
+    }
+  }
 }
