@@ -1615,39 +1615,68 @@ object TextOps {
     */
   private[graft] val KnSuspectU6 = 5000000L
 
+  /** Size contract for the shipped LM artifact: the driver-side model may
+    * hold at most this many bigram / left-marginal entries. Past the cap
+    * the builder keeps the TOP entries by count (KenLM/CCNet-style count
+    * pruning, ties broken lexically for determinism) and every pruned
+    * bigram scores through the unseen branch of the SAME Laplace formula —
+    * exact whenever the true type counts fit the caps (they do at every
+    * driver SF: the corpus vocabulary is ~31 types, so ≤ ~10³ bigrams vs
+    * the 2¹⁸ cap), a documented approximation on a corpus that overflows
+    * them. The caps are enforced IN THE PLAN — a TakeOrdered collect, so
+    * the driver never materializes more than the cap even on a 100 TB
+    * corpus — not by an after-the-fact assert.
+    */
+  private[graft] val MaxModelBigrams = 1 << 18
+  private[graft] val MaxModelUnigrams = 1 << 16
+
   /** The trained bigram LM as a driver-side artifact for the STREAMING
-    * scorer: (c2 counts, c1l left-marginals, V). This is the CCNet serving
-    * shape — the LM is a model file shipped to every worker, not a join
-    * side; its size is vocab²-bounded (a few thousand entries here, and a
-    * KenLM-style artifact at real scale). Fixture-cached per JVM on the
-    * dataset fingerprint like the persisted indexes.
+    * scorer: (c2 counts, c1l left-marginals, V), plus how many entries the
+    * size contract dropped (0 = the artifact is the exact model). This is
+    * the CCNet serving shape — the LM is a model file shipped to every
+    * worker, not a join side. Fixture-cached per JVM on the dataset
+    * fingerprint like the persisted indexes.
     */
   private[graft] case class PplModel(
-      c2: Map[(String, String), Long], c1l: Map[String, Long], v: Long)
+      c2: Map[(String, String), Long], c1l: Map[String, Long], v: Long,
+      droppedBigrams: Long, droppedUnigrams: Long)
 
   private val pplModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, PplModel]()
 
   private[graft] def pplModel(s: SparkSession, d: String): PplModel =
-    pplModelCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
-      import s.implicits._
-      val doc = Tables.documents(s, d)
-      val big = doc
-        .select(transform(tokens($"text"), t => lower(t)).as("t"))
-        .filter(size($"t") >= 2)
-        .select(explode(expr(
-          """transform(sequence(0, size(t) - 2), i ->
-            |  struct(t[i] AS w1, t[i+1] AS w2))""".stripMargin)).as("b"))
-        .select($"b.w1", $"b.w2")
-      val c2 = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
-        .as[(String, String, Long)].collect()
-        .map { case (a, b, c) => (a, b) -> c }.toMap
-      val c1l = big.groupBy($"w1").agg(count(lit(1)).as("c"))
-        .as[(String, Long)].collect().toMap
-      val v = doc.select(explode(transform(tokens($"text"), t => lower(t))).as("w"))
-        .agg(countDistinct($"w")).head().getLong(0)
-      PplModel(c2, c1l, v)
-    })
+    pplModelCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ =>
+      buildPplModel(s, d, MaxModelBigrams, MaxModelUnigrams))
+
+  /** Uncached builder behind [[pplModel]], caps as parameters so specs can
+    * exercise the pruned path on a corpus that doesn't overflow the real
+    * contract.
+    */
+  private[graft] def buildPplModel(
+      s: SparkSession, d: String, maxBigrams: Int, maxUnigrams: Int): PplModel = {
+    import s.implicits._
+    val doc = Tables.documents(s, d)
+    val big = doc
+      .select(transform(tokens($"text"), t => lower(t)).as("t"))
+      .filter(size($"t") >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(t) - 2), i ->
+          |  struct(t[i] AS w1, t[i+1] AS w2))""".stripMargin)).as("b"))
+      .select($"b.w1", $"b.w2")
+    val c2All = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+    val c2Kept = c2All.orderBy($"c".desc, $"w1", $"w2").limit(maxBigrams)
+      .as[(String, String, Long)].collect()
+    val c1All = big.groupBy($"w1").agg(count(lit(1)).as("c"))
+    val c1Kept = c1All.orderBy($"c".desc, $"w1").limit(maxUnigrams)
+      .as[(String, Long)].collect()
+    val v = doc.select(explode(transform(tokens($"text"), t => lower(t))).as("w"))
+      .agg(countDistinct($"w")).head().getLong(0)
+    PplModel(
+      c2Kept.map { case (a, b, c) => (a, b) -> c }.toMap,
+      c1Kept.toMap, v,
+      droppedBigrams = c2All.count() - c2Kept.length,
+      droppedUnigrams = c1All.count() - c1Kept.length)
+  }
 
   /** Per-doc scorer over a [[PplModel]] — the per-row core of the streaming
     * perplexity gate. Bit-identical to the batch dataflow: same tokenizer

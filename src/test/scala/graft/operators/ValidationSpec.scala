@@ -157,6 +157,42 @@ class ValidationSpec extends AnyFunSuite {
     assert(rows.forall(_._2 >= 1))
   }
 
+  // The streaming LM artifact's size contract: the shipped model is capped
+  // by a TakeOrdered collect (top-N by count), so the driver holds at most
+  // MaxModelBigrams/MaxModelUnigrams entries no matter the corpus. At the
+  // driver SFs the caps don't bind (artifact == exact model, which is why
+  // stream_ppl_replay can be judged by the exact batch oracle); the pruned
+  // path is exercised here with tiny caps: kept entries are exactly the
+  // top-N of the full model under the deterministic (count desc, lexical)
+  // order, and a pruned bigram scores through the SAME Laplace unseen
+  // branch (KenLM/CCNet-style count pruning, no structural fork).
+  test("ppl model artifact: caps not binding at spec SF; pruned model keeps top-N and scores pruned as unseen") {
+    val full = TextOps.pplModel(spark, sfDir)
+    assert(full.droppedBigrams == 0L && full.droppedUnigrams == 0L,
+      "size contract must not bind at driver SFs (exact-oracle precondition)")
+    assert(full.c2.size <= TextOps.MaxModelBigrams &&
+      full.c1l.size <= TextOps.MaxModelUnigrams)
+
+    val capB = 5
+    val capU = 3
+    val pruned = TextOps.buildPplModel(spark, sfDir, capB, capU)
+    assert(pruned.c2.size == capB && pruned.c1l.size == capU)
+    assert(pruned.droppedBigrams == full.c2.size - capB &&
+      pruned.droppedUnigrams == full.c1l.size - capU)
+    val expectTopB = full.c2.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(capB).toMap
+    assert(pruned.c2 == expectTopB, "kept bigrams are not the top-N by count")
+    val expectTopU = full.c1l.toSeq.sortBy { case (a, c) => (-c, a) }
+      .take(capU).toMap
+    assert(pruned.c1l == expectTopU, "kept marginals are not the top-N by count")
+    // a bigram the cap dropped scores exactly as an unseen bigram would
+    val ((dw1, dw2), _) = (full.c2 -- pruned.c2.keySet).head
+    val got = TextOps.pplScoreJvm(pruned, s"$dw1 $dw2").get
+    val p = 1.0 / (pruned.c1l.getOrElse(dw1, 0L) + pruned.v)
+    assert(got._2 == -math.floor(math.log(p) * 1000000).toLong,
+      "pruned bigram must ride the Laplace unseen branch")
+  }
+
   test("CUSUM: zero false alarms before the planted shift, detection within 3 days after it") {
     import spark.implicits._
     val rows = Relational.queries("q67_cusum_changepoint")(spark, sfDir)
