@@ -407,6 +407,24 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Shared oracle of sim_lsh_topk and its pure-SQL twin sim_lsh_topk_sql
+    * — one retrieval contract, two driving surfaces.
+    */
+  private def lshTopkOracle: String =
+    s"""WITH $vectorsSql,
+       |$lshSignaturesSql,
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+       |  FROM sigs q JOIN sigs n ON q.tbl = n.tbl AND q.sig = n.sig
+       |  WHERE q.vec_id < $NumQueries AND n.vec_id <> q.vec_id)
+       |SELECT q_id, rank, n_id, ${rndSql("cos", 4)} AS cos FROM (
+       |  SELECT c.q_id, c.n_id,
+       |    list_dot_product(q.emb, n.emb) AS cos,
+       |    CAST(row_number() OVER (PARTITION BY c.q_id
+       |      ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS BIGINT) AS rank
+       |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
   /** The DuckDB twin of [[graphBeamServe]] over a FRESH full-corpus graph
     * — shared verbatim by sim_graph_topk and sim_graph_incremental (for
     * the latter, hash-matching it is the serve-level proof that the
@@ -521,26 +539,34 @@ object Similarity {
     * too hot for interpreted array HOFs; the while-loop accumulates in the
     * identical sequential order, so sign bits match the oracle exactly.
     */
+  /** One vector's [[LshTables]] (tbl, sig) rows — the per-row core of
+    * [[lshSignatures]], shared with the `vec_lsh_sigs` SQL Generator so the
+    * SQL surface and the Scala API hash identically by construction.
+    */
+  private[graft] def lshSigsJvm(emb: Array[Double]): Seq[(Int, Long)] = {
+    val pl = planes
+    (0 until LshTables).map { t =>
+      var sig = 0L
+      var j = 0
+      while (j < LshBits) {
+        val w = pl(t)(j)
+        var acc = 0.0
+        var i = 0
+        while (i < emb.length) { acc += emb(i) * w(i); i += 1 }
+        if (acc > 0) sig |= (1L << j)
+        j += 1
+      }
+      (t, sig)
+    }
+  }
+
   private def lshSignatures(v: DataFrame): DataFrame = {
     val spark = v.sparkSession
     import spark.implicits._
-    val pl = planes // ~12 KB, serialized into the task closure
     v.select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
       .mapPartitions { it =>
         it.flatMap { case (id, emb) =>
-          (0 until LshTables).iterator.map { t =>
-            var sig = 0L
-            var j = 0
-            while (j < LshBits) {
-              val w = pl(t)(j)
-              var acc = 0.0
-              var i = 0
-              while (i < emb.length) { acc += emb(i) * w(i); i += 1 }
-              if (acc > 0) sig |= (1L << j)
-              j += 1
-            }
-            (id, t, sig)
-          }
+          lshSigsJvm(emb).iterator.map { case (t, sig) => (id, t, sig) }
         }
       }.toDF("vec_id", "tbl", "sig")
   }
@@ -908,20 +934,37 @@ object Similarity {
         .filter($"rank" <= TopK)
         .select($"q_id", $"rank", $"n_id", round($"cos", 4).as("cos"))
         .orderBy($"q_id", $"rank")
-    }, Some(
-      s"""WITH $vectorsSql,
-         |$lshSignaturesSql,
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
-         |  FROM sigs q JOIN sigs n ON q.tbl = n.tbl AND q.sig = n.sig
-         |  WHERE q.vec_id < $NumQueries AND n.vec_id <> q.vec_id)
-         |SELECT q_id, rank, n_id, ${rndSql("cos", 4)} AS cos FROM (
-         |  SELECT c.q_id, c.n_id,
-         |    list_dot_product(q.emb, n.emb) AS cos,
-         |    CAST(row_number() OVER (PARTITION BY c.q_id
-         |      ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS BIGINT) AS rank
-         |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
-         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)),
+    }, Some(lshTopkOracle)),
+
+    // ---- the SAME LSH retrieve driven from PURE SQL (VERDICT r11 #7):
+    // signatures via the native vec_lsh_sigs Generator (LATERAL VIEW),
+    // candidates as a SQL self-join, scoring via the codegen'd vec_dot —
+    // no DataFrame code in the query path. The Generator calls the exact
+    // JVM core the Scala API uses (lshSigsJvm), so both surfaces hash
+    // identically by construction; the oracle is sim_lsh_topk's VERBATIM
+    // text, and SqlSurfaceSpec additionally pins frame-equality between
+    // the two surfaces.
+    ("sim_lsh_topk_sql", (s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      vectors(s, d).createOrReplaceTempView("sim_vectors_v")
+      s.sql(
+        s"""WITH sigs AS (
+           |  SELECT vec_id, t.tbl, t.sig
+           |  FROM sim_vectors_v LATERAL VIEW vec_lsh_sigs(emb) t),
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+           |  FROM sigs q JOIN sigs n ON q.tbl = n.tbl AND q.sig = n.sig
+           |  WHERE q.vec_id < $NumQueries AND n.vec_id <> q.vec_id)
+           |SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM (
+           |  SELECT c.q_id, c.n_id,
+           |    vec_dot(q.emb, n.emb) AS cos,
+           |    CAST(row_number() OVER (PARTITION BY c.q_id
+           |      ORDER BY vec_dot(q.emb, n.emb) DESC, c.n_id) AS BIGINT) AS rank
+           |  FROM cand c
+           |  JOIN sim_vectors_v q ON q.vec_id = c.q_id
+           |  JOIN sim_vectors_v n ON n.vec_id = c.n_id)
+           |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
+    }, Some(lshTopkOracle)),
 
     // ---- LSH threshold join: ALL near-duplicate pairs (cos >= 0.4) whose
     // members share any LSH bucket — the sub-quadratic scale path for

@@ -80,6 +80,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cdcSegmentBoundsDescriptor)
     ext.injectFunction(GraftExtensions.cdcSliceChunksDescriptor)
     ext.injectFunction(GraftExtensions.bloomContainsDescriptor)
+    ext.injectFunction(GraftExtensions.minhashBandsDescriptor)
+    ext.injectFunction(GraftExtensions.vecLshSigsDescriptor)
   }
 }
 
@@ -124,11 +126,28 @@ object GraftExtensions {
       BloomContains(args(0), args(1), args(2))
     })
 
+  private[plans] val minhashBandsDescriptor = (
+    FunctionIdentifier("minhash_bands"),
+    new ExpressionInfo(classOf[MinhashBands].getName, "minhash_bands"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "minhash_bands(text)")
+      MinhashBands(args(0))
+    })
+
+  private[plans] val vecLshSigsDescriptor = (
+    FunctionIdentifier("vec_lsh_sigs"),
+    new ExpressionInfo(classOf[VecLshSigs].getName, "vec_lsh_sigs"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "vec_lsh_sigs(emb)")
+      VecLshSigs(args(0))
+    })
+
   /** Imperative registration for an existing session. */
   def register(spark: SparkSession): Unit =
     Seq(cdcChunksDescriptor, vecDotDescriptor,
       cdcSegmentBoundsDescriptor, cdcSliceChunksDescriptor,
-      bloomContainsDescriptor).foreach {
+      bloomContainsDescriptor, minhashBandsDescriptor,
+      vecLshSigsDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
