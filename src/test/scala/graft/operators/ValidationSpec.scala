@@ -233,6 +233,28 @@ class ValidationSpec extends AnyFunSuite {
   // domains with n_i ≥ n_j, s_i·n_j ≤ s_j·n_i (the temperature share ratio
   // never exceeds the natural ratio), repeats (epochs) are anti-monotone in
   // corpus presence, and the integer doc targets never overrun the budget.
+  // Entity resolution on the noised registry: the single metrics row is
+  // oracle-pinned; this pins WHY the numbers are what they are — the
+  // false negatives are EXACTLY the designed three-pass-defeating rows
+  // (nation corrupted AND balance off AND a match row: c % 273 == 0), so
+  // the best-K-per-record cap sheds no true pair at spec SF, and every
+  // planted noise class (substitution, transposition, cents-off,
+  // nation-corrupt alone) is recovered.
+  test("entity resolution: fn set is exactly the designed unfindables; caps shed no true pair") {
+    import spark.implicits._
+    val row = PipelineOps.queries("pipeline_entity_resolution")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    val (nTruth, _, tp, fp, fn, _, recallPpm) = row
+    val maxKey = graft.Tables.customer(spark, sfDir)
+      .agg(max($"c_custkey")).head().getLong(0)
+    val designed = (0L to maxKey).count(_ % 273 == 0).toLong
+    assert(fn == designed,
+      s"fn=$fn but the three-pass-defeating set has $designed rows — the cap shed true pairs")
+    assert(tp == nTruth - designed && fp <= 3,
+      s"unexpected precision loss: tp=$tp fp=$fp")
+    assert(recallPpm == tp * 1000000L / nTruth)
+  }
+
   test("temperature mix flattens toward rare domains within the budget") {
     import spark.implicits._
     val rows = PipelineOps.queries("pipeline_temperature_mix")(spark, sfDir)
