@@ -664,6 +664,39 @@ object PipelineOps {
         |WHERE strftime(l_shipdate, '%Y-%m') >= '2001-06' AND l_returnflag IN ('R', 'A')
         |GROUP BY 1, 2 ORDER BY ship_month, l_returnflag""".stripMargin)),
 
+    // ---- KEY-SUBSET rollup navigation: the naive MONTH-ONLY aggregate
+    // with extremal measures — a grain no registered MV stores under these
+    // measures. The monthly MV matches the grain but lacks min/max, so the
+    // rule falls THROUGH to the (month × returnflag) wide MV and
+    // re-aggregates across the dropped flag key (sums re-sum, min/max
+    // re-extremize — sound on the insert-only fact); the returnflag
+    // predicate, on a key the query does NOT group by, is still
+    // group-selecting at the rollup's grain and translates onto the MV's
+    // flag column. This completes aggregate navigation's classic feature
+    // set: one summary serves its grain, coarser grains, key subsets and
+    // filtered slices of all three. Oracle is the naive fact SQL;
+    // PlanQualitySpec pins fired + wide-MV scan + no lineitem.
+    ("pipeline_mv_rewrite_subset", (s, d) => {
+      import s.implicits._
+      graft.plans.MvRewrite.install(s, mvRewriteTemplate(s, d), mvRollupDir(s, d))
+      graft.plans.MvRewrite.install(s, mvFlagTemplate(s, d), mvFlagDir(s, d))
+      Tables.lineitem(s, d)
+        .filter($"l_returnflag".isin("R", "N"))
+        .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast("bigint")).as("sum_qty"),
+          min($"l_quantity".cast("bigint")).as("min_qty"),
+          max($"l_quantity".cast("bigint")).as("max_qty"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+        |  CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+        |FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     // ---- bloom data-skipping index serve: point-lookup of seven order
     // keys against a fact laid out by ship month — a layout that CANNOT
     // serve this lookup by partition pruning (an order's items scatter

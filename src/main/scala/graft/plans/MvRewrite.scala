@@ -100,11 +100,31 @@ object MvRewrite {
     * key first) as rewritable to the rollup at `mvPath`, and install the
     * rule into the session once.
     */
+  /** True while [[install]] is extracting a template's optimized plan on
+    * this thread — [[MvAggregateRewrite]] must NOT fire there: once any
+    * target is live, a later template whose grain it can serve (e.g. the
+    * monthly template key-subset-matching the wide MV) would be REWRITTEN
+    * before extraction, and the rewritten measures (Sum over three
+    * same-type MV columns) canonicalize to ONE shape — `canonicalized`
+    * erases attribute names — silently collapsing the measure map onto a
+    * single column. Measured, not hypothetical: registration order
+    * quarter→minmax→range corrupted the monthly target this way.
+    */
+  private val installing = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+  private[plans] def isInstalling: Boolean = installing.get()
+
   def install(spark: SparkSession, template: DataFrame, mvPath: String,
       mvKeySql: Option[String] = None): Unit = {
     val key = spark.hashCode() + "|" + mvPath + "|" + mvKeySql.getOrElse("")
     targets.computeIfAbsent(key, _ => {
-      val (agg, si) = findAggAndScan(template.queryExecution.optimizedPlan)
+      val templatePlan = {
+        installing.set(true)
+        try template.queryExecution.optimizedPlan
+        finally installing.set(false)
+      }
+      val (agg, si) = findAggAndScan(templatePlan)
         .getOrElse(throw new IllegalArgumentException(
           "MV rewrite template must optimize to Aggregate over Project*/parquet scan"))
       require(si.filters.isEmpty, "MV rewrite template must be unfiltered")
@@ -137,6 +157,10 @@ object MvRewrite {
           case other => throw new IllegalArgumentException(
             s"unexpected template aggregate output: $other")
         }.toMap
+      require(aggMap.size == agg.aggregateExpressions.length - keyNames.length,
+        "MV template measures collide under shape canonicalization — two " +
+          "measures would map onto one column (canonicalized erases " +
+          "attribute names; measures must differ structurally)")
       // install the rule once per session
       synchronized {
         val already = spark.experimental.extraOptimizations
@@ -230,13 +254,27 @@ final class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val ts = allTargets
-    if (ts.isEmpty) plan
+    if (ts.isEmpty || MvRewrite.isInstalling) plan
     else plan.transformUp {
       case agg: Aggregate =>
         scanInfo(agg.child).flatMap { si =>
-          ts.find(t => leafPaths(si.leaf) == t.factPaths &&
-              agg.groupingExpressions.map(g => shape(inline(g, si.aliases))) == t.groupShapes)
-            .flatMap(t => rewrite(agg, si, t))
+          val shapes = agg.groupingExpressions.map(g => shape(inline(g, si.aliases)))
+          // Exact-grain targets first (incl. grain navigation); then
+          // KEY-SUBSET rollup — the query groups by a strict subset of a
+          // target's keys, so the rollup re-aggregates across the dropped
+          // keys (sound for the declared ReAgg kinds: sums re-sum,
+          // min/max re-extremize on the insert-only fact). Smallest
+          // qualifying MV wins among subsets; first target whose MEASURES
+          // also map wins overall (a same-grain MV lacking a queried
+          // measure falls through to a wider one that has it).
+          val exact = ts.filter(t => leafPaths(si.leaf) == t.factPaths &&
+            shapes == t.groupShapes)
+          val subset = ts.filter(t => t.mvKeySql.isEmpty &&
+              leafPaths(si.leaf) == t.factPaths &&
+              shapes.nonEmpty && shapes.size < t.groupShapes.size &&
+              shapes.forall(t.groupShapes.contains))
+            .sortBy(_.groupShapes.size)
+          (exact ++ subset).view.flatMap(t => rewrite(agg, si, t)).headOption
         }.getOrElse(agg)
     }
   }
@@ -293,10 +331,18 @@ final class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
     }
     val mvOut = mvPlan.output.map(a => a.name -> a).toMap
+    // Filters may constrain ANY target key — including one the query does
+    // not group by (key-subset rollup): such a predicate selects whole MV
+    // rows, which is exactly group-selecting at the rollup's grain.
     val keys = t.groupShapes.lazyZip(t.groupSourceCols).lazyZip(mvKeys).toSeq
     val translated = si.filters.map(f =>
       translateFilter(inline(f, si.aliases), keys))
     if (translated.exists(_.isEmpty)) return None // non-key predicate: bail
+    // the query's own grouping keys, as (shape -> MV key expression) in
+    // query order — equal to the target's for exact-grain, a subsequence
+    // selection for key-subset rollup
+    val aggKeyShapes = agg.groupingExpressions.map(g => shape(inline(g, si.aliases)))
+    val aggMvKeys = aggKeyShapes.map(gs => mvKeys(t.groupShapes.indexOf(gs)))
 
     def reAgg(kind: ReAgg, col: String): AggregateExpression = {
       val fn = kind match {
@@ -335,16 +381,16 @@ final class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         case _ => None
       })
-    def keyIdxOf(inl: Expression): Int = t.groupShapes.indexOf(shape(inl))
+    def keyIdxOf(inl: Expression): Int = aggKeyShapes.indexOf(shape(inl))
     val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
       case al @ Alias(child, name) =>
         val inl = inline(child, si.aliases)
         val ki = keyIdxOf(inl)
-        if (ki >= 0) Some(Alias(mvKeys(ki), name)(al.exprId))
+        if (ki >= 0) Some(Alias(aggMvKeys(ki), name)(al.exprId))
         else mapMeasure(inl).map(e => Alias(e, name)(al.exprId))
       case a: AttributeReference => // plain-column group key in the output
         val ki = keyIdxOf(inline(a, si.aliases))
-        if (ki >= 0) Some(Alias(mvKeys(ki), a.name)(a.exprId)) else None
+        if (ki >= 0) Some(Alias(aggMvKeys(ki), a.name)(a.exprId)) else None
       case _ => None
     }
     if (mapped.exists(_.isEmpty)) None // any unmapped output -> leave untouched
@@ -352,16 +398,20 @@ final class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       fired.incrementAndGet()
       // prune explicitly: this rule runs in extraOptimizations, AFTER the
       // standard column-pruning batch, so nothing downstream would strip
-      // the MV's unused columns (ship_day) from the scan otherwise
-      val keyAttrs = mvKeys.flatMap(_.collect { case a: AttributeReference => a })
+      // the MV's unused columns (ship_day) from the scan otherwise. The
+      // translated filters' columns must survive the prune too — on a
+      // key-subset rollup they can reference an MV key the output drops.
+      val keyAttrs = aggMvKeys.flatMap(_.collect { case a: AttributeReference => a })
       val needed = (keyAttrs ++ mapped.flatten.flatMap(_.collect {
+        case a: AttributeReference => a
+      }) ++ translated.flatten.flatMap(_.collect {
         case a: AttributeReference => a
       })).distinct
       val filtered =
         if (translated.isEmpty) mvPlan
         else org.apache.spark.sql.catalyst.plans.logical.Filter(
           translated.flatten.reduce(And), mvPlan)
-      Some(Aggregate(mvKeys, mapped.flatten, Project(needed, filtered)))
+      Some(Aggregate(aggMvKeys, mapped.flatten, Project(needed, filtered)))
     }
   }
 }

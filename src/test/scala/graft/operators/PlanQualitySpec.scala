@@ -201,6 +201,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"flag IN-list filter not translated onto the MV:\n$plan")
   }
 
+  test("pipeline_mv_rewrite_subset: month-only query rolls up across the wide MV's dropped key; monthly rewrite stays intact") {
+    val before = graft.plans.MvRewrite.fired.get()
+    val df = graft.SparkEntry.queries("pipeline_mv_rewrite_subset")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(graft.plans.MvRewrite.fired.get() > before, "key-subset rewrite did not fire")
+    // the monthly MV matches the grain but lacks min/max — the rule must
+    // fall through to the wide MV and re-aggregate across returnflag
+    assert(plan.contains("graft_mvflag") && !plan.contains("lineitem"),
+      s"subset aggregate not served from the wide MV:\n$plan")
+    // REGRESSION (measured): with the wide target live, a later template
+    // registration must not be self-rewritten before extraction — the
+    // rewritten Sum-over-MV measures canonicalize to ONE shape (names
+    // erased) and the monthly target silently mapped every measure onto
+    // revenue_cents. The monthly rewrite must still produce three
+    // distinct measure sums.
+    val monthly = graft.SparkEntry.queries("pipeline_mv_rewrite")(spark, sfDir)
+    val mPlan = monthly.queryExecution.optimizedPlan.toString
+    assert(mPlan.contains("sum(n_items") && mPlan.contains("sum(sum_qty") &&
+      mPlan.contains("sum(revenue_cents"),
+      s"monthly target's measure map collapsed:\n$mPlan")
+  }
+
   test("pipeline_mv_serve: month predicate prunes the rollup's file index; neither MV query scans the fact table") {
     val serve = graft.SparkEntry.queries("pipeline_mv_serve")(spark, sfDir)
     val servePlan = serve.queryExecution.executedPlan.toString
