@@ -723,14 +723,7 @@ object PipelineOps {
           sum($"net_cents").as("revenue_cents"),
           countDistinct($"ship_month").as("n_ship_months"))
         .orderBy($"l_orderkey")
-    }, Some(
-      s"""SELECT l_orderkey,
-         |  CAST(count(*) AS BIGINT) AS n_items,
-         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
-         |  CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT) AS n_ship_months
-         |FROM lineitem WHERE l_orderkey IN (${BloomIdxKeys.mkString(", ")})
-         |GROUP BY 1 ORDER BY l_orderkey""".stripMargin)),
+    }, Some(bloomLookupOracle)),
 
     // ---- deterministic train/val/test split: threshold on the md5 hex of
     // the stable doc key. No RNG, no seed state to ship to 1000 executors —
@@ -1555,6 +1548,30 @@ object PipelineOps {
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // ---- point lookup THROUGH the compacted layout's own re-built
+    // sidecars ([[compactedIdxDir]] — the index maintenance an OPTIMIZE
+    // pass owes its table: compaction rewrites every file, so the old
+    // sidecars describe dead paths and the point-lookup serve would
+    // silently die without a re-index). Same seven dashboard keys and the
+    // VERBATIM pipeline_bloom_index oracle: hash-matching it proves the
+    // compacted tree + fresh index serve exactly what the original layout
+    // served. Within-month skipping necessarily coarsens to month-level
+    // at one file per month — the documented compaction trade
+    // (DiagnosticsSpec pins index↔tree 1:1 and that skipping survives).
+    ("pipeline_compaction_lookup", (s, d) => {
+      import s.implicits._
+      val probes = BloomIdxKeys.toDF("k")
+      val (files, _) = matchedFilesInIndex(s, compactedIdxDir(s, d), probes)
+      readMatchedFiles(s, compactedDir(s, d), files.toSeq)
+        .join(broadcast(probes), $"l_orderkey" === $"k")
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"),
+          countDistinct($"ship_month").as("n_ship_months"))
+        .orderBy($"l_orderkey")
+    }, Some(bloomLookupOracle)),
 
     // ---- GDPR deletion planning (right-to-be-forgotten, the fourth
     // privacy leg after pii_redact / k_anonymity+l_diversity /
@@ -2826,6 +2843,63 @@ object PipelineOps {
         .repartition(col("ship_month"))
         .write.mode("overwrite").partitionBy("ship_month").parquet(root)
       root
+    })
+
+  /** Shared oracle of pipeline_bloom_index and pipeline_compaction_lookup
+    * — the same seven point lookups served through two physical layouts
+    * (the original multi-file tree and the compacted one-file-per-month
+    * tree), each via its OWN sidecar index.
+    */
+  private def bloomLookupOracle: String =
+    s"""SELECT l_orderkey,
+       |  CAST(count(*) AS BIGINT) AS n_items,
+       |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       |  CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT) AS n_ship_months
+       |FROM lineitem WHERE l_orderkey IN (${BloomIdxKeys.mkString(", ")})
+       |GROUP BY 1 ORDER BY l_orderkey""".stripMargin
+
+  /** One-pass bloom sidecar build over an arbitrary parquet tree keyed by
+    * l_orderkey: one index row per data FILE (normalized plain path, bloom
+    * bitset, n_rows), bitset sized ~16 bits/row/file like [[bloomIdxDir]].
+    * Used to RE-INDEX a rewritten layout (compaction) — after a full
+    * rewrite every file is new, so a full re-index is the honest cost;
+    * the delete path reconciles incrementally instead because it rewrites
+    * only matched files.
+    */
+  private def writeBloomIndex(
+      s: SparkSession, dataDir: String, idxDir: String): Unit = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val data = s.read.parquet(dataDir)
+    val perFile = math.max(64L,
+      data.count() / math.max(1, data.inputFiles.length))
+    var mBits = 1 << 10
+    while (mBits < perFile * 16 && mBits < (1 << 27)) mBits <<= 1
+    val bloomAgg = udaf(new graft.functions.BloomAgg(mBits, BloomK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    data.select(regexp_replace(input_file_name(), "^file:/+", "/").as("file"),
+        xxhash64($"l_orderkey").as("h"))
+      .groupBy($"file")
+      .agg(bloomAgg($"h").as("bloom"), count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").parquet(idxDir)
+  }
+
+  private val compactedIdxDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM bloom sidecars for the COMPACTED tree — the index
+    * maintenance a real OPTIMIZE pass performs: compaction rewrites every
+    * file, so the pre-compaction sidecars describe dead paths and the
+    * layout would silently lose its point-lookup serve without a
+    * re-index. DiagnosticsSpec pins index rows ↔ compacted files 1:1.
+    */
+  private[operators] def compactedIdxDir(s: SparkSession, d: String): String =
+    compactedIdxDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      val idx = graft.Fixtures.tempDir("graft_compactidx")
+        .resolve("index").toString
+      writeBloomIndex(s, compactedDir(s, d), idx)
+      idx
     })
 
   /** Data-skipping plan step for pipeline_bloom_index: probe every file's

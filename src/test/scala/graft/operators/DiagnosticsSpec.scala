@@ -372,6 +372,29 @@ class DiagnosticsSpec extends AnyFunSuite {
       s"file count grew: ${before.values.sum} -> ${after.values.sum}")
   }
 
+  // Compaction's index maintenance: the re-built sidecars must describe
+  // exactly the compacted tree (1:1 file sets, true n_rows) and still
+  // SKIP — the whole point of carrying the index through the rewrite.
+  test("compaction lookup: re-built sidecars describe the compacted tree and still skip") {
+    import spark.implicits._
+    val idx = spark.read.parquet(PipelineOps.compactedIdxDir(spark, sfDir))
+      .select($"file", $"n_rows").as[(String, Long)].collect().toMap
+    val actual = spark.read.parquet(PipelineOps.compactedDir(spark, sfDir))
+      .select(input_file_name().as("f"))
+      .groupBy($"f").count().as[(String, Long)].collect()
+      .map { case (f, n) => PipelineOps.normPath(f) -> n }.toMap
+    assert(idx.keySet == actual.keySet,
+      s"compacted index/tree drift: onlyIdx=${idx.keySet -- actual.keySet} " +
+        s"onlyTree=${actual.keySet -- idx.keySet}")
+    assert(idx.forall { case (f, n) => actual(f) == n },
+      "stale n_rows in the compacted index")
+    val (matched, total) = PipelineOps.matchedFilesInIndex(spark,
+      PipelineOps.compactedIdxDir(spark, sfDir),
+      Seq(7L, 212L, 388L, 701L, 994L, 1207L, 1403L).toDF("k"))
+    assert(matched.nonEmpty && matched.length < total,
+      s"compacted index stopped skipping: ${matched.length} of $total files")
+  }
+
   // Delete EXECUTION metadata story (the oracles pin the data; these pin
   // the mutation's bookkeeping): (a) the reconciled sidecar index describes
   // exactly the post-delete tree — file sets equal 1:1 and every n_rows
