@@ -476,6 +476,110 @@ object Similarity {
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Hierarchical (HNSW) serve over a persisted two-layer graph — the
+    * shared execution of sim_hnsw_topk (fresh graph) and
+    * sim_hnsw_incremental (delta-upserted graph): route 2 hops at beam
+    * [[HnswL1Beam]] on the sparse l1 layer from 8 fixed layer entries,
+    * then descend and refine 2 hops at beam [[GraphBeam]] on l0.
+    */
+  private def hnswServe(
+      s: SparkSession, d: String, graphRoot: String): DataFrame = {
+    import s.implicits._
+    val v = vectors(s, d).cache()
+    val qs = v.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"))
+    val g0 = s.read.parquet(graphRoot + "/l0").select($"src", $"dst")
+    val g1 = s.read.parquet(graphRoot + "/l1").select($"src", $"dst")
+    def beamCut(cand: DataFrame, beam: Int): DataFrame = {
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"node")
+      cand.join(v.select($"vec_id".as("node"), $"emb".as("n_emb")), "node")
+        .join(broadcast(qs), "q_id")
+        .withColumn("cos", cosine($"q_emb", $"n_emb"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= beam)
+        .select($"q_id", $"node", $"cos")
+    }
+    def hops(start: DataFrame, g: DataFrame, beam: Int, n: Int): DataFrame = {
+      var b = start
+      for (_ <- 1 to n) {
+        val expand = b.as("b").join(g.as("e"), $"b.node" === $"e.src")
+          .select($"b.q_id".as("q_id"), $"e.dst".as("node"))
+          .filter($"node" =!= $"q_id")
+        b = beamCut(b.select($"q_id", $"node").unionByName(expand).distinct(), beam)
+      }
+      b
+    }
+    val entries1 = v.filter(
+        $"vec_id" % HnswLayerMod === 0 && $"vec_id" < HnswLayerMod * 8L)
+      .select($"vec_id".as("node"))
+    val routed = hops(
+      beamCut(qs.select($"q_id").crossJoin(broadcast(entries1))
+        .filter($"node" =!= $"q_id"), HnswL1Beam),
+      g1, HnswL1Beam, 2)
+    val refined = hops(routed, g0, GraphBeam, 2)
+    val wr = Window.partitionBy($"q_id").orderBy($"cos".desc, $"node")
+    refined.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"node".as("n_id"), round($"cos", 4).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** The DuckDB twin of [[hnswServe]] over a FRESH full-corpus two-layer
+    * graph — shared verbatim by sim_hnsw_topk and sim_hnsw_incremental.
+    */
+  private def hnswTopkOracle: String = {
+    def hop(prev: String, cand: String, next: String, g: String, beam: Int): String =
+      s"""$cand AS (
+         |  SELECT q_id, node FROM $prev
+         |  UNION
+         |  SELECT b.q_id, e.dst AS node FROM $prev b
+         |  JOIN $g e ON e.src = b.node WHERE e.dst <> b.q_id),
+         |$next AS (
+         |  SELECT q_id, node, cos FROM (
+         |    SELECT c.q_id, c.node, list_dot_product(q.q_emb, n.emb) AS cos,
+         |      row_number() OVER (PARTITION BY c.q_id
+         |        ORDER BY list_dot_product(q.q_emb, n.emb) DESC, c.node) AS rn
+         |    FROM $cand c JOIN qs q ON q.q_id = c.q_id JOIN v n ON n.vec_id = c.node)
+         |  WHERE rn <= $beam)""".stripMargin
+    s"""WITH $vectorsSql,
+       |$knnCandidatesSql,
+       |sc AS (
+       |  SELECT c.src, c.dst, list_dot_product(s.emb, n.emb) AS ecos
+       |  FROM cand c
+       |  JOIN v s ON s.vec_id = c.src JOIN v n ON n.vec_id = c.dst),
+       |g0 AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY ecos DESC, dst) AS rn FROM sc)
+       |  WHERE rn <= $GraphDegree),
+       |g1 AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY ecos DESC, dst) AS rn FROM sc
+       |    WHERE src % $HnswLayerMod = 0 AND dst % $HnswLayerMod = 0)
+       |  WHERE rn <= $HnswL1Degree),
+       |qs AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NumQueries),
+       |ent AS (SELECT vec_id AS node FROM v
+       |  WHERE vec_id % $HnswLayerMod = 0 AND vec_id < ${HnswLayerMod * 8}),
+       |c0 AS (SELECT q_id, node FROM qs CROSS JOIN ent WHERE node <> q_id),
+       |bh0 AS (
+       |  SELECT q_id, node, cos FROM (
+       |    SELECT c.q_id, c.node, list_dot_product(q.q_emb, n.emb) AS cos,
+       |      row_number() OVER (PARTITION BY c.q_id
+       |        ORDER BY list_dot_product(q.q_emb, n.emb) DESC, c.node) AS rn
+       |    FROM c0 c JOIN qs q ON q.q_id = c.q_id JOIN v n ON n.vec_id = c.node)
+       |  WHERE rn <= $HnswL1Beam),
+       |${hop("bh0", "ch1", "bh1", "g1", HnswL1Beam)},
+       |${hop("bh1", "ch2", "bh2", "g1", HnswL1Beam)},
+       |${hop("bh2", "cl1", "bl1", "g0", GraphBeam)},
+       |${hop("bl1", "cl2", "bl2", "g0", GraphBeam)}
+       |SELECT q_id, rank, node AS n_id, ${rndSql("cos", 4)} AS cos FROM (
+       |  SELECT q_id, node, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, node) AS BIGINT) AS rank
+       |  FROM bl2)
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
   /** PQ reconstruction table (vec_id, recon): each vector's 8 subvectors
     * snapped to their nearest per-subspace codebook entry (16 seeded
     * medoids) and reassembled — the decoded form of an 8-code-byte vector.
@@ -1069,99 +1173,17 @@ object Similarity {
     // the structural serve path beside the flat one with the honest
     // readout, floor spec-pinned in AnnQualitySpec. Same static unrolled
     // dataflow + exact DuckDB oracle as the flat serve.
-    ("sim_hnsw_topk", (s, d) => {
-      import s.implicits._
-      val v = vectors(s, d).cache()
-      val qs = v.filter($"vec_id" < NumQueries)
-        .select($"vec_id".as("q_id"), $"emb".as("q_emb"))
-      val root = knnGraphDir(s, d)
-      val g0 = s.read.parquet(root + "/l0").select($"src", $"dst")
-      val g1 = s.read.parquet(root + "/l1").select($"src", $"dst")
-      def beamCut(cand: DataFrame, beam: Int): DataFrame = {
-        val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"node")
-        cand.join(v.select($"vec_id".as("node"), $"emb".as("n_emb")), "node")
-          .join(broadcast(qs), "q_id")
-          .withColumn("cos", cosine($"q_emb", $"n_emb"))
-          .withColumn("rn", row_number().over(w)).filter($"rn" <= beam)
-          .select($"q_id", $"node", $"cos")
-      }
-      def hops(start: DataFrame, g: DataFrame, beam: Int, n: Int): DataFrame = {
-        var b = start
-        for (_ <- 1 to n) {
-          val expand = b.as("b").join(g.as("e"), $"b.node" === $"e.src")
-            .select($"b.q_id".as("q_id"), $"e.dst".as("node"))
-            .filter($"node" =!= $"q_id")
-          b = beamCut(b.select($"q_id", $"node").unionByName(expand).distinct(), beam)
-        }
-        b
-      }
-      val entries1 = v.filter(
-          $"vec_id" % HnswLayerMod === 0 && $"vec_id" < HnswLayerMod * 8L)
-        .select($"vec_id".as("node"))
-      val routed = hops(
-        beamCut(qs.select($"q_id").crossJoin(broadcast(entries1))
-          .filter($"node" =!= $"q_id"), HnswL1Beam),
-        g1, HnswL1Beam, 2)
-      val refined = hops(routed, g0, GraphBeam, 2)
-      val wr = Window.partitionBy($"q_id").orderBy($"cos".desc, $"node")
-      refined.withColumn("rank", row_number().over(wr).cast("long"))
-        .filter($"rank" <= TopK)
-        .select($"q_id", $"rank", $"node".as("n_id"), round($"cos", 4).as("cos"))
-        .orderBy($"q_id", $"rank")
-    }, Some {
-      def hop(prev: String, cand: String, next: String, g: String, beam: Int): String =
-        s"""$cand AS (
-           |  SELECT q_id, node FROM $prev
-           |  UNION
-           |  SELECT b.q_id, e.dst AS node FROM $prev b
-           |  JOIN $g e ON e.src = b.node WHERE e.dst <> b.q_id),
-           |$next AS (
-           |  SELECT q_id, node, cos FROM (
-           |    SELECT c.q_id, c.node, list_dot_product(q.q_emb, n.emb) AS cos,
-           |      row_number() OVER (PARTITION BY c.q_id
-           |        ORDER BY list_dot_product(q.q_emb, n.emb) DESC, c.node) AS rn
-           |    FROM $cand c JOIN qs q ON q.q_id = c.q_id JOIN v n ON n.vec_id = c.node)
-           |  WHERE rn <= $beam)""".stripMargin
-      s"""WITH $vectorsSql,
-         |$knnCandidatesSql,
-         |sc AS (
-         |  SELECT c.src, c.dst, list_dot_product(s.emb, n.emb) AS ecos
-         |  FROM cand c
-         |  JOIN v s ON s.vec_id = c.src JOIN v n ON n.vec_id = c.dst),
-         |g0 AS (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst, row_number() OVER (PARTITION BY src
-         |      ORDER BY ecos DESC, dst) AS rn FROM sc)
-         |  WHERE rn <= $GraphDegree),
-         |g1 AS (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst, row_number() OVER (PARTITION BY src
-         |      ORDER BY ecos DESC, dst) AS rn FROM sc
-         |    WHERE src % $HnswLayerMod = 0 AND dst % $HnswLayerMod = 0)
-         |  WHERE rn <= $HnswL1Degree),
-         |qs AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < $NumQueries),
-         |ent AS (SELECT vec_id AS node FROM v
-         |  WHERE vec_id % $HnswLayerMod = 0 AND vec_id < ${HnswLayerMod * 8}),
-         |c0 AS (SELECT q_id, node FROM qs CROSS JOIN ent WHERE node <> q_id),
-         |bh0 AS (
-         |  SELECT q_id, node, cos FROM (
-         |    SELECT c.q_id, c.node, list_dot_product(q.q_emb, n.emb) AS cos,
-         |      row_number() OVER (PARTITION BY c.q_id
-         |        ORDER BY list_dot_product(q.q_emb, n.emb) DESC, c.node) AS rn
-         |    FROM c0 c JOIN qs q ON q.q_id = c.q_id JOIN v n ON n.vec_id = c.node)
-         |  WHERE rn <= $HnswL1Beam),
-         |${hop("bh0", "ch1", "bh1", "g1", HnswL1Beam)},
-         |${hop("bh1", "ch2", "bh2", "g1", HnswL1Beam)},
-         |${hop("bh2", "cl1", "bl1", "g0", GraphBeam)},
-         |${hop("bl1", "cl2", "bl2", "g0", GraphBeam)}
-         |SELECT q_id, rank, node AS n_id, ${rndSql("cos", 4)} AS cos FROM (
-         |  SELECT q_id, node, cos,
-         |    CAST(row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos DESC, node) AS BIGINT) AS rank
-         |  FROM bl2)
-         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
-    }),
+    ("sim_hnsw_topk", (s, d) =>
+      hnswServe(s, d, knnGraphDir(s, d)), Some(hnswTopkOracle)),
 
+    // ---- the SAME hierarchical serve over the incrementally-maintained
+    // graph (both layers of [[knnIncrementalDir]] are delta-upserted, so
+    // the routed search runs unchanged). Oracle is sim_hnsw_topk's
+    // VERBATIM full-rebuild SQL — the serve-level proof that layer
+    // maintenance preserved the hierarchy, beside AnnQualitySpec's
+    // edge-level l0/l1 equality.
+    ("sim_hnsw_incremental", (s, d) =>
+      hnswServe(s, d, knnIncrementalDir(s, d)), Some(hnswTopkOracle)),
     // ---- MMR diversity rerank (Carbonell & Goldstein 1998): the serve-side
     // pass that keeps a result page from being five copies of the same
     // near-dup — greedy argmax of λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) over
