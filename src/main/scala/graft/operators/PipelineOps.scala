@@ -1693,6 +1693,52 @@ object PipelineOps {
          |         WHERE o_custkey % 271 = 0 AND o_custkey <= 271))
          |GROUP BY 1 ORDER BY l_orderkey""".stripMargin)),
 
+    // ---- mutation COMPOSABILITY: a SECOND erase wave (customers
+    // c % 337 == 0) applied to the wave-1 post-delete snapshot, PLANNED
+    // THROUGH WAVE 1's RECONCILED SIDECARS and refreshing wave 1's
+    // already-refreshed MV ([[deleteExec2Dir]]). This is the property a
+    // lakehouse table actually needs — every delete must leave an index
+    // and summaries accurate enough to plan the next one; a stale sidecar
+    // surviving wave 1 would either leak wave-2 purge rows (false
+    // negative: impossible by construction, hash-checked here) or be
+    // caught by DiagnosticsSpec's 1:1 index↔tree pin. Oracle recomputes
+    // the doubly-purged monthly report from the raw tables.
+    ("pipeline_delete_exec2", (s, d) => {
+      import s.implicits._
+      s.read.parquet(s"${deleteExec2Dir(s, d)}/data")
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey % 271 <> 0 AND o_custkey % 337 <> 0
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // ---- the MV after BOTH waves: full daily readout of the twice-
+    // refreshed rollup, oracle recomputed from raw-minus-both-erase-sets —
+    // a stale month from either wave's refresh hash-mismatches.
+    ("pipeline_delete_mv2", (s, d) => {
+      import s.implicits._
+      s.read.parquet(s"${deleteExec2Dir(s, d)}/mv")
+        .select($"ship_month", $"ship_day", $"n_items", $"sum_qty",
+          $"revenue_cents")
+        .orderBy($"ship_month", $"ship_day")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(l_shipdate AS DATE) AS ship_day,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey % 271 <> 0 AND o_custkey % 337 <> 0
+        |GROUP BY 1, 2 ORDER BY ship_month, ship_day""".stripMargin)),
+
     // ---- temperature-scaled mixture plan (the GPT-3 / mT5 / XLM-R
     // data-mixing method): resample domains with share ∝ n^α, α < 1, so
     // low-resource domains are UPWEIGHTED relative to their natural share —
@@ -3014,96 +3060,139 @@ object PipelineOps {
     * table size — the whole point of the sidecar-planned rewrite.
     */
   private[operators] def deleteExecDir(s: SparkSession, d: String): String =
-    deleteExecDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+    deleteExecDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ =>
+      applyDelete(s, "graft_delexec", bloomIdxDataDir(s, d),
+        s"${bloomIdxDir(s, d)}/index", normPath(mvRollupDir(s, d)),
+        eraseOrderKeys(s, d)))
+
+  private val deleteExec2DirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SECOND erase wave (customers c % 337 == 0) applied ON TOP of the
+    * wave-1 post-delete snapshot, planned through wave 1's RECONCILED
+    * sidecars and refreshing wave 1's already-refreshed MV — mutation
+    * COMPOSABILITY, the property a lakehouse table actually needs: every
+    * delete produces a snapshot whose index and summaries are accurate
+    * enough to plan the next one. Keys divisible by both moduli are
+    * already gone from the source tree; their probes just find no rows.
+    */
+  private[operators] def deleteExec2Dir(s: SparkSession, d: String): String =
+    deleteExec2DirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
       import s.implicits._
-      graft.plans.GraftExtensions.register(s)
-      val root = graft.Fixtures.tempDir("graft_delexec")
-      val newData = root.resolve("data")
-      val oldData = java.nio.file.Paths.get(normPath(bloomIdxDataDir(s, d)))
-      val keys = eraseOrderKeys(s, d)
-
-      // 2. plan: bloom-matched files; everything else is retained by link
-      val (matched, _) = bloomIdxMatchedFilesFor(s, d, keys)
-      val matchedSet = matched.map(normPath).toSet
-      val retainedDst = s.read.parquet(oldData.toString).inputFiles
-        .map(normPath).filterNot(matchedSet.contains).map { f =>
-          val src = java.nio.file.Paths.get(f)
-          val dst = newData.resolve(oldData.relativize(src).toString)
-          java.nio.file.Files.createDirectories(dst.getParent)
-          try java.nio.file.Files.createLink(dst, src)
-          catch { case _: Exception => // cross-device etc. — fall back
-            java.nio.file.Files.copy(src, dst,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          }
-          dst.toString
-        }.toSet
-
-      // 3. rewrite matched files minus purge rows, appended per month
-      // (append never touches the linked files; month dirs may mix both)
-      readBloomMatched(s, d, matched.toSeq)
-        .join(keys, $"l_orderkey" === $"k", "left_anti")
-        .write.mode("append").partitionBy("ship_month").parquet(newData.toString)
-
-      // 4. index reconciliation: remap retained rows, fresh rows for the
-      // rewritten files only
-      val oldDataStr = oldData.toString
-      val newDataStr = normPath(newData.toString)
-      val newFiles = s.read.parquet(newData.toString).inputFiles
-        .map(normPath).filterNot(retainedDst.contains).toSeq
-      val retainedIdx = s.read.parquet(s"${bloomIdxDir(s, d)}/index")
-        .withColumn("file", regexp_replace($"file", "^file:/+", "/"))
-        .filter(!$"file".isin(matched.map(normPath).toSeq: _*))
-        .withColumn("file",
-          concat(lit(newDataStr), expr(s"substr(file, ${oldDataStr.length + 1})")))
-      val freshIdx = {
-        val data = readMatchedFiles(s, newData.toString, newFiles)
-        val nRows = data.count()
-        val perFile = math.max(64L, nRows / math.max(1, newFiles.length))
-        var mBits = 1 << 10
-        while (mBits < perFile * 16 && mBits < (1 << 27)) mBits <<= 1
-        val bloomAgg = udaf(new graft.functions.BloomAgg(mBits, BloomK),
-          org.apache.spark.sql.Encoders.scalaLong)
-        data.select(regexp_replace(input_file_name(), "^file:/+", "/").as("file"),
-            xxhash64($"l_orderkey").as("h"))
-          .groupBy($"file")
-          .agg(bloomAgg($"h").as("bloom"), count(lit(1)).as("n_rows"))
-      }
-      retainedIdx.unionByName(freshIdx)
-        .write.mode("overwrite").parquet(root.resolve("index").toString)
-
-      // 5. MV incremental refresh: recompute ONLY months that lost rows
-      val touched = readBloomMatched(s, d, matched.toSeq)
-        .join(keys, $"l_orderkey" === $"k", "left_semi")
-        .select($"ship_month").distinct().as[String].collect().toSeq
-      val newMv = root.resolve("mv")
-      val oldMv = java.nio.file.Paths.get(normPath(mvRollupDir(s, d)))
-      val monthDirs = java.nio.file.Files.list(oldMv)
-      try monthDirs.forEach { md =>
-        val name = md.getFileName.toString // ship_month=YYYY-MM
-        if (name.startsWith("ship_month=") &&
-            !touched.contains(name.stripPrefix("ship_month="))) {
-          val dstDir = newMv.resolve(name)
-          java.nio.file.Files.createDirectories(dstDir)
-          val fs = java.nio.file.Files.list(md)
-          try fs.forEach { f =>
-            if (java.nio.file.Files.isRegularFile(f))
-              try java.nio.file.Files.createLink(dstDir.resolve(f.getFileName.toString), f)
-              catch { case _: Exception =>
-                java.nio.file.Files.copy(f, dstDir.resolve(f.getFileName.toString),
-                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-              }
-          } finally fs.close()
-        }
-      } finally monthDirs.close()
-      if (touched.nonEmpty)
-        s.read.parquet(newData.toString)
-          .filter($"ship_month".isin(touched: _*))
-          .groupBy($"ship_month", $"ship_day")
-          .agg(count(lit(1)).as("n_items"), sum($"qty").as("sum_qty"),
-            sum($"net_cents").as("revenue_cents"))
-          .write.mode("append").partitionBy("ship_month").parquet(newMv.toString)
-      root.toString
+      val w1 = deleteExecDir(s, d)
+      val keys2 = Tables.orders(s, d)
+        .join(Tables.customer(s, d).filter($"c_custkey" % 337 === 0)
+          .select($"c_custkey"), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey".as("k"))
+      applyDelete(s, "graft_delexec2", s"$w1/data", s"$w1/index", s"$w1/mv",
+        keys2)
     })
+
+  /** One copy-on-write DELETE over a (data, sidecar index, daily MV)
+    * snapshot triple — the engine of [[deleteExecDir]] (wave 1 over the
+    * original bloom layout) and [[deleteExec2Dir]] (wave 2 over wave 1's
+    * output), returning a new snapshot root with `data/`, `index/`, `mv/`:
+    *
+    *  1. probe the sidecars — only MATCHED files can hold purge rows;
+    *  2. retain every unmatched file by hard link (zero bytes rewritten);
+    *  3. rewrite matched files minus purge rows, appended per month;
+    *  4. reconcile the index: retained rows path-remapped, fresh bitsets
+    *     only for rewritten files;
+    *  5. refresh the MV: untouched months linked over, lost-row months
+    *     recomputed from the post-delete tree.
+    */
+  private def applyDelete(s: SparkSession, prefix: String, srcDataDir: String,
+      srcIdxPath: String, srcMvDir: String,
+      keys0: org.apache.spark.sql.DataFrame): String = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val keys = keys0
+    val root = graft.Fixtures.tempDir(prefix)
+    val newData = root.resolve("data")
+    val oldData = java.nio.file.Paths.get(normPath(srcDataDir))
+
+    // 1-2. plan via the sidecars; everything unmatched is retained by link
+    val (matched, _) = matchedFilesInIndex(s, srcIdxPath, keys)
+    val matchedSet = matched.map(normPath).toSet
+    val retainedDst = s.read.parquet(oldData.toString).inputFiles
+      .map(normPath).filterNot(matchedSet.contains).map { f =>
+        val src = java.nio.file.Paths.get(f)
+        val dst = newData.resolve(oldData.relativize(src).toString)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        try java.nio.file.Files.createLink(dst, src)
+        catch { case _: Exception => // cross-device etc. — fall back
+          java.nio.file.Files.copy(src, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        dst.toString
+      }.toSet
+
+    // 3. rewrite matched files minus purge rows, appended per month
+    // (append never touches the linked files; month dirs may mix both)
+    readMatchedFiles(s, oldData.toString, matched.toSeq)
+      .join(keys, $"l_orderkey" === $"k", "left_anti")
+      .write.mode("append").partitionBy("ship_month").parquet(newData.toString)
+
+    // 4. index reconciliation: remap retained rows, fresh rows for the
+    // rewritten files only
+    val oldDataStr = oldData.toString
+    val newDataStr = normPath(newData.toString)
+    val newFiles = s.read.parquet(newData.toString).inputFiles
+      .map(normPath).filterNot(retainedDst.contains).toSeq
+    val retainedIdx = s.read.parquet(srcIdxPath)
+      .withColumn("file", regexp_replace($"file", "^file:/+", "/"))
+      .filter(!$"file".isin(matched.map(normPath).toSeq: _*))
+      .withColumn("file",
+        concat(lit(newDataStr), expr(s"substr(file, ${oldDataStr.length + 1})")))
+    val freshIdx = {
+      val data = readMatchedFiles(s, newData.toString, newFiles)
+      val nRows = data.count()
+      val perFile = math.max(64L, nRows / math.max(1, newFiles.length))
+      var mBits = 1 << 10
+      while (mBits < perFile * 16 && mBits < (1 << 27)) mBits <<= 1
+      val bloomAgg = udaf(new graft.functions.BloomAgg(mBits, BloomK),
+        org.apache.spark.sql.Encoders.scalaLong)
+      data.select(regexp_replace(input_file_name(), "^file:/+", "/").as("file"),
+          xxhash64($"l_orderkey").as("h"))
+        .groupBy($"file")
+        .agg(bloomAgg($"h").as("bloom"), count(lit(1)).as("n_rows"))
+    }
+    retainedIdx.unionByName(freshIdx)
+      .write.mode("overwrite").parquet(root.resolve("index").toString)
+
+    // 5. MV incremental refresh: recompute ONLY months that lost rows
+    val touched = readMatchedFiles(s, oldData.toString, matched.toSeq)
+      .join(keys, $"l_orderkey" === $"k", "left_semi")
+      .select($"ship_month").distinct().as[String].collect().toSeq
+    val newMv = root.resolve("mv")
+    val oldMv = java.nio.file.Paths.get(normPath(srcMvDir))
+    val monthDirs = java.nio.file.Files.list(oldMv)
+    try monthDirs.forEach { md =>
+      val name = md.getFileName.toString // ship_month=YYYY-MM
+      if (name.startsWith("ship_month=") &&
+          !touched.contains(name.stripPrefix("ship_month="))) {
+        val dstDir = newMv.resolve(name)
+        java.nio.file.Files.createDirectories(dstDir)
+        val fs = java.nio.file.Files.list(md)
+        try fs.forEach { f =>
+          if (java.nio.file.Files.isRegularFile(f))
+            try java.nio.file.Files.createLink(dstDir.resolve(f.getFileName.toString), f)
+            catch { case _: Exception =>
+              java.nio.file.Files.copy(f, dstDir.resolve(f.getFileName.toString),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+        } finally fs.close()
+      }
+    } finally monthDirs.close()
+    if (touched.nonEmpty)
+      s.read.parquet(newData.toString)
+        .filter($"ship_month".isin(touched: _*))
+        .groupBy($"ship_month", $"ship_day")
+        .agg(count(lit(1)).as("n_items"), sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .write.mode("append").partitionBy("ship_month").parquet(newMv.toString)
+    root.toString
+  }
 
   private[operators] def partitionedCorpus(s: SparkSession, d: String): String =
     partitionedDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {

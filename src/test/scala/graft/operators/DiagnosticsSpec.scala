@@ -450,6 +450,34 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(survivors == 0L, s"$survivors purge rows survive the delete")
   }
 
+  // Mutation composability: after the SECOND erase wave — planned through
+  // wave 1's reconciled sidecars — the wave-2 index still describes its
+  // tree exactly, and BOTH erase sets are unfindable through it.
+  test("delete exec wave 2: index consistent after sequential mutations; both erase sets gone") {
+    import spark.implicits._
+    val root = PipelineOps.deleteExec2Dir(spark, sfDir)
+    val idx = spark.read.parquet(s"$root/index")
+      .select($"file", $"n_rows").as[(String, Long)].collect().toMap
+    val actual = spark.read.parquet(s"$root/data")
+      .select(input_file_name().as("f"))
+      .groupBy($"f").count().as[(String, Long)].collect()
+      .map { case (f, n) => PipelineOps.normPath(f) -> n }.toMap
+    assert(idx == actual,
+      s"wave-2 index/tree drift: onlyIdx=${idx.keySet -- actual.keySet} " +
+        s"onlyTree=${actual.keySet -- idx.keySet} " +
+        s"badCounts=${idx.filter { case (f, n) => actual.get(f).exists(_ != n) }}")
+    val bothKeys = graft.Tables.orders(spark, sfDir)
+      .join(graft.Tables.customer(spark, sfDir)
+        .filter($"c_custkey" % 271 === 0 || $"c_custkey" % 337 === 0)
+        .select($"c_custkey"), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey".as("k"))
+    val (files, _) = PipelineOps.matchedFilesInIndex(spark, s"$root/index", bothKeys)
+    val survivors = PipelineOps.readMatchedFiles(spark, s"$root/data", files.toSeq)
+      .join(bothKeys, $"l_orderkey" === $"k", "left_semi").count()
+    assert(survivors == 0L,
+      s"$survivors purge rows survive after two sequential deletes")
+  }
+
   // MV maintenance through the mutation: untouched month partitions carry
   // over by reference (same file names and sizes as the pre-delete MV),
   // and the refreshed view as a whole equals a from-scratch daily rollup
