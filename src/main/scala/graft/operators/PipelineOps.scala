@@ -1720,6 +1720,53 @@ object PipelineOps {
         |WHERE o_custkey % 271 <> 0 AND o_custkey % 337 <> 0
         |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
+    // ---- snapshot LINEAGE readout (the table-history view an Iceberg
+    // `snapshots` metadata table serves): one row per snapshot of the
+    // ship-month fact's mutation chain — original layout, compaction
+    // rewrite, delete wave 1, delete wave 2 — each row's row/order/month
+    // counts computed FROM THAT SNAPSHOT'S OWN TREE and oracle-recomputed
+    // from the raw tables under the snapshot's cumulative semantics. The
+    // hash match proves the chain is what it claims: compaction preserved
+    // every row, each delete removed exactly its erase set and nothing
+    // else. At 100 TB these numbers come from snapshot manifests, not
+    // scans — here the scan IS the audit.
+    ("pipeline_snapshot_log", (s, d) => {
+      import s.implicits._
+      def stat(id: Long, op: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct($"l_orderkey").as("n_orders"),
+            countDistinct($"ship_month").as("n_months"))
+          .select(lit(id).as("snap_id"), lit(op).as("op"),
+            $"n_rows", $"n_orders", $"n_months")
+      stat(0L, "original", s.read.parquet(bloomIdxDataDir(s, d)))
+        .unionByName(stat(1L, "compacted", s.read.parquet(compactedDir(s, d))))
+        .unionByName(stat(2L, "delete_w1",
+          s.read.parquet(s"${deleteExecDir(s, d)}/data")))
+        .unionByName(stat(3L, "delete_w2",
+          s.read.parquet(s"${deleteExec2Dir(s, d)}/data")))
+        .orderBy($"snap_id")
+    }, Some(
+      """WITH base AS (
+        |  SELECT l_orderkey, strftime(l_shipdate, '%Y-%m') AS m, o_custkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |s0 AS (SELECT CAST(0 AS BIGINT) AS snap_id, 'original' AS op,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT m) AS BIGINT) AS n_months FROM base),
+        |s1 AS (SELECT CAST(1 AS BIGINT), 'compacted',
+        |  CAST(count(*) AS BIGINT), CAST(count(DISTINCT l_orderkey) AS BIGINT),
+        |  CAST(count(DISTINCT m) AS BIGINT) FROM base),
+        |s2 AS (SELECT CAST(2 AS BIGINT), 'delete_w1',
+        |  CAST(count(*) AS BIGINT), CAST(count(DISTINCT l_orderkey) AS BIGINT),
+        |  CAST(count(DISTINCT m) AS BIGINT) FROM base WHERE o_custkey % 271 <> 0),
+        |s3 AS (SELECT CAST(3 AS BIGINT), 'delete_w2',
+        |  CAST(count(*) AS BIGINT), CAST(count(DISTINCT l_orderkey) AS BIGINT),
+        |  CAST(count(DISTINCT m) AS BIGINT) FROM base
+        |  WHERE o_custkey % 271 <> 0 AND o_custkey % 337 <> 0)
+        |SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        |UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        |ORDER BY snap_id""".stripMargin)),
+
     // ---- the MV after BOTH waves: full daily readout of the twice-
     // refreshed rollup, oracle recomputed from raw-minus-both-erase-sets —
     // a stale month from either wave's refresh hash-mismatches.
