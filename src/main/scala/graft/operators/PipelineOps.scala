@@ -531,6 +531,7 @@ object PipelineOps {
     }, Some(
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
         |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(count(CAST(l_quantity AS BIGINT)) AS BIGINT) AS n_qty,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin)),
@@ -2782,6 +2783,7 @@ object PipelineOps {
         .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"),
           to_date($"l_shipdate").as("ship_day"))
         .agg(count(lit(1)).as("n_items"),
+          count($"l_quantity".cast("bigint")).as("n_qty"),
           sum($"l_quantity".cast("bigint")).as("sum_qty"),
           sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
             .as("revenue_cents"))
@@ -2793,7 +2795,8 @@ object PipelineOps {
         .join(broadcast(touched), Seq("ship_month"), "left_semi")
         .unionByName(delta)
         .groupBy($"ship_month", $"ship_day")
-        .agg(sum($"n_items").as("n_items"), sum($"sum_qty").as("sum_qty"),
+        .agg(sum($"n_items").as("n_items"), sum($"n_qty").as("n_qty"),
+          sum($"sum_qty").as("sum_qty"),
           sum($"revenue_cents").as("revenue_cents"))
       val stage = graft.Fixtures.tempDir("graft_mvstage").resolve("s").toString
       merged.write.mode("overwrite").parquet(stage)
@@ -2863,6 +2866,10 @@ object PipelineOps {
     Tables.lineitem(s, d)
       .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
       .agg(count(lit(1)).as("n_items"),
+        // count of the NON-NULL averaged column — the denominator AVG
+        // navigation needs to stay sound on a nullable column (count(*)
+        // would over-divide if l_quantity ever carried nulls)
+        count($"l_quantity".cast("bigint")).as("n_qty"),
         sum($"l_quantity".cast("bigint")).as("sum_qty"),
         sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
           .as("revenue_cents"))
@@ -2962,11 +2969,23 @@ object PipelineOps {
     */
   private def writeBloomIndex(
       s: SparkSession, dataDir: String, idxDir: String): Unit = {
+    val data = s.read.parquet(dataDir)
+    bloomIndexRows(s, data, data.inputFiles.length)
+      .write.mode("overwrite").parquet(idxDir)
+  }
+
+  /** The sidecar rows themselves — one (normalized file path, bloom over
+    * xxhash64(l_orderkey), n_rows) row per file of `data`, bitset sized
+    * ~16 bits/row/file. The SINGLE definition of the sizing rule and row
+    * shape for every reconciled/rebuilt index (full re-index via
+    * [[writeBloomIndex]]; the delete path's fresh-files slice in
+    * applyDelete) — one copy, so the heuristic cannot drift between them.
+    */
+  private def bloomIndexRows(
+      s: SparkSession, data: DataFrame, nFiles: Int): DataFrame = {
     import s.implicits._
     graft.plans.GraftExtensions.register(s)
-    val data = s.read.parquet(dataDir)
-    val perFile = math.max(64L,
-      data.count() / math.max(1, data.inputFiles.length))
+    val perFile = math.max(64L, data.count() / math.max(1, nFiles))
     var mBits = 1 << 10
     while (mBits < perFile * 16 && mBits < (1 << 27)) mBits <<= 1
     val bloomAgg = udaf(new graft.functions.BloomAgg(mBits, BloomK),
@@ -2975,7 +2994,6 @@ object PipelineOps {
         xxhash64($"l_orderkey").as("h"))
       .groupBy($"file")
       .agg(bloomAgg($"h").as("bloom"), count(lit(1)).as("n_rows"))
-      .write.mode("overwrite").parquet(idxDir)
   }
 
   private val compactedIdxDirCache =
@@ -3191,19 +3209,8 @@ object PipelineOps {
       .filter(!$"file".isin(matched.map(normPath).toSeq: _*))
       .withColumn("file",
         concat(lit(newDataStr), expr(s"substr(file, ${oldDataStr.length + 1})")))
-    val freshIdx = {
-      val data = readMatchedFiles(s, newData.toString, newFiles)
-      val nRows = data.count()
-      val perFile = math.max(64L, nRows / math.max(1, newFiles.length))
-      var mBits = 1 << 10
-      while (mBits < perFile * 16 && mBits < (1 << 27)) mBits <<= 1
-      val bloomAgg = udaf(new graft.functions.BloomAgg(mBits, BloomK),
-        org.apache.spark.sql.Encoders.scalaLong)
-      data.select(regexp_replace(input_file_name(), "^file:/+", "/").as("file"),
-          xxhash64($"l_orderkey").as("h"))
-        .groupBy($"file")
-        .agg(bloomAgg($"h").as("bloom"), count(lit(1)).as("n_rows"))
-    }
+    val freshIdx = bloomIndexRows(s,
+      readMatchedFiles(s, newData.toString, newFiles), newFiles.length)
     retainedIdx.unionByName(freshIdx)
       .write.mode("overwrite").parquet(root.resolve("index").toString)
 
@@ -3235,7 +3242,8 @@ object PipelineOps {
       s.read.parquet(newData.toString)
         .filter($"ship_month".isin(touched: _*))
         .groupBy($"ship_month", $"ship_day")
-        .agg(count(lit(1)).as("n_items"), sum($"qty").as("sum_qty"),
+        .agg(count(lit(1)).as("n_items"), count($"qty").as("n_qty"),
+          sum($"qty").as("sum_qty"),
           sum($"net_cents").as("revenue_cents"))
         .write.mode("append").partitionBy("ship_month").parquet(newMv.toString)
     root.toString

@@ -244,12 +244,13 @@ object Similarity {
     * scoring pass, two window cuts. Shared by the full build and the
     * incremental builder's day-0 base (and its honest rebuild fallback).
     */
-  private def writeGraphLayers(v0: DataFrame, root: String): Unit = {
+  private def writeGraphLayers(v0: DataFrame, root: String,
+      sigsOpt: Option[DataFrame] = None): Unit = {
     val s = v0.sparkSession
     import s.implicits._
     val v = v0.cache()
     val we = Window.partitionBy($"src").orderBy($"ecos".desc, $"dst")
-    val kc = knnCandidatesWithRegime(v)
+    val kc = knnCandidatesWithRegime(v, sigsOpt)
     val scored = kc.cand
       .join(v.select($"vec_id".as("src"), $"emb".as("s_emb")), "src")
       .join(v.select($"vec_id".as("dst"), $"emb".as("d_emb")), "dst")
@@ -277,12 +278,17 @@ object Similarity {
   private val knnIncrDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Set when [[knnIncrementalDir]] had to take its full-rebuild fallback
-    * instead of the delta upsert — specs assert the upsert path actually
-    * ran at the driver SFs.
+  /** Per-dataset record of whether [[knnIncrementalDir]] took its
+    * full-rebuild fallback instead of the delta upsert (keyed by dataset
+    * fingerprint — a JVM-global flag would let one dataset's fallback
+    * poison assertions about another). Specs assert the upsert path
+    * actually ran at the driver SFs.
     */
-  private[graft] val knnIncrFellBack =
-    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val knnIncrFellBackByKey =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  private[graft] def knnIncrFellBack(d: String): Boolean =
+    knnIncrFellBackByKey.getOrDefault(graft.Fixtures.dirKey(d), false)
 
   /** INCREMENTALLY-MAINTAINED serve graph: built on the base slice
     * (vec_id % 10 != 9 — the same batch split as the IVF incremental
@@ -316,12 +322,15 @@ object Similarity {
       val maxBucket = sigsAll.groupBy($"tbl", $"sig").agg(count(lit(1)).as("cnt"))
         .agg(max($"cnt")).head().getLong(0)
       if (maxBucket > BucketAllPairsMax) {
-        knnIncrFellBack.set(true)
-        sigsAll.unpersist()
-        writeGraphLayers(v, root) // documented honest fallback
+        knnIncrFellBackByKey.put(graft.Fixtures.dirKey(d), true)
+        try writeGraphLayers(v, root, Some(sigsAll)) // documented fallback
+        finally sigsAll.unpersist()
       } else {
-        // day 0: both layers over the base slice
-        writeGraphLayers(v.filter($"vec_id" % 10 =!= 9), s"$root/base")
+        // day 0: both layers over the base slice — reusing the cached
+        // signature scan the regime probe already paid for (a filter of a
+        // cached frame reads the cache)
+        writeGraphLayers(v.filter($"vec_id" % 10 =!= 9), s"$root/base",
+          Some(sigsAll.filter($"vec_id" % 10 =!= 9)))
         // day 1: candidate pairs with a NEW endpoint (either side),
         // bucket-equality over the full signature set
         val half = sigsAll.filter($"vec_id" % 10 === 9).as("x")
@@ -727,14 +736,19 @@ object Similarity {
   private case class KnnCandidates(
       cand: DataFrame, banded: Boolean, cached: Seq[DataFrame])
 
-  private def knnCandidatesWithRegime(v: DataFrame): KnnCandidates = {
+  private def knnCandidatesWithRegime(v: DataFrame,
+      sigsOpt: Option[DataFrame] = None): KnnCandidates = {
     val spark = v.sparkSession
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
     // Cached: the signature scan feeds the regime-probe job AND the pair
     // join(s) of whichever regime wins — without the cache each consumer
-    // re-hashes every vector LshTables times.
-    val sigs = lshSignatures(v).cache()
+    // re-hashes every vector LshTables times. A caller that already holds
+    // cached signatures (the incremental graph builder probes the regime
+    // itself) passes them in and keeps ownership — they are then NOT in
+    // `cached`, so this builder won't unpersist what it doesn't own.
+    val ownSigs = sigsOpt.isEmpty
+    val sigs = sigsOpt.getOrElse(lshSignatures(v).cache())
     // ≤ LshTables · 2^LshBits groups — schema-bounded agg, tiny either way
     val sizes = sigs.groupBy($"tbl", $"sig").agg(count(lit(1)).as("cnt"))
     val maxBucket = sizes.agg(max($"cnt")).head().getLong(0)
@@ -744,7 +758,7 @@ object Similarity {
       KnnCandidates(sigs.as("x").join(sigs.as("y"),
           $"x.tbl" === $"y.tbl" && $"x.sig" === $"y.sig" && $"x.vec_id" =!= $"y.vec_id")
         .select($"x.vec_id".as("src"), $"y.vec_id".as("dst")).distinct(),
-        banded = false, cached = Seq(sigs))
+        banded = false, cached = if (ownSigs) Seq(sigs) else Seq.empty)
     } else {
       val small = sigs.join(
         broadcast(sizes.filter($"cnt" <= BucketAllPairsMax)), Seq("tbl", "sig"))
@@ -776,7 +790,8 @@ object Similarity {
         .select($"x.vec_id".as("src"), $"y.vec_id".as("dst"))
       KnnCandidates(smallPairs.unionByName(fwd)
         .unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
-        .distinct(), banded = true, cached = Seq(sigs, big))
+        .distinct(), banded = true,
+        cached = if (ownSigs) Seq(sigs, big) else Seq(big))
     }
   }
 

@@ -1663,18 +1663,26 @@ object TextOps {
         """transform(sequence(0, size(t) - 2), i ->
           |  struct(t[i] AS w1, t[i+1] AS w2))""".stripMargin)).as("b"))
       .select($"b.w1", $"b.w2")
-    val c2All = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
-    val c2Kept = c2All.orderBy($"c".desc, $"w1", $"w2").limit(maxBigrams)
-      .as[(String, String, Long)].collect()
     val c1All = big.groupBy($"w1").agg(count(lit(1)).as("c"))
     val c1Kept = c1All.orderBy($"c".desc, $"w1").limit(maxUnigrams)
       .as[(String, Long)].collect()
+    // bigrams are kept ONLY among surviving left-marginals: a kept bigram
+    // whose w1 marginal was pruned would score (c2+1)/(0+V) — an
+    // incoherent probability that can exceed 1 — instead of either the
+    // exact value or the unseen floor
+    val c2All = big
+      .join(broadcast(c1Kept.map(_._1).toSeq.toDF("w1")), Seq("w1"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+    val c2Kept = c2All.orderBy($"c".desc, $"w1", $"w2").limit(maxBigrams)
+      .as[(String, String, Long)].collect()
     val v = doc.select(explode(transform(tokens($"text"), t => lower(t))).as("w"))
       .agg(countDistinct($"w")).head().getLong(0)
     PplModel(
       c2Kept.map { case (a, b, c) => (a, b) -> c }.toMap,
       c1Kept.toMap, v,
-      droppedBigrams = c2All.count() - c2Kept.length,
+      // dropped counts vs the FULL type inventories (a bigram shed because
+      // its marginal was pruned counts as dropped too)
+      droppedBigrams = big.select($"w1", $"w2").distinct().count() - c2Kept.length,
       droppedUnigrams = c1All.count() - c1Kept.length)
   }
 

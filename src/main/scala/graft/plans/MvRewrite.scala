@@ -370,9 +370,17 @@ final class MvAggregateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               org.apache.spark.sql.types.ByteType).contains(avg.child.dataType) =>
           val sumShape = shape(
             AggregateExpression(Sum(avg.child), Complete, isDistinct = false))
-          val cntShape = shape(AggregateExpression(
+          // the denominator must count NON-NULL avg.child rows: prefer a
+          // registered count(child) measure; accept count(*) only when the
+          // column is provably non-nullable — otherwise null rows would
+          // inflate the divisor and the rewrite would silently under-report
+          val cntColShape = shape(AggregateExpression(
+            Count(Seq(avg.child)), Complete, isDistinct = false))
+          val cntStarShape = shape(AggregateExpression(
             Count(Seq(Literal(1))), Complete, isDistinct = false))
-          (t.aggToMvColumn.get(sumShape), t.aggToMvColumn.get(cntShape)) match {
+          val denom = t.aggToMvColumn.get(cntColShape).orElse(
+            if (!avg.child.nullable) t.aggToMvColumn.get(cntStarShape) else None)
+          (t.aggToMvColumn.get(sumShape), denom) match {
             case (Some((ReSum, sc)), Some((ReSum, cc))) =>
               Some(Divide(
                 Cast(reAgg(ReSum, sc), org.apache.spark.sql.types.DoubleType),

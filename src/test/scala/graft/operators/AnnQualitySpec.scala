@@ -320,7 +320,7 @@ class AnnQualitySpec extends AnyFunSuite {
   test("incremental kNN graph upsert is edge-for-edge identical to a fresh rebuild") {
     val fresh = Similarity.knnGraphDir(spark, sfDir)
     val incr = Similarity.knnIncrementalDir(spark, sfDir)
-    assert(!Similarity.knnIncrFellBack.get(),
+    assert(!Similarity.knnIncrFellBack(sfDir),
       "incremental graph build took the rebuild fallback at spec SF")
     for (layer <- Seq("l0", "l1")) {
       val a = spark.read.parquet(s"$fresh/$layer")

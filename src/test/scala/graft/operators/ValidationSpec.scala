@@ -179,12 +179,23 @@ class ValidationSpec extends AnyFunSuite {
     assert(pruned.c2.size == capB && pruned.c1l.size == capU)
     assert(pruned.droppedBigrams == full.c2.size - capB &&
       pruned.droppedUnigrams == full.c1l.size - capU)
-    val expectTopB = full.c2.toSeq
-      .sortBy { case ((a, b), c) => (-c, a, b) }.take(capB).toMap
-    assert(pruned.c2 == expectTopB, "kept bigrams are not the top-N by count")
     val expectTopU = full.c1l.toSeq.sortBy { case (a, c) => (-c, a) }
       .take(capU).toMap
     assert(pruned.c1l == expectTopU, "kept marginals are not the top-N by count")
+    // COHERENCE: bigrams are kept only among surviving left-marginals — a
+    // kept bigram with a pruned w1 would score (c2+1)/(0+V), a probability
+    // that can exceed 1 (negative nll)
+    assert(pruned.c2.keySet.forall { case (w1, _) => pruned.c1l.contains(w1) },
+      "kept bigram with pruned left-marginal — incoherent artifact")
+    val expectTopB = full.c2.toSeq
+      .filter { case ((a, _), _) => expectTopU.contains(a) }
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(capB).toMap
+    assert(pruned.c2 == expectTopB,
+      "kept bigrams are not the top-N by count among surviving marginals")
+    pruned.c2.keys.foreach { case (w1, w2) =>
+      val p = (pruned.c2((w1, w2)) + 1.0) / (pruned.c1l(w1) + pruned.v)
+      assert(p <= 1.0, s"kept bigram ($w1,$w2) scores p=$p > 1")
+    }
     // a bigram the cap dropped scores exactly as an unseen bigram would
     val ((dw1, dw2), _) = (full.c2 -- pruned.c2.keySet).head
     val got = TextOps.pplScoreJvm(pruned, s"$dw1 $dw2").get
