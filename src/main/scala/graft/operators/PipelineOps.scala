@@ -1386,7 +1386,8 @@ object PipelineOps {
       noised.agg(count(lit(1)).as("n_truth")).crossJoin(agg)
         .select($"n_truth", $"n_matched", $"tp",
           ($"n_matched" - $"tp").as("fp"), ($"n_truth" - $"tp").as("fn"),
-          expr("tp * 1000000 div n_matched").as("precision_ppm"),
+          expr("CASE WHEN n_matched = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE tp * 1000000 div n_matched END").as("precision_ppm"),
           expr("tp * 1000000 div n_truth").as("recall_ppm"))
     }, Some {
       def passSql(ckey: String, rkey: String, sfx: String): String =
@@ -1448,7 +1449,8 @@ object PipelineOps {
          |t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM noised)
          |SELECT n_truth, n_matched, tp,
          |  n_matched - tp AS fp, n_truth - tp AS fn,
-         |  tp * 1000000 // n_matched AS precision_ppm,
+         |  CASE WHEN n_matched = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE tp * 1000000 // n_matched END AS precision_ppm,
          |  tp * 1000000 // n_truth AS recall_ppm
          |FROM t, m""".stripMargin
     }),
@@ -3204,9 +3206,20 @@ object PipelineOps {
     val newDataStr = normPath(newData.toString)
     val newFiles = s.read.parquet(newData.toString).inputFiles
       .map(normPath).filterNot(retainedDst.contains).toSeq
-    val retainedIdx = s.read.parquet(srcIdxPath)
+    val retainedIdxPre = s.read.parquet(srcIdxPath)
       .withColumn("file", regexp_replace($"file", "^file:/+", "/"))
       .filter(!$"file".isin(matched.map(normPath).toSeq: _*))
+    // Loud guard for the substr remap below: it assumes every retained
+    // sidecar path sits under the normalized source tree. A row recorded
+    // under a different normalization (symlinked temp dirs, scheme
+    // variants) would otherwise silently remap to a nonexistent file and
+    // only surface later as a 1:1 pin failure — fail here, at rewrite
+    // time, with the offending path. Metadata-scale (one row per file).
+    val stray = retainedIdxPre.filter(!$"file".startsWith(oldDataStr))
+      .select($"file").limit(1).collect()
+    require(stray.isEmpty,
+      s"retained sidecar path not under $oldDataStr: ${stray.mkString(",")}")
+    val retainedIdx = retainedIdxPre
       .withColumn("file",
         concat(lit(newDataStr), expr(s"substr(file, ${oldDataStr.length + 1})")))
     val freshIdx = bloomIndexRows(s,

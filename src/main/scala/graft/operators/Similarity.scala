@@ -248,7 +248,12 @@ object Similarity {
       sigsOpt: Option[DataFrame] = None): Unit = {
     val s = v0.sparkSession
     import s.implicits._
-    val v = v0.cache()
+    // Re-project before caching so this build-local cache entry canonicalizes
+    // to a DIFFERENT plan than the bare vectors(s, d) frame: Spark's cache
+    // manager keys on the canonicalized plan, so unpersisting the identical
+    // plan in the finally block below could otherwise evict a vectors() cache
+    // a concurrently-running serve relies on (perf-only, but cheap to avoid).
+    val v = v0.select(v0.columns.map(col): _*).cache()
     val we = Window.partitionBy($"src").orderBy($"ecos".desc, $"dst")
     val kc = knnCandidatesWithRegime(v, sigsOpt)
     val scored = kc.cand
@@ -795,7 +800,7 @@ object Similarity {
     }
   }
 
-  /** Oracle twin of [[knnCandidates]]: CTE chain sigs/ordv/posd/cand over
+  /** Oracle twin of [[knnCandidatesWithRegime]]: CTE chain sigs/ordv/posd/cand over
     * CTE `v`. The big-bucket leg is the plain inequality form — same pair
     * set as the banded Spark execution.
     */
