@@ -1696,16 +1696,114 @@ object PipelineOps {
          |         WHERE o_custkey % 271 = 0 AND o_custkey <= 271))
          |GROUP BY 1 ORDER BY l_orderkey""".stripMargin)),
 
+    // ---- copy-on-write MERGE (upsert) EXECUTION on top of delete wave 1
+    // ([[mergeExecDir]]): the CDC change-detection → APPLY loop run to
+    // completion. The batch ([[mergeUpsertRows]]) replaces every %293
+    // customer's order lines with qty+1 twins (re-inserting customer 0's
+    // wave-1-purged orders — insert-or-replace) and inserts one synthetic
+    // line per target order, some into months the tree had no partition
+    // for. Only bloom-matched files rewrite; inserts append; the index
+    // reconciles incrementally; only gaining/losing MV months refresh.
+    // This query is the post-merge monthly report FROM THE REWRITTEN TREE;
+    // the oracle recomputes the merged state from the raw tables, so a
+    // lost update, a dropped insert, a double-applied replacement or an
+    // unrewritten matched file all hash-mismatch.
+    ("pipeline_merge_exec", (s, d) => {
+      import s.implicits._
+      s.read.parquet(s"${mergeExecDir(s, d)}/data")
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      s"""$mergeStateCtes
+         |SELECT ship_month,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM merged GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // ---- the MV after the merge: the daily rollup incremental-refreshed
+    // through an upsert — months that lost OR gained rows recomputed from
+    // the post-merge tree (including months that did not exist before the
+    // insert slice), untouched months carried over by link. Full readout
+    // vs a raw-recompute oracle: a stale gained month (the refresh trap an
+    // insert introduces that a delete never does) hash-mismatches.
+    ("pipeline_merge_mv", (s, d) => {
+      import s.implicits._
+      s.read.parquet(s"${mergeExecDir(s, d)}/mv")
+        .select($"ship_month", $"ship_day", $"n_items", $"sum_qty",
+          $"revenue_cents")
+        .orderBy($"ship_month", $"ship_day")
+    }, Some(
+      s"""$mergeStateCtes
+         |SELECT ship_month, ship_day,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM merged GROUP BY 1, 2 ORDER BY ship_month, ship_day""".stripMargin)),
+
+    // ---- point-lookup service through the post-MERGE sidecars: probes mix
+    // the seven dashboard keys, updated order keys (≤ 1499, so the same
+    // probe set at every SF), their synthetic insert twins (+100M — rows
+    // that exist ONLY via the merge's fresh files and index rows), and the
+    // wave-1 erased orders of customers ≤ 271 (customer 0's come back
+    // UPDATED — re-inserted by the merge; customer 271's stay gone). The
+    // oracle recomputes each group from the merged state, so a stale
+    // sidecar, a missing insert index row, or an unreplaced update all
+    // surface.
+    ("pipeline_merge_serve", (s, d) => {
+      import s.implicits._
+      val root = mergeExecDir(s, d)
+      val updKeys = Tables.orders(s, d)
+        .filter($"o_custkey" % 293 === 0 && $"o_orderkey" <= 1499L)
+        .select($"o_orderkey".as("k"))
+      val probes = updKeys
+        .unionByName(updKeys.select(($"k" + 100000000L).as("k")))
+        .unionByName(Tables.orders(s, d)
+          .filter($"o_custkey" % 271 === 0 && $"o_custkey" <= 271L)
+          .select($"o_orderkey".as("k")))
+        .unionByName(BloomIdxKeys.toDF("k")).distinct()
+      val (files, _) = matchedFilesInIndex(s, s"$root/index", probes)
+      readMatchedFiles(s, s"$root/data", files.toSeq)
+        .join(broadcast(probes), $"l_orderkey" === $"k")
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"l_orderkey")
+    }, Some(
+      s"""$mergeStateCtes
+         |SELECT l_orderkey,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM merged
+         |WHERE l_orderkey IN (${BloomIdxKeys.mkString(", ")})
+         |  OR l_orderkey IN (SELECT o_orderkey FROM orders
+         |       WHERE o_custkey % 293 = 0 AND o_orderkey <= 1499)
+         |  OR l_orderkey IN (SELECT o_orderkey + 100000000 FROM orders
+         |       WHERE o_custkey % 293 = 0 AND o_orderkey <= 1499)
+         |  OR l_orderkey IN (SELECT o_orderkey FROM orders
+         |       WHERE o_custkey % 271 = 0 AND o_custkey <= 271)
+         |GROUP BY 1 ORDER BY l_orderkey""".stripMargin)),
+
     // ---- mutation COMPOSABILITY: a SECOND erase wave (customers
-    // c % 337 == 0) applied to the wave-1 post-delete snapshot, PLANNED
-    // THROUGH WAVE 1's RECONCILED SIDECARS and refreshing wave 1's
+    // c % 337 == 0) applied to the MERGE snapshot — the interleaved chain
+    // delete w1 → upsert → delete w2, each wave PLANNED THROUGH THE
+    // PREVIOUS MUTATION'S RECONCILED SIDECARS and refreshing its
     // already-refreshed MV ([[deleteExec2Dir]]). This is the property a
-    // lakehouse table actually needs — every delete must leave an index
+    // lakehouse table actually needs — every mutation must leave an index
     // and summaries accurate enough to plan the next one; a stale sidecar
-    // surviving wave 1 would either leak wave-2 purge rows (false
+    // surviving the merge would either leak wave-2 purge rows (false
     // negative: impossible by construction, hash-checked here) or be
     // caught by DiagnosticsSpec's 1:1 index↔tree pin. Oracle recomputes
-    // the doubly-purged monthly report from the raw tables.
+    // the merged-then-doubly-purged monthly report from the raw tables:
+    // customer 0's re-inserted updates must be purged AGAIN, its synthetic
+    // inserts (keys in no erase set) must survive.
     ("pipeline_delete_exec2", (s, d) => {
       import s.implicits._
       s.read.parquet(s"${deleteExec2Dir(s, d)}/data")
@@ -1715,24 +1813,26 @@ object PipelineOps {
           sum($"net_cents").as("revenue_cents"))
         .orderBy($"ship_month")
     }, Some(
-      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-        |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE o_custkey % 271 <> 0 AND o_custkey % 337 <> 0
-        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+      s"""$mergeStateCtes
+         |SELECT ship_month,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM merged WHERE o_custkey % 337 <> 0
+         |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
     // ---- snapshot LINEAGE readout (the table-history view an Iceberg
     // `snapshots` metadata table serves): one row per snapshot of the
     // ship-month fact's mutation chain — original layout, compaction
-    // rewrite, delete wave 1, delete wave 2 — each row's row/order/month
-    // counts computed FROM THAT SNAPSHOT'S OWN TREE and oracle-recomputed
-    // from the raw tables under the snapshot's cumulative semantics. The
-    // hash match proves the chain is what it claims: compaction preserved
-    // every row, each delete removed exactly its erase set and nothing
-    // else. At 100 TB these numbers come from snapshot manifests, not
-    // scans — here the scan IS the audit.
+    // rewrite, delete wave 1, MERGE upsert, delete wave 2 — each row's
+    // row/order/month counts computed FROM THAT SNAPSHOT'S OWN TREE and
+    // oracle-recomputed from the raw tables under the snapshot's
+    // cumulative semantics. The hash match proves the chain is what it
+    // claims: compaction preserved every row, each delete removed exactly
+    // its erase set, the merge replaced/inserted exactly its batch. At
+    // 100 TB these numbers come from snapshot manifests, not scans — here
+    // the scan IS the audit (pipeline_time_travel serves the
+    // manifest-addressed path).
     ("pipeline_snapshot_log", (s, d) => {
       import s.implicits._
       def stat(id: Long, op: String, df: DataFrame): DataFrame =
@@ -1745,34 +1845,81 @@ object PipelineOps {
         .unionByName(stat(1L, "compacted", s.read.parquet(compactedDir(s, d))))
         .unionByName(stat(2L, "delete_w1",
           s.read.parquet(s"${deleteExecDir(s, d)}/data")))
-        .unionByName(stat(3L, "delete_w2",
+        .unionByName(stat(3L, "merge",
+          s.read.parquet(s"${mergeExecDir(s, d)}/data")))
+        .unionByName(stat(4L, "delete_w2",
           s.read.parquet(s"${deleteExec2Dir(s, d)}/data")))
         .orderBy($"snap_id")
     }, Some(
-      """WITH base AS (
-        |  SELECT l_orderkey, strftime(l_shipdate, '%Y-%m') AS m, o_custkey
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      s"""$mergeStateCtes,
         |s0 AS (SELECT CAST(0 AS BIGINT) AS snap_id, 'original' AS op,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-        |  CAST(count(DISTINCT m) AS BIGINT) AS n_months FROM base),
+        |  CAST(count(DISTINCT ship_month) AS BIGINT) AS n_months FROM base),
         |s1 AS (SELECT CAST(1 AS BIGINT), 'compacted',
         |  CAST(count(*) AS BIGINT), CAST(count(DISTINCT l_orderkey) AS BIGINT),
-        |  CAST(count(DISTINCT m) AS BIGINT) FROM base),
+        |  CAST(count(DISTINCT ship_month) AS BIGINT) FROM base),
         |s2 AS (SELECT CAST(2 AS BIGINT), 'delete_w1',
         |  CAST(count(*) AS BIGINT), CAST(count(DISTINCT l_orderkey) AS BIGINT),
-        |  CAST(count(DISTINCT m) AS BIGINT) FROM base WHERE o_custkey % 271 <> 0),
-        |s3 AS (SELECT CAST(3 AS BIGINT), 'delete_w2',
+        |  CAST(count(DISTINCT ship_month) AS BIGINT) FROM base
+        |  WHERE o_custkey % 271 <> 0),
+        |s3 AS (SELECT CAST(3 AS BIGINT), 'merge',
         |  CAST(count(*) AS BIGINT), CAST(count(DISTINCT l_orderkey) AS BIGINT),
-        |  CAST(count(DISTINCT m) AS BIGINT) FROM base
-        |  WHERE o_custkey % 271 <> 0 AND o_custkey % 337 <> 0)
+        |  CAST(count(DISTINCT ship_month) AS BIGINT) FROM merged),
+        |s4 AS (SELECT CAST(4 AS BIGINT), 'delete_w2',
+        |  CAST(count(*) AS BIGINT), CAST(count(DISTINCT l_orderkey) AS BIGINT),
+        |  CAST(count(DISTINCT ship_month) AS BIGINT) FROM merged
+        |  WHERE o_custkey % 337 <> 0)
         |SELECT * FROM s0 UNION ALL SELECT * FROM s1
         |UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        |UNION ALL SELECT * FROM s4
         |ORDER BY snap_id""".stripMargin)),
 
-    // ---- the MV after BOTH waves: full daily readout of the twice-
-    // refreshed rollup, oracle recomputed from raw-minus-both-erase-sets —
-    // a stale month from either wave's refresh hash-mismatches.
+    // ---- snapshot TIME TRAVEL: two different snapshots of the mutation
+    // chain read IN ONE QUERY through the persisted snapshots+manifests
+    // metadata pair ([[snapshotMetaDir]] / [[readSnapshot]]) — the
+    // Iceberg "read as of" half the lineage audit above doesn't serve.
+    // Per month: row/revenue state at delete_w1 vs at delete_w2, plus the
+    // deltas the interleaved merge+delete produced (months the merge's
+    // insert slice CREATED appear with n_rows_w1 = 0). The oracle
+    // recomputes both epochs from the raw tables under each snapshot's
+    // cumulative semantics; DiagnosticsSpec pins that the manifest-
+    // addressed scan of snapshot k opens exactly manifest(k)'s files and
+    // none of any later snapshot.
+    ("pipeline_time_travel", (s, d) => {
+      import s.implicits._
+      val w1 = readSnapshot(s, d, 2L).groupBy($"ship_month")
+        .agg(count(lit(1)).as("n1"), sum($"net_cents").as("c1"))
+      val w2 = readSnapshot(s, d, 4L).groupBy($"ship_month")
+        .agg(count(lit(1)).as("n2"), sum($"net_cents").as("c2"))
+      w1.join(w2, Seq("ship_month"), "full_outer")
+        .select($"ship_month",
+          coalesce($"n1", lit(0L)).as("n_rows_w1"),
+          coalesce($"n2", lit(0L)).as("n_rows_w2"),
+          (coalesce($"n2", lit(0L)) - coalesce($"n1", lit(0L))).as("rows_delta"),
+          (coalesce($"c2", lit(0L)) - coalesce($"c1", lit(0L))).as("cents_delta"))
+        .orderBy($"ship_month")
+    }, Some(
+      s"""$mergeStateCtes,
+         |w1 AS (SELECT ship_month, CAST(count(*) AS BIGINT) AS n1,
+         |    CAST(sum(net_cents) AS BIGINT) AS c1
+         |  FROM base WHERE o_custkey % 271 <> 0 GROUP BY 1),
+         |w2 AS (SELECT ship_month, CAST(count(*) AS BIGINT) AS n2,
+         |    CAST(sum(net_cents) AS BIGINT) AS c2
+         |  FROM merged WHERE o_custkey % 337 <> 0 GROUP BY 1)
+         |SELECT COALESCE(w1.ship_month, w2.ship_month) AS ship_month,
+         |  CAST(COALESCE(n1, 0) AS BIGINT) AS n_rows_w1,
+         |  CAST(COALESCE(n2, 0) AS BIGINT) AS n_rows_w2,
+         |  CAST(COALESCE(n2, 0) - COALESCE(n1, 0) AS BIGINT) AS rows_delta,
+         |  CAST(COALESCE(c2, 0) - COALESCE(c1, 0) AS BIGINT) AS cents_delta
+         |FROM w1 FULL OUTER JOIN w2 ON w1.ship_month = w2.ship_month
+         |ORDER BY ship_month""".stripMargin)),
+
+    // ---- the MV after ALL THREE mutations (delete → merge → delete):
+    // full daily readout of the thrice-refreshed rollup, oracle recomputed
+    // from the merged-then-w2-purged state — a stale month from any wave's
+    // refresh (including a merge-GAINED month wave 2 must still know
+    // about) hash-mismatches.
     ("pipeline_delete_mv2", (s, d) => {
       import s.implicits._
       s.read.parquet(s"${deleteExec2Dir(s, d)}/mv")
@@ -1780,13 +1927,12 @@ object PipelineOps {
           $"revenue_cents")
         .orderBy($"ship_month", $"ship_day")
     }, Some(
-      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-        |  CAST(l_shipdate AS DATE) AS ship_day,
+      s"""$mergeStateCtes
+        |SELECT ship_month, ship_day,
         |  CAST(count(*) AS BIGINT) AS n_items,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE o_custkey % 271 <> 0 AND o_custkey % 337 <> 0
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+        |FROM merged WHERE o_custkey % 337 <> 0
         |GROUP BY 1, 2 ORDER BY ship_month, ship_day""".stripMargin)),
 
     // ---- temperature-scaled mixture plan (the GPT-3 / mT5 / XLM-R
@@ -2961,6 +3107,34 @@ object PipelineOps {
        |FROM lineitem WHERE l_orderkey IN (${BloomIdxKeys.mkString(", ")})
        |GROUP BY 1 ORDER BY l_orderkey""".stripMargin
 
+  /** Shared oracle prefix for every readout at or after the MERGE wave:
+    * CTE `merged` is the exact row-set of the ship-month tree after
+    * delete wave 1 then the upsert batch of [[mergeUpsertRows]] —
+    * surviving rows (erased customers out, EXCEPT the %293 targets whose
+    * rows the merge replaced/re-inserted with qty+1) plus the synthetic
+    * insert lines. Synthetic rows carry o_custkey = −1 so the wave-2
+    * readouts' `o_custkey % 337 <> 0` filter keeps them, matching the
+    * executor's key-based delete (synthetic keys are in no erase set).
+    */
+  private def mergeStateCtes: String =
+    """WITH base AS (
+      |  SELECT l_orderkey, strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |    CAST(l_shipdate AS DATE) AS ship_day,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS net_cents,
+      |    o_custkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |merged AS (
+      |  SELECT l_orderkey, ship_month, ship_day,
+      |    qty + CASE WHEN o_custkey % 293 = 0 THEN 1 ELSE 0 END AS qty,
+      |    net_cents, o_custkey
+      |  FROM base WHERE o_custkey % 293 = 0 OR o_custkey % 271 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, strftime(o_orderdate, '%Y-%m'),
+      |    CAST(o_orderdate AS DATE), CAST(1 AS BIGINT),
+      |    (o_orderkey % 997) * 100 + 1, CAST(-1 AS BIGINT)
+      |  FROM orders WHERE o_custkey % 293 = 0)""".stripMargin
+
   /** One-pass bloom sidecar build over an arbitrary parquet tree keyed by
     * l_orderkey: one index row per data FILE (normalized plain path, bloom
     * bitset, n_rows), bitset sized ~16 bits/row/file like [[bloomIdxDir]].
@@ -3128,49 +3302,128 @@ object PipelineOps {
     */
   private[operators] def deleteExecDir(s: SparkSession, d: String): String =
     deleteExecDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ =>
-      applyDelete(s, "graft_delexec", bloomIdxDataDir(s, d),
+      applyMutation(s, "graft_delexec", bloomIdxDataDir(s, d),
         s"${bloomIdxDir(s, d)}/index", normPath(mvRollupDir(s, d)),
         eraseOrderKeys(s, d)))
+
+  private val mergeExecDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The CDC upsert feed for the MERGE wave — the "changed rows" batch a
+    * change-capture pipeline would hand a lakehouse writer, derived
+    * deterministically from the raw tables so DuckDB can recompute the
+    * post-merge state exactly:
+    *
+    *  - UPDATE slice: every lineitem row of orders whose customer key is
+    *    divisible by 293 (disjoint from the 271/337 erase moduli at every
+    *    driver SF except custkey 0, which is deliberately in ALL waves),
+    *    re-emitted with `qty + 1` — full-row replacement at order
+    *    granularity;
+    *  - INSERT slice: one brand-new line per target order under the
+    *    synthetic key `o_orderkey + 100 000 000` (disjoint from every real
+    *    orderkey), landing in the ORDER DATE's month — some of which are
+    *    months the tree has no partition for yet.
+    *
+    * Customer 0 makes the wave order observable: its rows were purged by
+    * delete wave 1, so the MERGE re-inserts them (insert-or-replace), and
+    * delete wave 2 purges the replaced rows again (0 % 337 == 0) while its
+    * synthetic inserts — whose keys are in no erase set — survive.
+    */
+  private[operators] def mergeUpsertRows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tgt = Tables.orders(s, d).filter($"o_custkey" % 293 === 0)
+      .select($"o_orderkey", $"o_orderdate")
+    val upd = Tables.lineitem(s, d)
+      .join(tgt.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_partkey",
+        ($"l_quantity".cast("bigint") + 1L).as("qty"),
+        expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+          .as("net_cents"),
+        to_date($"l_shipdate").as("ship_day"),
+        date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+    val ins = tgt.select(
+      ($"o_orderkey" + 100000000L).as("l_orderkey"),
+      ($"o_orderkey" % 200000L + 1L).as("l_partkey"),
+      lit(1L).as("qty"),
+      (($"o_orderkey" % 997L) * 100L + 1L).as("net_cents"),
+      to_date($"o_orderdate").as("ship_day"),
+      date_format($"o_orderdate", "yyyy-MM").as("ship_month"))
+    upd.unionByName(ins)
+  }
+
+  /** Once-per-JVM copy-on-write MERGE executed ON TOP of delete wave 1's
+    * snapshot, planned through wave 1's RECONCILED sidecars (completing the
+    * CDC change-detection → APPLY loop): bloom-matched files are rewritten
+    * with the batch's keyed rows replaced, inserts land as fresh files
+    * (new months get fresh partition dirs), the index reconciles
+    * incrementally and only gaining/losing MV months refresh. Wave 2 then
+    * deletes THROUGH this snapshot's metadata — delete → merge → delete,
+    * each mutation planning via the previous one's reconciled index.
+    */
+  private[operators] def mergeExecDir(s: SparkSession, d: String): String =
+    mergeExecDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val w1 = deleteExecDir(s, d)
+      val batch = mergeUpsertRows(s, d)
+      applyMutation(s, "graft_mergeexec", s"$w1/data", s"$w1/index",
+        s"$w1/mv", batch.select($"l_orderkey".as("k")).distinct(),
+        Some(batch))
+    })
 
   private val deleteExec2DirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** SECOND erase wave (customers c % 337 == 0) applied ON TOP of the
-    * wave-1 post-delete snapshot, planned through wave 1's RECONCILED
-    * sidecars and refreshing wave 1's already-refreshed MV — mutation
-    * COMPOSABILITY, the property a lakehouse table actually needs: every
-    * delete produces a snapshot whose index and summaries are accurate
-    * enough to plan the next one. Keys divisible by both moduli are
-    * already gone from the source tree; their probes just find no rows.
+    * MERGE snapshot — the full interleaved chain delete w1 → upsert →
+    * delete w2, each wave planned through the PREVIOUS mutation's
+    * RECONCILED sidecars and refreshing its already-refreshed MV: mutation
+    * COMPOSABILITY, the property a lakehouse table actually needs. Keys
+    * divisible by both erase moduli are already gone from the source tree
+    * (their probes just find no rows) — except where the merge re-inserted
+    * them (customer 0), which this wave must purge AGAIN; the merge's
+    * synthetic insert keys are in no erase set and must survive.
     */
   private[operators] def deleteExec2Dir(s: SparkSession, d: String): String =
     deleteExec2DirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
       import s.implicits._
-      val w1 = deleteExecDir(s, d)
+      val m = mergeExecDir(s, d)
       val keys2 = Tables.orders(s, d)
         .join(Tables.customer(s, d).filter($"c_custkey" % 337 === 0)
           .select($"c_custkey"), $"o_custkey" === $"c_custkey")
         .select($"o_orderkey".as("k"))
-      applyDelete(s, "graft_delexec2", s"$w1/data", s"$w1/index", s"$w1/mv",
+      applyMutation(s, "graft_delexec2", s"$m/data", s"$m/index", s"$m/mv",
         keys2)
     })
 
-  /** One copy-on-write DELETE over a (data, sidecar index, daily MV)
-    * snapshot triple — the engine of [[deleteExecDir]] (wave 1 over the
-    * original bloom layout) and [[deleteExec2Dir]] (wave 2 over wave 1's
-    * output), returning a new snapshot root with `data/`, `index/`, `mv/`:
+  /** One copy-on-write MUTATION over a (data, sidecar index, daily MV)
+    * snapshot triple — DELETE when `upsert` is empty, MERGE
+    * (insert-or-replace at order granularity, the Delta/Iceberg
+    * copy-on-write `MERGE INTO`) when it carries a batch. The engine of
+    * [[deleteExecDir]] (wave 1 over the original bloom layout),
+    * [[mergeExecDir]] (the upsert wave over wave 1's output) and
+    * [[deleteExec2Dir]] (wave 2 over the merge's output), returning a new
+    * snapshot root with `data/`, `index/`, `mv/`:
     *
-    *  1. probe the sidecars — only MATCHED files can hold purge rows;
+    *  1. probe the sidecars — only MATCHED files can hold rows of the
+    *     mutation's key set (purge keys, or the batch's upsert keys);
     *  2. retain every unmatched file by hard link (zero bytes rewritten);
-    *  3. rewrite matched files minus purge rows, appended per month;
+    *  3. rewrite matched files minus the keyed rows, plus the whole
+    *     upsert batch (matched keys' old rows drop out and are replaced
+    *     by their batch rows; batch keys absent from the tree — inserts,
+    *     or re-inserts of previously deleted orders — simply land),
+    *     appended per month (new months get fresh partition dirs);
     *  4. reconcile the index: retained rows path-remapped, fresh bitsets
-    *     only for rewritten files;
-    *  5. refresh the MV: untouched months linked over, lost-row months
-    *     recomputed from the post-delete tree.
+    *     only for newly written files;
+    *  5. refresh the MV: untouched months linked over; months that lost
+    *     OR gained rows recomputed from the post-mutation tree.
+    *
+    * At 100 TB the cost profile is the MERGE you want: |matched files| +
+    * |batch| + |touched months|, never table size.
     */
-  private def applyDelete(s: SparkSession, prefix: String, srcDataDir: String,
+  private def applyMutation(s: SparkSession, prefix: String, srcDataDir: String,
       srcIdxPath: String, srcMvDir: String,
-      keys0: org.apache.spark.sql.DataFrame): String = {
+      keys0: org.apache.spark.sql.DataFrame,
+      upsert: Option[org.apache.spark.sql.DataFrame] = None): String = {
     import s.implicits._
     graft.plans.GraftExtensions.register(s)
     val keys = keys0
@@ -3194,10 +3447,11 @@ object PipelineOps {
         dst.toString
       }.toSet
 
-    // 3. rewrite matched files minus purge rows, appended per month
+    // 3. rewrite matched files minus the keyed rows, plus the upsert batch
     // (append never touches the linked files; month dirs may mix both)
-    readMatchedFiles(s, oldData.toString, matched.toSeq)
+    val rewritten = readMatchedFiles(s, oldData.toString, matched.toSeq)
       .join(keys, $"l_orderkey" === $"k", "left_anti")
+    upsert.fold(rewritten)(b => rewritten.unionByName(b))
       .write.mode("append").partitionBy("ship_month").parquet(newData.toString)
 
     // 4. index reconciliation: remap retained rows, fresh rows for the
@@ -3228,9 +3482,13 @@ object PipelineOps {
       .write.mode("overwrite").parquet(root.resolve("index").toString)
 
     // 5. MV incremental refresh: recompute ONLY months that lost rows
-    val touched = readMatchedFiles(s, oldData.toString, matched.toSeq)
+    // (keyed rows dropping out) or gained them (batch rows landing)
+    val lostMonths = readMatchedFiles(s, oldData.toString, matched.toSeq)
       .join(keys, $"l_orderkey" === $"k", "left_semi")
-      .select($"ship_month").distinct().as[String].collect().toSeq
+      .select($"ship_month")
+    val touched = upsert.fold(lostMonths)(b =>
+        lostMonths.unionByName(b.select($"ship_month")))
+      .distinct().as[String].collect().toSeq
     val newMv = root.resolve("mv")
     val oldMv = java.nio.file.Paths.get(normPath(srcMvDir))
     val monthDirs = java.nio.file.Files.list(oldMv)
@@ -3260,6 +3518,58 @@ object PipelineOps {
           sum($"net_cents").as("revenue_cents"))
         .write.mode("append").partitionBy("ship_month").parquet(newMv.toString)
     root.toString
+  }
+
+  private val snapshotMetaDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM PERSISTED snapshot metadata for the ship-month fact's
+    * mutation chain — the Iceberg `snapshots` + `manifests` metadata pair
+    * that makes time travel a METADATA operation: `snapshots/` has one row
+    * per snapshot (snap_id, op, parent_id, base) forming the lineage DAG
+    * (compaction and delete_w1 are sibling children of the original);
+    * `manifests/` has one row per (snap_id, data file). Reading "as of
+    * snapshot N" resolves through these tables only — never by pointing a
+    * scan at a tree path — so a reader of snapshot k provably cannot open
+    * files of snapshot k+1 (DiagnosticsSpec pins exactly that). At 100 TB
+    * both tables are metadata-scale: one row per snapshot / per file.
+    */
+  private[operators] def snapshotMetaDir(s: SparkSession, d: String): String =
+    snapshotMetaDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val snaps = Seq(
+        (0L, "original", -1L, normPath(bloomIdxDataDir(s, d))),
+        (1L, "compacted", 0L, normPath(compactedDir(s, d))),
+        (2L, "delete_w1", 0L, s"${deleteExecDir(s, d)}/data"),
+        (3L, "merge", 2L, s"${mergeExecDir(s, d)}/data"),
+        (4L, "delete_w2", 3L, s"${deleteExec2Dir(s, d)}/data"))
+      val root = graft.Fixtures.tempDir("graft_snapmeta")
+      snaps.map { case (id, _, _, base) =>
+        s.read.parquet(base).inputFiles.map(normPath).toSeq
+          .toDF("file").select(lit(id).as("snap_id"), $"file")
+      }.reduce(_ unionByName _).coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("manifests").toString)
+      snaps.toDF("snap_id", "op", "parent_id", "base").coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
+      root.toString
+    })
+
+  /** Manifest-addressed read of one snapshot of the mutation chain: the
+    * file list comes from the persisted `manifests` table and the
+    * partition-discovery base from the `snapshots` table — the scan never
+    * receives a tree path directly. The two lookups are metadata-scale
+    * collects (one snapshot row; one row per file of ONE snapshot), the
+    * same planning I/O an Iceberg reader pays to pin a snapshot.
+    */
+  private[operators] def readSnapshot(
+      s: SparkSession, d: String, id: Long): DataFrame = {
+    import s.implicits._
+    val meta = snapshotMetaDir(s, d)
+    val base = s.read.parquet(s"$meta/snapshots")
+      .filter($"snap_id" === id).select($"base").as[String].head()
+    val files = s.read.parquet(s"$meta/manifests")
+      .filter($"snap_id" === id).select($"file").as[String].collect()
+    readMatchedFiles(s, base, files.toSeq)
   }
 
   private[operators] def partitionedCorpus(s: SparkSession, d: String): String =

@@ -450,8 +450,85 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(survivors == 0L, s"$survivors purge rows survive the delete")
   }
 
+  // MERGE (upsert) execution metadata story — the oracles pin the data;
+  // these pin the mutation's bookkeeping: (a) the reconciled sidecar index
+  // describes exactly the post-merge tree (1:1 files, true n_rows);
+  // (b) every batch key — updated orders AND synthetic inserts — is
+  // findable THROUGH the new index with exactly its batch rows: updates
+  // carry qty+1 (replacement happened once, not zero or twice), inserts
+  // exist with their single line; (c) wave-1-erased orders NOT re-inserted
+  // by the batch stay gone.
+  test("merge exec: reconciled index describes the post-merge tree exactly") {
+    import spark.implicits._
+    val root = PipelineOps.mergeExecDir(spark, sfDir)
+    val idx = spark.read.parquet(s"$root/index")
+      .select($"file", $"n_rows").as[(String, Long)].collect().toMap
+    val actual = spark.read.parquet(s"$root/data")
+      .select(input_file_name().as("f"))
+      .groupBy($"f").count().as[(String, Long)].collect()
+      .map { case (f, n) => PipelineOps.normPath(f) -> n }.toMap
+    assert(idx.keySet == actual.keySet,
+      s"post-merge index/tree drift: onlyIdx=${idx.keySet -- actual.keySet} " +
+        s"onlyTree=${actual.keySet -- idx.keySet}")
+    val badCounts = idx.filter { case (f, n) => actual(f) != n }
+    assert(badCounts.isEmpty, s"stale n_rows after merge reconcile: $badCounts")
+  }
+
+  test("merge exec: batch keys served exactly once with replaced values; non-batch erased keys stay gone") {
+    import spark.implicits._
+    val root = PipelineOps.mergeExecDir(spark, sfDir)
+    val batch = PipelineOps.mergeUpsertRows(spark, sfDir)
+      .select($"l_orderkey".as("k"), $"qty", $"net_cents")
+    val (files, _) = PipelineOps.matchedFilesInIndex(
+      spark, s"$root/index", batch.select($"k").distinct())
+    val served = PipelineOps.readMatchedFiles(spark, s"$root/data", files.toSeq)
+      .join(batch.select($"k").distinct(), $"l_orderkey" === $"k", "left_semi")
+      .select($"l_orderkey", $"qty", $"net_cents")
+    // served batch rows ≡ the batch, row-for-row (replacement exactly once)
+    val extra = served.exceptAll(
+      batch.select($"k".as("l_orderkey"), $"qty", $"net_cents")).count()
+    val missing = batch.select($"k".as("l_orderkey"), $"qty", $"net_cents")
+      .exceptAll(served).count()
+    assert(extra == 0L && missing == 0L,
+      s"merge batch drift through the index: extra=$extra missing=$missing")
+    // wave-1 erased orders whose customers are NOT %293 targets stay gone
+    val goneKeys = graft.Tables.orders(spark, sfDir)
+      .filter($"o_custkey" % 271 === 0 && $"o_custkey" % 293 =!= 0)
+      .select($"o_orderkey".as("k"))
+    val (gFiles, _) = PipelineOps.matchedFilesInIndex(
+      spark, s"$root/index", goneKeys)
+    val survivors = PipelineOps.readMatchedFiles(spark, s"$root/data", gFiles.toSeq)
+      .join(goneKeys, $"l_orderkey" === $"k", "left_semi").count()
+    assert(survivors == 0L,
+      s"$survivors wave-1-erased rows resurfaced through the merge")
+  }
+
+  // Time travel isolation: the manifest-addressed read of snapshot k scans
+  // exactly manifest(k)'s files — no file of any LATER snapshot ever opens
+  // (the Iceberg snapshot-pinning contract), and the manifests partition
+  // the chain (every snapshot's list is non-empty and base-consistent).
+  test("time travel: snapshot reads open exactly their manifest's files, never a later snapshot's") {
+    import spark.implicits._
+    val meta = PipelineOps.snapshotMetaDir(spark, sfDir)
+    val manifest = spark.read.parquet(s"$meta/manifests")
+      .select($"snap_id", $"file").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(manifest.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    manifest.foreach { case (id, fs) => assert(fs.nonEmpty, s"empty manifest $id") }
+    Seq(0L, 2L, 3L).foreach { k =>
+      val opened = PipelineOps.readSnapshot(spark, sfDir, k)
+        .inputFiles.map(PipelineOps.normPath).toSet
+      assert(opened == manifest(k),
+        s"snapshot $k scan drifted from its manifest: " +
+          s"extra=${opened -- manifest(k)} missing=${manifest(k) -- opened}")
+      val later = (k + 1 to 4L).flatMap(manifest(_)).toSet
+      assert((opened & later).isEmpty,
+        s"snapshot $k read opened files of a later snapshot: ${opened & later}")
+    }
+  }
+
   // Mutation composability: after the SECOND erase wave — planned through
-  // wave 1's reconciled sidecars — the wave-2 index still describes its
+  // the MERGE's reconciled sidecars — the wave-2 index still describes its
   // tree exactly, and BOTH erase sets are unfindable through it.
   test("delete exec wave 2: index consistent after sequential mutations; both erase sets gone") {
     import spark.implicits._
