@@ -698,6 +698,60 @@ object PipelineOps {
         |FROM lineitem WHERE l_returnflag IN ('R', 'N')
         |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
+    // ---- STAR-SCHEMA MV navigation: the naive BI dashboard query —
+    // lineitem ⋈ orders on the PK-FK key, grouped by ship month × the
+    // DIM-side o_orderpriority — rewritten to read the registered
+    // denormalized rollup instead of joining 60M fact rows against the
+    // dimension. The rule recognizes the inner equi-join silhouette
+    // conservatively: per-side path-set equality, a side-oriented
+    // join-key-NAME signature (names are what survive `canonicalized`'s
+    // erasure), inferred join-key IsNotNulls exempted, any other filter
+    // group-key-only. The DuckDB oracle is the NAIVE join SQL;
+    // PlanQualitySpec pins that the executed plan reads the MV and scans
+    // NEITHER fact NOR dim, and that a different dim attribute or a
+    // non-key filter leaves the join on the fact table. At 100 TB this is
+    // the rewrite that matters most — every real dashboard groups a fact
+    // by dimension attributes.
+    ("pipeline_mv_rewrite_join", (s, d) => {
+      graft.plans.MvRewrite.install(s, mvJoinTemplate(s, d), mvJoinDir(s, d))
+      mvJoinTemplate(s, d)
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY ship_month, o_orderpriority""".stripMargin)),
+
+    // ---- the FILTERED naive star-schema query through the same join
+    // target: a recent-months predicate on the fact-derived group key of
+    // the naive join-aggregate translates onto the denormalized MV's
+    // ship_month and — month-partitioned — prunes its file index; the
+    // DIM-side priority filter translates onto the MV's o_orderpriority
+    // column. Both firing together is the full dashboard path: naive
+    // join SQL in, 6 pruned summary files out.
+    ("pipeline_mv_rewrite_join_range", (s, d) => {
+      import s.implicits._
+      graft.plans.MvRewrite.install(s, mvJoinTemplate(s, d), mvJoinDir(s, d))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .filter(date_format($"l_shipdate", "yyyy-MM") >= "2001-06" &&
+          $"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+        .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"),
+          $"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+            .as("revenue_cents"))
+        .orderBy($"ship_month", $"o_orderpriority")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE strftime(l_shipdate, '%Y-%m') >= '2001-06'
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1, 2 ORDER BY ship_month, o_orderpriority""".stripMargin)),
+
     // ---- bloom data-skipping index serve: point-lookup of seven order
     // keys against a fact laid out by ship month — a layout that CANNOT
     // serve this lookup by partition pruning (an order's items scatter
@@ -3072,6 +3126,43 @@ object PipelineOps {
     mvFlagDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
       val root = graft.Fixtures.tempDir("graft_mvflag").resolve("mv").toString
       mvFlagTemplate(s, d).write.mode("overwrite")
+        .partitionBy("ship_month").parquet(root)
+      root
+    })
+
+  /** The naive STAR-SCHEMA aggregate — fact ⋈ dim (lineitem ⋈ orders on
+    * the PK-FK key) grouped by a fact-derived key × a DIM attribute — the
+    * join-navigation template and demonstrated query
+    * (pipeline_mv_rewrite_join), one definition so the registered shapes
+    * and the query cannot drift. This is the BI dashboard shape
+    * single-table navigation can't serve: the group key o_orderpriority
+    * lives on the dimension side.
+    */
+  private[operators] def mvJoinTemplate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"),
+        $"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity".cast("bigint")).as("sum_qty"),
+        sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+      .orderBy($"ship_month", $"o_orderpriority")
+  }
+
+  private val mvJoinDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM (ship_month, o_orderpriority) DENORMALIZED rollup — the
+    * star-schema MV the join-navigation query serves from,
+    * month-partitioned so translated month predicates still prune at the
+    * file index.
+    */
+  private[operators] def mvJoinDir(s: SparkSession, d: String): String =
+    mvJoinDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      val root = graft.Fixtures.tempDir("graft_mvjoin").resolve("mv").toString
+      mvJoinTemplate(s, d).write.mode("overwrite")
         .partitionBy("ship_month").parquet(root)
       root
     })

@@ -187,6 +187,61 @@ class PlanQualitySpec extends AnyFunSuite {
       "avg navigation must not fire for a non-integral column")
   }
 
+  test("pipeline_mv_rewrite_join: the naive star-schema aggregate reads the denormalized MV, not fact nor dim") {
+    import spark.implicits._
+    val before = graft.plans.MvRewrite.fired.get()
+    val df = graft.SparkEntry.queries("pipeline_mv_rewrite_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(graft.plans.MvRewrite.fired.get() > before, "join rewrite did not fire")
+    assert(plan.contains("graft_mvjoin"), s"plan does not scan the join MV:\n$plan")
+    assert(!plan.contains("lineitem") && !plan.contains("orders.parquet"),
+      s"naive join aggregate still scans fact or dim:\n$plan")
+    // filtered twin: fact-key AND dim-key filters both translate; the
+    // month predicate prunes the MV's file index
+    val df2 = graft.SparkEntry.queries("pipeline_mv_rewrite_join_range")(spark, sfDir)
+    val plan2 = df2.queryExecution.executedPlan.toString
+    assert(plan2.contains("graft_mvjoin") && !plan2.contains("lineitem") &&
+      !plan2.contains("orders.parquet"),
+      s"filtered join aggregate not rewritten:\n$plan2")
+    assert(plan2.matches("(?s).*PartitionFilters: \\[[^\\]]*ship_month.*"),
+      s"translated month filter did not prune the join MV's file index:\n$plan2")
+    // negative 1 (the name-erasure boundary): grouping by a DIFFERENT dim
+    // attribute of the same string type — identical canonical shape, so
+    // only the source-column-name signature keeps it off the MV
+    val otherKey = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .groupBy(F.date_format($"l_shipdate", "yyyy-MM").as("ship_month"),
+        $"o_orderstatus")
+      .agg(F.count(F.lit(1)).as("n_items"),
+        F.sum($"l_quantity".cast("bigint")).as("sum_qty"),
+        F.sum(F.expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"))
+    assert(otherKey.queryExecution.executedPlan.toString.contains("lineitem"),
+      "join rewrite must NOT fire for a different dim attribute")
+    // negative 2: a non-key predicate selects part of a group's rows —
+    // the denormalized rollup cannot reproduce it
+    val nonKey = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .filter($"o_totalprice" > 1000.0)
+      .groupBy(F.date_format($"l_shipdate", "yyyy-MM").as("ship_month"),
+        $"o_orderpriority")
+      .agg(F.count(F.lit(1)).as("n_items"),
+        F.sum($"l_quantity".cast("bigint")).as("sum_qty"))
+    assert(nonKey.queryExecution.executedPlan.toString.contains("lineitem"),
+      "join rewrite must NOT fire for a non-key predicate")
+    // negative 3: same shape over a DIFFERENT measure column — sum of a
+    // plain bigint cast of l_tax has the same canonical shape as sum_qty's
+    // source; only the name signature may decide, and it must say no
+    val otherMeasure = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .groupBy(F.date_format($"l_shipdate", "yyyy-MM").as("ship_month"),
+        $"o_orderpriority")
+      .agg(F.count(F.lit(1)).as("n_items"),
+        F.sum($"l_suppkey".cast("bigint")).as("sum_qty"))
+    assert(otherMeasure.queryExecution.executedPlan.toString.contains("lineitem"),
+      "join rewrite must NOT serve a same-shaped sum over a different column")
+  }
+
   test("pipeline_mv_rewrite_minmax: both key filters translate; month prunes the wide MV's file index") {
     val before = graft.plans.MvRewrite.fired.get()
     val df = graft.SparkEntry.queries("pipeline_mv_rewrite_minmax")(spark, sfDir)
