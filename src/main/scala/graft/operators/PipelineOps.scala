@@ -1367,73 +1367,8 @@ object PipelineOps {
     // execution), so the cap is part of the contract.
     ("pipeline_entity_resolution", (s, d) => {
       import s.implicits._
-      val cust = Tables.customer(s, d).select($"c_custkey", $"c_name",
-        $"c_nationkey", $"c_mktsegment",
-        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
-      val noised = cust.filter($"c_custkey" % 3 === 0).select(
-        ($"c_custkey" + 500000).as("r_id"),
-        expr("""CASE WHEN c_custkey % 5 = 0 THEN
-               |  concat(substr(c_name, 1, CAST(least(10 + (c_custkey div 3) % 9, 17) AS INT) - 1),
-               |    substr(c_name, CAST(least(10 + (c_custkey div 3) % 9, 17) AS INT) + 1, 1),
-               |    substr(c_name, CAST(least(10 + (c_custkey div 3) % 9, 17) AS INT), 1),
-               |    substr(c_name, CAST(least(10 + (c_custkey div 3) % 9, 17) AS INT) + 2))
-               |ELSE
-               |  concat(substr(c_name, 1, CAST(10 + (c_custkey div 3) % 9 AS INT) - 1), 'X',
-               |    substr(c_name, CAST(10 + (c_custkey div 3) % 9 AS INT) + 1))
-               |END""".stripMargin).as("r_name"),
-        expr("CASE WHEN c_custkey % 13 = 0 THEN (c_nationkey + 1) % 25 " +
-          "ELSE c_nationkey END").as("r_nat"),
-        $"c_mktsegment".as("r_seg"),
-        expr("cents + CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END").as("r_cents"))
-      val ghosts = cust.filter($"c_custkey" % 11 === 0).select(
-        ($"c_custkey" + 600000).as("r_id"),
-        concat(lit("Ghost#"), $"c_custkey").as("r_name"),
-        $"c_nationkey".as("r_nat"), $"c_mktsegment".as("r_seg"),
-        $"cents".as("r_cents"))
-      val reg = noised.unionByName(ghosts)
-      // one pass: union both sides under the pass's block key, order each
-      // block by (cents, name), pair cross-side within the width via the
-      // banded equi-join (blk / blk+1), orient cust -> reg
-      def pass(ck: DataFrame => Column, rk: DataFrame => Column): DataFrame = {
-        val u = cust.select(ck(cust).as("bkey"), lit(0).as("side"),
-            $"c_custkey".as("id"), $"c_name".as("name"), $"cents")
-          .unionByName(reg.select(rk(reg).as("bkey"), lit(1).as("side"),
-            $"r_id".as("id"), $"r_name".as("name"), $"r_cents".as("cents")))
-        val w = Window.partitionBy($"bkey")
-          .orderBy($"cents", $"name", $"side", $"id")
-        val posd = u.withColumn("pos", row_number().over(w))
-          .withColumn("blk", floor($"pos" / ErNeighborWidth))
-        val xl = posd.withColumn("kblk", explode(array($"blk", $"blk" + 1)))
-        xl.as("x").join(posd.as("y"),
-            $"x.bkey" === $"y.bkey" && $"x.kblk" === $"y.blk" &&
-              $"y.pos" > $"x.pos" &&
-              $"y.pos" - $"x.pos" <= ErNeighborWidth &&
-              $"x.side" =!= $"y.side")
-          .select(
-            when($"x.side" === 0, $"x.id").otherwise($"y.id").as("c_custkey"),
-            when($"x.side" === 0, $"y.id").otherwise($"x.id").as("r_id"),
-            when($"x.side" === 0, $"x.name").otherwise($"y.name").as("c_name"),
-            when($"x.side" === 0, $"y.name").otherwise($"x.name").as("r_name"),
-            when($"x.side" === 0, $"x.cents").otherwise($"y.cents").as("cents"),
-            when($"x.side" === 0, $"y.cents").otherwise($"x.cents").as("r_cents"))
-      }
-      val pa = pass(
-        c => concat_ws("|", c("c_nationkey"), c("c_mktsegment"),
-          expr("substr(c_name, 10, 4)")),
-        r => concat_ws("|", r("r_nat"), r("r_seg"),
-          expr("substr(r_name, 10, 4)")))
-      val pb = pass(
-        c => concat_ws("|", c("c_nationkey"), c("c_mktsegment"),
-          expr("substr(c_name, 15, 4)")),
-        r => concat_ws("|", r("r_nat"), r("r_seg"),
-          expr("substr(r_name, 15, 4)")))
-      val pc = pass(
-        c => c("cents").cast("string"),
-        r => r("r_cents").cast("string"))
-      val matched = pa.unionByName(pb).unionByName(pc)
-        .filter(levenshtein($"c_name", $"r_name") <= 2 &&
-          abs($"cents" - $"r_cents") <= 1)
-        .select($"c_custkey", $"r_id").distinct()
+      val matched = erMatchedPairs(s, d)
+      val noised = erNoised(s, d)
       val agg = matched.agg(
         count(lit(1)).as("n_matched"),
         sum(when($"r_id" - 500000 === $"c_custkey", 1L).otherwise(0L)).as("tp"))
@@ -1444,58 +1379,7 @@ object PipelineOps {
             "ELSE tp * 1000000 div n_matched END").as("precision_ppm"),
           expr("tp * 1000000 div n_truth").as("recall_ppm"))
     }, Some {
-      def passSql(ckey: String, rkey: String, sfx: String): String =
-        s"""u$sfx AS (
-           |  SELECT $ckey AS bkey, 0 AS side, c_custkey AS id, c_name AS name, cents FROM cust
-           |  UNION ALL
-           |  SELECT $rkey, 1, r_id, r_name, r_cents FROM reg),
-           |pos$sfx AS (
-           |  SELECT *, row_number() OVER (PARTITION BY bkey
-           |    ORDER BY cents, name, side, id) AS pos FROM u$sfx),
-           |p$sfx AS (
-           |  SELECT CASE WHEN x.side = 0 THEN x.id ELSE y.id END AS c_custkey,
-           |    CASE WHEN x.side = 0 THEN y.id ELSE x.id END AS r_id,
-           |    CASE WHEN x.side = 0 THEN x.name ELSE y.name END AS c_name,
-           |    CASE WHEN x.side = 0 THEN y.name ELSE x.name END AS r_name,
-           |    CASE WHEN x.side = 0 THEN x.cents ELSE y.cents END AS cents,
-           |    CASE WHEN x.side = 0 THEN y.cents ELSE x.cents END AS r_cents
-           |  FROM pos$sfx x JOIN pos$sfx y ON x.bkey = y.bkey
-           |    AND y.pos > x.pos AND y.pos - x.pos <= $ErNeighborWidth
-           |    AND x.side <> y.side)""".stripMargin
-      s"""WITH cust AS (
-         |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
-         |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
-         |noised AS (
-         |  SELECT c_custkey + 500000 AS r_id,
-         |    CASE WHEN c_custkey % 5 = 0 THEN
-         |      concat(substr(c_name, 1, CAST(least(10 + (c_custkey // 3) % 9, 17) AS INT) - 1),
-         |        substr(c_name, CAST(least(10 + (c_custkey // 3) % 9, 17) AS INT) + 1, 1),
-         |        substr(c_name, CAST(least(10 + (c_custkey // 3) % 9, 17) AS INT), 1),
-         |        substr(c_name, CAST(least(10 + (c_custkey // 3) % 9, 17) AS INT) + 2))
-         |    ELSE
-         |      concat(substr(c_name, 1, CAST(10 + (c_custkey // 3) % 9 AS INT) - 1), 'X',
-         |        substr(c_name, CAST(10 + (c_custkey // 3) % 9 AS INT) + 1))
-         |    END AS r_name,
-         |    CASE WHEN c_custkey % 13 = 0 THEN (c_nationkey + 1) % 25
-         |      ELSE c_nationkey END AS r_nat,
-         |    c_mktsegment AS r_seg,
-         |    cents + CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS r_cents
-         |  FROM cust WHERE c_custkey % 3 = 0),
-         |reg AS (
-         |  SELECT * FROM noised
-         |  UNION ALL
-         |  SELECT c_custkey + 600000, 'Ghost#' || c_custkey,
-         |    c_nationkey, c_mktsegment, cents
-         |  FROM cust WHERE c_custkey % 11 = 0),
-         |${passSql("concat_ws('|', c_nationkey, c_mktsegment, substr(c_name, 10, 4))",
-            "concat_ws('|', r_nat, r_seg, substr(r_name, 10, 4))", "a")},
-         |${passSql("concat_ws('|', c_nationkey, c_mktsegment, substr(c_name, 15, 4))",
-            "concat_ws('|', r_nat, r_seg, substr(r_name, 15, 4))", "b")},
-         |${passSql("CAST(cents AS VARCHAR)", "CAST(r_cents AS VARCHAR)", "c")},
-         |matched AS (
-         |  SELECT DISTINCT c_custkey, r_id FROM (
-         |    SELECT * FROM pa UNION ALL SELECT * FROM pb UNION ALL SELECT * FROM pc)
-         |  WHERE levenshtein(c_name, r_name) <= 2 AND abs(cents - r_cents) <= 1),
+      s"""WITH $erMatchedSqlCtes,
          |m AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_matched,
          |    CAST(sum(CASE WHEN r_id - 500000 = c_custkey THEN 1 ELSE 0 END) AS BIGINT) AS tp
@@ -1507,6 +1391,108 @@ object PipelineOps {
          |    ELSE tp * 1000000 // n_matched END AS precision_ppm,
          |  tp * 1000000 // n_truth AS recall_ppm
          |FROM t, m""".stripMargin
+    }),
+
+    // ---- GOLDEN-RECORD SURVIVORSHIP (the MDM step after matching): the
+    // ER pairs are clustered with the log-round large-star/small-star CC
+    // ([[Dedup.ccBigStar]] — matched pairs can chain through shared
+    // registry records, so clusters, not pairs, are the entity unit), then
+    // each field survives per cluster under one deterministic cascade:
+    // most members holding the value wins (majority — heals a corrupted
+    // field whenever clean copies outnumber it), ties prefer the value
+    // held by a MASTER-side record (source priority: the customer table is
+    // authoritative, which is what resolves every 1-vs-1 customer/twin
+    // tie — the corrupted %13 nation, the %7 one-cent drift, the noised
+    // name all fall back to the exact master value), remaining ties take
+    // the smallest member id (total order even across FP merges). One
+    // golden row per matched entity; entity_id is the cluster min — the
+    // master custkey itself except under FP merges. The oracle recomputes
+    // clusters via a recursive transitive closure and the same cascade;
+    // PipelineOpsSpec pins that every planted noise class resolves to the
+    // source customer's true attributes.
+    ("pipeline_golden_record", (s, d) => {
+      import s.implicits._
+      val cust = erCustomers(s, d)
+      val reg = erRegistry(s, d)
+      val cc = Dedup.ccBigStar(erMatchedPairs(s, d)
+        .select($"c_custkey".as("id1"), $"r_id".as("id2")))
+      // member long-table: one row per record in a matched cluster (the
+      // expensive pair pipeline ran once inside ccBigStar's checkpoint;
+      // re-reading cc per field is a checkpoint scan, not a recompute)
+      val members = cc.join(cust, $"id" === $"c_custkey")
+          .select($"comp", lit(0).as("side"), $"id", $"c_name".as("name"),
+            $"c_nationkey".cast("long").as("nat"),
+            $"c_mktsegment".as("seg"), $"cents")
+        .unionByName(cc.join(reg, $"id" === $"r_id")
+          .select($"comp", lit(1).as("side"), $"id", $"r_name".as("name"),
+            $"r_nat".cast("long").as("nat"), $"r_seg".as("seg"),
+            $"r_cents".as("cents")))
+      def survive(field: String): DataFrame = {
+        val g = members.groupBy($"comp", col(field).as("value"))
+          .agg(count(lit(1)).as("cnt"),
+            max(when($"side" === 0, 1).otherwise(0)).as("mast"),
+            min($"id").as("mid"))
+        // (cnt, mast, mid) is total per cluster: holder sets of distinct
+        // values are disjoint, so min-ids never tie
+        val w = Window.partitionBy($"comp")
+          .orderBy($"cnt".desc, $"mast".desc, $"mid")
+        g.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"comp", $"value".as("g_" + field))
+      }
+      val stats = members.groupBy($"comp")
+        .agg(count(lit(1)).as("n_members"),
+          sum($"side").cast("long").as("n_registry"))
+      stats.join(survive("name"), "comp").join(survive("nat"), "comp")
+        .join(survive("seg"), "comp").join(survive("cents"), "comp")
+        .select($"comp".as("entity_id"), $"g_name".as("golden_name"),
+          $"g_nat".as("golden_nation"), $"g_seg".as("golden_segment"),
+          $"g_cents".as("golden_cents"), $"n_members", $"n_registry")
+        .orderBy($"entity_id")
+    }, Some {
+      def survSql(field: String, src: String): String =
+        s"""g_$field AS (
+           |  SELECT comp, $src AS value, count(*) AS cnt,
+           |    max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS mast,
+           |    min(id) AS mid
+           |  FROM members GROUP BY 1, 2),
+           |s_$field AS (
+           |  SELECT comp, value AS g_$field FROM (
+           |    SELECT comp, value, row_number() OVER (PARTITION BY comp
+           |      ORDER BY cnt DESC, mast DESC, mid) AS rn FROM g_$field)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH RECURSIVE $erMatchedSqlCtes,
+         |sym AS (
+         |  SELECT c_custkey AS a, r_id AS b FROM matched
+         |  UNION SELECT r_id, c_custkey FROM matched),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM sym
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN sym e ON e.a = r.dst),
+         |compt AS (SELECT src AS id, min(dst) AS comp FROM reach GROUP BY 1),
+         |members AS (
+         |  SELECT comp, 0 AS side, id, c_name AS name,
+         |    CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg, cents
+         |  FROM compt JOIN cust ON id = c_custkey
+         |  UNION ALL
+         |  SELECT comp, 1, id, r_name, CAST(r_nat AS BIGINT), r_seg, r_cents
+         |  FROM compt JOIN reg ON id = r_id),
+         |${survSql("name", "name")},
+         |${survSql("nat", "nat")},
+         |${survSql("seg", "seg")},
+         |${survSql("cents", "cents")},
+         |st AS (
+         |  SELECT comp, CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(side) AS BIGINT) AS n_registry
+         |  FROM members GROUP BY 1)
+         |SELECT st.comp AS entity_id, g_name AS golden_name,
+         |  CAST(g_nat AS BIGINT) AS golden_nation,
+         |  g_seg AS golden_segment,
+         |  CAST(g_cents AS BIGINT) AS golden_cents, n_members, n_registry
+         |FROM st JOIN s_name ON s_name.comp = st.comp
+         |  JOIN s_nat ON s_nat.comp = st.comp
+         |  JOIN s_seg ON s_seg.comp = st.comp
+         |  JOIN s_cents ON s_cents.comp = st.comp
+         |ORDER BY entity_id""".stripMargin
     }),
 
     ("pipeline_entity_match", (s, d) => {
@@ -3197,6 +3183,175 @@ object PipelineOps {
        |  CAST(count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT) AS n_ship_months
        |FROM lineitem WHERE l_orderkey IN (${BloomIdxKeys.mkString(", ")})
        |GROUP BY 1 ORDER BY l_orderkey""".stripMargin
+
+  /** The ER fixture's master side: customers with exact integer-cents
+    * balances — the authoritative source the noised registry is resolved
+    * against. Shared by pipeline_entity_resolution (pair metrics) and
+    * pipeline_golden_record (survivorship).
+    */
+  private[operators] def erCustomers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d).select($"c_custkey", $"c_name",
+      $"c_nationkey", $"c_mktsegment",
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+  }
+
+  /** The NOISED registry twins (every third customer, with planted noise
+    * classes: %5 adjacent-character transposition, otherwise one-char 'X'
+    * substitution at a key-dependent position; %13 wrong nation; %7
+    * one-cent balance drift) — the ER ground truth set.
+    */
+  private[operators] def erNoised(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = erCustomers(s, d)
+    cust.filter($"c_custkey" % 3 === 0).select(
+      ($"c_custkey" + 500000).as("r_id"),
+      expr("""CASE WHEN c_custkey % 5 = 0 THEN
+             |  concat(substr(c_name, 1, CAST(least(10 + (c_custkey div 3) % 9, 17) AS INT) - 1),
+             |    substr(c_name, CAST(least(10 + (c_custkey div 3) % 9, 17) AS INT) + 1, 1),
+             |    substr(c_name, CAST(least(10 + (c_custkey div 3) % 9, 17) AS INT), 1),
+             |    substr(c_name, CAST(least(10 + (c_custkey div 3) % 9, 17) AS INT) + 2))
+             |ELSE
+             |  concat(substr(c_name, 1, CAST(10 + (c_custkey div 3) % 9 AS INT) - 1), 'X',
+             |    substr(c_name, CAST(10 + (c_custkey div 3) % 9 AS INT) + 1))
+             |END""".stripMargin).as("r_name"),
+      expr("CASE WHEN c_custkey % 13 = 0 THEN (c_nationkey + 1) % 25 " +
+        "ELSE c_nationkey END").as("r_nat"),
+      $"c_mktsegment".as("r_seg"),
+      expr("cents + CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END").as("r_cents"))
+  }
+
+  /** The full dirty registry: noised twins plus designed-unmatchable ghost
+    * records (every 11th customer under an unrelated name).
+    */
+  private[operators] def erRegistry(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = erCustomers(s, d)
+    val ghosts = cust.filter($"c_custkey" % 11 === 0).select(
+      ($"c_custkey" + 600000).as("r_id"),
+      concat(lit("Ghost#"), $"c_custkey").as("r_name"),
+      $"c_nationkey".as("r_nat"), $"c_mktsegment".as("r_seg"),
+      $"cents".as("r_cents"))
+    erNoised(s, d).unionByName(ghosts)
+  }
+
+  /** Sorted-neighborhood ER matching (three banded blocking passes — two
+    * name-fragment keys and an exact-cents key — each ordering its blocks
+    * by (cents, name) and pairing only the [[ErNeighborWidth]] nearest
+    * positions via the blk/blk+1 equi-join, so both the JOIN and the
+    * emission stay linear under degenerate block keys) followed by the
+    * levenshtein ≤ 2 ∧ |Δcents| ≤ 1 scoring gate. Returns the distinct
+    * matched (c_custkey, r_id) pairs — the input to both the pair-metric
+    * readout and golden-record survivorship.
+    */
+  private[operators] def erMatchedPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = erCustomers(s, d)
+    val reg = erRegistry(s, d)
+    // one pass: union both sides under the pass's block key, order each
+    // block by (cents, name), pair cross-side within the width via the
+    // banded equi-join (blk / blk+1), orient cust -> reg
+    def pass(ck: DataFrame => Column, rk: DataFrame => Column): DataFrame = {
+      val u = cust.select(ck(cust).as("bkey"), lit(0).as("side"),
+          $"c_custkey".as("id"), $"c_name".as("name"), $"cents")
+        .unionByName(reg.select(rk(reg).as("bkey"), lit(1).as("side"),
+          $"r_id".as("id"), $"r_name".as("name"), $"r_cents".as("cents")))
+      val w = Window.partitionBy($"bkey")
+        .orderBy($"cents", $"name", $"side", $"id")
+      val posd = u.withColumn("pos", row_number().over(w))
+        .withColumn("blk", floor($"pos" / ErNeighborWidth))
+      val xl = posd.withColumn("kblk", explode(array($"blk", $"blk" + 1)))
+      xl.as("x").join(posd.as("y"),
+          $"x.bkey" === $"y.bkey" && $"x.kblk" === $"y.blk" &&
+            $"y.pos" > $"x.pos" &&
+            $"y.pos" - $"x.pos" <= ErNeighborWidth &&
+            $"x.side" =!= $"y.side")
+        .select(
+          when($"x.side" === 0, $"x.id").otherwise($"y.id").as("c_custkey"),
+          when($"x.side" === 0, $"y.id").otherwise($"x.id").as("r_id"),
+          when($"x.side" === 0, $"x.name").otherwise($"y.name").as("c_name"),
+          when($"x.side" === 0, $"y.name").otherwise($"x.name").as("r_name"),
+          when($"x.side" === 0, $"x.cents").otherwise($"y.cents").as("cents"),
+          when($"x.side" === 0, $"y.cents").otherwise($"x.cents").as("r_cents"))
+    }
+    val pa = pass(
+      c => concat_ws("|", c("c_nationkey"), c("c_mktsegment"),
+        expr("substr(c_name, 10, 4)")),
+      r => concat_ws("|", r("r_nat"), r("r_seg"),
+        expr("substr(r_name, 10, 4)")))
+    val pb = pass(
+      c => concat_ws("|", c("c_nationkey"), c("c_mktsegment"),
+        expr("substr(c_name, 15, 4)")),
+      r => concat_ws("|", r("r_nat"), r("r_seg"),
+        expr("substr(r_name, 15, 4)")))
+    val pc = pass(
+      c => c("cents").cast("string"),
+      r => r("r_cents").cast("string"))
+    pa.unionByName(pb).unionByName(pc)
+      .filter(levenshtein($"c_name", $"r_name") <= 2 &&
+        abs($"cents" - $"r_cents") <= 1)
+      .select($"c_custkey", $"r_id").distinct()
+  }
+
+  /** DuckDB twin of the ER fixture + matching — CTEs `cust`, `noised`,
+    * `reg`, the three passes, and `matched` (distinct pairs). No WITH
+    * prefix: the pair-metric oracle uses plain WITH, the golden-record
+    * oracle WITH RECURSIVE (its connected components).
+    */
+  private def erMatchedSqlCtes: String = {
+    def passSql(ckey: String, rkey: String, sfx: String): String =
+      s"""u$sfx AS (
+         |  SELECT $ckey AS bkey, 0 AS side, c_custkey AS id, c_name AS name, cents FROM cust
+         |  UNION ALL
+         |  SELECT $rkey, 1, r_id, r_name, r_cents FROM reg),
+         |pos$sfx AS (
+         |  SELECT *, row_number() OVER (PARTITION BY bkey
+         |    ORDER BY cents, name, side, id) AS pos FROM u$sfx),
+         |p$sfx AS (
+         |  SELECT CASE WHEN x.side = 0 THEN x.id ELSE y.id END AS c_custkey,
+         |    CASE WHEN x.side = 0 THEN y.id ELSE x.id END AS r_id,
+         |    CASE WHEN x.side = 0 THEN x.name ELSE y.name END AS c_name,
+         |    CASE WHEN x.side = 0 THEN y.name ELSE x.name END AS r_name,
+         |    CASE WHEN x.side = 0 THEN x.cents ELSE y.cents END AS cents,
+         |    CASE WHEN x.side = 0 THEN y.cents ELSE x.cents END AS r_cents
+         |  FROM pos$sfx x JOIN pos$sfx y ON x.bkey = y.bkey
+         |    AND y.pos > x.pos AND y.pos - x.pos <= $ErNeighborWidth
+         |    AND x.side <> y.side)""".stripMargin
+    s"""cust AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+       |noised AS (
+       |  SELECT c_custkey + 500000 AS r_id,
+       |    CASE WHEN c_custkey % 5 = 0 THEN
+       |      concat(substr(c_name, 1, CAST(least(10 + (c_custkey // 3) % 9, 17) AS INT) - 1),
+       |        substr(c_name, CAST(least(10 + (c_custkey // 3) % 9, 17) AS INT) + 1, 1),
+       |        substr(c_name, CAST(least(10 + (c_custkey // 3) % 9, 17) AS INT), 1),
+       |        substr(c_name, CAST(least(10 + (c_custkey // 3) % 9, 17) AS INT) + 2))
+       |    ELSE
+       |      concat(substr(c_name, 1, CAST(10 + (c_custkey // 3) % 9 AS INT) - 1), 'X',
+       |        substr(c_name, CAST(10 + (c_custkey // 3) % 9 AS INT) + 1))
+       |    END AS r_name,
+       |    CASE WHEN c_custkey % 13 = 0 THEN (c_nationkey + 1) % 25
+       |      ELSE c_nationkey END AS r_nat,
+       |    c_mktsegment AS r_seg,
+       |    cents + CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS r_cents
+       |  FROM cust WHERE c_custkey % 3 = 0),
+       |reg AS (
+       |  SELECT * FROM noised
+       |  UNION ALL
+       |  SELECT c_custkey + 600000, 'Ghost#' || c_custkey,
+       |    c_nationkey, c_mktsegment, cents
+       |  FROM cust WHERE c_custkey % 11 = 0),
+       |${passSql("concat_ws('|', c_nationkey, c_mktsegment, substr(c_name, 10, 4))",
+          "concat_ws('|', r_nat, r_seg, substr(r_name, 10, 4))", "a")},
+       |${passSql("concat_ws('|', c_nationkey, c_mktsegment, substr(c_name, 15, 4))",
+          "concat_ws('|', r_nat, r_seg, substr(r_name, 15, 4))", "b")},
+       |${passSql("CAST(cents AS VARCHAR)", "CAST(r_cents AS VARCHAR)", "c")},
+       |matched AS (
+       |  SELECT DISTINCT c_custkey, r_id FROM (
+       |    SELECT * FROM pa UNION ALL SELECT * FROM pb UNION ALL SELECT * FROM pc)
+       |  WHERE levenshtein(c_name, r_name) <= 2 AND abs(cents - r_cents) <= 1)""".stripMargin
+  }
 
   /** Shared oracle prefix for every readout at or after the MERGE wave:
     * CTE `merged` is the exact row-set of the ship-month tree after

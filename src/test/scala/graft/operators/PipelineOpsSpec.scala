@@ -185,4 +185,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(balOnly.nonEmpty && balOnly.size < got.length,
       "both blocking passes must contribute")
   }
+
+  // Golden-record survivorship heals every planted noise class: for each
+  // master-plus-registry cluster, the surviving name/nation/segment/cents
+  // equal the MASTER customer's true attributes — the %5 transposition and
+  // X-substitution names, the %13 wrong nation and the %7 one-cent drift
+  // all lose to the cascade (majority → master priority → min id). Each
+  // noise modulus must actually be represented among the healed clusters,
+  // so the pin can't pass vacuously.
+  test("golden record: every planted noise class resolves to the master's true attributes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val golden = PipelineOps.queries("pipeline_golden_record")(spark, sfDir)
+    val cust = PipelineOps.erCustomers(spark, sfDir)
+    val paired = golden.filter($"n_members" === 2 && $"n_registry" === 1)
+      .join(cust, $"entity_id" === $"c_custkey")
+    val n = paired.count()
+    assert(n > 0, "no master+registry clusters to judge")
+    val bad = paired.filter($"golden_name" =!= $"c_name" ||
+        $"golden_nation" =!= $"c_nationkey".cast("long") ||
+        $"golden_segment" =!= $"c_mktsegment" ||
+        $"golden_cents" =!= $"cents")
+      .select($"entity_id").limit(5).as[Long].collect()
+    assert(bad.isEmpty,
+      s"golden record drifted from master truth for entities ${bad.mkString(",")}")
+    for (m <- Seq(5L, 7L, 13L)) {
+      val repr = paired.filter($"c_custkey" % m === 0).count()
+      assert(repr > 0, s"noise class c%%$m==0 unrepresented among healed clusters")
+    }
+  }
 }
