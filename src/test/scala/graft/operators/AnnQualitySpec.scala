@@ -56,6 +56,26 @@ class AnnQualitySpec extends AnyFunSuite {
     }
   }
 
+  // The clustered-corpus hierarchy demonstration: on the planted
+  // line-gradient mixture corpus, the SINGLE-COLD-ENTRY routed serve must
+  // beat the single-entry flat beam by a real margin (measured +40 000 ppm
+  // at sf0.01; pinned at half) while spending a strictly SMALLER
+  // scored-candidate bound — the claim HNSW's hierarchy exists for. The
+  // multi-entry flat win on the isotropic corpus stays documented on
+  // sim_hnsw_topk; this pins the complementary half of the story.
+  test("clustered corpus: single-entry routed serve beats flat at lower work bound") {
+    import spark.implicits._
+    val rows = Similarity.queries("sim_hnsw_clustered")(spark, sfDir)
+      .select($"serve", $"work_bound", $"recall_ppm")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (flatWork, flatRecall) = rows("flat")
+    val (hierWork, hierRecall) = rows("hier")
+    assert(hierWork < flatWork,
+      s"routed serve must bound fewer scored candidates: $hierWork vs $flatWork")
+    assert(hierRecall >= flatRecall + 20000L,
+      s"routing margin collapsed: hier=$hierRecall flat=$flatRecall ppm")
+  }
+
   test("JL prefilter + exact rerank clears its tuned recall floor") {
     import spark.implicits._
     // sim_rp_recall reports per-query recall directly; (32 dims, 80-deep
