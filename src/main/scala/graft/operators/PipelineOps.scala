@@ -41,7 +41,7 @@ object PipelineOps {
   // dashboard lookups run at every scale — a modulus-defined probe set
   // would grow with the corpus and the union of matched files would stop
   // demonstrating skipping.
-  private val BloomIdxKeys = Seq(7L, 212L, 388L, 701L, 994L, 1207L, 1403L)
+  private[graft] val BloomIdxKeys = Seq(7L, 212L, 388L, 701L, 994L, 1207L, 1403L)
 
   // Sorted-neighborhood width for pipeline_entity_resolution: within each
   // blocking key, records of both sides are ordered by (cents, name) and
@@ -3403,7 +3403,7 @@ object PipelineOps {
     * [[writeBloomIndex]]; the delete path's fresh-files slice in
     * applyDelete) — one copy, so the heuristic cannot drift between them.
     */
-  private def bloomIndexRows(
+  private[graft] def bloomIndexRows(
       s: SparkSession, data: DataFrame, nFiles: Int): DataFrame = {
     import s.implicits._
     graft.plans.GraftExtensions.register(s)
@@ -3462,7 +3462,7 @@ object PipelineOps {
     * n_rows) with an orderkey set (column `k`): (files that might contain
     * any probe, total file count). Metadata-scale — one row per data file.
     */
-  private[operators] def matchedFilesInIndex(
+  private[graft] def matchedFilesInIndex(
       s: SparkSession, idxPath: String,
       probes: DataFrame): (Array[String], Long) = {
     import s.implicits._
@@ -3488,7 +3488,7 @@ object PipelineOps {
       s: SparkSession, d: String, files: Seq[String]): DataFrame =
     readMatchedFiles(s, bloomIdxDataDir(s, d), files)
 
-  private[operators] def readMatchedFiles(
+  private[graft] def readMatchedFiles(
       s: SparkSession, base: String, files: Seq[String]): DataFrame =
     if (files.isEmpty) s.read.parquet(base).filter(lit(false))
     else s.read.option("basePath", base).parquet(files: _*)
@@ -3498,7 +3498,7 @@ object PipelineOps {
     * path that carries no scheme. Lets file sets from different listing
     * APIs compare and feed `spark.read.parquet` uniformly.
     */
-  private[operators] def normPath(f: String): String =
+  private[graft] def normPath(f: String): String =
     if (f.startsWith("file:")) "/" + f.stripPrefix("file:").dropWhile(_ == '/')
     else f
 

@@ -1941,6 +1941,100 @@ object Streaming {
     mvStreamDirCache.get(graft.Fixtures.dirKey(d))
   }
 
+  private val bloomStreamDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING BLOOM-SIDECAR APPEND — the eighteenth replay contract, and
+    * the missing append path of the bloom-index maintenance story (delete
+    * reconciles incrementally, compaction re-indexes; a streaming INGEST
+    * previously had no sidecar path at all): lineitem rows arrive in six
+    * ship-date-ordered waves, and a `foreachBatch` writer appends each
+    * micro-batch's rows into the month-partitioned tree and then appends
+    * fresh bloom sidecar rows for ONLY the files that batch created —
+    * never re-reading, never rebuilding, exactly the per-commit index
+    * append a Delta/Iceberg writer performs. The judged readout is the
+    * seven-key point-lookup serve THROUGH the streamed sidecars over the
+    * streamed tree, hash-checked by pipeline_bloom_index's VERBATIM
+    * oracle: a batch whose files never got sidecar rows makes its keys'
+    * rows unfindable (bloom has no false negatives — a missing index row
+    * is an unprobeable file) and mismatches; DiagnosticsSpec pins the
+    * final index ↔ tree 1:1 with true per-file row counts. Once per JVM
+    * like every replay contract.
+    */
+  def bloomReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val P = graft.operators.PipelineOps
+    val root0 = bloomStreamDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      val root = graft.Fixtures.tempDir("graft_bloomstream")
+      val dataDir = root.resolve("data").toString
+      val idxDir = root.resolve("index").toString
+      val slim = graft.Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("bigint").as("qty"),
+        expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+          .as("net_cents"),
+        to_date(col("l_shipdate")).as("ship_day"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      val src = waveFiles("bloomli:" + d, {
+        val r = slim.agg(min(unix_date(col("ship_day"))),
+          max(unix_date(col("ship_day")))).head()
+        val (lo, hi) = (r.getInt(0).toLong, r.getInt(1).toLong)
+        val width = math.max(1L, (hi - lo) / 6 + 1)
+        slim.withColumn("wave",
+          expr(s"(unix_date(ship_day) - ${lo}L) div ${width}L").cast("int"))
+      })
+      val stream = s.readStream
+        .schema(slim.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+      withFewShufflePartitions(s) {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").partitionBy("ship_month").parquet(dataDir)
+            // incremental sidecar APPEND: index exactly the files this
+            // batch created (already-indexed paths are a metadata-scale
+            // read of the sidecar table — one row per data file)
+            val indexed: Set[String] =
+              if (java.nio.file.Files.exists(java.nio.file.Paths.get(idxDir)))
+                s.read.parquet(idxDir).select(col("file"))
+                  .collect().map(_.getString(0)).toSet
+              else Set.empty
+            val fresh = s.read.parquet(dataDir).inputFiles
+              .map(P.normPath).filterNot(indexed.contains).toSeq
+            if (fresh.nonEmpty)
+              P.bloomIndexRows(s, P.readMatchedFiles(s, dataDir, fresh),
+                  fresh.length)
+                .write.mode("append").parquet(idxDir)
+          }
+          .option("checkpointLocation", root.resolve("chk").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      root.toString
+    })
+    // the pipeline_bloom_index point-lookup serve, VERBATIM, through the
+    // STREAMED sidecars over the STREAMED tree
+    import s.implicits._
+    val probes = P.BloomIdxKeys.toDF("k")
+    val (files, _) = P.matchedFilesInIndex(s, s"$root0/index", probes)
+    P.readMatchedFiles(s, s"$root0/data", files.toSeq)
+      .join(broadcast(probes), col("l_orderkey") === col("k"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("qty")).as("sum_qty"),
+        sum(col("net_cents")).as("revenue_cents"),
+        countDistinct(col("ship_month")).as("n_ship_months"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** Streamed bloom tree+index root for DiagnosticsSpec's 1:1 pin
+    * (runs the contract first so the once-per-JVM ingest happened).
+    */
+  private[graft] def bloomStreamDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    bloomReplayContract(s, d).count()
+    bloomStreamDirCache.get(graft.Fixtures.dirKey(d))
+  }
+
   /** Time-ordered file-source replay through [[purchaseAttribution]] — the
     * STREAM-STREAM inner join with event-time bounds on both sides (the
     * remaining Structured Streaming operator family without a driver
@@ -2034,6 +2128,7 @@ object Streaming {
     "stream_psi_replay" -> ((s, d) => psiReplayContract(s, d)),
     "stream_late_replay" -> ((s, d) => lateReplayContract(s, d)),
     "stream_mv_replay" -> ((s, d) => mvReplayContract(s, d)),
+    "stream_bloom_replay" -> ((s, d) => bloomReplayContract(s, d)),
     "stream_semantic_replay" -> ((s, d) => semanticReplayContract(s, d)))
 
   /** Batch-equivalent oracle for the replay: quality gate, then min-id
@@ -2067,6 +2162,9 @@ object Streaming {
       // SQL) so the streaming maintenance and the batch fixture cannot
       // drift
       "stream_mv_replay" -> graft.operators.PipelineOps.oracleSql("pipeline_mv_refresh"),
+      // the streamed sidecar ingest is judged by the BATCH bloom serve's
+      // verbatim oracle: same seven probes, same aggregates
+      "stream_bloom_replay" -> graft.operators.PipelineOps.oracleSql("pipeline_bloom_index"),
       // the late-data contract's emitted windows must equal the batch
       // aggregate over the ON-TIME rows only: same q21 aggregate text, the
       // planted-late predicate (event_id % 17 in the first six waves)

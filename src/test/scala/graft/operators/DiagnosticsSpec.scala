@@ -503,6 +503,34 @@ class DiagnosticsSpec extends AnyFunSuite {
       s"$survivors wave-1-erased rows resurfaced through the merge")
   }
 
+  // Streaming sidecar APPEND: after the last micro-batch, the
+  // incrementally-appended bloom index describes the streamed tree exactly
+  // — file sets 1:1 and every n_rows a true physical recount (a batch
+  // whose files never got sidecar rows, or one indexed twice, fails
+  // here), and the streamed serve still skips most of the layout.
+  test("stream bloom ingest: appended sidecars describe the streamed tree 1:1 and still skip") {
+    import spark.implicits._
+    val root = graft.streaming.Streaming.bloomStreamDir(spark, sfDir)
+    val idx = spark.read.parquet(s"$root/index")
+      .select($"file", $"n_rows").as[(String, Long)].collect()
+    assert(idx.map(_._1).distinct.length == idx.length,
+      "a data file carries more than one sidecar row — double-indexed batch")
+    val actual = spark.read.parquet(s"$root/data")
+      .select(input_file_name().as("f"))
+      .groupBy($"f").count().as[(String, Long)].collect()
+      .map { case (f, n) => PipelineOps.normPath(f) -> n }.toMap
+    val idxMap = idx.toMap
+    assert(idxMap.keySet == actual.keySet,
+      s"streamed index/tree drift: onlyIdx=${idxMap.keySet -- actual.keySet} " +
+        s"onlyTree=${actual.keySet -- idxMap.keySet}")
+    val badCounts = idxMap.filter { case (f, n) => actual(f) != n }
+    assert(badCounts.isEmpty, s"stale n_rows in streamed sidecars: $badCounts")
+    val (matched, total) = PipelineOps.matchedFilesInIndex(
+      spark, s"$root/index", PipelineOps.BloomIdxKeys.toDF("k"))
+    assert(matched.length < total,
+      s"streamed index stopped skipping: ${matched.length} of $total files")
+  }
+
   // Time travel isolation: the manifest-addressed read of snapshot k scans
   // exactly manifest(k)'s files — no file of any LATER snapshot ever opens
   // (the Iceberg snapshot-pinning contract), and the manifests partition
