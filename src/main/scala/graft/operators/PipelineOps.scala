@@ -752,6 +752,34 @@ object PipelineOps {
         |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY 1, 2 ORDER BY ship_month, o_orderpriority""".stripMargin)),
 
+    // ---- KEY-SUBSET navigation over the JOIN MV: the naive join
+    // aggregate grouped by the DIM attribute ALONE (a strict subset of
+    // the registered {ship_month, o_orderpriority} keys) re-aggregates
+    // the denormalized rollup across the dropped month key — the
+    // priority-level company dashboard served from ~415 summary rows
+    // instead of re-joining the fact to the dimension. Same conservative
+    // guards (leaf paths + join signature + measure signatures);
+    // PlanQualitySpec pins the executed plan reads the MV and joins
+    // nothing.
+    ("pipeline_mv_rewrite_join_subset", (s, d) => {
+      import s.implicits._
+      graft.plans.MvRewrite.install(s, mvJoinTemplate(s, d), mvJoinDir(s, d))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast("bigint")).as("sum_qty"),
+          sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"))
+            .as("revenue_cents"))
+        .orderBy($"o_orderpriority")
+    }, Some(
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- bloom data-skipping index serve: point-lookup of seven order
     // keys against a fact laid out by ship month — a layout that CANNOT
     // serve this lookup by partition pruning (an order's items scatter
@@ -1940,6 +1968,76 @@ object PipelineOps {
          |  CAST(COALESCE(c2, 0) - COALESCE(c1, 0) AS BIGINT) AS cents_delta
          |FROM w1 FULL OUTER JOIN w2 ON w1.ship_month = w2.ship_month
          |ORDER BY ship_month""".stripMargin)),
+
+    // ---- TIME-TRAVEL POINT LOOKUP: the two halves composed — "as of
+    // snapshot N" resolution through the persisted snapshots metadata AND
+    // bloom-sidecar file skipping, using each epoch's OWN reconciled
+    // index (the one that snapshot's mutation left behind; a time-travel
+    // reader must never plan through the current index). Probes mix
+    // dashboard keys, merge-updated keys, their synthetic insert twins,
+    // and the wave-1-erased orders of customers ≤ 271; reading delete_w1
+    // vs merge side by side shows the merge's effects per key: customer
+    // 0's orders ABSENT at w1 and RESURRECTED with qty+1 at the merge,
+    // synthetic keys appearing only at the merge, updated keys gaining
+    // exactly one qty per line. Oracle recomputes both epochs from raw.
+    ("pipeline_time_travel_serve", (s, d) => {
+      import s.implicits._
+      val meta = snapshotMetaDir(s, d)
+      val snaps = s.read.parquet(s"$meta/snapshots")
+        .select($"snap_id", $"base", $"idx").as[(Long, String, String)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val updKeys = Tables.orders(s, d)
+        .filter($"o_custkey" % 293 === 0 && $"o_orderkey" <= 1499L)
+        .select($"o_orderkey".as("k"))
+      val probes = updKeys
+        .unionByName(updKeys.select(($"k" + 100000000L).as("k")))
+        .unionByName(Tables.orders(s, d)
+          .filter($"o_custkey" % 271 === 0 && $"o_custkey" <= 271L)
+          .select($"o_orderkey".as("k")))
+        .unionByName(BloomIdxKeys.toDF("k")).distinct()
+      def epoch(id: Long, nc: String, qc: String): DataFrame = {
+        val (base, idx) = snaps(id)
+        val (files, _) = matchedFilesInIndex(s, idx, probes)
+        readMatchedFiles(s, base, files.toSeq)
+          .join(broadcast(probes), $"l_orderkey" === $"k")
+          .groupBy($"l_orderkey")
+          .agg(count(lit(1)).as(nc), sum($"qty").as(qc))
+      }
+      epoch(2L, "n_w1", "qty_w1")
+        .join(epoch(3L, "n_merge", "qty_merge"), Seq("l_orderkey"),
+          "full_outer")
+        .select($"l_orderkey",
+          coalesce($"n_w1", lit(0L)).as("n_w1"),
+          coalesce($"qty_w1", lit(0L)).as("qty_w1"),
+          coalesce($"n_merge", lit(0L)).as("n_merge"),
+          coalesce($"qty_merge", lit(0L)).as("qty_merge"))
+        .orderBy($"l_orderkey")
+    }, Some(
+      s"""$mergeStateCtes,
+         |pr AS (
+         |  SELECT o_orderkey AS k FROM orders
+         |    WHERE o_custkey % 293 = 0 AND o_orderkey <= 1499
+         |  UNION SELECT o_orderkey + 100000000 FROM orders
+         |    WHERE o_custkey % 293 = 0 AND o_orderkey <= 1499
+         |  UNION SELECT o_orderkey FROM orders
+         |    WHERE o_custkey % 271 = 0 AND o_custkey <= 271
+         |  UNION SELECT CAST(unnest([${BloomIdxKeys.mkString(", ")}]) AS BIGINT)),
+         |w1e AS (
+         |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n1,
+         |    CAST(sum(qty) AS BIGINT) AS q1
+         |  FROM base JOIN pr ON l_orderkey = k
+         |  WHERE o_custkey % 271 <> 0 GROUP BY 1),
+         |mge AS (
+         |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n2,
+         |    CAST(sum(qty) AS BIGINT) AS q2
+         |  FROM merged JOIN pr ON l_orderkey = k GROUP BY 1)
+         |SELECT COALESCE(w1e.l_orderkey, mge.l_orderkey) AS l_orderkey,
+         |  CAST(COALESCE(n1, 0) AS BIGINT) AS n_w1,
+         |  CAST(COALESCE(q1, 0) AS BIGINT) AS qty_w1,
+         |  CAST(COALESCE(n2, 0) AS BIGINT) AS n_merge,
+         |  CAST(COALESCE(q2, 0) AS BIGINT) AS qty_merge
+         |FROM w1e FULL OUTER JOIN mge ON w1e.l_orderkey = mge.l_orderkey
+         |ORDER BY l_orderkey""".stripMargin)),
 
     // ---- the MV after ALL THREE mutations (delete → merge → delete):
     // full daily readout of the thrice-refreshed rollup, oracle recomputed
@@ -3811,18 +3909,26 @@ object PipelineOps {
     snapshotMetaDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
       import s.implicits._
       val snaps = Seq(
-        (0L, "original", -1L, normPath(bloomIdxDataDir(s, d))),
-        (1L, "compacted", 0L, normPath(compactedDir(s, d))),
-        (2L, "delete_w1", 0L, s"${deleteExecDir(s, d)}/data"),
-        (3L, "merge", 2L, s"${mergeExecDir(s, d)}/data"),
-        (4L, "delete_w2", 3L, s"${deleteExec2Dir(s, d)}/data"))
+        (0L, "original", -1L, normPath(bloomIdxDataDir(s, d)),
+          normPath(bloomIdxDataDir(s, d)).stripSuffix("/data") + "/index"),
+        (1L, "compacted", 0L, normPath(compactedDir(s, d)),
+          normPath(compactedIdxDir(s, d))),
+        (2L, "delete_w1", 0L, s"${deleteExecDir(s, d)}/data",
+          s"${deleteExecDir(s, d)}/index"),
+        (3L, "merge", 2L, s"${mergeExecDir(s, d)}/data",
+          s"${mergeExecDir(s, d)}/index"),
+        (4L, "delete_w2", 3L, s"${deleteExec2Dir(s, d)}/data",
+          s"${deleteExec2Dir(s, d)}/index"))
       val root = graft.Fixtures.tempDir("graft_snapmeta")
-      snaps.map { case (id, _, _, base) =>
+      snaps.map { case (id, _, _, base, _) =>
         s.read.parquet(base).inputFiles.map(normPath).toSeq
           .toDF("file").select(lit(id).as("snap_id"), $"file")
       }.reduce(_ unionByName _).coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("manifests").toString)
-      snaps.toDF("snap_id", "op", "parent_id", "base").coalesce(1)
+      // every snapshot also records ITS OWN sidecar index path — a
+      // time-travel reader plans point lookups through the index the
+      // snapshot was reconciled with, not the current one
+      snaps.toDF("snap_id", "op", "parent_id", "base", "idx").coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
       root.toString
     })

@@ -205,6 +205,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"filtered join aggregate not rewritten:\n$plan2")
     assert(plan2.matches("(?s).*PartitionFilters: \\[[^\\]]*ship_month.*"),
       s"translated month filter did not prune the join MV's file index:\n$plan2")
+    // key-subset over the join MV: the dim-attribute-only rollup must
+    // also serve from the summary — and join nothing
+    val df3 = graft.SparkEntry.queries("pipeline_mv_rewrite_join_subset")(spark, sfDir)
+    val plan3 = df3.queryExecution.executedPlan.toString
+    assert(plan3.contains("graft_mvjoin") && !plan3.contains("lineitem") &&
+      !plan3.contains("orders.parquet"),
+      s"dim-only join aggregate not served from the join MV:\n$plan3")
     // negative 1 (the name-erasure boundary): grouping by a DIFFERENT dim
     // attribute of the same string type — identical canonical shape, so
     // only the source-column-name signature keeps it off the MV
