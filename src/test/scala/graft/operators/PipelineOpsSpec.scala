@@ -186,6 +186,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       "both blocking passes must contribute")
   }
 
+  // Fuzzy decontamination catches the planted edited-benchmark leaks: every
+  // eval item is a 3-tokens-dropped twin of its source doc, and the LSH
+  // band-catch probability at the planted Jaccard range is ≥ ~0.92 per
+  // item — pin ≥ 90% planted recall (measured 10/10 at sf0.01) and that
+  // every flagged pair clears the verify threshold for a REAL reason
+  // (jaccard ≥ 0.5 recomputable from the arrays).
+  test("fuzzy decontamination: planted edited leaks are flagged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val flagged = graft.SparkEntry.queries("pipeline_decontaminate_fuzzy")(spark, sfDir)
+    val planted = graft.Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 50 === 0).count()
+    val caught = flagged.filter($"doc_id" === $"eval_src").count()
+    assert(caught >= math.ceil(planted * 0.9).toLong,
+      s"planted leak recall collapsed: $caught of $planted")
+    val below = flagged.filter($"jaccard" < 0.5).count()
+    assert(below == 0L, s"$below flagged pairs below the verify threshold")
+  }
+
   // Golden-record survivorship heals every planted noise class: for each
   // master-plus-registry cluster, the surviving name/nation/segment/cents
   // equal the MASTER customer's true attributes — the %5 transposition and
