@@ -588,12 +588,12 @@ object Dedup {
       val doc = Tables.documents(s, d).select($"doc_id", $"text")
       val toksOf = "split(trim(text), '\\\\s+')"
       val evalItems = doc.filter($"doc_id" % 50 === 0)
-        .select(($"doc_id" + 500000L).as("doc_id"),
+        .select(($"doc_id" + FuzzyEvalOffset).as("doc_id"),
           expr(s"array_join(slice($toksOf, 1, " +
             s"greatest(size($toksOf) - 3, 0)), ' ')").as("text"))
       val arrays = shingleStringArrays(doc.unionByName(evalItems)).cache()
       val cands = minhashCandidates(bandTable(arrays))
-        .filter($"id1" < 500000L && $"id2" >= 500000L)
+        .filter($"id1" < FuzzyEvalOffset && $"id2" >= FuzzyEvalOffset)
       cands
         .join(arrays.select($"doc_id".as("id1"), $"ts".as("ts1")), "id1")
         .join(arrays.select($"doc_id".as("id2"), $"ts".as("ts2")), "id2")
@@ -601,7 +601,7 @@ object Dedup {
         .withColumn("jaccard",
           round($"common" / (size($"ts1") + size($"ts2") - $"common"), 4))
         .filter($"jaccard" >= 0.5)
-        .select($"id1".as("doc_id"), ($"id2" - 500000L).as("eval_src"),
+        .select($"id1".as("doc_id"), ($"id2" - FuzzyEvalOffset).as("eval_src"),
           $"jaccard")
         .orderBy($"doc_id", $"eval_src")
     }, Some {
@@ -609,16 +609,16 @@ object Dedup {
       s"""WITH fz AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 500000,
+         |  SELECT doc_id + $FuzzyEvalOffset,
          |    array_to_string(($toks)[1:greatest(len($toks) - 3, 0)], ' ')
          |  FROM documents WHERE doc_id % 50 = 0),
          |${minhashSql("fz", "fz")}
-         |SELECT id1 AS doc_id, id2 - 500000 AS eval_src, jaccard FROM (
+         |SELECT id1 AS doc_id, id2 - $FuzzyEvalOffset AS eval_src, jaccard FROM (
          |  SELECT c.id1, c.id2,
          |    ${rndSql("len(list_intersect(a1.ts, a2.ts)) / CAST(len(a1.ts) + len(a2.ts) - len(list_intersect(a1.ts, a2.ts)) AS DOUBLE)", 4)} AS jaccard
          |  FROM candfz c
          |  JOIN arrfz a1 ON a1.doc_id = c.id1 JOIN arrfz a2 ON a2.doc_id = c.id2
-         |  WHERE c.id1 < 500000 AND c.id2 >= 500000)
+         |  WHERE c.id1 < $FuzzyEvalOffset AND c.id2 >= $FuzzyEvalOffset)
          |WHERE jaccard >= 0.5 ORDER BY doc_id, eval_src""".stripMargin
     }),
 
@@ -2013,6 +2013,16 @@ object Dedup {
       .select(col("id"), col("id").as("comp"))
     nonRoot.unionByName(roots)
   }
+
+  /** Eval-side id offset for pipeline_decontaminate_fuzzy. NOT a small
+    * constant: ScaleUp replicas remap doc_ids into +10M blocks, so the
+    * eval marker must sit far above ANY rescaled corpus id or the
+    * cross-side filter silently misclassifies replica docs as eval rows
+    * (measured: a +500000 offset froze the flag count at the base
+    * replica's 110 across 10×/100×). 10¹² clears a hundred thousand
+    * 10M-blocks.
+    */
+  private val FuzzyEvalOffset = 1000000000000L
 
   // ------------------------------------------------------ minhash constants
   private val Bands = 4
