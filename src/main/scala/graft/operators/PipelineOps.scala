@@ -808,6 +808,58 @@ object PipelineOps {
         .orderBy($"l_orderkey")
     }, Some(bloomLookupOracle)),
 
+    // ---- SEQUENCE PACKING (the GPT-pretraining batch-assembly step: all
+    // documents of a shard are concatenated — one EOS token after each —
+    // and cut into fixed 256-token windows, documents straddling window
+    // boundaries exactly as causal-LM packing does). Per shard this
+    // reports the numbers a data loader budgets with: total tokens, the
+    // window count, how many documents straddle a boundary (and would
+    // need cross-window attention masking), and the tail padding waste.
+    // All-integer window arithmetic (exclusive running sum, floor
+    // division), so the oracle matches bit-for-bit. Scale shape: ONE
+    // cumulative window per shard, map-side otherwise; at 100 TB the
+    // shard key is the input split, so parallelism grows with data and
+    // no global order is ever imposed.
+    ("pipeline_sequence_pack", (s, d) => {
+      import s.implicits._
+      val cap = 256L
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", ($"doc_id" % 16).as("shard"),
+          (size(tokens($"text")) + 1).cast("long").as("n_tok"))
+      val w = Window.partitionBy($"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.withColumn("cum", coalesce(sum($"n_tok").over(w), lit(0L)))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("n_tokens"),
+          sum(when(expr(s"cum div $cap") =!=
+              expr(s"(cum + n_tok - 1) div $cap"), 1L)
+            .otherwise(0L)).as("n_straddlers"))
+        .select($"shard", $"n_docs", $"n_tokens",
+          expr(s"(n_tokens + ${cap - 1}) div $cap").as("n_bins"),
+          $"n_straddlers",
+          expr(s"(n_tokens + ${cap - 1}) div $cap * $cap - n_tokens")
+            .as("tail_waste"))
+        .orderBy($"shard")
+    }, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % 16 AS shard,
+         |    len(${tokensSql("text")}) + 1 AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT shard, n_tok,
+         |    COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM t)
+         |SELECT shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST((sum(n_tok) + 255) // 256 AS BIGINT) AS n_bins,
+         |  CAST(sum(CASE WHEN cum // 256 <> (cum + n_tok - 1) // 256
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+         |  CAST((sum(n_tok) + 255) // 256 * 256 - sum(n_tok) AS BIGINT) AS tail_waste
+         |FROM c GROUP BY 1 ORDER BY shard""".stripMargin)),
+
     // ---- deterministic train/val/test split: threshold on the md5 hex of
     // the stable doc key. No RNG, no seed state to ship to 1000 executors —
     // re-running on a grown corpus keeps every old doc's assignment (the

@@ -531,6 +531,54 @@ class DiagnosticsSpec extends AnyFunSuite {
       s"streamed index stopped skipping: ${matched.length} of $total files")
   }
 
+  // MV maintenance through the MERGE: months that neither lost rows to the
+  // replacement nor gained batch rows carry over from wave 1's MV by
+  // reference (same file names/sizes), and the whole refreshed view equals
+  // a from-scratch daily rollup of the post-merge tree — incremental
+  // refresh ≡ rebuild under an upsert, including the months the insert
+  // slice CREATED.
+  test("merge exec: MV untouched months carried over, refreshed view ≡ rebuild") {
+    import spark.implicits._
+    val w1 = PipelineOps.deleteExecDir(spark, sfDir)
+    val root = PipelineOps.mergeExecDir(spark, sfDir)
+    val batch = PipelineOps.mergeUpsertRows(spark, sfDir)
+    val keys = batch.select($"l_orderkey".as("k")).distinct()
+    val (matched, _) = PipelineOps.matchedFilesInIndex(
+      spark, s"$w1/index", keys)
+    val touched = PipelineOps.readMatchedFiles(spark, s"$w1/data", matched.toSeq)
+      .join(keys, $"l_orderkey" === $"k", "left_semi")
+      .select($"ship_month")
+      .unionByName(batch.select($"ship_month"))
+      .distinct().as[String].collect().toSet
+    val oldMv = java.nio.file.Paths.get(s"$w1/mv")
+    val newMv = java.nio.file.Paths.get(s"$root/mv")
+    import scala.jdk.CollectionConverters._
+    val untouched = java.nio.file.Files.list(oldMv).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("ship_month="))
+      .filterNot(p => touched(p.getFileName.toString.stripPrefix("ship_month=")))
+      .toSeq
+    assert(untouched.nonEmpty && touched.nonEmpty)
+    untouched.foreach { md =>
+      java.nio.file.Files.list(md).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).foreach { f =>
+          val dst = newMv.resolve(md.getFileName.toString)
+            .resolve(f.getFileName.toString)
+          assert(java.nio.file.Files.isRegularFile(dst) &&
+            java.nio.file.Files.size(dst) == java.nio.file.Files.size(f),
+            s"untouched MV month not carried over by reference: $dst")
+        }
+    }
+    val rebuilt = spark.read.parquet(s"$root/data")
+      .groupBy($"ship_month", $"ship_day")
+      .agg(count(lit(1)).as("n_items"), sum($"qty").as("sum_qty"),
+        sum($"net_cents").as("revenue_cents"))
+    val served = spark.read.parquet(s"$root/mv")
+      .select($"ship_month", $"ship_day", $"n_items", $"sum_qty",
+        $"revenue_cents")
+    assert(served.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(served).isEmpty,
+      "merge-refreshed MV diverges from a from-scratch rebuild")
+  }
+
   // Time travel isolation: the manifest-addressed read of snapshot k scans
   // exactly manifest(k)'s files — no file of any LATER snapshot ever opens
   // (the Iceberg snapshot-pinning contract), and the manifests partition
