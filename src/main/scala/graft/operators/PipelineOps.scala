@@ -3843,7 +3843,7 @@ object PipelineOps {
     * At 100 TB the cost profile is the MERGE you want: |matched files| +
     * |batch| + |touched months|, never table size.
     */
-  private def applyMutation(s: SparkSession, prefix: String, srcDataDir: String,
+  private[operators] def applyMutation(s: SparkSession, prefix: String, srcDataDir: String,
       srcIdxPath: String, srcMvDir: String,
       keys0: org.apache.spark.sql.DataFrame,
       upsert: Option[org.apache.spark.sql.DataFrame] = None): String = {
