@@ -8,9 +8,11 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // Optional third arg (local iteration only — the driver passes two):
-    // substring filter on query names, to dump and oracle-check a subset.
-    val nameFilter = args.lift(2)
-    def keep(name: String): Boolean = nameFilter.forall(name.contains)
+    // comma-separated substring filters on query names (OR semantics), to
+    // dump and oracle-check a subset.
+    val nameFilter = args.lift(2).map(_.split(',').toSeq)
+    def keep(name: String): Boolean =
+      nameFilter.forall(_.exists(name.contains))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

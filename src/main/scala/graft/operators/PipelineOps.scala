@@ -1854,7 +1854,7 @@ object PipelineOps {
 
     // ---- point-lookup service through the post-MERGE sidecars: probes mix
     // the seven dashboard keys, updated order keys (≤ 1499, so the same
-    // probe set at every SF), their synthetic insert twins (+100M — rows
+    // probe set at every SF), their synthetic insert twins (+10^12 — rows
     // that exist ONLY via the merge's fresh files and index rows), and the
     // wave-1 erased orders of customers ≤ 271 (customer 0's come back
     // UPDATED — re-inserted by the merge; customer 271's stay gone). The
@@ -1868,7 +1868,7 @@ object PipelineOps {
         .filter($"o_custkey" % 293 === 0 && $"o_orderkey" <= 1499L)
         .select($"o_orderkey".as("k"))
       val probes = updKeys
-        .unionByName(updKeys.select(($"k" + 100000000L).as("k")))
+        .unionByName(updKeys.select(($"k" + MergeInsertOffset).as("k")))
         .unionByName(Tables.orders(s, d)
           .filter($"o_custkey" % 271 === 0 && $"o_custkey" <= 271L)
           .select($"o_orderkey".as("k")))
@@ -1891,7 +1891,7 @@ object PipelineOps {
          |WHERE l_orderkey IN (${BloomIdxKeys.mkString(", ")})
          |  OR l_orderkey IN (SELECT o_orderkey FROM orders
          |       WHERE o_custkey % 293 = 0 AND o_orderkey <= 1499)
-         |  OR l_orderkey IN (SELECT o_orderkey + 100000000 FROM orders
+         |  OR l_orderkey IN (SELECT o_orderkey + $MergeInsertOffset FROM orders
          |       WHERE o_custkey % 293 = 0 AND o_orderkey <= 1499)
          |  OR l_orderkey IN (SELECT o_orderkey FROM orders
          |       WHERE o_custkey % 271 = 0 AND o_custkey <= 271)
@@ -2042,7 +2042,7 @@ object PipelineOps {
         .filter($"o_custkey" % 293 === 0 && $"o_orderkey" <= 1499L)
         .select($"o_orderkey".as("k"))
       val probes = updKeys
-        .unionByName(updKeys.select(($"k" + 100000000L).as("k")))
+        .unionByName(updKeys.select(($"k" + MergeInsertOffset).as("k")))
         .unionByName(Tables.orders(s, d)
           .filter($"o_custkey" % 271 === 0 && $"o_custkey" <= 271L)
           .select($"o_orderkey".as("k")))
@@ -2069,7 +2069,7 @@ object PipelineOps {
          |pr AS (
          |  SELECT o_orderkey AS k FROM orders
          |    WHERE o_custkey % 293 = 0 AND o_orderkey <= 1499
-         |  UNION SELECT o_orderkey + 100000000 FROM orders
+         |  UNION SELECT o_orderkey + $MergeInsertOffset FROM orders
          |    WHERE o_custkey % 293 = 0 AND o_orderkey <= 1499
          |  UNION SELECT o_orderkey FROM orders
          |    WHERE o_custkey % 271 = 0 AND o_custkey <= 271
@@ -3521,6 +3521,17 @@ object PipelineOps {
       root
     })
 
+  /** Synthetic MERGE-insert key offset. Must sit far above any RESCALED
+    * order-key block, not just the raw corpus: `tools.ScaleUp` shifts
+    * `o_orderkey` by `r * 10M` per replica, so a rescaled corpus reaches
+    * ~10^9 keys and the old `+100M` offset collided with replica r+10's
+    * REAL keys — `applyMutation` would bloom-match and silently delete
+    * live rows, breaking the "disjoint from every real orderkey" oracle
+    * assumption. 10^12 clears every rescale the tools can produce (the
+    * same fix class as the fuzzy-decontam eval-id offset).
+    */
+  private[operators] val MergeInsertOffset = 1000000000000L
+
   /** Shared oracle prefix for every readout at or after the MERGE wave:
     * CTE `merged` is the exact row-set of the ship-month tree after
     * delete wave 1 then the upsert batch of [[mergeUpsertRows]] —
@@ -3531,7 +3542,7 @@ object PipelineOps {
     * executor's key-based delete (synthetic keys are in no erase set).
     */
   private def mergeStateCtes: String =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT l_orderkey, strftime(l_shipdate, '%Y-%m') AS ship_month,
       |    CAST(l_shipdate AS DATE) AS ship_day,
       |    CAST(l_quantity AS BIGINT) AS qty,
@@ -3544,7 +3555,7 @@ object PipelineOps {
       |    net_cents, o_custkey
       |  FROM base WHERE o_custkey % 293 = 0 OR o_custkey % 271 <> 0
       |  UNION ALL
-      |  SELECT o_orderkey + 100000000, strftime(o_orderdate, '%Y-%m'),
+      |  SELECT o_orderkey + $MergeInsertOffset, strftime(o_orderdate, '%Y-%m'),
       |    CAST(o_orderdate AS DATE), CAST(1 AS BIGINT),
       |    (o_orderkey % 997) * 100 + 1, CAST(-1 AS BIGINT)
       |  FROM orders WHERE o_custkey % 293 = 0)""".stripMargin
@@ -3743,7 +3754,7 @@ object PipelineOps {
     *    re-emitted with `qty + 1` — full-row replacement at order
     *    granularity;
     *  - INSERT slice: one brand-new line per target order under the
-    *    synthetic key `o_orderkey + 100 000 000` (disjoint from every real
+    *    synthetic key `o_orderkey + 10^12` (disjoint from every real
     *    orderkey), landing in the ORDER DATE's month — some of which are
     *    months the tree has no partition for yet.
     *
@@ -3765,7 +3776,7 @@ object PipelineOps {
         to_date($"l_shipdate").as("ship_day"),
         date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
     val ins = tgt.select(
-      ($"o_orderkey" + 100000000L).as("l_orderkey"),
+      ($"o_orderkey" + MergeInsertOffset).as("l_orderkey"),
       ($"o_orderkey" % 200000L + 1L).as("l_partkey"),
       lit(1L).as("qty"),
       (($"o_orderkey" % 997L) * 100L + 1L).as("net_cents"),

@@ -477,25 +477,51 @@ object Similarity {
     * hash-match bit-for-bit — the proof the fold IS the dataflow it
     * replaced. The final top-K rank/round tail stays in DataFrame ops.
     */
-  /** Per-JVM resident-index broadcasts, keyed by graph fixture root (one
-    * root per dataset fingerprint, so a regenerated dataset gets a fresh
-    * entry): the four serve queries and repeated bench runs share ONE
-    * embedding collect and ONE adjacency collect per fixture instead of
-    * paying them per call (measured 4.7 s/call at the 100× corpus —
-    * loading the replica's index once is exactly the serving model).
+  /** Per-JVM resident-index broadcasts, keyed by graph fixture root PLUS a
+    * vector-source tag (`vecTag`): each graph fixture root pairs with
+    * exactly one vector frame today (corpus graphs with [[vectors]], the
+    * clustered study with its planted corpus), but the embedding cache's
+    * CONTENTS depend on which frame was collected, so the tag is folded
+    * into the key rather than leaving the invariant implicit — a future
+    * caller reusing a root with a different vector set gets its own entry
+    * instead of silently serving stale embeddings. The four serve queries
+    * and repeated bench runs share ONE embedding collect and ONE adjacency
+    * collect per fixture instead of paying them per call (measured
+    * 4.7 s/call at the 100× corpus — loading the replica's index once is
+    * exactly the serving model). Entries are OWNED by one dataset at a
+    * time: switching `d` destroys every resident broadcast of the previous
+    * dataset (driver + executor copies, ~150 MB each at the 100× corpus)
+    * before admitting new ones, so multi-SF JVMs don't accumulate dead
+    * indexes for the JVM lifetime.
     */
   private val serveEmbCache = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]]]()
   private val serveAdjCache = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.broadcast.Broadcast[Map[Long, Array[Long]]]]()
+  private val serveCacheOwner = new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** Evict-and-destroy the resident serve index when the dataset changes:
+    * one dataset's fixtures stay resident across its serve queries (the
+    * amortization the caches exist for), but a JVM that moves to another
+    * SF dir releases the previous one's broadcasts instead of pinning
+    * them forever.
+    */
+  private def sweepServeCaches(dirKey: String): Unit = synchronized {
+    if (serveCacheOwner.getAndSet(dirKey) != dirKey) {
+      serveEmbCache.values.forEach(_.destroy())
+      serveAdjCache.values.forEach(_.destroy())
+      serveEmbCache.clear(); serveAdjCache.clear()
+    }
+  }
 
   private def foldedBeamServe(s: SparkSession, d: String, graphRoot: String,
       phases: Seq[(String, Int, Int)], entryBeam: Int,
       entryPred: Long => Boolean,
-      v0: Option[DataFrame] = None): DataFrame = {
+      v0: Option[DataFrame] = None, vecTag: String = "corpus"): DataFrame = {
     import s.implicits._
+    sweepServeCaches(graft.Fixtures.dirKey(d))
     val v = v0.getOrElse(vectors(s, d))
-    val embB = serveEmbCache.computeIfAbsent(graphRoot, _ =>
+    val embB = serveEmbCache.computeIfAbsent(s"$graphRoot#$vecTag", _ =>
       s.sparkContext.broadcast(
         v.select($"vec_id", $"emb").as[(Long, Array[Double])].collect().toMap))
     val adjB = phases.map(_._1).distinct.map { layer =>
@@ -516,8 +542,12 @@ object Similarity {
             while (i < n) { acc += qe(i) * b(i); i += 1 }
             acc
           }
+          // emb.get, not emb(_): adjacency/entry ids absent from the
+          // vector set (a regenerated or stale graph fixture) degrade to
+          // a skipped candidate — the old join-based serve's inner-join
+          // semantics — instead of crashing the executor task.
           def cut(cands: Iterator[Long], beam: Int): Seq[(Long, Double)] =
-            cands.map(n => (n, dot(emb(n)))).toSeq
+            cands.flatMap(n => emb.get(n).map(e => (n, dot(e)))).toSeq
               .sortBy { case (n, c) => (-c, n) }.take(beam)
           var state = cut(
             emb.keysIterator.filter(n => entryPred(n) && n != q), entryBeam)
@@ -1432,10 +1462,10 @@ object Similarity {
         .agg(max($"vec_id")).head().getLong(0)
       val hier = foldedBeamServe(s, d, root,
         Seq(("l1", HnswL1Beam, 2), ("l0", GraphBeam, 2)), HnswL1Beam,
-        n => n == entry, Some(cv))
+        n => n == entry, Some(cv), vecTag = "clustered")
       val flat = foldedBeamServe(s, d, root,
         Seq(("l0", GraphBeam, GraphHops)), GraphBeam,
-        n => n == entry, Some(cv))
+        n => n == entry, Some(cv), vecTag = "clustered")
       val qs = cv.filter($"vec_id" < NumQueries)
         .select($"vec_id".as("q_id"), $"emb".as("q_emb"))
       val wb = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
