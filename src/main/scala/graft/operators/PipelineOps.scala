@@ -1802,6 +1802,79 @@ object PipelineOps {
          |         WHERE o_custkey % 271 = 0 AND o_custkey <= 271))
          |GROUP BY 1 ORDER BY l_orderkey""".stripMargin)),
 
+    // ---- MERGE-ON-READ delete, step 1: write position-delete sidecars
+    // ([[morDeleteDir]]) — erase wave 1 expressed as (file, physical row
+    // position) rows, ZERO data files rewritten (MorDeleteSpec pins the
+    // tree is byte-untouched). This is the Iceberg position-delete /
+    // Delta deletion-vector shape: at 100 TB a small delete costs
+    // |deleted rows| of sidecar write, not |matched files| of rewrite.
+    // The readout is the sidecar's per-month delete manifest; the oracle
+    // recomputes it from the raw tables, so a missed bloom file (dropped
+    // positions) or a mis-keyed scan both hash-mismatch.
+    ("pipeline_mor_delete", (s, d) => {
+      import s.implicits._
+      s.read.parquet(s"${morDeleteDir(s, d)}/deletes")
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_del_pos"),
+          countDistinct($"l_orderkey").as("n_orders"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_del_pos,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey % 271 = 0
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // ---- MERGE-ON-READ delete, step 2: SERVE through the sidecar
+    // ([[morServeRead]]) — the monthly report over the ORIGINAL tree with
+    // the position deletes anti-joined out at scan time (broadcast hash
+    // probe per row, no fact-side shuffle). Judged by the VERBATIM
+    // copy-on-write oracle of pipeline_delete_exec: both mutation
+    // strategies must converge to the identical post-delete state, so an
+    // unapplied position, a double-counted file, or a position drifting
+    // across scans (row_index is physical and stable) all hash-mismatch.
+    ("pipeline_mor_serve", (s, d) => {
+      import s.implicits._
+      morServeRead(s, d)
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey % 271 <> 0
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // ---- MERGE-ON-READ delete, step 3: COMPACTION folds the sidecar in
+    // and retires it ([[morCompactDir]]) — only files that actually carry
+    // delete positions rewrite (a subset of the CoW path's bloom-matched
+    // set: false-positive matches stay linked), everything else carries
+    // over by hard link. Same VERBATIM CoW oracle: the folded tree must
+    // equal the copy-on-write result row-for-row (also pinned directly by
+    // MorDeleteSpec), closing the MOR lifecycle delete → serve → fold.
+    ("pipeline_mor_compact", (s, d) => {
+      import s.implicits._
+      s.read.parquet(s"${morCompactDir(s, d)}/data")
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey % 271 <> 0
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     // ---- copy-on-write MERGE (upsert) EXECUTION on top of delete wave 1
     // ([[mergeExecDir]]): the CDC change-detection → APPLY loop run to
     // completion. The batch ([[mergeUpsertRows]]) replaces every %293
@@ -3739,6 +3812,119 @@ object PipelineOps {
       applyMutation(s, "graft_delexec", bloomIdxDataDir(s, d),
         s"${bloomIdxDir(s, d)}/index", normPath(mvRollupDir(s, d)),
         eraseOrderKeys(s, d)))
+
+  private val morDeleteDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM MERGE-ON-READ delete of erase wave 1 (customers
+    * c % 271 == 0) over the bloom-indexed ship-month layout — the
+    * Iceberg position-delete / Delta deletion-vector story, complementing
+    * [[deleteExecDir]]'s copy-on-write twin: at 100 TB a small delete
+    * should cost |delete rows| of WRITE, not |matched files| of REWRITE.
+    *
+    *  1. resolve erase requests to order keys and probe the bloom
+    *     sidecars — only MATCHED files can hold purge rows;
+    *  2. scan ONLY those files with the parquet `_metadata.row_index`
+    *     virtual column and record each purge row's PHYSICAL position as
+    *     a `(file, pos)` sidecar row (plus the key and month for
+    *     reporting — Iceberg position-delete files may carry the deleted
+    *     row's columns too). ZERO data files are rewritten or even
+    *     linked: the snapshot is the ORIGINAL tree plus the sidecar
+    *     (MorDeleteSpec pins exactly that);
+    *  3. readers apply the sidecar at scan time ([[morServeRead]]);
+    *  4. the next compaction folds the deletes in ([[morCompactDir]])
+    *     and the sidecar retires.
+    *
+    * Returns a root with `deletes/` (parquet sidecar) and
+    * `data_base.txt` (the pointer at the untouched data tree).
+    */
+  private[operators] def morDeleteDir(s: SparkSession, d: String): String =
+    morDeleteDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val root = graft.Fixtures.tempDir("graft_mor")
+      val dataDir = normPath(bloomIdxDataDir(s, d))
+      val keys = eraseOrderKeys(s, d)
+      val (matched, _) =
+        matchedFilesInIndex(s, s"${bloomIdxDir(s, d)}/index", keys)
+      readMatchedFiles(s, dataDir, matched.toSeq)
+        .select(
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+            .as("file"),
+          col("_metadata.row_index").as("pos"),
+          $"l_orderkey", $"ship_month")
+        .join(broadcast(keys), $"l_orderkey" === $"k", "left_semi")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("deletes").toString)
+      java.nio.file.Files.writeString(root.resolve("data_base.txt"), dataDir)
+      root.toString
+    })
+
+  /** Merge-on-read SCAN of the [[morDeleteDir]] snapshot: the data tree
+    * streamed through a BROADCAST anti-join against the position-delete
+    * sidecar on (file, physical row position) — the per-row hash probe a
+    * deletion-vector reader pays, no shuffle of the fact side, rows of
+    * files without deletes pass through the probe untouched. At 100 TB
+    * the sidecar is |deleted rows|, a normal broadcast.
+    */
+  private[operators] def morServeRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = morDeleteDir(s, d)
+    val base = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/data_base.txt"))
+    val del = s.read.parquet(s"$root/deletes").select($"file", $"pos")
+    s.read.parquet(base)
+      .withColumn("file",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .join(broadcast(del), Seq("file", "pos"), "left_anti")
+      .drop("file", "pos")
+  }
+
+  private val morCompactDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Compaction that FOLDS the position-delete sidecar in and retires it:
+    * only files that actually carry delete positions are rewritten minus
+    * those positions (a possibly SMALLER set than the bloom-matched files
+    * the copy-on-write path rewrites — false-positive matches held no
+    * purge rows and stay linked); every other file carries over by hard
+    * link. The result is a plain tree equal row-for-row to the
+    * copy-on-write delete's ([[deleteExecDir]]) — MorDeleteSpec pins the
+    * equivalence; the serving oracle here is the VERBATIM CoW oracle.
+    */
+  private[operators] def morCompactDir(s: SparkSession, d: String): String =
+    morCompactDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val morRoot = morDeleteDir(s, d)
+      val base = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$morRoot/data_base.txt"))
+      val oldData = java.nio.file.Paths.get(base)
+      val del = s.read.parquet(s"$morRoot/deletes").select($"file", $"pos")
+      // metadata-scale: one path per file that has at least one delete
+      val delFiles = del.select($"file").distinct().as[String].collect().toSet
+      val root = graft.Fixtures.tempDir("graft_morcompact")
+      val newData = root.resolve("data")
+      s.read.parquet(base).inputFiles.map(normPath)
+        .filterNot(delFiles.contains).foreach { f =>
+          val src = java.nio.file.Paths.get(f)
+          val dst = newData.resolve(oldData.relativize(src).toString)
+          java.nio.file.Files.createDirectories(dst.getParent)
+          try java.nio.file.Files.createLink(dst, src)
+          catch { case _: Exception =>
+            java.nio.file.Files.copy(src, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      readMatchedFiles(s, base, delFiles.toSeq)
+        .withColumn("file",
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+        .withColumn("pos", col("_metadata.row_index"))
+        .join(broadcast(del), Seq("file", "pos"), "left_anti")
+        .drop("file", "pos")
+        .write.mode("append").partitionBy("ship_month")
+        .parquet(newData.toString)
+      root.toString
+    })
 
   private val mergeExecDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
