@@ -2164,6 +2164,47 @@ object PipelineOps {
          |FROM w1e FULL OUTER JOIN mge ON w1e.l_orderkey = mge.l_orderkey
          |ORDER BY l_orderkey""".stripMargin)),
 
+    // ---- SNAPSHOT EXPIRATION + ORPHAN GC ([[gcExpireDir]]): retention
+    // keeps the chain's current snapshot and its parent (delete_w2 and
+    // merge); the original, the compaction branch and delete wave 1
+    // EXPIRE, and every clone file no live manifest references — their
+    // exclusive data files plus planted orphan debris — is physically
+    // deleted. This readout serves BOTH live snapshots' monthly state
+    // through the post-GC metadata, so an over-eager GC (a deleted file a
+    // live manifest still needs) fails loudly at scan time and an
+    // under-delete is pinned by GcExpireSpec; the oracle recomputes each
+    // live epoch from the raw tables. At 100 TB expire+GC is
+    // metadata-scale: one manifest anti-join picks the dead files, data
+    // rows are never read.
+    ("pipeline_snapshot_expire", (s, d) => {
+      import s.implicits._
+      val root = gcExpireDir(s, d)
+      val live = s.read.parquet(s"$root/snapshots")
+        .select($"snap_id").as[Long].collect().sorted
+      live.map { id =>
+        readLiveSnapshot(s, d, id)
+          .groupBy($"ship_month")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct($"l_orderkey").as("n_orders"),
+            sum($"net_cents").as("revenue_cents"))
+          .select(lit(id).as("snap_id"), $"ship_month", $"n_rows",
+            $"n_orders", $"revenue_cents")
+      }.reduce(_ unionByName _).orderBy($"snap_id", $"ship_month")
+    }, Some(
+      s"""$mergeStateCtes
+         |SELECT CAST(3 AS BIGINT) AS snap_id, ship_month,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM merged GROUP BY 1, 2
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), ship_month,
+         |  CAST(count(*) AS BIGINT),
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT),
+         |  CAST(sum(net_cents) AS BIGINT)
+         |FROM merged WHERE o_custkey % 337 <> 0 GROUP BY 1, 2
+         |ORDER BY snap_id, ship_month""".stripMargin)),
+
     // ---- the MV after ALL THREE mutations (delete → merge → delete):
     // full daily readout of the thrice-refreshed rollup, oracle recomputed
     // from the merged-then-w2-purged state — a stale month from any wave's
@@ -4181,6 +4222,105 @@ object PipelineOps {
         .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
       root.toString
     })
+
+  private val gcExpireDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM SNAPSHOT EXPIRATION + ORPHAN-FILE GC — the lifecycle
+    * step [[snapshotMetaDir]]'s monotone lineage was missing (Iceberg's
+    * `expireSnapshots` + `deleteOrphanFiles`). Runs against a dedicated
+    * CLONE of the whole 5-snapshot chain so the GC's physical deletes
+    * cannot touch the shared per-JVM fixtures other queries read:
+    *
+    *  1. CLONE — hard-link every manifest-referenced file under
+    *     `files/<relative path>`. Retained files keep their relative path
+    *     across the mutation chain (applyMutation links them unrenamed)
+    *     and rewritten files get globally unique part names, so relpath
+    *     identifies content — a file shared by N snapshots becomes ONE
+    *     physical clone referenced by N manifest rows, restoring the
+    *     refcount structure GC is about. Plus two ORPHAN debris files a
+    *     failed write would leave (referenced by no manifest at all).
+    *  2. EXPIRE — retention keeps the current snapshot and its parent
+    *     (ids 3, 4); original (0), the compaction branch (1) and delete
+    *     wave 1 (2) fall out of the `snapshots` table.
+    *  3. GC — walk `files/` and DELETE every file no LIVE manifest
+    *     references: expired-only data files and the orphans. The walk is
+    *     metadata-scale (one stat per file); deletes are recorded in
+    *     `gc_deleted/` for the spec, live metadata lands in `snapshots/`
+    *     + `manifests/`.
+    *
+    * GcExpireSpec pins: GC'd ∩ live = ∅, GC'd ⊇ orphans, every
+    * expired-only file gone, every live file untouched (same inode), and
+    * the live snapshots still serving their exact pre-GC state.
+    */
+  private[operators] def gcExpireDir(s: SparkSession, d: String): String =
+    gcExpireDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val meta = snapshotMetaDir(s, d)
+      val snaps = s.read.parquet(s"$meta/snapshots")
+        .select($"snap_id", $"op", $"parent_id", $"base")
+        .as[(Long, String, Long, String)].collect().sortBy(_._1)
+      val manifests = s.read.parquet(s"$meta/manifests")
+        .select($"snap_id", $"file").as[(Long, String)].collect()
+      val root = graft.Fixtures.tempDir("graft_gc")
+      val filesDir = root.resolve("files")
+      val baseOf = snaps.map(t => t._1 -> java.nio.file.Paths.get(normPath(t._4))).toMap
+      def linkInto(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+        java.nio.file.Files.createDirectories(dst.getParent)
+        if (!java.nio.file.Files.exists(dst))
+          try java.nio.file.Files.createLink(dst, src)
+          catch { case _: Exception =>
+            java.nio.file.Files.copy(src, dst)
+          }
+      }
+      val cloneRows = manifests.map { case (sid, f) =>
+        val src = java.nio.file.Paths.get(f)
+        val dst = filesDir.resolve(baseOf(sid).relativize(src).toString)
+        linkInto(src, dst)
+        (sid, dst.toString)
+      }.toSeq
+      Seq("orphan_a.parquet", "orphan_b.parquet").foreach { n =>
+        linkInto(java.nio.file.Paths.get(manifests.head._2), filesDir.resolve(n))
+      }
+      // pre-GC metadata (the spec's "before" picture)
+      cloneRows.toDF("snap_id", "file").coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("manifests_all").toString)
+      // expire: keep the current snapshot and its parent
+      val maxId = snaps.map(_._1).max
+      val live = Set(maxId, snaps.find(_._1 == maxId).get._3)
+      val liveFiles = cloneRows.collect {
+        case (sid, f) if live(sid) => f
+      }.toSet
+      // GC walk: every file under files/ unreferenced by a live manifest
+      val deleted = scala.collection.mutable.ArrayBuffer[String]()
+      java.nio.file.Files.walk(filesDir).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p) && !liveFiles.contains(p.toString)) {
+          java.nio.file.Files.delete(p)
+          deleted += p.toString
+        }
+      }
+      deleted.toSeq.toDF("file").coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("gc_deleted").toString)
+      cloneRows.filter(r => live(r._1)).toDF("snap_id", "file").coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("manifests").toString)
+      snaps.filter(t => live(t._1)).map(t => (t._1, t._2, t._3)).toSeq
+        .toDF("snap_id", "op", "parent_id").coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
+      root.toString
+    })
+
+  /** Manifest-addressed read of one LIVE snapshot of the post-GC clone —
+    * same planning shape as [[readSnapshot]] but resolving through the
+    * EXPIRED metadata (`gcExpireDir`'s `snapshots`/`manifests`).
+    */
+  private[operators] def readLiveSnapshot(
+      s: SparkSession, d: String, id: Long): DataFrame = {
+    import s.implicits._
+    val root = gcExpireDir(s, d)
+    val files = s.read.parquet(s"$root/manifests")
+      .filter($"snap_id" === id).select($"file").as[String].collect()
+    readMatchedFiles(s, s"$root/files", files.toSeq)
+  }
 
   /** Manifest-addressed read of one snapshot of the mutation chain: the
     * file list comes from the persisted `manifests` table and the
