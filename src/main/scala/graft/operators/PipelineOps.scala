@@ -2205,6 +2205,56 @@ object PipelineOps {
          |FROM merged WHERE o_custkey % 337 <> 0 GROUP BY 1, 2
          |ORDER BY snap_id, ship_month""".stripMargin)),
 
+    // ---- CHANGELOG EMISSION between persisted snapshots
+    // ([[snapshotChangelog]]): the net typed change rows from delete
+    // wave 1's snapshot (id 2) ACROSS the merge wave to the chain tip
+    // (id 4), computed purely from the engine's manifests + changed
+    // files — removed/added file sets come from the relative-path
+    // manifest diff, retained files are provably identical and never
+    // read, and a snapshot-3 file rewritten again at 4 appears in
+    // neither manifest so its transient rows cancel (NET change, the
+    // Iceberg changelog-scan contract). The oracle recomputes both
+    // epochs from raw and diffs the same payload multisets: a phantom
+    // collateral row (a rewrite emitting a changed copy), a dropped
+    // insert, an unpurged delete, or a mistyped update all
+    // hash-mismatch. Output is |changed rows|, never table size.
+    ("pipeline_snapshot_changelog", (s, d) => {
+      import s.implicits._
+      snapshotChangelog(s, d, 2L, 4L)
+        .orderBy($"l_orderkey", $"change_type", $"ship_day", $"qty",
+          $"net_cents")
+    }, Some(
+      s"""$mergeStateCtes,
+         |pre AS (
+         |  SELECT l_orderkey, ship_month, ship_day, qty, net_cents,
+         |    CAST(count(*) AS BIGINT) AS n_pre
+         |  FROM base WHERE o_custkey % 271 <> 0 GROUP BY 1, 2, 3, 4, 5),
+         |post AS (
+         |  SELECT l_orderkey, ship_month, ship_day, qty, net_cents,
+         |    CAST(count(*) AS BIGINT) AS n_post
+         |  FROM merged WHERE o_custkey % 337 <> 0 GROUP BY 1, 2, 3, 4, 5),
+         |d AS (
+         |  SELECT l_orderkey, ship_month, ship_day, qty, net_cents,
+         |    COALESCE(n_post, 0) - COALESCE(n_pre, 0) AS diff
+         |  FROM pre FULL OUTER JOIN post USING (l_orderkey, ship_month,
+         |    ship_day, qty, net_cents)
+         |  WHERE COALESCE(n_post, 0) <> COALESCE(n_pre, 0)),
+         |f AS (
+         |  SELECT *,
+         |    max(CASE WHEN diff > 0 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY l_orderkey) AS has_pos,
+         |    max(CASE WHEN diff < 0 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY l_orderkey) AS has_neg
+         |  FROM d)
+         |SELECT CASE WHEN diff > 0 AND has_neg = 1 THEN 'update_post'
+         |            WHEN diff > 0 THEN 'insert'
+         |            WHEN has_pos = 1 THEN 'update_pre'
+         |            ELSE 'delete' END AS change_type,
+         |  l_orderkey, ship_month, ship_day, qty, net_cents,
+         |  CAST(abs(diff) AS BIGINT) AS n
+         |FROM f
+         |ORDER BY l_orderkey, change_type, ship_day, qty, net_cents""".stripMargin)),
+
     // ---- the MV after ALL THREE mutations (delete → merge → delete):
     // full daily readout of the thrice-refreshed rollup, oracle recomputed
     // from the merged-then-w2-purged state — a stale month from any wave's
@@ -4308,6 +4358,63 @@ object PipelineOps {
         .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
       root.toString
     })
+
+  /** CHANGELOG EMISSION between two persisted snapshots (the Delta CDF /
+    * Iceberg changelog-scan shape, SURVEY §7.7's streaming-CDC north
+    * star): typed insert/update/delete rows computed from the engine's
+    * OWN metadata, never from the raw tables.
+    *
+    * Planning is metadata-scale: the two manifests diff on RELATIVE path
+    * (retained files carry their relpath through the chain unrenamed,
+    * rewritten/appended files get globally unique part names), so common
+    * relpaths are provably byte-identical and are never read. Only the
+    * REMOVED files (in A, not B) and ADDED files (in B, not A) scan —
+    * at 100 TB that is |changed files|, not table size. Row grain: the
+    * payload multiset per (l_orderkey, ship_month, ship_day, qty,
+    * net_cents) group; identical collateral rows a rewrite copied
+    * verbatim cancel in the full-outer count diff, exactly like
+    * unchanged rows in an Iceberg changelog scan. A key with both
+    * positive and negative surviving groups is an UPDATE
+    * (update_pre/update_post — the Delta CDF typing); positive-only is
+    * an insert, negative-only a delete. `n` carries the multiset
+    * multiplicity delta. ChangelogSpec pins changelog ∘ apply ≡ target
+    * snapshot.
+    */
+  private[operators] def snapshotChangelog(
+      s: SparkSession, d: String, a: Long, b: Long): DataFrame = {
+    import s.implicits._
+    val meta = snapshotMetaDir(s, d)
+    val baseOf = s.read.parquet(s"$meta/snapshots")
+      .select($"snap_id", $"base").as[(Long, String)].collect().toMap
+    def files(id: Long): Map[String, String] = {
+      val base = java.nio.file.Paths.get(normPath(baseOf(id)))
+      s.read.parquet(s"$meta/manifests").filter($"snap_id" === id)
+        .select($"file").as[String].collect()
+        .map(f => base.relativize(java.nio.file.Paths.get(f)).toString -> f)
+        .toMap
+    }
+    val (fa, fb) = (files(a), files(b))
+    val removed = fa.collect { case (rel, f) if !fb.contains(rel) => f }.toSeq
+    val added = fb.collect { case (rel, f) if !fa.contains(rel) => f }.toSeq
+    val payload = Seq("l_orderkey", "ship_month", "ship_day", "qty", "net_cents")
+    def grouped(base: String, fs: Seq[String], n: String) =
+      readMatchedFiles(s, normPath(base), fs)
+        .groupBy(payload.map(col): _*).agg(count(lit(1)).as(n))
+    val j = grouped(baseOf(a), removed, "n_pre")
+      .join(grouped(baseOf(b), added, "n_post"), payload, "full_outer")
+      .withColumn("diff",
+        coalesce($"n_post", lit(0L)) - coalesce($"n_pre", lit(0L)))
+      .filter($"diff" =!= 0L)
+    val wk = Window.partitionBy($"l_orderkey")
+    j.withColumn("has_pos", max(when($"diff" > 0, 1).otherwise(0)).over(wk))
+      .withColumn("has_neg", max(when($"diff" < 0, 1).otherwise(0)).over(wk))
+      .select(
+        when($"diff" > 0, when($"has_neg" === 1, "update_post").otherwise("insert"))
+          .otherwise(when($"has_pos" === 1, "update_pre").otherwise("delete"))
+          .as("change_type"),
+        $"l_orderkey", $"ship_month", $"ship_day", $"qty", $"net_cents",
+        abs($"diff").as("n"))
+  }
 
   /** Manifest-addressed read of one LIVE snapshot of the post-GC clone —
     * same planning shape as [[readSnapshot]] but resolving through the
