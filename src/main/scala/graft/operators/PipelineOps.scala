@@ -355,9 +355,7 @@ object PipelineOps {
     // one hash-agg per layout over 64 groups.
     ("pipeline_zorder_stats", (s, d) => {
       import s.implicits._
-      val zExpr = (0 until 16).map(i =>
-        s"((shiftright(px, $i) & 1) * ${1L << (2 * i)}L) + " +
-          s"((shiftright(sy, $i) & 1) * ${1L << (2 * i + 1)}L)").mkString(" + ")
+      val zExpr = ZMortonSpark
       val li = Tables.lineitem(s, d).select(
         $"l_orderkey".cast("long").as("o"),
         $"l_partkey".cast("long").as("p"),
@@ -390,9 +388,7 @@ object PipelineOps {
       layoutStats("zbkt", "zorder").unionByName(layoutStats("lbkt", "linear"))
         .orderBy($"layout")
     }, Some {
-      val zDuck = (0 until 16).map(i =>
-        s"(((px >> $i) & 1) * ${1L << (2 * i)}) + " +
-          s"(((sy >> $i) & 1) * ${1L << (2 * i + 1)})").mkString(" + ")
+      val zDuck = ZMortonDuck
       def layoutCte(bcol: String): String =
         s"""SELECT $bcol AS bkt, min(p) AS minp, max(p) AS maxp,
            |    min(sk) AS mins, max(sk) AS maxs,
@@ -429,6 +425,83 @@ object PipelineOps {
          |${layoutStats("lb", "linear")}
          |ORDER BY layout""".stripMargin
     }),
+
+    // ---- Z-order compaction EXECUTED ([[zorderExecDir]]): the report
+    // above priced the layout; this one BUILDS it — the fact rows are
+    // physically rewritten into 64 Morton-bucketed files (deterministic
+    // equal-width z buckets, one file per bucket, rows z-sorted inside
+    // each file so row-group pruning composes with file skipping) plus a
+    // per-file min/max envelope SIDECAR. The readout is that sidecar
+    // verbatim; because the bucketing is deterministic, the oracle
+    // recomputes every file's envelope and row count from the raw tables
+    // — a row landing in the wrong file, a lost row, or a stale sidecar
+    // all hash-mismatch. At 100 TB this is OPTIMIZE ZORDER: the rewrite
+    // is one range-shuffle by z, the sidecar one metadata-scale agg.
+    ("pipeline_zorder_exec", (s, d) => {
+      import s.implicits._
+      s.read.parquet(s"${zorderExecDir(s, d)}/zdata_stats")
+        .select($"zbkt".cast("long").as("zbkt"), $"n_rows",
+          $"minp", $"maxp", $"mins", $"maxs")
+        .orderBy($"zbkt")
+    }, Some(
+      s"""$zorderCtes
+         |SELECT zbkt, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(p) AS minp, max(p) AS maxp,
+         |  min(sk) AS mins, max(sk) AS maxs
+         |FROM zb GROUP BY 1 ORDER BY zbkt""".stripMargin)),
+
+    // ---- min/max STATS-SKIPPING serve over the executed z-order layout:
+    // the 2-D range probe (partkey AND suppkey each in [max/4, max/2])
+    // plans against the envelope sidecar, OPENS only files whose envelope
+    // intersects the probe, and applies the exact predicate to just those
+    // — file-skipping the way an Iceberg reader uses manifest column
+    // stats. The skipping numbers themselves are hash-checked: the oracle
+    // recomputes the deterministic bucketing, so n_files_opened must
+    // equal the true envelope-intersection count (an over-open breaks the
+    // number, an under-open loses rows and breaks the aggregates).
+    // ZorderExecSpec additionally pins truth ⊆ opened files and that the
+    // z-layout opens strictly fewer files than the arrival-order twin.
+    ("pipeline_stats_skipping", (s, d) => {
+      import s.implicits._
+      val root = zorderExecDir(s, d)
+      val stats = s.read.parquet(s"$root/zdata_stats")
+      // probe bounds from the global maxima — one metadata-scale row
+      val r = Tables.lineitem(s, d)
+        .agg(max($"l_partkey".cast("long")), max($"l_suppkey".cast("long")))
+        .head()
+      val (pLo, pHi) = (r.getLong(0) / 4, r.getLong(0) / 2)
+      val (sLo, sHi) = (r.getLong(1) / 4, r.getLong(1) / 2)
+      val matched = stats
+        .filter($"minp" <= pHi && $"maxp" >= pLo &&
+          $"mins" <= sHi && $"maxs" >= sLo)
+        .select($"file").as[String].collect()
+      val nTotal = stats.count()
+      readMatchedFiles(s, s"$root/zdata", matched.toSeq)
+        .filter($"p".between(pLo, pHi) && $"sk".between(sLo, sHi))
+        .agg(count(lit(1)).as("n_rows"), sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .select(lit(nTotal).as("n_files_total"),
+          lit(matched.length.toLong).as("n_files_opened"),
+          $"n_rows", $"sum_qty", $"revenue_cents")
+    }, Some(
+      s"""$zorderCtes,
+         |env AS (
+         |  SELECT zbkt, min(p) AS minp, max(p) AS maxp,
+         |    min(sk) AS mins, max(sk) AS maxs
+         |  FROM zb GROUP BY 1),
+         |pr AS (SELECT pmax // 4 AS plo, pmax // 2 AS phi,
+         |  smax // 4 AS slo, smax // 2 AS shi FROM mx),
+         |hit AS (
+         |  SELECT l.* FROM li l CROSS JOIN pr
+         |  WHERE p BETWEEN plo AND phi AND sk BETWEEN slo AND shi)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM env) AS n_files_total,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM env CROSS JOIN pr
+         |     WHERE minp <= phi AND maxp >= plo
+         |       AND mins <= shi AND maxs >= slo) AS n_files_opened,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_rows,
+         |  (SELECT CAST(sum(qty) AS BIGINT) FROM hit) AS sum_qty,
+         |  (SELECT CAST(sum(net_cents) AS BIGINT) FROM hit) AS revenue_cents""".stripMargin)),
 
     // ---- bucketed-table co-located join: the second storage-layout lever
     // beside pipeline_zorder_stats (that one kills SCAN cost; this one
@@ -3685,6 +3758,46 @@ object PipelineOps {
       root
     })
 
+  /** 16-bit × 16-bit Morton (Z-order) bit interleave over the normalized
+    * coordinates `px`/`sy` — shared by the layout-statistics report, the
+    * EXECUTED z-order rewrite ([[zorderExecDir]]) and their DuckDB twins,
+    * so the engine and the oracle speak the same curve bit-for-bit.
+    */
+  private val ZMortonSpark: String = (0 until 16).map(i =>
+    s"((shiftright(px, $i) & 1) * ${1L << (2 * i)}L) + " +
+      s"((shiftright(sy, $i) & 1) * ${1L << (2 * i + 1)}L)").mkString(" + ")
+
+  private val ZMortonDuck: String = (0 until 16).map(i =>
+    s"(((px >> $i) & 1) * ${1L << (2 * i)}) + " +
+      s"(((sy >> $i) & 1) * ${1L << (2 * i + 1)})").mkString(" + ")
+
+  /** Shared DuckDB CTE prefix recomputing the DETERMINISTIC z-order
+    * bucketing of [[zorderExecDir]] from the raw tables: payload, global
+    * normalization bounds, Morton value and the equal-width bucket ids.
+    * Because the executed layout writes exactly one file per `zbkt`
+    * bucket, per-FILE parquet envelopes are per-BUCKET min/max here —
+    * file-level skipping metadata an oracle can recompute exactly.
+    */
+  private def zorderCtes: String =
+    s"""WITH li AS (
+       |  SELECT CAST(l_orderkey AS BIGINT) AS o, CAST(l_partkey AS BIGINT) AS p,
+       |    CAST(l_suppkey AS BIGINT) AS sk,
+       |    CAST(l_quantity AS BIGINT) AS qty,
+       |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS net_cents
+       |  FROM lineitem),
+       |mx AS (SELECT max(p) AS pmax, max(sk) AS smax,
+       |  min(o) AS omin, max(o) AS omax FROM li),
+       |t AS (
+       |  SELECT li.*, pmax, smax, omin, omax,
+       |    (p * 65536) // (pmax + 1) AS px,
+       |    (sk * 65536) // (smax + 1) AS sy
+       |  FROM li CROSS JOIN mx),
+       |tz AS (SELECT *, $ZMortonDuck AS z FROM t),
+       |zr AS (SELECT min(z) AS zmin, max(z) AS zmax FROM tz),
+       |zb AS (
+       |  SELECT *, ((z - zmin) * 64) // (zmax - zmin + 1) AS zbkt
+       |  FROM tz CROSS JOIN zr)""".stripMargin
+
   /** Synthetic MERGE-insert key offset. Must sit far above any RESCALED
     * order-key block, not just the raw corpus: `tools.ScaleUp` shifts
     * `o_orderkey` by `r * 10M` per replica, so a rescaled corpus reaches
@@ -4270,6 +4383,77 @@ object PipelineOps {
       // snapshot was reconciled with, not the current one
       snaps.toDF("snap_id", "op", "parent_id", "base", "idx").coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
+      root.toString
+    })
+
+  private val zorderExecDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM EXECUTED Z-order rewrite of the fact rows (OPTIMIZE
+    * ZORDER BY (l_partkey, l_suppkey)) plus an arrival-order twin for the
+    * skipping comparison:
+    *
+    *  - `zdata/`  — 64 files, one per DETERMINISTIC equal-width Morton
+    *    bucket (`zbkt = (z − zmin)·64 div span`), rows z-sorted within
+    *    each file. Equal-width buckets instead of `repartitionByRange`
+    *    because the range partitioner SAMPLES — its boundaries are not
+    *    reproducible, and determinism is what lets the DuckDB oracle
+    *    recompute every file's envelope exactly.
+    *  - `zdata_stats/` — the min/max envelope sidecar: one row per file
+    *    with (n_rows, min/max of both probe dimensions), i.e. the column
+    *    stats an Iceberg manifest or parquet footer carries, persisted
+    *    where the serve can plan from them without touching data.
+    *  - `ldata/`, `ldata_stats/` — the same rows bucketed by arrival
+    *    order (l_orderkey ranges): the layout a naive ingest produces,
+    *    kept as the comparison set ZorderExecSpec prices skipping
+    *    against.
+    *
+    * At 100 TB: one range-shuffle by z (the rewrite), one metadata-scale
+    * agg per sidecar; the 64-file miniature stands in for thousands of
+    * files — the bucket arithmetic is scale-free.
+    */
+  private[operators] def zorderExecDir(s: SparkSession, d: String): String =
+    zorderExecDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val root = graft.Fixtures.tempDir("graft_zexec")
+      val li = Tables.lineitem(s, d).select(
+        $"l_orderkey".cast("long").as("o"),
+        $"l_partkey".cast("long").as("p"),
+        $"l_suppkey".cast("long").as("sk"),
+        $"l_quantity".cast("long").as("qty"),
+        expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+          .as("net_cents"))
+      val mx = li.agg(max($"p").as("pmax"), max($"sk").as("smax"),
+        min($"o").as("omin"), max($"o").as("omax"))
+      val t = li.crossJoin(broadcast(mx))
+        .withColumn("px", expr("p * 65536 div (pmax + 1)"))
+        .withColumn("sy", expr("sk * 65536 div (smax + 1)"))
+        .withColumn("z", expr(ZMortonSpark))
+      val zr = t.agg(min($"z").as("zmin"), max($"z").as("zmax"))
+      val b = t.crossJoin(broadcast(zr))
+        .withColumn("zbkt", expr("(z - zmin) * 64 div (zmax - zmin + 1)"))
+        .withColumn("lbkt", expr("(o - omin) * 64 div (omax - omin + 1)"))
+      def writeLayout(bcol: String, dir: String,
+          sortCols: Seq[String]): Unit = {
+        val path = root.resolve(dir).toString
+        b.select($"o", $"p", $"sk", $"qty", $"net_cents", $"z", col(bcol))
+          .repartition(64, col(bcol))
+          .sortWithinPartitions(sortCols.map(col): _*)
+          .write.mode("overwrite").partitionBy(bcol).parquet(path)
+        s.read.parquet(path)
+          .select(
+            regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+              .as("file"),
+            col(bcol), $"p", $"sk")
+          .groupBy(col(bcol), $"file")
+          .agg(count(lit(1)).as("n_rows"),
+            min($"p").as("minp"), max($"p").as("maxp"),
+            min($"sk").as("mins"), max($"sk").as("maxs"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(root.resolve(dir + "_stats").toString)
+      }
+      writeLayout("zbkt", "zdata", Seq("z", "o"))
+      writeLayout("lbkt", "ldata", Seq("o"))
       root.toString
     })
 
