@@ -933,6 +933,87 @@ object PipelineOps {
          |  CAST((sum(n_tok) + 255) // 256 * 256 - sum(n_tok) AS BIGINT) AS tail_waste
          |FROM c GROUP BY 1 ORDER BY shard""".stripMargin)),
 
+    // ---- GREEDY NO-STRADDLE packing (next-fit): the OTHER packing
+    // regime beside pipeline_sequence_pack — documents are never split
+    // across windows; a doc that doesn't fit the current window's
+    // remainder closes it (padding the tail) and opens the next, and a
+    // doc longer than the context is TRUNCATED to it (the data-loader
+    // convention for unsplittable examples; cap 96 so the corpus
+    // actually exercises that path at every SF). The per-window fill is
+    // a SEQUENTIAL recurrence — measured in r13 as NOT
+    // window-expressible (the closing decision depends on the running
+    // fill, which depends on every earlier closing) — so it runs as one
+    // bounded per-shard fold over collect_list, the q68/EWMA precedent:
+    // 16 shards × ≤ corpus/16 (doc_id, n_tok) pairs, integer-only. The
+    // oracle replays the same recurrence as a recursive CTE (the fifth
+    // use of the recursive-oracle technique). n_bins_split is the
+    // straddling packer's bin count on the same truncated lengths — the
+    // lower bound greedy's n_windows/pad_tokens are judged against
+    // (PackGreedySpec pins the dominance). At 100 TB the shard is the
+    // input split: parallelism grows with data, no global order.
+    ("pipeline_pack_greedy", (s, d) => {
+      import s.implicits._
+      val cap = 96L
+      Tables.documents(s, d)
+        .select($"doc_id", ($"doc_id" % 16).as("shard"),
+          (size(tokens($"text")) + 1).cast("long").as("n_tok"))
+        .groupBy($"shard")
+        .agg(collect_list(struct($"doc_id", $"n_tok")).as("ds"))
+        .select($"shard", $"ds")
+        .map { r =>
+          val shard = r.getLong(0)
+          val ds = r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+          var fill = 0L; var nWin = 0L; var pad = 0L
+          var nTrunc = 0L; var truncTok = 0L; var effSum = 0L
+          ds.foreach { case (_, n0) =>
+            val n = math.min(n0, cap)
+            if (n0 > cap) { nTrunc += 1; truncTok += n0 - cap }
+            effSum += n
+            if (fill + n > cap) { pad += cap - fill; nWin += 1; fill = n }
+            else fill += n
+          }
+          if (fill > 0) { pad += cap - fill; nWin += 1 }
+          (shard, ds.size.toLong, ds.map(_._2).sum, nTrunc, truncTok,
+            nWin, pad, (effSum + cap - 1) / cap)
+        }
+        .toDF("shard", "n_docs", "n_tokens", "n_trunc_docs",
+          "trunc_tokens", "n_windows", "pad_tokens", "n_bins_split")
+        .orderBy($"shard")
+    }, Some(
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, doc_id % 16 AS shard,
+         |    len(${tokensSql("text")}) + 1 AS n0,
+         |    least(len(${tokensSql("text")}) + 1, 96) AS n,
+         |    row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |r AS (
+         |  SELECT shard, rn, n AS fill, CAST(1 AS BIGINT) AS n_win,
+         |    CAST(0 AS BIGINT) AS pad
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.shard, t.rn,
+         |    CASE WHEN r.fill + t.n > 96 THEN t.n ELSE r.fill + t.n END,
+         |    r.n_win + CASE WHEN r.fill + t.n > 96 THEN 1 ELSE 0 END,
+         |    r.pad + CASE WHEN r.fill + t.n > 96 THEN 96 - r.fill ELSE 0 END
+         |  FROM r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1),
+         |fin AS (SELECT shard, max(rn) AS mr FROM r GROUP BY 1),
+         |lastw AS (
+         |  SELECT r.shard, r.n_win, r.pad + 96 - r.fill AS pad
+         |  FROM r JOIN fin ON r.shard = fin.shard AND r.rn = fin.mr),
+         |agg AS (
+         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n0) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN n0 > 96 THEN 1 ELSE 0 END) AS BIGINT) AS n_trunc_docs,
+         |    CAST(sum(n0 - n) AS BIGINT) AS trunc_tokens,
+         |    CAST((sum(n) + 95) // 96 AS BIGINT) AS n_bins_split
+         |  FROM t GROUP BY 1)
+         |SELECT agg.shard, n_docs, n_tokens, n_trunc_docs, trunc_tokens,
+         |  CAST(n_win AS BIGINT) AS n_windows,
+         |  CAST(pad AS BIGINT) AS pad_tokens, n_bins_split
+         |FROM agg JOIN lastw ON agg.shard = lastw.shard
+         |ORDER BY agg.shard""".stripMargin)),
+
     // ---- deterministic train/val/test split: threshold on the md5 hex of
     // the stable doc key. No RNG, no seed state to ship to 1000 executors —
     // re-running on a grown corpus keeps every old doc's assignment (the
