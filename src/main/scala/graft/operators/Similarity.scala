@@ -93,7 +93,7 @@ object Similarity {
     * `plans.VecDot`) rather than the interpreted aggregate HOF — same
     * left-to-right accumulation order, bit-identical doubles.
     */
-  private[operators] def vectors(s: SparkSession, d: String): DataFrame = {
+  private[graft] def vectors(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     import s.implicits._
     Tables.embeddings(s, d)
@@ -140,6 +140,73 @@ object Similarity {
        |      ORDER BY list_dot_product(q.emb, n.emb) DESC, c.n_id) AS BIGINT) AS rank
        |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  /** The frozen coarse quantizer: the 8 seed centroids every IVF build,
+    * delta-upsert and the streaming ingest share. Coarse assignment is a
+    * pure per-vector function of these, which is what makes append ≡
+    * rebuild bit-for-bit across all three maintenance paths.
+    */
+  private[graft] def ivfCentroids(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    vectors(s, d)
+      .filter($"vec_id" % IvfSeedStride === 0 &&
+        $"vec_id" < IvfSeedStride * IvfCentroids)
+      .select(($"vec_id" / IvfSeedStride).cast("long").as("cid"),
+        $"emb".as("c_emb"))
+  }
+
+  /** Coarse-assign one vector slice against the frozen centroids —
+    * (vec_id, emb, cid) rows ready to land in the cid-partitioned index.
+    * Used per micro-batch by the streaming maintenance contract
+    * (stream_ivf_replay): each batch writes ONLY the partitions its
+    * vectors touch, the same `append`+`partitionBy` delta path as
+    * [[ivfIncrementalDir]].
+    */
+  private[graft] def ivfAssignSlice(
+      s: SparkSession, d: String, slice: DataFrame): DataFrame = {
+    import s.implicits._
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    slice.crossJoin(broadcast(ivfCentroids(s, d)))
+      .withColumn("ccos", cosine($"emb", $"c_emb"))
+      .withColumn("crn", row_number().over(wAssign)).filter($"crn" === 1)
+      .select($"vec_id", $"emb", $"cid")
+  }
+
+  /** The shared probe-and-rank serve over ANY persisted cid-partitioned
+    * IVF index directory — the exact plan of sim_ivf_persisted /
+    * sim_ivf_incremental, reused by the streaming contract so all three
+    * index maintenance paths are judged by the same serve through the
+    * VERBATIM [[ivfTopkSql]] fresh-rebuild oracle.
+    */
+  private[graft] def ivfServeFromDir(
+      s: SparkSession, d: String, indexDir: String): DataFrame = {
+    import s.implicits._
+    val v = vectors(s, d).cache()
+    val cent = ivfCentroids(s, d)
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    val probes = v.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine($"emb", $"c_emb"))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter($"vec_id" < NumQueries && $"crn" <= NProbe)
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"),
+        $"cid".cast("int").as("cid")) // match the partition column's inferred INT
+    val index = s.read.parquet(indexDir)
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+    probes.join(index, "cid")
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"q_emb", $"vec_id".as("n_id"), $"emb".as("n_emb"))
+      .distinct()
+      .withColumn("cos", cosine($"q_emb", $"n_emb"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"n_id", round($"cos", 4).as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** The verbatim fresh-rebuild retrieval oracle, exported for the
+    * streaming maintenance contract (stream_ivf_replay).
+    */
+  private[graft] def ivfTopkOracle: String = ivfTopkSql
 
   /** Once-per-JVM persisted IVF index for sim_ivf_persisted: the coarse
     * assignment (vec_id, emb) written as parquet PARTITIONED BY cid — the
@@ -1715,59 +1782,15 @@ object Similarity {
     // drift. Index build is a once-per-JVM fixture (the same pattern as
     // the partitioned-prune / schema-evolution fixtures): build cost is
     // amortized across every serve, which is the layout's entire point.
-    ("sim_ivf_persisted", (s, d) => {
-      import s.implicits._
-      val v = vectors(s, d).cache()
-      val cent = v.filter($"vec_id" % IvfSeedStride === 0 && $"vec_id" < IvfSeedStride * IvfCentroids)
-        .select(($"vec_id" / IvfSeedStride).cast("long").as("cid"), $"emb".as("c_emb"))
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-      val probes = v.crossJoin(broadcast(cent))
-        .withColumn("ccos", cosine($"emb", $"c_emb"))
-        .withColumn("crn", row_number().over(wAssign))
-        .filter($"vec_id" < NumQueries && $"crn" <= NProbe)
-        .select($"vec_id".as("q_id"), $"emb".as("q_emb"),
-          $"cid".cast("int").as("cid")) // match the partition column's inferred INT
-      val index = s.read.parquet(ivfIndexDir(s, d))
-      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
-      probes.join(index, "cid")
-        .filter($"vec_id" =!= $"q_id")
-        .select($"q_id", $"q_emb", $"vec_id".as("n_id"), $"emb".as("n_emb"))
-        .distinct()
-        .withColumn("cos", cosine($"q_emb", $"n_emb"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= TopK)
-        .select($"q_id", $"rank", $"n_id", round($"cos", 4).as("cos"))
-        .orderBy($"q_id", $"rank")
-    }, Some(ivfTopkSql)),
+    ("sim_ivf_persisted", (s, d) =>
+      ivfServeFromDir(s, d, ivfIndexDir(s, d)), Some(ivfTopkSql)),
 
     // ---- incremental maintenance of the persisted IVF index: base build +
     // cid-partitioned delta append (see ivfIncrementalDir), served by the
     // IDENTICAL plan as sim_ivf_persisted and judged by the VERBATIM shared
     // fresh-rebuild oracle — the delta-upsert must be invisible to serving.
-    ("sim_ivf_incremental", (s, d) => {
-      import s.implicits._
-      val v = vectors(s, d).cache()
-      val cent = v.filter($"vec_id" % IvfSeedStride === 0 && $"vec_id" < IvfSeedStride * IvfCentroids)
-        .select(($"vec_id" / IvfSeedStride).cast("long").as("cid"), $"emb".as("c_emb"))
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-      val probes = v.crossJoin(broadcast(cent))
-        .withColumn("ccos", cosine($"emb", $"c_emb"))
-        .withColumn("crn", row_number().over(wAssign))
-        .filter($"vec_id" < NumQueries && $"crn" <= NProbe)
-        .select($"vec_id".as("q_id"), $"emb".as("q_emb"),
-          $"cid".cast("int").as("cid")) // match the partition column's inferred INT
-      val index = s.read.parquet(ivfIncrementalDir(s, d))
-      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
-      probes.join(index, "cid")
-        .filter($"vec_id" =!= $"q_id")
-        .select($"q_id", $"q_emb", $"vec_id".as("n_id"), $"emb".as("n_emb"))
-        .distinct()
-        .withColumn("cos", cosine($"q_emb", $"n_emb"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= TopK)
-        .select($"q_id", $"rank", $"n_id", round($"cos", 4).as("cos"))
-        .orderBy($"q_id", $"rank")
-    }, Some(ivfTopkSql)),
+    ("sim_ivf_incremental", (s, d) =>
+      ivfServeFromDir(s, d, ivfIncrementalDir(s, d)), Some(ivfTopkSql)),
 
     // ---- metadata-filtered ANN: each query retrieves top-k only among
     // vectors sharing its `label` (the language/tenant/domain-constrained

@@ -2035,6 +2035,66 @@ object Streaming {
     bloomStreamDirCache.get(graft.Fixtures.dirKey(d))
   }
 
+  private val ivfStreamDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING IVF INDEX MAINTENANCE — the nineteenth replay contract,
+    * and the missing INGEST path of the ANN index story (fresh build and
+    * batch delta-upsert exist — sim_ivf_persisted / sim_ivf_incremental —
+    * but no stream maintained the persisted index): vectors arrive in
+    * five id waves through a file source, and a `foreachBatch` writer
+    * coarse-assigns each micro-batch against the FROZEN centroids
+    * ([[graft.operators.Similarity.ivfAssignSlice]]) and appends the
+    * assigned rows cid-partitioned — each batch touches ONLY the
+    * partitions its vectors land in, exactly the per-commit upsert a live
+    * vector store performs. The judged readout is the IDENTICAL
+    * probe-and-rank serve the batch paths use, over the STREAMED index,
+    * hash-checked by the VERBATIM fresh-rebuild oracle (ivfTopkSql): a
+    * dropped wave loses its vectors' rows from every probed list and
+    * mismatches; a double-applied wave duplicates candidates, which the
+    * serve's distinct would hide — so StreamingSpec additionally pins the
+    * streamed index ≡ the fresh rebuild partition-for-partition, row
+    * multisets included. Assignment being a pure per-vector function of
+    * the frozen centroids is what makes streamed ≡ rebuilt exact; at
+    * 100 TB the waves are commits, centroids refreeze on re-train, and
+    * compaction rewrites hot partitions without changing served results.
+    */
+  def ivfReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val Sim = graft.operators.Similarity
+    val root0 = ivfStreamDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      val root = graft.Fixtures.tempDir("graft_ivfstream")
+      val idxDir = root.resolve("index").toString
+      val v = Sim.vectors(s, d)
+      val src = waveFiles("ivfv:" + d,
+        v.withColumn("wave", (col("vec_id") % 5).cast("int")))
+      val stream = s.readStream
+        .schema(v.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+      withFewShufflePartitions(s) {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            Sim.ivfAssignSlice(s, d, batch)
+              .write.mode("append").partitionBy("cid").parquet(idxDir)
+          }
+          .option("checkpointLocation", root.resolve("chk").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      root.toString
+    })
+    Sim.ivfServeFromDir(s, d, s"$root0/index")
+  }
+
+  /** Streamed IVF index dir for StreamingSpec's rebuild-equality pin
+    * (runs the contract first so the once-per-JVM ingest happened).
+    */
+  private[graft] def ivfStreamIdxDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    ivfReplayContract(s, d).count()
+    s"${ivfStreamDirCache.get(graft.Fixtures.dirKey(d))}/index"
+  }
+
   /** Time-ordered file-source replay through [[purchaseAttribution]] — the
     * STREAM-STREAM inner join with event-time bounds on both sides (the
     * remaining Structured Streaming operator family without a driver
@@ -2129,6 +2189,7 @@ object Streaming {
     "stream_late_replay" -> ((s, d) => lateReplayContract(s, d)),
     "stream_mv_replay" -> ((s, d) => mvReplayContract(s, d)),
     "stream_bloom_replay" -> ((s, d) => bloomReplayContract(s, d)),
+    "stream_ivf_replay" -> ((s, d) => ivfReplayContract(s, d)),
     "stream_semantic_replay" -> ((s, d) => semanticReplayContract(s, d)))
 
   /** Batch-equivalent oracle for the replay: quality gate, then min-id
@@ -2165,6 +2226,9 @@ object Streaming {
       // the streamed sidecar ingest is judged by the BATCH bloom serve's
       // verbatim oracle: same seven probes, same aggregates
       "stream_bloom_replay" -> graft.operators.PipelineOps.oracleSql("pipeline_bloom_index"),
+      // the streamed IVF index must serve EXACTLY what a fresh batch
+      // rebuild serves — share the fresh-rebuild retrieval oracle verbatim
+      "stream_ivf_replay" -> graft.operators.Similarity.ivfTopkOracle,
       // the late-data contract's emitted windows must equal the batch
       // aggregate over the ON-TIME rows only: same q21 aggregate text, the
       // planted-late predicate (event_id % 17 in the first six waves)

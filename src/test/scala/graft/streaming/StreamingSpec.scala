@@ -935,4 +935,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(dropped == plantedGroups,
       s"drop metric $dropped != planted late groups $plantedGroups (rows $plantedRows)")
   }
+
+  // The serve's distinct would mask a double-applied wave (duplicate index
+  // rows collapse before ranking), so the oracle alone can't catch one —
+  // this pin compares the streamed index to a fresh batch rebuild as raw
+  // row MULTISETS, partition column included.
+  test("streamed IVF index equals the fresh batch rebuild partition-for-partition") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val streamed = spark.read.parquet(Streaming.ivfStreamIdxDir(spark, d))
+      .select($"cid".cast("long").as("cid"), $"vec_id", $"emb")
+    val Sim = graft.operators.Similarity
+    val rebuilt = Sim.ivfAssignSlice(spark, d, Sim.vectors(spark, d))
+      .select($"cid", $"vec_id", $"emb")
+    assert(streamed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(streamed).isEmpty,
+      "streamed index diverges from the fresh rebuild")
+    // every vector landed exactly once, and in >1 partition overall
+    assert(streamed.select($"vec_id").distinct().count() == streamed.count())
+    assert(streamed.select($"cid").distinct().count() > 1)
+  }
 }
