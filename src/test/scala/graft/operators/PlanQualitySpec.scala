@@ -385,14 +385,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scan must prune to doc_id/text:\n$plan")
   }
 
+  // dedup_semantic now SERVES from the persisted verdict fixture, so the
+  // builder's plan shape is pinned directly (the query's own plan is a
+  // 3-column parquet scan — also asserted).
   test("semantic dedup pair scan is sharded: the pair join keys on the shard cell") {
-    val plan = executedPlan("dedup_semantic")
+    val plan = Clustering.semanticVerdictFrame(spark, sfDir)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("scell"),
       s"pair join must key on (cid, scell) so a mega-cluster stays cap-bounded:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the K-row centroid side of the verdict build must broadcast:\n$plan")
+    val serve = executedPlan("dedup_semantic")
+    assert(!serve.contains("scell") && serve.contains("Scan parquet"),
+      s"the serve must be a verdict-table scan, not a recompute:\n$serve")
   }
 
   test("kmeans/PQ: centroid and codebook joins broadcast; corpus never cartesian-joins itself") {
-    for (q <- Seq("sim_kmeans_clusters", "sim_pq_topk", "sim_ivfpq_topk", "dedup_semantic",
+    for (q <- Seq("sim_kmeans_clusters", "sim_pq_topk", "sim_ivfpq_topk",
         "sim_sq8_topk", "sim_ivfpq_rerank", "sim_filtered_topk",
         "sim_hard_negatives", "sim_mips_topk")) {
       val plan = executedPlan(q)
