@@ -2029,6 +2029,77 @@ object PipelineOps {
         |WHERE o_custkey % 271 <> 0
         |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
+    // ---- MERGE-ON-READ upsert ([[morMergeDir]]): the MOR twin of the
+    // copy-on-write MERGE below, composing with wave 1's position-delete
+    // sidecar over the SAME untouched original tree — replaced rows get a
+    // second position-delete sidecar, the batch lands as plain appended
+    // files, and the serve applies both sidecars in ONE unioned broadcast
+    // anti-join before unioning the batch in. Judged by the VERBATIM
+    // copy-on-write merge oracle: both merge strategies must converge to
+    // the identical post-merge state (also pinned row-for-row against the
+    // CoW tree by MorDeleteSpec). Zero original files rewritten — at
+    // 100 TB the upsert costs |batch| + |replaced rows| of write.
+    ("pipeline_mor_merge", (s, d) => {
+      import s.implicits._
+      morMergeRead(s, d)
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      s"""$mergeStateCtes
+         |SELECT ship_month,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM merged GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // ---- CHANGELOG-DRIVEN MV MAINTENANCE: the consumption side of
+    // [[snapshotChangelog]] — the daily rollup is refreshed from snapshot
+    // 2's MV to snapshot 4's state by APPLYING the 2→4 changelog as
+    // signed per-(month, day) deltas (insert/update_post add, delete/
+    // update_pre subtract), never rescanning the fact: exactly how a
+    // Delta-CDF consumer maintains a downstream aggregate. Judged by the
+    // VERBATIM oracle of pipeline_delete_mv2 (the engine's own
+    // thrice-refreshed MV of the same epoch) — a wrong verb sign, a lost
+    // delta group, or a fully-deleted day surviving all hash-mismatch.
+    // At 100 TB the refresh reads |changed rows| + the rollup, never the
+    // table.
+    ("pipeline_changelog_apply_mv", (s, d) => {
+      import s.implicits._
+      val mv2 = s.read.parquet(s"${deleteExecDir(s, d)}/mv")
+        .select($"ship_month", $"ship_day", $"n_items", $"sum_qty",
+          $"revenue_cents")
+      val delta = snapshotChangelog(s, d, 2L, 4L)
+        .withColumn("sgn",
+          when($"change_type".isin("insert", "update_post"), $"n")
+            .otherwise(-$"n"))
+        .groupBy($"ship_month", $"ship_day")
+        .agg(sum($"sgn").as("d_items"),
+          sum($"sgn" * $"qty").as("d_qty"),
+          sum($"sgn" * $"net_cents").as("d_cents"))
+      mv2.join(delta, Seq("ship_month", "ship_day"), "full_outer")
+        .select($"ship_month", $"ship_day",
+          (coalesce($"n_items", lit(0L)) + coalesce($"d_items", lit(0L)))
+            .as("n_items"),
+          (coalesce($"sum_qty", lit(0L)) + coalesce($"d_qty", lit(0L)))
+            .as("sum_qty"),
+          (coalesce($"revenue_cents", lit(0L)) + coalesce($"d_cents", lit(0L)))
+            .as("revenue_cents"))
+        .filter($"n_items" > 0L)
+        .orderBy($"ship_month", $"ship_day")
+    }, Some(
+      s"""$mergeStateCtes
+         |SELECT ship_month, ship_day,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM merged WHERE o_custkey % 337 <> 0
+         |GROUP BY 1, 2 ORDER BY ship_month, ship_day""".stripMargin)),
+
     // ---- copy-on-write MERGE (upsert) EXECUTION on top of delete wave 1
     // ([[mergeExecDir]]): the CDC change-detection → APPLY loop run to
     // completion. The batch ([[mergeUpsertRows]]) replaces every %293
@@ -4210,6 +4281,76 @@ object PipelineOps {
         .parquet(newData.toString)
       root.toString
     })
+
+  private val morMergeDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** MERGE-ON-READ upsert — the MOR twin of [[mergeExecDir]]'s
+    * copy-on-write MERGE, completing the MOR story (delete AND upsert;
+    * Iceberg v2 MERGE writes position deletes for replaced rows plus
+    * plain appended data files). Composes with [[morDeleteDir]]'s wave-1
+    * sidecar over the SAME untouched original tree:
+    *
+    *  1. position-delete the batch keys' existing rows — bloom-probe,
+    *     scan only matched files with `_metadata.row_index`, write a
+    *     second sidecar (`deletes2/`). A row can sit in BOTH sidecars
+    *     (customer 0 is in the erase wave and the merge wave); the serve
+    *     unions positions, so double-marking is harmless;
+    *  2. land the whole upsert batch as plain appended files
+    *     (`batch/`, month-partitioned — new months just create dirs);
+    *  3. readers apply both sidecars and union the batch
+    *     ([[morMergeRead]]).
+    *
+    * ZERO original files rewritten; cost = |batch| + |delete rows| of
+    * WRITE — the merge a 100 TB table wants for a small upsert.
+    */
+  private[operators] def morMergeDir(s: SparkSession, d: String): String =
+    morMergeDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val root = graft.Fixtures.tempDir("graft_mormerge")
+      val dataDir = normPath(bloomIdxDataDir(s, d))
+      val batch = mergeUpsertRows(s, d)
+      val keys = batch.select($"l_orderkey".as("k")).distinct()
+      val (matched, _) =
+        matchedFilesInIndex(s, s"${bloomIdxDir(s, d)}/index", keys)
+      readMatchedFiles(s, dataDir, matched.toSeq)
+        .select(
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+            .as("file"),
+          col("_metadata.row_index").as("pos"),
+          $"l_orderkey", $"ship_month")
+        .join(broadcast(keys), $"l_orderkey" === $"k", "left_semi")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("deletes2").toString)
+      batch.write.mode("overwrite").partitionBy("ship_month")
+        .parquet(root.resolve("batch").toString)
+      root.toString
+    })
+
+  /** Merge-on-read scan of the composed snapshot: original tree minus
+    * (wave-1 erase positions ∪ merge-replaced positions) — ONE unioned
+    * broadcast anti-join — plus the appended batch files. Equals the
+    * copy-on-write merge state row-for-row (MorDeleteSpec pins it; the
+    * serving oracle is [[mergeExecDir]]'s VERBATIM mergeStateCtes
+    * readout).
+    */
+  private[operators] def morMergeRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w1 = morDeleteDir(s, d)
+    val mg = morMergeDir(s, d)
+    val base = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$w1/data_base.txt"))
+    val del = s.read.parquet(s"$w1/deletes").select($"file", $"pos")
+      .unionByName(s.read.parquet(s"$mg/deletes2").select($"file", $"pos"))
+      .distinct()
+    s.read.parquet(base)
+      .withColumn("file",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .join(broadcast(del), Seq("file", "pos"), "left_anti")
+      .drop("file", "pos")
+      .unionByName(s.read.parquet(s"$mg/batch"))
+  }
 
   private val mergeExecDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -83,6 +83,33 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(mor.exceptAll(cow).isEmpty && cow.exceptAll(mor).isEmpty)
   }
 
+  test("MOR merge equals the copy-on-write merge row-for-row, zero rewrites") {
+    import spark.implicits._
+    val mor = PipelineOps.morMergeRead(spark, sfDir).select(dataCols.map(col): _*)
+    val cow = spark.read
+      .parquet(s"${PipelineOps.mergeExecDir(spark, sfDir)}/data")
+      .select(dataCols.map(col): _*)
+    assert(mor.exceptAll(cow).isEmpty && cow.exceptAll(mor).isEmpty,
+      "merge-on-read state diverges from the copy-on-write merge")
+    // the MOR merge snapshot is sidecar + batch only — the original tree
+    // is untouched (its pointer is wave 1's, pinned in the first test)
+    val root = PipelineOps.morMergeDir(spark, sfDir)
+    val entries = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(entries == Set("deletes2", "batch"), entries.toString)
+    // every replaced-row position addresses a batch-keyed row of the tree
+    val base = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"${PipelineOps.morDeleteDir(spark, sfDir)}/data_base.txt"))
+    val tree = spark.read.parquet(base)
+      .select(
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("file"),
+        col("_metadata.row_index").as("pos"),
+        col("l_orderkey").as("tree_key"))
+    val del2 = spark.read.parquet(s"$root/deletes2")
+    val joined = del2.join(tree, Seq("file", "pos"))
+    assert(joined.count() == del2.count())
+    assert(joined.filter($"l_orderkey" =!= $"tree_key").count() == 0L)
+  }
+
   test("compaction rewrites only files with deletes; the rest hard-link") {
     import spark.implicits._
     val morRoot = PipelineOps.morDeleteDir(spark, sfDir)
