@@ -2100,6 +2100,62 @@ object PipelineOps {
          |FROM merged WHERE o_custkey % 337 <> 0
          |GROUP BY 1, 2 ORDER BY ship_month, ship_day""".stripMargin)),
 
+    // ---- WRITE-AUDIT-PUBLISH, audit readout ([[wapDir]]): the
+    // expectations verdict over BOTH staged merge candidates — the clean
+    // batch (0 violations → published) and the poisoned twin (qty
+    // negated on %7 keys → held back). The oracle recomputes both
+    // candidates' staged STATE from raw (the poisoned rows are exactly
+    // the batch rows with l_orderkey % 7 == 0 — synthetic keys included,
+    // since the predicate applies to the key itself on both engines), so
+    // a mis-audited candidate or a wrong publish verdict hash-mismatches.
+    ("pipeline_wap_audit", (s, d) => {
+      import s.implicits._
+      s.read.parquet(s"${wapDir(s, d)}/publish_log")
+        .select($"candidate", $"n_checked", $"n_violations", $"published")
+        .orderBy($"candidate")
+    }, Some(
+      s"""$mergeStateCtes
+         |SELECT 'bad' AS candidate,
+         |  CAST(count(*) AS BIGINT) AS n_checked,
+         |  CAST(sum(CASE WHEN (o_custkey % 293 = 0 OR o_custkey = -1)
+         |    AND l_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+         |  sum(CASE WHEN (o_custkey % 293 = 0 OR o_custkey = -1)
+         |    AND l_orderkey % 7 = 0 THEN 1 ELSE 0 END) = 0 AS published
+         |FROM merged
+         |UNION ALL
+         |SELECT 'good', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+         |  0 = 0
+         |FROM merged
+         |ORDER BY candidate""".stripMargin)),
+
+    // ---- WRITE-AUDIT-PUBLISH, published-pointer serve: the monthly
+    // report read THROUGH the publish log's pointer (one metadata row →
+    // base path), judged by the VERBATIM copy-on-write merge oracle — if
+    // the audit gate had published the poisoned candidate, every %7
+    // batch row's qty sign flips and the hash mismatches. WapSpec pins
+    // the lifecycle's destructive half: the failed candidate's staged
+    // root is GONE, and both the published snapshot and its wave-1
+    // parent still serve (hard-linked retention makes abandonment safe).
+    ("pipeline_wap_publish", (s, d) => {
+      import s.implicits._
+      val base = s.read.parquet(s"${wapDir(s, d)}/publish_log")
+        .filter($"published").select($"base").as[String].head()
+      s.read.parquet(base)
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      s"""$mergeStateCtes
+         |SELECT ship_month,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM merged GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     // ---- copy-on-write MERGE (upsert) EXECUTION on top of delete wave 1
     // ([[mergeExecDir]]): the CDC change-detection → APPLY loop run to
     // completion. The batch ([[mergeUpsertRows]]) replaces every %293
@@ -4565,6 +4621,68 @@ object PipelineOps {
         .write.mode("append").partitionBy("ship_month").parquet(newMv.toString)
     root.toString
   }
+
+  private val wapDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM WRITE-AUDIT-PUBLISH run (the Iceberg WAP / Delta
+    * staging pattern — a mutation lands as an UNCOMMITTED snapshot, an
+    * expectations audit gates the pointer flip, and a failed candidate is
+    * abandoned and garbage-collected):
+    *
+    *  1. STAGE two candidate MERGE snapshots over delete wave 1: the
+    *     clean batch (the existing [[mergeExecDir]] snapshot — reused,
+    *     the audit does not re-execute it) and a POISONED twin whose
+    *     batch negates qty on every l_orderkey % 7 == 0 row (the
+    *     corrupt-upstream-feed class an audit exists to catch);
+    *  2. AUDIT each staged tree against the positivity expectation
+    *     (qty > 0) — one map-side agg per candidate, recorded in
+    *     `publish_log/` with the publish verdict (violations == 0);
+    *  3. PUBLISH the passing candidate: the log row carries its base
+    *     path — the pointer flip is one metadata row, nothing moves;
+    *  4. ABANDON the failed candidate: its whole staged root is deleted.
+    *     Retained files were HARD LINKS into wave 1's tree, so the GC
+    *     cannot damage the published snapshot or any ancestor — the
+    *     link-based retention is what makes staged-snapshot abandonment
+    *     free and safe (WapSpec pins both trees still serve afterwards).
+    *
+    * At 100 TB: staging costs one normal mutation, the audit is one scan
+    * of the STAGED tree (never the table history), publish is metadata,
+    * abandon is unlink.
+    */
+  private[operators] def wapDir(s: SparkSession, d: String): String =
+    wapDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val root = graft.Fixtures.tempDir("graft_wap")
+      val w1 = deleteExecDir(s, d)
+      val good = mergeExecDir(s, d)
+      val badBatch = mergeUpsertRows(s, d).withColumn("qty",
+        when($"l_orderkey" % 7 === 0, -$"qty").otherwise($"qty"))
+      val bad = applyMutation(s, "graft_wapbad", s"$w1/data", s"$w1/index",
+        s"$w1/mv", badBatch.select($"l_orderkey".as("k")).distinct(),
+        Some(badBatch))
+      def audit(base: String): (Long, Long) = {
+        val r = s.read.parquet(s"$base/data")
+          .agg(count(lit(1)), sum(when($"qty" <= 0L, 1L).otherwise(0L)))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (gn, gv) = audit(good)
+      val (bn, bv) = audit(bad)
+      Seq(("good", gn, gv, gv == 0L, normPath(s"$good/data")),
+          ("bad", bn, bv, bv == 0L, normPath(s"$bad/data")))
+        .toDF("candidate", "n_checked", "n_violations", "published", "base")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("publish_log").toString)
+      // abandon + GC the failed candidate — never a published snapshot
+      require(bv > 0L && gv == 0L,
+        s"WAP fixture degenerated: good=$gv bad=$bv violations")
+      val badRoot = java.nio.file.Paths.get(bad)
+      java.nio.file.Files.walk(badRoot).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      root.toString
+    })
 
   private val snapshotMetaDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
