@@ -4219,7 +4219,7 @@ object PipelineOps {
     * At 100 TB: cost scales with |matched files| + |touched months|, not
     * table size — the whole point of the sidecar-planned rewrite.
     */
-  private[operators] def deleteExecDir(s: SparkSession, d: String): String =
+  private[graft] def deleteExecDir(s: SparkSession, d: String): String =
     deleteExecDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ =>
       applyMutation(s, "graft_delexec", bloomIdxDataDir(s, d),
         s"${bloomIdxDir(s, d)}/index", normPath(mvRollupDir(s, d)),
@@ -4904,7 +4904,7 @@ object PipelineOps {
     * multiplicity delta. ChangelogSpec pins changelog ∘ apply ≡ target
     * snapshot.
     */
-  private[operators] def snapshotChangelog(
+  private[graft] def snapshotChangelog(
       s: SparkSession, d: String, a: Long, b: Long): DataFrame = {
     import s.implicits._
     val meta = snapshotMetaDir(s, d)

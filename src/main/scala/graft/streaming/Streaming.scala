@@ -2095,6 +2095,89 @@ object Streaming {
     s"${ivfStreamDirCache.get(graft.Fixtures.dirKey(d))}/index"
   }
 
+  private val cdfStreamDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING CHANGELOG (CDF) CONSUMPTION — the twentieth replay
+    * contract, and the streaming twin of pipeline_changelog_apply_mv:
+    * a downstream daily rollup is seeded from snapshot 2's (wave-1's)
+    * refreshed MV, then the 2→4 snapshot changelog arrives in six
+    * month-hashed waves and a `foreachBatch` consumer folds each batch's
+    * SIGNED deltas (insert/update_post add, delete/update_pre subtract)
+    * into ONLY the touched month partitions via dynamic partition
+    * overwrite — exactly how a Delta-CDF subscriber maintains a
+    * downstream aggregate, never rescanning the fact. Additive deltas
+    * commute, so the month-hash wave split is arbitrary by design (any
+    * partitioning of the changelog converges to the same state). The
+    * judged readout is the final rollup (rows a delete wave emptied drop
+    * out at n_items = 0), hash-checked by pipeline_delete_mv2's VERBATIM
+    * oracle — the engine's own thrice-refreshed MV of the same epoch: a
+    * wrong verb sign, a lost wave, a double-applied batch, or a
+    * clobbered untouched month all mismatch.
+    */
+  def cdfReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val P = graft.operators.PipelineOps
+    val out0 = cdfStreamDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      val root = graft.Fixtures.tempDir("graft_cdfstream")
+      val out = root.resolve("mv").toString
+      s.read.parquet(s"${P.deleteExecDir(s, d)}/mv")
+        .select(col("ship_month"), col("ship_day"), col("n_items"),
+          col("sum_qty"), col("revenue_cents"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(out)
+      val log = P.snapshotChangelog(s, d, 2L, 4L)
+        .withColumn("sgn",
+          when(col("change_type").isin("insert", "update_post"), col("n"))
+            .otherwise(-col("n")))
+        .select(col("ship_month"), col("ship_day"), col("sgn"),
+          col("qty"), col("net_cents"))
+      val src = waveFiles("cdf:" + d, log.withColumn("wave",
+        pmod(xxhash64(col("ship_month")), lit(6L)).cast("int")))
+      val schema = log.schema
+      val stream = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+      withFewShufflePartitions(s) {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val delta = batch.groupBy(col("ship_month"), col("ship_day"))
+              .agg(sum(col("sgn")).as("d_items"),
+                sum(col("sgn") * col("qty")).as("d_qty"),
+                sum(col("sgn") * col("net_cents")).as("d_cents"))
+            val touched = delta.select(col("ship_month")).distinct()
+            val merged = s.read.parquet(out)
+              .join(broadcast(touched), Seq("ship_month"), "left_semi")
+              .join(delta, Seq("ship_month", "ship_day"), "full_outer")
+              .select(col("ship_month"), col("ship_day"),
+                (coalesce(col("n_items"), lit(0L)) +
+                  coalesce(col("d_items"), lit(0L))).as("n_items"),
+                (coalesce(col("sum_qty"), lit(0L)) +
+                  coalesce(col("d_qty"), lit(0L))).as("sum_qty"),
+                (coalesce(col("revenue_cents"), lit(0L)) +
+                  coalesce(col("d_cents"), lit(0L))).as("revenue_cents"))
+            val stage = root.resolve("stage").toString
+            merged.write.mode("overwrite").parquet(stage)
+            // per-write option, NOT a session-conf flip (the shared
+            // session's concurrent plans must not inherit dynamic mode)
+            s.read.parquet(stage)
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ship_month").parquet(out)
+          }
+          .option("checkpointLocation", root.resolve("chk").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      out
+    })
+    s.read.parquet(out0)
+      .filter(col("n_items") > 0L)
+      .select(col("ship_month"), col("ship_day"), col("n_items"),
+        col("sum_qty"), col("revenue_cents"))
+      .orderBy(col("ship_month"), col("ship_day"))
+  }
+
   /** Time-ordered file-source replay through [[purchaseAttribution]] — the
     * STREAM-STREAM inner join with event-time bounds on both sides (the
     * remaining Structured Streaming operator family without a driver
@@ -2190,6 +2273,7 @@ object Streaming {
     "stream_mv_replay" -> ((s, d) => mvReplayContract(s, d)),
     "stream_bloom_replay" -> ((s, d) => bloomReplayContract(s, d)),
     "stream_ivf_replay" -> ((s, d) => ivfReplayContract(s, d)),
+    "stream_cdf_replay" -> ((s, d) => cdfReplayContract(s, d)),
     "stream_semantic_replay" -> ((s, d) => semanticReplayContract(s, d)))
 
   /** Batch-equivalent oracle for the replay: quality gate, then min-id
@@ -2229,6 +2313,9 @@ object Streaming {
       // the streamed IVF index must serve EXACTLY what a fresh batch
       // rebuild serves — share the fresh-rebuild retrieval oracle verbatim
       "stream_ivf_replay" -> graft.operators.Similarity.ivfTopkOracle,
+      // the CDF-maintained rollup must equal the engine's own
+      // thrice-refreshed MV of the same epoch — share its oracle verbatim
+      "stream_cdf_replay" -> graft.operators.PipelineOps.oracleSql("pipeline_delete_mv2"),
       // the late-data contract's emitted windows must equal the batch
       // aggregate over the ON-TIME rows only: same q21 aggregate text, the
       // planted-late predicate (event_id % 17 in the first six waves)

@@ -955,4 +955,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select($"vec_id").distinct().count() == streamed.count())
     assert(streamed.select($"cid").distinct().count() > 1)
   }
+
+  // The oracle pins the final state against raw; this pins the streaming
+  // consumer against its BATCH twin (pipeline_changelog_apply_mv): both
+  // fold the same typed changelog into wave 1's rollup, one per
+  // micro-batch with dynamic partition overwrite, one in a single pass —
+  // they must converge frame-for-frame.
+  test("streamed CDF consumption equals the batch changelog apply exactly") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = Streaming.queries("stream_cdf_replay")(spark, d)
+    val batch = graft.operators.PipelineOps
+      .queries("pipeline_changelog_apply_mv")(spark, d)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streaming CDF consumer diverges from the batch apply")
+    assert(streamed.count() > 0L)
+  }
 }
