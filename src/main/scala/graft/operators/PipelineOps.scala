@@ -2100,6 +2100,44 @@ object PipelineOps {
          |FROM merged WHERE o_custkey % 337 <> 0
          |GROUP BY 1, 2 ORDER BY ship_month, ship_day""".stripMargin)),
 
+    // ---- PARTITION EVOLUTION serve ([[partEvoDir]]): a ship-range
+    // probe SPANNING the month→week cutover, planned per layout leg —
+    // the month-partitioned history prunes on ship_month, the
+    // week-partitioned present prunes on the integer epoch-week
+    // transform (with the day-grain residual on each side), and the two
+    // pruned scans union into one report. The oracle recomputes the
+    // range from raw, so a boundary row lost or double-served at the
+    // cutover seam (the bug class spec evolution invites) hash-
+    // mismatches; PartEvoSpec pins both legs actually pruned (opened
+    // files ≪ layout files) and old ∪ new ≡ the fact exactly.
+    ("pipeline_partition_evolution", (s, d) => {
+      import s.implicits._
+      val root = partEvoDir(s, d)
+      val (lo, hi) = ("1997-11-15", "1998-03-15")
+      val wLo = java.time.LocalDate.parse("1998-01-01").toEpochDay / 7
+      val wHi = java.time.LocalDate.parse(hi).toEpochDay / 7
+      val old = s.read.parquet(s"$root/old")
+        .filter($"ship_month".isin("1997-11", "1997-12") &&
+          $"ship_day" >= lo)
+        .select($"ship_month", $"qty", $"net_cents")
+      val neu = s.read.parquet(s"$root/new")
+        .filter($"ship_week".between(wLo, wHi) && $"ship_day" <= hi)
+        .select(date_format($"ship_day", "yyyy-MM").as("ship_month"),
+          $"qty", $"net_cents")
+      old.unionByName(neu)
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"), sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-11-15' AND DATE '1998-03-15'
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     // ---- WRITE-AUDIT-PUBLISH, audit readout ([[wapDir]]): the
     // expectations verdict over BOTH staged merge candidates — the clean
     // batch (0 violations → published) and the poisoned twin (qty
@@ -4621,6 +4659,42 @@ object PipelineOps {
         .write.mode("append").partitionBy("ship_month").parquet(newMv.toString)
     root.toString
   }
+
+  private val partEvoDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM PARTITION EVOLUTION fixture (Iceberg's spec evolution:
+    * a table changes its partition transform and OLD data is not
+    * rewritten): the ship fact is month-partitioned up to the 1998-01
+    * cutover (`old/`) and epoch-week-partitioned from it (`new/`,
+    * `ship_week = unix_date(ship_day) div 7` — an integer transform both
+    * engines compute exactly; calendar-week names were rejected for the
+    * ISO-year-boundary trap). One logical table, two physical layouts;
+    * readers prune each leg with ITS OWN partition scheme and union —
+    * exactly how an evolved Iceberg table plans a scan per spec-id. At
+    * 100 TB this is the migration story: finer partitioning for new hot
+    * data without paying a historical rewrite.
+    */
+  private[operators] def partEvoDir(s: SparkSession, d: String): String =
+    partEvoDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val root = graft.Fixtures.tempDir("graft_partevo")
+      val slim = Tables.lineitem(s, d).select(
+        $"l_orderkey",
+        $"l_quantity".cast("long").as("qty"),
+        expr("CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)")
+          .as("net_cents"),
+        to_date($"l_shipdate").as("ship_day"),
+        date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+      slim.filter($"ship_month" < "1998-01")
+        .write.mode("overwrite").partitionBy("ship_month")
+        .parquet(root.resolve("old").toString)
+      slim.filter($"ship_month" >= "1998-01").drop("ship_month")
+        .withColumn("ship_week", expr("unix_date(ship_day) div 7"))
+        .write.mode("overwrite").partitionBy("ship_week")
+        .parquet(root.resolve("new").toString)
+      root.toString
+    })
 
   private val wapDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
