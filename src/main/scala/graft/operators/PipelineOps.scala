@@ -2100,6 +2100,36 @@ object PipelineOps {
          |FROM merged WHERE o_custkey % 337 <> 0
          |GROUP BY 1, 2 ORDER BY ship_month, ship_day""".stripMargin)),
 
+    // ---- SNAPSHOT ROLLBACK serve ([[rollbackMetaDir]]): the monthly
+    // report read through the ROLLBACK snapshot's manifest — the current
+    // pointer moved back past the merge and delete-w2 waves by one pure
+    // metadata write, so the readout must equal the wave-1 state again
+    // and is judged by pipeline_delete_exec's VERBATIM oracle. Lineage
+    // keeps the whole history (the rollback row's parent is the old tip),
+    // so the abandoned waves stay time-travelable until expiration GC'd.
+    ("pipeline_snapshot_rollback", (s, d) => {
+      import s.implicits._
+      val root = rollbackMetaDir(s, d)
+      val cur = s.read.parquet(s"$root/snapshots")
+        .orderBy($"snap_id".desc).limit(1)
+        .select($"snap_id", $"base").as[(Long, String)].head()
+      val files = s.read.parquet(s"$root/manifests")
+        .filter($"snap_id" === cur._1).select($"file").as[String].collect()
+      readMatchedFiles(s, cur._2, files.toSeq)
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey % 271 <> 0
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     // ---- PARTITION EVOLUTION serve ([[partEvoDir]]): a ship-range
     // probe SPANNING the month→week cutover, planned per layout leg —
     // the month-partitioned history prunes on ship_month, the
@@ -4954,6 +4984,43 @@ object PipelineOps {
       snaps.filter(t => live(t._1)).map(t => (t._1, t._2, t._3)).toSeq
         .toDF("snap_id", "op", "parent_id").coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
+      root.toString
+    })
+
+  private val rollbackMetaDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM SNAPSHOT ROLLBACK — the recovery half of the snapshot
+    * lifecycle (Iceberg `rollback_to_snapshot`): the table's current
+    * pointer moves back to the pre-merge state by writing ONE new
+    * snapshot (id 5, op `rollback`, parent = the chain tip so lineage
+    * records WHEN the rollback happened) whose manifest is snapshot 2's
+    * file list VERBATIM. Pure metadata: no data file is written, moved
+    * or deleted — RollbackSpec pins the manifest identity and the
+    * metadata-only layout. Readers of "current" then serve the wave-1
+    * state again, which is why the readout below is judged by the
+    * original delete-wave oracle.
+    */
+  private[operators] def rollbackMetaDir(s: SparkSession, d: String): String =
+    rollbackMetaDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val meta = snapshotMetaDir(s, d)
+      val root = graft.Fixtures.tempDir("graft_rollback")
+      val snaps = s.read.parquet(s"$meta/snapshots")
+      val tip = snaps.agg(max($"snap_id")).as[Long].head()
+      val src = snaps.filter($"op" === "delete_w1")
+        .select($"snap_id", $"base", $"idx").as[(Long, String, String)].head()
+      snaps.unionByName(
+          Seq((tip + 1, "rollback", tip, src._2, src._3))
+            .toDF("snap_id", "op", "parent_id", "base", "idx"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
+      val mans = s.read.parquet(s"$meta/manifests")
+      mans.unionByName(
+          mans.filter($"snap_id" === src._1)
+            .select(lit(tip + 1).as("snap_id"), $"file"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("manifests").toString)
       root.toString
     })
 
