@@ -10,7 +10,8 @@ object Verify {
     // Optional third arg (local iteration only — the driver passes two):
     // comma-separated substring filters on query names (OR semantics), to
     // dump and oracle-check a subset.
-    val nameFilter = args.lift(2).map(_.split(',').toSeq)
+    val nameFilter = args.lift(2)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).filter(_.nonEmpty)
     def keep(name: String): Boolean =
       nameFilter.forall(_.exists(name.contains))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

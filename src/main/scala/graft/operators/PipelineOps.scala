@@ -4243,6 +4243,15 @@ object PipelineOps {
     if (f.startsWith("file:")) "/" + f.stripPrefix("file:").dropWhile(_ == '/')
     else f
 
+  /** The `_metadata.file_path` virtual column normalized to a plain local
+    * path — the Column twin of [[normPath]], shared by every consumer of
+    * parquet physical positions (MOR sidecars, the z-order envelope
+    * build) so the URI-normalization rule lives in exactly two places
+    * (one per representation) instead of drifting per call site.
+    */
+  private[graft] def metaFilePath: org.apache.spark.sql.Column =
+    regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+
   /** The customer keys the GDPR fixture erases (every 271st customer) and
     * their order keys — shared by the planner, the executor and the
     * post-delete serving queries so all three speak about the same purge.
@@ -4328,7 +4337,7 @@ object PipelineOps {
         matchedFilesInIndex(s, s"${bloomIdxDir(s, d)}/index", keys)
       readMatchedFiles(s, dataDir, matched.toSeq)
         .select(
-          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+          metaFilePath
             .as("file"),
           col("_metadata.row_index").as("pos"),
           $"l_orderkey", $"ship_month")
@@ -4354,7 +4363,7 @@ object PipelineOps {
     val del = s.read.parquet(s"$root/deletes").select($"file", $"pos")
     s.read.parquet(base)
       .withColumn("file",
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+        metaFilePath)
       .withColumn("pos", col("_metadata.row_index"))
       .join(broadcast(del), Seq("file", "pos"), "left_anti")
       .drop("file", "pos")
@@ -4397,7 +4406,7 @@ object PipelineOps {
         }
       readMatchedFiles(s, base, delFiles.toSeq)
         .withColumn("file",
-          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+          metaFilePath)
         .withColumn("pos", col("_metadata.row_index"))
         .join(broadcast(del), Seq("file", "pos"), "left_anti")
         .drop("file", "pos")
@@ -4439,7 +4448,7 @@ object PipelineOps {
         matchedFilesInIndex(s, s"${bloomIdxDir(s, d)}/index", keys)
       readMatchedFiles(s, dataDir, matched.toSeq)
         .select(
-          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+          metaFilePath
             .as("file"),
           col("_metadata.row_index").as("pos"),
           $"l_orderkey", $"ship_month")
@@ -4469,7 +4478,7 @@ object PipelineOps {
       .distinct()
     s.read.parquet(base)
       .withColumn("file",
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+        metaFilePath)
       .withColumn("pos", col("_metadata.row_index"))
       .join(broadcast(del), Seq("file", "pos"), "left_anti")
       .drop("file", "pos")
@@ -4869,10 +4878,14 @@ object PipelineOps {
           .as("net_cents"))
       val mx = li.agg(max($"p").as("pmax"), max($"sk").as("smax"),
         min($"o").as("omin"), max($"o").as("omax"))
+      // cached for the build: the Morton pipeline feeds the z-range agg
+      // and BOTH layout writes — without the cache the fact scan + 32-term
+      // interleave would run three times per fixture build
       val t = li.crossJoin(broadcast(mx))
         .withColumn("px", expr("p * 65536 div (pmax + 1)"))
         .withColumn("sy", expr("sk * 65536 div (smax + 1)"))
         .withColumn("z", expr(ZMortonSpark))
+        .cache()
       val zr = t.agg(min($"z").as("zmin"), max($"z").as("zmax"))
       val b = t.crossJoin(broadcast(zr))
         .withColumn("zbkt", expr("(z - zmin) * 64 div (zmax - zmin + 1)"))
@@ -4886,7 +4899,7 @@ object PipelineOps {
           .write.mode("overwrite").partitionBy(bcol).parquet(path)
         s.read.parquet(path)
           .select(
-            regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+            metaFilePath
               .as("file"),
             col(bcol), $"p", $"sk")
           .groupBy(col(bcol), $"file")
@@ -4898,6 +4911,7 @@ object PipelineOps {
       }
       writeLayout("zbkt", "zdata", Seq("z", "o"))
       writeLayout("lbkt", "ldata", Seq("o"))
+      t.unpersist()
       root.toString
     })
 

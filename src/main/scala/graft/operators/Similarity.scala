@@ -163,10 +163,19 @@ object Similarity {
     * [[ivfIncrementalDir]].
     */
   private[graft] def ivfAssignSlice(
-      s: SparkSession, d: String, slice: DataFrame): DataFrame = {
+      s: SparkSession, d: String, slice: DataFrame): DataFrame =
+    ivfAssignSlice(s, ivfCentroids(s, d), slice)
+
+  /** Overload taking a PRE-BUILT centroid frame, so a per-micro-batch
+    * caller (the streaming contract's foreachBatch) derives the frozen
+    * centroids once before the stream starts instead of re-scanning the
+    * embeddings source on every batch.
+    */
+  private[graft] def ivfAssignSlice(
+      s: SparkSession, cent: DataFrame, slice: DataFrame): DataFrame = {
     import s.implicits._
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-    slice.crossJoin(broadcast(ivfCentroids(s, d)))
+    slice.crossJoin(broadcast(cent))
       .withColumn("ccos", cosine($"emb", $"c_emb"))
       .withColumn("crn", row_number().over(wAssign)).filter($"crn" === 1)
       .select($"vec_id", $"emb", $"cid")
@@ -565,20 +574,28 @@ object Similarity {
     String, org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]]]()
   private val serveAdjCache = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.broadcast.Broadcast[Map[Long, Array[Long]]]]()
-  private val serveCacheOwner = new java.util.concurrent.atomic.AtomicReference[String]("")
 
-  /** Evict-and-destroy the resident serve index when the dataset changes:
-    * one dataset's fixtures stay resident across its serve queries (the
-    * amortization the caches exist for), but a JVM that moves to another
-    * SF dir releases the previous one's broadcasts instead of pinning
-    * them forever.
+  /** Evict the OTHER datasets' resident serve indexes when a dataset is
+    * served: one dataset's fixtures stay resident across its serve
+    * queries (the amortization the caches exist for), but a JVM that
+    * moves to another SF dir releases the previous one's executor copies
+    * instead of pinning them forever. Eviction is `unpersist` (async),
+    * NOT `destroy`: an overlapping serve of the evicted dataset (parallel
+    * test suites; a lazy frame held across an SF switch) just re-fetches
+    * the broadcast from the driver instead of crashing mid-job, and the
+    * map removal lets the driver copy GC once in-flight references end.
+    * Keys are PREFIXED with the dataset dirKey, so a late insert for an
+    * evicted dataset can never collide with the current one's entries —
+    * it is simply swept on that dataset's next eviction.
     */
-  private def sweepServeCaches(dirKey: String): Unit = synchronized {
-    if (serveCacheOwner.getAndSet(dirKey) != dirKey) {
-      serveEmbCache.values.forEach(_.destroy())
-      serveAdjCache.values.forEach(_.destroy())
-      serveEmbCache.clear(); serveAdjCache.clear()
-    }
+  private def sweepServeCaches(dirKey: String): Unit = {
+    def sweep[T](m: java.util.concurrent.ConcurrentHashMap[
+        String, org.apache.spark.broadcast.Broadcast[T]]): Unit =
+      m.keySet.forEach { k =>
+        if (!k.startsWith(dirKey + "|"))
+          Option(m.remove(k)).foreach(_.unpersist(false))
+      }
+    sweep(serveEmbCache); sweep(serveAdjCache)
   }
 
   private def foldedBeamServe(s: SparkSession, d: String, graphRoot: String,
@@ -586,13 +603,14 @@ object Similarity {
       entryPred: Long => Boolean,
       v0: Option[DataFrame] = None, vecTag: String = "corpus"): DataFrame = {
     import s.implicits._
-    sweepServeCaches(graft.Fixtures.dirKey(d))
+    val dk = graft.Fixtures.dirKey(d)
+    sweepServeCaches(dk)
     val v = v0.getOrElse(vectors(s, d))
-    val embB = serveEmbCache.computeIfAbsent(s"$graphRoot#$vecTag", _ =>
+    val embB = serveEmbCache.computeIfAbsent(s"$dk|$graphRoot#$vecTag", _ =>
       s.sparkContext.broadcast(
         v.select($"vec_id", $"emb").as[(Long, Array[Double])].collect().toMap))
     val adjB = phases.map(_._1).distinct.map { layer =>
-      layer -> serveAdjCache.computeIfAbsent(s"$graphRoot/$layer", _ =>
+      layer -> serveAdjCache.computeIfAbsent(s"$dk|$graphRoot/$layer", _ =>
         s.sparkContext.broadcast(
           s.read.parquet(s"$graphRoot/$layer").select($"src", $"dst")
             .as[(Long, Long)].collect().groupBy(_._1)

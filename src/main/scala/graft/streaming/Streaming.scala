@@ -2068,6 +2068,10 @@ object Streaming {
       val v = Sim.vectors(s, d)
       val src = waveFiles("ivfv:" + d,
         v.withColumn("wave", (col("vec_id") % 5).cast("int")))
+      // frozen centroids derived ONCE before the stream starts — each
+      // micro-batch assigns against this frame instead of re-scanning
+      // the embeddings source per batch
+      val cent = Sim.ivfCentroids(s, d)
       val stream = s.readStream
         .schema(v.schema)
         .option("maxFilesPerTrigger", 1)
@@ -2075,7 +2079,7 @@ object Streaming {
       withFewShufflePartitions(s) {
         val q = stream.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            Sim.ivfAssignSlice(s, d, batch)
+            Sim.ivfAssignSlice(s, cent, batch)
               .write.mode("append").partitionBy("cid").parquet(idxDir)
           }
           .option("checkpointLocation", root.resolve("chk").toString)

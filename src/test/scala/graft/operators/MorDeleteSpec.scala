@@ -58,7 +58,7 @@ class MorDeleteSpec extends AnyFunSuite {
     // read the tree with physical positions; join the sidecar back
     val tree = spark.read.parquet(base)
       .select(
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("file"),
+        PipelineOps.metaFilePath.as("file"),
         col("_metadata.row_index").as("pos"),
         col("l_orderkey").as("tree_key"))
     val joined = del.join(tree, Seq("file", "pos"))
@@ -101,7 +101,7 @@ class MorDeleteSpec extends AnyFunSuite {
       s"${PipelineOps.morDeleteDir(spark, sfDir)}/data_base.txt"))
     val tree = spark.read.parquet(base)
       .select(
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("file"),
+        PipelineOps.metaFilePath.as("file"),
         col("_metadata.row_index").as("pos"),
         col("l_orderkey").as("tree_key"))
     val del2 = spark.read.parquet(s"$root/deletes2")

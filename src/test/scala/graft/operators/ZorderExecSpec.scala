@@ -62,7 +62,7 @@ class ZorderExecSpec extends AnyFunSuite {
     assert(stats.count() == 64L)
     assert(stats.select($"zbkt").distinct().count() == 64L)
     val actual = spark.read.parquet(s"$root/zdata")
-      .select(regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+      .select(PipelineOps.metaFilePath
         .as("file"), $"p", $"sk")
       .groupBy($"file")
       .agg(count(lit(1)).as("n_rows"), min($"p").as("minp"),
@@ -78,7 +78,7 @@ class ZorderExecSpec extends AnyFunSuite {
     val opened = envMatched("zdata_stats")
     val truthFiles = spark.read.parquet(s"$root/zdata")
       .filter($"p".between(pLo, pHi) && $"sk".between(sLo, sHi))
-      .select(regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+      .select(PipelineOps.metaFilePath
         .as("file"))
       .distinct().as[String].collect().toSet
     assert(truthFiles.subsetOf(opened),
