@@ -2057,6 +2057,93 @@ object PipelineOps {
          |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
          |FROM merged GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
+    // ---- EQUALITY DELETE, step 1 ([[eqDeleteDir]]/[[eqMergeDir]]): the
+    // third delete strategy, completing the Iceberg v2 delete taxonomy
+    // beside copy-on-write and position deletes — the delete file carries
+    // ONLY key values + the commit's sequence number, so writing it opens
+    // ZERO data files (no bloom probe, no position scan; the resolution
+    // cost is deferred to readers and, eventually, one compaction). The
+    // readout is both delete files' key manifests bucketed by k % 10; the
+    // oracle recomputes both key sets from raw, so a lost key, a
+    // mis-sequenced file, or batch keys leaking into wave 1 all
+    // hash-mismatch.
+    ("pipeline_eq_delete", (s, d) => {
+      import s.implicits._
+      s.read.parquet(s"${eqDeleteDir(s, d)}/eq_deletes")
+        .unionByName(s.read.parquet(s"${eqMergeDir(s, d)}/eq_deletes"))
+        .groupBy($"seq_del".as("wave"), ($"k" % 10L).as("bucket"))
+        .agg(count(lit(1)).as("n_keys"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"wave", $"bucket")
+    }, Some(
+      s"""WITH w1 AS (
+         |  SELECT o_orderkey AS k, CAST(1 AS BIGINT) AS wave
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_custkey % 271 = 0),
+         |w2 AS (
+         |  SELECT k, CAST(2 AS BIGINT) AS wave FROM (
+         |    SELECT DISTINCT l_orderkey AS k
+         |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |    WHERE o_custkey % 293 = 0
+         |    UNION
+         |    SELECT o_orderkey + $MergeInsertOffset AS k
+         |    FROM orders WHERE o_custkey % 293 = 0)),
+         |alld AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2)
+         |SELECT wave, k % 10 AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  min(k) AS min_k, max(k) AS max_k
+         |FROM alld GROUP BY 1, 2 ORDER BY wave, bucket""".stripMargin)),
+
+    // ---- EQUALITY DELETE, step 2: SERVE ([[eqServeRead]]) — the monthly
+    // report over the ORIGINAL tree with the wave-1 equality delete
+    // anti-joined out at scan time under the sequence rule (seq_del 1 >
+    // seq_data 0, so it applies). Judged by the VERBATIM copy-on-write
+    // oracle: all three delete strategies must converge to the identical
+    // post-delete state.
+    ("pipeline_eq_serve", (s, d) => {
+      import s.implicits._
+      eqServeRead(s, d)
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey % 271 <> 0
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // ---- EQUALITY DELETE, step 3: the composed MERGE serve
+    // ([[eqMergeServe]]) — wave-1 delete (seq 1) + merge batch and its
+    // replacement delete (seq 2) over the untouched seq-0 tree, one
+    // unioned broadcast probe. The SEQUENCE rule is load-bearing here,
+    // not decorative: customer 0's keys are in BOTH delete files, yet the
+    // batch's re-inserted rows for them must survive because no delete is
+    // strictly newer than the batch — a sequence-ignorant reader fails
+    // this oracle (EqDeleteSpec pins the counterfactual). Judged by the
+    // VERBATIM copy-on-write merge oracle.
+    ("pipeline_eq_merge_serve", (s, d) => {
+      import s.implicits._
+      eqMergeServe(s, d)
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      s"""$mergeStateCtes
+         |SELECT ship_month,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM merged GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     // ---- CHANGELOG-DRIVEN MV MAINTENANCE: the consumption side of
     // [[snapshotChangelog]] — the daily rollup is refreshed from snapshot
     // 2's MV to snapshot 4's state by APPLYING the 2→4 changelog as
@@ -2129,6 +2216,96 @@ object PipelineOps {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_custkey % 271 <> 0
         |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // ---- BRANCHES + TAGS ([[branchMetaDir]]): the multi-ref metadata
+    // layer — per-ref state summary served through each CURRENT head's
+    // manifest (main after the cherry-pick → snapshot 7, the audit
+    // branch → its append commit 6, the immutable tag → the compaction
+    // snapshot 1). The oracle recomputes all three epochs from raw
+    // (merge chain + wave-1 state + the branch batch), so a ref pointing
+    // at the wrong snapshot, a branch commit leaking into main, or a
+    // cherry-pick double-applying the batch all hash-mismatch.
+    ("pipeline_snapshot_branch", (s, d) => {
+      import s.implicits._
+      currentRefs(s, d).map { case (ref, tpe, id) =>
+        readBranchSnapshot(s, d, id)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct($"l_orderkey").as("n_orders"),
+            sum($"qty").as("sum_qty"),
+            sum($"net_cents").as("revenue_cents"))
+          .select(lit(ref).as("ref"), lit(tpe).as("ref_type"),
+            lit(id).as("snap_id"), $"n_rows", $"n_orders", $"sum_qty",
+            $"revenue_cents")
+      }.reduce(_ unionByName _).orderBy($"ref")
+    }, Some(
+      s"""$mergeStateCtes,
+         |bb AS (
+         |  SELECT o_orderkey + $BranchBatchOffset AS l_orderkey,
+         |    CAST(2 AS BIGINT) AS qty,
+         |    (o_orderkey % 991) * 100 + 7 AS net_cents
+         |  FROM orders WHERE o_custkey % 499 = 0),
+         |w1s AS (SELECT l_orderkey, qty, net_cents FROM base
+         |        WHERE o_custkey % 271 <> 0),
+         |w2s AS (SELECT l_orderkey, qty, net_cents FROM merged
+         |        WHERE o_custkey % 337 <> 0)
+         |SELECT 'audit' AS ref, 'branch' AS ref_type,
+         |  CAST(6 AS BIGINT) AS snap_id,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM (SELECT * FROM w1s UNION ALL SELECT * FROM bb)
+         |UNION ALL
+         |SELECT 'main', 'branch', CAST(7 AS BIGINT),
+         |  CAST(count(*) AS BIGINT),
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT),
+         |  CAST(sum(qty) AS BIGINT), CAST(sum(net_cents) AS BIGINT)
+         |FROM (SELECT * FROM w2s UNION ALL SELECT * FROM bb)
+         |UNION ALL
+         |SELECT 'v1_compacted', 'tag', CAST(1 AS BIGINT),
+         |  CAST(count(*) AS BIGINT),
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT),
+         |  CAST(sum(qty) AS BIGINT), CAST(sum(net_cents) AS BIGINT)
+         |FROM base
+         |ORDER BY ref""".stripMargin)),
+
+    // ---- CHERRY-PICK serve: the monthly report through main's head
+    // AFTER the pick (snapshot 7 = snapshot 4's manifest + the branch's
+    // batch files RE-LINKED — zero data files written; BranchSpec pins
+    // the manifest algebra and physical sharing). The oracle is the
+    // post-chain state plus the batch, recomputed from raw: a pick that
+    // dropped a file, double-linked the batch, or disturbed 4's
+    // manifest hash-mismatches by month.
+    ("pipeline_cherry_pick", (s, d) => {
+      import s.implicits._
+      val mainId = currentRefs(s, d).collectFirst {
+        case ("main", _, id) => id }.get
+      readBranchSnapshot(s, d, mainId)
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      s"""$mergeStateCtes,
+         |bb AS (
+         |  SELECT o_orderkey + $BranchBatchOffset AS l_orderkey,
+         |    strftime(o_orderdate, '%Y-%m') AS ship_month,
+         |    CAST(2 AS BIGINT) AS qty,
+         |    (o_orderkey % 991) * 100 + 7 AS net_cents
+         |  FROM orders WHERE o_custkey % 499 = 0)
+         |SELECT ship_month,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM (
+         |  SELECT l_orderkey, ship_month, qty, net_cents FROM merged
+         |  WHERE o_custkey % 337 <> 0
+         |  UNION ALL
+         |  SELECT l_orderkey, ship_month, qty, net_cents FROM bb)
+         |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
     // ---- PARTITION EVOLUTION serve ([[partEvoDir]]): a ship-range
     // probe SPANNING the month→week cutover, planned per layout leg —
@@ -4485,6 +4662,121 @@ object PipelineOps {
       .unionByName(s.read.parquet(s"$mg/batch"))
   }
 
+  private val eqDeleteDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** EQUALITY-DELETE write of erase wave 1 — the THIRD delete strategy
+    * beside copy-on-write ([[deleteExecDir]]) and position deletes
+    * ([[morDeleteDir]]), completing the Iceberg v2 delete-file taxonomy:
+    * the delete file carries only the KEY VALUES plus the commit's
+    * sequence number. Resolving keys to files or row positions is
+    * deferred entirely to readers, so the delete itself opens ZERO data
+    * files — no bloom probe, no `_metadata.row_index` scan (contrast
+    * [[morDeleteDir]] step 2, which must read every matched file). Cost
+    * at delete time = |keys| of write: the cheapest DELETE a 100 TB
+    * table can buy, paid back with a per-row broadcast key probe at
+    * every scan until a compaction folds the file in (at which point the
+    * deferred probe cost — find the affected files — is finally paid,
+    * once). Data files written before the delete carry sequence 0; this
+    * delete commits at sequence 1 and applies to strictly older data
+    * only ([[eqApply]]). EqDeleteSpec pins the zero-read layout (the
+    * delete file's schema has no file/position column at all — it
+    * CANNOT have touched the tree), key-set exactness, and serve ≡ the
+    * copy-on-write result row-for-row.
+    */
+  private[operators] def eqDeleteDir(s: SparkSession, d: String): String =
+    eqDeleteDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val root = graft.Fixtures.tempDir("graft_eqdel")
+      eraseOrderKeys(s, d).select($"k", lit(1L).as("seq_del"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("eq_deletes").toString)
+      java.nio.file.Files.writeString(root.resolve("data_base.txt"),
+        normPath(bloomIdxDataDir(s, d)))
+      root.toString
+    })
+
+  private val eqMergeDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Equality-delete MERGE wave on top of [[eqDeleteDir]]: the same
+    * insert-or-replace batch as [[mergeExecDir]]/[[morMergeDir]], done
+    * the equality way — the replaced keys become a SECOND equality-delete
+    * file at sequence 2 (again zero data files opened: the keys come
+    * from the batch itself) and the batch lands as plain appended files
+    * carrying sequence 2. The sequence numbers are what make the
+    * composition correct: wave 1's delete (seq 1) and the merge's own
+    * delete (seq 2) both apply to the original tree (seq 0) but NEITHER
+    * applies to the batch files (seq 2 — Iceberg's strictly-older rule),
+    * so rows the batch re-inserts for wave-1-erased keys (customer 0 is
+    * in both waves) survive. A sequence-ignorant reader would wrongly
+    * kill them — EqDeleteSpec pins exactly that failure as the
+    * counterfactual.
+    */
+  private[operators] def eqMergeDir(s: SparkSession, d: String): String =
+    eqMergeDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val root = graft.Fixtures.tempDir("graft_eqmerge")
+      val batch = mergeUpsertRows(s, d)
+      batch.select($"l_orderkey".as("k")).distinct()
+        .select($"k", lit(2L).as("seq_del"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("eq_deletes").toString)
+      batch.write.mode("overwrite").partitionBy("ship_month")
+        .parquet(root.resolve("batch").toString)
+      root.toString
+    })
+
+  /** Apply equality deletes under Iceberg's sequence rule: a delete
+    * committed at sequence s kills a key's rows only in data files with
+    * sequence < s. One broadcast LEFT ANTI hash join — equi-key on
+    * l_orderkey with the `seq_del > seq_data` residual — so the fact
+    * side never shuffles and files newer than every delete pass the
+    * probe untouched. At 100 TB the delete files are |deleted keys|, a
+    * normal broadcast (smaller than a position sidecar, which is
+    * |deleted rows| × (path, pos)).
+    */
+  private[operators] def eqApply(data: DataFrame, dels: DataFrame): DataFrame =
+    data.join(broadcast(dels),
+      data("l_orderkey") === dels("k") && dels("seq_del") > data("seq_data"),
+      "left_anti")
+
+  /** Scan of the [[eqDeleteDir]] snapshot: original tree (sequence 0)
+    * minus the wave-1 equality delete, applied at read time. Equals the
+    * copy-on-write delete state row-for-row (EqDeleteSpec pins it); the
+    * serving oracle is pipeline_delete_exec's VERBATIM oracle.
+    */
+  private[operators] def eqServeRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = eqDeleteDir(s, d)
+    val base = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/data_base.txt"))
+    eqApply(s.read.parquet(base).withColumn("seq_data", lit(0L)),
+        s.read.parquet(s"$root/eq_deletes"))
+      .drop("seq_data")
+  }
+
+  /** Scan of the composed equality-delete snapshot (wave-1 delete at
+    * seq 1, merge batch + its replacement delete at seq 2): both delete
+    * files union into ONE broadcast probe, both data legs carry their
+    * file sequence, and [[eqApply]]'s strictly-older rule sorts out who
+    * kills whom. Equals the copy-on-write merge state row-for-row;
+    * judged by [[mergeExecDir]]'s VERBATIM mergeStateCtes oracle.
+    */
+  private[operators] def eqMergeServe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w1 = eqDeleteDir(s, d)
+    val mg = eqMergeDir(s, d)
+    val base = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$w1/data_base.txt"))
+    val dels = s.read.parquet(s"$w1/eq_deletes")
+      .unionByName(s.read.parquet(s"$mg/eq_deletes"))
+    val legs = s.read.parquet(base).withColumn("seq_data", lit(0L))
+      .unionByName(
+        s.read.parquet(s"$mg/batch").withColumn("seq_data", lit(2L)))
+    eqApply(legs, dels).drop("seq_data")
+  }
+
   private val mergeExecDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -5037,6 +5329,129 @@ object PipelineOps {
         .write.mode("overwrite").parquet(root.resolve("manifests").toString)
       root.toString
     })
+
+  // Key offset for the branch append batch: disjoint from every real
+  // orderkey AND from the merge wave's synthetic inserts
+  // (MergeInsertOffset = 10^12; ScaleUp replicas shift real keys by
+  // r·10^7, so 2·10^12 stays clear of both at any rehearsed scale).
+  private[operators] val BranchBatchOffset = 2000000000000L
+
+  /** The branch's append batch — synthetic rows keyed
+    * o_orderkey + [[BranchBatchOffset]] for orders of every 499th
+    * customer (nonempty at every SF: customer 0 qualifies), landing in
+    * the order date's month. Derived deterministically from raw so
+    * DuckDB recomputes every ref's state exactly.
+    */
+  private[operators] def branchBatchRows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d).filter($"o_custkey" % 499 === 0)
+      .select(
+        ($"o_orderkey" + BranchBatchOffset).as("l_orderkey"),
+        ($"o_orderkey" % 200000L + 1L).as("l_partkey"),
+        lit(2L).as("qty"),
+        (($"o_orderkey" % 991L) * 100L + 7L).as("net_cents"),
+        to_date($"o_orderdate").as("ship_day"),
+        date_format($"o_orderdate", "yyyy-MM").as("ship_month"))
+  }
+
+  private val branchMetaDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** BRANCHES, TAGS and CHERRY-PICK over the snapshot lineage — the
+    * multi-ref metadata layer (Iceberg refs / `cherrypick_snapshot`)
+    * that turns the single `current` pointer into named, independently
+    * movable heads:
+    *
+    *  - refs start as main → 4 (the chain tip), tag `v1_compacted` → 1
+    *    (immutable label on the compaction snapshot), and a new `audit`
+    *    branch cut at snapshot 2 (the wave-1 delete state);
+    *  - the audit branch COMMITS an append wave: snapshot 6 (op
+    *    `branch_append`, parent 2) whose manifest is snapshot 2's file
+    *    list plus the batch's files. main is untouched — branch
+    *    isolation is just manifest algebra;
+    *  - main CHERRY-PICKS the branch commit: snapshot 7 (op
+    *    `cherry_pick`, parent 4) re-links the SAME physical batch files
+    *    onto main's manifest — a pure metadata commit (an append
+    *    transfers cleanly; nothing it touched conflicts with 2→4), zero
+    *    data files written or copied. main moves 4 → 7.
+    *
+    * Manifests here carry (snap_id, file, base): the per-file discovery
+    * base is the moral equivalent of the partition tuple an Iceberg
+    * manifest stores per file — it is what lets one snapshot span files
+    * from two physical roots (the inherited tree + the branch's
+    * appends). The `refs_log` table records every ref movement
+    * (step-ordered), so the readout and BranchSpec can audit WHO moved
+    * WHEN; history snapshots 0-4 are copied verbatim, never rewritten.
+    */
+  private[operators] def branchMetaDir(s: SparkSession, d: String): String =
+    branchMetaDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val meta = snapshotMetaDir(s, d)
+      val root = graft.Fixtures.tempDir("graft_branch")
+      val bfDir = root.resolve("branch_files").toString
+      branchBatchRows(s, d).write.mode("overwrite").partitionBy("ship_month")
+        .parquet(bfDir)
+      val batchFiles = s.read.parquet(bfDir).inputFiles.map(normPath).toSeq
+      val baseSnaps = s.read.parquet(s"$meta/snapshots")
+      val mans0 = s.read.parquet(s"$meta/manifests")
+        .join(baseSnaps.select($"snap_id", $"base"), Seq("snap_id"))
+        .select($"snap_id", $"file", $"base")
+      def inherited(from: Long, as: Long) = mans0
+        .filter($"snap_id" === from)
+        .select(lit(as).as("snap_id"), $"file", $"base")
+      def batchLeg(as: Long) = batchFiles.toDF("file")
+        .select(lit(as).as("snap_id"), $"file", lit(bfDir).as("base"))
+      mans0
+        .unionByName(inherited(2L, 6L)).unionByName(batchLeg(6L))
+        .unionByName(inherited(4L, 7L)).unionByName(batchLeg(7L))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("manifests").toString)
+      baseSnaps.select($"snap_id", $"op", $"parent_id")
+        .unionByName(Seq((6L, "branch_append", 2L), (7L, "cherry_pick", 4L))
+          .toDF("snap_id", "op", "parent_id"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
+      Seq(
+        (0L, "main", "branch", 4L),
+        (0L, "v1_compacted", "tag", 1L),
+        (0L, "audit", "branch", 2L),
+        (1L, "audit", "branch", 6L),
+        (2L, "main", "branch", 7L))
+        .toDF("step", "ref", "ref_type", "snap_id").coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("refs_log").toString)
+      root.toString
+    })
+
+  /** Current (ref → ref_type, snap_id) heads: the latest refs_log row
+    * per ref. Metadata-scale — a handful of rows.
+    */
+  private[operators] def currentRefs(
+      s: SparkSession, d: String): Seq[(String, String, Long)] = {
+    import s.implicits._
+    s.read.parquet(s"${branchMetaDir(s, d)}/refs_log")
+      .as[(Long, String, String, Long)].collect()
+      .groupBy(_._2).values.map(_.maxBy(_._1))
+      .map(r => (r._2, r._3, r._4)).toSeq.sortBy(_._1)
+  }
+
+  /** Manifest-addressed read of one snapshot of the BRANCHED metadata:
+    * files group by their per-file discovery base (a snapshot may span
+    * the inherited tree and the branch's append root) and the legs
+    * union. Planning is metadata-scale, same as [[readSnapshot]].
+    */
+  private[operators] def readBranchSnapshot(
+      s: SparkSession, d: String, id: Long): DataFrame = {
+    import s.implicits._
+    val root = branchMetaDir(s, d)
+    val man = s.read.parquet(s"$root/manifests")
+      .filter($"snap_id" === id)
+      .select($"base", $"file").as[(String, String)].collect()
+    man.groupBy(_._1).map { case (base, fs) =>
+      readMatchedFiles(s, normPath(base), fs.map(_._2).toSeq)
+        .select($"l_orderkey", $"l_partkey", $"qty", $"net_cents",
+          $"ship_day", $"ship_month")
+    }.reduce(_ unionByName _)
+  }
 
   /** CHANGELOG EMISSION between two persisted snapshots (the Delta CDF /
     * Iceberg changelog-scan shape, SURVEY §7.7's streaming-CDC north
