@@ -4433,7 +4433,7 @@ object PipelineOps {
     * their order keys — shared by the planner, the executor and the
     * post-delete serving queries so all three speak about the same purge.
     */
-  private[operators] def eraseOrderKeys(s: SparkSession, d: String): DataFrame = {
+  private[graft] def eraseOrderKeys(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val erased = Tables.customer(s, d).filter($"c_custkey" % 271 === 0)
       .select($"c_custkey")
@@ -4746,15 +4746,21 @@ object PipelineOps {
     * copy-on-write delete state row-for-row (EqDeleteSpec pins it); the
     * serving oracle is pipeline_delete_exec's VERBATIM oracle.
     */
-  private[operators] def eqServeRead(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val root = eqDeleteDir(s, d)
-    val base = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$root/data_base.txt"))
-    eqApply(s.read.parquet(base).withColumn("seq_data", lit(0L)),
-        s.read.parquet(s"$root/eq_deletes"))
+  private[operators] def eqServeRead(s: SparkSession, d: String): DataFrame =
+    eqServeFromDir(s, d, s"${eqDeleteDir(s, d)}/eq_deletes")
+
+  /** Serve the ORIGINAL (sequence-0) tree through an arbitrary
+    * equality-delete dir — the one serve plan shared by the batch path
+    * ([[eqServeRead]]) and the streaming ingest contract
+    * (stream_eqdel_replay), so the two cannot drift.
+    */
+  private[graft] def eqServeFromDir(
+      s: SparkSession, d: String, delDir: String): DataFrame =
+    eqApply(
+      s.read.parquet(normPath(bloomIdxDataDir(s, d)))
+        .withColumn("seq_data", lit(0L)),
+      s.read.parquet(delDir))
       .drop("seq_data")
-  }
 
   /** Scan of the composed equality-delete snapshot (wave-1 delete at
     * seq 1, merge batch + its replacement delete at seq 2): both delete

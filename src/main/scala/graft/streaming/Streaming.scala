@@ -2099,6 +2099,69 @@ object Streaming {
     s"${ivfStreamDirCache.get(graft.Fixtures.dirKey(d))}/index"
   }
 
+  private val eqdelStreamDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING EQUALITY-DELETE INGEST — the twenty-first replay contract,
+    * and the streaming half of the equality-delete story (the GDPR shape:
+    * erasure REQUESTS arrive continuously; each commit appends an
+    * equality-delete file of keys + its sequence number and readers see
+    * the deletes immediately — no data file is ever read or rewritten on
+    * the ingest path, the defining property of the strategy): erase wave
+    * 1's order keys arrive in five key-hashed waves through a file
+    * source, and a `foreachBatch` writer appends each micro-batch as its
+    * OWN delete file at sequence batchId + 1 (every commit strictly newer
+    * than the sequence-0 tree, so all apply; deletes over a static base
+    * commute, which is what makes the key-hash wave split arbitrary by
+    * design). The judged readout is the batch equality serve VERBATIM
+    * ([[graft.operators.PipelineOps.eqServeFromDir]] — one shared plan)
+    * over the STREAMED delete set, hash-checked by pipeline_eq_serve's
+    * copy-on-write oracle: a dropped wave under-deletes, a double-applied
+    * wave is harmless by idempotence but StreamingSpec pins the streamed
+    * key multiset ≡ the batch delete file exactly (exactly-once), plus
+    * one delete file per commit.
+    */
+  def eqdelReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val P = graft.operators.PipelineOps
+    val root0 = eqdelStreamDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      val root = graft.Fixtures.tempDir("graft_eqdelstream")
+      val delDir = root.resolve("eq_deletes").toString
+      val keys = P.eraseOrderKeys(s, d)
+      val src = waveFiles("eqdel:" + d,
+        keys.withColumn("wave", pmod(xxhash64(col("k")), lit(5L)).cast("int")))
+      val stream = s.readStream
+        .schema(keys.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+      withFewShufflePartitions(s) {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.select(col("k"), (lit(id) + 1L).as("seq_del"))
+              .coalesce(1).write.mode("append").parquet(delDir)
+          }
+          .option("checkpointLocation", root.resolve("chk").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      root.toString
+    })
+    P.eqServeFromDir(s, d, s"$root0/eq_deletes")
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("net_cents")).as("revenue_cents"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** Streamed equality-delete dir for StreamingSpec's exactly-once pin
+    * (runs the contract first so the once-per-JVM ingest happened).
+    */
+  private[graft] def eqdelStreamDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    eqdelReplayContract(s, d).count()
+    s"${eqdelStreamDirCache.get(graft.Fixtures.dirKey(d))}/eq_deletes"
+  }
+
   private val cdfStreamDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2278,6 +2341,7 @@ object Streaming {
     "stream_bloom_replay" -> ((s, d) => bloomReplayContract(s, d)),
     "stream_ivf_replay" -> ((s, d) => ivfReplayContract(s, d)),
     "stream_cdf_replay" -> ((s, d) => cdfReplayContract(s, d)),
+    "stream_eqdel_replay" -> ((s, d) => eqdelReplayContract(s, d)),
     "stream_semantic_replay" -> ((s, d) => semanticReplayContract(s, d)))
 
   /** Batch-equivalent oracle for the replay: quality gate, then min-id
@@ -2320,6 +2384,10 @@ object Streaming {
       // the CDF-maintained rollup must equal the engine's own
       // thrice-refreshed MV of the same epoch — share its oracle verbatim
       "stream_cdf_replay" -> graft.operators.PipelineOps.oracleSql("pipeline_delete_mv2"),
+      // the streamed equality-delete set must serve EXACTLY the batch
+      // equality serve's state — share pipeline_eq_serve's copy-on-write
+      // oracle verbatim (all delete strategies converge to one state)
+      "stream_eqdel_replay" -> graft.operators.PipelineOps.oracleSql("pipeline_eq_serve"),
       // the late-data contract's emitted windows must equal the batch
       // aggregate over the ON-TIME rows only: same q21 aggregate text, the
       // planted-late predicate (event_id % 17 in the first six waves)

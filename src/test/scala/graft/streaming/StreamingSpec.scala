@@ -971,4 +971,26 @@ class StreamingSpec extends AnyFunSuite {
       "streaming CDF consumer diverges from the batch apply")
     assert(streamed.count() > 0L)
   }
+
+  test("streamed equality-delete ingest is exactly-once and serves the batch state") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val P = graft.operators.PipelineOps
+    val delDir = Streaming.eqdelStreamDir(spark, d)
+    val streamedDels = spark.read.parquet(delDir)
+    // exactly-once: the streamed key multiset ≡ the erase key set (each
+    // key arrived in exactly one wave, each wave committed exactly once)
+    val got = streamedDels.select($"k").as[Long].collect().sorted
+    val want = P.eraseOrderKeys(spark, d).as[Long].collect().sorted
+    assert(got.sameElements(want), "streamed delete keys drifted from the erase set")
+    // one delete file per commit, each strictly newer than the seq-0 tree
+    val seqs = streamedDels.select($"seq_del").distinct().as[Long].collect()
+    assert(seqs.length >= 2, s"single commit — the wave split never exercised: ${seqs.toSeq}")
+    assert(seqs.forall(_ >= 1L))
+    // and the serve through the streamed set equals the batch serve
+    val streamed = Streaming.queries("stream_eqdel_replay")(spark, d)
+    val batch = P.queries("pipeline_eq_serve")(spark, d)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed equality serve diverges from the batch serve")
+  }
 }
