@@ -2144,6 +2144,35 @@ object PipelineOps {
          |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
          |FROM merged GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
+    // ---- OPTIMISTIC CONCURRENCY serve ([[concurrentCommitDir]]): the
+    // monthly report through the tip AFTER the race — writer B's delete
+    // committed first, writer A detected the file-level conflict (its
+    // staged plan rewrote files B's commit removed), discarded its
+    // staging and rebased against B's tip. Deletes of fixed key sets
+    // commute, so the converged state is order-independent
+    // (ConcurrencySpec pins B∘A ≡ A∘B row-for-row); the oracle
+    // recomputes it from raw — a lost rebase (A's delete silently
+    // dropped), a double-applied wave, or a stale-staging commit (files
+    // carrying B's deleted rows back in) all hash-mismatch.
+    ("pipeline_concurrent_commit", (s, d) => {
+      import s.implicits._
+      val tip = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        s"${concurrentCommitDir(s, d)}/tip.txt"))
+      s.read.parquet(s"$tip/data")
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey % 383 <> 0 AND o_custkey % 389 <> 0
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     // ---- CHANGELOG-DRIVEN MV MAINTENANCE: the consumption side of
     // [[snapshotChangelog]] — the daily rollup is refreshed from snapshot
     // 2's MV to snapshot 4's state by APPLYING the 2→4 changelog as
@@ -4587,6 +4616,7 @@ object PipelineOps {
         .withColumn("pos", col("_metadata.row_index"))
         .join(broadcast(del), Seq("file", "pos"), "left_anti")
         .drop("file", "pos")
+        .repartition(col("ship_month")) // file-size targeting, see applyMutation step 3
         .write.mode("append").partitionBy("ship_month")
         .parquet(newData.toString)
       root.toString
@@ -4632,7 +4662,8 @@ object PipelineOps {
         .join(broadcast(keys), $"l_orderkey" === $"k", "left_semi")
         .coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("deletes2").toString)
-      batch.write.mode("overwrite").partitionBy("ship_month")
+      batch.repartition(col("ship_month")) // file-size targeting, see applyMutation step 3
+        .write.mode("overwrite").partitionBy("ship_month")
         .parquet(root.resolve("batch").toString)
       root.toString
     })
@@ -4722,7 +4753,8 @@ object PipelineOps {
         .select($"k", lit(2L).as("seq_del"))
         .coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("eq_deletes").toString)
-      batch.write.mode("overwrite").partitionBy("ship_month")
+      batch.repartition(col("ship_month")) // file-size targeting, see applyMutation step 3
+        .write.mode("overwrite").partitionBy("ship_month")
         .parquet(root.resolve("batch").toString)
       root.toString
     })
@@ -4782,6 +4814,93 @@ object PipelineOps {
         s.read.parquet(s"$mg/batch").withColumn("seq_data", lit(2L)))
     eqApply(legs, dels).drop("seq_data")
   }
+
+  private val concurrentCommitDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** OPTIMISTIC CONCURRENCY CONTROL — two writers race a commit from the
+    * SAME base snapshot, the loser detects the conflict and REBASES (the
+    * Iceberg/Delta commit protocol: validate that the files your plan
+    * touches still exist at the current tip; if a concurrent commit
+    * rewrote any of them your staged work is stale — retry against the
+    * new tip). Deterministic serialization of the race:
+    *
+    *  1. writer A PLANS a delete (customers % 383) against tip T0:
+    *     bloom-probe, STAGE the rewritten files (the optimistic work a
+    *     real writer pays before validation);
+    *  2. writer B commits its own delete (customers % 389) first —
+    *     tip moves T0 → T1 via the standard mutation engine;
+    *  3. A's commit attempt VALIDATES: its base (T0) is no longer the
+    *     tip, and the files its plan rewrites intersect the files B's
+    *     commit removed (customer 0 is in both key sets, so its files
+    *     conflict at every SF) — a file-level TRUE conflict, not just a
+    *     tip bump (a disjoint-file tip bump fast-forwards: that
+    *     metadata-only publish is exactly [[wapDir]]'s pointer flip, so
+    *     OCC here exercises only the interesting path);
+    *  4. A discards its ENTIRE staging (recorded, then unlinked — the
+    *     WAP-abandon shape) and REBASES: re-plans the same logical
+    *     delete against T1 through T1's RECONCILED index, commits → T2.
+    *
+    * The final state is delete(A) ∘ delete(B) regardless of commit
+    * order (deletes of fixed key sets commute); the serving oracle
+    * recomputes it from raw, and ConcurrencySpec pins the conflict was
+    * real (overlap nonempty), the staging was written then discarded,
+    * the rebase planned through T1's index (not T0's), and
+    * order-independence (B-then-A ≡ A-then-B row-for-row). At 100 TB
+    * this is the protocol that lets hundreds of writers share a table:
+    * validation is a manifest diff (metadata-scale), and only true
+    * file overlaps pay the replan.
+    */
+  private[operators] def concurrentCommitDir(s: SparkSession, d: String): String =
+    concurrentCommitDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val root = graft.Fixtures.tempDir("graft_occ")
+      val baseData = normPath(bloomIdxDataDir(s, d))
+      val baseIdx = s"${bloomIdxDir(s, d)}/index"
+      val baseMv = normPath(mvRollupDir(s, d))
+      def keysOf(m: Int) = Tables.orders(s, d)
+        .join(Tables.customer(s, d).filter($"c_custkey" % m === 0)
+          .select($"c_custkey"), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey".as("k"))
+      val kA = keysOf(383)
+      val kB = keysOf(389)
+      // 1. writer A plans + stages against T0
+      val (matchedA0, _) = matchedFilesInIndex(s, baseIdx, kA)
+      val stagedA = root.resolve("stagedA")
+      readMatchedFiles(s, baseData, matchedA0.toSeq)
+        .join(broadcast(kA), col("l_orderkey") === $"k", "left_anti")
+        .write.mode("overwrite").partitionBy("ship_month")
+        .parquet(stagedA.toString)
+      val nStaged = s.read.parquet(stagedA.toString).inputFiles.length
+      // 2. writer B commits first: T0 → T1
+      val t1 = applyMutation(s, "graft_occ_b", baseData, baseIdx, baseMv, kB)
+      // 3. A validates: manifest diff on relative path — files of T0 that
+      // did not carry into T1 are the ones B rewrote away
+      val t0Path = java.nio.file.Paths.get(baseData)
+      val t1Rel = s.read.parquet(s"$t1/data").inputFiles.map(normPath)
+        .map(f => java.nio.file.Paths.get(s"$t1/data").relativize(
+          java.nio.file.Paths.get(f)).toString).toSet
+      val removedByB = s.read.parquet(baseData).inputFiles.map(normPath)
+        .filter(f => !t1Rel.contains(
+          t0Path.relativize(java.nio.file.Paths.get(f)).toString)).toSet
+      val conflict = matchedA0.map(normPath).toSet intersect removedByB
+      require(conflict.nonEmpty,
+        "degenerate OCC fixture: the race produced no file conflict")
+      // 4. discard the stale staging wholesale, rebase against T1
+      graft.Fixtures.deleteRecursively(stagedA)
+      val t2 = applyMutation(s, "graft_occ_a",
+        s"$t1/data", s"$t1/index", s"$t1/mv", kA)
+      Seq(
+        (0L, "B", "T0", "committed", 0L, 0L, "T1"),
+        (1L, "A", "T0", "conflict", conflict.size.toLong, nStaged.toLong, ""),
+        (2L, "A", "T1", "committed", 0L, 0L, "T2"))
+        .toDF("step", "writer", "base_tip", "outcome",
+          "n_conflict_files", "n_staged_discarded", "new_tip")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("commit_log").toString)
+      java.nio.file.Files.writeString(root.resolve("tip.txt"), t2)
+      root.toString
+    })
 
   private val mergeExecDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -4925,10 +5044,20 @@ object PipelineOps {
       }.toSet
 
     // 3. rewrite matched files minus the keyed rows, plus the upsert batch
-    // (append never touches the linked files; month dirs may mix both)
+    // (append never touches the linked files; month dirs may mix both).
+    // The month-repartition before the append is the writer's file-size
+    // targeting: without it every task writes its own sliver into every
+    // month it touches (32 tasks × ~84 months ⇒ a merge wave ballooned
+    // the 100× manifest 367 → 5 701 files, and every manifest-addressed
+    // read of that snapshot paid ~13-19 s of per-file open overhead —
+    // measured, graft.operators.TimeBranch); with it each month lands as
+    // ONE file and the same reads are ~1-2 s. One extra shuffle of
+    // |matched| + |batch| rows — the mutation's own working set, never
+    // the table.
     val rewritten = readMatchedFiles(s, oldData.toString, matched.toSeq)
       .join(keys, $"l_orderkey" === $"k", "left_anti")
     upsert.fold(rewritten)(b => rewritten.unionByName(b))
+      .repartition(col("ship_month"))
       .write.mode("append").partitionBy("ship_month").parquet(newData.toString)
 
     // 4. index reconciliation: remap retained rows, fresh rows for the
@@ -5395,7 +5524,9 @@ object PipelineOps {
       val meta = snapshotMetaDir(s, d)
       val root = graft.Fixtures.tempDir("graft_branch")
       val bfDir = root.resolve("branch_files").toString
-      branchBatchRows(s, d).write.mode("overwrite").partitionBy("ship_month")
+      branchBatchRows(s, d)
+        .repartition(col("ship_month")) // file-size targeting, see applyMutation step 3
+        .write.mode("overwrite").partitionBy("ship_month")
         .parquet(bfDir)
       val batchFiles = s.read.parquet(bfDir).inputFiles.map(normPath).toSeq
       val baseSnaps = s.read.parquet(s"$meta/snapshots")
