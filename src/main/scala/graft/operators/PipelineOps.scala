@@ -4805,8 +4805,11 @@ object PipelineOps {
     import s.implicits._
     val w1 = eqDeleteDir(s, d)
     val mg = eqMergeDir(s, d)
-    val base = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$w1/data_base.txt"))
+    // ONE resolution of the sequence-0 tree for every equality serve
+    // (shared with [[eqServeFromDir]]); the data_base.txt pointer the
+    // delete write records is pinned against this path by EqDeleteSpec,
+    // not used as a second source of truth here
+    val base = normPath(bloomIdxDataDir(s, d))
     val dels = s.read.parquet(s"$w1/eq_deletes")
       .unionByName(s.read.parquet(s"$mg/eq_deletes"))
     val legs = s.read.parquet(base).withColumn("seq_data", lit(0L))
@@ -4869,6 +4872,7 @@ object PipelineOps {
       val stagedA = root.resolve("stagedA")
       readMatchedFiles(s, baseData, matchedA0.toSeq)
         .join(broadcast(kA), col("l_orderkey") === $"k", "left_anti")
+        .repartition(col("ship_month")) // file-size targeting, see applyMutation step 3
         .write.mode("overwrite").partitionBy("ship_month")
         .parquet(stagedA.toString)
       val nStaged = s.read.parquet(stagedA.toString).inputFiles.length
@@ -5238,7 +5242,7 @@ object PipelineOps {
     * files of snapshot k+1 (DiagnosticsSpec pins exactly that). At 100 TB
     * both tables are metadata-scale: one row per snapshot / per file.
     */
-  private[operators] def snapshotMetaDir(s: SparkSession, d: String): String =
+  private[graft] def snapshotMetaDir(s: SparkSession, d: String): String =
     snapshotMetaDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
       import s.implicits._
       val snaps = Seq(
@@ -5518,7 +5522,7 @@ object PipelineOps {
     * (step-ordered), so the readout and BranchSpec can audit WHO moved
     * WHEN; history snapshots 0-4 are copied verbatim, never rewritten.
     */
-  private[operators] def branchMetaDir(s: SparkSession, d: String): String =
+  private[graft] def branchMetaDir(s: SparkSession, d: String): String =
     branchMetaDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
       import s.implicits._
       val meta = snapshotMetaDir(s, d)
@@ -5576,7 +5580,7 @@ object PipelineOps {
     * the inherited tree and the branch's append root) and the legs
     * union. Planning is metadata-scale, same as [[readSnapshot]].
     */
-  private[operators] def readBranchSnapshot(
+  private[graft] def readBranchSnapshot(
       s: SparkSession, d: String, id: Long): DataFrame = {
     import s.implicits._
     val root = branchMetaDir(s, d)
@@ -5667,7 +5671,7 @@ object PipelineOps {
     * collects (one snapshot row; one row per file of ONE snapshot), the
     * same planning I/O an Iceberg reader pays to pin a snapshot.
     */
-  private[operators] def readSnapshot(
+  private[graft] def readSnapshot(
       s: SparkSession, d: String, id: Long): DataFrame = {
     import s.implicits._
     val meta = snapshotMetaDir(s, d)

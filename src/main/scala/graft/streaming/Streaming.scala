@@ -2122,6 +2122,20 @@ object Streaming {
     * one delete file per commit.
     */
   def eqdelReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val P = graft.operators.PipelineOps
+    P.eqServeFromDir(s, d, eqdelStreamDir(s, d))
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("net_cents")).as("revenue_cents"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** Streamed equality-delete dir — runs the once-per-JVM ingest on first
+    * call (a cache lookup afterwards), shared by the serving contract and
+    * StreamingSpec's exactly-once pin.
+    */
+  private[graft] def eqdelStreamDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
     import org.apache.spark.sql.DataFrame
     val P = graft.operators.PipelineOps
     val root0 = eqdelStreamDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
@@ -2146,20 +2160,7 @@ object Streaming {
       }
       root.toString
     })
-    P.eqServeFromDir(s, d, s"$root0/eq_deletes")
-      .groupBy(col("ship_month"))
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        sum(col("net_cents")).as("revenue_cents"))
-      .orderBy(col("ship_month"))
-  }
-
-  /** Streamed equality-delete dir for StreamingSpec's exactly-once pin
-    * (runs the contract first so the once-per-JVM ingest happened).
-    */
-  private[graft] def eqdelStreamDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    eqdelReplayContract(s, d).count()
-    s"${eqdelStreamDirCache.get(graft.Fixtures.dirKey(d))}/eq_deletes"
+    s"$root0/eq_deletes"
   }
 
   private val cdfStreamDirCache =

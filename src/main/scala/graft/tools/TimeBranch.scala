@@ -1,4 +1,4 @@
-package graft.operators
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
@@ -13,7 +13,7 @@ object TimeBranch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = args.headOption.getOrElse("/tmp/graft_sf10")
-    val P = PipelineOps
+    val P = graft.operators.PipelineOps
     def t[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[tb] $tag: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r

@@ -74,6 +74,23 @@ class BranchSpec extends AnyFunSuite {
     }
   }
 
+  test("the lineage records the branch commit and the pick with true parents") {
+    import spark.implicits._
+    val root = PipelineOps.branchMetaDir(spark, sfDir)
+    val meta = PipelineOps.snapshotMetaDir(spark, sfDir)
+    val snaps = spark.read.parquet(s"$root/snapshots")
+      .select($"snap_id", $"op", $"parent_id")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val base = spark.read.parquet(s"$meta/snapshots")
+      .select($"snap_id", $"op", $"parent_id")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // history rows verbatim, then: the branch commit hangs off snapshot 2,
+    // the cherry-pick off main's old head 4 — the lineage an auditor reads
+    assert(snaps.take(base.length).toSeq == base.toSeq)
+    assert(snaps.drop(base.length).toSeq ==
+      Seq((6L, "branch_append", 2L), (7L, "cherry_pick", 4L)))
+  }
+
   test("refs move correctly; the tag is immutable; main moves only at the pick") {
     import spark.implicits._
     val root = PipelineOps.branchMetaDir(spark, sfDir)
