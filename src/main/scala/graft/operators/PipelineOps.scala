@@ -5070,9 +5070,14 @@ object PipelineOps {
     val newDataStr = normPath(newData.toString)
     val newFiles = s.read.parquet(newData.toString).inputFiles
       .map(normPath).filterNot(retainedDst.contains).toSeq
+    // anti-join against a one-column frame instead of an isin literal
+    // list: matched can be thousands of paths (a wave that touches every
+    // month rewrites most of the tree), and a thousands-literal predicate
+    // bloats the plan where a broadcast anti-join stays flat
     val retainedIdxPre = s.read.parquet(srcIdxPath)
       .withColumn("file", regexp_replace($"file", "^file:/+", "/"))
-      .filter(!$"file".isin(matched.map(normPath).toSeq: _*))
+      .join(broadcast(matched.map(normPath).toSeq.toDF("mfile")),
+        $"file" === $"mfile", "left_anti")
     // Loud guard for the substr remap below: it assumes every retained
     // sidecar path sits under the normalized source tree. A row recorded
     // under a different normalization (symlinked temp dirs, scheme
