@@ -120,4 +120,29 @@ class EqDeleteSpec extends AnyFunSuite {
     assert(lost.join(broadcast(doubleWave),
       lost("l_orderkey") === doubleWave("k"), "left_semi").count() > 0L)
   }
+
+  test("eqApply matches an in-memory reference model across random inputs") {
+    import spark.implicits._
+    // seeded randoms over the full input space: keys hit/miss, sequence
+    // equal/older/newer, duplicate keys across delete files, rows sharing
+    // a key at different data sequences — the same model-testing approach
+    // MutationModelSpec uses for the CoW engine
+    for (seed <- Seq(7L, 41L, 1999L)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 400).map { i =>
+        (rnd.nextInt(40).toLong, i.toLong, rnd.nextInt(3).toLong) }
+      val dels = (0 until 60).map { _ =>
+        (rnd.nextInt(50).toLong, (rnd.nextInt(3) + 1).toLong) }
+      val data = rows.toDF("l_orderkey", "payload", "seq_data")
+      val delDf = dels.toDF("k", "seq_del")
+      val got = PipelineOps.eqApply(data, delDf)
+        .select($"l_orderkey", $"payload", $"seq_data")
+        .as[(Long, Long, Long)].collect().sorted
+      val want = rows.filterNot { case (key, _, sd) =>
+        dels.exists { case (k, s) => k == key && s > sd } }
+        .sorted
+      assert(got.toSeq == want.toSeq, s"seed $seed diverged from the model")
+      assert(want.nonEmpty && want.size < rows.size, s"seed $seed degenerate")
+    }
+  }
 }
