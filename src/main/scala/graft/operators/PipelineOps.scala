@@ -4458,17 +4458,26 @@ object PipelineOps {
   private[graft] def metaFilePath: org.apache.spark.sql.Column =
     regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
 
+  /** Order keys of every `m`-th customer (column `k`) — THE definition of
+    * a customer-modulus erase/conflict wave, shared by every mutation
+    * planner, executor, serving query and spec so no copy can drift from
+    * the oracles' `o_custkey % m` predicates.
+    */
+  private[graft] def orderKeysOfCustomersMod(
+      s: SparkSession, d: String, m: Int): DataFrame = {
+    import s.implicits._
+    val picked = Tables.customer(s, d).filter($"c_custkey" % m === 0)
+      .select($"c_custkey")
+    Tables.orders(s, d).join(picked, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey".as("k"))
+  }
+
   /** The customer keys the GDPR fixture erases (every 271st customer) and
     * their order keys — shared by the planner, the executor and the
     * post-delete serving queries so all three speak about the same purge.
     */
-  private[graft] def eraseOrderKeys(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val erased = Tables.customer(s, d).filter($"c_custkey" % 271 === 0)
-      .select($"c_custkey")
-    Tables.orders(s, d).join(erased, $"o_custkey" === $"c_custkey")
-      .select($"o_orderkey".as("k"))
-  }
+  private[graft] def eraseOrderKeys(s: SparkSession, d: String): DataFrame =
+    orderKeysOfCustomersMod(s, d, 271)
 
   private val deleteExecDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -4748,14 +4757,18 @@ object PipelineOps {
     eqMergeDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
       import s.implicits._
       val root = graft.Fixtures.tempDir("graft_eqmerge")
-      val batch = mergeUpsertRows(s, d)
-      batch.select($"l_orderkey".as("k")).distinct()
+      // land the batch first, then derive the delete manifest from the
+      // FILES THAT LANDED — one evaluation of the upsert dataflow instead
+      // of two, and the delete file is provably consistent with the batch
+      mergeUpsertRows(s, d)
+        .repartition(col("ship_month")) // file-size targeting, see applyMutation step 3
+        .write.mode("overwrite").partitionBy("ship_month")
+        .parquet(root.resolve("batch").toString)
+      s.read.parquet(root.resolve("batch").toString)
+        .select($"l_orderkey".as("k")).distinct()
         .select($"k", lit(2L).as("seq_del"))
         .coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("eq_deletes").toString)
-      batch.repartition(col("ship_month")) // file-size targeting, see applyMutation step 3
-        .write.mode("overwrite").partitionBy("ship_month")
-        .parquet(root.resolve("batch").toString)
       root.toString
     })
 
@@ -4861,12 +4874,8 @@ object PipelineOps {
       val baseData = normPath(bloomIdxDataDir(s, d))
       val baseIdx = s"${bloomIdxDir(s, d)}/index"
       val baseMv = normPath(mvRollupDir(s, d))
-      def keysOf(m: Int) = Tables.orders(s, d)
-        .join(Tables.customer(s, d).filter($"c_custkey" % m === 0)
-          .select($"c_custkey"), $"o_custkey" === $"c_custkey")
-        .select($"o_orderkey".as("k"))
-      val kA = keysOf(383)
-      val kB = keysOf(389)
+      val kA = orderKeysOfCustomersMod(s, d, 383)
+      val kB = orderKeysOfCustomersMod(s, d, 389)
       // 1. writer A plans + stages against T0
       val (matchedA0, _) = matchedFilesInIndex(s, baseIdx, kA)
       val stagedA = root.resolve("stagedA")
@@ -4987,12 +4996,8 @@ object PipelineOps {
     deleteExec2DirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
       import s.implicits._
       val m = mergeExecDir(s, d)
-      val keys2 = Tables.orders(s, d)
-        .join(Tables.customer(s, d).filter($"c_custkey" % 337 === 0)
-          .select($"c_custkey"), $"o_custkey" === $"c_custkey")
-        .select($"o_orderkey".as("k"))
       applyMutation(s, "graft_delexec2", s"$m/data", s"$m/index", s"$m/mv",
-        keys2)
+        orderKeysOfCustomersMod(s, d, 337))
     })
 
   /** One copy-on-write MUTATION over a (data, sidecar index, daily MV)
@@ -5592,6 +5597,7 @@ object PipelineOps {
     val man = s.read.parquet(s"$root/manifests")
       .filter($"snap_id" === id)
       .select($"base", $"file").as[(String, String)].collect()
+    require(man.nonEmpty, s"unknown branch snapshot $id — no manifest rows")
     man.groupBy(_._1).map { case (base, fs) =>
       readMatchedFiles(s, normPath(base), fs.map(_._2).toSeq)
         .select($"l_orderkey", $"l_partkey", $"qty", $"net_cents",

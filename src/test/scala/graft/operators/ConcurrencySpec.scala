@@ -28,14 +28,8 @@ class ConcurrencySpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def keysOf(m: Int): DataFrame = {
-    import spark.implicits._
-    graft.Tables.orders(spark, sfDir)
-      .join(graft.Tables.customer(spark, sfDir)
-        .filter($"c_custkey" % m === 0).select($"c_custkey"),
-        $"o_custkey" === $"c_custkey")
-      .select($"o_orderkey".as("k"))
-  }
+  private def keysOf(m: Int): DataFrame =
+    PipelineOps.orderKeysOfCustomersMod(spark, sfDir, m)
 
   private def dataCols = Seq("l_orderkey", "l_partkey", "qty", "net_cents",
     "ship_day", "ship_month")

@@ -987,6 +987,8 @@ class StreamingSpec extends AnyFunSuite {
     val seqs = streamedDels.select($"seq_del").distinct().as[Long].collect()
     assert(seqs.length >= 2, s"single commit — the wave split never exercised: ${seqs.toSeq}")
     assert(seqs.forall(_ >= 1L))
+    assert(streamedDels.inputFiles.length == seqs.length,
+      "delete files != commits — a commit fragmented or two commits merged")
     // and the serve through the streamed set equals the batch serve
     val streamed = Streaming.queries("stream_eqdel_replay")(spark, d)
     val batch = P.queries("pipeline_eq_serve")(spark, d)
