@@ -2567,6 +2567,47 @@ object PipelineOps {
     // 100 TB these numbers come from snapshot manifests, not scans — here
     // the scan IS the audit (pipeline_time_travel serves the
     // manifest-addressed path).
+    // ---- METADATA TABLE: row counts per snapshot answered WITHOUT
+    // touching data — each snapshot's own sidecar index carries (file,
+    // n_rows), so `SELECT count(*) VERSION AS OF s` is a metadata-scale
+    // sum over |files| index rows (the Iceberg `$files` / statistics
+    // shape; pipeline_snapshot_log below answers the same question BY
+    // SCANNING, this one is its scale-FREE twin). Hash-checking the sums
+    // against the raw-recompute oracle turns the whole chain's index
+    // row-accounting into a correctness contract: any reconciliation
+    // that lost or double-counted a file's rows (retained remap, fresh
+    // build, compaction re-index) mismatches here even if point lookups
+    // still happen to succeed.
+    ("pipeline_meta_rowcounts", (s, d) => {
+      import s.implicits._
+      val meta = snapshotMetaDir(s, d)
+      val snaps = s.read.parquet(s"$meta/snapshots")
+        .select($"snap_id", $"op", $"idx")
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      // file COUNTS stay out of the readout — they are layout-dependent
+      // (the file-size targeting changes them); row sums are layout-free
+      snaps.map { case (id, op, idx) =>
+        s.read.parquet(idx)
+          .agg(sum($"n_rows").as("n_rows"))
+          .select(lit(id).as("snap_id"), lit(op).as("op"), $"n_rows")
+      }.reduce(_ unionByName _).orderBy($"snap_id")
+    }, Some(
+      s"""$mergeStateCtes,
+        |s0 AS (SELECT CAST(0 AS BIGINT) AS snap_id, 'original' AS op,
+        |  CAST(count(*) AS BIGINT) AS n_rows FROM base),
+        |s1 AS (SELECT CAST(1 AS BIGINT), 'compacted',
+        |  CAST(count(*) AS BIGINT) FROM base),
+        |s2 AS (SELECT CAST(2 AS BIGINT), 'delete_w1',
+        |  CAST(count(*) AS BIGINT) FROM base WHERE o_custkey % 271 <> 0),
+        |s3 AS (SELECT CAST(3 AS BIGINT), 'merge',
+        |  CAST(count(*) AS BIGINT) FROM merged),
+        |s4 AS (SELECT CAST(4 AS BIGINT), 'delete_w2',
+        |  CAST(count(*) AS BIGINT) FROM merged WHERE o_custkey % 337 <> 0)
+        |SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        |UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        |UNION ALL SELECT * FROM s4
+        |ORDER BY snap_id""".stripMargin)),
+
     ("pipeline_snapshot_log", (s, d) => {
       import s.implicits._
       def stat(id: Long, op: String, df: DataFrame): DataFrame =
