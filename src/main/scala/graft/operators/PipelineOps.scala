@@ -2336,6 +2336,66 @@ object PipelineOps {
          |  SELECT l_orderkey, ship_month, qty, net_cents FROM bb)
          |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
+    // ---- POINT LOOKUPS through a BRANCH ref: the audit head is a full
+    // table — its commit reconciled a sidecar index ([[branchMetaDir]]:
+    // inherited files keep the parent snapshot's index rows, batch files
+    // get fresh bitsets), so the seven dashboard keys PLUS the two
+    // smallest branch-batch keys (derived, both engines agree: the
+    // ordered key set is deterministic) are served by bloom-planned file
+    // opens spanning BOTH physical roots, never a scan — the batch-key
+    // probes can only be answered through the FRESH index rows routing
+    // to the branch root. A stale inherited row, an unindexed batch file
+    // (its keys unfindable — bloom has no false negatives), or a probe
+    // resolved against the wrong root all hash-mismatch.
+    ("pipeline_branch_lookup", (s, d) => {
+      import s.implicits._
+      val root = branchMetaDir(s, d)
+      val auditId = currentRefs(s, d).collectFirst {
+        case ("audit", _, id) => id }.get
+      val twins = s.read.parquet(s"$root/branch_files")
+        .select($"l_orderkey").orderBy($"l_orderkey")
+        .limit(2).as[Long].collect()
+      val probes = (BloomIdxKeys ++ twins).toDF("k")
+      val (files, _) = matchedFilesInIndex(s, s"$root/idx$auditId", probes)
+      // resolve each matched file's discovery base through the manifest
+      // (metadata-scale: one row per file of ONE snapshot)
+      val baseOf = s.read.parquet(s"$root/manifests")
+        .filter($"snap_id" === auditId)
+        .select($"base", $"file").as[(String, String)].collect()
+        .map { case (b, f) => normPath(f) -> normPath(b) }.toMap
+      val legs = files.toSeq.groupBy(f => baseOf(f)).map { case (b, fs) =>
+        readMatchedFiles(s, b, fs)
+          .select($"l_orderkey", $"qty", $"net_cents")
+      }.reduceOption(_ unionByName _)
+        .getOrElse(s.read.parquet(bloomIdxDataDir(s, d))
+          .select($"l_orderkey", $"qty", $"net_cents").filter(lit(false)))
+      legs.join(broadcast(probes), $"l_orderkey" === $"k")
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"l_orderkey")
+    }, Some(
+      s"""WITH audit AS (
+         |  SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty,
+         |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS net_cents
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_custkey % 271 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + $BranchBatchOffset, CAST(2 AS BIGINT),
+         |    (o_orderkey % 991) * 100 + 7
+         |  FROM orders WHERE o_custkey % 499 = 0)
+         |SELECT l_orderkey,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM audit
+         |WHERE l_orderkey IN (${BloomIdxKeys.mkString(", ")})
+         |   OR l_orderkey IN (
+         |     SELECT o_orderkey + $BranchBatchOffset FROM orders
+         |     WHERE o_custkey % 499 = 0 ORDER BY o_orderkey LIMIT 2)
+         |GROUP BY 1 ORDER BY l_orderkey""".stripMargin)),
+
     // ---- PARTITION EVOLUTION serve ([[partEvoDir]]): a ship-range
     // probe SPANNING the month→week cutover, planned per layout leg —
     // the month-partitioned history prunes on ship_month, the
@@ -5603,6 +5663,22 @@ object PipelineOps {
           .toDF("snap_id", "op", "parent_id"))
         .coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
+      // a branch commit reconciles its sidecar INDEX like any other
+      // commit (branches are full tables — statistics and point-lookup
+      // skipping must serve through a ref too): inherited files keep
+      // their parent snapshot's index rows verbatim (the files are
+      // referenced in place, paths unchanged), the appended batch files
+      // get fresh bitsets — |batch| of index build, never a re-index
+      val idxOf = baseSnaps.select($"snap_id", $"idx")
+        .as[(Long, String)].collect().toMap
+      val freshIdx = bloomIndexRows(s, s.read.parquet(bfDir),
+        batchFiles.length)
+      Seq((2L, 6L), (4L, 7L)).foreach { case (from, as) =>
+        s.read.parquet(idxOf(from))
+          .withColumn("file", regexp_replace($"file", "^file:/+", "/"))
+          .unionByName(freshIdx)
+          .write.mode("overwrite").parquet(root.resolve(s"idx$as").toString)
+      }
       Seq(
         (0L, "main", "branch", 4L),
         (0L, "v1_compacted", "tag", 1L),

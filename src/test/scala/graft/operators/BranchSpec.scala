@@ -126,6 +126,36 @@ class BranchSpec extends AnyFunSuite {
       "branch work leaked into the untouched main head")
   }
 
+  test("branch commits reconcile their index: rows <-> manifest files 1:1, and it skips") {
+    import spark.implicits._
+    val root = PipelineOps.branchMetaDir(spark, sfDir)
+    Seq(6L, 7L).foreach { id =>
+      val idxFiles = spark.read.parquet(s"$root/idx$id")
+        .select($"file").as[String].collect().toSet
+      assert(idxFiles == manifestFiles(root, id).map(PipelineOps.normPath),
+        s"branch snapshot $id index drifted from its manifest")
+      // row counts are true per file (the meta-rowcounts contract shape)
+      val got = spark.read.parquet(s"$root/idx$id")
+        .agg(sum($"n_rows")).as[Long].head()
+      assert(got == PipelineOps.readBranchSnapshot(spark, sfDir, id).count())
+    }
+    // the lookup actually skips, and the batch-key probes route through
+    // the FRESH index rows to the branch root (the inherited rows alone
+    // could never answer them)
+    val twins = spark.read.parquet(s"$root/branch_files")
+      .select($"l_orderkey").orderBy($"l_orderkey")
+      .limit(2).as[Long].collect()
+    assert(twins.length == 2)
+    val probes = (PipelineOps.BloomIdxKeys ++ twins).toDF("k")
+    val (matched, total) =
+      PipelineOps.matchedFilesInIndex(spark, s"$root/idx6", probes)
+    assert(matched.nonEmpty && matched.length < total,
+      s"no skipping: ${matched.length} of $total")
+    val branchRoot = PipelineOps.normPath(s"$root/branch_files")
+    assert(matched.exists(f => PipelineOps.normPath(f).startsWith(branchRoot)),
+      "no probe routed to the branch root — fresh index rows unexercised")
+  }
+
   test("the branch head equals wave-1 state plus the batch row-for-row") {
     val served = PipelineOps.readBranchSnapshot(spark, sfDir, 6L)
       .select(dataCols.map(col): _*)
