@@ -2363,7 +2363,11 @@ object PipelineOps {
         .filter($"snap_id" === auditId)
         .select($"base", $"file").as[(String, String)].collect()
         .map { case (b, f) => normPath(f) -> normPath(b) }.toMap
-      val legs = files.toSeq.groupBy(f => baseOf(f)).map { case (b, fs) =>
+      // a drifted index row (path normalization mismatch vs the manifest)
+      // must fail loudly with the offending path, not as a bare
+      // NoSuchElementException
+      val legs = files.toSeq.groupBy(f => baseOf.getOrElse(f, sys.error(
+          s"index file $f missing from snapshot $auditId manifest"))).map { case (b, fs) =>
         readMatchedFiles(s, b, fs)
           .select($"l_orderkey", $"qty", $"net_cents")
       }.reduceOption(_ unionByName _)
@@ -4972,6 +4976,19 @@ object PipelineOps {
     concurrentCommitDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
       import s.implicits._
       val root = graft.Fixtures.tempDir("graft_occ")
+      // a failed degeneracy require below (e.g. a future fixture-parameter
+      // change producing no file conflict) must not leave a half-built race
+      // on disk: the failed computeIfAbsent records no mapping, so a retry
+      // would find orphan staging + a stale commit log under this root
+      try concurrentCommitBuild(s, d, root)
+      catch { case e: Throwable =>
+        graft.Fixtures.deleteRecursively(root); throw e
+      }
+    })
+
+  private def concurrentCommitBuild(
+      s: SparkSession, d: String, root: java.nio.file.Path): String = {
+      import s.implicits._
       val baseData = normPath(bloomIdxDataDir(s, d))
       val baseIdx = s"${bloomIdxDir(s, d)}/index"
       val baseMv = normPath(mvRollupDir(s, d))
@@ -5014,7 +5031,7 @@ object PipelineOps {
         .write.mode("overwrite").parquet(root.resolve("commit_log").toString)
       java.nio.file.Files.writeString(root.resolve("tip.txt"), t2)
       root.toString
-    })
+  }
 
   private val mergeExecDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -2142,8 +2142,16 @@ object Streaming {
       val root = graft.Fixtures.tempDir("graft_eqdelstream")
       val delDir = root.resolve("eq_deletes").toString
       val keys = P.eraseOrderKeys(s, d)
+      // rank-based wave split (not a hash mod): a hash bucket can come up
+      // EMPTY at an untested SF, and an empty wave file produces a commit
+      // whose seq never appears in the delete set — breaking the
+      // one-file-per-commit pin. ntile over the sorted keys guarantees
+      // every wave nonempty whenever |keys| >= 5; the erase key set is
+      // metadata-scale, so the single-partition window is free.
       val src = waveFiles("eqdel:" + d,
-        keys.withColumn("wave", pmod(xxhash64(col("k")), lit(5L)).cast("int")))
+        keys.withColumn("wave",
+          (ntile(5).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("k"))) - 1).cast("int")))
       val stream = s.readStream
         .schema(keys.schema)
         .option("maxFilesPerTrigger", 1)
@@ -2151,8 +2159,27 @@ object Streaming {
       withFewShufflePartitions(s) {
         val q = stream.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
-            batch.select(col("k"), (lit(id) + 1L).as("seq_del"))
-              .coalesce(1).write.mode("append").parquet(delDir)
+            // idempotent commit: a micro-batch RETRY after a partial append
+            // must REPLACE its delete file, not duplicate it (the
+            // one-file-per-commit / exactly-once contract). Write to a
+            // per-seq scratch dir, then move the single part file onto the
+            // deterministic per-seq name.
+            val seq = id + 1L
+            val scratch = root.resolve(s"commit_tmp_$seq")
+            batch.select(col("k"), lit(seq).as("seq_del"))
+              .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+            val part = {
+              val ls = java.nio.file.Files.list(scratch)
+              try ls.filter(p => p.getFileName.toString.startsWith("part-"))
+                .findFirst().get()
+              finally ls.close()
+            }
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(delDir))
+            java.nio.file.Files.move(part,
+              java.nio.file.Paths.get(delDir, s"seq-$seq.parquet"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            graft.Fixtures.deleteRecursively(scratch)
           }
           .option("checkpointLocation", root.resolve("chk").toString)
           .start()
