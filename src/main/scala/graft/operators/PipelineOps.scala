@@ -2189,7 +2189,7 @@ object PipelineOps {
       val mv2 = s.read.parquet(s"${deleteExecDir(s, d)}/mv")
         .select($"ship_month", $"ship_day", $"n_items", $"sum_qty",
           $"revenue_cents")
-      val delta = snapshotChangelog(s, d, 2L, 4L)
+      val delta = s.read.parquet(changelogDir(s, d))
         .withColumn("sgn",
           when($"change_type".isin("insert", "update_post"), $"n")
             .otherwise(-$"n"))
@@ -2266,37 +2266,36 @@ object PipelineOps {
             lit(id).as("snap_id"), $"n_rows", $"n_orders", $"sum_qty",
             $"revenue_cents")
       }.reduce(_ unionByName _).orderBy($"ref")
-    }, Some(
-      s"""$mergeStateCtes,
-         |bb AS (
-         |  SELECT o_orderkey + $BranchBatchOffset AS l_orderkey,
-         |    CAST(2 AS BIGINT) AS qty,
-         |    (o_orderkey % 991) * 100 + 7 AS net_cents
-         |  FROM orders WHERE o_custkey % 499 = 0),
-         |w1s AS (SELECT l_orderkey, qty, net_cents FROM base
-         |        WHERE o_custkey % 271 <> 0),
-         |w2s AS (SELECT l_orderkey, qty, net_cents FROM merged
-         |        WHERE o_custkey % 337 <> 0)
-         |SELECT 'audit' AS ref, 'branch' AS ref_type,
-         |  CAST(6 AS BIGINT) AS snap_id,
-         |  CAST(count(*) AS BIGINT) AS n_rows,
-         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
-         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
-         |FROM (SELECT * FROM w1s UNION ALL SELECT * FROM bb)
-         |UNION ALL
-         |SELECT 'main', 'branch', CAST(7 AS BIGINT),
-         |  CAST(count(*) AS BIGINT),
-         |  CAST(count(DISTINCT l_orderkey) AS BIGINT),
-         |  CAST(sum(qty) AS BIGINT), CAST(sum(net_cents) AS BIGINT)
-         |FROM (SELECT * FROM w2s UNION ALL SELECT * FROM bb)
-         |UNION ALL
-         |SELECT 'v1_compacted', 'tag', CAST(1 AS BIGINT),
-         |  CAST(count(*) AS BIGINT),
-         |  CAST(count(DISTINCT l_orderkey) AS BIGINT),
-         |  CAST(sum(qty) AS BIGINT), CAST(sum(net_cents) AS BIGINT)
-         |FROM base
-         |ORDER BY ref""".stripMargin)),
+    }, Some(branchRefsOracleSql)),
+
+    // ---- REF-AWARE EXPIRATION + GC ([[refsGcDir]]): the per-ref state
+    // summary AGAIN — but served from the post-GC clone, after retention
+    // kept only {every ref head} ∪ {main head's parent} and the orphan
+    // walk physically deleted every clone file no LIVE manifest
+    // references. Judged by pipeline_snapshot_branch's oracle VERBATIM
+    // (shared text): an over-eager GC — the single-chain tip+parent
+    // policy would have deleted the tag-pinned compaction files and the
+    // audit branch's inherited wave-1 files — fails this query loudly at
+    // scan time; an under-delete is pinned by RefsGcSpec. Expired
+    // snapshot 2's files survive ONLY because the audit head's manifest
+    // still reaches them: retention is manifest reachability across ALL
+    // refs, not chain membership.
+    ("pipeline_refs_expire", (s, d) => {
+      import s.implicits._
+      val root = refsGcDir(s, d)
+      val refs = s.read.parquet(s"$root/refs")
+        .as[(String, String, Long)].collect().sortBy(_._1)
+      refs.map { case (ref, tpe, id) =>
+        readRefsGcSnapshot(s, d, id)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct($"l_orderkey").as("n_orders"),
+            sum($"qty").as("sum_qty"),
+            sum($"net_cents").as("revenue_cents"))
+          .select(lit(ref).as("ref"), lit(tpe).as("ref_type"),
+            lit(id).as("snap_id"), $"n_rows", $"n_orders", $"sum_qty",
+            $"revenue_cents")
+      }.reduce(_ unionByName _).orderBy($"ref")
+    }, Some(branchRefsOracleSql)),
 
     // ---- CHERRY-PICK serve: the monthly report through main's head
     // AFTER the pick (snapshot 7 = snapshot 4's manifest + the branch's
@@ -2880,7 +2879,7 @@ object PipelineOps {
     // hash-mismatch. Output is |changed rows|, never table size.
     ("pipeline_snapshot_changelog", (s, d) => {
       import s.implicits._
-      snapshotChangelog(s, d, 2L, 4L)
+      s.read.parquet(changelogDir(s, d))
         .orderBy($"l_orderkey", $"change_type", $"ship_day", $"qty",
           $"net_cents")
     }, Some(
@@ -4424,6 +4423,47 @@ object PipelineOps {
       |    (o_orderkey % 997) * 100 + 1, CAST(-1 AS BIGINT)
       |  FROM orders WHERE o_custkey % 293 = 0)""".stripMargin
 
+  /** Shared oracle of pipeline_snapshot_branch AND pipeline_refs_expire —
+    * every CURRENT ref's state recomputed from raw: the audit branch head
+    * (snapshot 6) = wave-1 survivors + the branch batch, main's head
+    * after the cherry-pick (snapshot 7) = the post-chain state + the same
+    * batch, the immutable tag (snapshot 1) = the original rows the
+    * compaction rewrote. Sharing the text is the point: the POST-GC serve
+    * is judged verbatim by the pre-GC oracle, so expiration + orphan GC
+    * must be invisible to every ref or the readout hash-mismatches.
+    */
+  private def branchRefsOracleSql: String =
+    s"""$mergeStateCtes,
+       |bb AS (
+       |  SELECT o_orderkey + $BranchBatchOffset AS l_orderkey,
+       |    CAST(2 AS BIGINT) AS qty,
+       |    (o_orderkey % 991) * 100 + 7 AS net_cents
+       |  FROM orders WHERE o_custkey % 499 = 0),
+       |w1s AS (SELECT l_orderkey, qty, net_cents FROM base
+       |        WHERE o_custkey % 271 <> 0),
+       |w2s AS (SELECT l_orderkey, qty, net_cents FROM merged
+       |        WHERE o_custkey % 337 <> 0)
+       |SELECT 'audit' AS ref, 'branch' AS ref_type,
+       |  CAST(6 AS BIGINT) AS snap_id,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+       |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+       |FROM (SELECT * FROM w1s UNION ALL SELECT * FROM bb)
+       |UNION ALL
+       |SELECT 'main', 'branch', CAST(7 AS BIGINT),
+       |  CAST(count(*) AS BIGINT),
+       |  CAST(count(DISTINCT l_orderkey) AS BIGINT),
+       |  CAST(sum(qty) AS BIGINT), CAST(sum(net_cents) AS BIGINT)
+       |FROM (SELECT * FROM w2s UNION ALL SELECT * FROM bb)
+       |UNION ALL
+       |SELECT 'v1_compacted', 'tag', CAST(1 AS BIGINT),
+       |  CAST(count(*) AS BIGINT),
+       |  CAST(count(DISTINCT l_orderkey) AS BIGINT),
+       |  CAST(sum(qty) AS BIGINT), CAST(sum(net_cents) AS BIGINT)
+       |FROM base
+       |ORDER BY ref""".stripMargin
+
   /** One-pass bloom sidecar build over an arbitrary parquet tree keyed by
     * l_orderkey: one index row per data FILE (normalized plain path, bloom
     * bitset, n_rows), bitset sized ~16 bits/row/file like [[bloomIdxDir]].
@@ -5796,6 +5836,29 @@ object PipelineOps {
         abs($"diff").as("n"))
   }
 
+  private val changelogDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM PERSISTED 2→4 changelog — the wide-plan-diet pattern
+    * ([[graft.operators.Clustering]]'s verdict-table precedent) applied
+    * to [[snapshotChangelog]]: the changed-file scan + full-outer
+    * multiset diff runs ONCE and lands as parquet, and every consumer
+    * (the changelog readout, the MV apply, the streaming CDF replay's
+    * wave builder) serves from the fixture instead of re-running the
+    * diff per call. The diff is scale-linear in CHANGED bytes by
+    * contract — this makes it scale-linear ONCE per table epoch, the
+    * way a real CDF topic is materialized once and consumed many times.
+    */
+  private[graft] def changelogDir(s: SparkSession, d: String): String =
+    changelogDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      val root = graft.Fixtures.tempDir("graft_cdflog")
+      snapshotChangelog(s, d, 2L, 4L)
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(root.resolve("changelog").toString)
+      root.resolve("changelog").toString
+    })
+
   /** Manifest-addressed read of one LIVE snapshot of the post-GC clone —
     * same planning shape as [[readSnapshot]] but resolving through the
     * EXPIRED metadata (`gcExpireDir`'s `snapshots`/`manifests`).
@@ -5807,6 +5870,115 @@ object PipelineOps {
     val files = s.read.parquet(s"$root/manifests")
       .filter($"snap_id" === id).select($"file").as[String].collect()
     readMatchedFiles(s, s"$root/files", files.toSeq)
+  }
+
+  private val refsGcDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM REF-AWARE SNAPSHOT EXPIRATION + ORPHAN GC over the
+    * BRANCHED metadata world — [[gcExpireDir]]'s lifecycle generalized
+    * from one linear chain to the multi-ref DAG (what Iceberg's
+    * `expireSnapshots` does once refs exist): retention is what the refs
+    * can still REACH, never chain membership. Runs against a dedicated
+    * clone so the physical deletes cannot touch the shared fixtures:
+    *
+    *  1. CLONE — hard-link every branch-manifest-referenced file under
+    *     `files/<relpath vs its own discovery base>`. Retained files keep
+    *     their relpath through the mutation chain AND into branch commits
+    *     (branch manifests reference them in place), so a file shared by
+    *     N snapshots becomes ONE physical clone with N manifest rows —
+    *     the refcount structure GC is about. Plus two planted orphan
+    *     debris files (referenced by no manifest).
+    *  2. EXPIRE — retention = {every current ref head} ∪ {main head's
+    *     parent} (the minimal history window): main → 7 plus parent 4,
+    *     the audit branch → 6, the tag → 1. Snapshots 0, 2, 3 expire.
+    *  3. GC — delete every clone file no LIVE manifest references. The
+    *     tag alone keeps the compaction files; the audit head alone keeps
+    *     EXPIRED snapshot 2's inherited files — exactly the files the
+    *     single-chain tip+parent policy ([[gcExpireDir]]) would have
+    *     destroyed, which is why pipeline_refs_expire is judged by the
+    *     pre-GC per-ref oracle verbatim.
+    *
+    * Live metadata lands in `snapshots`/`manifests` (clone paths, shared
+    * `files/` base), current heads in `refs`, deletions in `gc_deleted`,
+    * the pre-GC picture in `manifests_all`. Metadata-scale throughout:
+    * one link/stat per file, one row per (snapshot, file). RefsGcSpec
+    * pins sharing, survival and deletion file-by-file.
+    */
+  private[operators] def refsGcDir(s: SparkSession, d: String): String =
+    refsGcDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val broot = branchMetaDir(s, d)
+      val refs = currentRefs(s, d)
+      val snaps = s.read.parquet(s"$broot/snapshots")
+        .select($"snap_id", $"op", $"parent_id")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      val mans = s.read.parquet(s"$broot/manifests")
+        .select($"snap_id", $"file", $"base")
+        .as[(Long, String, String)].collect()
+      val root = graft.Fixtures.tempDir("graft_refsgc")
+      val filesDir = root.resolve("files")
+      def linkInto(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+        java.nio.file.Files.createDirectories(dst.getParent)
+        if (!java.nio.file.Files.exists(dst))
+          try java.nio.file.Files.createLink(dst, src)
+          catch { case _: Exception =>
+            java.nio.file.Files.copy(src, dst)
+          }
+      }
+      val cloneRows = mans.map { case (sid, f, b) =>
+        val rel = java.nio.file.Paths.get(normPath(b))
+          .relativize(java.nio.file.Paths.get(normPath(f))).toString
+        val dst = filesDir.resolve(rel)
+        linkInto(java.nio.file.Paths.get(normPath(f)), dst)
+        (sid, dst.toString)
+      }.toSeq
+      Seq("orphan_a.parquet", "orphan_b.parquet").foreach { n =>
+        linkInto(java.nio.file.Paths.get(normPath(mans.head._2)),
+          filesDir.resolve(n))
+      }
+      cloneRows.toDF("snap_id", "file").coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("manifests_all").toString)
+      val mainHead = refs.collectFirst { case ("main", _, id) => id }.get
+      val parentOf = snaps.map(t => t._1 -> t._3).toMap
+      val live = refs.map(_._3).toSet + parentOf(mainHead)
+      val liveFiles = cloneRows.collect {
+        case (sid, f) if live(sid) => f
+      }.toSet
+      val deleted = scala.collection.mutable.ArrayBuffer[String]()
+      java.nio.file.Files.walk(filesDir).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p) && !liveFiles.contains(p.toString)) {
+          java.nio.file.Files.delete(p)
+          deleted += p.toString
+        }
+      }
+      deleted.toSeq.toDF("file").coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("gc_deleted").toString)
+      cloneRows.filter(r => live(r._1)).toDF("snap_id", "file").coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("manifests").toString)
+      snaps.filter(t => live(t._1)).toSeq.toDF("snap_id", "op", "parent_id")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
+      refs.toDF("ref", "ref_type", "snap_id").coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("refs").toString)
+      root.toString
+    })
+
+  /** Manifest-addressed read of one LIVE snapshot of the post-GC branched
+    * clone — [[readBranchSnapshot]]'s planning shape resolving through the
+    * EXPIRED multi-ref metadata. All clone files share the `files/`
+    * discovery base (every source layout is ship_month-partitioned, so
+    * relpaths carry the partition column uniformly).
+    */
+  private[graft] def readRefsGcSnapshot(
+      s: SparkSession, d: String, id: Long): DataFrame = {
+    import s.implicits._
+    val root = refsGcDir(s, d)
+    val files = s.read.parquet(s"$root/manifests")
+      .filter($"snap_id" === id).select($"file").as[String].collect()
+    require(files.nonEmpty, s"snapshot $id expired or unknown post-GC")
+    readMatchedFiles(s, s"$root/files", files.toSeq)
+      .select($"l_orderkey", $"qty", $"net_cents", $"ship_month")
   }
 
   /** Manifest-addressed read of one snapshot of the mutation chain: the

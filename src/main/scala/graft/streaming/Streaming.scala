@@ -2220,7 +2220,7 @@ object Streaming {
         .select(col("ship_month"), col("ship_day"), col("n_items"),
           col("sum_qty"), col("revenue_cents"))
         .write.mode("overwrite").partitionBy("ship_month").parquet(out)
-      val log = P.snapshotChangelog(s, d, 2L, 4L)
+      val log = s.read.parquet(P.changelogDir(s, d))
         .withColumn("sgn",
           when(col("change_type").isin("insert", "update_post"), col("n"))
             .otherwise(-col("n")))

@@ -88,6 +88,16 @@ class ChangelogSpec extends AnyFunSuite {
     assert(log.filter($"n" <= 0).count() == 0L)
   }
 
+  test("persisted changelog fixture serves the live 2→4 diff verbatim") {
+    // every consumer (the readout, the MV apply, the CDF replay waves)
+    // reads [[PipelineOps.changelogDir]] instead of re-running the diff;
+    // the fixture must therefore be frame-equal to a fresh scan
+    val fixture = spark.read.parquet(PipelineOps.changelogDir(spark, sfDir))
+    val live = PipelineOps.snapshotChangelog(spark, sfDir, 2L, 4L)
+    assert(fixture.exceptAll(live).isEmpty && live.exceptAll(fixture).isEmpty,
+      "persisted changelog diverges from a fresh 2→4 scan")
+  }
+
   test("planning reads only changed files (manifest relpath diff)") {
     import spark.implicits._
     val meta = PipelineOps.snapshotMetaDir(spark, sfDir)
