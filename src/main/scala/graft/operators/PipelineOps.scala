@@ -2144,6 +2144,35 @@ object PipelineOps {
          |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
          |FROM merged GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
+    // ---- EQUALITY DELETE, step 4: COMPACTION ([[eqCompactDir]]) — the
+    // monthly report over the FOLDED tree, scanned with NO delete probe
+    // at all: both equality-delete files were rewritten in (only files
+    // actually holding matching rows touched; the seq-2 batch files
+    // retained verbatim under the strictly-older rule despite their keys
+    // sitting in the seq-2 delete file) and RETIRED. Judged by the
+    // VERBATIM copy-on-write merge oracle — compaction must be invisible
+    // to readers; a delete applied to the wrong sequence, a lost rewrite,
+    // or a batch file wrongly emptied all hash-mismatch. EqCompactSpec
+    // pins the lifecycle: delete files retired, zero unmatched-file
+    // rewrites, serve ≡ the pre-compaction probe serve row-for-row.
+    ("pipeline_eq_compact", (s, d) => {
+      import s.implicits._
+      s.read.parquet(s"${eqCompactDir(s, d)}/data")
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      s"""$mergeStateCtes
+         |SELECT ship_month,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM merged GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     // ---- OPTIMISTIC CONCURRENCY serve ([[concurrentCommitDir]]): the
     // monthly report through the tip AFTER the race — writer B's delete
     // committed first, writer A detected the file-level conflict (its
@@ -4975,6 +5004,99 @@ object PipelineOps {
         s.read.parquet(s"$mg/batch").withColumn("seq_data", lit(2L)))
     eqApply(legs, dels).drop("seq_data")
   }
+
+  private val eqCompactDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** EQUALITY-DELETE COMPACTION — the lifecycle step that completes the
+    * third delete strategy: without it the live delete set (and every
+    * reader's broadcast probe) grows forever. Folds BOTH equality-delete
+    * files (wave 1 at seq 1, the merge's replacement delete at seq 2)
+    * into the composed snapshot ([[eqMergeServe]]'s world) and RETIRES
+    * them, paying the deferred resolution cost exactly once:
+    *
+    *  1. PLAN (metadata-scale): bloom-probe the seq-0 sidecar index with
+    *     every delete key — every delete is strictly newer than seq-0
+    *     data, so all keys are candidates there. A false-positive
+    *     SUPERSET of the files to touch.
+    *  2. REFINE with one candidate-only scan: keep files that actually
+    *     hold a matching row; bloom false positives drop back to the
+    *     retain set (rewriting them would churn bytes for nothing —
+    *     EqCompactSpec pins zero unmatched rewrites).
+    *  3. RETAIN by hard link: every unmatched seq-0 file AND every batch
+    *     file. The batch files' keys sit verbatim in the seq-2 delete
+    *     file, yet no delete is strictly newer than seq 2 — the sequence
+    *     rule ([[eqApply]]) retains them untouched; a sequence-ignorant
+    *     compactor would rewrite (and wrongly empty) them.
+    *  4. REWRITE the matched files minus every live delete under the
+    *     same [[eqApply]] rule the readers used — compaction is the
+    *     read-time plan made physical, so serve ≡ pre-compaction serve
+    *     row-for-row by construction.
+    *  5. RETIRE: both delete files land in `retired_deletes`; the live
+    *     set (`live_deletes`) is empty. Post-compaction readers scan
+    *     `data/` with NO probe at all.
+    *
+    * Cost at 100 TB: |delete keys| of planning + |actually-matched
+    * files| of rewrite — never table size. The audit `plan` table (one
+    * row per source file: leg, action) is what the spec pins against.
+    */
+  private[operators] def eqCompactDir(s: SparkSession, d: String): String =
+    eqCompactDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val w1 = eqDeleteDir(s, d)
+      val mg = eqMergeDir(s, d)
+      val delsDf = s.read.parquet(s"$w1/eq_deletes")
+        .unionByName(s.read.parquet(s"$mg/eq_deletes"))
+      val root = graft.Fixtures.tempDir("graft_eqcompact")
+      val newData = root.resolve("data")
+      val oldData = java.nio.file.Paths.get(normPath(bloomIdxDataDir(s, d)))
+      val batchDir = java.nio.file.Paths.get(normPath(s"$mg/batch"))
+      val (cand, _) = matchedFilesInIndex(s, s"${bloomIdxDir(s, d)}/index",
+        delsDf.select($"k"))
+      val hot = readMatchedFiles(s, oldData.toString, cand.toSeq)
+        .select(metaFilePath.as("file"), $"l_orderkey")
+        .join(broadcast(delsDf.select($"k")), $"l_orderkey" === $"k",
+          "left_semi")
+        .select($"file").distinct().as[String].collect()
+        .map(normPath).toSet
+      def linkInto(src: java.nio.file.Path, base: java.nio.file.Path): Unit = {
+        val dst = newData.resolve(base.relativize(src).toString)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        try java.nio.file.Files.createLink(dst, src)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(src, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+      val baseFiles = s.read.parquet(oldData.toString).inputFiles.map(normPath)
+      baseFiles.filterNot(hot.contains)
+        .foreach(f => linkInto(java.nio.file.Paths.get(f), oldData))
+      val batchFiles = s.read.parquet(batchDir.toString).inputFiles.map(normPath)
+      batchFiles.foreach(f => linkInto(java.nio.file.Paths.get(f), batchDir))
+      eqApply(readMatchedFiles(s, oldData.toString, hot.toSeq)
+          .withColumn("seq_data", lit(0L)), delsDf)
+        .drop("seq_data")
+        .repartition(col("ship_month"))
+        .write.mode("append").partitionBy("ship_month")
+        .parquet(newData.toString)
+      val retired =
+        s.read.parquet(s"$w1/eq_deletes").inputFiles
+          .map(f => (normPath(f), 1L)).toSeq ++
+        s.read.parquet(s"$mg/eq_deletes").inputFiles
+          .map(f => (normPath(f), 2L)).toSeq
+      retired.toDF("file", "seq_del").coalesce(1)
+        .write.mode("overwrite")
+        .parquet(root.resolve("retired_deletes").toString)
+      delsDf.filter(lit(false)).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(root.resolve("live_deletes").toString)
+      (baseFiles.map(f =>
+          (f, "base", if (hot(f)) "rewritten" else "retained")).toSeq ++
+        batchFiles.map(f => (f, "batch", "retained_newer")).toSeq)
+        .toDF("file", "leg", "action").coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("plan").toString)
+      root.toString
+    })
 
   private val concurrentCommitDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
