@@ -2364,6 +2364,49 @@ object PipelineOps {
          |  SELECT l_orderkey, ship_month, qty, net_cents FROM bb)
          |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
+    // ---- BRANCH MERGE-BACK ([[branchMergeDir]]): the monthly report
+    // through main's head AFTER both diverged branches folded back in —
+    // the audit append (fork 2) and a hotfix copy-on-write delete of
+    // customers % 163 == 0 (fork 4), each validated file-level against
+    // main's movement since its fork and applied as pure manifest
+    // algebra (zero data files written by either merge). The oracle
+    // recomputes the converged state from raw: post-chain survivors
+    // minus the hotfix customers plus the branch batch. A lost delta, a
+    // double-applied batch, a merge that resurrected a removed file, or
+    // an order-dependent result (BranchMergeSpec pins A∘B ≡ B∘A on the
+    // twin snapshots) all hash-mismatch.
+    ("pipeline_branch_merge", (s, d) => {
+      import s.implicits._
+      val mainId = s.read.parquet(s"${branchMergeDir(s, d)}/refs_log")
+        .filter($"ref" === "main").orderBy($"step".desc).limit(1)
+        .select($"snap_id").as[Long].head()
+      readMergedSnapshot(s, d, mainId)
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      s"""$mergeStateCtes,
+         |bb AS (
+         |  SELECT o_orderkey + $BranchBatchOffset AS l_orderkey,
+         |    strftime(o_orderdate, '%Y-%m') AS ship_month,
+         |    CAST(2 AS BIGINT) AS qty,
+         |    (o_orderkey % 991) * 100 + 7 AS net_cents
+         |  FROM orders WHERE o_custkey % 499 = 0),
+         |fin AS (
+         |  SELECT l_orderkey, ship_month, qty, net_cents FROM merged
+         |  WHERE o_custkey % 337 <> 0 AND o_custkey % 163 <> 0
+         |  UNION ALL
+         |  SELECT l_orderkey, ship_month, qty, net_cents FROM bb)
+         |SELECT ship_month,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM fin GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     // ---- POINT LOOKUPS through a BRANCH ref: the audit head is a full
     // table — its commit reconciled a sidecar index ([[branchMetaDir]]:
     // inherited files keep the parent snapshot's index rows, batch files
@@ -5894,6 +5937,132 @@ object PipelineOps {
       .filter($"snap_id" === id)
       .select($"base", $"file").as[(String, String)].collect()
     require(man.nonEmpty, s"unknown branch snapshot $id — no manifest rows")
+    man.groupBy(_._1).map { case (base, fs) =>
+      readMatchedFiles(s, normPath(base), fs.map(_._2).toSeq)
+        .select($"l_orderkey", $"l_partkey", $"qty", $"net_cents",
+          $"ship_day", $"ship_month")
+    }.reduce(_ unionByName _)
+  }
+
+  /** THE MERGE VERB at manifest grain: validate the branch's file
+    * removals against what main removed since the branch forked (the
+    * Iceberg OCC file-level check — a file the branch rewrote that main
+    * has since removed means both sides changed the same rows), then
+    * apply the branch's delta as pure manifest algebra. Disjoint deltas
+    * merge with ZERO data I/O — the fast-forward analog when main has
+    * also advanced (genuine fast-forward is the degenerate case: main
+    * unmoved since fork ⇒ removed-set empty ⇒ result = branch head's
+    * manifest). On overlap the merge REFUSES: the branch's operation
+    * must re-execute against main's head ([[concurrentCommitDir]]'s
+    * conflict-detect + rebase machinery), never silently union.
+    * Maps are relpath → (physical file, discovery base).
+    */
+  private[operators] def mergeManifests(
+      main: Map[String, (String, String)],
+      mainRemovedSinceFork: Set[String],
+      branchAdded: Map[String, (String, String)],
+      branchRemoved: Set[String]): Map[String, (String, String)] = {
+    val conflict = branchRemoved.intersect(mainRemovedSinceFork)
+    require(conflict.isEmpty,
+      s"merge conflict on ${conflict.size} files (e.g. ${conflict.take(3).mkString(", ")}) " +
+        "— branch must rebase against main's head (see concurrentCommitDir)")
+    (main -- branchRemoved) ++ branchAdded
+  }
+
+  private val branchMergeDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** BRANCH MERGE-BACK — the missing multi-ref verb after branch/tag/
+    * cherry-pick: two diverged branches fold back into main through
+    * [[mergeManifests]], and the result is ORDER-INDEPENDENT:
+    *
+    *  - the AUDIT branch (fork 2, head 6): delta = +batch files, −∅ —
+    *    an append, file-disjoint from everything 2→4 rewrote;
+    *  - a new HOTFIX branch cut at main's head 4: a real copy-on-write
+    *    DELETE of customers % 163 == 0 executed through snapshot 4's
+    *    reconciled sidecars ([[applyMutation]]) → snapshot 8; delta =
+    *    +rewritten files, −matched files;
+    *  - ORDER 1: main merges audit (→ snapshot 9: m4 + batch, validated
+    *    against main's 2→4 removals) then hotfix (→ 10: main's advance
+    *    since 4 removed nothing, so the hotfix's removals validate);
+    *  - ORDER 2 (the commutativity twin): hotfix first (→ 11) then audit
+    *    (→ 12, validated against everything 2 lost on the way to 11).
+    *
+    * BranchMergeSpec pins manifest-set equality 10 ≡ 12 (A∘B ≡ B∘A), that
+    * neither merge wrote a data file (every referenced file is one of the
+    * sources' — in place, like the cherry-pick), that the conflict guard
+    * actually refuses overlapping deltas, and `refs_log` records every
+    * head movement. The readout (pipeline_branch_merge) is judged by an
+    * oracle recomputing the merged state from raw.
+    */
+  private[operators] def branchMergeDir(s: SparkSession, d: String): String =
+    branchMergeDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val broot = branchMetaDir(s, d)
+      val w2 = deleteExec2Dir(s, d)
+      val root = graft.Fixtures.tempDir("graft_brmerge")
+      val hx = applyMutation(s, "graft_hotfix", s"$w2/data", s"$w2/index",
+        s"$w2/mv", orderKeysOfCustomersMod(s, d, 163))
+      val hxBase = normPath(s"$hx/data")
+      val mans = s.read.parquet(s"$broot/manifests")
+        .select($"snap_id", $"file", $"base")
+        .as[(Long, String, String)].collect()
+      def manOf(id: Long): Map[String, (String, String)] =
+        mans.filter(_._1 == id).map { case (_, f, b) =>
+          val rel = java.nio.file.Paths.get(normPath(b))
+            .relativize(java.nio.file.Paths.get(normPath(f))).toString
+          rel -> ((normPath(f), normPath(b)))
+        }.toMap
+      val hxMan: Map[String, (String, String)] =
+        s.read.parquet(hxBase).inputFiles.map(normPath).map { f =>
+          java.nio.file.Paths.get(hxBase)
+            .relativize(java.nio.file.Paths.get(f)).toString -> ((f, hxBase))
+        }.toMap
+      val (m2, m4, m6) = (manOf(2L), manOf(4L), manOf(6L))
+      val auditAdded = m6.filter(kv => !m2.contains(kv._1))
+      val auditRemoved = m2.keySet.diff(m6.keySet)
+      val hotfixAdded = hxMan.filter(kv => !m4.contains(kv._1))
+      val hotfixRemoved = m4.keySet.diff(hxMan.keySet)
+      // ORDER 1: audit then hotfix
+      val s9 = mergeManifests(m4, m2.keySet.diff(m4.keySet),
+        auditAdded, auditRemoved)
+      val s10 = mergeManifests(s9, Set.empty, hotfixAdded, hotfixRemoved)
+      // ORDER 2: hotfix then audit
+      val s11 = mergeManifests(m4, Set.empty, hotfixAdded, hotfixRemoved)
+      val s12 = mergeManifests(s11, m2.keySet.diff(s11.keySet),
+        auditAdded, auditRemoved)
+      def rows(id: Long, m: Map[String, (String, String)]) =
+        m.values.toSeq.map { case (f, b) => (id, f, b) }
+      (rows(9L, s9) ++ rows(10L, s10) ++ rows(11L, s11) ++ rows(12L, s12))
+        .toDF("snap_id", "file", "base").coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("manifests").toString)
+      Seq((8L, "branch_delete", 4L, -1L),
+          (9L, "merge", 4L, 6L), (10L, "merge", 9L, 8L),
+          (11L, "merge", 4L, 8L), (12L, "merge", 11L, 6L))
+        .toDF("snap_id", "op", "parent_id", "merge_parent").coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
+      // refs_log continuation of branchMetaDir's (steps 0-2 live there):
+      // the hotfix cut + commit, then main's two merge movements
+      Seq((3L, "hotfix", "branch", 4L), (4L, "hotfix", "branch", 8L),
+          (5L, "main", "branch", 9L), (6L, "main", "branch", 10L))
+        .toDF("step", "ref", "ref_type", "snap_id").coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("refs_log").toString)
+      root.toString
+    })
+
+  /** Manifest-addressed read of one snapshot of the MERGE world — the
+    * [[readBranchSnapshot]] planning shape over [[branchMergeDir]]'s
+    * metadata (a merged snapshot spans up to three physical roots: the
+    * chain tree, the branch append root, the hotfix rewrite root).
+    */
+  private[graft] def readMergedSnapshot(
+      s: SparkSession, d: String, id: Long): DataFrame = {
+    import s.implicits._
+    val root = branchMergeDir(s, d)
+    val man = s.read.parquet(s"$root/manifests")
+      .filter($"snap_id" === id)
+      .select($"base", $"file").as[(String, String)].collect()
+    require(man.nonEmpty, s"unknown merged snapshot $id — no manifest rows")
     man.groupBy(_._1).map { case (base, fs) =>
       readMatchedFiles(s, normPath(base), fs.map(_._2).toSeq)
         .select($"l_orderkey", $"l_partkey", $"qty", $"net_cents",
