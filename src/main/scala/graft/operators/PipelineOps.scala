@@ -3796,6 +3796,39 @@ object PipelineOps {
         |  CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN n_chars // 100 END) AS BIGINT) AS n_tiers,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- COLUMN-ID schema evolution ([[schemaIdDir]]): rename, drop and
+    // type-widen WITHOUT rewriting old files — the evolution classes
+    // mergeSchema cannot express (it matches by NAME, so a rename forks
+    // the column and a widen aborts the footer merge). Both releases
+    // serve through the CURRENT schema via the id-mapped scan
+    // ([[idMappedRelease]]): r1's physical n_chars answers as
+    // char_count (field 3 renamed), its INT32 score upcasts to bigint
+    // (field 4 widened — r2's scores exceed Int.MaxValue, so a
+    // non-widening reader overflows or aborts), lang is never read
+    // (field 2 dropped), quality_tier is typed NULL (field 5 postdates
+    // r1). The oracle recomputes both releases from raw; SchemaIdSpec
+    // pins that r1's files still carry the OLD footer schema afterward.
+    ("pipeline_schema_rename", (s, d) => {
+      import s.implicits._
+      idMappedRelease(s, d, "r1").unionByName(idMappedRelease(s, d, "r2"))
+        .groupBy($"release")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"char_count").as("sum_chars"),
+          sum($"score").as("sum_score"),
+          sum(when($"quality_tier".isNull, 1L).otherwise(0L)).as("n_null_tier"),
+          countDistinct($"quality_tier").as("n_tiers"))
+        .orderBy($"release")
+    }, Some(
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'r1' ELSE 'r2' END AS release,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN doc_id % 1000
+        |    ELSE doc_id % 1000 + 3000000000 END) AS BIGINT) AS sum_score,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_tier,
+        |  CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN n_chars // 100 END) AS BIGINT) AS n_tiers
+        |FROM documents
         |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
@@ -3905,6 +3938,91 @@ object PipelineOps {
         .write.mode("overwrite").parquet(s"$root/release=r2")
       root
     })
+
+  private val schemaIdDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-JVM COLUMN-ID schema-evolution fixture — the Iceberg field-ID
+    * model that makes rename/drop/type-widen METADATA operations (the
+    * mergeSchema path above only covers column ADD): every column carries a
+    * stable field id; the `schemas` table maps (schema version, field_id) →
+    * (name, type); each release records its write-time version. Two
+    * releases of a doc-stats table:
+    *
+    *  - `release=r1` files under schema v1: doc_id[1], lang[2],
+    *    n_chars[3] bigint, score[4] INT — physically, an INT32 column;
+    *  - schema v2 evolves WITHOUT touching r1's files: field 3 RENAMED
+    *    n_chars → char_count, field 4 WIDENED int → bigint, field 2 (lang)
+    *    DROPPED, field 5 (quality_tier) ADDED;
+    *  - `release=r2` files written under v2 names/types — its scores
+    *    exceed Int.MaxValue, so the widen is load-bearing, not cosmetic.
+    *
+    * SchemaIdSpec pins: r1's physical footer still carries the OLD names
+    * and INT32 score after serving through v2 (old files unrewritten —
+    * same files, same schema), and the id-mapped union is what a v2
+    * reader sees.
+    */
+  private[operators] def schemaIdDir(s: SparkSession, d: String): String =
+    schemaIdDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val root = graft.Fixtures.tempDir("graft_schid").toString
+      val doc = Tables.documents(s, d)
+      doc.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"lang", $"n_chars".cast("long").as("n_chars"),
+          ($"doc_id" % 1000).cast("int").as("score"))
+        .write.mode("overwrite").parquet(s"$root/data/release=r1")
+      doc.filter($"doc_id" % 2 === 1)
+        .select($"doc_id",
+          $"n_chars".cast("long").as("char_count"),
+          ($"doc_id" % 1000 + 3000000000L).as("score"),
+          ($"n_chars" / 100).cast("long").as("quality_tier"))
+        .write.mode("overwrite").parquet(s"$root/data/release=r2")
+      Seq(
+        (1L, 1L, "doc_id", "bigint"), (1L, 2L, "lang", "string"),
+        (1L, 3L, "n_chars", "bigint"), (1L, 4L, "score", "int"),
+        (2L, 1L, "doc_id", "bigint"), (2L, 3L, "char_count", "bigint"),
+        (2L, 4L, "score", "bigint"), (2L, 5L, "quality_tier", "bigint"))
+        .toDF("version", "field_id", "name", "dtype").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/schemas")
+      Seq(("r1", 1L), ("r2", 2L)).toDF("release", "version").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/releases")
+      root
+    })
+
+  /** ID-MAPPED SCAN of one release: resolve the release's write-time
+    * schema and the CURRENT schema through the `schemas` table, join on
+    * field_id, and emit every current field as `col(write_name)
+    * .cast(current_type).as(current_name)` — or a typed NULL when the
+    * field postdates the file. Pure projection over the raw scan: column
+    * pruning and filter pushdown still reach the parquet reader (dropped
+    * columns are never requested — lang does not appear in r1's
+    * ReadSchema), and the rename/widen costs zero bytes of rewrite. The
+    * schema lookups are metadata-scale (a handful of rows); at 100 TB
+    * they live in the catalog and this mapping is exactly what its scan
+    * planner replays per file group.
+    */
+  private[graft] def idMappedRelease(
+      s: SparkSession, d: String, release: String): DataFrame = {
+    import s.implicits._
+    val root = schemaIdDir(s, d)
+    val schemas = s.read.parquet(s"$root/schemas")
+      .as[(Long, Long, String, String)].collect()
+    val curVer = schemas.map(_._1).max
+    val current = schemas.filter(_._1 == curVer).sortBy(_._2)
+    val wver = s.read.parquet(s"$root/releases")
+      .filter($"release" === release).select($"version").as[Long].head()
+    val writeByFid = schemas.filter(_._1 == wver)
+      .map(t => t._2 -> t._3).toMap
+    val cols = current.map { case (_, fid, name, dtype) =>
+      writeByFid.get(fid) match {
+        case Some(wname) => col(wname).cast(dtype).as(name)
+        case None => lit(null).cast(dtype).as(name)
+      }
+    }
+    s.read.parquet(s"$root/data/release=$release")
+      .select(cols.toSeq: _*)
+      .withColumn("release", lit(release))
+  }
 
   /** PSI length bucket: floor(length/100) capped at 19 — the ≤20-bin
     * feature pipeline_psi_drift and its streaming twin share.

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of column-ID schema evolution ([[PipelineOps.schemaIdDir]] /
+  * [[PipelineOps.idMappedRelease]]) the release-report oracle cannot see:
+  * that old files are physically unrewritten (old footer names and INT32
+  * score survive serving through schema v2), that the dropped column is
+  * pruned from the scan, and that the widen is load-bearing.
+  */
+class SchemaIdSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("SchemaIdSpec")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def root = PipelineOps.schemaIdDir(spark, sfDir)
+
+  test("old files are unrewritten: r1 keeps its write-time footer schema") {
+    // force the v2-mapped serve first, then inspect the physical layer
+    val served = PipelineOps.idMappedRelease(spark, sfDir, "r1")
+    served.count()
+    val raw = spark.read.parquet(s"$root/data/release=r1")
+    val byName = raw.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(byName.keySet == Set("doc_id", "lang", "n_chars", "score"),
+      "r1 footer names drifted — the rename rewrote data")
+    assert(byName("score") == IntegerType,
+      "r1 score widened on disk — the widen rewrote data")
+    // and the mapped serve reads exactly those files, in place
+    val rawFiles = raw.inputFiles.map(PipelineOps.normPath).toSet
+    val servedFiles = served.inputFiles.map(PipelineOps.normPath).toSet
+    assert(servedFiles == rawFiles, "mapped scan reads different files")
+  }
+
+  test("rename by field id: r1's n_chars answers as char_count verbatim") {
+    import spark.implicits._
+    val mapped = PipelineOps.idMappedRelease(spark, sfDir, "r1")
+      .select($"doc_id", $"char_count")
+    val raw = spark.read.parquet(s"$root/data/release=r1")
+      .select($"doc_id", $"n_chars".as("char_count"))
+    assert(mapped.exceptAll(raw).isEmpty && raw.exceptAll(mapped).isEmpty)
+  }
+
+  test("type widen is load-bearing: r2 scores exceed Int.MaxValue; union is bigint") {
+    import spark.implicits._
+    val u = PipelineOps.idMappedRelease(spark, sfDir, "r1")
+      .unionByName(PipelineOps.idMappedRelease(spark, sfDir, "r2"))
+    assert(u.schema("score").dataType == LongType)
+    val mx = u.agg(max($"score")).as[Long].head()
+    assert(mx > Int.MaxValue.toLong,
+      "premise broken: no r2 score above Int.MaxValue — widen untested")
+  }
+
+  test("dropped column is pruned: lang never reaches r1's ReadSchema") {
+    val mapped = PipelineOps.idMappedRelease(spark, sfDir, "r1")
+    assert(!mapped.columns.contains("lang"))
+    val plan = mapped.queryExecution.executedPlan.toString
+    assert(!plan.contains("lang"),
+      s"dropped column still read from parquet:\n$plan")
+  }
+
+  test("added field serves as typed NULL for old files, real values for new") {
+    import spark.implicits._
+    val r1 = PipelineOps.idMappedRelease(spark, sfDir, "r1")
+    val r2 = PipelineOps.idMappedRelease(spark, sfDir, "r2")
+    assert(r1.schema("quality_tier").dataType == LongType)
+    assert(r1.filter($"quality_tier".isNotNull).count() == 0L)
+    assert(r2.filter($"quality_tier".isNull).count() == 0L)
+  }
+}
