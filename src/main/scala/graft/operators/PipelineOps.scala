@@ -5466,10 +5466,43 @@ object PipelineOps {
     * At 100 TB the cost profile is the MERGE you want: |matched files| +
     * |batch| + |touched months|, never table size.
     */
+  /** Default per-file row target for [[applyMutation]]'s writer: high
+    * enough that every month at the test SFs stays one file (the layout
+    * the existing oracles and manifest counts pin), low enough that a
+    * real giant month splits. At ~50 B/row this is ~200 MB files — the
+    * Iceberg/Delta write-target ballpark.
+    */
+  private[operators] val MutationTargetFileRows = 4000000L
+
+  /** Writer FILE-SIZE TARGETING — step 3's write path: repartition by
+    * month for dir-locality, bucket WITHIN each month by key hash
+    * (`ceil(monthRows / target)` buckets, from a metadata-scale per-month
+    * count over the mutation's working set) so a giant month gets
+    * parallel writers instead of one task, and enforce the per-file
+    * bound with `maxRecordsPerFile` so no file exceeds the target even
+    * when bucket hashes collide into one task. File count stays
+    * O(months × ceil(rows/target)) — MutationWriterSpec pins both bounds
+    * — and small months still land as ONE file (bucket count 1), so the
+    * small-file regression the month-repartition fixed cannot return.
+    */
+  private[operators] def writeMonthTargeted(s: SparkSession, df: DataFrame,
+      path: String, targetRows: Long): Unit = {
+    val counts = df.groupBy(col("ship_month")).agg(count(lit(1)).as("cnt"))
+    df.join(broadcast(counts), Seq("ship_month"))
+      .withColumn("wbkt", pmod(xxhash64(col("l_orderkey")),
+        greatest(lit(1L), ceil(col("cnt") / lit(targetRows.toDouble)))))
+      .drop("cnt")
+      .repartition(col("ship_month"), col("wbkt"))
+      .drop("wbkt")
+      .write.mode("append").option("maxRecordsPerFile", targetRows)
+      .partitionBy("ship_month").parquet(path)
+  }
+
   private[operators] def applyMutation(s: SparkSession, prefix: String, srcDataDir: String,
       srcIdxPath: String, srcMvDir: String,
       keys0: org.apache.spark.sql.DataFrame,
-      upsert: Option[org.apache.spark.sql.DataFrame] = None): String = {
+      upsert: Option[org.apache.spark.sql.DataFrame] = None,
+      targetRows: Long = MutationTargetFileRows): String = {
     import s.implicits._
     graft.plans.GraftExtensions.register(s)
     val keys = keys0
@@ -5495,20 +5528,25 @@ object PipelineOps {
 
     // 3. rewrite matched files minus the keyed rows, plus the upsert batch
     // (append never touches the linked files; month dirs may mix both).
-    // The month-repartition before the append is the writer's file-size
-    // targeting: without it every task writes its own sliver into every
+    // [[writeMonthTargeted]] is the writer's file-size targeting: without
+    // a month repartition every task writes its own sliver into every
     // month it touches (32 tasks × ~84 months ⇒ a merge wave ballooned
     // the 100× manifest 367 → 5 701 files, and every manifest-addressed
     // read of that snapshot paid ~13-19 s of per-file open overhead —
     // measured, graft.operators.TimeBranch); with it each month lands as
-    // ONE file and the same reads are ~1-2 s. One extra shuffle of
+    // ceil(monthRows/target) files (ONE at every rehearsed SF), capped
+    // per file by maxRecordsPerFile so a real giant month splits instead
+    // of becoming one giant file. One extra shuffle + count of
     // |matched| + |batch| rows — the mutation's own working set, never
     // the table.
     val rewritten = readMatchedFiles(s, oldData.toString, matched.toSeq)
       .join(keys, $"l_orderkey" === $"k", "left_anti")
-    upsert.fold(rewritten)(b => rewritten.unionByName(b))
-      .repartition(col("ship_month"))
-      .write.mode("append").partitionBy("ship_month").parquet(newData.toString)
+    // cached for the write: [[writeMonthTargeted]]'s per-month count and
+    // the write itself both consume the working set — without the cache
+    // the matched-file scan + anti-join would run twice
+    val out = upsert.fold(rewritten)(b => rewritten.unionByName(b)).cache()
+    try writeMonthTargeted(s, out, newData.toString, targetRows)
+    finally out.unpersist()
 
     // 4. index reconciliation: remap retained rows, fresh rows for the
     // rewritten files only
