@@ -2245,6 +2245,42 @@ object PipelineOps {
          |FROM merged WHERE o_custkey % 337 <> 0
          |GROUP BY 1, 2 ORDER BY ship_month, ship_day""".stripMargin)),
 
+    // ---- TWO-LEVEL MANIFEST PLANNING ([[manifestListDir]]): a one-year
+    // month-window report over the chain tip, PLANNED through the
+    // manifest-list layer — the list's partition-range stats prune
+    // whole manifest groups before any file is listed, so plan I/O is
+    // |groups| + |matching entries|, flat in total file count (priced by
+    // graft.tools.TimeManifestList; see BASELINE.md). The serve reads
+    // exactly the planned files; the oracle recomputes the window from
+    // raw, so a group pruned wrongly (lost months), a stale list row, or
+    // an over-wide plan leaking a neighboring month all hash-mismatch.
+    ("pipeline_manifest_list", (s, d) => {
+      import s.implicits._
+      val (files, _, _) = planViaManifestList(s, d, "1995-01", "1995-12")
+      val meta = snapshotMetaDir(s, d)
+      val tip = s.read.parquet(s"$meta/snapshots")
+        .agg(max($"snap_id")).as[Long].head()
+      val base = s.read.parquet(s"$meta/snapshots")
+        .filter($"snap_id" === tip).select($"base").as[String].head()
+      readMatchedFiles(s, base, files)
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      s"""$mergeStateCtes
+         |SELECT ship_month,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM merged
+         |WHERE o_custkey % 337 <> 0
+         |  AND ship_month BETWEEN '1995-01' AND '1995-12'
+         |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     // ---- SNAPSHOT ROLLBACK serve ([[rollbackMetaDir]]): the monthly
     // report read through the ROLLBACK snapshot's manifest — the current
     // pointer moved back past the merge and delete-w2 waves by one pure
@@ -6444,6 +6480,87 @@ object PipelineOps {
     val files = s.read.parquet(s"$meta/manifests")
       .filter($"snap_id" === id).select($"file").as[String].collect()
     readMatchedFiles(s, base, files.toSeq)
+  }
+
+  /** Months per manifest group in the two-level layout: ~1 group per
+    * year of this table. The grouping key, not a tuning constant — at
+    * real scale a group is "a manifest file's worth of entries" (Iceberg
+    * targets ~8 MB manifests) and the list stays thousands of times
+    * smaller than the file count either way.
+    */
+  private[graft] val ManifestGroupMonths = 12
+
+  private val manifestListDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** TWO-LEVEL MANIFEST METADATA — Iceberg's manifest-list layer, the
+    * piece that keeps PLAN time flat at real-100 TB file counts: the
+    * chain tip's flat manifest (one row per file) regroups by partition
+    * tuple (ship_month, parsed from the partition dir) into manifest
+    * GROUPS of [[ManifestGroupMonths]] consecutive months — one parquet
+    * manifest file per group under `manifest/group=<g>/` — and a
+    * top-level `manifest_list` table carries ONE row per group with its
+    * partition-range stats (min/max month, file count). Planning a
+    * month-window query ([[planViaManifestList]]) reads the list
+    * (|groups| rows), prunes to range-intersecting groups, and lists
+    * files from ONLY those manifests: plan I/O = |list| + |matching
+    * groups' entries|, independent of the table's total file count —
+    * what [[matchedFilesInIndex]]'s honest linear pricing (1.2 s /
+    * 100k files) said a single-level sidecar would eventually need.
+    */
+  private[operators] def manifestListDir(s: SparkSession, d: String): String =
+    manifestListDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val meta = snapshotMetaDir(s, d)
+      val root = graft.Fixtures.tempDir("graft_manlist")
+      val tip = s.read.parquet(s"$meta/snapshots")
+        .agg(max($"snap_id")).as[Long].head()
+      val files = s.read.parquet(s"$meta/manifests")
+        .filter($"snap_id" === tip).select($"file").as[String].collect()
+      val monthRe = "ship_month=([0-9]{4}-[0-9]{2})".r
+      val rows = files.map { f =>
+        val m = monthRe.findFirstMatchIn(f).map(_.group(1)).getOrElse(
+          sys.error(s"manifest file carries no partition dir: $f"))
+        (m, f)
+      }
+      val months = rows.map(_._1).distinct.sorted
+      val groupOf = months.zipWithIndex.map { case (m, i) =>
+        m -> (i / ManifestGroupMonths).toLong }.toMap
+      val byGroup = rows.groupBy(t => groupOf(t._1))
+      byGroup.foreach { case (g, rs) =>
+        rs.toSeq.toDF("ship_month", "file").coalesce(1)
+          .write.mode("overwrite")
+          .parquet(root.resolve(s"manifest/group=$g").toString)
+      }
+      byGroup.map { case (g, rs) =>
+        (g, rs.length.toLong, rs.map(_._1).min, rs.map(_._1).max)
+      }.toSeq.toDF("group_id", "n_files", "min_month", "max_month")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("manifest_list").toString)
+      java.nio.file.Files.writeString(root.resolve("tip.txt"), tip.toString)
+      root.toString
+    })
+
+  /** Month-window scan planning through the manifest list: (files to
+    * read, manifest groups opened, groups total). Only range-intersecting
+    * groups' manifest files are ever opened — ManifestListSpec pins the
+    * pruning and that the planned file set equals the flat manifest's.
+    */
+  private[graft] def planViaManifestList(
+      s: SparkSession, d: String,
+      lo: String, hi: String): (Seq[String], Long, Long) = {
+    import s.implicits._
+    val root = manifestListDir(s, d)
+    val list = s.read.parquet(s"$root/manifest_list")
+      .select($"group_id", $"n_files", $"min_month", $"max_month")
+      .as[(Long, Long, String, String)].collect()
+    val hit = list.filter(g => g._4 >= lo && g._3 <= hi).map(_._1).sorted
+    val files = hit.flatMap { g =>
+      s.read.parquet(s"$root/manifest/group=$g")
+        .filter($"ship_month" >= lo && $"ship_month" <= hi)
+        .select($"file").as[String].collect()
+    }
+    (files.toSeq, hit.length.toLong, list.length.toLong)
   }
 
   private[operators] def partitionedCorpus(s: SparkSession, d: String): String =
