@@ -2057,6 +2057,53 @@ object PipelineOps {
          |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
          |FROM merged GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
+    // ---- DELETION VECTORS, serve ([[dvDeleteDir]]): the FOURTH delete
+    // form (Delta DVs / Iceberg v3) — wave 1 as ONE bitmap per touched
+    // file, applied at scan time by a broadcast per-FILE join + a
+    // codegen'd bit test (no join on position, no fact-side shuffle).
+    // Judged by the VERBATIM copy-on-write delete oracle: all four
+    // strategies must converge to the identical post-delete state.
+    ("pipeline_dv_serve", (s, d) => {
+      import s.implicits._
+      dvServeRead(s, d, "dv1")
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey % 271 <> 0
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // ---- DELETION VECTORS, update ([[dvMergeBitmaps]]): wave 2 arrives
+    // and each touched file's vector is REPLACED by the OR of old and new
+    // bits — the property DVs buy over position-delete files, whose
+    // sidecar list grows per commit until compaction. Wave-1-only files
+    // keep their vector verbatim (DvSpec pins byte-identity); customer 0
+    // sits in BOTH erase sets, so overlapping bits must OR idempotently.
+    // The oracle recomputes the double-delete state from raw.
+    ("pipeline_dv_update", (s, d) => {
+      import s.implicits._
+      dvServeRead(s, d, "dv")
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey % 271 <> 0 AND o_custkey % 337 <> 0
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     // ---- EQUALITY DELETE, step 1 ([[eqDeleteDir]]/[[eqMergeDir]]): the
     // third delete strategy, completing the Iceberg v2 delete taxonomy
     // beside copy-on-write and position deletes — the delete file carries
@@ -4952,6 +4999,139 @@ object PipelineOps {
         metaFilePath)
       .withColumn("pos", col("_metadata.row_index"))
       .join(broadcast(del), Seq("file", "pos"), "left_anti")
+      .drop("file", "pos")
+  }
+
+  /** Physical positions of keyed rows — the shared planning step of the
+    * position-delete AND deletion-vector writers: bloom-probe the sidecar
+    * index with the keys, scan ONLY matched files with the parquet
+    * `_metadata.row_index` virtual column, semi-join the keys. Output one
+    * (file, pos) row per purge row; |matched files| of read, zero writes.
+    */
+  private def purgePositions(
+      s: SparkSession, d: String, keys: DataFrame): DataFrame = {
+    import s.implicits._
+    val dataDir = normPath(bloomIdxDataDir(s, d))
+    val (matched, _) =
+      matchedFilesInIndex(s, s"${bloomIdxDir(s, d)}/index", keys)
+    readMatchedFiles(s, dataDir, matched.toSeq)
+      .select(metaFilePath.as("file"),
+        col("_metadata.row_index").as("pos"), $"l_orderkey")
+      .join(broadcast(keys), $"l_orderkey" === $"k", "left_semi")
+      .select($"file", $"pos")
+  }
+
+  /** Pack per-file positions into DELETION-VECTOR bitmaps: one row per
+    * file, `bits` = little-endian packed 64-bit words sized to the file's
+    * highest deleted position, `n_set` = popcount. The typed mapGroups is
+    * metadata-scale (|deleted rows| in, |touched files| out) — never the
+    * fact table.
+    */
+  private def dvFromPositions(s: SparkSession, pos: DataFrame): DataFrame = {
+    import s.implicits._
+    pos.select(col("file"), col("pos")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val ps = it.map(_._2).toArray
+        val words = new Array[Long]((ps.max >> 6).toInt + 1)
+        ps.foreach(p => words((p >> 6).toInt) |= (1L << (p & 63).toInt))
+        (f, words.toSeq, ps.length.toLong)
+      }.toDF("file", "bits", "n_set")
+  }
+
+  /** Merge two DV sidecars per file — bitwise OR of the word arrays
+    * (padded to the longer one), popcount recomputed. This is THE
+    * property deletion vectors buy over position-delete files: a new
+    * delete wave REPLACES each touched file's vector (one DV per file,
+    * always) instead of appending another sidecar the reader must union
+    * forever. Pure built-in array functions — codegen-friendly,
+    * metadata-scale (one row per touched file).
+    */
+  private[operators] def dvMergeBitmaps(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("file"), col("bits").as("ba"))
+      .join(b.select(col("file"), col("bits").as("bb")), Seq("file"),
+        "full_outer")
+      .select(col("file"),
+        coalesce(col("ba"), expr("CAST(array() AS ARRAY<BIGINT>)")).as("ba"),
+        coalesce(col("bb"), expr("CAST(array() AS ARRAY<BIGINT>)")).as("bb"))
+      .withColumn("n", greatest(size(col("ba")), size(col("bb"))))
+      .select(col("file"),
+        expr("""zip_with(
+            concat(ba, array_repeat(CAST(0 AS BIGINT), n - size(ba))),
+            concat(bb, array_repeat(CAST(0 AS BIGINT), n - size(bb))),
+            (x, y) -> x | y)""").as("bits"))
+      .withColumn("n_set",
+        expr("aggregate(bits, CAST(0 AS BIGINT), (acc, w) -> acc + bit_count(w))"))
+
+  /** Apply a DV sidecar at scan time: broadcast-join the (one-row-per-
+    * file) vectors on file, then a pure bit-test expression — a row
+    * survives when its file has no vector, its position lies beyond the
+    * vector (written after the delete), or its bit is clear. No join on
+    * position, no shuffle of the fact side; the bit test stays inside
+    * whole-stage codegen.
+    */
+  private[operators] def dvApply(data: DataFrame, dv: DataFrame): DataFrame =
+    data
+      .join(broadcast(dv.select(col("file"), col("bits"))), Seq("file"),
+        "left_outer")
+      .filter(col("bits").isNull || expr(
+        """coalesce(
+             (shiftright(try_element_at(bits, CAST(pos DIV 64 AS INT) + 1),
+                         CAST(pos % 64 AS INT)) & 1) = 0,
+             true)"""))
+      .drop("bits")
+
+  private val dvDeleteDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** DELETION VECTORS — the FOURTH delete form (Delta deletion vectors /
+    * Iceberg v3 DVs), closing the taxonomy beside copy-on-write
+    * ([[deleteExecDir]]), position-delete files ([[morDeleteDir]]) and
+    * equality deletes ([[eqDeleteDir]]): wave 1 (customers % 271) lands
+    * as ONE bitmap per touched file (`dv1/`); wave 2 (customers % 337)
+    * then arrives and MERGES — each touched file's vector is REPLACED by
+    * the OR of old and new bits (`dv/`, the current sidecar), while
+    * wave-1-only files keep their vector verbatim. No data file is ever
+    * read on the merge path beyond wave 2's own position scan, no
+    * sidecar list grows per commit, and customer 0 (in BOTH erase sets)
+    * makes the overlap idempotence real. vs the position-delete sidecar:
+    * |file rows|/8 bits instead of |deleted rows| × (path, pos) rows —
+    * the representation that stays broadcastable at dense deletes.
+    * DvSpec pins one-vector-per-file, popcount exactness, replace-vs-
+    * accumulate, wave-1 vectors surviving the merge byte-identical, and
+    * zero data-file writes.
+    */
+  private[operators] def dvDeleteDir(s: SparkSession, d: String): String =
+    dvDeleteDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val root = graft.Fixtures.tempDir("graft_dv")
+      val dataDir = normPath(bloomIdxDataDir(s, d))
+      val dv1 = dvFromPositions(s,
+        purgePositions(s, d, eraseOrderKeys(s, d)))
+      dv1.coalesce(1).write.mode("overwrite")
+        .parquet(root.resolve("dv1").toString)
+      val dv2 = dvFromPositions(s,
+        purgePositions(s, d, orderKeysOfCustomersMod(s, d, 337)))
+      dvMergeBitmaps(s.read.parquet(root.resolve("dv1").toString), dv2)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(root.resolve("dv").toString)
+      java.nio.file.Files.writeString(root.resolve("data_base.txt"), dataDir)
+      root.toString
+    })
+
+  /** DV scan of the wave-1-only snapshot (`dv1/`) or the current merged
+    * one (`dv/`) — the original tree with vectors applied at scan time.
+    */
+  private[operators] def dvServeRead(
+      s: SparkSession, d: String, sidecar: String): DataFrame = {
+    val root = dvDeleteDir(s, d)
+    val base = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/data_base.txt"))
+    dvApply(
+      s.read.parquet(base)
+        .withColumn("file", metaFilePath)
+        .withColumn("pos", col("_metadata.row_index")),
+      s.read.parquet(s"$root/$sidecar"))
       .drop("file", "pos")
   }
 

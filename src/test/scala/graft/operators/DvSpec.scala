@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the deletion-vector delete form ([[PipelineOps
+  * .dvDeleteDir]] / [[PipelineOps.dvMergeBitmaps]] / [[PipelineOps
+  * .dvApply]]) the monthly readout oracles cannot see: one vector per
+  * file always (replace, never accumulate), popcount exactness,
+  * untouched vectors surviving a merge byte-identical, idempotent
+  * overlap, and zero data-file writes on the whole path.
+  */
+class DvSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("DvSpec")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def root = PipelineOps.dvDeleteDir(spark, sfDir)
+
+  test("one vector per file, before and after the merge") {
+    import spark.implicits._
+    Seq("dv1", "dv").foreach { sc =>
+      val dup = spark.read.parquet(s"$root/$sc")
+        .groupBy($"file").agg(count(lit(1)).as("n"))
+        .filter($"n" > 1L).count()
+      assert(dup == 0L, s"$sc accumulated multiple vectors for a file")
+    }
+  }
+
+  test("popcounts are exact: bits set ≡ purge rows per file, both waves") {
+    import spark.implicits._
+    val base = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/data_base.txt"))
+    val truth = spark.read.parquet(base)
+      .select(PipelineOps.metaFilePath.as("file"), $"l_orderkey")
+      .join(
+        PipelineOps.eraseOrderKeys(spark, sfDir).unionByName(
+          PipelineOps.orderKeysOfCustomersMod(spark, sfDir, 337)).distinct(),
+        $"l_orderkey" === $"k", "left_semi")
+      .groupBy($"file").agg(count(lit(1)).as("n_true"))
+    val dv = spark.read.parquet(s"$root/dv")
+      .withColumn("n_pop",
+        expr("aggregate(bits, CAST(0 AS BIGINT), (acc, w) -> acc + bit_count(w))"))
+    // stored n_set matches the recomputed popcount AND the ground truth
+    assert(dv.filter($"n_set" =!= $"n_pop").count() == 0L)
+    val j = dv.select($"file", $"n_set")
+      .join(truth, Seq("file"), "full_outer")
+      .filter(coalesce($"n_set", lit(-1L)) =!= coalesce($"n_true", lit(-2L)))
+    assert(j.count() == 0L, "merged vector popcounts diverge from truth")
+  }
+
+  test("merge replaces only wave-2-touched vectors; others are byte-identical") {
+    import spark.implicits._
+    val w2Files = PipelineOps.orderKeysOfCustomersMod(spark, sfDir, 337)
+      .join(spark.read.parquet(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$root/data_base.txt")))
+          .select(PipelineOps.metaFilePath.as("file"), $"l_orderkey"),
+        $"k" === $"l_orderkey", "inner")
+      .select($"file").distinct().as[String].collect().toSet
+    val dv1 = spark.read.parquet(s"$root/dv1")
+      .select($"file", $"bits").as[(String, Seq[Long])].collect().toMap
+    val dv = spark.read.parquet(s"$root/dv")
+      .select($"file", $"bits").as[(String, Seq[Long])].collect().toMap
+    // at this SF wave 2 may touch every wave-1 file — pin byte-identity
+    // on the fixture only where an untouched file exists, and pin the
+    // rule itself on a synthetic merge below
+    dv1.keySet.diff(w2Files).foreach { f =>
+      assert(dv(f) == dv1(f), s"untouched vector rewritten by the merge: $f")
+    }
+    // the overlap premise is real: some file carries bits of BOTH waves
+    assert(dv1.keySet.intersect(w2Files).nonEmpty,
+      "premise broken: no file touched by both waves")
+    // synthetic three-file merge: a-only passes through verbatim, b-only
+    // is adopted, both-ORs (with the shorter array zero-padded)
+    val a = Seq(("fa", Seq(5L)), ("fboth", Seq(1L, 2L)))
+      .toDF("file", "bits")
+    val b = Seq(("fb", Seq(8L)), ("fboth", Seq(3L, 0L, 4L)))
+      .toDF("file", "bits")
+    val m = PipelineOps.dvMergeBitmaps(a, b)
+      .select($"file", $"bits", $"n_set")
+      .as[(String, Seq[Long], Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(m("fa") == ((Seq(5L), 2L)))
+    assert(m("fb") == ((Seq(8L), 1L)))
+    assert(m("fboth") == ((Seq(3L, 2L, 4L), 4L)))
+  }
+
+  test("vectors OR idempotently: serve(dv) ≡ serve(dv1) minus wave-2 rows") {
+    import spark.implicits._
+    val cols = Seq("l_orderkey", "qty", "net_cents", "ship_month").map(col)
+    val viaMerged = PipelineOps.dvServeRead(spark, sfDir, "dv").select(cols: _*)
+    val sequential = PipelineOps.dvServeRead(spark, sfDir, "dv1")
+      .join(PipelineOps.orderKeysOfCustomersMod(spark, sfDir, 337),
+        $"l_orderkey" === $"k", "left_anti")
+      .select(cols: _*)
+    assert(viaMerged.exceptAll(sequential).isEmpty &&
+      sequential.exceptAll(viaMerged).isEmpty,
+      "merged-vector serve diverges from sequential application")
+  }
+
+  test("the DV path never writes a data file; wave-1 serve ≡ the MOR serve") {
+    import spark.implicits._
+    val base = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/data_base.txt"))
+    val treeFiles = spark.read.parquet(base).inputFiles
+      .map(PipelineOps.normPath).toSet
+    val served = PipelineOps.dvServeRead(spark, sfDir, "dv").inputFiles
+      .map(PipelineOps.normPath)
+      .filterNot(_.contains("/graft_dv")) // the sidecar itself
+    assert(served.nonEmpty && served.forall(treeFiles.contains),
+      "DV serve read files outside the original tree")
+    val cols = Seq("l_orderkey", "qty", "net_cents", "ship_month").map(col)
+    val dvw1 = PipelineOps.dvServeRead(spark, sfDir, "dv1").select(cols: _*)
+    val mor = PipelineOps.morServeRead(spark, sfDir).select(cols: _*)
+    assert(dvw1.exceptAll(mor).isEmpty && mor.exceptAll(dvw1).isEmpty,
+      "deletion-vector and position-delete serves diverge")
+  }
+}
