@@ -3895,7 +3895,10 @@ object PipelineOps {
     // pins that r1's files still carry the OLD footer schema afterward.
     ("pipeline_schema_rename", (s, d) => {
       import s.implicits._
-      idMappedRelease(s, d, "r1").unionByName(idMappedRelease(s, d, "r2"))
+      // pinned to schema v2 — a reader resolves through the snapshot's
+      // schema version, exactly like an Iceberg scan pins schema-id
+      idMappedRelease(s, d, "r1", Some(2L))
+        .unionByName(idMappedRelease(s, d, "r2", Some(2L)))
         .groupBy($"release")
         .agg(count(lit(1)).as("n_docs"),
           sum($"char_count").as("sum_chars"),
@@ -3911,6 +3914,35 @@ object PipelineOps {
         |    ELSE doc_id % 1000 + 3000000000 END) AS BIGINT) AS sum_score,
         |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_tier,
         |  CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN n_chars // 100 END) AS BIGINT) AS n_tiers
+        |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- INITIAL-DEFAULT schema evolution (Iceberg v3 semantics, on
+    // top of the column-ID layer): schema v3 adds region_code int with
+    // DEFAULT 99 — every file written before the field existed serves
+    // 99, NOT NULL, while quality_tier (added in v2 without a default)
+    // keeps serving typed NULL from r1's files: the two absent-field
+    // treatments coexist per field in one scan, still with zero bytes
+    // rewritten. The oracle recomputes both: a default leaking into the
+    // null-filled field (or vice versa) hash-mismatches.
+    ("pipeline_schema_default", (s, d) => {
+      import s.implicits._
+      idMappedRelease(s, d, "r1", Some(3L))
+        .unionByName(idMappedRelease(s, d, "r2", Some(3L)))
+        .groupBy($"release")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"region_code".cast("long")).as("sum_region"),
+          sum(when($"region_code".isNull, 1L).otherwise(0L))
+            .as("n_null_region"),
+          sum(when($"quality_tier".isNull, 1L).otherwise(0L))
+            .as("n_null_tier"))
+        .orderBy($"release")
+    }, Some(
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'r1' ELSE 'r2' END AS release,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) * 99 AS BIGINT) AS sum_region,
+        |  CAST(0 AS BIGINT) AS n_null_region,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_tier
         |FROM documents
         |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
@@ -4060,12 +4092,25 @@ object PipelineOps {
           ($"doc_id" % 1000 + 3000000000L).as("score"),
           ($"n_chars" / 100).cast("long").as("quality_tier"))
         .write.mode("overwrite").parquet(s"$root/data/release=r2")
+      // v3 (Iceberg v3 semantics) ADDS field 6 with an INITIAL DEFAULT:
+      // rows written before the field existed serve the default, not
+      // NULL — while field 5 (no default) keeps serving typed NULL from
+      // old files, so the two absent-field treatments coexist per field.
       Seq(
-        (1L, 1L, "doc_id", "bigint"), (1L, 2L, "lang", "string"),
-        (1L, 3L, "n_chars", "bigint"), (1L, 4L, "score", "int"),
-        (2L, 1L, "doc_id", "bigint"), (2L, 3L, "char_count", "bigint"),
-        (2L, 4L, "score", "bigint"), (2L, 5L, "quality_tier", "bigint"))
-        .toDF("version", "field_id", "name", "dtype").coalesce(1)
+        (1L, 1L, "doc_id", "bigint", None),
+        (1L, 2L, "lang", "string", None),
+        (1L, 3L, "n_chars", "bigint", None),
+        (1L, 4L, "score", "int", None),
+        (2L, 1L, "doc_id", "bigint", None),
+        (2L, 3L, "char_count", "bigint", None),
+        (2L, 4L, "score", "bigint", None),
+        (2L, 5L, "quality_tier", "bigint", None),
+        (3L, 1L, "doc_id", "bigint", None),
+        (3L, 3L, "char_count", "bigint", None),
+        (3L, 4L, "score", "bigint", None),
+        (3L, 5L, "quality_tier", "bigint", None),
+        (3L, 6L, "region_code", "int", Some("99")))
+        .toDF("version", "field_id", "name", "dtype", "dflt").coalesce(1)
         .write.mode("overwrite").parquet(s"$root/schemas")
       Seq(("r1", 1L), ("r2", 2L)).toDF("release", "version").coalesce(1)
         .write.mode("overwrite").parquet(s"$root/releases")
@@ -4085,21 +4130,26 @@ object PipelineOps {
     * planner replays per file group.
     */
   private[graft] def idMappedRelease(
-      s: SparkSession, d: String, release: String): DataFrame = {
+      s: SparkSession, d: String, release: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
     import s.implicits._
     val root = schemaIdDir(s, d)
     val schemas = s.read.parquet(s"$root/schemas")
-      .as[(Long, Long, String, String)].collect()
-    val curVer = schemas.map(_._1).max
+      .as[(Long, Long, String, String, Option[String])].collect()
+    val curVer = asOfVersion.getOrElse(schemas.map(_._1).max)
     val current = schemas.filter(_._1 == curVer).sortBy(_._2)
+    require(current.nonEmpty, s"unknown schema version $curVer")
     val wver = s.read.parquet(s"$root/releases")
       .filter($"release" === release).select($"version").as[Long].head()
     val writeByFid = schemas.filter(_._1 == wver)
       .map(t => t._2 -> t._3).toMap
-    val cols = current.map { case (_, fid, name, dtype) =>
+    val cols = current.map { case (_, fid, name, dtype, dflt) =>
       writeByFid.get(fid) match {
         case Some(wname) => col(wname).cast(dtype).as(name)
-        case None => lit(null).cast(dtype).as(name)
+        // absent from the file's write-time schema: the field's INITIAL
+        // DEFAULT if it declares one (Iceberg v3), else typed NULL
+        case None => dflt.map(v => lit(v)).getOrElse(lit(null))
+          .cast(dtype).as(name)
       }
     }
     s.read.parquet(s"$root/data/release=$release")

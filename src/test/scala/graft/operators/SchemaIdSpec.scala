@@ -70,10 +70,24 @@ class SchemaIdSpec extends AnyFunSuite {
 
   test("added field serves as typed NULL for old files, real values for new") {
     import spark.implicits._
-    val r1 = PipelineOps.idMappedRelease(spark, sfDir, "r1")
-    val r2 = PipelineOps.idMappedRelease(spark, sfDir, "r2")
+    val r1 = PipelineOps.idMappedRelease(spark, sfDir, "r1", Some(2L))
+    val r2 = PipelineOps.idMappedRelease(spark, sfDir, "r2", Some(2L))
     assert(r1.schema("quality_tier").dataType == LongType)
     assert(r1.filter($"quality_tier".isNotNull).count() == 0L)
     assert(r2.filter($"quality_tier".isNull).count() == 0L)
+  }
+
+  test("initial-default vs null coexist per field under schema v3") {
+    import spark.implicits._
+    val r1 = PipelineOps.idMappedRelease(spark, sfDir, "r1", Some(3L))
+    // field 6 (default 99): every pre-v3 row serves the default, typed
+    assert(r1.schema("region_code").dataType == IntegerType)
+    assert(r1.filter($"region_code" =!= 99).count() == 0L)
+    assert(r1.filter($"region_code".isNull).count() == 0L)
+    // field 5 (no default): still typed NULL from the same files
+    assert(r1.filter($"quality_tier".isNotNull).count() == 0L)
+    // and pinning v2 hides the v3 field entirely
+    assert(!PipelineOps.idMappedRelease(spark, sfDir, "r1", Some(2L))
+      .columns.contains("region_code"))
   }
 }
