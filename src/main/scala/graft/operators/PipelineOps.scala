@@ -4890,7 +4890,7 @@ object PipelineOps {
     (matched.sorted, idx.count())
   }
 
-  private[operators] def bloomIdxDataDir(s: SparkSession, d: String): String =
+  private[graft] def bloomIdxDataDir(s: SparkSession, d: String): String =
     s"${bloomIdxDir(s, d)}/data"
 
   /** Read a bloom-matched file subset of the ship-month data tree,
@@ -5058,7 +5058,7 @@ object PipelineOps {
     * `_metadata.row_index` virtual column, semi-join the keys. Output one
     * (file, pos) row per purge row; |matched files| of read, zero writes.
     */
-  private def purgePositions(
+  private[graft] def purgePositions(
       s: SparkSession, d: String, keys: DataFrame): DataFrame = {
     import s.implicits._
     val dataDir = normPath(bloomIdxDataDir(s, d))
@@ -5077,7 +5077,7 @@ object PipelineOps {
     * metadata-scale (|deleted rows| in, |touched files| out) — never the
     * fact table.
     */
-  private def dvFromPositions(s: SparkSession, pos: DataFrame): DataFrame = {
+  private[graft] def dvFromPositions(s: SparkSession, pos: DataFrame): DataFrame = {
     import s.implicits._
     pos.select(col("file"), col("pos")).as[(String, Long)]
       .groupByKey(_._1)
@@ -5097,7 +5097,7 @@ object PipelineOps {
     * forever. Pure built-in array functions — codegen-friendly,
     * metadata-scale (one row per touched file).
     */
-  private[operators] def dvMergeBitmaps(a: DataFrame, b: DataFrame): DataFrame =
+  private[graft] def dvMergeBitmaps(a: DataFrame, b: DataFrame): DataFrame =
     a.select(col("file"), col("bits").as("ba"))
       .join(b.select(col("file"), col("bits").as("bb")), Seq("file"),
         "full_outer")
@@ -5120,7 +5120,7 @@ object PipelineOps {
     * position, no shuffle of the fact side; the bit test stays inside
     * whole-stage codegen.
     */
-  private[operators] def dvApply(data: DataFrame, dv: DataFrame): DataFrame =
+  private[graft] def dvApply(data: DataFrame, dv: DataFrame): DataFrame =
     data
       .join(broadcast(dv.select(col("file"), col("bits"))), Seq("file"),
         "left_outer")

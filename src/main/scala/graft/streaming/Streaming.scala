@@ -2190,6 +2190,94 @@ object Streaming {
     s"$root0/eq_deletes"
   }
 
+  private val dvStreamDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING DELETION-VECTOR MAINTENANCE — the twenty-second replay
+    * contract, the streaming half of the deletion-vector story: erase
+    * wave 1's order keys arrive in five rank-split waves, and every
+    * micro-batch (a) resolves ITS keys to physical positions (bloom-plan
+    * + row_index scan of only matched files — [[graft.operators
+    * .PipelineOps.purgePositions]], the same step the batch writer
+    * runs), (b) packs them into per-file bitmaps, and (c) MERGES into
+    * the running sidecar: each touched file's vector is REPLACED by the
+    * OR of old and new bits ([[graft.operators.PipelineOps
+    * .dvMergeBitmaps]]). No sidecar list grows per commit — the DV
+    * property — and a micro-batch RETRY is harmless twice over: the
+    * versioned dir write is deterministic per batch id, and OR is
+    * idempotent. The judged readout is the DV scan VERBATIM
+    * ([[graft.operators.PipelineOps.dvApply]] — one shared plan) over
+    * the streamed final sidecar, hash-checked by pipeline_eq_serve's
+    * copy-on-write oracle; DvSpec additionally pins the streamed sidecar
+    * ≡ the batch wave-1 sidecar frame-for-frame (same files, same bits,
+    * same popcounts).
+    */
+  def dvReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val P = graft.operators.PipelineOps
+    P.dvApply(
+      s.read.parquet(P.normPath(P.bloomIdxDataDir(s, d)))
+        .withColumn("file", P.metaFilePath)
+        .withColumn("pos", col("_metadata.row_index")),
+      s.read.parquet(dvStreamDir(s, d)))
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("net_cents")).as("revenue_cents"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** Streamed deletion-vector sidecar dir (the latest merged version) —
+    * runs the once-per-JVM ingest on first call; shared by the serving
+    * contract and DvSpec's streamed-≡-batch pin.
+    */
+  private[graft] def dvStreamDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import org.apache.spark.sql.DataFrame
+    val P = graft.operators.PipelineOps
+    dvStreamDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      val root = graft.Fixtures.tempDir("graft_dvstream")
+      val keys = P.eraseOrderKeys(s, d)
+      val src = waveFiles("dv:" + d,
+        keys.withColumn("wave",
+          (ntile(5).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("k"))) - 1).cast("int")))
+      val latest = root.resolve("LATEST")
+      val stream = s.readStream
+        .schema(keys.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+      withFewShufflePartitions(s) {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val delta = P.dvFromPositions(s,
+              P.purgePositions(s, d, batch.select(col("k"))))
+            val cur =
+              if (java.nio.file.Files.exists(latest))
+                Some(s.read.parquet(
+                  java.nio.file.Files.readString(latest)))
+              else None
+            val merged = cur.fold(delta)(c => P.dvMergeBitmaps(c, delta))
+            // deterministic per-batch version dir, staged then swapped so
+            // a retry REPLACES its own commit (and the merge reads the
+            // PREVIOUS version, never the dir being written)
+            val out = root.resolve(s"dv_v$id")
+            val stage = root.resolve(s"dv_v${id}_stage")
+            merged.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+            graft.Fixtures.deleteRecursively(out)
+            java.nio.file.Files.move(stage, out)
+            val tmp = root.resolve("LATEST.tmp")
+            java.nio.file.Files.writeString(tmp, out.toString)
+            java.nio.file.Files.move(tmp, latest,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+          }
+          .option("checkpointLocation", root.resolve("chk").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      java.nio.file.Files.readString(latest)
+    })
+  }
+
   private val cdfStreamDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2370,6 +2458,7 @@ object Streaming {
     "stream_ivf_replay" -> ((s, d) => ivfReplayContract(s, d)),
     "stream_cdf_replay" -> ((s, d) => cdfReplayContract(s, d)),
     "stream_eqdel_replay" -> ((s, d) => eqdelReplayContract(s, d)),
+    "stream_dv_replay" -> ((s, d) => dvReplayContract(s, d)),
     "stream_semantic_replay" -> ((s, d) => semanticReplayContract(s, d)))
 
   /** Batch-equivalent oracle for the replay: quality gate, then min-id
@@ -2416,6 +2505,10 @@ object Streaming {
       // equality serve's state — share pipeline_eq_serve's copy-on-write
       // oracle verbatim (all delete strategies converge to one state)
       "stream_eqdel_replay" -> graft.operators.PipelineOps.oracleSql("pipeline_eq_serve"),
+      // the streamed deletion-vector sidecar must serve EXACTLY the
+      // wave-1 copy-on-write state — the same shared-oracle argument as
+      // the equality-delete ingest (all delete strategies converge)
+      "stream_dv_replay" -> graft.operators.PipelineOps.oracleSql("pipeline_eq_serve"),
       // the late-data contract's emitted windows must equal the batch
       // aggregate over the ON-TIME rows only: same q21 aggregate text, the
       // planted-late predicate (event_id % 17 in the first six waves)

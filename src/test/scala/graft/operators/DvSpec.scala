@@ -123,4 +123,31 @@ class DvSpec extends AnyFunSuite {
     assert(dvw1.exceptAll(mor).isEmpty && mor.exceptAll(dvw1).isEmpty,
       "deletion-vector and position-delete serves diverge")
   }
+
+  test("streamed DV maintenance converges to the batch wave-1 sidecar") {
+    import spark.implicits._
+    // five micro-batch merges over the same keys must land exactly the
+    // batch writer's vectors: same files, same bits, same popcounts
+    val streamed = spark.read.parquet(
+        graft.streaming.Streaming.dvStreamDir(spark, sfDir))
+      .select($"file", $"bits", $"n_set")
+      .as[(String, Seq[Long], Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val batch = spark.read.parquet(s"$root/dv1")
+      .select($"file", $"bits", $"n_set")
+      .as[(String, Seq[Long], Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(streamed.keySet == batch.keySet,
+      "streamed sidecar covers different files than the batch one")
+    streamed.foreach { case (f, v) =>
+      // bitmaps may differ in trailing-zero padding (per-wave max pos vs
+      // global max pos) — compare set bits, not raw word arrays
+      def bitsOf(ws: Seq[Long]): Set[Long] = ws.zipWithIndex.flatMap {
+        case (w, i) => (0 until 64).collect {
+          case b if (w >> b & 1L) == 1L => i * 64L + b }
+      }.toSet
+      assert(bitsOf(v._1) == bitsOf(batch(f)._1) && v._2 == batch(f)._2,
+        s"streamed vector diverges from batch for $f")
+    }
+  }
 }
