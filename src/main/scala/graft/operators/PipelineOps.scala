@@ -2104,6 +2104,31 @@ object PipelineOps {
         |WHERE o_custkey % 271 <> 0 AND o_custkey % 337 <> 0
         |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
+    // ---- DELETION VECTORS, compaction ([[dvCompactDir]]): the merged
+    // sidecar folds into the tree and RETIRES — no refinement needed (a
+    // vector IS the exact per-file delete set, so exactly the touched
+    // files rewrite; bloom false positives cannot exist here), untouched
+    // files hard-link through, and post-compaction readers scan with no
+    // probe at all. Judged by the VERBATIM double-delete oracle —
+    // compaction must be invisible; DvSpec pins retirement, exact
+    // rewrite set, and folded ≡ probe serve row-for-row.
+    ("pipeline_dv_compact", (s, d) => {
+      import s.implicits._
+      s.read.parquet(s"${dvCompactDir(s, d)}/data")
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey % 271 <> 0 AND o_custkey % 337 <> 0
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     // ---- EQUALITY DELETE, step 1 ([[eqDeleteDir]]/[[eqMergeDir]]): the
     // third delete strategy, completing the Iceberg v2 delete taxonomy
     // beside copy-on-write and position deletes — the delete file carries
@@ -5184,6 +5209,59 @@ object PipelineOps {
       s.read.parquet(s"$root/$sidecar"))
       .drop("file", "pos")
   }
+
+  private val dvCompactDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** DELETION-VECTOR COMPACTION — folds the merged sidecar (`dv/`) into
+    * the tree and RETIRES it, completing the DV lifecycle (write →
+    * merge → serve → fold). Unlike the equality-delete compaction there
+    * is no refinement step: a vector IS the exact per-file delete set
+    * (popcount ≥ 1 ⇔ the file must rewrite), so the plan opens exactly
+    * the touched files — never a bloom false positive. Untouched files
+    * carry over by hard link; touched files rewrite minus their bits via
+    * the SAME [[dvApply]] plan readers used, so folded serve ≡ probe
+    * serve by construction. Retired vectors land in `retired/`, the live
+    * sidecar (`live_dv/`) is empty. DvSpec pins all of it.
+    */
+  private[operators] def dvCompactDir(s: SparkSession, d: String): String =
+    dvCompactDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val dvRoot = dvDeleteDir(s, d)
+      val base = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dvRoot/data_base.txt"))
+      val oldData = java.nio.file.Paths.get(base)
+      val dv = s.read.parquet(s"$dvRoot/dv")
+      val touched = dv.select($"file").as[String].collect()
+        .map(normPath).toSet
+      val root = graft.Fixtures.tempDir("graft_dvcompact")
+      val newData = root.resolve("data")
+      s.read.parquet(base).inputFiles.map(normPath)
+        .filterNot(touched.contains).foreach { f =>
+          val src = java.nio.file.Paths.get(f)
+          val dst = newData.resolve(oldData.relativize(src).toString)
+          java.nio.file.Files.createDirectories(dst.getParent)
+          try java.nio.file.Files.createLink(dst, src)
+          catch { case _: Exception =>
+            java.nio.file.Files.copy(src, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      dvApply(
+        readMatchedFiles(s, base, touched.toSeq)
+          .withColumn("file", metaFilePath)
+          .withColumn("pos", col("_metadata.row_index")),
+        dv)
+        .drop("file", "pos")
+        .repartition(col("ship_month"))
+        .write.mode("append").partitionBy("ship_month")
+        .parquet(newData.toString)
+      dv.coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("retired").toString)
+      dv.filter(lit(false)).coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("live_dv").toString)
+      root.toString
+    })
 
   private val morCompactDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

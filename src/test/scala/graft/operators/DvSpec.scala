@@ -124,6 +124,38 @@ class DvSpec extends AnyFunSuite {
       "deletion-vector and position-delete serves diverge")
   }
 
+  test("compaction folds exactly the touched files and retires the sidecar") {
+    import spark.implicits._
+    val croot = PipelineOps.dvCompactDir(spark, sfDir)
+    val base = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/data_base.txt"))
+    val oldData = java.nio.file.Paths.get(base)
+    val touched = spark.read.parquet(s"$root/dv")
+      .select($"file").as[String].collect().map(PipelineOps.normPath).toSet
+    // untouched files survive by link; touched files' relpaths are gone
+    spark.read.parquet(base).inputFiles.map(PipelineOps.normPath)
+      .foreach { f =>
+        val dst = java.nio.file.Paths.get(s"$croot/data").resolve(
+          oldData.relativize(java.nio.file.Paths.get(f)).toString)
+        if (touched(f))
+          assert(!java.nio.file.Files.exists(dst),
+            s"touched file carried over unrewritten: $f")
+        else
+          assert(java.nio.file.Files.isSameFile(dst, java.nio.file.Paths.get(f)),
+            s"untouched file copied or rewritten: $f")
+      }
+    // sidecar retired: live empty, retired ≡ the merged vectors
+    assert(spark.read.parquet(s"$croot/live_dv").count() == 0L)
+    assert(spark.read.parquet(s"$croot/retired").count() ==
+      spark.read.parquet(s"$root/dv").count())
+    // folded serve ≡ probe serve row-for-row
+    val cols = Seq("l_orderkey", "qty", "net_cents", "ship_month").map(col)
+    val folded = spark.read.parquet(s"$croot/data").select(cols: _*)
+    val probe = PipelineOps.dvServeRead(spark, sfDir, "dv").select(cols: _*)
+    assert(folded.exceptAll(probe).isEmpty && probe.exceptAll(folded).isEmpty,
+      "compaction changed the served state")
+  }
+
   test("streamed DV maintenance converges to the batch wave-1 sidecar") {
     import spark.implicits._
     // five micro-batch merges over the same keys must land exactly the
