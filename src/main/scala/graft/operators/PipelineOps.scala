@@ -2383,6 +2383,48 @@ object PipelineOps {
         |WHERE o_custkey % 271 <> 0
         |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
+    // ---- CATALOG time travel ([[catalogDir]]): the state summary of
+    // EVERY catalog version of ship_fact — v0 resolves to the chain's
+    // tip metadata (the wave-2 state), v1 to the rollback commit's
+    // (wave-1 again): the catalog's append-only pointer log IS the
+    // table's readable history, and each version plans through its own
+    // resolved metadata world via the one shared [[readSnapshotFrom]]
+    // path. The oracle recomputes both epochs from raw, so a pointer at
+    // the wrong world, a version resolved to the wrong snapshot, or a
+    // swap that mutated history instead of appending all hash-mismatch.
+    // CatalogSpec pins the CAS contract (stale swaps refuse; a commit
+    // appends exactly one row).
+    ("pipeline_catalog_time_travel", (s, d) => {
+      import s.implicits._
+      val log = s.read.parquet(s"${catalogDir(s, d)}/catalog_log")
+        .filter($"table_name" === "ship_fact")
+        .select($"version", $"meta_root", $"snap_id")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      log.map { case (v, metaRoot, snap) =>
+        readSnapshotFrom(s, metaRoot, snap)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct($"l_orderkey").as("n_orders"),
+            sum($"qty").as("sum_qty"),
+            sum($"net_cents").as("revenue_cents"))
+          .select(lit(v).as("version"), $"n_rows", $"n_orders",
+            $"sum_qty", $"revenue_cents")
+      }.reduce(_ unionByName _).orderBy($"version")
+    }, Some(
+      s"""$mergeStateCtes
+         |SELECT CAST(0 AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM merged WHERE o_custkey % 337 <> 0
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT),
+         |  CAST(count(*) AS BIGINT),
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT),
+         |  CAST(sum(qty) AS BIGINT), CAST(sum(net_cents) AS BIGINT)
+         |FROM base WHERE o_custkey % 271 <> 0
+         |ORDER BY version""".stripMargin)),
+
     // ---- BRANCHES + TAGS ([[branchMetaDir]]): the multi-ref metadata
     // layer — per-ref state summary served through each CURRENT head's
     // manifest (main after the cherry-pick → snapshot 7, the audit
@@ -6780,14 +6822,76 @@ object PipelineOps {
     * same planning I/O an Iceberg reader pays to pin a snapshot.
     */
   private[graft] def readSnapshot(
-      s: SparkSession, d: String, id: Long): DataFrame = {
+      s: SparkSession, d: String, id: Long): DataFrame =
+    readSnapshotFrom(s, snapshotMetaDir(s, d), id)
+
+  /** [[readSnapshot]]'s planning shape over an ARBITRARY metadata root
+    * carrying the (snapshots, manifests) pair — what lets the catalog
+    * layer resolve a table to ANY metadata world (the chain, a rollback,
+    * a branch clone) with one read path.
+    */
+  private[graft] def readSnapshotFrom(
+      s: SparkSession, metaRoot: String, id: Long): DataFrame = {
     import s.implicits._
-    val meta = snapshotMetaDir(s, d)
-    val base = s.read.parquet(s"$meta/snapshots")
+    val base = s.read.parquet(s"$metaRoot/snapshots")
       .filter($"snap_id" === id).select($"base").as[String].head()
-    val files = s.read.parquet(s"$meta/manifests")
+    val files = s.read.parquet(s"$metaRoot/manifests")
       .filter($"snap_id" === id).select($"file").as[String].collect()
     readMatchedFiles(s, base, files.toSeq)
+  }
+
+  private val catalogDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** THE CATALOG — the last indirection of the lakehouse stack (HMS /
+    * Nessie / the Iceberg catalog's `current-metadata` pointer): an
+    * append-only `catalog_log` of (version, table, metadata root,
+    * snapshot id) rows, where a table's CURRENT state is its
+    * highest-version row and every commit is one appended row guarded by
+    * compare-and-swap ([[catalogCommit]] — a writer that lost a race
+    * must re-resolve, never blind-append). Two versions of `ship_fact`:
+    * v0 pins the mutation chain's tip (the wave-2 state), v1 is the
+    * ROLLBACK commit repointing at the wave-1 snapshot — a catalog swap
+    * is how a rollback actually reaches readers. Readers resolve by
+    * (table [, as-of version]) and then plan through the resolved
+    * metadata world with the shared [[readSnapshotFrom]] path.
+    * Metadata-scale throughout: the log is one row per commit.
+    */
+  private[operators] def catalogDir(s: SparkSession, d: String): String =
+    catalogDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val root = graft.Fixtures.tempDir("graft_catalog")
+      Seq(
+        (0L, "ship_fact", snapshotMetaDir(s, d), 4L),
+        (1L, "ship_fact", rollbackMetaDir(s, d), 5L))
+        .toDF("version", "table_name", "meta_root", "snap_id").coalesce(1)
+        .write.mode("overwrite")
+        .parquet(root.resolve("catalog_log").toString)
+      root.toString
+    })
+
+  /** Append one catalog commit under COMPARE-AND-SWAP: the commit names
+    * the version it expects to be current; a stale expectation (another
+    * writer won the race) REFUSES so the loser re-resolves and retries —
+    * the atomic-swap contract every catalog implements. Returns the new
+    * version. Metadata-scale: reads |log| rows, appends one.
+    */
+  private[graft] def catalogCommit(
+      s: SparkSession, logDir: String, table: String,
+      expectedVersion: Long, metaRoot: String, snapId: Long): Long = {
+    import s.implicits._
+    val cur = s.read.parquet(logDir)
+      .filter($"table_name" === table)
+      .agg(max($"version")).as[Option[Long]].head()
+      .getOrElse(-1L)
+    require(cur == expectedVersion,
+      s"catalog CAS failed for $table: expected v$expectedVersion, " +
+        s"current is v$cur — re-resolve and retry")
+    val v = cur + 1L
+    Seq((v, table, metaRoot, snapId))
+      .toDF("version", "table_name", "meta_root", "snap_id")
+      .coalesce(1).write.mode("append").parquet(logDir)
+    v
   }
 
   /** Months per manifest group in the two-level layout: ~1 group per

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the catalog pointer layer ([[PipelineOps.catalogDir]] /
+  * [[PipelineOps.catalogCommit]]) the time-travel oracle cannot see: the
+  * compare-and-swap commit protocol, append-only history, and that the
+  * current pointer resolves to the rollback world.
+  */
+class CatalogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("CatalogSpec")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def log = {
+    import spark.implicits._
+    spark.read.parquet(s"${PipelineOps.catalogDir(spark, sfDir)}/catalog_log")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+  }
+
+  test("history is append-only with dense versions; current = rollback") {
+    val l = log
+    assert(l.map(_._1).toSeq == Seq(0L, 1L))
+    assert(l.forall(_._2 == "ship_fact"))
+    assert(l.last._4 == 5L, "current pointer is not the rollback snapshot")
+    // and the two versions resolve to DIFFERENT metadata worlds
+    assert(l.map(_._3).distinct.length == 2)
+  }
+
+  test("CAS: a stale swap refuses; a current one appends exactly one row") {
+    import spark.implicits._
+    // scratch catalog so the commit cannot disturb the shared fixture
+    val scratch = graft.Fixtures.tempDir("graft_cat_scratch")
+      .resolve("catalog_log").toString
+    spark.read.parquet(
+        s"${PipelineOps.catalogDir(spark, sfDir)}/catalog_log")
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    val ex = intercept[IllegalArgumentException] {
+      PipelineOps.catalogCommit(spark, scratch, "ship_fact",
+        expectedVersion = 0L, metaRoot = "/nowhere", snapId = 9L)
+    }
+    assert(ex.getMessage.contains("re-resolve"),
+      "stale CAS should direct the loser to re-resolve")
+    val before = spark.read.parquet(scratch).count()
+    val v = PipelineOps.catalogCommit(spark, scratch, "ship_fact",
+      expectedVersion = 1L,
+      metaRoot = PipelineOps.snapshotMetaDir(spark, sfDir), snapId = 4L)
+    assert(v == 2L)
+    assert(spark.read.parquet(scratch).count() == before + 1L)
+    // the failed CAS appended NOTHING
+    assert(before == 2L)
+    // and the new head serves the repointed world (back to the w2 tip)
+    val head = spark.read.parquet(scratch)
+      .orderBy($"version".desc).limit(1)
+      .select($"meta_root", $"snap_id").as[(String, Long)].head()
+    val viaCatalog = PipelineOps.readSnapshotFrom(spark, head._1, head._2)
+    val direct = PipelineOps.readSnapshot(spark, sfDir, 4L)
+    assert(viaCatalog.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaCatalog).isEmpty)
+  }
+
+  test("a brand-new table CASes from version -1") {
+    import spark.implicits._
+    val scratch = graft.Fixtures.tempDir("graft_cat_scratch2")
+      .resolve("catalog_log").toString
+    spark.read.parquet(
+        s"${PipelineOps.catalogDir(spark, sfDir)}/catalog_log")
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    val v = PipelineOps.catalogCommit(spark, scratch, "docs",
+      expectedVersion = -1L,
+      metaRoot = PipelineOps.snapshotMetaDir(spark, sfDir), snapId = 0L)
+    assert(v == 0L)
+    // table namespaces are independent: ship_fact's current is untouched
+    val cur = spark.read.parquet(scratch)
+      .filter($"table_name" === "ship_fact")
+      .agg(max($"version")).as[Long].head()
+    assert(cur == 1L)
+  }
+}
