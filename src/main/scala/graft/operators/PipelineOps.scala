@@ -6894,6 +6894,34 @@ object PipelineOps {
     v
   }
 
+  /** MULTI-TABLE ATOMIC COMMIT — the cross-table transaction a derived-
+    * table refresh needs (fact + its rollup must move together):
+    * validate EVERY table's CAS expectation first, then append all rows
+    * as ONE parquet file (coalesce(1)), so log readers observe every
+    * table's new version or none. Any stale expectation refuses the
+    * whole transaction before a byte is written — CatalogSpec pins
+    * both-or-neither.
+    */
+  private[graft] def catalogCommitAll(
+      s: SparkSession, logDir: String,
+      commits: Seq[(String, Long, String, Long)]): Seq[Long] = {
+    import s.implicits._
+    val cur = s.read.parquet(logDir)
+      .groupBy($"table_name").agg(max($"version").as("v"))
+      .as[(String, Long)].collect().toMap
+    commits.foreach { case (t, exp, _, _) =>
+      val c = cur.getOrElse(t, -1L)
+      require(c == exp,
+        s"catalog CAS failed for $t: expected v$exp, current is v$c " +
+          "— re-resolve and retry (no table committed)")
+    }
+    val rows = commits.map { case (t, exp, root, snap) =>
+      (exp + 1L, t, root, snap) }
+    rows.toDF("version", "table_name", "meta_root", "snap_id")
+      .coalesce(1).write.mode("append").parquet(logDir)
+    rows.map(_._1)
+  }
+
   /** Months per manifest group in the two-level layout: ~1 group per
     * year of this table. The grouping key, not a tuning constant — at
     * real scale a group is "a manifest file's worth of entries" (Iceberg

@@ -68,6 +68,35 @@ class CatalogSpec extends AnyFunSuite {
       direct.exceptAll(viaCatalog).isEmpty)
   }
 
+  test("multi-table commit is all-or-nothing") {
+    import spark.implicits._
+    val scratch = graft.Fixtures.tempDir("graft_cat_scratch3")
+      .resolve("catalog_log").toString
+    spark.read.parquet(
+        s"${PipelineOps.catalogDir(spark, sfDir)}/catalog_log")
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    val meta = PipelineOps.snapshotMetaDir(spark, sfDir)
+    // one stale expectation poisons the WHOLE transaction — neither
+    // table's pointer moves
+    val before = spark.read.parquet(scratch).count()
+    intercept[IllegalArgumentException] {
+      PipelineOps.catalogCommitAll(spark, scratch, Seq(
+        ("ship_fact", 1L, meta, 4L),
+        ("rollup", 5L, meta, 4L))) // rollup doesn't exist: current is -1
+    }
+    assert(spark.read.parquet(scratch).count() == before,
+      "a failed multi-table commit leaked rows")
+    // a valid transaction advances BOTH tables in one appended file
+    val vs = PipelineOps.catalogCommitAll(spark, scratch, Seq(
+      ("ship_fact", 1L, meta, 4L),
+      ("rollup", -1L, meta, 0L)))
+    assert(vs == Seq(2L, 0L))
+    val heads = spark.read.parquet(scratch)
+      .groupBy($"table_name").agg(max($"version").as("v"))
+      .as[(String, Long)].collect().toMap
+    assert(heads == Map("ship_fact" -> 2L, "rollup" -> 0L))
+  }
+
   test("a brand-new table CASes from version -1") {
     import spark.implicits._
     val scratch = graft.Fixtures.tempDir("graft_cat_scratch2")
