@@ -36,6 +36,25 @@ object Fixtures {
     p
   }
 
+  /** Hard-link `src` at `dst` (parents created), falling back to a copy
+    * when linking is impossible (cross-device, FS without link support).
+    * An existing `dst` is left alone — every clone/retain fixture keys
+    * files by content-identifying relative path, so a second link of the
+    * same relpath is the SAME content by construction. The one shared
+    * definition of the retain-by-link rule (GC clones, compaction
+    * carry-overs, mutation retains) so the fallback semantics cannot
+    * drift between them.
+    */
+  def linkOrCopy(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst.getParent)
+    if (!Files.exists(dst))
+      try Files.createLink(dst, src)
+      catch { case _: Exception =>
+        Files.copy(src, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+  }
+
   /** Content fingerprint of a dataset directory: order-insensitive SUM of
     * avalanche-mixed 64-bit hashes of (relative path, size, mtime) over all
     * regular files, plus the file count and total byte size appended

@@ -5281,13 +5281,8 @@ object PipelineOps {
       s.read.parquet(base).inputFiles.map(normPath)
         .filterNot(touched.contains).foreach { f =>
           val src = java.nio.file.Paths.get(f)
-          val dst = newData.resolve(oldData.relativize(src).toString)
-          java.nio.file.Files.createDirectories(dst.getParent)
-          try java.nio.file.Files.createLink(dst, src)
-          catch { case _: Exception =>
-            java.nio.file.Files.copy(src, dst,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          }
+          graft.Fixtures.linkOrCopy(src,
+            newData.resolve(oldData.relativize(src).toString))
         }
       dvApply(
         readMatchedFiles(s, base, touched.toSeq)
@@ -5332,13 +5327,8 @@ object PipelineOps {
       s.read.parquet(base).inputFiles.map(normPath)
         .filterNot(delFiles.contains).foreach { f =>
           val src = java.nio.file.Paths.get(f)
-          val dst = newData.resolve(oldData.relativize(src).toString)
-          java.nio.file.Files.createDirectories(dst.getParent)
-          try java.nio.file.Files.createLink(dst, src)
-          catch { case _: Exception =>
-            java.nio.file.Files.copy(src, dst,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          }
+          graft.Fixtures.linkOrCopy(src,
+            newData.resolve(oldData.relativize(src).toString))
         }
       readMatchedFiles(s, base, delFiles.toSeq)
         .withColumn("file",
@@ -5606,15 +5596,9 @@ object PipelineOps {
           "left_semi")
         .select($"file").distinct().as[String].collect()
         .map(normPath).toSet
-      def linkInto(src: java.nio.file.Path, base: java.nio.file.Path): Unit = {
-        val dst = newData.resolve(base.relativize(src).toString)
-        java.nio.file.Files.createDirectories(dst.getParent)
-        try java.nio.file.Files.createLink(dst, src)
-        catch { case _: Exception =>
-          java.nio.file.Files.copy(src, dst,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-      }
+      def linkInto(src: java.nio.file.Path, base: java.nio.file.Path): Unit =
+        graft.Fixtures.linkOrCopy(src,
+          newData.resolve(base.relativize(src).toString))
       val baseFiles = s.read.parquet(oldData.toString).inputFiles.map(normPath)
       baseFiles.filterNot(hot.contains)
         .foreach(f => linkInto(java.nio.file.Paths.get(f), oldData))
@@ -5903,12 +5887,7 @@ object PipelineOps {
       .map(normPath).filterNot(matchedSet.contains).map { f =>
         val src = java.nio.file.Paths.get(f)
         val dst = newData.resolve(oldData.relativize(src).toString)
-        java.nio.file.Files.createDirectories(dst.getParent)
-        try java.nio.file.Files.createLink(dst, src)
-        catch { case _: Exception => // cross-device etc. — fall back
-          java.nio.file.Files.copy(src, dst,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
+        graft.Fixtures.linkOrCopy(src, dst)
         dst.toString
       }.toSet
 
@@ -5982,15 +5961,11 @@ object PipelineOps {
       if (name.startsWith("ship_month=") &&
           !touched.contains(name.stripPrefix("ship_month="))) {
         val dstDir = newMv.resolve(name)
-        java.nio.file.Files.createDirectories(dstDir)
         val fs = java.nio.file.Files.list(md)
         try fs.forEach { f =>
           if (java.nio.file.Files.isRegularFile(f))
-            try java.nio.file.Files.createLink(dstDir.resolve(f.getFileName.toString), f)
-            catch { case _: Exception =>
-              java.nio.file.Files.copy(f, dstDir.resolve(f.getFileName.toString),
-                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            }
+            graft.Fixtures.linkOrCopy(f,
+              dstDir.resolve(f.getFileName.toString))
         } finally fs.close()
       }
     } finally monthDirs.close()
@@ -6263,14 +6238,8 @@ object PipelineOps {
       val root = graft.Fixtures.tempDir("graft_gc")
       val filesDir = root.resolve("files")
       val baseOf = snaps.map(t => t._1 -> java.nio.file.Paths.get(normPath(t._4))).toMap
-      def linkInto(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-        java.nio.file.Files.createDirectories(dst.getParent)
-        if (!java.nio.file.Files.exists(dst))
-          try java.nio.file.Files.createLink(dst, src)
-          catch { case _: Exception =>
-            java.nio.file.Files.copy(src, dst)
-          }
-      }
+      def linkInto(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+        graft.Fixtures.linkOrCopy(src, dst)
       val cloneRows = manifests.map { case (sid, f) =>
         val src = java.nio.file.Paths.get(f)
         val dst = filesDir.resolve(baseOf(sid).relativize(src).toString)
@@ -6751,14 +6720,8 @@ object PipelineOps {
         .as[(Long, String, String)].collect()
       val root = graft.Fixtures.tempDir("graft_refsgc")
       val filesDir = root.resolve("files")
-      def linkInto(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-        java.nio.file.Files.createDirectories(dst.getParent)
-        if (!java.nio.file.Files.exists(dst))
-          try java.nio.file.Files.createLink(dst, src)
-          catch { case _: Exception =>
-            java.nio.file.Files.copy(src, dst)
-          }
-      }
+      def linkInto(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+        graft.Fixtures.linkOrCopy(src, dst)
       val cloneRows = mans.map { case (sid, f, b) =>
         val rel = java.nio.file.Paths.get(normPath(b))
           .relativize(java.nio.file.Paths.get(normPath(f))).toString
