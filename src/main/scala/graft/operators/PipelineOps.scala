@@ -2329,11 +2329,10 @@ object PipelineOps {
     ("pipeline_manifest_list", (s, d) => {
       import s.implicits._
       val (files, _, _) = planViaManifestList(s, d, "1995-01", "1995-12")
-      val meta = snapshotMetaDir(s, d)
-      val tip = s.read.parquet(s"$meta/snapshots")
-        .agg(max($"snap_id")).as[Long].head()
-      val base = s.read.parquet(s"$meta/snapshots")
-        .filter($"snap_id" === tip).select($"base").as[String].head()
+      // the layout's own pinned discovery base — the serve plans entirely
+      // from the two-level fixture, never re-deriving the tip
+      val base = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        s"${manifestListDir(s, d)}/base.txt"))
       readMatchedFiles(s, base, files)
         .groupBy($"ship_month")
         .agg(count(lit(1)).as("n_rows"),
@@ -5236,6 +5235,24 @@ object PipelineOps {
       root.toString
     })
 
+  /** The WHOLE DV read path over a parquet tree: scan with the
+    * normalized physical file path + row_index projected, apply the
+    * vectors, drop the plumbing columns. The single definition of the
+    * position-column wiring — shared by the batch serves, the compaction
+    * fold and the streaming replay so the three cannot drift.
+    */
+  private[graft] def dvApplyOverScan(
+      scan: DataFrame, dv: DataFrame): DataFrame =
+    dvApply(
+      scan.withColumn("file", metaFilePath)
+        .withColumn("pos", col("_metadata.row_index")),
+      dv)
+      .drop("file", "pos")
+
+  private[graft] def dvApplyOverBase(
+      s: SparkSession, base: String, dv: DataFrame): DataFrame =
+    dvApplyOverScan(s.read.parquet(base), dv)
+
   /** DV scan of the wave-1-only snapshot (`dv1/`) or the current merged
     * one (`dv/`) — the original tree with vectors applied at scan time.
     */
@@ -5244,12 +5261,7 @@ object PipelineOps {
     val root = dvDeleteDir(s, d)
     val base = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$root/data_base.txt"))
-    dvApply(
-      s.read.parquet(base)
-        .withColumn("file", metaFilePath)
-        .withColumn("pos", col("_metadata.row_index")),
-      s.read.parquet(s"$root/$sidecar"))
-      .drop("file", "pos")
+    dvApplyOverBase(s, base, s.read.parquet(s"$root/$sidecar"))
   }
 
   private val dvCompactDirCache =
@@ -5284,12 +5296,7 @@ object PipelineOps {
           graft.Fixtures.linkOrCopy(src,
             newData.resolve(oldData.relativize(src).toString))
         }
-      dvApply(
-        readMatchedFiles(s, base, touched.toSeq)
-          .withColumn("file", metaFilePath)
-          .withColumn("pos", col("_metadata.row_index")),
-        dv)
-        .drop("file", "pos")
+      dvApplyOverScan(readMatchedFiles(s, base, touched.toSeq), dv)
         .repartition(col("ship_month"))
         .write.mode("append").partitionBy("ship_month")
         .parquet(newData.toString)
@@ -6259,13 +6266,16 @@ object PipelineOps {
         case (sid, f) if live(sid) => f
       }.toSet
       // GC walk: every file under files/ unreferenced by a live manifest
-      val deleted = scala.collection.mutable.ArrayBuffer[String]()
-      java.nio.file.Files.walk(filesDir).forEach { p =>
-        if (java.nio.file.Files.isRegularFile(p) && !liveFiles.contains(p.toString)) {
-          java.nio.file.Files.delete(p)
-          deleted += p.toString
-        }
-      }
+      // collect first with the walk stream CLOSED, then delete — never
+      // mutate the tree under an open directory stream
+      val onDisk = scala.collection.mutable.ArrayBuffer[String]()
+      val walk = java.nio.file.Files.walk(filesDir)
+      try walk.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) onDisk += p.toString
+      } finally walk.close()
+      val deleted = onDisk.filterNot(liveFiles.contains)
+      deleted.foreach(f =>
+        java.nio.file.Files.delete(java.nio.file.Paths.get(f)))
       deleted.toSeq.toDF("file").coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("gc_deleted").toString)
       cloneRows.filter(r => live(r._1)).toDF("snap_id", "file").coalesce(1)
@@ -6477,6 +6487,15 @@ object PipelineOps {
     require(conflict.isEmpty,
       s"merge conflict on ${conflict.size} files (e.g. ${conflict.take(3).mkString(", ")}) " +
         "— branch must rebase against main's head (see concurrentCommitDir)")
+    // add-vs-add is a conflict too: both sides producing the SAME relpath
+    // since the fork (e.g. both ran the same rewrite) must refuse, not
+    // last-write-win — "never silently union" covers additions as well
+    val addClash = branchAdded.keySet
+      .intersect((main -- branchRemoved).keySet)
+    require(addClash.isEmpty,
+      s"merge add-conflict on ${addClash.size} relpaths " +
+        s"(e.g. ${addClash.take(3).mkString(", ")}) — both sides wrote the " +
+        "same path since the fork; branch must rebase")
     (main -- branchRemoved) ++ branchAdded
   }
 
@@ -6534,12 +6553,17 @@ object PipelineOps {
       val auditRemoved = m2.keySet.diff(m6.keySet)
       val hotfixAdded = hxMan.filter(kv => !m4.contains(kv._1))
       val hotfixRemoved = m4.keySet.diff(hxMan.keySet)
-      // ORDER 1: audit then hotfix
+      // ORDER 1: audit then hotfix. Every removal set is COMPUTED as
+      // (fork manifest) minus (main's manifest at merge time) — never
+      // assumed empty — so a future change to either branch's shape
+      // cannot silently skip the file-level OCC check.
       val s9 = mergeManifests(m4, m2.keySet.diff(m4.keySet),
         auditAdded, auditRemoved)
-      val s10 = mergeManifests(s9, Set.empty, hotfixAdded, hotfixRemoved)
+      val s10 = mergeManifests(s9, m4.keySet.diff(s9.keySet),
+        hotfixAdded, hotfixRemoved)
       // ORDER 2: hotfix then audit
-      val s11 = mergeManifests(m4, Set.empty, hotfixAdded, hotfixRemoved)
+      val s11 = mergeManifests(m4, m4.keySet.diff(m4.keySet),
+        hotfixAdded, hotfixRemoved)
       val s12 = mergeManifests(s11, m2.keySet.diff(s11.keySet),
         auditAdded, auditRemoved)
       def rows(id: Long, m: Map[String, (String, String)]) =
@@ -6741,13 +6765,16 @@ object PipelineOps {
       val liveFiles = cloneRows.collect {
         case (sid, f) if live(sid) => f
       }.toSet
-      val deleted = scala.collection.mutable.ArrayBuffer[String]()
-      java.nio.file.Files.walk(filesDir).forEach { p =>
-        if (java.nio.file.Files.isRegularFile(p) && !liveFiles.contains(p.toString)) {
-          java.nio.file.Files.delete(p)
-          deleted += p.toString
-        }
-      }
+      // collect first with the walk stream CLOSED, then delete — never
+      // mutate the tree under an open directory stream
+      val onDisk = scala.collection.mutable.ArrayBuffer[String]()
+      val walk = java.nio.file.Files.walk(filesDir)
+      try walk.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) onDisk += p.toString
+      } finally walk.close()
+      val deleted = onDisk.filterNot(liveFiles.contains)
+      deleted.foreach(f =>
+        java.nio.file.Files.delete(java.nio.file.Paths.get(f)))
       deleted.toSeq.toDF("file").coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("gc_deleted").toString)
       cloneRows.filter(r => live(r._1)).toDF("snap_id", "file").coalesce(1)
@@ -6833,6 +6860,17 @@ object PipelineOps {
       root.toString
     })
 
+  /** Per-log monitor serializing the read-validate-append sequence of
+    * [[catalogCommit]]/[[catalogCommitAll]] within this JVM — without it
+    * two same-process writers can both pass the CAS check and append
+    * duplicate versions. Across processes a real catalog gets this from
+    * the store (conditional PUT / rename-if-absent); the monitor is the
+    * single-JVM stand-in for that primitive, same as the rest of the
+    * fixture layer.
+    */
+  private val catalogLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Append one catalog commit under COMPARE-AND-SWAP: the commit names
     * the version it expects to be current; a stale expectation (another
     * writer won the race) REFUSES so the loser re-resolves and retries —
@@ -6841,21 +6879,22 @@ object PipelineOps {
     */
   private[graft] def catalogCommit(
       s: SparkSession, logDir: String, table: String,
-      expectedVersion: Long, metaRoot: String, snapId: Long): Long = {
-    import s.implicits._
-    val cur = s.read.parquet(logDir)
-      .filter($"table_name" === table)
-      .agg(max($"version")).as[Option[Long]].head()
-      .getOrElse(-1L)
-    require(cur == expectedVersion,
-      s"catalog CAS failed for $table: expected v$expectedVersion, " +
-        s"current is v$cur — re-resolve and retry")
-    val v = cur + 1L
-    Seq((v, table, metaRoot, snapId))
-      .toDF("version", "table_name", "meta_root", "snap_id")
-      .coalesce(1).write.mode("append").parquet(logDir)
-    v
-  }
+      expectedVersion: Long, metaRoot: String, snapId: Long): Long =
+    catalogLocks.computeIfAbsent(logDir, _ => new Object).synchronized {
+      import s.implicits._
+      val cur = s.read.parquet(logDir)
+        .filter($"table_name" === table)
+        .agg(max($"version")).as[Option[Long]].head()
+        .getOrElse(-1L)
+      require(cur == expectedVersion,
+        s"catalog CAS failed for $table: expected v$expectedVersion, " +
+          s"current is v$cur — re-resolve and retry")
+      val v = cur + 1L
+      Seq((v, table, metaRoot, snapId))
+        .toDF("version", "table_name", "meta_root", "snap_id")
+        .coalesce(1).write.mode("append").parquet(logDir)
+      v
+    }
 
   /** MULTI-TABLE ATOMIC COMMIT — the cross-table transaction a derived-
     * table refresh needs (fact + its rollup must move together):
@@ -6867,23 +6906,29 @@ object PipelineOps {
     */
   private[graft] def catalogCommitAll(
       s: SparkSession, logDir: String,
-      commits: Seq[(String, Long, String, Long)]): Seq[Long] = {
-    import s.implicits._
-    val cur = s.read.parquet(logDir)
-      .groupBy($"table_name").agg(max($"version").as("v"))
-      .as[(String, Long)].collect().toMap
-    commits.foreach { case (t, exp, _, _) =>
-      val c = cur.getOrElse(t, -1L)
-      require(c == exp,
-        s"catalog CAS failed for $t: expected v$exp, current is v$c " +
-          "— re-resolve and retry (no table committed)")
+      commits: Seq[(String, Long, String, Long)]): Seq[Long] =
+    catalogLocks.computeIfAbsent(logDir, _ => new Object).synchronized {
+      import s.implicits._
+      // a table may move only ONCE per transaction — duplicate names
+      // would append two rows at the same new version
+      val dup = commits.groupBy(_._1).collect { case (t, cs) if cs.size > 1 => t }
+      require(dup.isEmpty,
+        s"duplicate tables in one transaction: ${dup.mkString(", ")}")
+      val cur = s.read.parquet(logDir)
+        .groupBy($"table_name").agg(max($"version").as("v"))
+        .as[(String, Long)].collect().toMap
+      commits.foreach { case (t, exp, _, _) =>
+        val c = cur.getOrElse(t, -1L)
+        require(c == exp,
+          s"catalog CAS failed for $t: expected v$exp, current is v$c " +
+            "— re-resolve and retry (no table committed)")
+      }
+      val rows = commits.map { case (t, exp, root, snap) =>
+        (exp + 1L, t, root, snap) }
+      rows.toDF("version", "table_name", "meta_root", "snap_id")
+        .coalesce(1).write.mode("append").parquet(logDir)
+      rows.map(_._1)
     }
-    val rows = commits.map { case (t, exp, root, snap) =>
-      (exp + 1L, t, root, snap) }
-    rows.toDF("version", "table_name", "meta_root", "snap_id")
-      .coalesce(1).write.mode("append").parquet(logDir)
-    rows.map(_._1)
-  }
 
   /** Months per manifest group in the two-level layout: ~1 group per
     * year of this table. The grouping key, not a tuning constant — at
@@ -6940,7 +6985,12 @@ object PipelineOps {
       }.toSeq.toDF("group_id", "n_files", "min_month", "max_month")
         .coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("manifest_list").toString)
+      // pin the snapshot this layout describes: id + its discovery base,
+      // read back by the serve so it cannot drift from the grouping
       java.nio.file.Files.writeString(root.resolve("tip.txt"), tip.toString)
+      java.nio.file.Files.writeString(root.resolve("base.txt"),
+        s.read.parquet(s"$meta/snapshots")
+          .filter($"snap_id" === tip).select($"base").as[String].head())
       root.toString
     })
 

@@ -2214,11 +2214,8 @@ object Streaming {
     */
   def dvReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val P = graft.operators.PipelineOps
-    P.dvApply(
-      s.read.parquet(P.normPath(P.bloomIdxDataDir(s, d)))
-        .withColumn("file", P.metaFilePath)
-        .withColumn("pos", col("_metadata.row_index")),
-      s.read.parquet(dvStreamDir(s, d)))
+    P.dvApplyOverBase(s, P.normPath(P.bloomIdxDataDir(s, d)),
+        s.read.parquet(dvStreamDir(s, d)))
       .groupBy(col("ship_month"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("n_orders"),
