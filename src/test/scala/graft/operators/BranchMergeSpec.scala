@@ -74,6 +74,13 @@ class BranchMergeSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("rebase"),
       "conflict error should direct to the rebase machinery")
+    // add-vs-add is a conflict too: both sides writing the same relpath
+    // since the fork must refuse, never last-write-win
+    val addClash = intercept[IllegalArgumentException] {
+      PipelineOps.mergeManifests(main, Set.empty,
+        branchAdded = Map("a" -> (("fa2", "b2"))), branchRemoved = Set.empty)
+    }
+    assert(addClash.getMessage.contains("add-conflict"))
     // and the disjoint case applies cleanly
     val ok = PipelineOps.mergeManifests(main, Set("x"),
       Map("y" -> (("fy", "b"))), Set("c"))

@@ -97,6 +97,31 @@ class CatalogSpec extends AnyFunSuite {
     assert(heads == Map("ship_fact" -> 2L, "rollup" -> 0L))
   }
 
+  test("two same-process racers cannot both win the CAS") {
+    import spark.implicits._
+    val scratch = graft.Fixtures.tempDir("graft_cat_race")
+      .resolve("catalog_log").toString
+    spark.read.parquet(
+        s"${PipelineOps.catalogDir(spark, sfDir)}/catalog_log")
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    val meta = PipelineOps.snapshotMetaDir(spark, sfDir)
+    // both commit against expected v1; the per-log monitor serializes
+    // them, so exactly ONE appends v2 and the other refuses
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence((1 to 2).map(_ => Future {
+      try Right(PipelineOps.catalogCommit(spark, scratch, "ship_fact",
+        expectedVersion = 1L, metaRoot = meta, snapId = 4L))
+      catch { case e: IllegalArgumentException => Left(e.getMessage) }
+    })), 120.seconds).toList
+    assert(results.count(_.isRight) == 1 && results.count(_.isLeft) == 1,
+      s"CAS race produced $results")
+    val v2rows = spark.read.parquet(scratch)
+      .filter($"table_name" === "ship_fact" && $"version" === 2L).count()
+    assert(v2rows == 1L, "duplicate version rows after the race")
+  }
+
   test("a brand-new table CASes from version -1") {
     import spark.implicits._
     val scratch = graft.Fixtures.tempDir("graft_cat_scratch2")
