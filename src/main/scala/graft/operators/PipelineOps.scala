@@ -2892,6 +2892,31 @@ object PipelineOps {
         |UNION ALL SELECT * FROM s4
         |ORDER BY snap_id""".stripMargin)),
 
+    // ---- METADATA TABLE: per-PARTITION row counts of the chain tip
+    // (the Iceberg `$partitions` view) answered without touching data —
+    // the tip's sidecar carries (file, n_rows) and the partition tuple
+    // is the file's ship_month dir, so the whole readout is one
+    // metadata-scale aggregation over |files| index rows. The oracle
+    // recomputes the tip's monthly counts from raw: a sidecar row
+    // crediting the wrong partition (path-parse drift) or a lost file
+    // hash-mismatches per month, not just in the global sum.
+    ("pipeline_meta_partitions", (s, d) => {
+      import s.implicits._
+      val meta = snapshotMetaDir(s, d)
+      val tipIdx = s.read.parquet(s"$meta/snapshots")
+        .orderBy($"snap_id".desc).limit(1).select($"idx").as[String].head()
+      s.read.parquet(tipIdx)
+        .select(regexp_extract($"file", "ship_month=([0-9]{4}-[0-9]{2})", 1)
+          .as("ship_month"), $"n_rows")
+        .groupBy($"ship_month")
+        .agg(sum($"n_rows").as("n_rows"))
+        .orderBy($"ship_month")
+    }, Some(
+      s"""$mergeStateCtes
+         |SELECT ship_month, CAST(count(*) AS BIGINT) AS n_rows
+         |FROM merged WHERE o_custkey % 337 <> 0
+         |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     ("pipeline_snapshot_log", (s, d) => {
       import s.implicits._
       def stat(id: Long, op: String, df: DataFrame): DataFrame =
