@@ -3940,6 +3940,39 @@ object PipelineOps {
         |  FROM documents)
         |ORDER BY check_name""".stripMargin)),
 
+    // ---- SEEDED DETERMINISTIC SHUFFLE: the reproducible global
+    // training order every run of a pipeline must agree on — position =
+    // global rank by md5(seed ‖ doc_id) (an engine-portable hash: the
+    // DuckDB oracle recomputes the identical order), one manifest row
+    // per doc with BOTH epochs' positions, so the oracle also proves the
+    // reshuffle (epoch seeds produce different permutations of the same
+    // doc set). Ranking is the scale-safe two-phase form
+    // ([[seededOrder]]): 256 ordered hex-prefix buckets ranked in
+    // parallel + broadcast cumulative offsets — never a one-partition
+    // global window. At 100 TB this is exactly a sort-by-hash manifest:
+    // one range-class shuffle per epoch, output |corpus| rows.
+    ("pipeline_seeded_shuffle", (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id")
+      seededOrder(docs, "e1:").withColumnRenamed("pos", "pos_e1")
+        .join(seededOrder(docs, "e2:").withColumnRenamed("pos", "pos_e2"),
+          Seq("doc_id"))
+        .select($"doc_id", $"pos_e1", $"pos_e2")
+        .orderBy($"pos_e1")
+    }, Some(
+      """WITH e1 AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY md5('e1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos_e1
+        |  FROM documents),
+        |e2 AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY md5('e2:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos_e2
+        |  FROM documents)
+        |SELECT e1.doc_id, CAST(pos_e1 AS BIGINT) AS pos_e1,
+        |  CAST(pos_e2 AS BIGINT) AS pos_e2
+        |FROM e1 JOIN e2 ON e1.doc_id = e2.doc_id
+        |ORDER BY pos_e1""".stripMargin)),
+
     // ---- schema evolution on read: two parquet releases of the same
     // table, the newer one with an ADDED column, unified by mergeSchema +
     // partition discovery (release=<v> dirs) — the additive-evolution read
@@ -4037,6 +4070,31 @@ object PipelineOps {
         |FROM documents
         |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
+
+  /** Scale-safe GLOBAL RANK of `doc_id` rows by md5(seed ‖ doc_id): 256
+    * ordered hex-prefix buckets get per-bucket window ranks in PARALLEL,
+    * then a broadcast of cumulative bucket offsets (≤256 rows) lifts
+    * them to global positions — the two-phase form of zipWithIndex that
+    * never funnels the corpus through a one-partition global window.
+    * Prefix order agrees with full-hash order because md5 hex is
+    * fixed-width lowercase; ties (hash collisions) break by doc_id, the
+    * same tie-break the oracle uses.
+    */
+  private def seededOrder(df: DataFrame, seed: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val keyed = df
+      .withColumn("h", md5(concat(lit(seed), col("doc_id").cast("string"))))
+      .withColumn("bkt", substring($"h", 1, 2))
+    val counts = keyed.groupBy($"bkt").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    var acc = 0L
+    val offs = counts.map { case (b, n) => val o = acc; acc += n; (b, o) }
+    val w = Window.partitionBy($"bkt").orderBy($"h", $"doc_id")
+    keyed.join(broadcast(offs.toSeq.toDF("bkt", "off")), Seq("bkt"))
+      .withColumn("pos", row_number().over(w).cast("long") + $"off" - 1L)
+      .select($"doc_id", $"pos")
+  }
 
   /** Global-sample size for pipeline_bottomk_sample. */
   private val SampleK = 100
