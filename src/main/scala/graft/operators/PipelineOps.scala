@@ -2513,6 +2513,47 @@ object PipelineOps {
          |  SELECT l_orderkey, ship_month, qty, net_cents FROM bb)
          |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
 
+    // ---- INCREMENTAL APPEND SCAN: rows ADDED between the audit
+    // branch's fork (snapshot 2) and its head (6) — the Iceberg
+    // incremental-read fast path for append-only deltas: the manifests
+    // diff on relpath (metadata-scale) and ONLY the added files are
+    // read; no row-level diff is ever computed (contrast
+    // pipeline_snapshot_changelog, which must full-outer rewrites). A
+    // downstream consumer tailing a table pays |new files|, never table
+    // size. Oracle = the branch batch recomputed from raw, monthly.
+    ("pipeline_incremental_scan", (s, d) => {
+      import s.implicits._
+      val root = branchMetaDir(s, d)
+      val mans = s.read.parquet(s"$root/manifests")
+        .filter($"snap_id".isin(2L, 6L))
+        .select($"snap_id", $"file", $"base")
+        .as[(Long, String, String)].collect()
+      def rel(f: String, b: String) =
+        java.nio.file.Paths.get(normPath(b))
+          .relativize(java.nio.file.Paths.get(normPath(f))).toString
+      val before = mans.collect { case (2L, f, b) => rel(f, b) }.toSet
+      val added = mans.collect {
+        case (6L, f, b) if !before(rel(f, b)) => (normPath(b), normPath(f))
+      }
+      added.groupBy(_._1).map { case (b, fs) =>
+        readMatchedFiles(s, b, fs.map(_._2).toSeq)
+          .select($"l_orderkey", $"qty", $"net_cents", $"ship_month")
+      }.reduce(_ unionByName _)
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS ship_month,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT o_orderkey + $BranchBatchOffset) AS BIGINT) AS n_orders,
+         |  CAST(sum(2) AS BIGINT) AS sum_qty,
+         |  CAST(sum((o_orderkey % 991) * 100 + 7) AS BIGINT) AS revenue_cents
+         |FROM orders WHERE o_custkey % 499 = 0
+         |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
     // ---- BRANCH MERGE-BACK ([[branchMergeDir]]): the monthly report
     // through main's head AFTER both diverged branches folded back in —
     // the audit append (fork 2) and a hotfix copy-on-write delete of
