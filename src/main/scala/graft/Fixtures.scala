@@ -53,6 +53,14 @@ object Fixtures {
         Files.copy(src, dst,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
+    else
+      // cheap invariant on the relpath-identifies-content assumption: an
+      // aliased dst holding DIFFERENT content must fail loudly here, not
+      // serve wrong bytes downstream (same-file passes trivially — size
+      // equality is the cross-device-copy-safe stand-in for isSameFile)
+      require(Files.size(dst) == Files.size(src),
+        s"linkOrCopy aliasing violation: $dst exists with " +
+          s"${Files.size(dst)} bytes but $src has ${Files.size(src)}")
   }
 
   /** Content fingerprint of a dataset directory: order-insensitive SUM of

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CdcQueries, Clustering, Dedup, Multimodal, PipelineOps, Relational, Similarity, TextOps}
+import graft.operators.{CdcQueries, Clustering, Dedup, LakeQueries, Multimodal, PipelineOps, Relational, Similarity, TextOps}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ Relational.queries ++ TextOps.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      PipelineOps.queries ++ Clustering.queries ++
+      PipelineOps.queries ++ Clustering.queries ++ LakeQueries.queries ++
       graft.streaming.Streaming.queries
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracleSql ++ Relational.oracleSql ++ TextOps.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
-      PipelineOps.oracleSql ++ Clustering.oracleSql ++
+      PipelineOps.oracleSql ++ Clustering.oracleSql ++ LakeQueries.oracleSql ++
       graft.streaming.Streaming.oracleSql
 }

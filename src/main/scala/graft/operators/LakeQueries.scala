@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The `graft-lake` CONNECTOR surface (graft.sources.lake.GraftLakeSource)
+  * exercised end-to-end: every query here re-serves a lakehouse readout
+  * whose library-path twin already exists, THROUGH
+  * `spark.read.format("graft-lake")` — catalog/ref/snapshot resolution,
+  * manifest pruning, delete-form application and column-ID schema mapping
+  * all happen inside the data source, and the results are judged by the
+  * SAME verbatim DuckDB oracles as the twins (VERDICT r15 #1: "done =
+  * re-served through spark.read.format and judged by the existing
+  * oracles"). lake_multi_delete is the one NEW semantic: a single snapshot
+  * whose metadata carries deletion vectors, a position sidecar AND an
+  * equality-delete file simultaneously, applied under the sequence rules
+  * by one reader (VERDICT r15 #2).
+  */
+object LakeQueries {
+  import PipelineOps.{mergeStateCtes, snapshotMetaDir, branchMetaDir,
+    catalogDir, schemaIdDir, BloomIdxKeys, BranchBatchOffset}
+
+  /** `spark.read.format("graft-lake")` — resolved via the META-INF
+    * services registration; the spec pins the short name resolves.
+    */
+  private def lake(s: SparkSession) = s.read.format("graft-lake")
+
+  private val defs: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- TIME TRAVEL through the connector: the pipeline_time_travel
+    // readout (delete_w1 vs delete_w2 epochs, monthly deltas) with both
+    // epochs resolved by `option("snapshot", n)` instead of the library
+    // readSnapshot — manifest-addressed file lists, same verbatim oracle.
+    ("lake_time_travel", (s, d) => {
+      import s.implicits._
+      val meta = snapshotMetaDir(s, d)
+      def at(id: Long) = lake(s)
+        .option("metaRoot", meta).option("snapshot", id).load()
+      val w1 = at(2L).groupBy($"ship_month")
+        .agg(count(lit(1)).as("n1"), sum($"net_cents").as("c1"))
+      val w2 = at(4L).groupBy($"ship_month")
+        .agg(count(lit(1)).as("n2"), sum($"net_cents").as("c2"))
+      w1.join(w2, Seq("ship_month"), "full_outer")
+        .select($"ship_month",
+          coalesce($"n1", lit(0L)).as("n_rows_w1"),
+          coalesce($"n2", lit(0L)).as("n_rows_w2"),
+          (coalesce($"n2", lit(0L)) - coalesce($"n1", lit(0L))).as("rows_delta"),
+          (coalesce($"c2", lit(0L)) - coalesce($"c1", lit(0L))).as("cents_delta"))
+        .orderBy($"ship_month")
+    }, Some(
+      s"""$mergeStateCtes,
+         |w1 AS (SELECT ship_month, CAST(count(*) AS BIGINT) AS n1,
+         |    CAST(sum(net_cents) AS BIGINT) AS c1
+         |  FROM base WHERE o_custkey % 271 <> 0 GROUP BY 1),
+         |w2 AS (SELECT ship_month, CAST(count(*) AS BIGINT) AS n2,
+         |    CAST(sum(net_cents) AS BIGINT) AS c2
+         |  FROM merged WHERE o_custkey % 337 <> 0 GROUP BY 1)
+         |SELECT COALESCE(w1.ship_month, w2.ship_month) AS ship_month,
+         |  CAST(COALESCE(n1, 0) AS BIGINT) AS n_rows_w1,
+         |  CAST(COALESCE(n2, 0) AS BIGINT) AS n_rows_w2,
+         |  CAST(COALESCE(n2, 0) - COALESCE(n1, 0) AS BIGINT) AS rows_delta,
+         |  CAST(COALESCE(c2, 0) - COALESCE(c1, 0) AS BIGINT) AS cents_delta
+         |FROM w1 FULL OUTER JOIN w2 ON w1.ship_month = w2.ship_month
+         |ORDER BY ship_month""".stripMargin)),
+
+    // ---- BRANCH POINT LOOKUPS through the connector:
+    // `option("ref", "audit")` resolves the refs_log head, and the
+    // `l_orderkey IN (...)` probe is PUSHED — the ScanBuilder prunes the
+    // file list through the snapshot's own bloom sidecar (idx6), spanning
+    // both physical roots, then Spark re-applies the residual filter
+    // (bloom false positives). Verbatim pipeline_branch_lookup oracle;
+    // LakeConnectorSpec pins the pruned file set = the index-matched set.
+    ("lake_branch_lookup", (s, d) => {
+      import s.implicits._
+      val root = branchMetaDir(s, d)
+      val twins = s.read.parquet(s"$root/branch_files")
+        .select($"l_orderkey").orderBy($"l_orderkey")
+        .limit(2).as[Long].collect()
+      val probes = BloomIdxKeys ++ twins
+      lake(s).option("metaRoot", root).option("ref", "audit").load()
+        .filter($"l_orderkey".isin(probes: _*))
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"l_orderkey")
+    }, Some(
+      s"""WITH audit AS (
+         |  SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty,
+         |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS net_cents
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_custkey % 271 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + $BranchBatchOffset, CAST(2 AS BIGINT),
+         |    (o_orderkey % 991) * 100 + 7
+         |  FROM orders WHERE o_custkey % 499 = 0)
+         |SELECT l_orderkey,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM audit
+         |WHERE l_orderkey IN (${BloomIdxKeys.mkString(", ")})
+         |   OR l_orderkey IN (
+         |     SELECT o_orderkey + $BranchBatchOffset FROM orders
+         |     WHERE o_custkey % 499 = 0 ORDER BY o_orderkey LIMIT 2)
+         |GROUP BY 1 ORDER BY l_orderkey""".stripMargin)),
+
+    // ---- DELETION VECTORS through the connector: the `stable` TAG of the
+    // lake world pins the DV-only snapshot; its manifest's content=dv
+    // entries resolve to per-file bitmaps applied inside the partition
+    // readers. Judged by pipeline_dv_serve's VERBATIM oracle — the
+    // connector read must equal the library dvApply serve row-for-row.
+    ("lake_dv_serve", (s, d) => {
+      import s.implicits._
+      lake(s).option("metaRoot", LakeFixture.lakeMetaDir(s, d))
+        .option("ref", "stable").load()
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey % 271 <> 0
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // ---- The COMPOSED MULTI-DELETE-FORM read (VERDICT r15 #2): the lake
+    // world's tip snapshot carries a DV (wave 271, seq 1), a position
+    // sidecar (wave 337, seq 2) AND an equality-delete file (wave 293,
+    // seq 3) — one reader applies all three under the strictly-older
+    // sequence rule. Customer 0 is in ALL THREE erase sets, so its rows
+    // are triple-marked and must disappear exactly once; the oracle
+    // recomputes the converged state from raw, and LakeConnectorSpec pins
+    // per-form exactness plus the seq counterfactual.
+    ("lake_multi_delete", (s, d) => {
+      import s.implicits._
+      lake(s).option("metaRoot", LakeFixture.lakeMetaDir(s, d)).load()
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey % 271 <> 0 AND o_custkey % 337 <> 0
+        |  AND o_custkey % 293 <> 0
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // ---- PARTITION PRUNING through the connector: a month-window report
+    // over the chain tip where the `ship_month BETWEEN` predicate is
+    // pushed into the ScanBuilder and prunes the manifest file list
+    // BEFORE any partition is planned (LakeConnectorSpec pins opened ⊂
+    // total and every opened file inside the window). The oracle
+    // recomputes the window from raw under the tip's cumulative state.
+    ("lake_partition_prune", (s, d) => {
+      import s.implicits._
+      lake(s).option("metaRoot", snapshotMetaDir(s, d)).load()
+        .filter($"ship_month" >= "1995-01" && $"ship_month" <= "1995-06")
+        .groupBy($"ship_month")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .orderBy($"ship_month")
+    }, Some(
+      s"""$mergeStateCtes
+         |SELECT ship_month,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM merged WHERE o_custkey % 337 <> 0
+         |  AND ship_month BETWEEN '1995-01' AND '1995-06'
+         |GROUP BY 1 ORDER BY ship_month""".stripMargin)),
+
+    // ---- CATALOG TIME TRAVEL through the connector: `option("catalog")`
+    // + `option("table")` + `option("asOfVersion", v)` resolve the CAS
+    // pointer log to (metadata world, snapshot) — v0 the mutation chain's
+    // tip, v1 the rollback commit — and both states serve through the one
+    // read path. Verbatim pipeline_catalog_time_travel oracle.
+    ("lake_catalog_time_travel", (s, d) => {
+      import s.implicits._
+      val cat = catalogDir(s, d)
+      def at(v: Long) = lake(s)
+        .option("catalog", cat).option("table", "ship_fact")
+        .option("asOfVersion", v).load()
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          sum($"qty").as("sum_qty"),
+          sum($"net_cents").as("revenue_cents"))
+        .select(lit(v).as("version"), $"n_rows", $"n_orders",
+          $"sum_qty", $"revenue_cents")
+      at(0L).unionByName(at(1L)).orderBy($"version")
+    }, Some(
+      s"""$mergeStateCtes
+         |SELECT CAST(0 AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |  CAST(sum(net_cents) AS BIGINT) AS revenue_cents
+         |FROM merged WHERE o_custkey % 337 <> 0
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT),
+         |  CAST(count(*) AS BIGINT),
+         |  CAST(count(DISTINCT l_orderkey) AS BIGINT),
+         |  CAST(sum(qty) AS BIGINT), CAST(sum(net_cents) AS BIGINT)
+         |FROM base WHERE o_custkey % 271 <> 0
+         |ORDER BY version""".stripMargin)),
+
+    // ---- COLUMN-ID SCHEMA EVOLUTION through the connector: both
+    // releases served at schema v2 — rename (n_chars→char_count), widen
+    // (score int→bigint, applied in the reader), drop (lang never
+    // requested) — with r1's footers untouched. Verbatim
+    // pipeline_schema_rename oracle.
+    ("lake_schema_rename", (s, d) => {
+      import s.implicits._
+      lake(s).option("schemaRoot", schemaIdDir(s, d))
+        .option("schemaVersion", 2L).load()
+        .groupBy($"release")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"char_count").as("sum_chars"),
+          sum($"score").as("sum_score"),
+          sum(when($"quality_tier".isNull, 1L).otherwise(0L)).as("n_null_tier"),
+          countDistinct($"quality_tier").as("n_tiers"))
+        .orderBy($"release")
+    }, Some(
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'r1' ELSE 'r2' END AS release,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN doc_id % 1000
+        |    ELSE doc_id % 1000 + 3000000000 END) AS BIGINT) AS sum_score,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_tier,
+        |  CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN n_chars // 100 END) AS BIGINT) AS n_tiers
+        |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- INITIAL DEFAULTS through the connector (schema v3): rows
+    // written before region_code existed serve 99 from the reader's
+    // constant column, while quality_tier keeps serving typed NULL from
+    // r1 — both absent-field treatments in one scan. Verbatim
+    // pipeline_schema_default oracle.
+    ("lake_schema_default", (s, d) => {
+      import s.implicits._
+      lake(s).option("schemaRoot", schemaIdDir(s, d))
+        .option("schemaVersion", 3L).load()
+        .groupBy($"release")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"region_code".cast("long")).as("sum_region"),
+          sum(when($"region_code".isNull, 1L).otherwise(0L))
+            .as("n_null_region"),
+          sum(when($"quality_tier".isNull, 1L).otherwise(0L))
+            .as("n_null_tier"))
+        .orderBy($"release")
+    }, Some(
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'r1' ELSE 'r2' END AS release,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) * 99 AS BIGINT) AS sum_region,
+        |  CAST(0 AS BIGINT) AS n_null_region,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_tier
+        |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, f, _) => n -> f }.toMap
+
+  val oracleSql: Map[String, String] =
+    defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

@@ -2538,7 +2538,9 @@ object PipelineOps {
       added.groupBy(_._1).map { case (b, fs) =>
         readMatchedFiles(s, b, fs.map(_._2).toSeq)
           .select($"l_orderkey", $"qty", $"net_cents", $"ship_month")
-      }.reduce(_ unionByName _)
+      }.reduceOption(_ unionByName _)
+        .getOrElse(sys.error(
+          "no files added between snapshots 2 and 6 — branch fixture drift"))
         .groupBy($"ship_month")
         .agg(count(lit(1)).as("n_rows"),
           countDistinct($"l_orderkey").as("n_orders"),
@@ -2947,8 +2949,13 @@ object PipelineOps {
       val tipIdx = s.read.parquet(s"$meta/snapshots")
         .orderBy($"snap_id".desc).limit(1).select($"idx").as[String].head()
       s.read.parquet(tipIdx)
-        .select(regexp_extract($"file", "ship_month=([0-9]{4}-[0-9]{2})", 1)
-          .as("ship_month"), $"n_rows")
+        .withColumn("mm",
+          regexp_extract($"file", "ship_month=([0-9]{4}-[0-9]{2})", 1))
+        // mirror manifestListDir: a sidecar path with no partition dir must
+        // fail loudly, never mis-credit its rows to partition ""
+        .select(when($"mm" === "", raise_error(concat(
+            lit("index file carries no partition dir: "), $"file")))
+          .otherwise($"mm").as("ship_month"), $"n_rows")
         .groupBy($"ship_month")
         .agg(sum($"n_rows").as("n_rows"))
         .orderBy($"ship_month")
@@ -4267,7 +4274,7 @@ object PipelineOps {
     * same files, same schema), and the id-mapped union is what a v2
     * reader sees.
     */
-  private[operators] def schemaIdDir(s: SparkSession, d: String): String =
+  private[graft] def schemaIdDir(s: SparkSession, d: String): String =
     schemaIdDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
       import s.implicits._
       val root = graft.Fixtures.tempDir("graft_schid").toString
@@ -4917,7 +4924,7 @@ object PipelineOps {
     * readouts' `o_custkey % 337 <> 0` filter keeps them, matching the
     * executor's key-based delete (synthetic keys are in no erase set).
     */
-  private def mergeStateCtes: String =
+  private[operators] def mergeStateCtes: String =
     s"""WITH base AS (
       |  SELECT l_orderkey, strftime(l_shipdate, '%Y-%m') AS ship_month,
       |    CAST(l_shipdate AS DATE) AS ship_day,
@@ -5266,13 +5273,29 @@ object PipelineOps {
     * highest deleted position, `n_set` = popcount. The typed mapGroups is
     * metadata-scale (|deleted rows| in, |touched files| out) — never the
     * fact table.
+    *
+    * DENSITY ASSUMPTION: the vector is a DENSE word array up to the
+    * file's max deleted position — position/8 bytes per file regardless
+    * of how few bits are set, unlike the roaring bitmaps real
+    * Delta/Iceberg DVs serialize. That is the right trade only while
+    * per-file row counts stay bounded (parquet row groups target
+    * 10^5–10^7 rows/file, i.e. ≤ ~1.25 MB/vector); the guard below
+    * refuses a sparse high-position delete (e.g. one bit at 10^9) rather
+    * than silently allocating a ~125 MB word array into every broadcast.
+    * A compressed (roaring/RLE) encoding is the upgrade path if files
+    * ever exceed [[DvMaxPosition]] rows.
     */
+  private[graft] val DvMaxPosition: Long = 1L << 26 // 64M rows → ≤8 MB/vector
+
   private[graft] def dvFromPositions(s: SparkSession, pos: DataFrame): DataFrame = {
     import s.implicits._
     pos.select(col("file"), col("pos")).as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (f, it) =>
         val ps = it.map(_._2).toArray
+        require(ps.max < DvMaxPosition,
+          s"DV position ${ps.max} in $f exceeds the dense-bitmap bound " +
+            s"$DvMaxPosition — use a compressed vector encoding")
         val words = new Array[Long]((ps.max >> 6).toInt + 1)
         ps.foreach(p => words((p >> 6).toInt) |= (1L << (p & 63).toInt))
         (f, words.toSeq, ps.length.toLong)
@@ -5341,7 +5364,7 @@ object PipelineOps {
     * accumulate, wave-1 vectors surviving the merge byte-identical, and
     * zero data-file writes.
     */
-  private[operators] def dvDeleteDir(s: SparkSession, d: String): String =
+  private[graft] def dvDeleteDir(s: SparkSession, d: String): String =
     dvDeleteDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
       import s.implicits._
       val root = graft.Fixtures.tempDir("graft_dv")
@@ -5380,7 +5403,7 @@ object PipelineOps {
   /** DV scan of the wave-1-only snapshot (`dv1/`) or the current merged
     * one (`dv/`) — the original tree with vectors applied at scan time.
     */
-  private[operators] def dvServeRead(
+  private[graft] def dvServeRead(
       s: SparkSession, d: String, sidecar: String): DataFrame = {
     val root = dvDeleteDir(s, d)
     val base = java.nio.file.Files.readString(
