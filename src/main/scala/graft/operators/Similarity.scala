@@ -306,7 +306,7 @@ object Similarity {
     * query to the right neighborhood in few hops over a 1/4-size graph;
     * the base layer refines locally (sim_hnsw_topk).
     */
-  private[operators] def knnGraphDir(s: SparkSession, d: String): String =
+  private[graft] def knnGraphDir(s: SparkSession, d: String): String =
     knnGraphDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
       val root = graft.Fixtures.tempDir("graft_knngraph")
         .resolve("graph").toString
@@ -515,6 +515,106 @@ object Similarity {
       }
       root
     })
+
+  // ---- STREAMING GRAPH MAINTENANCE hooks (the 23rd replay contract,
+  // graft.streaming.Streaming stream_graph_replay): the SAME base-build /
+  // merge-recut upsert semantics as [[knnIncrementalDir]], factored so the
+  // delta can arrive as foreachBatch micro-batches instead of one batch.
+  // Exactness carries over wave-by-wave: each recut is top-k(old top-k ∪
+  // new-endpoint edges), and top-k under insertion-only candidates is a
+  // monotone fold — applying the delta in ANY number of commits lands on
+  // the same lists as one shot, hence as a fresh rebuild (the streamed
+  // l0/l1 ≡ rebuild pin in StreamingSpec). Same bucket-stability
+  // precondition, same honest full-rebuild fallback past the cap.
+
+  /** Day-0 of the streamed graph: probe the candidate regime, then either
+    * write the BASE slice's layers (vec_id % 10 != 9) plus the base
+    * signature table (returns true — incremental path armed) or fall back
+    * to a full rebuild at the same root (returns false).
+    */
+  private[graft] def graphStreamInit(
+      s: SparkSession, d: String, root: String): Boolean = {
+    import s.implicits._
+    graft.plans.GraftExtensions.register(s)
+    val v = vectors(s, d)
+    val sigsAll = lshSignatures(v).cache()
+    try {
+      val maxBucket = sigsAll.groupBy($"tbl", $"sig")
+        .agg(count(lit(1)).as("cnt")).agg(max($"cnt")).head().getLong(0)
+      if (maxBucket > BucketAllPairsMax) {
+        writeGraphLayers(v, s"$root/graph", Some(sigsAll))
+        false
+      } else {
+        writeGraphLayers(v.filter($"vec_id" % 10 =!= 9), s"$root/graph",
+          Some(sigsAll.filter($"vec_id" % 10 =!= 9)))
+        sigsAll.filter($"vec_id" % 10 =!= 9)
+          .write.mode("overwrite").parquet(s"$root/sigs/commit=0")
+        true
+      }
+    } finally sigsAll.unpersist()
+  }
+
+  /** One streamed commit: sign the batch, land its signatures under a
+    * DETERMINISTIC per-commit dir (overwrite ⇒ a retried micro-batch
+    * replaces, never duplicates — the exactly-once shape of the eq-delete
+    * contract), pair the batch against ALL present signatures (including
+    * its own — intra-wave pairs), and merge-recut both layers in place.
+    * The stage-then-swap keeps the live layer dirs whole between commits;
+    * foreachBatch commits are serial, and a retry re-derives identical
+    * lists (merge-recut is idempotent over deterministic scores).
+    */
+  private[graft] def graphStreamUpsert(s: SparkSession, d: String,
+      root: String, batch: DataFrame, commitId: Long): Unit = {
+    import s.implicits._
+    val v = vectors(s, d)
+    val sigsB = lshSignatures(batch).cache()
+    try {
+      sigsB.write.mode("overwrite")
+        .parquet(s"$root/sigs/commit=${commitId + 1}")
+      val sigsAll = s.read.parquet(s"$root/sigs")
+        .select($"vec_id", $"tbl", $"sig")
+      val half = sigsB.as("x").join(sigsAll.as("y"),
+          $"x.tbl" === $"y.tbl" && $"x.sig" === $"y.sig" &&
+            $"x.vec_id" =!= $"y.vec_id")
+        .select($"x.vec_id".as("src"), $"y.vec_id".as("dst"))
+      val fresh = half
+        .unionByName(half.select($"dst".as("src"), $"src".as("dst")))
+        .distinct()
+        .join(v.select($"vec_id".as("src"), $"emb".as("s_emb")), "src")
+        .join(v.select($"vec_id".as("dst"), $"emb".as("d_emb")), "dst")
+        .withColumn("ecos", cosine($"s_emb", $"d_emb"))
+        .select($"src", $"dst", $"ecos").cache()
+      try {
+        val we = Window.partitionBy($"src").orderBy($"ecos".desc, $"dst")
+        def upsert(layer: String, deg: Int, freshL: DataFrame): Unit = {
+          val live = s"$root/graph/$layer"
+          val old = s.read.parquet(live)
+          val affected = freshL.select($"src").distinct()
+          val next = old.join(affected, Seq("src"), "left_anti")
+            .unionByName(old.select($"src", $"dst", $"ecos")
+              .join(affected, Seq("src"), "left_semi")
+              .unionByName(freshL)
+              .withColumn("rn", row_number().over(we)).filter($"rn" <= deg)
+              .select($"src", $"dst", $"ecos", $"rn"))
+          val stage = s"${live}_stage"
+          next.write.mode("overwrite").parquet(stage)
+          graft.Fixtures.deleteRecursively(java.nio.file.Paths.get(live))
+          java.nio.file.Files.move(java.nio.file.Paths.get(stage),
+            java.nio.file.Paths.get(live))
+        }
+        upsert("l0", GraphDegree, fresh)
+        upsert("l1", HnswL1Degree, fresh.filter(
+          $"src" % HnswLayerMod === 0 && $"dst" % HnswLayerMod === 0))
+      } finally fresh.unpersist()
+    } finally sigsB.unpersist()
+  }
+
+  /** The standard flat beam serve over an arbitrary graph root — the
+    * streamed contract's judged readout (same plan as sim_graph_topk).
+    */
+  private[graft] def graphServeFromDir(
+      s: SparkSession, d: String, graphRoot: String): DataFrame =
+    graphBeamServe(s, d, graphRoot)
 
   /** Beam search over a persisted serve graph's `l0` layer — the shared
     * execution of sim_graph_topk (fresh-built graph) and
@@ -732,7 +832,7 @@ object Similarity {
     * the latter, hash-matching it is the serve-level proof that the
     * delta-upserted graph ≡ a fresh rebuild).
     */
-  private def graphTopkOracle: String = {
+  private[graft] def graphTopkOracle: String = {
     def hop(prev: String, cand: String, next: String): String =
       s"""$cand AS (
          |  SELECT q_id, node FROM $prev

@@ -2099,6 +2099,84 @@ object Streaming {
     s"${ivfStreamDirCache.get(graft.Fixtures.dirKey(d))}/index"
   }
 
+  private val graphStreamDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val graphStreamFellBackByKey =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** Whether the streamed graph build took the honest full-rebuild
+    * fallback (mega-bucket regime) instead of streaming the delta — the
+    * same per-dataset record [[graft.operators.Similarity.knnIncrFellBack]]
+    * keeps for the batch twin; StreamingSpec consults it.
+    */
+  private[graft] def graphStreamFellBack(d: String): Boolean =
+    graphStreamFellBackByKey.getOrDefault(graft.Fixtures.dirKey(d), false)
+
+  /** STREAMING GRAPH-ANN MAINTENANCE — the twenty-third replay contract,
+    * closing the last incremental index without a streaming twin (IVF:
+    * r14; bloom: r13; VERDICT r15 #5): the kNN serve graph is built on the
+    * base slice (vec_id % 10 != 9 — the same split as the batch
+    * incremental builder), then the remaining tenth arrives in five
+    * rank-split waves through a file source, and a `foreachBatch` writer
+    * DELTA-UPSERTS both layers per commit ([[graft.operators.Similarity
+    * .graphStreamUpsert]]): new nodes get fresh top-k lists, existing
+    * lists re-cut only where a new endpoint enters their candidate set,
+    * signatures land under deterministic per-commit dirs (retry ⇒
+    * replace). Merge-recut is a monotone fold, so five commits ≡ one
+    * batch upsert ≡ a fresh rebuild — which is why the judged readout
+    * (the standard beam serve over the STREAMED graph) is hash-checked by
+    * sim_graph_topk's VERBATIM fresh-rebuild oracle, and StreamingSpec
+    * additionally pins streamed l0/l1 ≡ the rebuilt layers frame-for-
+    * frame. Same mega-bucket fallback boundary as the batch builder. At
+    * 100 TB the waves are vector-batch commits against the persisted
+    * graph artifact; each commit costs candidates-of-the-batch plus
+    * adjacent-list re-cuts, never a corpus rebuild.
+    */
+  def graphReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val Sim = graft.operators.Similarity
+    val root0 = graphStreamDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      val root = graft.Fixtures.tempDir("graft_graphstream")
+      val incremental = Sim.graphStreamInit(s, d, root.toString)
+      if (!incremental)
+        graphStreamFellBackByKey.put(graft.Fixtures.dirKey(d), true)
+      else {
+        val v = Sim.vectors(s, d)
+        // rank-split waves (ntile over the sorted delta ids): every wave
+        // nonempty at any SF, same reasoning as the eq-delete contract
+        val src = waveFiles("graphv:" + d,
+          v.filter(col("vec_id") % 10 === 9)
+            .withColumn("wave",
+              (ntile(5).over(org.apache.spark.sql.expressions.Window
+                .orderBy(col("vec_id"))) - 1).cast("int")))
+        val stream = s.readStream
+          .schema(v.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src.toString)
+        withFewShufflePartitions(s) {
+          val q = stream.writeStream
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              Sim.graphStreamUpsert(s, d, root.toString, batch, id)
+            }
+            .option("checkpointLocation", root.resolve("chk").toString)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      }
+      root.toString
+    })
+    Sim.graphServeFromDir(s, d, s"$root0/graph")
+  }
+
+  /** Streamed graph root for StreamingSpec's rebuild-equality pin (runs
+    * the contract first so the once-per-JVM ingest happened).
+    */
+  private[graft] def graphStreamGraphDir(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    graphReplayContract(s, d).count()
+    s"${graphStreamDirCache.get(graft.Fixtures.dirKey(d))}/graph"
+  }
+
   private val eqdelStreamDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2453,6 +2531,7 @@ object Streaming {
     "stream_mv_replay" -> ((s, d) => mvReplayContract(s, d)),
     "stream_bloom_replay" -> ((s, d) => bloomReplayContract(s, d)),
     "stream_ivf_replay" -> ((s, d) => ivfReplayContract(s, d)),
+    "stream_graph_replay" -> ((s, d) => graphReplayContract(s, d)),
     "stream_cdf_replay" -> ((s, d) => cdfReplayContract(s, d)),
     "stream_eqdel_replay" -> ((s, d) => eqdelReplayContract(s, d)),
     "stream_dv_replay" -> ((s, d) => dvReplayContract(s, d)),
@@ -2495,6 +2574,10 @@ object Streaming {
       // the streamed IVF index must serve EXACTLY what a fresh batch
       // rebuild serves — share the fresh-rebuild retrieval oracle verbatim
       "stream_ivf_replay" -> graft.operators.Similarity.ivfTopkOracle,
+      // the streamed graph serves bit-identically to a fresh rebuild —
+      // judged by sim_graph_topk's verbatim oracle, same as the batch
+      // incremental twin
+      "stream_graph_replay" -> graft.operators.Similarity.graphTopkOracle,
       // the CDF-maintained rollup must equal the engine's own
       // thrice-refreshed MV of the same epoch — share its oracle verbatim
       "stream_cdf_replay" -> graft.operators.PipelineOps.oracleSql("pipeline_delete_mv2"),

@@ -956,6 +956,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select($"cid").distinct().count() > 1)
   }
 
+  // The serve's beam cut could mask a subtly-wrong edge list (a lost or
+  // duplicated edge outside the visited region never reaches the oracle),
+  // so beyond the verbatim-oracle hash the streamed graph is pinned
+  // against a FRESH full rebuild layer-for-layer as raw row multisets —
+  // the same treatment the batch incremental builder gets in
+  // AnnQualitySpec, proving five commits ≡ one rebuild exactly.
+  test("streamed graph maintenance lands on the fresh rebuild's layers exactly") {
+    val d = "/root/testdata/sf0.01"
+    val streamed = Streaming.graphStreamGraphDir(spark, d)
+    assert(!Streaming.graphStreamFellBack(d),
+      "mega-bucket fallback fired at the test SF — the upsert path went untested")
+    val fresh = graft.operators.Similarity.knnGraphDir(spark, d)
+    Seq("l0", "l1").foreach { layer =>
+      val a = spark.read.parquet(s"$streamed/$layer")
+      val b = spark.read.parquet(s"$fresh/$layer")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"streamed $layer diverges from the fresh rebuild")
+      assert(a.count() > 0L)
+    }
+  }
+
   // The oracle pins the final state against raw; this pins the streaming
   // consumer against its BATCH twin (pipeline_changelog_apply_mv): both
   // fold the same typed changelog into wave 1's rollup, one per
