@@ -4116,6 +4116,41 @@ object PipelineOps {
         |  CAST(0 AS BIGINT) AS n_null_region,
         |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_tier
         |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- TYPE-PROMOTION matrix ([[schemaPromoDir]], VERDICT r15 #7):
+    // float→double, decimal(9,2)→decimal(18,4) and int→bigint all widen
+    // ON READ through the field-id mapping with p1's footers untouched,
+    // and the two v3 default kinds split correctly — p1's pre-field rows
+    // serve the INITIAL-default (7), p2's writer-omitted column carries
+    // the WRITE-default (5) physically. Weights are dyadic (n_chars/16,
+    // /8) and prices string-built decimals, so every promoted sum is
+    // exact and the oracle recomputes it bit-for-bit; serving 7 where 5
+    // belongs (or a lossy widen) hash-mismatches.
+    ("pipeline_schema_promote", (s, d) => {
+      import s.implicits._
+      promoMappedRelease(s, d, "p1")
+        .unionByName(promoMappedRelease(s, d, "p2"))
+        .groupBy($"release")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum($"weight"), 4).as("sum_weight"),
+          sum($"price").cast("decimal(18,4)").as("sum_price"),
+          sum($"score").as("sum_score"),
+          sum($"flag".cast("long")).as("sum_flag"))
+        .orderBy($"release")
+    }, Some(
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'p1' ELSE 'p2' END AS release,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(sum(CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS DOUBLE) / 16
+        |    ELSE CAST(n_chars AS DOUBLE) / 8 END), 4) AS sum_weight,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0
+        |    THEN CAST(n_chars || '.' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS DECIMAL(18,4))
+        |    ELSE CAST(n_chars || '.' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS DECIMAL(18,4))
+        |    END) AS DECIMAL(18,4)) AS sum_price,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN doc_id % 1000
+        |    ELSE doc_id % 1000 + 3000000000 END) AS BIGINT) AS sum_score,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 5 END) AS BIGINT) AS sum_flag
+        |FROM documents
         |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
@@ -4313,6 +4348,108 @@ object PipelineOps {
         .write.mode("overwrite").parquet(s"$root/releases")
       root
     })
+
+  private val schemaPromoDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** TYPE-PROMOTION fixture (VERDICT r15 #7) — the widening matrix beyond
+    * [[schemaIdDir]]'s int→bigint case, plus BOTH default kinds of
+    * Iceberg v3:
+    *
+    *  - `release=p1` under schema v1: weight FLOAT (physically FLOAT32),
+    *    price DECIMAL(9,2), score INT. Every value is chosen so the
+    *    promoted read is EXACT: weights are dyadic rationals (n_chars/16 —
+    *    float ⊆ double losslessly), prices are string-built decimals, so
+    *    the DuckDB oracle recomputes them bit-for-bit;
+    *  - schema v2 widens field 2 float→double, field 3
+    *    decimal(9,2)→decimal(18,4), field 4 int→bigint, and ADDS field 5
+    *    `flag` int with INITIAL-DEFAULT 7 and WRITE-DEFAULT 5 — the two
+    *    defaults are deliberately different values so a reader serving
+    *    the wrong one hash-mismatches;
+    *  - `release=p2` written under v2 by a writer that OMITS `flag`: the
+    *    WRITE path materializes the write-default (p2's footers
+    *    physically carry flag=5), while p1's pre-field rows serve the
+    *    initial-default 7 at read — the exact v3 split (initial-default
+    *    = read-time constant for old files; write-default = value
+    *    stamped into new files when the writer leaves the column out).
+    *
+    * p1's footers stay byte-identical through every promoted read
+    * (SchemaIdSpec pins footer bytes AND the physical FLOAT/DECIMAL(9,2)/
+    * INT32 types surviving); zero bytes rewrite for the whole matrix.
+    */
+  private[graft] def schemaPromoDir(s: SparkSession, d: String): String =
+    schemaPromoDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
+      import s.implicits._
+      val root = graft.Fixtures.tempDir("graft_schpromo").toString
+      val doc = Tables.documents(s, d)
+      doc.filter($"doc_id" % 2 === 0)
+        .select($"doc_id",
+          ($"n_chars".cast("double") / 16).cast("float").as("weight"),
+          concat($"n_chars".cast("string"), lit("."),
+            lpad(($"doc_id" % 100).cast("string"), 2, "0"))
+            .cast("decimal(9,2)").as("price"),
+          ($"doc_id" % 1000).cast("int").as("score"))
+        .write.mode("overwrite").parquet(s"$root/data/release=p1")
+      // the v2 writer omits `flag`; the WRITE path stamps the
+      // write-default into the new files — a physical column, not a
+      // read-time constant
+      doc.filter($"doc_id" % 2 === 1)
+        .select($"doc_id",
+          ($"n_chars".cast("double") / 8).as("weight"),
+          concat($"n_chars".cast("string"), lit("."),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+            .cast("decimal(18,4)").as("price"),
+          ($"doc_id" % 1000 + 3000000000L).as("score"),
+          lit(5).as("flag"))
+        .write.mode("overwrite").parquet(s"$root/data/release=p2")
+      Seq(
+        (1L, 1L, "doc_id", "bigint", None, None),
+        (1L, 2L, "weight", "float", None, None),
+        (1L, 3L, "price", "decimal(9,2)", None, None),
+        (1L, 4L, "score", "int", None, None),
+        (2L, 1L, "doc_id", "bigint", None, None),
+        (2L, 2L, "weight", "double", None, None),
+        (2L, 3L, "price", "decimal(18,4)", None, None),
+        (2L, 4L, "score", "bigint", None, None),
+        (2L, 5L, "flag", "int", Some("7"), Some("5")))
+        .toDF("version", "field_id", "name", "dtype", "dflt", "wdflt")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/schemas")
+      Seq(("p1", 1L), ("p2", 2L)).toDF("release", "version").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/releases")
+      root
+    })
+
+  /** ID-mapped scan of one promo release at schema v2 — the same
+    * field-id indirection as [[idMappedRelease]] over the promotion
+    * fixture's wider schema table (write-defaults are a WRITE-path
+    * concern: by the time a reader runs, files written under the field's
+    * schema carry the column physically, so the read-side mapping only
+    * ever serves the initial-default for pre-field files).
+    */
+  private[graft] def promoMappedRelease(
+      s: SparkSession, d: String, release: String): DataFrame = {
+    import s.implicits._
+    val root = schemaPromoDir(s, d)
+    val schemas = s.read.parquet(s"$root/schemas")
+      .as[(Long, Long, String, String, Option[String], Option[String])]
+      .collect()
+    val current = schemas.filter(_._1 == 2L).sortBy(_._2)
+    val wver = s.read.parquet(s"$root/releases")
+      .filter($"release" === release).select($"version").as[Long].head()
+    val writeByFid = schemas.filter(_._1 == wver)
+      .map(t => t._2 -> t._3).toMap
+    val cols = current.map { case (_, fid, name, dtype, dflt, _) =>
+      writeByFid.get(fid) match {
+        case Some(wname) => col(wname).cast(dtype).as(name)
+        case None => dflt.map(v => lit(v)).getOrElse(lit(null))
+          .cast(dtype).as(name)
+      }
+    }
+    s.read.parquet(s"$root/data/release=$release")
+      .select(cols.toSeq: _*)
+      .withColumn("release", lit(release))
+  }
 
   /** ID-MAPPED SCAN of one release: resolve the release's write-time
     * schema and the CURRENT schema through the `schemas` table, join on

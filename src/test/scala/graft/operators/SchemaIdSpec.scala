@@ -90,4 +90,61 @@ class SchemaIdSpec extends AnyFunSuite {
     assert(!PipelineOps.idMappedRelease(spark, sfDir, "r1", Some(2L))
       .columns.contains("region_code"))
   }
+
+  test("promotion matrix: p1 footers byte-identical and physically " +
+      "FLOAT/DECIMAL(9,2)/INT32 after the widened serve") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    val proot = PipelineOps.schemaPromoDir(spark, sfDir)
+    val p1File = java.nio.file.Paths.get(
+      spark.read.parquet(s"$proot/data/release=p1")
+        .inputFiles.map(PipelineOps.normPath).head)
+    val before = java.nio.file.Files.readAllBytes(p1File)
+    val served = PipelineOps.promoMappedRelease(spark, sfDir, "p1")
+    served.count()
+    assert(java.util.Arrays.equals(before,
+      java.nio.file.Files.readAllBytes(p1File)),
+      "the promoted read rewrote p1's bytes")
+    val phys = spark.read.parquet(s"$proot/data/release=p1").schema
+    assert(phys("weight").dataType == FloatType)
+    assert(phys("price").dataType == DecimalType(9, 2))
+    assert(phys("score").dataType == IntegerType)
+    // ...while the served view carries the widened types
+    assert(served.schema("weight").dataType == DoubleType)
+    assert(served.schema("price").dataType == DecimalType(18, 4))
+    assert(served.schema("score").dataType == LongType)
+  }
+
+  test("write-default is stamped into p2's files; initial-default is a " +
+      "read-time constant for p1 — and they differ") {
+    import spark.implicits._
+    val proot = PipelineOps.schemaPromoDir(spark, sfDir)
+    // the writer omitted `flag`, yet p2's FOOTER carries the column: the
+    // write path materialized the write-default (5) physically
+    val p2raw = spark.read.parquet(s"$proot/data/release=p2")
+    assert(p2raw.columns.contains("flag"),
+      "write-default was not materialized at write time")
+    assert(p2raw.filter($"flag" =!= 5).count() == 0L)
+    // p1's files have NO flag column; the read serves the
+    // initial-default (7), never the write-default
+    assert(!spark.read.parquet(s"$proot/data/release=p1")
+      .columns.contains("flag"))
+    val p1 = PipelineOps.promoMappedRelease(spark, sfDir, "p1")
+    assert(p1.filter($"flag" =!= 7).count() == 0L)
+    assert(p1.filter($"flag".isNull).count() == 0L)
+  }
+
+  test("float→double and decimal widening are exact on the dyadic/string-" +
+      "built fixture values (no lossy promote)") {
+    import spark.implicits._
+    val proot = PipelineOps.schemaPromoDir(spark, sfDir)
+    val served = PipelineOps.promoMappedRelease(spark, sfDir, "p1")
+    val raw = spark.read.parquet(s"$proot/data/release=p1")
+    // the widened double equals the float bit-promoted: reconstruct from
+    // the raw column and diff — any lossy cast breaks equality
+    val joined = served.select($"doc_id", $"weight", $"price")
+      .join(raw.select($"doc_id", $"weight".cast("double").as("w2"),
+        $"price".cast("decimal(18,4)").as("p2")), "doc_id")
+    assert(joined.filter($"weight" =!= $"w2" || $"price" =!= $"p2")
+      .count() == 0L)
+  }
 }
