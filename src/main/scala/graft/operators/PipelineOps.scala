@@ -7131,7 +7131,7 @@ object PipelineOps {
     * metadata world with the shared [[readSnapshotFrom]] path.
     * Metadata-scale throughout: the log is one row per commit.
     */
-  private[operators] def catalogDir(s: SparkSession, d: String): String =
+  private[graft] def catalogDir(s: SparkSession, d: String): String =
     catalogDirCache.computeIfAbsent(graft.Fixtures.dirKey(d), _ => {
       import s.implicits._
       val root = graft.Fixtures.tempDir("graft_catalog")

@@ -97,6 +97,8 @@ private[lake] case class ResolvedLakeTable(
 private[lake] object LakeResolver {
   import graft.operators.PipelineOps.{matchedFilesInIndex, normPath}
 
+  private[lake] def normLocal(f: String): String = normPath(f)
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[Map[String, String], ResolvedLakeTable]()
 
@@ -312,8 +314,20 @@ private[lake] object LakeResolver {
   }
 }
 
-private[lake] class GraftLakeTable(resolved: ResolvedLakeTable)
-    extends Table with SupportsRead {
+/** What a catalog-resolved table needs to COMMIT: the CAS pointer log,
+  * its name, the version this handle loaded (the CAS expectation — a
+  * handle loaded via VERSION AS OF can never clobber a newer commit),
+  * and the resolved metadata world.
+  */
+private[lake] case class LakeMutationCtx(
+    catalogLogDir: String, table: String, version: Long,
+    metaRoot: String, snapId: Long)
+
+private[lake] class GraftLakeTable(
+    resolved: ResolvedLakeTable,
+    ctx: Option[LakeMutationCtx] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = resolved.name
   override def schema(): StructType = resolved.schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -321,6 +335,185 @@ private[lake] class GraftLakeTable(resolved: ResolvedLakeTable)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(resolved)
+
+  /** DELETE FROM boundary (VERDICT r15 #6): KEY-equality predicates only
+    * — exactly the delete class an equality-delete file expresses, so the
+    * commit opens ZERO data files. Arbitrary predicates would need the
+    * copy-on-write rewrite (SupportsRowLevelOperations), which is the
+    * documented out-of-scope half; Spark surfaces a clear error for them
+    * because this returns false.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    ctx.nonEmpty &&
+      filters.exists(f => LakeFilters.keyKeys(f, resolved.indexCol).nonEmpty) &&
+      filters.forall(f => LakeFilters.keyKeys(f, resolved.indexCol).nonEmpty ||
+        f == IsNotNull(resolved.indexCol))
+
+  /** Execute the delete as ONE metadata commit: write an equality-delete
+    * file at (max sequence of the current snapshot) + 1, author a NEW
+    * metadata world whose tip snapshot lists the current files plus the
+    * delete file (historical snapshots copied verbatim — time travel
+    * keeps working), and CAS the catalog pointer from the version this
+    * handle loaded. A concurrent commit makes the CAS refuse, exactly
+    * like any other lost race. No data file is read, written or moved.
+    */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val c = ctx.getOrElse(sys.error(
+      "graft-lake: DELETE needs a catalog-resolved table (use the " +
+        "GraftLakeCatalog plugin, not read.format)"))
+    val s = SparkSession.active
+    import s.implicits._
+    val keys = filters.toSeq
+      .flatMap(f => LakeFilters.keyKeys(f, resolved.indexCol)).flatten.distinct
+    require(keys.nonEmpty, "graft-lake: DELETE without key predicates")
+    val man = LakeFilters.normalizedManifests(s, c.metaRoot)
+    val tip = man.filter($"snap_id" === c.snapId)
+    val newSeq = tip.agg(org.apache.spark.sql.functions.max($"seq"))
+      .as[Long].head() + 1L
+    val newSnap = c.snapId + 1L
+    val root = graft.Fixtures.tempDir("graft_lakecommit")
+    import org.apache.spark.sql.functions.lit
+    keys.toDF("k").select($"k", lit(newSeq).as("seq_del")).coalesce(1)
+      .write.mode("overwrite").parquet(root.resolve("eq").toString)
+    val eqFiles = s.read.parquet(root.resolve("eq").toString)
+      .inputFiles.map(LakeResolver.normLocal).toSeq
+    man
+      .unionByName(tip.withColumn("snap_id", lit(newSnap)))
+      .unionByName(eqFiles.toDF("file").select(
+        lit(newSnap).as("snap_id"), lit("eq_del").as("content"), $"file",
+        lit(root.resolve("eq").toString).as("base"), lit(newSeq).as("seq"),
+        lit(resolved.indexCol).as("key_col")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(root.resolve("manifests").toString)
+    val snaps = s.read.parquet(s"${c.metaRoot}/snapshots")
+    snaps.select($"snap_id", $"op", $"parent_id")
+      .unionByName(Seq((newSnap, "eq_delete", c.snapId))
+        .toDF("snap_id", "op", "parent_id"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
+    graft.operators.PipelineOps.catalogCommit(
+      s, s"${c.catalogLogDir}/catalog_log", c.table,
+      expectedVersion = c.version, metaRoot = root.toString, snapId = newSnap)
+  }
+}
+
+/** Filter helpers shared by the scan builder and the delete path. */
+private[lake] object LakeFilters {
+  /** Long keys of a key-equality filter on `keyCol` (`k = v`, `k IN …`). */
+  def keyKeys(f: Filter, keyCol: String): Option[Seq[Long]] = f match {
+    case EqualTo(a, v: Long) if a == keyCol => Some(Seq(v))
+    case EqualTo(a, v: Int) if a == keyCol => Some(Seq(v.toLong))
+    case In(a, vs) if a == keyCol &&
+        vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Int]) =>
+      Some(vs.toSeq.map {
+        case l: Long => l
+        case i: Int => i.toLong
+      })
+    case _ => None
+  }
+
+  /** A metadata world's manifests normalized to the full-width shape
+    * (snap_id, content, file, base, seq, key_col) — per-snapshot base
+    * resolved through the snapshots table when manifests carry none.
+    */
+  def normalizedManifests(
+      s: SparkSession, metaRoot: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val man = s.read.parquet(s"$metaRoot/manifests")
+    val mc = man.columns.map(_.toLowerCase).toSet
+    def colOr(n: String, d: org.apache.spark.sql.Column) =
+      if (mc.contains(n)) man(n) else d
+    val withBase =
+      if (mc.contains("base"))
+        man.select(man("snap_id"), colOr("content", lit("data")).as("content"),
+          man("file"), man("base"), colOr("seq", lit(0L)).cast("long").as("seq"),
+          colOr("key_col", lit("")).as("key_col"))
+      else {
+        val bases = s.read.parquet(s"$metaRoot/snapshots")
+          .select(org.apache.spark.sql.functions.col("snap_id"),
+            org.apache.spark.sql.functions.col("base"))
+        man.join(bases, Seq("snap_id"))
+          .select(man("snap_id"), colOr("content", lit("data")).as("content"),
+            man("file"), bases("base"),
+            colOr("seq", lit(0L)).cast("long").as("seq"),
+            colOr("key_col", lit("")).as("key_col"))
+      }
+    withBase
+  }
+}
+
+/** The SQL catalog plugin over the CAS pointer layer: register with
+  * {{{
+  *   spark.sql.catalog.<name>         = graft.sources.lake.GraftLakeCatalog
+  *   spark.sql.catalog.<name>.catalogDir = <dir containing catalog_log/>
+  * }}}
+  * and the lakehouse composes with plain SQL —
+  * `SELECT … FROM <name>.<table>`, `… VERSION AS OF v` (time travel
+  * through the pointer log), and `DELETE FROM … WHERE key IN (…)` (an
+  * equality-delete metadata commit under CAS). CREATE/ALTER/DROP are out
+  * of scope: the catalog serves EXISTING pointer logs.
+  */
+class GraftLakeCatalog
+    extends org.apache.spark.sql.connector.catalog.TableCatalog {
+  import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+  import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+
+  private var catName: String = _
+  private var catalogRoot: String = _
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    catalogRoot = options.get("catalogDir")
+    require(catalogRoot != null,
+      s"spark.sql.catalog.$name.catalogDir must point at the catalog root")
+  }
+  override def name(): String = catName
+
+  private def logRows(s: SparkSession): Seq[(Long, String, String, Long)] = {
+    import s.implicits._
+    s.read.parquet(s"$catalogRoot/catalog_log")
+      .select($"version", $"table_name", $"meta_root", $"snap_id")
+      .as[(Long, String, String, Long)].collect().toIndexedSeq
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    logRows(SparkSession.active).map(_._2).distinct.sorted
+      .map(t => Identifier.of(Array.empty, t)).toArray
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF v` — the SQL form of the asOfVersion option. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLong))
+
+  private def load(ident: Identifier, asOf: Option[Long]): Table = {
+    val s = SparkSession.active
+    val rows = logRows(s).filter(_._2 == ident.name)
+    if (rows.isEmpty) throw new NoSuchTableException(ident)
+    val hit = rows.filter(r => asOf.forall(r._1 <= _))
+    require(hit.nonEmpty,
+      s"${ident.name} has no version ≤ ${asOf.get} " +
+        s"(have ${rows.map(_._1).sorted.mkString(",")})")
+    val (ver, metaRoot, snap) = { val r = hit.maxBy(_._1); (r._1, r._3, r._4) }
+    val resolved = LakeResolver.resolve(s,
+      Map("metaRoot" -> metaRoot, "snapshot" -> snap.toString))
+    new GraftLakeTable(resolved,
+      Some(LakeMutationCtx(catalogRoot, ident.name, ver, metaRoot, snap)))
+  }
+
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft-lake catalog serves existing pointer logs; CREATE is out of scope")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER is out of scope")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("DROP is out of scope")
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME is out of scope")
 }
 
 private[lake] class GraftLakeScanBuilder(table: ResolvedLakeTable)

@@ -1,0 +1,119 @@
+package graft.sources.lake
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PipelineOps
+
+/** The SQL surface over the lake catalog plugin ([[GraftLakeCatalog]]):
+  * multi-part table names resolve through the CAS pointer log,
+  * `VERSION AS OF` time-travels, and `DELETE FROM … WHERE key IN (…)`
+  * commits an equality-delete metadata world under CAS — with the
+  * documented boundary (non-key predicates refuse; MERGE/row-level
+  * rewrite is the SupportsRowLevelOperations half, out of scope).
+  */
+class LakeSqlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("LakeSqlSpec")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.graft_lake",
+      classOf[GraftLakeCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lake.catalogDir", scratchCatalog(s))
+    s
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** A scratch CLONE of the per-JVM catalog fixture: DELETE commits
+    * append to the pointer log, which must never mutate the shared
+    * fixture other queries resolve through.
+    */
+  private def scratchCatalog(s: SparkSession): String = {
+    val root = graft.Fixtures.tempDir("graft_cat_sql")
+    s.read.parquet(s"${PipelineOps.catalogDir(s, sfDir)}/catalog_log")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(root.resolve("catalog_log").toString)
+    root.toString
+  }
+
+  test("SELECT through the catalog serves the current pointer (rollback)") {
+    import spark.implicits._
+    val viaSql = spark.sql(
+      "SELECT count(*) AS n FROM graft_lake.ship_fact").as[Long].head()
+    val direct = PipelineOps.readSnapshot(spark, sfDir, 2L).count() // wave-1
+    assert(viaSql == direct,
+      s"catalog current ($viaSql) != the rollback state ($direct)")
+  }
+
+  test("VERSION AS OF 0 serves the pre-rollback chain tip") {
+    import spark.implicits._
+    val v0 = spark.sql(
+      "SELECT count(*) AS n FROM graft_lake.ship_fact VERSION AS OF 0")
+      .as[Long].head()
+    val direct = PipelineOps.readSnapshot(spark, sfDir, 4L).count()
+    assert(v0 == direct)
+  }
+
+  test("DELETE FROM with key predicates commits an equality-delete world " +
+      "under CAS; time travel still serves the pre-delete state") {
+    import spark.implicits._
+    def count(q: String): Long = spark.sql(q).as[Long].head()
+    val before = count("SELECT count(*) AS n FROM graft_lake.ship_fact")
+    // two dashboard keys known to exist in the wave-1 state
+    val probeRows = count("SELECT count(*) AS n FROM graft_lake.ship_fact " +
+      "WHERE l_orderkey IN (7, 212)")
+    assert(probeRows > 0, "probe keys missing — the delete would test nothing")
+    spark.sql("DELETE FROM graft_lake.ship_fact WHERE l_orderkey IN (7, 212)")
+    val after = count("SELECT count(*) AS n FROM graft_lake.ship_fact")
+    assert(after == before - probeRows,
+      s"delete removed ${before - after}, expected $probeRows")
+    assert(count("SELECT count(*) AS n FROM graft_lake.ship_fact " +
+      "WHERE l_orderkey IN (7, 212)") == 0L)
+    // the commit is pure metadata: time travel to the pre-delete version
+    // still serves every row (version 2 = the delete's commit)
+    assert(count("SELECT count(*) AS n FROM graft_lake.ship_fact " +
+      "VERSION AS OF 1") == before)
+    // and the pointer log gained exactly one version
+    val maxV = spark.read.parquet(
+        s"${spark.conf.get("spark.sql.catalog.graft_lake.catalogDir")}/catalog_log")
+      .filter($"table_name" === "ship_fact")
+      .agg(max($"version")).as[Long].head()
+    assert(maxV == 2L)
+  }
+
+  test("a stale handle's delete loses the CAS instead of clobbering") {
+    // load a handle pinned at version 1, land a competing commit, then
+    // try to delete through the stale handle: the CAS must refuse
+    val cat = new GraftLakeCatalog()
+    cat.initialize("stale_test", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("catalogDir",
+        spark.conf.get("spark.sql.catalog.graft_lake.catalogDir"))))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty, "ship_fact")
+    spark.sql("SELECT count(*) FROM graft_lake.ship_fact").collect() // warm
+    val stale = cat.loadTable(ident, "1")
+      .asInstanceOf[GraftLakeTable]
+    val e = intercept[IllegalArgumentException] {
+      stale.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("l_orderkey", Array(388L))))
+    }
+    assert(e.getMessage.contains("CAS failed"),
+      s"expected a CAS refusal, got: ${e.getMessage}")
+  }
+
+  test("non-key predicates refuse with the documented boundary") {
+    val err = intercept[Exception] {
+      spark.sql("DELETE FROM graft_lake.ship_fact WHERE qty > 100")
+    }
+    // Spark surfaces canDeleteWhere=false as an analysis/unsupported error
+    assert(err.getMessage.toLowerCase.matches("(?s).*(delete|rewrite).*"),
+      s"unexpected error: ${err.getMessage}")
+  }
+}
