@@ -36,6 +36,7 @@ class SparkEntrySpec extends AnyFunSuite {
       "text" -> TextOps.queries.keySet, "dedup" -> Dedup.queries.keySet,
       "sim" -> Similarity.queries.keySet, "mm" -> Multimodal.queries.keySet,
       "pipe" -> PipelineOps.queries.keySet, "clus" -> Clustering.queries.keySet,
+      "lake" -> LakeQueries.queries.keySet,
       "stream" -> graft.streaming.Streaming.queries.keySet)
     val total = maps.map(_._2.size).sum
     assert(total === SparkEntry.queries.size,
