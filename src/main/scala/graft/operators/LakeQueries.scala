@@ -264,6 +264,37 @@ object LakeQueries {
         |  CAST(0 AS BIGINT) AS n_null_region,
         |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_tier
         |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- the TYPE-PROMOTION matrix through the connector: the partition
+    // readers widen float→double, decimal(9,2)→decimal(18,4) (unscaled
+    // power-of-ten rescale — exact) and int→bigint per the field-id
+    // mapping, serve the initial-default (7) for p1's pre-field rows, and
+    // read p2's physically-stamped write-default (5) like any column.
+    // Verbatim pipeline_schema_promote oracle.
+    ("lake_schema_promote", (s, d) => {
+      import s.implicits._
+      lake(s).option("schemaRoot", PipelineOps.schemaPromoDir(s, d)).load()
+        .groupBy($"release")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum($"weight"), 4).as("sum_weight"),
+          sum($"price").cast("decimal(18,4)").as("sum_price"),
+          sum($"score").as("sum_score"),
+          sum($"flag".cast("long")).as("sum_flag"))
+        .orderBy($"release")
+    }, Some(
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'p1' ELSE 'p2' END AS release,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(sum(CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS DOUBLE) / 16
+        |    ELSE CAST(n_chars AS DOUBLE) / 8 END), 4) AS sum_weight,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0
+        |    THEN CAST(n_chars || '.' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS DECIMAL(18,4))
+        |    ELSE CAST(n_chars || '.' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS DECIMAL(18,4))
+        |    END) AS DECIMAL(18,4)) AS sum_price,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN doc_id % 1000
+        |    ELSE doc_id % 1000 + 3000000000 END) AS BIGINT) AS sum_score,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 5 END) AS BIGINT) AS sum_flag
+        |FROM documents
         |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 

@@ -255,7 +255,11 @@ private[lake] object LakeResolver {
     def opt(k: String): Option[String] =
       opts.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
     val root = opt("schemaRoot").get
+    // explicit projection: the promotion fixture's schemas table carries a
+    // write-default column too, which is a WRITE-path concern — the
+    // read-side mapping needs only the initial default
     val schemas = s.read.parquet(s"$root/schemas")
+      .select($"version", $"field_id", $"name", $"dtype", $"dflt")
       .as[(Long, Long, String, String, Option[String])].collect()
     val curVer = opt("schemaVersion").map(_.toLong)
       .getOrElse(schemas.map(_._1).max)
@@ -781,12 +785,22 @@ private[lake] class LakePartitionReader(
 
   /** Read one primitive by the FILE's physical type, then widen/convert
     * to the requested Catalyst type (the column-ID widen matrix:
-    * int→bigint, float→double; date is int days in both worlds).
+    * int→bigint, float→double, decimal scale/precision widening; date is
+    * int days in both worlds). Decimals follow Spark's physical layout:
+    * unscaled INT32 for precision ≤ 9, INT64 ≤ 18, fixed-len binary
+    * above; widening to a larger scale multiplies the unscaled value —
+    * exact by construction (power-of-ten rescale).
     */
   private def extract(g: Group, idx: Int, target: DataType): Any = {
-    val prim = projected.getType(idx).asPrimitiveType()
-      .getPrimitiveTypeName
+    val pt = projected.getType(idx).asPrimitiveType()
+    val prim = pt.getPrimitiveTypeName
     import PrimitiveType.PrimitiveTypeName._
+    val dec = pt.getLogicalTypeAnnotation match {
+      case d: org.apache.parquet.schema.LogicalTypeAnnotation
+          .DecimalLogicalTypeAnnotation => d
+      case _ => null
+    }
+    if (dec != null) return extractDecimal(g, idx, prim, dec, target)
     val raw: Any = prim match {
       case INT64 => g.getLong(idx, 0)
       case INT32 => g.getInteger(idx, 0)
@@ -808,6 +822,32 @@ private[lake] class LakePartitionReader(
       case (v: Boolean, BooleanType) => v
       case (v, t) => sys.error(
         s"graft-lake: cannot serve ${v.getClass.getSimpleName} as $t")
+    }
+  }
+
+  private def extractDecimal(g: Group, idx: Int,
+      prim: PrimitiveType.PrimitiveTypeName,
+      dec: org.apache.parquet.schema.LogicalTypeAnnotation
+        .DecimalLogicalTypeAnnotation,
+      target: DataType): Any = {
+    import PrimitiveType.PrimitiveTypeName._
+    val unscaled: java.math.BigInteger = prim match {
+      case INT32 => java.math.BigInteger.valueOf(g.getInteger(idx, 0).toLong)
+      case INT64 => java.math.BigInteger.valueOf(g.getLong(idx, 0))
+      case FIXED_LEN_BYTE_ARRAY | BINARY =>
+        new java.math.BigInteger(g.getBinary(idx, 0).getBytes)
+      case other => sys.error(s"graft-lake: decimal stored as $other")
+    }
+    target match {
+      case dt: DecimalType =>
+        val (p, s) = (dt.precision, dt.scale)
+        require(s >= dec.getScale && p - s >= dec.getPrecision - dec.getScale,
+          s"graft-lake: narrowing decimal(${dec.getPrecision},${dec.getScale}) " +
+            s"to decimal($p,$s) is not a widen")
+        val rescaled = unscaled.multiply(
+          java.math.BigInteger.TEN.pow(s - dec.getScale))
+        Decimal(new java.math.BigDecimal(rescaled, s), p, s)
+      case t => sys.error(s"graft-lake: cannot serve decimal as $t")
     }
   }
 

@@ -197,6 +197,21 @@ class LakeConnectorSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(before, after), "old footer rewritten")
   }
 
+  test("promotion matrix through the connector == the library promo serve " +
+      "(float→double, decimal widen, defaults)") {
+    import org.apache.spark.sql.functions.col
+    val served = spark.read.format("graft-lake")
+      .option("schemaRoot", PipelineOps.schemaPromoDir(spark, sfDir)).load()
+    val viaLibrary = PipelineOps.promoMappedRelease(spark, sfDir, "p1")
+      .unionByName(PipelineOps.promoMappedRelease(spark, sfDir, "p2"))
+      .select(served.columns.map(col).toIndexedSeq: _*)
+    assert(served.schema("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 4))
+    assert(served.exceptAll(viaLibrary).isEmpty &&
+      viaLibrary.exceptAll(served).isEmpty,
+      "connector promotion serve drifted from promoMappedRelease")
+  }
+
   test("DV serve through the connector == the library dvApply serve") {
     import spark.implicits._
     val meta = LakeFixture.lakeMetaDir(spark, sfDir)
