@@ -536,11 +536,15 @@ private[lake] class GraftLakeScanBuilder(table: ResolvedLakeTable)
     // bloom admits false positives, so the filter STAYS residual (Spark
     // re-evaluates it) while the file list shrinks to the matched set
     val probes = rest.flatMap(bloomKeys).flatten.distinct
-    if (probes.nonEmpty && table.idxPath.nonEmpty) {
+    val bloomUsed = probes.nonEmpty && table.idxPath.nonEmpty
+    if (bloomUsed) {
       val matched = LakeResolver.bloomPrune(table.idxPath.get, probes.toSeq)
       files = files.filter(f => matched.contains(f.path))
     }
-    pushed = partF ++ rest.filter(f => bloomKeys(f).nonEmpty)
+    // report only what actually pruned: partition filters always, probe
+    // filters only when a sidecar existed to prune with
+    pushed = partF ++
+      (if (bloomUsed) rest.filter(f => bloomKeys(f).nonEmpty) else Array.empty[Filter])
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
