@@ -331,14 +331,42 @@ private[lake] class GraftLakeTable(
     resolved: ResolvedLakeTable,
     ctx: Option[LakeMutationCtx] = None)
     extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = resolved.name
   override def schema(): StructType = resolved.schema
+  override def partitioning(): Array[Transform] =
+    resolved.partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(resolved)
+
+  /** APPEND write path (`INSERT INTO` through the catalog): executors
+    * write month-partitioned parquet into a fresh data root, the driver
+    * commits ONE new snapshot (tip's files + the new files at the next
+    * sequence number) under catalog CAS. Append-only by construction —
+    * the builder mixes in no truncate/overwrite trait, so Spark refuses
+    * overwrite modes with its own error.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val c = ctx.getOrElse(sys.error(
+      "graft-lake: writes need a catalog-resolved table (use the " +
+        "GraftLakeCatalog plugin, not read.format)"))
+    require(info.schema().fieldNames.sameElements(resolved.schema.fieldNames),
+      s"graft-lake: write schema ${info.schema().fieldNames.mkString(",")} " +
+        s"!= table schema ${resolved.schema.fieldNames.mkString(",")}")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new LakeAppendWrite(resolved, c, info.schema())
+    }
+  }
 
   /** DELETE FROM boundary (VERDICT r15 #6): KEY-equality predicates only
     * — exactly the delete class an equality-delete file expresses, so the
@@ -446,6 +474,168 @@ private[lake] object LakeFilters {
   }
 }
 
+/** The append Write: clustered by the partition columns (so a task holds
+  * one open file per partition it owns — the write shape a real table
+  * format requests at 100 TB), executed by parquet writers on the
+  * executors, committed as one CAS metadata snapshot on the driver.
+  */
+private[lake] class LakeAppendWrite(
+    resolved: ResolvedLakeTable, ctx: LakeMutationCtx, schema: StructType)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.write._
+  import org.apache.spark.sql.connector.distributions.Distributions
+  import org.apache.spark.sql.connector.expressions.Expressions
+
+  override def description(): String =
+    s"graft-lake append to ${ctx.table}@v${ctx.version}"
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (resolved.partitionCols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      resolved.partitionCols.map(c => Expressions.identity(c)).toArray)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val root = graft.Fixtures.tempDir("graft_lakeappend")
+    private val dataDir = root.resolve("data").toString
+
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DataWriterFactory =
+      new LakeWriterFactory(schema, resolved.partitionCols.toArray, dataDir)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val s = SparkSession.active
+      import s.implicits._
+      import org.apache.spark.sql.functions.lit
+      val files = messages.flatMap {
+        case m: LakeCommitMessage => m.files
+      }.toSeq
+      require(files.nonEmpty, "graft-lake: append committed zero files")
+      val man = LakeFilters.normalizedManifests(s, ctx.metaRoot)
+      val tip = man.filter($"snap_id" === ctx.snapId)
+      val newSeq = tip.agg(org.apache.spark.sql.functions.max($"seq"))
+        .as[Long].head() + 1L
+      val newSnap = ctx.snapId + 1L
+      man
+        .unionByName(tip.withColumn("snap_id", lit(newSnap)))
+        .unionByName(files.toDF("file").select(
+          lit(newSnap).as("snap_id"), lit("data").as("content"), $"file",
+          lit(dataDir).as("base"), lit(newSeq).as("seq"),
+          lit("").as("key_col")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("manifests").toString)
+      s.read.parquet(s"${ctx.metaRoot}/snapshots")
+        .select($"snap_id", $"op", $"parent_id")
+        .unionByName(Seq((newSnap, "append", ctx.snapId))
+          .toDF("snap_id", "op", "parent_id"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
+      graft.operators.PipelineOps.catalogCommit(
+        s, s"${ctx.catalogLogDir}/catalog_log", ctx.table,
+        expectedVersion = ctx.version, metaRoot = root.toString,
+        snapId = newSnap)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      graft.Fixtures.deleteRecursively(root)
+  }
+}
+
+private[lake] case class LakeCommitMessage(files: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[lake] class LakeWriterFactory(
+    schema: StructType, partCols: Array[String], dataDir: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new LakeDataWriter(schema, partCols, dataDir, partitionId, taskId)
+}
+
+/** Executor-side parquet writer: routes each row to one open file per
+  * partition tuple it owns (the clustered distribution keeps that a
+  * handful), writes the DATA columns only — partition values live in the
+  * Hive-style dir path, exactly the layout the reader parses back.
+  */
+private[lake] class LakeDataWriter(
+    schema: StructType, partCols: Array[String], dataDir: String,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.io.api.Binary
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  private val dataFields = schema.fields.zipWithIndex
+    .filterNot { case (f, _) => partCols.contains(f.name) }
+  private val partIdx = partCols.map(c => schema.fieldIndex(c))
+
+  private val messageType: MessageType = {
+    val b = Types.buildMessage()
+    dataFields.foreach { case (f, _) =>
+      f.dataType match {
+        case LongType => b.addField(Types.optional(INT64).named(f.name))
+        case IntegerType => b.addField(Types.optional(INT32).named(f.name))
+        case StringType => b.addField(Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case DateType => b.addField(Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name))
+        case DoubleType => b.addField(Types.optional(DOUBLE).named(f.name))
+        case FloatType => b.addField(Types.optional(FLOAT).named(f.name))
+        case BooleanType => b.addField(Types.optional(BOOLEAN).named(f.name))
+        case t => sys.error(s"graft-lake: unsupported write type $t")
+      }
+    }
+    b.named("spark_schema")
+  }
+  private val factory = new SimpleGroupFactory(messageType)
+  private val writers = scala.collection.mutable.Map[
+    String, (org.apache.parquet.hadoop.ParquetWriter[
+      org.apache.parquet.example.data.Group], String)]()
+
+  override def write(row: InternalRow): Unit = {
+    val dir = partIdx.zip(partCols).map { case (i, c) =>
+      require(!row.isNullAt(i), s"graft-lake: null partition value for $c")
+      s"$c=${row.getUTF8String(i)}"
+    }.mkString("/")
+    val (w, _) = writers.getOrElseUpdate(dir, {
+      val path = (if (dir.isEmpty) s"$dataDir" else s"$dataDir/$dir") +
+        f"/part-$partitionId%05d-$taskId.parquet"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(path).getParent)
+      (ExampleParquetWriter.builder(new Path(path))
+        .withType(messageType).withConf(new Configuration()).build(), path)
+    })
+    val g = factory.newGroup()
+    dataFields.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case LongType => g.append(f.name, row.getLong(i))
+        case IntegerType | DateType => g.append(f.name, row.getInt(i))
+        case StringType =>
+          g.append(f.name, Binary.fromString(row.getUTF8String(i).toString))
+        case DoubleType => g.append(f.name, row.getDouble(i))
+        case FloatType => g.append(f.name, row.getFloat(i))
+        case BooleanType => g.append(f.name, row.getBoolean(i))
+        case t => sys.error(s"graft-lake: unsupported write type $t")
+      }
+    }
+    w.write(g)
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writers.values.foreach(_._1.close())
+    LakeCommitMessage(writers.values.map(_._2).toSeq)
+  }
+  override def abort(): Unit = writers.values.foreach(_._1.close())
+  override def close(): Unit = ()
+}
+
 /** The SQL catalog plugin over the CAS pointer layer: register with
   * {{{
   *   spark.sql.catalog.<name>         = graft.sources.lake.GraftLakeCatalog
@@ -453,9 +643,11 @@ private[lake] object LakeFilters {
   * }}}
   * and the lakehouse composes with plain SQL —
   * `SELECT … FROM <name>.<table>`, `… VERSION AS OF v` (time travel
-  * through the pointer log), and `DELETE FROM … WHERE key IN (…)` (an
-  * equality-delete metadata commit under CAS). CREATE/ALTER/DROP are out
-  * of scope: the catalog serves EXISTING pointer logs.
+  * through the pointer log), `INSERT INTO` (an append commit: executors
+  * write partitioned parquet, the driver commits one new snapshot under
+  * CAS), and `DELETE FROM … WHERE key IN (…)` (an equality-delete
+  * metadata commit under CAS). CREATE/ALTER/DROP are out of scope: the
+  * catalog serves EXISTING pointer logs.
   */
 class GraftLakeCatalog
     extends org.apache.spark.sql.connector.catalog.TableCatalog {

@@ -108,6 +108,54 @@ class LakeSqlSpec extends AnyFunSuite {
       s"expected a CAS refusal, got: ${e.getMessage}")
   }
 
+  test("INSERT INTO appends a new snapshot under CAS; time travel keeps " +
+      "serving the pre-insert state") {
+    import spark.implicits._
+    def count(q: String): Long = spark.sql(q).as[Long].head()
+    val before = count("SELECT count(*) AS n FROM graft_lake.ship_fact")
+    val vBefore = spark.read.parquet(
+        s"${spark.conf.get("spark.sql.catalog.graft_lake.catalogDir")}/catalog_log")
+      .filter($"table_name" === "ship_fact")
+      .agg(max($"version")).as[Long].head()
+    spark.sql("""INSERT INTO graft_lake.ship_fact VALUES
+      (9000000001, 11, 2, 350, DATE'1999-01-05', '1999-01'),
+      (9000000002, 12, 3, 475, DATE'1999-02-07', '1999-02')""")
+    assert(count("SELECT count(*) AS n FROM graft_lake.ship_fact") ==
+      before + 2)
+    // the new rows are queryable by content AND land in their own
+    // partition dirs (the reader parses ship_month back from the path)
+    val got = spark.sql("SELECT l_orderkey, qty, net_cents, ship_month " +
+      "FROM graft_lake.ship_fact WHERE l_orderkey >= 9000000000")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((9000000001L, 2L, 350L, "1999-01"),
+      (9000000002L, 3L, 475L, "1999-02")))
+    // pre-insert version unchanged; pointer advanced exactly one
+    assert(count("SELECT count(*) AS n FROM graft_lake.ship_fact " +
+      s"VERSION AS OF $vBefore") == before)
+    val vAfter = spark.read.parquet(
+        s"${spark.conf.get("spark.sql.catalog.graft_lake.catalogDir")}/catalog_log")
+      .filter($"table_name" === "ship_fact")
+      .agg(max($"version")).as[Long].head()
+    assert(vAfter == vBefore + 1)
+  }
+
+  test("re-inserting an equality-deleted key resurrects it (the " +
+      "strictly-older sequence rule through the SQL surface)") {
+    import spark.implicits._
+    def count(q: String): Long = spark.sql(q).as[Long].head()
+    spark.sql("DELETE FROM graft_lake.ship_fact WHERE l_orderkey = 388")
+    assert(count("SELECT count(*) AS n FROM graft_lake.ship_fact " +
+      "WHERE l_orderkey = 388") == 0L)
+    // the append commits at a sequence strictly newer than the delete, so
+    // the delete must NOT apply to the re-inserted row
+    spark.sql("INSERT INTO graft_lake.ship_fact VALUES " +
+      "(388, 13, 5, 999, DATE'1999-03-09', '1999-03')")
+    val back = spark.sql("SELECT qty, net_cents FROM graft_lake.ship_fact " +
+      "WHERE l_orderkey = 388").as[(Long, Long)].collect()
+    assert(back.toSeq == Seq((5L, 999L)),
+      "re-inserted row was wrongly killed by the older equality delete")
+  }
+
   test("non-key predicates refuse with the documented boundary") {
     val err = intercept[Exception] {
       spark.sql("DELETE FROM graft_lake.ship_fact WHERE qty > 100")
