@@ -332,6 +332,7 @@ private[lake] class GraftLakeTable(
     ctx: Option[LakeMutationCtx] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = resolved.name
   override def schema(): StructType = resolved.schema
@@ -368,12 +369,37 @@ private[lake] class GraftLakeTable(
     }
   }
 
-  /** DELETE FROM boundary (VERDICT r15 #6): KEY-equality predicates only
-    * — exactly the delete class an equality-delete file expresses, so the
-    * commit opens ZERO data files. Arbitrary predicates would need the
-    * copy-on-write rewrite (SupportsRowLevelOperations), which is the
-    * documented out-of-scope half; Spark surfaces a clear error for them
-    * because this returns false.
+  /** GROUP-BASED (copy-on-write) row-level operations — what gives the
+    * SQL surface MERGE INTO, UPDATE, and arbitrary-predicate DELETE:
+    * Spark's rewrite rules read the affected groups through the
+    * operation's scan (deletes applied, so the rewrite sees served
+    * state), compute the replacement rows, and hand them to a write
+    * whose commit REPLACES exactly the scanned data files with the newly
+    * written ones in one CAS snapshot. Key-equality DELETEs still take
+    * the zero-data-file metadata route below (Spark's
+    * optimize-metadata-only rule prefers [[deleteWhere]] when
+    * [[canDeleteWhere]] accepts — the same split Iceberg makes). Without
+    * runtime group filtering the scan covers every live file, so a CoW
+    * mutation rewrites the table's data — correct, and honest about the
+    * boundary: per-file group pruning needs a `_file` metadata column,
+    * the documented follow-up.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val c = ctx.getOrElse(sys.error(
+      "graft-lake: row-level operations need a catalog-resolved table"))
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.RowLevelOperation =
+        new LakeRowLevelOperation(resolved, c, info.command())
+    }
+  }
+
+  /** DELETE FROM fast path (VERDICT r15 #6): KEY-equality predicates —
+    * exactly the delete class an equality-delete file expresses, so the
+    * commit opens ZERO data files. Predicates this refuses fall through
+    * to the copy-on-write row-level rewrite above.
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     ctx.nonEmpty &&
@@ -545,6 +571,120 @@ private[lake] class LakeAppendWrite(
   }
 }
 
+/** One copy-on-write row-level operation (MERGE / UPDATE / non-key
+  * DELETE): the scan it hands Spark records which data files it planned,
+  * and the write's commit replaces exactly those files with the rewritten
+  * groups — tip manifest minus scanned data entries plus written entries,
+  * one CAS snapshot. Delete-file entries carry over: they can only apply
+  * to data strictly older than the new sequence, so they are inert
+  * against the rewritten files (Iceberg keeps them until maintenance the
+  * same way).
+  */
+private[lake] class LakeRowLevelOperation(
+    resolved: ResolvedLakeTable, ctx: LakeMutationCtx,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  @volatile private var scannedFiles: Seq[String] =
+    resolved.files.map(_.path)
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLakeScanBuilder(resolved) {
+      override def build(): Scan = {
+        val s = super.build().asInstanceOf[GraftLakeScan]
+        scannedFiles = s.plannedFiles
+        s
+      }
+    }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new LakeReplaceWrite(resolved, ctx, info.schema(),
+          () => scannedFiles, cmd.toString.toLowerCase)
+    }
+}
+
+/** The copy-on-write REPLACE write: same executor-side parquet writers as
+  * the append, but the commit swaps the scanned data files out for the
+  * written ones instead of adding on top.
+  */
+private[lake] class LakeReplaceWrite(
+    resolved: ResolvedLakeTable, ctx: LakeMutationCtx, schema: StructType,
+    replacedFiles: () => Seq[String], op: String)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.write._
+  import org.apache.spark.sql.connector.distributions.Distributions
+  import org.apache.spark.sql.connector.expressions.Expressions
+
+  override def description(): String =
+    s"graft-lake $op (copy-on-write) on ${ctx.table}@v${ctx.version}"
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (resolved.partitionCols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      resolved.partitionCols.map(c => Expressions.identity(c)).toArray)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val root = graft.Fixtures.tempDir("graft_lakecow")
+    private val dataDir = root.resolve("data").toString
+
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DataWriterFactory =
+      new LakeWriterFactory(schema, resolved.partitionCols.toArray, dataDir)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val s = SparkSession.active
+      import s.implicits._
+      import org.apache.spark.sql.functions.lit
+      val files = messages.flatMap {
+        case m: LakeCommitMessage => m.files
+      }.toSeq
+      val replaced = replacedFiles().toSet
+      val man = LakeFilters.normalizedManifests(s, ctx.metaRoot)
+      val tip = man.filter($"snap_id" === ctx.snapId)
+      val newSeq = tip.agg(org.apache.spark.sql.functions.max($"seq"))
+        .as[Long].head() + 1L
+      val newSnap = ctx.snapId + 1L
+      val carried = tip.filter(!($"content" === "data" &&
+        $"file".isin(replaced.toSeq: _*)))
+        .withColumn("snap_id", lit(newSnap))
+      val fresh =
+        if (files.isEmpty) carried.filter(lit(false)) // a delete-all group
+        else files.toDF("file").select(
+          lit(newSnap).as("snap_id"), lit("data").as("content"), $"file",
+          lit(dataDir).as("base"), lit(newSeq).as("seq"),
+          lit("").as("key_col"))
+      man.unionByName(carried).unionByName(fresh)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("manifests").toString)
+      s.read.parquet(s"${ctx.metaRoot}/snapshots")
+        .select($"snap_id", $"op", $"parent_id")
+        .unionByName(Seq((newSnap, s"cow_$op", ctx.snapId))
+          .toDF("snap_id", "op", "parent_id"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
+      graft.operators.PipelineOps.catalogCommit(
+        s, s"${ctx.catalogLogDir}/catalog_log", ctx.table,
+        expectedVersion = ctx.version, metaRoot = root.toString,
+        snapId = newSnap)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      graft.Fixtures.deleteRecursively(root)
+  }
+}
+
 private[lake] case class LakeCommitMessage(files: Seq[String])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
@@ -598,10 +738,23 @@ private[lake] class LakeDataWriter(
     String, (org.apache.parquet.hadoop.ParquetWriter[
       org.apache.parquet.example.data.Group], String)]()
 
+  // group-based row-level writes prepend Spark's `__row_operation` marker
+  // column; detect the shift from the first row's width (0 for appends,
+  // 1 for copy-on-write rewrites) and offset every field read by it
+  private var shift = -1
+
   override def write(row: InternalRow): Unit = {
+    if (shift < 0) {
+      shift = row.numFields - schema.fields.length
+      require(shift == 0 || shift == 1,
+        s"graft-lake: writer got ${row.numFields} fields for schema " +
+          s"[${schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}")
+            .mkString(",")}]")
+    }
     val dir = partIdx.zip(partCols).map { case (i, c) =>
-      require(!row.isNullAt(i), s"graft-lake: null partition value for $c")
-      s"$c=${row.getUTF8String(i)}"
+      require(!row.isNullAt(i + shift),
+        s"graft-lake: null partition value for $c")
+      s"$c=${row.getUTF8String(i + shift)}"
     }.mkString("/")
     val (w, _) = writers.getOrElseUpdate(dir, {
       val path = (if (dir.isEmpty) s"$dataDir" else s"$dataDir/$dir") +
@@ -612,7 +765,8 @@ private[lake] class LakeDataWriter(
         .withType(messageType).withConf(new Configuration()).build(), path)
     })
     val g = factory.newGroup()
-    dataFields.foreach { case (f, i) =>
+    dataFields.foreach { case (f, i0) =>
+      val i = i0 + shift
       if (!row.isNullAt(i)) f.dataType match {
         case LongType => g.append(f.name, row.getLong(i))
         case IntegerType | DateType => g.append(f.name, row.getInt(i))
@@ -645,8 +799,10 @@ private[lake] class LakeDataWriter(
   * `SELECT … FROM <name>.<table>`, `… VERSION AS OF v` (time travel
   * through the pointer log), `INSERT INTO` (an append commit: executors
   * write partitioned parquet, the driver commits one new snapshot under
-  * CAS), and `DELETE FROM … WHERE key IN (…)` (an equality-delete
-  * metadata commit under CAS). CREATE/ALTER/DROP are out of scope: the
+  * CAS), `DELETE FROM … WHERE key IN (…)` (an equality-delete metadata
+  * commit — zero data files), and MERGE INTO / UPDATE / arbitrary-
+  * predicate DELETE (group-based copy-on-write rewrites through the
+  * row-level-operation API). CREATE/ALTER/DROP are out of scope: the
   * catalog serves EXISTING pointer logs.
   */
 class GraftLakeCatalog

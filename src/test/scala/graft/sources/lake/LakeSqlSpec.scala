@@ -8,10 +8,11 @@ import graft.operators.PipelineOps
 
 /** The SQL surface over the lake catalog plugin ([[GraftLakeCatalog]]):
   * multi-part table names resolve through the CAS pointer log,
-  * `VERSION AS OF` time-travels, and `DELETE FROM … WHERE key IN (…)`
-  * commits an equality-delete metadata world under CAS — with the
-  * documented boundary (non-key predicates refuse; MERGE/row-level
-  * rewrite is the SupportsRowLevelOperations half, out of scope).
+  * `VERSION AS OF` time-travels, `INSERT INTO` appends a snapshot,
+  * key-equality `DELETE FROM` commits an equality-delete metadata world
+  * (zero data files), and MERGE INTO / UPDATE / non-key DELETE rewrite
+  * copy-on-write through the row-level-operation API — every mutation
+  * one CAS pointer advance, history immutable.
   */
 class LakeSqlSpec extends AnyFunSuite {
 
@@ -156,12 +157,101 @@ class LakeSqlSpec extends AnyFunSuite {
       "re-inserted row was wrongly killed by the older equality delete")
   }
 
-  test("non-key predicates refuse with the documented boundary") {
-    val err = intercept[Exception] {
-      spark.sql("DELETE FROM graft_lake.ship_fact WHERE qty > 100")
-    }
-    // Spark surfaces canDeleteWhere=false as an analysis/unsupported error
-    assert(err.getMessage.toLowerCase.matches("(?s).*(delete|rewrite).*"),
-      s"unexpected error: ${err.getMessage}")
+  /** The snapshots-table op of the CURRENT pointer world — pins which
+    * route a mutation took (eq_delete metadata commit vs cow_* rewrite).
+    */
+  private def currentOp(): String = {
+    import spark.implicits._
+    val metaRoot = spark.read.parquet(
+        s"${spark.conf.get("spark.sql.catalog.graft_lake.catalogDir")}/catalog_log")
+      .filter($"table_name" === "ship_fact")
+      .orderBy($"version".desc).select($"meta_root").as[String].head()
+    spark.read.parquet(s"$metaRoot/snapshots")
+      .orderBy($"snap_id".desc).select($"op").as[String].head()
+  }
+
+  test("key-equality DELETE takes the zero-data-file metadata route") {
+    spark.sql("DELETE FROM graft_lake.ship_fact WHERE l_orderkey = 701")
+    assert(currentOp() == "eq_delete",
+      s"key delete took the ${currentOp()} route, not the metadata commit")
+  }
+
+  test("non-key DELETE rewrites copy-on-write instead of refusing") {
+    import spark.implicits._
+    def count(q: String): Long = spark.sql(q).as[Long].head()
+    val before = count("SELECT count(*) AS n FROM graft_lake.ship_fact")
+    val doomed = count(
+      "SELECT count(*) AS n FROM graft_lake.ship_fact WHERE qty >= 45")
+    assert(doomed > 0 && doomed < before)
+    spark.sql("DELETE FROM graft_lake.ship_fact WHERE qty >= 45")
+    assert(count("SELECT count(*) AS n FROM graft_lake.ship_fact") ==
+      before - doomed)
+    assert(count("SELECT count(*) AS n FROM graft_lake.ship_fact " +
+      "WHERE qty >= 45") == 0L)
+    assert(currentOp() == "cow_delete")
+  }
+
+  test("UPDATE rewrites copy-on-write") {
+    import spark.implicits._
+    def one(q: String): Long = spark.sql(q).as[Long].head()
+    val before = one("SELECT sum(qty) AS s FROM graft_lake.ship_fact " +
+      "WHERE l_orderkey = 994")
+    val rows = one("SELECT count(*) AS n FROM graft_lake.ship_fact " +
+      "WHERE l_orderkey = 994")
+    assert(rows > 0)
+    spark.sql("UPDATE graft_lake.ship_fact SET qty = qty + 100 " +
+      "WHERE l_orderkey = 994")
+    assert(one("SELECT sum(qty) AS s FROM graft_lake.ship_fact " +
+      "WHERE l_orderkey = 994") == before + 100 * rows)
+    assert(currentOp() == "cow_update")
+  }
+
+  test("MERGE INTO: matched rows update, unmatched insert, one CAS commit") {
+    import spark.implicits._
+    def one(q: String): Long = spark.sql(q).as[Long].head()
+    // key 388 was re-inserted by the resurrection test above; 994
+    // survives (earlier tests never erase it outright) — coalesce the
+    // sums anyway so a dropped key fails the n>0 assert, not the decode
+    Seq((388L, 7L), (994L, 3L), (9000000777L, 4L)).toDF("k", "dq")
+      .createOrReplaceTempView("merge_src")
+    val before = one("SELECT count(*) AS n FROM graft_lake.ship_fact")
+    val q212 = one("SELECT coalesce(sum(qty), 0) AS s FROM " +
+      "graft_lake.ship_fact WHERE l_orderkey = 388")
+    val n212 = one("SELECT count(*) AS n FROM graft_lake.ship_fact " +
+      "WHERE l_orderkey = 388")
+    val q994 = one("SELECT coalesce(sum(qty), 0) AS s FROM " +
+      "graft_lake.ship_fact WHERE l_orderkey = 994")
+    val n994 = one("SELECT count(*) AS n FROM graft_lake.ship_fact " +
+      "WHERE l_orderkey = 994")
+    assert(n212 > 0 && n994 > 0, "matched keys missing — merge tests nothing")
+    val vBefore = spark.read.parquet(
+        s"${spark.conf.get("spark.sql.catalog.graft_lake.catalogDir")}/catalog_log")
+      .filter($"table_name" === "ship_fact")
+      .agg(max($"version")).as[Long].head()
+    spark.sql("""MERGE INTO graft_lake.ship_fact t USING merge_src s
+      ON t.l_orderkey = s.k
+      WHEN MATCHED THEN UPDATE SET qty = t.qty + s.dq
+      WHEN NOT MATCHED THEN INSERT
+        (l_orderkey, l_partkey, qty, net_cents, ship_day, ship_month)
+        VALUES (s.k, 1, s.dq, 555, DATE'1999-05-01', '1999-05')""")
+    assert(one("SELECT sum(qty) AS s FROM graft_lake.ship_fact " +
+      "WHERE l_orderkey = 388") == q212 + 7 * n212)
+    assert(one("SELECT sum(qty) AS s FROM graft_lake.ship_fact " +
+      "WHERE l_orderkey = 994") == q994 + 3 * n994)
+    val inserted = spark.sql("SELECT qty, net_cents, ship_month " +
+      "FROM graft_lake.ship_fact WHERE l_orderkey = 9000000777")
+      .as[(Long, Long, String)].collect()
+    assert(inserted.toSeq == Seq((4L, 555L, "1999-05")))
+    assert(one("SELECT count(*) AS n FROM graft_lake.ship_fact") ==
+      before + 1)
+    assert(currentOp() == "cow_merge")
+    // exactly one pointer advance, and the pre-merge version still serves
+    val vAfter = spark.read.parquet(
+        s"${spark.conf.get("spark.sql.catalog.graft_lake.catalogDir")}/catalog_log")
+      .filter($"table_name" === "ship_fact")
+      .agg(max($"version")).as[Long].head()
+    assert(vAfter == vBefore + 1)
+    assert(one("SELECT count(*) AS n FROM graft_lake.ship_fact " +
+      s"VERSION AS OF $vBefore") == before)
   }
 }
