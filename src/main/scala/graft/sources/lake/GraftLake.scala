@@ -333,9 +333,24 @@ private[lake] class GraftLakeTable(
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = resolved.name
   override def schema(): StructType = resolved.schema
+
+  /** `_file` — the data file a row came from, served as a per-partition
+    * constant by the reader. What gives copy-on-write mutations per-FILE
+    * group pruning: the row-level operation requires it, Spark's runtime
+    * group-filtering rule collects the distinct `_file`s the source
+    * actually matches, and the replace scan prunes to exactly those.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+    })
   override def partitioning(): Array[Transform] =
     resolved.partitionCols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
@@ -378,11 +393,12 @@ private[lake] class GraftLakeTable(
     * written ones in one CAS snapshot. Key-equality DELETEs still take
     * the zero-data-file metadata route below (Spark's
     * optimize-metadata-only rule prefers [[deleteWhere]] when
-    * [[canDeleteWhere]] accepts — the same split Iceberg makes). Without
-    * runtime group filtering the scan covers every live file, so a CoW
-    * mutation rewrites the table's data — correct, and honest about the
-    * boundary: per-file group pruning needs a `_file` metadata column,
-    * the documented follow-up.
+    * [[canDeleteWhere]] accepts — the same split Iceberg makes). Group
+    * pruning is REAL: the operation requires the `_file` metadata
+    * column, Spark's runtime group-filtering rule collects the files the
+    * source actually matches, and the replace scan prunes to exactly
+    * those — a one-key UPDATE rewrites one order's few month files, not
+    * the table (LakeSqlSpec pins it).
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
@@ -584,18 +600,27 @@ private[lake] class LakeRowLevelOperation(
     resolved: ResolvedLakeTable, ctx: LakeMutationCtx,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
-  @volatile private var scannedFiles: Seq[String] =
-    resolved.files.map(_.path)
+  @volatile private var opScan: Option[GraftLakeScan] = None
 
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  /** `_file` rides the operation's rows so Spark's runtime group
+    * filtering can collect the files the source actually touches and
+    * push them back into [[GraftLakeScan.filter]] — per-file group
+    * pruning for every copy-on-write mutation.
+    */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("_file"))
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(resolved) {
       override def build(): Scan = {
         val s = super.build().asInstanceOf[GraftLakeScan]
-        scannedFiles = s.plannedFiles
+        opScan = Some(s)
         s
       }
     }
@@ -605,8 +630,12 @@ private[lake] class LakeRowLevelOperation(
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
+        // plannedFiles is read lazily at COMMIT time: runtime group
+        // filtering mutates the scan's file set after build
         new LakeReplaceWrite(resolved, ctx, info.schema(),
-          () => scannedFiles, cmd.toString.toLowerCase)
+          () => opScan.map(_.plannedFiles)
+            .getOrElse(resolved.files.map(_.path)),
+          cmd.toString.toLowerCase)
     }
 }
 
@@ -970,8 +999,13 @@ private[lake] case class ConstCol(literal: String, target: DataType)
 
 private[lake] class GraftLakeScan(
     table: ResolvedLakeTable,
-    files: Seq[LakeFileSpec],
-    required: StructType) extends Scan with Batch {
+    files0: Seq[LakeFileSpec],
+    required: StructType) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  // runtime group filtering (`_file IN (…)` from the row-level rewrite,
+  // or any DPP probe on a partition column) shrinks this AFTER build
+  @volatile private var files: Seq[LakeFileSpec] = files0
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -979,13 +1013,49 @@ private[lake] class GraftLakeScan(
     s"graft-lake ${table.name} files=${files.size}/${table.files.size} " +
       s"cols=${required.fieldNames.mkString(",")}"
 
-  /** The planned (pruned) file set — what LakeConnectorSpec pins. */
+  // Declared runtime-filter attributes must (a) be IN this scan's output —
+  // Spark's DPP rule resolves them against it and throws otherwise — and
+  // (b) stay a SINGLE attribute: declaring several makes the group-filter
+  // rule emit one struct-typed IN over all of them, which cannot
+  // translate to a v1 In filter. Row-level-operation scans carry `_file`
+  // (their requiredMetadataAttributes) and get per-file group pruning;
+  // ordinary scans expose their partition column for regular DPP.
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val out = required.fieldNames.toSet
+    val pick =
+      if (out.contains("_file")) Seq("_file")
+      else table.partitionCols.filter(out.contains).take(1)
+    pick.map(c => org.apache.spark.sql.connector.expressions.Expressions
+      .column(c)).toArray
+  }
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("_file", vs) =>
+      val keep = vs.map(String.valueOf(_)).toSet
+      files = files.filter(f => keep.contains(f.path))
+    case EqualTo("_file", v: String) =>
+      files = files.filter(_.path == v)
+    case In(c, vs) if table.partitionCols.contains(c) =>
+      val keep = vs.map(String.valueOf(_)).toSet
+      files = files.filter(f => f.partValues.get(c).exists(keep.contains))
+    case EqualTo(c, v: String) if table.partitionCols.contains(c) =>
+      files = files.filter(_.partValues.get(c).contains(v))
+    case _ => () // unhandled runtime filters are advisory — rows re-filter
+  }
+
+  /** The planned (pruned) file set — what LakeConnectorSpec pins, and
+    * what the copy-on-write replace commit swaps out (read AFTER runtime
+    * filtering, so a group-pruned rewrite replaces only matched files).
+    */
   def plannedFiles: Seq[String] = files.map(_.path)
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map { f =>
       val cols = required.fields.map { fld =>
-        if (table.partitionCols.contains(fld.name))
+        if (fld.name == "_file")
+          ConstCol(f.path, StringType): LakeColSpec
+        else if (table.partitionCols.contains(fld.name))
           ConstCol(f.partValues.getOrElse(fld.name, null), fld.dataType)
             : LakeColSpec
         else {

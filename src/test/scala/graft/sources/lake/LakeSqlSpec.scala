@@ -206,6 +206,47 @@ class LakeSqlSpec extends AnyFunSuite {
     assert(currentOp() == "cow_update")
   }
 
+  /** Data-file entries (path set) of the CURRENT pointer world's tip. */
+  private def currentDataFiles(): Set[String] = {
+    import spark.implicits._
+    val metaRoot = spark.read.parquet(
+        s"${spark.conf.get("spark.sql.catalog.graft_lake.catalogDir")}/catalog_log")
+      .filter($"table_name" === "ship_fact")
+      .orderBy($"version".desc).select($"meta_root").as[String].head()
+    val snap = spark.read.parquet(s"$metaRoot/snapshots")
+      .agg(max($"snap_id")).as[Long].head()
+    spark.read.parquet(s"$metaRoot/manifests")
+      .filter($"snap_id" === snap && $"content" === "data")
+      .select($"file").as[String].collect().toSet
+  }
+
+  test("copy-on-write rewrites only the files the source touches " +
+      "(runtime group pruning via the _file metadata column)") {
+    import spark.implicits._
+    def one(q: String): Long = spark.sql(q).as[Long].head()
+    val before = currentDataFiles()
+    assert(before.size > 10, "too few files for the pruning pin to mean anything")
+    val sumBefore = one("SELECT coalesce(sum(net_cents), 0) AS s FROM " +
+      "graft_lake.ship_fact WHERE l_orderkey = 994")
+    val nRows = one("SELECT count(*) AS n FROM graft_lake.ship_fact " +
+      "WHERE l_orderkey = 994")
+    assert(nRows > 0)
+    spark.sql("UPDATE graft_lake.ship_fact SET net_cents = net_cents + 1 " +
+      "WHERE l_orderkey = 994")
+    assert(one("SELECT sum(net_cents) AS s FROM graft_lake.ship_fact " +
+      "WHERE l_orderkey = 994") == sumBefore + nRows)
+    val after = currentDataFiles()
+    val fresh = after -- before
+    val carried = after.intersect(before)
+    // one order's line items span a handful of ship months: without group
+    // pruning EVERY live file rewrites (fresh == after.size); with it only
+    // the touched months' files do
+    assert(fresh.size <= 8,
+      s"CoW rewrote ${fresh.size} of ${after.size} files — group pruning dead")
+    assert(carried.size >= before.size - 8,
+      s"only ${carried.size}/${before.size} files carried over unrewritten")
+  }
+
   test("MERGE INTO: matched rows update, unmatched insert, one CAS commit") {
     import spark.implicits._
     def one(q: String): Long = spark.sql(q).as[Long].head()
