@@ -459,11 +459,17 @@ object Dedup {
         .select($"ids")
       // Pair emission is SALTED: a group's sorted id array is split into
       // blocks of JaccardBlock ids, and each (block_i, block_j) combination
-      // becomes its own work-unit row. A round-robin repartition spreads the
-      // units, so a df-cap-sized hot shingle emits its ~131k pairs from ~36
-      // parallel tasks of <= JaccardBlock² pairs each instead of one
-      // straggler task — the output multiset is identical (blocks preserve
-      // the sort, so cross-block pairs keep id1 < id2). Size markers
+      // becomes its own work-unit row. A HASH repartition on the block pair
+      // spreads the units, so a df-cap-sized hot shingle emits its ~131k
+      // pairs from ~36 parallel tasks of <= JaccardBlock² pairs each
+      // instead of one straggler task — the output multiset is identical
+      // (blocks preserve the sort, so cross-block pairs keep id1 < id2).
+      // Hash, not round-robin (r16 driver-bench adjudication): round-robin
+      // pays Spark's sort-before-repartition determinism pass over these
+      // wide array rows and places units non-deterministically per
+      // scheduler state; hashing the block contents is deterministic and
+      // sort-free, and distinct (i,j) block pairs spread just as evenly.
+      // Size markers
       // (id2 = -1 sentinel; ids are non-negative by construction — the
       // corpus derives them from documents.doc_id >= 0 plus +100000/+200000,
       // guarded below) ride the diagonal units, one per (shingle, doc).
@@ -473,7 +479,8 @@ object Dedup {
       val units = capped.as[Array[Long]] // primitive decode — no per-id boxing
         .flatMap(blockUnits _)
       val counted = units
-        .repartition(s.sparkContext.defaultParallelism) // fan hot groups out across tasks
+        // fan hot groups out across tasks, hashed on the block pair
+        .repartition(s.sparkContext.defaultParallelism, units("_1"), units("_2"))
         .flatMap((unitRows _).tupled)
         .toDF("id1", "id2")
         .groupBy($"id1", $"id2").agg(count(lit(1)).as("cnt"))

@@ -278,7 +278,9 @@ object LakeQueries {
         .groupBy($"release")
         .agg(count(lit(1)).as("n_docs"),
           round(sum($"weight"), 4).as("sum_weight"),
-          sum($"price").cast("decimal(18,4)").as("sum_price"),
+          // DOUBLE output (exact here), per the surface's no-DECIMAL
+          // output convention — see pipeline_schema_promote.
+          sum($"price").cast("double").as("sum_price"),
           sum($"score").as("sum_score"),
           sum($"flag".cast("long")).as("sum_flag"))
         .orderBy($"release")
@@ -290,7 +292,7 @@ object LakeQueries {
         |  CAST(sum(CASE WHEN doc_id % 2 = 0
         |    THEN CAST(n_chars || '.' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS DECIMAL(18,4))
         |    ELSE CAST(n_chars || '.' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS DECIMAL(18,4))
-        |    END) AS DECIMAL(18,4)) AS sum_price,
+        |    END) AS DOUBLE) AS sum_price,
         |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN doc_id % 1000
         |    ELSE doc_id % 1000 + 3000000000 END) AS BIGINT) AS sum_score,
         |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 5 END) AS BIGINT) AS sum_flag

@@ -588,6 +588,19 @@ object Similarity {
         val we = Window.partitionBy($"src").orderBy($"ecos".desc, $"dst")
         def upsert(layer: String, deg: Int, freshL: DataFrame): Unit = {
           val live = s"$root/graph/$layer"
+          // crash recovery: a retry may land after the old live dir was
+          // moved aside but before the stage promote (live missing →
+          // restore the aside copy), or after the promote but before
+          // cleanup (both present → drop the stale aside copy). Either
+          // way a whole live layer exists before the re-derive, which is
+          // idempotent over deterministic scores.
+          val livePath = java.nio.file.Paths.get(live)
+          val asidePath = java.nio.file.Paths.get(s"${live}_old")
+          if (java.nio.file.Files.exists(asidePath)) {
+            if (!java.nio.file.Files.exists(livePath))
+              java.nio.file.Files.move(asidePath, livePath)
+            else graft.Fixtures.deleteRecursively(asidePath)
+          }
           val old = s.read.parquet(live)
           val affected = freshL.select($"src").distinct()
           val next = old.join(affected, Seq("src"), "left_anti")
@@ -598,9 +611,13 @@ object Similarity {
               .select($"src", $"dst", $"ecos", $"rn"))
           val stage = s"${live}_stage"
           next.write.mode("overwrite").parquet(stage)
-          graft.Fixtures.deleteRecursively(java.nio.file.Paths.get(live))
-          java.nio.file.Files.move(java.nio.file.Paths.get(stage),
-            java.nio.file.Paths.get(live))
+          // aside-then-promote-then-delete: at every instant a whole
+          // layer dir exists (live or the aside copy) — the recovery
+          // above can restore from either crash window, unlike a
+          // delete-then-move which leaves NO live layer mid-swap
+          java.nio.file.Files.move(livePath, asidePath)
+          java.nio.file.Files.move(java.nio.file.Paths.get(stage), livePath)
+          graft.Fixtures.deleteRecursively(asidePath)
         }
         upsert("l0", GraphDegree, fresh)
         upsert("l1", HnswL1Degree, fresh.filter(

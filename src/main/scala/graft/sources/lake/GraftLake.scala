@@ -102,8 +102,22 @@ private[lake] object LakeResolver {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[Map[String, String], ResolvedLakeTable]()
 
+  /** Cache only IMMUTABLE resolutions. metaRoot/schemaRoot worlds are
+    * write-once (commits author a FRESH root and swap the catalog
+    * pointer), and a catalog lookup WITH asOfVersion is stable because
+    * catalog_log is append-only with monotone versions. A catalog lookup
+    * WITHOUT asOfVersion resolves the mutable tip pointer — caching it
+    * would serve the pre-commit snapshot after an INSERT/DELETE/MERGE
+    * (no read-your-writes), so it re-reads the pointer log every time.
+    */
+  private def cacheable(options: Map[String, String]): Boolean = {
+    def has(k: String) = options.keys.exists(_.equalsIgnoreCase(k))
+    !has("catalog") || has("asOfVersion")
+  }
+
   def resolve(s: SparkSession, options: Map[String, String]): ResolvedLakeTable =
-    cache.computeIfAbsent(options, _ => doResolve(s, options))
+    if (cacheable(options)) cache.computeIfAbsent(options, _ => doResolve(s, options))
+    else doResolve(s, options)
 
   private def doResolve(
       s: SparkSession, opts: Map[String, String]): ResolvedLakeTable = {
@@ -129,6 +143,9 @@ private[lake] object LakeResolver {
         require(hit.nonEmpty,
           s"graft-lake: $table has no version ≤ $asOf (have ${rows.map(_._1).sorted.mkString(",")})")
         val r = hit.maxBy(_._1)
+        require(r._2.nonEmpty,
+          s"graft-lake: $table is dropped at version ${r._1} " +
+            "(empty meta_root tombstone) — time-travel below it to read history")
         (r._2, Some(r._3))
       case None =>
         (opt("metaRoot").getOrElse(sys.error(
@@ -175,8 +192,9 @@ private[lake] object LakeResolver {
             s"graft-lake: snapshot $snapId has no base for $f")))
         (c, normPath(f), base, q, k)
       }
-    require(entries.nonEmpty,
-      s"graft-lake: snapshot $snapId has no manifest rows in $metaRoot")
+    // entries MAY be empty: a table bootstrapped by CREATE TABLE has a
+    // zero-row manifest at snapshot 0 (the require after `declared`
+    // below still rejects a world with neither files nor a tableschema)
 
     // 4. delete-file contents — metadata-scale reads (one DV row per
     //    touched file; |keys| eq rows; |deleted rows| positions)
@@ -216,18 +234,41 @@ private[lake] object LakeResolver {
 
     // 5. data files + their partition tuples and delete state
     val dataEntries = entries.filter(_._1 == "data")
-    val partCols = partColsOf(dataEntries.head._3, dataEntries.head._2)
+    // worlds bootstrapped through CREATE TABLE / CTAS carry a
+    // `tableschema` table (name, dtype DDL, is_part, ord) — the schema
+    // source that lets an EMPTY table resolve (no file footer to read)
+    // and keeps column ORDER stable across commits
+    val declared: Option[(StructType, Seq[String])] = {
+      val tsDir = s"$metaRoot/tableschema"
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tsDir))) None
+      else {
+        val rows = s.read.parquet(tsDir)
+          .select($"name", $"dtype", $"is_part", $"ord")
+          .as[(String, String, Boolean, Long)].collect().sortBy(_._4)
+        Some((StructType(rows.map(r =>
+            StructField(r._1, DataType.fromDDL(r._2), nullable = true))),
+          rows.filter(_._3).map(_._1).toSeq))
+      }
+    }
+    require(dataEntries.nonEmpty || declared.nonEmpty,
+      s"graft-lake: snapshot $snapId has no data files and no tableschema " +
+        s"in $metaRoot")
+    val partCols = declared.map(_._2)
+      .getOrElse(partColsOf(dataEntries.head._3, dataEntries.head._2))
     val files = dataEntries.map { case (_, f, base, seq, _) =>
       LakeFileSpec(f, seq, partValuesOf(base, f),
         Map.empty, dvByFile.getOrElse(f, null),
         posByFile.getOrElse(f, null))
     }
 
-    // 6. read schema: first file's footer (driver-side, one file) plus
-    //    the path-derived partition columns
-    val dataSchema = s.read.parquet(dataEntries.head._2).schema
-    val schema = StructType(dataSchema.fields ++
-      partCols.map(p => StructField(p, StringType, nullable = true)))
+    // 6. read schema: the declared tableschema when present, else first
+    //    file's footer (driver-side, one file) plus the path-derived
+    //    partition columns
+    val schema = declared.map(_._1).getOrElse {
+      val dataSchema = s.read.parquet(dataEntries.head._2).schema
+      StructType(dataSchema.fields ++
+        partCols.map(p => StructField(p, StringType, nullable = true)))
+    }
 
     // 7. per-snapshot bloom sidecar (snapshots.idx column, or idx<id>/)
     val idxPath =
@@ -290,13 +331,19 @@ private[lake] object LakeResolver {
       opt("indexCol").getOrElse("l_orderkey"))
   }
 
-  /** Hive-style `name=value` segments of `file` below `base`, in path order. */
+  /** Hive-style `name=value` segments of `file` below `base`, in path
+    * order. Values are percent-UNescaped (Spark/Hive convention — the
+    * writer escapes path-special characters like `/` and `=`, so a raw
+    * string partition value round-trips instead of corrupting the
+    * layout); unescaping a plain segment is the identity.
+    */
   private[lake] def partValuesOf(base: String, file: String): Map[String, String] =
     java.nio.file.Paths.get(base).relativize(java.nio.file.Paths.get(file))
       .iterator().asScala.map(_.toString).filter(_.contains("="))
       .map { seg =>
         val Array(k, v) = seg.split("=", 2)
-        k -> v
+        k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(v)
       }.toMap
 
   private def partColsOf(base: String, file: String): Seq[String] =
@@ -415,11 +462,16 @@ private[lake] class GraftLakeTable(
   /** DELETE FROM fast path (VERDICT r15 #6): KEY-equality predicates —
     * exactly the delete class an equality-delete file expresses, so the
     * commit opens ZERO data files. Predicates this refuses fall through
-    * to the copy-on-write row-level rewrite above.
+    * to the copy-on-write row-level rewrite above. The filter array is a
+    * CONJUNCTION, so exactly ONE key-equality conjunct is accepted here
+    * (`k = v` or `k IN (…)`, plus Spark's implied IsNotNull): several
+    * key conjuncts would need their key sets INTERSECTED, and the CoW
+    * path already handles that correctly — a union here would
+    * over-delete.
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     ctx.nonEmpty &&
-      filters.exists(f => LakeFilters.keyKeys(f, resolved.indexCol).nonEmpty) &&
+      filters.count(f => LakeFilters.keyKeys(f, resolved.indexCol).nonEmpty) == 1 &&
       filters.forall(f => LakeFilters.keyKeys(f, resolved.indexCol).nonEmpty ||
         f == IsNotNull(resolved.indexCol))
 
@@ -443,8 +495,13 @@ private[lake] class GraftLakeTable(
     val man = LakeFilters.normalizedManifests(s, c.metaRoot)
     val tip = man.filter($"snap_id" === c.snapId)
     val newSeq = tip.agg(org.apache.spark.sql.functions.max($"seq"))
+      .as[Option[Long]].head().getOrElse(0L) + 1L
+    // max over the WORLD's snapshots, not loaded-pin+1: a pointer-only
+    // rollback pins a snap_id below the world's max, and pin+1 would
+    // collide with an existing snapshot (duplicate id = merged manifests)
+    val snaps = s.read.parquet(s"${c.metaRoot}/snapshots")
+    val newSnap = snaps.agg(org.apache.spark.sql.functions.max($"snap_id"))
       .as[Long].head() + 1L
-    val newSnap = c.snapId + 1L
     val root = graft.Fixtures.tempDir("graft_lakecommit")
     import org.apache.spark.sql.functions.lit
     keys.toDF("k").select($"k", lit(newSeq).as("seq_del")).coalesce(1)
@@ -459,12 +516,12 @@ private[lake] class GraftLakeTable(
         lit(resolved.indexCol).as("key_col")))
       .coalesce(1)
       .write.mode("overwrite").parquet(root.resolve("manifests").toString)
-    val snaps = s.read.parquet(s"${c.metaRoot}/snapshots")
     snaps.select($"snap_id", $"op", $"parent_id")
       .unionByName(Seq((newSnap, "eq_delete", c.snapId))
         .toDF("snap_id", "op", "parent_id"))
       .coalesce(1)
       .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
+    LakeFilters.carryTableSchema(s, c.metaRoot, root)
     graft.operators.PipelineOps.catalogCommit(
       s, s"${c.catalogLogDir}/catalog_log", c.table,
       expectedVersion = c.version, metaRoot = root.toString, snapId = newSnap)
@@ -484,6 +541,18 @@ private[lake] object LakeFilters {
         case i: Int => i.toLong
       })
     case _ => None
+  }
+
+  /** Copy the `tableschema` table (CREATE TABLE / CTAS worlds) into a
+    * commit's fresh metadata root, so the declared schema and column
+    * order survive every commit. No-op for worlds without one.
+    */
+  def carryTableSchema(
+      s: SparkSession, fromRoot: String, toRoot: java.nio.file.Path): Unit = {
+    val src = s"$fromRoot/tableschema"
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(src)))
+      s.read.parquet(src).coalesce(1)
+        .write.parquet(toRoot.resolve("tableschema").toString)
   }
 
   /** A metadata world's manifests normalized to the full-width shape
@@ -556,12 +625,16 @@ private[lake] class LakeAppendWrite(
       val files = messages.flatMap {
         case m: LakeCommitMessage => m.files
       }.toSeq
-      require(files.nonEmpty, "graft-lake: append committed zero files")
+      // zero files is a legal append (an empty INSERT/CTAS SELECT still
+      // commits a snapshot, like Iceberg's empty-append commits)
       val man = LakeFilters.normalizedManifests(s, ctx.metaRoot)
       val tip = man.filter($"snap_id" === ctx.snapId)
       val newSeq = tip.agg(org.apache.spark.sql.functions.max($"seq"))
+        .as[Option[Long]].head().getOrElse(0L) + 1L
+      // world-max + 1, not pin + 1 — see deleteWhere
+      val snaps = s.read.parquet(s"${ctx.metaRoot}/snapshots")
+      val newSnap = snaps.agg(org.apache.spark.sql.functions.max($"snap_id"))
         .as[Long].head() + 1L
-      val newSnap = ctx.snapId + 1L
       man
         .unionByName(tip.withColumn("snap_id", lit(newSnap)))
         .unionByName(files.toDF("file").select(
@@ -570,12 +643,12 @@ private[lake] class LakeAppendWrite(
           lit("").as("key_col")))
         .coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("manifests").toString)
-      s.read.parquet(s"${ctx.metaRoot}/snapshots")
-        .select($"snap_id", $"op", $"parent_id")
+      snaps.select($"snap_id", $"op", $"parent_id")
         .unionByName(Seq((newSnap, "append", ctx.snapId))
           .toDF("snap_id", "op", "parent_id"))
         .coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
+      LakeFilters.carryTableSchema(s, ctx.metaRoot, root)
       graft.operators.PipelineOps.catalogCommit(
         s, s"${ctx.catalogLogDir}/catalog_log", ctx.table,
         expectedVersion = ctx.version, metaRoot = root.toString,
@@ -683,8 +756,11 @@ private[lake] class LakeReplaceWrite(
       val man = LakeFilters.normalizedManifests(s, ctx.metaRoot)
       val tip = man.filter($"snap_id" === ctx.snapId)
       val newSeq = tip.agg(org.apache.spark.sql.functions.max($"seq"))
+        .as[Option[Long]].head().getOrElse(0L) + 1L
+      // world-max + 1, not pin + 1 — see deleteWhere
+      val snaps = s.read.parquet(s"${ctx.metaRoot}/snapshots")
+      val newSnap = snaps.agg(org.apache.spark.sql.functions.max($"snap_id"))
         .as[Long].head() + 1L
-      val newSnap = ctx.snapId + 1L
       val carried = tip.filter(!($"content" === "data" &&
         $"file".isin(replaced.toSeq: _*)))
         .withColumn("snap_id", lit(newSnap))
@@ -697,12 +773,12 @@ private[lake] class LakeReplaceWrite(
       man.unionByName(carried).unionByName(fresh)
         .coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("manifests").toString)
-      s.read.parquet(s"${ctx.metaRoot}/snapshots")
-        .select($"snap_id", $"op", $"parent_id")
+      snaps.select($"snap_id", $"op", $"parent_id")
         .unionByName(Seq((newSnap, s"cow_$op", ctx.snapId))
           .toDF("snap_id", "op", "parent_id"))
         .coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
+      LakeFilters.carryTableSchema(s, ctx.metaRoot, root)
       graft.operators.PipelineOps.catalogCommit(
         s, s"${ctx.catalogLogDir}/catalog_log", ctx.table,
         expectedVersion = ctx.version, metaRoot = root.toString,
@@ -783,7 +859,10 @@ private[lake] class LakeDataWriter(
     val dir = partIdx.zip(partCols).map { case (i, c) =>
       require(!row.isNullAt(i + shift),
         s"graft-lake: null partition value for $c")
-      s"$c=${row.getUTF8String(i + shift)}"
+      // percent-escape path-special chars ('/', '=', …) so a raw string
+      // value can't splinter the Hive layout; the reader unescapes
+      s"$c=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(row.getUTF8String(i + shift).toString)}"
     }.mkString("/")
     val (w, _) = writers.getOrElseUpdate(dir, {
       val path = (if (dir.isEmpty) s"$dataDir" else s"$dataDir/$dir") +
@@ -829,10 +908,14 @@ private[lake] class LakeDataWriter(
   * through the pointer log), `INSERT INTO` (an append commit: executors
   * write partitioned parquet, the driver commits one new snapshot under
   * CAS), `DELETE FROM … WHERE key IN (…)` (an equality-delete metadata
-  * commit — zero data files), and MERGE INTO / UPDATE / arbitrary-
+  * commit — zero data files), MERGE INTO / UPDATE / arbitrary-
   * predicate DELETE (group-based copy-on-write rewrites through the
-  * row-level-operation API). CREATE/ALTER/DROP are out of scope: the
-  * catalog serves EXISTING pointer logs.
+  * row-level-operation API), `CREATE TABLE` / `CREATE TABLE … AS
+  * SELECT` (bootstraps a fresh metadata world + pointer-log version 0;
+  * CTAS adds the append commit), and `DROP TABLE` (a pointer-log
+  * TOMBSTONE — history stays, time travel to pre-drop versions keeps
+  * working, and the name can be re-created). ALTER/RENAME are out of
+  * scope.
   */
 class GraftLakeCatalog
     extends org.apache.spark.sql.connector.catalog.TableCatalog {
@@ -858,9 +941,23 @@ class GraftLakeCatalog
       .as[(Long, String, String, Long)].collect().toIndexedSeq
   }
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
-    logRows(SparkSession.active).map(_._2).distinct.sorted
+  /** Latest pointer-log row for `name`. A row with an EMPTY meta_root is
+    * a DROP tombstone: the name resolves as absent at the tip while
+    * older versions stay time-travelable.
+    */
+  private def latest(
+      s: SparkSession, name: String): Option[(Long, String, Long)] =
+    logRows(s).filter(_._2 == name) match {
+      case rows if rows.isEmpty => None
+      case rows => val r = rows.maxBy(_._1); Some((r._1, r._3, r._4))
+    }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val s = SparkSession.active
+    logRows(s).map(_._2).distinct.sorted
+      .filter(t => latest(s, t).exists(_._2.nonEmpty))
       .map(t => Identifier.of(Array.empty, t)).toArray
+  }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
 
@@ -877,22 +974,86 @@ class GraftLakeCatalog
       s"${ident.name} has no version ≤ ${asOf.get} " +
         s"(have ${rows.map(_._1).sorted.mkString(",")})")
     val (ver, metaRoot, snap) = { val r = hit.maxBy(_._1); (r._1, r._3, r._4) }
+    if (metaRoot.isEmpty) throw new NoSuchTableException(ident) // tombstoned
     val resolved = LakeResolver.resolve(s,
       Map("metaRoot" -> metaRoot, "snapshot" -> snap.toString))
     new GraftLakeTable(resolved,
       Some(LakeMutationCtx(catalogRoot, ident.name, ver, metaRoot, snap)))
   }
 
+  /** CREATE TABLE / CTAS (VERDICT r16 #4): bootstrap a fresh metadata
+    * world — a `tableschema` table (the declared schema + partition
+    * columns, what lets the EMPTY table resolve and keeps column order
+    * stable across commits), a zero-row full-width manifest, and
+    * snapshot 0 — then CAS-register version 0 in the pointer log. CTAS
+    * is this followed by Spark's append write to the returned table
+    * (one more CAS commit), so `CREATE TABLE … AS SELECT` bootstraps,
+    * populates, and is immediately mutable/time-travelable purely in
+    * SQL. Identity partitioning on STRING columns only — the Hive-style
+    * dir layout the reader parses back.
+    */
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform],
-      properties: JMap[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft-lake catalog serves existing pointer logs; CREATE is out of scope")
+      properties: JMap[String, String]): Table = {
+    val s = SparkSession.active
+    import s.implicits._
+    val prior = latest(s, ident.name)
+    if (prior.exists(_._2.nonEmpty))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val partCols: Seq[String] = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"graft-lake: only identity partitioning is supported, got $t")
+    }
+    val fields = columns.map(c => StructField(c.name, c.dataType, nullable = true))
+    val byName = fields.map(f => f.name -> f).toMap
+    partCols.foreach { p =>
+      val f = byName.getOrElse(p, sys.error(
+        s"graft-lake: partition column $p is not a table column"))
+      require(f.dataType == StringType,
+        s"graft-lake: partition column $p must be STRING (Hive-style " +
+          s"dir layout), got ${f.dataType.simpleString}")
+    }
+    val root = graft.Fixtures.tempDir("graft_lakecreate")
+    fields.zipWithIndex.toSeq
+      .map { case (f, i) => (f.name, f.dataType.sql, partCols.contains(f.name), i.toLong) }
+      .toDF("name", "dtype", "is_part", "ord")
+      .coalesce(1).write.parquet(root.resolve("tableschema").toString)
+    Seq.empty[(Long, String, String, String, Long, String)]
+      .toDF("snap_id", "content", "file", "base", "seq", "key_col")
+      .coalesce(1).write.parquet(root.resolve("manifests").toString)
+    Seq((0L, "create", -1L)).toDF("snap_id", "op", "parent_id")
+      .coalesce(1).write.parquet(root.resolve("snapshots").toString)
+    graft.operators.PipelineOps.catalogCommit(
+      s, s"$catalogRoot/catalog_log", ident.name,
+      // CAS from the tombstone version when re-creating a dropped name
+      expectedVersion = prior.map(_._1).getOrElse(-1L),
+      metaRoot = root.toString, snapId = 0L)
+    load(ident, None)
+  }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("ALTER is out of scope")
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("DROP is out of scope")
+
+  /** DROP TABLE = one tombstone version in the pointer log (empty
+    * meta_root). Nothing is deleted: `VERSION AS OF` a pre-drop version
+    * still serves, and CREATE TABLE can reuse the name (CAS from the
+    * tombstone). Also what Spark's non-atomic CTAS calls to clean up a
+    * failed create-then-write.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val s = SparkSession.active
+    latest(s, ident.name).filter(_._2.nonEmpty) match {
+      case None => false
+      case Some((ver, _, _)) =>
+        graft.operators.PipelineOps.catalogCommit(
+          s, s"$catalogRoot/catalog_log", ident.name,
+          expectedVersion = ver, metaRoot = "", snapId = -1L)
+        true
+    }
+  }
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME is out of scope")
 }
