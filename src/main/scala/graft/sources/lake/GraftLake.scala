@@ -20,6 +20,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `graft-lake` — the DataSourceV2 entry into the lakehouse metadata layer
@@ -870,7 +871,7 @@ private[lake] class LakeDataWriter(
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(path).getParent)
       (ExampleParquetWriter.builder(new Path(path))
-        .withType(messageType).withConf(new Configuration()).build(), path)
+        .withType(messageType).withConf(LakeHadoopConf.fresh()).build(), path)
     })
     val g = factory.newGroup()
     dataFields.foreach { case (f, i0) =>
@@ -1144,7 +1145,10 @@ private[lake] case class LakeInputPartition(
     cols: Array[LakeColSpec],
     eqKeyPhys: String, // physical name of the eq key in THIS file ("" = n/a)
     dvWords: Array[Long],
-    posDeletes: Array[Long]) extends InputPartition
+    posDeletes: Array[Long],
+    // plain world (no column-ID mapping) → the vectorized columnar path;
+    // mapped worlds keep the row reader's per-file rename/widen/defaults
+    columnar: Boolean) extends InputPartition
 
 /** Where one read column of one file comes from: a physical column (by
   * its write-time name), a partition value, or a constant (initial
@@ -1238,7 +1242,7 @@ private[lake] class GraftLakeScan(
           f.physByRead.getOrElse(table.eqKeyCol, "")
         else table.eqKeyCol
       LakeInputPartition(f.path, f.seq, cols, eqPhys, f.dvWords,
-        f.posDeletes): InputPartition
+        f.posDeletes, columnar = f.physByRead.isEmpty): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1250,6 +1254,21 @@ private[lake] class LakeReaderFactory(
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new LakePartitionReader(
+      partition.asInstanceOf[LakeInputPartition], eqKeys, eqSeqs)
+
+  /** Plain worlds read COLUMNAR (Spark's vectorized parquet reader +
+    * row-id-mapped delete application — [[LakeColumnarPartitionReader]]);
+    * schema-ID mapped worlds stay on the row reader. Uniform within one
+    * scan: a resolved table maps every file or none, which is what
+    * Spark's all-or-nothing batch-mode check requires.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    sys.env.get("GRAFT_LAKE_ROW").isEmpty &&
+      partition.asInstanceOf[LakeInputPartition].columnar
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] =
+    new LakeColumnarPartitionReader(
       partition.asInstanceOf[LakeInputPartition], eqKeys, eqSeqs)
 }
 
@@ -1278,7 +1297,9 @@ private[lake] class LakePartitionReader(
     m
   }
 
-  private val conf = new Configuration()
+  // copy of the once-per-JVM parsed base — a fresh Configuration per
+  // file re-parses core-default.xml off the classpath (see LakeHadoopConf)
+  private val conf = LakeHadoopConf.fresh()
   private val hPath = new Path(p.path)
 
   // project the FILE's own field declarations (repetition/type preserved)
@@ -1313,7 +1334,7 @@ private[lake] class LakePartitionReader(
   // per-column constants precomputed once
   private val consts: Array[AnyRef] = p.cols.map {
     case ConstCol(null, _) => null
-    case ConstCol(v, t) => castLiteral(v, t)
+    case ConstCol(v, t) => LakeLiterals.cast(v, t)
     case _ => null
   }
 
@@ -1434,13 +1455,4 @@ private[lake] class LakePartitionReader(
     }
   }
 
-  private def castLiteral(v: String, t: DataType): AnyRef = t match {
-    case LongType => java.lang.Long.valueOf(v.toLong)
-    case IntegerType => java.lang.Integer.valueOf(v.toInt)
-    case DoubleType => java.lang.Double.valueOf(v.toDouble)
-    case FloatType => java.lang.Float.valueOf(v.toFloat)
-    case BooleanType => java.lang.Boolean.valueOf(v.toBoolean)
-    case StringType => UTF8String.fromString(v)
-    case other => sys.error(s"graft-lake: unsupported default type $other")
-  }
 }
