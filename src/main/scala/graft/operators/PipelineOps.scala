@@ -6623,7 +6623,7 @@ object PipelineOps {
     * the order date's month. Derived deterministically from raw so
     * DuckDB recomputes every ref's state exactly.
     */
-  private[operators] def branchBatchRows(s: SparkSession, d: String): DataFrame = {
+  private[graft] def branchBatchRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, d).filter($"o_custkey" % 499 === 0)
       .select(

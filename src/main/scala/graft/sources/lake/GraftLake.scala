@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -405,10 +406,10 @@ private[lake] class GraftLakeTable(
       .toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLakeScanBuilder(resolved)
+    new GraftLakeScanBuilder(resolved, options.asScala.toMap)
 
   /** APPEND write path (`INSERT INTO` through the catalog): executors
     * write month-partitioned parquet into a fresh data root, the driver
@@ -1059,7 +1060,9 @@ class GraftLakeCatalog
     throw new UnsupportedOperationException("RENAME is out of scope")
 }
 
-private[lake] class GraftLakeScanBuilder(table: ResolvedLakeTable)
+private[lake] class GraftLakeScanBuilder(
+    table: ResolvedLakeTable,
+    options: Map[String, String] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -1092,7 +1095,7 @@ private[lake] class GraftLakeScanBuilder(table: ResolvedLakeTable)
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftLakeScan(table, files, required)
+    new GraftLakeScan(table, files, required, options)
 
   /** Conjunctions of comparisons on partition columns, evaluated exactly
     * against the path-derived string values (yyyy-MM months order
@@ -1165,7 +1168,8 @@ private[lake] case class ConstCol(literal: String, target: DataType)
 private[lake] class GraftLakeScan(
     table: ResolvedLakeTable,
     files0: Seq[LakeFileSpec],
-    required: StructType) extends Scan with Batch
+    required: StructType,
+    options: Map[String, String] = Map.empty) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   // runtime group filtering (`_file IN (…)` from the row-level rewrite,
@@ -1247,6 +1251,20 @@ private[lake] class GraftLakeScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(table.eqKeys, table.eqSeqs)
+
+  /** `spark.readStream.format("graft-lake")` — the incremental append
+    * stream over this world's snapshot lineage ([[GraftLakeMicroBatchStream]]).
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream = {
+    def opt(k: String): Option[String] =
+      options.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+    val metaRoot = opt("metaRoot").getOrElse(sys.error(
+      "graft-lake streaming needs an explicit metaRoot option"))
+    new GraftLakeMicroBatchStream(metaRoot, required, table.partitionCols,
+      opt("startSnapshot").map(_.toLong), opt("ref"),
+      opt("maxSnapshotsPerTrigger").map(_.toInt).getOrElse(Int.MaxValue))
+  }
 }
 
 private[lake] class LakeReaderFactory(

@@ -2511,6 +2511,45 @@ object Streaming {
     emitted.orderBy(col("doc_id"))
   }
 
+  /** 24th replay contract — the LAKEHOUSE CDC TAIL (VERDICT r16 #5):
+    * `spark.readStream.format("graft-lake")` over the streaming lineage
+    * world ([[graft.operators.LakeFixture.lakeStreamDir]]), one
+    * micro-batch per appended snapshot (`maxSnapshotsPerTrigger=1`, so
+    * the offset/admission machinery is actually exercised — 5 triggers,
+    * not one catch-all). The emitted rows are the manifest-diff file
+    * additions of snapshots 1..5, which by fixture construction are
+    * EXACTLY the rows the batch `pipeline_incremental_scan` reads
+    * between the branch fork and head — so the judged monthly readout
+    * shares that oracle VERBATIM, and the stream and batch incremental
+    * paths can never drift. Determinism: each wave is a deterministic
+    * orderkey slice; the memory sink accumulates append-only rows whose
+    * multiset is trigger-order independent.
+    */
+  def lakeReplayContract(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val root = graft.operators.LakeFixture.lakeStreamDir(s, d)
+    val emitted = replayedSink(s, "lake:" + d, "graft_lake_replay_") { (sink, run) =>
+      withFewShufflePartitions(s) {
+        val q = s.readStream.format("graft-lake")
+          .option("metaRoot", root)
+          .option("startSnapshot", "0")
+          .option("maxSnapshotsPerTrigger", "1")
+          .load()
+          .select(col("l_orderkey"), col("qty"), col("net_cents"),
+            col("ship_month"))
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .option("checkpointLocation", run.resolve("chk").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    emitted.groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("qty")).as("sum_qty"),
+        sum(col("net_cents")).as("revenue_cents"))
+      .orderBy(col("ship_month"))
+  }
+
   /** Driver-surfaced streaming queries (SparkEntry contract). */
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "stream_ppl_replay" -> ((s, d) => pplReplayContract(s, d)),
@@ -2535,7 +2574,8 @@ object Streaming {
     "stream_cdf_replay" -> ((s, d) => cdfReplayContract(s, d)),
     "stream_eqdel_replay" -> ((s, d) => eqdelReplayContract(s, d)),
     "stream_dv_replay" -> ((s, d) => dvReplayContract(s, d)),
-    "stream_semantic_replay" -> ((s, d) => semanticReplayContract(s, d)))
+    "stream_semantic_replay" -> ((s, d) => semanticReplayContract(s, d)),
+    "stream_lake_replay" -> ((s, d) => lakeReplayContract(s, d)))
 
   /** Batch-equivalent oracle for the replay: quality gate, then min-id
     * canonical per normalized key among the PASSING docs (the gate runs
@@ -2589,6 +2629,11 @@ object Streaming {
       // wave-1 copy-on-write state — the same shared-oracle argument as
       // the equality-delete ingest (all delete strategies converge)
       "stream_dv_replay" -> graft.operators.PipelineOps.oracleSql("pipeline_eq_serve"),
+      // the lakehouse CDC tail emits exactly the rows the batch
+      // incremental append scan reads (fixture construction) — share its
+      // oracle verbatim so the stream and batch fast paths cannot drift
+      "stream_lake_replay" ->
+        graft.operators.PipelineOps.oracleSql("pipeline_incremental_scan"),
       // the late-data contract's emitted windows must equal the batch
       // aggregate over the ON-TIME rows only: same q21 aggregate text, the
       // planted-late predicate (event_id % 17 in the first six waves)
