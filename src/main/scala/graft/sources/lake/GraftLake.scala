@@ -6,11 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetReader
-import org.apache.parquet.hadoop.api.ReadSupport
-import org.apache.parquet.hadoop.example.GroupReadSupport
-import org.apache.parquet.example.data.Group
-import org.apache.parquet.schema.{MessageType, PrimitiveType}
+import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -50,12 +46,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scale shape: ALL resolution is metadata-scale driver work (manifest
   * rows, DV rows per touched file, eq keys — never data rows); the data
-  * path is one InputPartition per pruned file with row-level deletes
-  * applied inside the partition reader. The reader is row-oriented
-  * (parquet-hadoop Group reader — the same place Iceberg's reader started
-  * before growing vectorization); the library serve paths
-  * (PipelineOps.dvApply etc.) remain the vectorized-scan option and the
-  * specs pin the two byte-equal.
+  * path is one InputPartition per pruned file, served COLUMNAR through
+  * Spark's vectorized parquet reader ([[LakeColumnarPartitionReader]])
+  * with row-level deletes applied as per-batch survival maps and the
+  * column-ID rename/widen/default logic riding the requested schema.
+  * PlanQualitySpec pins the ColumnarToRow transition on every world.
   */
 class GraftLakeSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-lake"
@@ -916,8 +911,11 @@ private[lake] class LakeDataWriter(
   * SELECT` (bootstraps a fresh metadata world + pointer-log version 0;
   * CTAS adds the append commit), and `DROP TABLE` (a pointer-log
   * TOMBSTONE — history stays, time travel to pre-drop versions keeps
-  * working, and the name can be re-created). ALTER/RENAME are out of
-  * scope.
+  * working, and the name can be re-created), and `ALTER TABLE … ADD
+  * COLUMNS` (metadata-only schema evolution: same snapshots, extended
+  * tableschema; pre-existing files serve NULL for the new columns).
+  * RENAME and DROP/RENAME COLUMN stay out of scope — they need the
+  * field-ID mapped worlds.
   */
 class GraftLakeCatalog
     extends org.apache.spark.sql.connector.catalog.TableCatalog {
@@ -1036,8 +1034,68 @@ class GraftLakeCatalog
       metaRoot = root.toString, snapId = 0L)
     load(ident, None)
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER is out of scope")
+  /** ALTER TABLE … ADD COLUMNS — schema evolution as a METADATA-ONLY
+    * pointer advance (the Iceberg model: new table metadata, same
+    * snapshot): the new world copies manifests and snapshots verbatim
+    * and extends the `tableschema` table; not one data file is touched.
+    * Existing files simply lack the new column and serve NULL through
+    * the vectorized reader's missing-column path; later INSERTs write
+    * it physically, and a CoW UPDATE re-stamps any group it touches at
+    * the widened schema (LakeSqlSpec pins the full lifecycle). Only
+    * trailing nullable ADDs on declared-schema tables are supported —
+    * renames/drops/type changes need the field-ID worlds and stay out
+    * of scope here.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val s = SparkSession.active
+    import s.implicits._
+    val (ver, metaRoot, snap) = latest(s, ident.name)
+      .filter(_._2.nonEmpty)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val tsDir = s"$metaRoot/tableschema"
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tsDir)),
+      s"graft-lake: ALTER needs a declared-schema table (CREATE TABLE / " +
+        s"CTAS worlds); ${ident.name} predates the tableschema layout")
+    val cur = s.read.parquet(tsDir)
+      .select($"name", $"dtype", $"is_part", $"ord")
+      .as[(String, String, Boolean, Long)].collect().sortBy(_._4)
+    val supported: Set[DataType] = Set(LongType, IntegerType, StringType,
+      DateType, DoubleType, FloatType, BooleanType)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft-lake: nested column adds are not supported")
+        require(a.position == null,
+          "graft-lake: columns are appended at the end (no FIRST/AFTER)")
+        require(a.defaultValue == null,
+          "graft-lake: ADD COLUMN defaults are not supported — new " +
+            "columns serve NULL for pre-existing rows")
+        require(a.isNullable,
+          "graft-lake: added columns must be nullable (existing rows " +
+            "have no value for them)")
+        val n = a.fieldNames()(0)
+        require(!cur.exists(_._1 == n),
+          s"graft-lake: column $n already exists")
+        require(supported.contains(a.dataType),
+          s"graft-lake: unsupported column type ${a.dataType.simpleString}")
+        (n, a.dataType.sql)
+      case c => throw new UnsupportedOperationException(
+        s"graft-lake: only ADD COLUMNS is supported, got $c")
+    }
+    val newRoot = graft.Fixtures.tempDir("graft_lakealter")
+    s.read.parquet(s"$metaRoot/manifests").coalesce(1)
+      .write.parquet(newRoot.resolve("manifests").toString)
+    s.read.parquet(s"$metaRoot/snapshots").coalesce(1)
+      .write.parquet(newRoot.resolve("snapshots").toString)
+    (cur.toSeq ++ adds.zipWithIndex.map { case ((n, t), i) =>
+      (n, t, false, cur.length.toLong + i) })
+      .toDF("name", "dtype", "is_part", "ord").coalesce(1)
+      .write.parquet(newRoot.resolve("tableschema").toString)
+    graft.operators.PipelineOps.catalogCommit(
+      s, s"$catalogRoot/catalog_log", ident.name,
+      expectedVersion = ver, metaRoot = newRoot.toString, snapId = snap)
+    load(ident, None)
+  }
 
   /** DROP TABLE = one tombstone version in the pointer log (empty
     * meta_root). Nothing is deleted: `VERSION AS OF` a pre-drop version
@@ -1148,10 +1206,7 @@ private[lake] case class LakeInputPartition(
     cols: Array[LakeColSpec],
     eqKeyPhys: String, // physical name of the eq key in THIS file ("" = n/a)
     dvWords: Array[Long],
-    posDeletes: Array[Long],
-    // plain world (no column-ID mapping) → the vectorized columnar path;
-    // mapped worlds keep the row reader's per-file rename/widen/defaults
-    columnar: Boolean) extends InputPartition
+    posDeletes: Array[Long]) extends InputPartition
 
 /** Where one read column of one file comes from: a physical column (by
   * its write-time name), a partition value, or a constant (initial
@@ -1246,7 +1301,7 @@ private[lake] class GraftLakeScan(
           f.physByRead.getOrElse(table.eqKeyCol, "")
         else table.eqKeyCol
       LakeInputPartition(f.path, f.seq, cols, eqPhys, f.dvWords,
-        f.posDeletes, columnar = f.physByRead.isEmpty): InputPartition
+        f.posDeletes): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1267,22 +1322,38 @@ private[lake] class GraftLakeScan(
   }
 }
 
+/** EVERY lake read is columnar ([[LakeColumnarPartitionReader]] —
+  * Spark's vectorized parquet reader + survival-map delete application;
+  * the schema-ID worlds' per-file rename/widen/default indirections ride
+  * the requested schema, physical NAME at the widened TARGET type, which
+  * the vectorized updaters handle including the exact power-of-ten
+  * decimal rescale). The row form is a thin bridge over the same
+  * batches, kept only because the interface requires one.
+  */
 private[lake] class LakeReaderFactory(
     eqKeys: Array[Long], eqSeqs: Array[Long]) extends PartitionReaderFactory {
   override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] =
-    new LakePartitionReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val inner = new LakeColumnarPartitionReader(
       partition.asInstanceOf[LakeInputPartition], eqKeys, eqSeqs)
+    new PartitionReader[InternalRow] {
+      private var it: java.util.Iterator[InternalRow] =
+        java.util.Collections.emptyIterator()
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        while (!it.hasNext) {
+          if (!inner.next()) return false
+          it = inner.get().rowIterator()
+        }
+        row = it.next()
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = inner.close()
+    }
+  }
 
-  /** Plain worlds read COLUMNAR (Spark's vectorized parquet reader +
-    * row-id-mapped delete application — [[LakeColumnarPartitionReader]]);
-    * schema-ID mapped worlds stay on the row reader. Uniform within one
-    * scan: a resolved table maps every file or none, which is what
-    * Spark's all-or-nothing batch-mode check requires.
-    */
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    sys.env.get("GRAFT_LAKE_ROW").isEmpty &&
-      partition.asInstanceOf[LakeInputPartition].columnar
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] =
@@ -1290,187 +1361,3 @@ private[lake] class LakeReaderFactory(
       partition.asInstanceOf[LakeInputPartition], eqKeys, eqSeqs)
 }
 
-/** Row-oriented reader of one data file: projects exactly the needed
-  * physical columns (plus the eq-delete key), tracks the file-ordinal row
-  * position, and drops rows killed by the file's deletion vector, the
-  * position sidecar, or an equality delete whose sequence is strictly
-  * newer than the file's. Widening casts (int→bigint, float→double) and
-  * initial defaults happen here, per the column-ID mapping.
-  */
-private[lake] class LakePartitionReader(
-    p: LakeInputPartition,
-    eqKeys: Array[Long], eqSeqs: Array[Long])
-    extends PartitionReader[InternalRow] {
-
-  private val eqMaxSeq: java.util.HashMap[java.lang.Long, java.lang.Long] = {
-    val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-    var i = 0
-    while (i < eqKeys.length) {
-      if (eqSeqs(i) > p.seq) { // strictly-older rule, pre-filtered per file
-        val prev = m.get(eqKeys(i))
-        if (prev == null || prev < eqSeqs(i)) m.put(eqKeys(i), eqSeqs(i))
-      }
-      i += 1
-    }
-    m
-  }
-
-  // copy of the once-per-JVM parsed base — a fresh Configuration per
-  // file re-parses core-default.xml off the classpath (see LakeHadoopConf)
-  private val conf = LakeHadoopConf.fresh()
-  private val hPath = new Path(p.path)
-
-  // project the FILE's own field declarations (repetition/type preserved)
-  // for the needed physical names — parquet projection must subset the
-  // footer schema exactly
-  private val fileSchema: MessageType = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf)
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getFooter.getFileMetaData.getSchema finally r.close()
-  }
-  private val neededPhys: Array[String] = {
-    val fromCols = p.cols.collect { case PhysCol(n, _) => n }
-    val all = (fromCols ++ (if (p.eqKeyPhys.nonEmpty) Seq(p.eqKeyPhys) else Nil))
-      .distinct.filter(fileSchema.containsField)
-    // a fully-pruned projection (e.g. COUNT(*)) still needs one column to
-    // drive row iteration
-    if (all.isEmpty) Array(fileSchema.getFields.get(0).getName) else all.toArray
-  }
-  private val projected = new MessageType("spark_schema",
-    neededPhys.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
-  private val reader: ParquetReader[Group] = {
-    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
-    ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf).build()
-  }
-
-  private val fieldIdx: Map[String, Int] =
-    neededPhys.map(n => n -> projected.getFieldIndex(n)).toMap
-  private val eqIdx: Int =
-    if (p.eqKeyPhys.nonEmpty && fieldIdx.contains(p.eqKeyPhys))
-      fieldIdx(p.eqKeyPhys)
-    else -1
-  // per-column constants precomputed once
-  private val consts: Array[AnyRef] = p.cols.map {
-    case ConstCol(null, _) => null
-    case ConstCol(v, t) => LakeLiterals.cast(v, t)
-    case _ => null
-  }
-
-  private var pos: Long = -1L
-  private var current: InternalRow = _
-
-  override def next(): Boolean = {
-    var g = reader.read()
-    while (g != null) {
-      pos += 1
-      if (survives(g)) { current = toRow(g); return true }
-      g = reader.read()
-    }
-    false
-  }
-  override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
-
-  private def survives(g: Group): Boolean = {
-    if (p.dvWords != null) {
-      val w = (pos >> 6).toInt
-      if (w < p.dvWords.length && ((p.dvWords(w) >>> (pos & 63)) & 1L) == 1L)
-        return false
-    }
-    if (p.posDeletes != null &&
-        java.util.Arrays.binarySearch(p.posDeletes, pos) >= 0)
-      return false
-    if (eqIdx >= 0 && !eqMaxSeq.isEmpty) {
-      val k = g.getLong(eqIdx, 0)
-      if (eqMaxSeq.containsKey(k)) return false
-    }
-    true
-  }
-
-  private def toRow(g: Group): InternalRow = {
-    val vs = new Array[Any](p.cols.length)
-    var i = 0
-    while (i < p.cols.length) {
-      vs(i) = p.cols(i) match {
-        case PhysCol(n, t) =>
-          fieldIdx.get(n) match {
-            case Some(idx) if g.getFieldRepetitionCount(idx) > 0 =>
-              extract(g, idx, t)
-            case _ => null
-          }
-        case _: ConstCol => consts(i)
-      }
-      i += 1
-    }
-    new GenericInternalRow(vs)
-  }
-
-  /** Read one primitive by the FILE's physical type, then widen/convert
-    * to the requested Catalyst type (the column-ID widen matrix:
-    * int→bigint, float→double, decimal scale/precision widening; date is
-    * int days in both worlds). Decimals follow Spark's physical layout:
-    * unscaled INT32 for precision ≤ 9, INT64 ≤ 18, fixed-len binary
-    * above; widening to a larger scale multiplies the unscaled value —
-    * exact by construction (power-of-ten rescale).
-    */
-  private def extract(g: Group, idx: Int, target: DataType): Any = {
-    val pt = projected.getType(idx).asPrimitiveType()
-    val prim = pt.getPrimitiveTypeName
-    import PrimitiveType.PrimitiveTypeName._
-    val dec = pt.getLogicalTypeAnnotation match {
-      case d: org.apache.parquet.schema.LogicalTypeAnnotation
-          .DecimalLogicalTypeAnnotation => d
-      case _ => null
-    }
-    if (dec != null) return extractDecimal(g, idx, prim, dec, target)
-    val raw: Any = prim match {
-      case INT64 => g.getLong(idx, 0)
-      case INT32 => g.getInteger(idx, 0)
-      case BINARY => g.getBinary(idx, 0).getBytes
-      case DOUBLE => g.getDouble(idx, 0)
-      case FLOAT => g.getFloat(idx, 0)
-      case BOOLEAN => g.getBoolean(idx, 0)
-      case other => sys.error(s"graft-lake: unsupported physical type $other")
-    }
-    (raw, target) match {
-      case (v: Long, LongType) => v
-      case (v: Int, LongType) => v.toLong
-      case (v: Int, IntegerType | DateType) => v
-      case (v: Long, IntegerType) => v.toInt
-      case (b: Array[Byte], StringType) => UTF8String.fromBytes(b)
-      case (v: Double, DoubleType) => v
-      case (v: Float, DoubleType) => v.toDouble
-      case (v: Float, FloatType) => v
-      case (v: Boolean, BooleanType) => v
-      case (v, t) => sys.error(
-        s"graft-lake: cannot serve ${v.getClass.getSimpleName} as $t")
-    }
-  }
-
-  private def extractDecimal(g: Group, idx: Int,
-      prim: PrimitiveType.PrimitiveTypeName,
-      dec: org.apache.parquet.schema.LogicalTypeAnnotation
-        .DecimalLogicalTypeAnnotation,
-      target: DataType): Any = {
-    import PrimitiveType.PrimitiveTypeName._
-    val unscaled: java.math.BigInteger = prim match {
-      case INT32 => java.math.BigInteger.valueOf(g.getInteger(idx, 0).toLong)
-      case INT64 => java.math.BigInteger.valueOf(g.getLong(idx, 0))
-      case FIXED_LEN_BYTE_ARRAY | BINARY =>
-        new java.math.BigInteger(g.getBinary(idx, 0).getBytes)
-      case other => sys.error(s"graft-lake: decimal stored as $other")
-    }
-    target match {
-      case dt: DecimalType =>
-        val (p, s) = (dt.precision, dt.scale)
-        require(s >= dec.getScale && p - s >= dec.getPrecision - dec.getScale,
-          s"graft-lake: narrowing decimal(${dec.getPrecision},${dec.getScale}) " +
-            s"to decimal($p,$s) is not a widen")
-        val rescaled = unscaled.multiply(
-          java.math.BigInteger.TEN.pow(s - dec.getScale))
-        Decimal(new java.math.BigDecimal(rescaled, s), p, s)
-      case t => sys.error(s"graft-lake: cannot serve decimal as $t")
-    }
-  }
-
-}

@@ -16,20 +16,21 @@ import org.apache.spark.sql.vectorized.{ColumnarArray, ColumnarBatch, ColumnarMa
   * deletes under the strictly-older sequence rule) apply as a per-batch
   * ROW-ID MAP over wrapped vectors — the Iceberg approach: a batch with
   * no surviving kill is passed through ZERO-COPY (vectors handed to
-  * Spark in output order, nothing rewritten); a batch with kills wraps
-  * each physical vector in a [[RowIdMappedVector]] indirection, never
-  * copying cell data. Constant columns (Hive partition values,
-  * `_file`) ride Spark's `initBatch` partition-column mechanism.
+  * Spark in output order, nothing rewritten); a batch with kills
+  * COMPACTS each physical vector — one sequential copy of survivors into
+  * fresh on-heap vectors, keeping downstream codegen on the specialized
+  * fast path ([[RowIdMappedVector]] remains the fallback for exotic
+  * types). Constant columns (Hive partition values,
+  * `_file`, initial defaults for fields postdating a file) ride Spark's
+  * `initBatch` partition-column mechanism.
   *
-  * Scope: plain worlds only (no column-ID mapping). Schema-ID mapped
-  * worlds keep the row-oriented [[LakePartitionReader]] — their per-file
-  * rename/widen/default indirections need per-file requested types,
-  * which is exactly the case Spark's reader can't express by column
-  * NAME alone; those worlds are metadata-scale fixtures, while the full
-  * table scans that matter at 100 TB (DV/position/equality serves) are
-  * plain worlds and take this path. [[LakeReaderFactory]] picks per
-  * partition; within one scan the choice is uniform because a resolved
-  * table either maps every file or none.
+  * Scope: EVERY world. The schema-ID mapped worlds' per-file
+  * indirections are expressed in the partition's column specs — a
+  * renamed column requests its write-time PHYSICAL name at the current
+  * TARGET type, and Spark's vectorized updaters perform the widen
+  * (int→bigint, float→double, and the exact power-of-ten decimal
+  * rescale) while decoding; absent fields serve their initial default
+  * as constants. One decode path for plain and mapped worlds alike.
   */
 private[lake] class LakeColumnarPartitionReader(
     p: LakeInputPartition,

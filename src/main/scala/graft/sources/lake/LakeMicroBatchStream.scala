@@ -149,8 +149,7 @@ private[lake] class GraftLakeMicroBatchStream(
         else if (fld.name == "_file") ConstCol(f, fld.dataType): LakeColSpec
         else PhysCol(fld.name, fld.dataType): LakeColSpec
       }
-      LakeInputPartition(f, 0L, cols, "", null, null,
-        columnar = true): InputPartition
+      LakeInputPartition(f, 0L, cols, "", null, null): InputPartition
     }.toArray
   }
 

@@ -629,24 +629,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"index scan must be dynamically pruned to the probed cid partitions:\n$plan")
   }
 
-  test("lake connector: plain worlds scan COLUMNAR (ColumnarToRow over the " +
-      "BatchScan); schema-ID mapped worlds stay on the row reader (VERDICT r16 #3)") {
+  test("lake connector: EVERY world scans COLUMNAR — ColumnarToRow over " +
+      "the BatchScan, including the schema-ID mapped worlds whose " +
+      "rename/widen/default logic rides the requested schema (VERDICT r16 #3)") {
     // finalize AQE so the columnar transition is visible in the plan
     def finalPlan(name: String): String = {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect()
       df.queryExecution.executedPlan.toString
     }
-    for (q <- Seq("lake_dv_serve", "lake_multi_delete")) {
+    for (q <- Seq("lake_dv_serve", "lake_multi_delete", "lake_schema_promote",
+        "lake_schema_rename")) {
       val plan = finalPlan(q)
       assert(plan.contains("ColumnarToRow"),
         s"$q must serve ColumnarBatches through the vectorized lake reader:\n$plan")
-      assert(plan.contains("BatchScan lake@"),
+      assert(plan.contains("BatchScan lake"),
         s"$q must scan through the graft-lake connector:\n$plan")
     }
-    // the schema world keeps the row reader (per-file rename/widen/defaults)
-    val promo = finalPlan("lake_schema_promote")
-    assert(!promo.contains("ColumnarToRow"),
-      s"the schema-ID mapped world is served by the row reader by design:\n$promo")
   }
 }

@@ -337,6 +337,157 @@ class LakeSqlSpec extends AnyFunSuite {
     }
   }
 
+  /** Physical column types of a parquet footer, by name. */
+  private def footerTypes(file: String): Map[String, String] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(f => f.getName ->
+          f.asPrimitiveType().getPrimitiveTypeName.toString).toMap
+    } finally r.close()
+  }
+
+  test("schema evolution × DML (VERDICT r16 #7): a CoW rewrite re-stamps " +
+      "legacy narrow files at the CURRENT schema; untouched legacy files " +
+      "keep their footers; the mixed-schema snapshot serves throughout") {
+    import spark.implicits._
+    def one(q: String): Long = spark.sql(q).as[Long].head()
+    // declared schema: wide types + a column the legacy files don't have
+    spark.sql("CREATE TABLE graft_lake.evo_t (a BIGINT, w DOUBLE, c BIGINT, " +
+      "b STRING) PARTITIONED BY (b)")
+    spark.sql("INSERT INTO graft_lake.evo_t VALUES (100, 10.5, 7, 'fresh')")
+    // two LEGACY files written under the v1 physical schema: a INT32,
+    // w FLOAT, no 'c' column — spliced into the table as a metadata
+    // commit, exactly how an evolved table carries pre-evolution files
+    val v1root = graft.Fixtures.tempDir("graft_evo_v1").toString
+    Seq((1, 1.25f), (2, 2.5f)).toDF("a", "w").coalesce(1)
+      .write.parquet(s"$v1root/b=legacy1")
+    Seq((3, 3.75f)).toDF("a", "w").coalesce(1)
+      .write.parquet(s"$v1root/b=legacy2")
+    val catRoot = spark.conf.get("spark.sql.catalog.graft_lake.catalogDir")
+    val (ver, metaRoot, snap) = spark.read.parquet(s"$catRoot/catalog_log")
+      .filter($"table_name" === "evo_t").orderBy($"version".desc)
+      .select($"version", $"meta_root", $"snap_id")
+      .as[(Long, String, Long)].head()
+    val newRoot = graft.Fixtures.tempDir("graft_evo_splice")
+    val man = LakeFilters.normalizedManifests(spark, metaRoot)
+    val tip = man.filter($"snap_id" === snap)
+    val v1files = spark.read.parquet(v1root).inputFiles
+      .map(PipelineOps.normPath).toSeq
+    assert(v1files.size == 2)
+    import org.apache.spark.sql.functions.lit
+    man.unionByName(tip.withColumn("snap_id", lit(snap + 1)))
+      .unionByName(v1files.toDF("file").select(lit(snap + 1).as("snap_id"),
+        lit("data").as("content"), $"file", lit(v1root).as("base"),
+        lit(0L).as("seq"), lit("").as("key_col")))
+      .coalesce(1)
+      .write.parquet(newRoot.resolve("manifests").toString)
+    spark.read.parquet(s"$metaRoot/snapshots")
+      .select($"snap_id", $"op", $"parent_id")
+      .unionByName(Seq((snap + 1, "splice_legacy", snap))
+        .toDF("snap_id", "op", "parent_id"))
+      .coalesce(1)
+      .write.parquet(newRoot.resolve("snapshots").toString)
+    LakeFilters.carryTableSchema(spark, metaRoot, newRoot)
+    PipelineOps.catalogCommit(spark, s"$catRoot/catalog_log", "evo_t",
+      expectedVersion = ver, metaRoot = newRoot.toString, snapId = snap + 1)
+
+    // the MIXED snapshot serves: ints widened to bigint, floats to
+    // double (exact), the missing column as null
+    assert(one("SELECT count(*) AS n FROM graft_lake.evo_t") == 4L)
+    assert(one("SELECT sum(a) AS s FROM graft_lake.evo_t") == 106L)
+    assert(spark.sql("SELECT sum(w) AS s FROM graft_lake.evo_t")
+      .as[Double].head() == 18.0d)
+    assert(one("SELECT count(c) AS n FROM graft_lake.evo_t") == 1L)
+    val legacy2File = v1files.find(_.contains("legacy2")).get
+    val legacy2Before = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(legacy2File))
+    assert(footerTypes(legacy2File) == Map("a" -> "INT32", "w" -> "FLOAT"))
+
+    // CoW UPDATE touching ONLY the legacy1 group
+    spark.sql("UPDATE graft_lake.evo_t SET c = 99 WHERE a = 1")
+    // values: the whole legacy1 group rewrote; legacy2 and fresh served on
+    assert(one("SELECT count(*) AS n FROM graft_lake.evo_t") == 4L)
+    assert(spark.sql("SELECT c FROM graft_lake.evo_t WHERE a = 1")
+      .as[Option[Long]].head().contains(99L))
+    assert(spark.sql("SELECT c FROM graft_lake.evo_t WHERE a = 2")
+      .as[Option[Long]].head().isEmpty)
+    assert(spark.sql("SELECT sum(w) AS s FROM graft_lake.evo_t")
+      .as[Double].head() == 18.0d)
+    // the rewritten group is RE-STAMPED at the current schema: wide
+    // physical types, the evolved column materialized in the footer
+    val (_, metaRoot2, snap2) = spark.read.parquet(s"$catRoot/catalog_log")
+      .filter($"table_name" === "evo_t").orderBy($"version".desc)
+      .select($"version", $"meta_root", $"snap_id")
+      .as[(Long, String, Long)].head()
+    val tipFiles = spark.read.parquet(s"$metaRoot2/manifests")
+      .filter($"snap_id" === snap2 && $"content" === "data")
+      .select($"file").as[String].collect().toSet
+    val rewritten = tipFiles.filter(f => !v1files.contains(f) &&
+      footerTypes(f).contains("c") && f.contains("b=legacy1"))
+    assert(rewritten.size == 1,
+      s"expected exactly the rewritten legacy1 group, got $rewritten")
+    assert(footerTypes(rewritten.head) ==
+      Map("a" -> "INT64", "w" -> "DOUBLE", "c" -> "INT64"),
+      s"rewrite not re-stamped wide: ${footerTypes(rewritten.head)}")
+    // the UNTOUCHED legacy file carried over byte-identical, v1 footer
+    assert(tipFiles.contains(legacy2File), "untouched legacy file dropped")
+    assert(java.util.Arrays.equals(legacy2Before,
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(legacy2File))),
+      "untouched legacy footer rewritten")
+  }
+
+  test("ALTER TABLE ADD COLUMNS: metadata-only schema evolution — old " +
+      "files serve NULL, new INSERTs write the column, a CoW UPDATE " +
+      "re-stamps old rows, and pre-alter versions keep the narrow schema") {
+    import spark.implicits._
+    def one(q: String): Long = spark.sql(q).as[Long].head()
+    spark.sql("CREATE TABLE graft_lake.alter_t (a BIGINT, b STRING) " +
+      "PARTITIONED BY (b)")
+    spark.sql("INSERT INTO graft_lake.alter_t VALUES (1, 'x'), (2, 'y')")
+    val vBefore = spark.read.parquet(
+        s"${spark.conf.get("spark.sql.catalog.graft_lake.catalogDir")}/catalog_log")
+      .filter($"table_name" === "alter_t").agg(max($"version")).as[Long].head()
+    val filesBefore = spark.read.parquet(
+        s"${spark.conf.get("spark.sql.catalog.graft_lake.catalogDir")}/catalog_log")
+      .filter($"table_name" === "alter_t").orderBy($"version".desc)
+      .select($"meta_root").as[String].head()
+    spark.sql("ALTER TABLE graft_lake.alter_t ADD COLUMNS (extra BIGINT)")
+    // metadata-only: the new version's manifests are row-identical
+    val metaAfter = spark.read.parquet(
+        s"${spark.conf.get("spark.sql.catalog.graft_lake.catalogDir")}/catalog_log")
+      .filter($"table_name" === "alter_t").orderBy($"version".desc)
+      .select($"meta_root").as[String].head()
+    assert(spark.read.parquet(s"$metaAfter/manifests")
+      .exceptAll(spark.read.parquet(s"$filesBefore/manifests")).isEmpty,
+      "ALTER touched the manifests — must be metadata-only")
+    // old rows serve NULL for the new column
+    assert(spark.table("graft_lake.alter_t").columns.toSeq ==
+      Seq("a", "b", "extra"))
+    assert(one("SELECT count(extra) AS n FROM graft_lake.alter_t") == 0L)
+    // new INSERT carries the column physically
+    spark.sql("INSERT INTO graft_lake.alter_t VALUES (3, 'x', 42)")
+    assert(one("SELECT count(extra) AS n FROM graft_lake.alter_t") == 1L)
+    // a CoW UPDATE re-stamps the touched group at the widened schema
+    spark.sql("UPDATE graft_lake.alter_t SET extra = 5 WHERE a = 1")
+    val got = spark.sql("SELECT a, extra FROM graft_lake.alter_t ORDER BY a")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq((1L, Some(5L)), (2L, None), (3L, Some(42L))), s"$got")
+    // time travel below the ALTER serves the NARROW schema
+    assert(spark.sql(
+        s"SELECT * FROM graft_lake.alter_t VERSION AS OF $vBefore")
+      .columns.toSeq == Seq("a", "b"))
+    // rename / non-add changes refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.alter_t RENAME COLUMN a TO a2")
+    }
+  }
+
   test("CREATE TABLE (empty) + INSERT; partition values with path-special " +
       "characters round-trip escaped; DROP tombstones but keeps history") {
     import spark.implicits._
