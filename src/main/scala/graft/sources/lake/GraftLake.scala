@@ -401,17 +401,22 @@ private[lake] class GraftLakeTable(
       .toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(resolved, options.asScala.toMap)
 
-  /** APPEND write path (`INSERT INTO` through the catalog): executors
-    * write month-partitioned parquet into a fresh data root, the driver
-    * commits ONE new snapshot (tip's files + the new files at the next
-    * sequence number) under catalog CAS. Append-only by construction —
-    * the builder mixes in no truncate/overwrite trait, so Spark refuses
-    * overwrite modes with its own error.
+  /** Write paths through the catalog: `INSERT INTO` appends (tip's
+    * files + the new files at the next sequence number, one CAS
+    * snapshot); `INSERT OVERWRITE` carries TRUNCATE (replace the whole
+    * tip), static partition overwrite (replace exactly the files whose
+    * partition tuple matches the PARTITION spec's filters), and DYNAMIC
+    * partition overwrite (replace exactly the partitions the written
+    * rows land in — `spark.sql.sources.partitionOverwriteMode=dynamic`).
+    * Every mode is executors-write-parquet + ONE metadata commit; old
+    * snapshots stay time-travelable.
     */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -422,9 +427,38 @@ private[lake] class GraftLakeTable(
     require(info.schema().fieldNames.sameElements(resolved.schema.fieldNames),
       s"graft-lake: write schema ${info.schema().fieldNames.mkString(",")} " +
         s"!= table schema ${resolved.schema.fieldNames.mkString(",")}")
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+      import org.apache.spark.sql.connector.write.WriteBuilder
+      private var mode: LakeWriteMode = LakeWriteMode.Append
+
+      override def truncate(): WriteBuilder = {
+        mode = LakeWriteMode.Truncate; this
+      }
+
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
+          return truncate()
+        filters.foreach(f => require(
+          LakeFilters.partitionOnlyFilter(f, resolved.partitionCols),
+          s"graft-lake: INSERT OVERWRITE supports partition-column " +
+            s"equality predicates only, got $f"))
+        mode = LakeWriteMode.OverwriteWhere(filters); this
+      }
+
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        require(resolved.partitionCols.nonEmpty,
+          "graft-lake: dynamic partition overwrite needs a partitioned table")
+        mode = LakeWriteMode.DynamicOverwrite; this
+      }
+
       override def build(): org.apache.spark.sql.connector.write.Write =
-        new LakeAppendWrite(resolved, c, info.schema())
+        mode match {
+          case LakeWriteMode.Append =>
+            new LakeAppendWrite(resolved, c, info.schema())
+          case m => new LakeOverwriteWrite(resolved, c, info.schema(), m)
+        }
     }
   }
 
@@ -540,6 +574,37 @@ private[lake] object LakeFilters {
     case _ => None
   }
 
+  /** Is `f` an overwrite-spec filter — equality/IN conjunctions over
+    * partition columns only (what a static `PARTITION (p = v)` spec
+    * translates to)?
+    */
+  def partitionOnlyFilter(f: Filter, partCols: Seq[String]): Boolean =
+    f match {
+      case EqualTo(a, _) => partCols.contains(a)
+      case EqualNullSafe(a, _) => partCols.contains(a)
+      case In(a, _) => partCols.contains(a)
+      case IsNotNull(a) => partCols.contains(a)
+      case And(l, r) =>
+        partitionOnlyFilter(l, partCols) && partitionOnlyFilter(r, partCols)
+      case _: AlwaysTrue => true
+      case _ => false
+    }
+
+  /** Evaluate an overwrite-spec filter against a file's Hive partition
+    * tuple (values are path strings; literals compare via toString, the
+    * same convention the writer used to build the dirs).
+    */
+  def evalPartitionFilter(f: Filter, pv: Map[String, String]): Boolean =
+    f match {
+      case EqualTo(a, v) => pv.get(a).contains(String.valueOf(v))
+      case EqualNullSafe(a, v) => pv.get(a).contains(String.valueOf(v))
+      case In(a, vs) => pv.get(a).exists(x => vs.map(String.valueOf(_)).contains(x))
+      case IsNotNull(a) => pv.contains(a)
+      case And(l, r) => evalPartitionFilter(l, pv) && evalPartitionFilter(r, pv)
+      case _: AlwaysTrue => true
+      case _ => false
+    }
+
   /** Copy the `tableschema` table (CREATE TABLE / CTAS worlds) into a
     * commit's fresh metadata root, so the declared schema and column
     * order survive every commit. No-op for worlds without one.
@@ -642,6 +707,131 @@ private[lake] class LakeAppendWrite(
         .write.mode("overwrite").parquet(root.resolve("manifests").toString)
       snaps.select($"snap_id", $"op", $"parent_id")
         .unionByName(Seq((newSnap, "append", ctx.snapId))
+          .toDF("snap_id", "op", "parent_id"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
+      LakeFilters.carryTableSchema(s, ctx.metaRoot, root)
+      graft.operators.PipelineOps.catalogCommit(
+        s, s"${ctx.catalogLogDir}/catalog_log", ctx.table,
+        expectedVersion = ctx.version, metaRoot = root.toString,
+        snapId = newSnap)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      graft.Fixtures.deleteRecursively(root)
+  }
+}
+
+/** Which replacement semantics an `INSERT OVERWRITE` commit applies. */
+private[lake] sealed trait LakeWriteMode
+private[lake] object LakeWriteMode {
+  case object Append extends LakeWriteMode
+  case object Truncate extends LakeWriteMode
+  case class OverwriteWhere(filters: Array[Filter]) extends LakeWriteMode
+  case object DynamicOverwrite extends LakeWriteMode
+}
+
+/** The OVERWRITE write: same executor-side parquet writers as the
+  * append, but the commit REPLACES part or all of the tip —
+  *
+  *  - [[LakeWriteMode.Truncate]]: nothing carries (data AND delete
+  *    entries — a truncated table has nothing left for deletes to
+  *    apply to);
+  *  - [[LakeWriteMode.OverwriteWhere]]: data files whose Hive partition
+  *    tuple matches the static PARTITION spec are dropped; everything
+  *    else (including delete files — still live against the carried
+  *    data, inert against the new files by the sequence rule) carries;
+  *  - [[LakeWriteMode.DynamicOverwrite]]: the replaced set is exactly
+  *    the partition tuples the WRITTEN files landed in.
+  *
+  * One CAS snapshot either way; history stays time-travelable.
+  */
+private[lake] class LakeOverwriteWrite(
+    resolved: ResolvedLakeTable, ctx: LakeMutationCtx, schema: StructType,
+    mode: LakeWriteMode)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.write._
+  import org.apache.spark.sql.connector.distributions.Distributions
+  import org.apache.spark.sql.connector.expressions.Expressions
+
+  override def description(): String =
+    s"graft-lake $mode on ${ctx.table}@v${ctx.version}"
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (resolved.partitionCols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      resolved.partitionCols.map(c => Expressions.identity(c)).toArray)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val root = graft.Fixtures.tempDir("graft_lakeoverwrite")
+    private val dataDir = root.resolve("data").toString
+
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DataWriterFactory =
+      new LakeWriterFactory(schema, resolved.partitionCols.toArray, dataDir)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val s = SparkSession.active
+      import s.implicits._
+      import org.apache.spark.sql.functions.lit
+      val files = messages.flatMap {
+        case m: LakeCommitMessage => m.files
+      }.toSeq
+      val man = LakeFilters.normalizedManifests(s, ctx.metaRoot)
+      val tip = man.filter($"snap_id" === ctx.snapId)
+      val newSeq = tip.agg(org.apache.spark.sql.functions.max($"seq"))
+        .as[Option[Long]].head().getOrElse(0L) + 1L
+      val snaps = s.read.parquet(s"${ctx.metaRoot}/snapshots")
+      val newSnap = snaps.agg(org.apache.spark.sql.functions.max($"snap_id"))
+        .as[Long].head() + 1L
+      // metadata-scale: one row per tip entry, partition tuples parsed
+      // from the paths exactly as the reader parses them
+      val tipRows = tip
+        .select($"content", $"file", $"base", $"seq", $"key_col")
+        .as[(String, String, String, Long, String)].collect()
+      val dynParts: Set[Map[String, String]] =
+        if (mode == LakeWriteMode.DynamicOverwrite)
+          files.map(f => LakeResolver.partValuesOf(dataDir, f)).toSet
+        else Set.empty
+      def replaced(file: String, base: String): Boolean = mode match {
+        case LakeWriteMode.Truncate => true
+        case LakeWriteMode.OverwriteWhere(fs) =>
+          val pv = LakeResolver.partValuesOf(base, file)
+          fs.forall(LakeFilters.evalPartitionFilter(_, pv))
+        case LakeWriteMode.DynamicOverwrite =>
+          dynParts.contains(LakeResolver.partValuesOf(base, file))
+        case LakeWriteMode.Append => false
+      }
+      val carriedRows = tipRows.filter { case (c, f, b, _, _) =>
+        if (mode == LakeWriteMode.Truncate) false
+        else c != "data" || !replaced(f, b)
+      }.toSeq
+      val opName = mode match {
+        case LakeWriteMode.Truncate => "truncate_overwrite"
+        case _: LakeWriteMode.OverwriteWhere => "overwrite"
+        case LakeWriteMode.DynamicOverwrite => "dynamic_overwrite"
+        case LakeWriteMode.Append => "append"
+      }
+      val carried = carriedRows
+        .toDF("content", "file", "base", "seq", "key_col")
+        .select(lit(newSnap).as("snap_id"), $"content", $"file", $"base",
+          $"seq", $"key_col")
+      val fresh =
+        if (files.isEmpty) carried.filter(lit(false))
+        else files.toDF("file").select(
+          lit(newSnap).as("snap_id"), lit("data").as("content"), $"file",
+          lit(dataDir).as("base"), lit(newSeq).as("seq"),
+          lit("").as("key_col"))
+      man.unionByName(carried).unionByName(fresh)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root.resolve("manifests").toString)
+      snaps.select($"snap_id", $"op", $"parent_id")
+        .unionByName(Seq((newSnap, opName, ctx.snapId))
           .toDF("snap_id", "op", "parent_id"))
         .coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
@@ -965,8 +1155,29 @@ class GraftLakeCatalog
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version.toLong))
 
+  /** Iceberg-style METADATA TABLES: `SELECT * FROM <cat>.<table>.<meta>`
+    * serves the table's own metadata parquet (all snapshots — filter by
+    * snap_id for one) through the same columnar read path as data.
+    */
+  private val MetaTables = Set("snapshots", "manifests", "refs_log")
+
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
     val s = SparkSession.active
+    if (ident.namespace().length == 1 && MetaTables.contains(ident.name)) {
+      val parent = ident.namespace()(0)
+      val (_, metaRoot, _) = latest(s, parent).filter(_._2.nonEmpty)
+        .getOrElse(throw new NoSuchTableException(ident))
+      val dir = s"$metaRoot/${ident.name}"
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+        throw new NoSuchTableException(ident)
+      val files = s.read.parquet(dir).inputFiles
+        .map(LakeResolver.normLocal).sorted.toIndexedSeq
+      val schema = s.read.parquet(dir).schema
+      return new GraftLakeTable(ResolvedLakeTable(
+        s"$parent.${ident.name}", schema, Seq.empty, Map.empty,
+        files.map(f => LakeFileSpec(f, 0L, Map.empty, Map.empty, null, null)),
+        "", Array.empty, Array.empty, None, "l_orderkey"))
+    }
     val rows = logRows(s).filter(_._2 == ident.name)
     if (rows.isEmpty) throw new NoSuchTableException(ident)
     val hit = rows.filter(r => asOf.forall(r._1 <= _))

@@ -442,6 +442,66 @@ class LakeSqlSpec extends AnyFunSuite {
       "untouched legacy footer rewritten")
   }
 
+  test("INSERT OVERWRITE: full truncate-overwrite, static partition " +
+      "overwrite, and dynamic partition overwrite — each one CAS commit " +
+      "with history time-travelable") {
+    import spark.implicits._
+    def one(q: String): Long = spark.sql(q).as[Long].head()
+    spark.sql("CREATE TABLE graft_lake.ow_t (a BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft_lake.ow_t VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+    def vNow(): Long = spark.read.parquet(
+        s"${spark.conf.get("spark.sql.catalog.graft_lake.catalogDir")}/catalog_log")
+      .filter($"table_name" === "ow_t").agg(max($"version")).as[Long].head()
+    // STATIC partition overwrite: only p='x' replaced
+    val v1 = vNow()
+    spark.sql("INSERT OVERWRITE graft_lake.ow_t PARTITION (p = 'x') " +
+      "SELECT 10 AS a")
+    assert(spark.sql("SELECT a FROM graft_lake.ow_t ORDER BY a")
+      .as[Long].collect().toSeq == Seq(2L, 3L, 10L))
+    assert(one(s"SELECT count(*) AS n FROM graft_lake.ow_t " +
+      s"VERSION AS OF $v1") == 3L)
+    // DYNAMIC partition overwrite: rows land in p='y' → only 'y' replaced
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      spark.sql("INSERT OVERWRITE graft_lake.ow_t VALUES (20, 'y'), (21, 'y')")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    assert(spark.sql("SELECT a FROM graft_lake.ow_t ORDER BY a")
+      .as[Long].collect().toSeq == Seq(3L, 10L, 20L, 21L),
+      "dynamic overwrite must replace only the written partitions")
+    // FULL overwrite (static mode, no partition spec) = truncate + insert
+    val v2 = vNow()
+    spark.sql("INSERT OVERWRITE graft_lake.ow_t VALUES (100, 'w')")
+    assert(spark.sql("SELECT a, p FROM graft_lake.ow_t")
+      .as[(Long, String)].collect().toSeq == Seq((100L, "w")))
+    // every epoch still serves
+    assert(one(s"SELECT count(*) AS n FROM graft_lake.ow_t " +
+      s"VERSION AS OF $v2") == 4L)
+    assert(one(s"SELECT count(*) AS n FROM graft_lake.ow_t " +
+      s"VERSION AS OF $v1") == 3L)
+  }
+
+  test("metadata tables: <cat>.<table>.snapshots / .manifests serve the " +
+      "table's own metadata through the connector") {
+    import spark.implicits._
+    val snaps = spark.sql(
+      "SELECT snap_id, op FROM graft_lake.ship_fact.snapshots")
+      .as[(Long, String)].collect()
+    assert(snaps.nonEmpty && snaps.exists(_._2.nonEmpty))
+    val mans = spark.sql("SELECT count(*) AS n FROM " +
+      "graft_lake.ship_fact.manifests").as[Long].head()
+    assert(mans > 0)
+    // an unknown metadata table name still resolves as absent
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_lake.ship_fact.nonsense").collect()
+    }
+  }
+
   test("ALTER TABLE ADD COLUMNS: metadata-only schema evolution — old " +
       "files serve NULL, new INSERTs write the column, a CoW UPDATE " +
       "re-stamps old rows, and pre-alter versions keep the narrow schema") {
