@@ -51,6 +51,23 @@ object LakeQueries {
         |FROM graft_ctas_docs_src""".stripMargin)
       s.sql("DELETE FROM graft_ctas.doc_rollup WHERE doc_id = 7")
       s.sql("INSERT INTO graft_ctas.doc_rollup VALUES (9000001, 12345, '9')")
+      // a second table for the OVERWRITE lifecycle: CTAS the same rollup,
+      // then DYNAMIC partition overwrite recomputes bucket '3' only
+      // (chars + 1000) — other buckets' files must carry untouched
+      s.sql("""CREATE TABLE graft_ctas.doc_ow PARTITIONED BY (bucket) AS
+        |SELECT doc_id, n_chars AS chars, CAST(doc_id % 8 AS STRING) AS bucket
+        |FROM graft_ctas_docs_src""".stripMargin)
+      val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        s.sql("""INSERT OVERWRITE graft_ctas.doc_ow
+          |SELECT doc_id, n_chars + 1000 AS chars,
+          |  CAST(doc_id % 8 AS STRING) AS bucket
+          |FROM graft_ctas_docs_src WHERE doc_id % 8 = 3""".stripMargin)
+      finally prevMode match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
       root
     })
 
@@ -202,6 +219,27 @@ object LakeQueries {
         |  SELECT doc_id, n_chars AS chars, CAST(doc_id % 8 AS VARCHAR) AS bucket
         |  FROM documents WHERE doc_id <> 7
         |  UNION ALL SELECT 9000001, 12345, '9')
+        |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- DYNAMIC PARTITION OVERWRITE through the SQL catalog: the
+    // doc_ow table's bucket '3' was rewritten (chars + 1000) by an
+    // `INSERT OVERWRITE` in dynamic mode while every other bucket's
+    // files carried untouched; the readout proves exactly one
+    // partition's content moved. Oracle recomputes both populations
+    // from raw documents.
+    ("lake_overwrite_roundtrip", (s, d) => {
+      ctasFixture(s, d)
+      s.sql("""SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(chars) AS BIGINT) AS sum_chars
+        |FROM graft_ctas.doc_ow GROUP BY bucket ORDER BY bucket""".stripMargin)
+    }, Some(
+      """SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT n_chars AS chars, CAST(doc_id % 8 AS VARCHAR) AS bucket
+        |  FROM documents WHERE doc_id % 8 <> 3
+        |  UNION ALL
+        |  SELECT n_chars + 1000, '3' FROM documents WHERE doc_id % 8 = 3)
         |GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
     // ---- PARTITION PRUNING through the connector: a month-window report
