@@ -166,28 +166,17 @@ private[lake] object LakeResolver {
     }
 
     // 3. manifests of that snapshot, normalized across the metadata
-    //    layouts: content defaults to data, seq to 0, per-file base to the
-    //    snapshot's base column
-    val man = s.read.parquet(s"$metaRoot/manifests")
-    val mc = man.columns.map(_.toLowerCase).toSet
-    val snapBase: Map[Long, String] =
-      if (mc.contains("base")) Map.empty
-      else snaps.select($"snap_id", $"base").as[(Long, String)]
-        .collect().toMap
-    def colOr(name: String, dflt: org.apache.spark.sql.Column) =
-      if (mc.contains(name)) man(name) else dflt
-    import org.apache.spark.sql.functions.lit
-    val entries = man.filter($"snap_id" === snapId)
-      .select(colOr("content", lit("data")).as("content"), $"file",
-        colOr("base", lit("")).as("base"),
-        colOr("seq", lit(0L)).cast("long").as("seq"),
-        colOr("key_col", lit("")).as("key_col"))
+    //    layouts (content defaults to data, seq to 0, per-root base
+    //    resolution) and unioned across the commit chain's parent roots
+    //    — the snapshot's rows live in exactly one chain root
+    val entries = LakeFilters.normalizedManifests(s, metaRoot)
+      .filter($"snap_id" === snapId)
+      .select($"content", $"file", $"base", $"seq", $"key_col")
       .as[(String, String, String, Long, String)].collect()
       .map { case (c, f, b, q, k) =>
-        val base = if (b.nonEmpty) normPath(b)
-          else normPath(snapBase.getOrElse(snapId, sys.error(
-            s"graft-lake: snapshot $snapId has no base for $f")))
-        (c, normPath(f), base, q, k)
+        require(b.nonEmpty,
+          s"graft-lake: snapshot $snapId has no base for $f")
+        (c, normPath(f), normPath(b), q, k)
       }
     // entries MAY be empty: a table bootstrapped by CREATE TABLE has a
     // zero-row manifest at snapshot 0 (the require after `declared`
@@ -539,14 +528,15 @@ private[lake] class GraftLakeTable(
       .write.mode("overwrite").parquet(root.resolve("eq").toString)
     val eqFiles = s.read.parquet(root.resolve("eq").toString)
       .inputFiles.map(LakeResolver.normLocal).toSeq
-    man
-      .unionByName(tip.withColumn("snap_id", lit(newSnap)))
+    // ONLY the new snapshot's rows — history stays in the parent chain
+    tip.withColumn("snap_id", lit(newSnap))
       .unionByName(eqFiles.toDF("file").select(
         lit(newSnap).as("snap_id"), lit("eq_del").as("content"), $"file",
         lit(root.resolve("eq").toString).as("base"), lit(newSeq).as("seq"),
         lit(resolved.indexCol).as("key_col")))
       .coalesce(1)
       .write.mode("overwrite").parquet(root.resolve("manifests").toString)
+    LakeFilters.writeParentMarker(root, c.metaRoot)
     snaps.select($"snap_id", $"op", $"parent_id")
       .unionByName(Seq((newSnap, "eq_delete", c.snapId))
         .toDF("snap_id", "op", "parent_id"))
@@ -617,11 +607,52 @@ private[lake] object LakeFilters {
         .write.parquet(toRoot.resolve("tableschema").toString)
   }
 
+  /** The metadata-root PARENT CHAIN of a world: each connector commit
+    * writes ONLY its new snapshot's manifest rows plus a `parent_root`
+    * pointer to the world it committed against — O(live files) of
+    * metadata per commit instead of O(files × history) (rewriting the
+    * whole history per commit is quadratic over a commit chain; Iceberg
+    * avoids it the same way, with per-snapshot manifest files). Reading
+    * the TIP touches one root (the common case); time travel to an old
+    * snapshot walks as deep as that snapshot's root. Fixture worlds have
+    * no marker and are self-contained chain ends. A real catalog
+    * compacts long chains during maintenance — here chain length =
+    * commits per JVM session.
+    */
+  private[lake] def manifestRoots(metaRoot: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer(metaRoot)
+    var cur = metaRoot
+    var continue = true
+    while (continue) {
+      val m = java.nio.file.Paths.get(cur, "parent_root")
+      if (java.nio.file.Files.exists(m)) {
+        cur = new String(java.nio.file.Files.readAllBytes(m), "UTF-8").trim
+        require(!out.contains(cur),
+          s"graft-lake: parent_root cycle through $cur")
+        out += cur
+      } else continue = false
+    }
+    out.toSeq
+  }
+
+  /** One commit's parent pointer. */
+  def writeParentMarker(root: java.nio.file.Path, parent: String): Unit =
+    java.nio.file.Files.write(root.resolve("parent_root"),
+      parent.getBytes("UTF-8"))
+
   /** A metadata world's manifests normalized to the full-width shape
-    * (snap_id, content, file, base, seq, key_col) — per-snapshot base
-    * resolved through the snapshots table when manifests carry none.
+    * (snap_id, content, file, base, seq, key_col), UNIONED across the
+    * parent-root chain — per-snapshot base resolved through each root's
+    * own snapshots table when its manifests carry none. Every snapshot's
+    * rows live in exactly one chain root (commits write only their new
+    * snapshot; fixture roots are self-contained), so the union never
+    * duplicates an entry.
     */
   def normalizedManifests(
+      s: SparkSession, metaRoot: String): org.apache.spark.sql.DataFrame =
+    manifestRoots(metaRoot).map(normalizeOne(s, _)).reduce(_ unionByName _)
+
+  private def normalizeOne(
       s: SparkSession, metaRoot: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.lit
     val man = s.read.parquet(s"$metaRoot/manifests")
@@ -697,14 +728,15 @@ private[lake] class LakeAppendWrite(
       val snaps = s.read.parquet(s"${ctx.metaRoot}/snapshots")
       val newSnap = snaps.agg(org.apache.spark.sql.functions.max($"snap_id"))
         .as[Long].head() + 1L
-      man
-        .unionByName(tip.withColumn("snap_id", lit(newSnap)))
+      // ONLY the new snapshot's rows — history stays in the parent chain
+      tip.withColumn("snap_id", lit(newSnap))
         .unionByName(files.toDF("file").select(
           lit(newSnap).as("snap_id"), lit("data").as("content"), $"file",
           lit(dataDir).as("base"), lit(newSeq).as("seq"),
           lit("").as("key_col")))
         .coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("manifests").toString)
+      LakeFilters.writeParentMarker(root, ctx.metaRoot)
       snaps.select($"snap_id", $"op", $"parent_id")
         .unionByName(Seq((newSnap, "append", ctx.snapId))
           .toDF("snap_id", "op", "parent_id"))
@@ -827,9 +859,11 @@ private[lake] class LakeOverwriteWrite(
           lit(newSnap).as("snap_id"), lit("data").as("content"), $"file",
           lit(dataDir).as("base"), lit(newSeq).as("seq"),
           lit("").as("key_col"))
-      man.unionByName(carried).unionByName(fresh)
+      // ONLY the new snapshot's rows — history stays in the parent chain
+      carried.unionByName(fresh)
         .coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("manifests").toString)
+      LakeFilters.writeParentMarker(root, ctx.metaRoot)
       snaps.select($"snap_id", $"op", $"parent_id")
         .unionByName(Seq((newSnap, opName, ctx.snapId))
           .toDF("snap_id", "op", "parent_id"))
@@ -957,9 +991,11 @@ private[lake] class LakeReplaceWrite(
           lit(newSnap).as("snap_id"), lit("data").as("content"), $"file",
           lit(dataDir).as("base"), lit(newSeq).as("seq"),
           lit("").as("key_col"))
-      man.unionByName(carried).unionByName(fresh)
+      // ONLY the new snapshot's rows — history stays in the parent chain
+      carried.unionByName(fresh)
         .coalesce(1)
         .write.mode("overwrite").parquet(root.resolve("manifests").toString)
+      LakeFilters.writeParentMarker(root, ctx.metaRoot)
       snaps.select($"snap_id", $"op", $"parent_id")
         .unionByName(Seq((newSnap, s"cow_$op", ctx.snapId))
           .toDF("snap_id", "op", "parent_id"))
@@ -1167,12 +1203,17 @@ class GraftLakeCatalog
       val parent = ident.namespace()(0)
       val (_, metaRoot, _) = latest(s, parent).filter(_._2.nonEmpty)
         .getOrElse(throw new NoSuchTableException(ident))
-      val dir = s"$metaRoot/${ident.name}"
-      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
-        throw new NoSuchTableException(ident)
-      val files = s.read.parquet(dir).inputFiles
+      // `.manifests` spans the commit chain (each root carries only its
+      // own snapshot's rows); snapshots/refs_log are complete at the tip
+      val dirs = (if (ident.name == "manifests")
+          LakeFilters.manifestRoots(metaRoot)
+        else Seq(metaRoot))
+        .map(r => s"$r/${ident.name}")
+        .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+      if (dirs.isEmpty) throw new NoSuchTableException(ident)
+      val files = dirs.flatMap(d => s.read.parquet(d).inputFiles)
         .map(LakeResolver.normLocal).sorted.toIndexedSeq
-      val schema = s.read.parquet(dir).schema
+      val schema = s.read.parquet(dirs.head).schema
       return new GraftLakeTable(ResolvedLakeTable(
         s"$parent.${ident.name}", schema, Seq.empty, Map.empty,
         files.map(f => LakeFileSpec(f, 0L, Map.empty, Map.empty, null, null)),
@@ -1294,8 +1335,12 @@ class GraftLakeCatalog
         s"graft-lake: only ADD COLUMNS is supported, got $c")
     }
     val newRoot = graft.Fixtures.tempDir("graft_lakealter")
-    s.read.parquet(s"$metaRoot/manifests").coalesce(1)
-      .write.parquet(newRoot.resolve("manifests").toString)
+    // no new snapshot: a zero-row manifest + the parent marker — every
+    // existing snapshot's rows resolve through the chain
+    Seq.empty[(Long, String, String, String, Long, String)]
+      .toDF("snap_id", "content", "file", "base", "seq", "key_col")
+      .coalesce(1).write.parquet(newRoot.resolve("manifests").toString)
+    LakeFilters.writeParentMarker(newRoot, metaRoot)
     s.read.parquet(s"$metaRoot/snapshots").coalesce(1)
       .write.parquet(newRoot.resolve("snapshots").toString)
     (cur.toSeq ++ adds.zipWithIndex.map { case ((n, t), i) =>

@@ -486,6 +486,28 @@ class LakeSqlSpec extends AnyFunSuite {
       s"VERSION AS OF $v1") == 3L)
   }
 
+  test("commit metadata is O(live files): a commit's own manifests carry " +
+      "ONLY the new snapshot's rows plus a parent_root pointer — history " +
+      "resolves through the chain, not a per-commit rewrite") {
+    import spark.implicits._
+    // ship_fact has had many DML commits by this point in the suite
+    val (metaRoot, snap) = spark.read.parquet(
+        s"${spark.conf.get("spark.sql.catalog.graft_lake.catalogDir")}/catalog_log")
+      .filter($"table_name" === "ship_fact").orderBy($"version".desc)
+      .select($"meta_root", $"snap_id").as[(String, Long)].head()
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(metaRoot, "parent_root")),
+      "a DML commit must write the parent_root pointer")
+    val own = spark.read.parquet(s"$metaRoot/manifests")
+    assert(own.filter($"snap_id" =!= snap).count() == 0L,
+      "a commit's own manifests must carry only its new snapshot's rows")
+    // and the chain still serves every snapshot: the chained view holds
+    // strictly more snapshots than the tip root alone
+    val chained = LakeFilters.normalizedManifests(spark, metaRoot)
+    assert(chained.select($"snap_id").distinct().count() >
+      own.select($"snap_id").distinct().count())
+  }
+
   test("metadata tables: <cat>.<table>.snapshots / .manifests serve the " +
       "table's own metadata through the connector") {
     import spark.implicits._
