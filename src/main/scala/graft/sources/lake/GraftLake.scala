@@ -367,7 +367,8 @@ private[lake] class GraftLakeTable(
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   override def name(): String = resolved.name
   override def schema(): StructType = resolved.schema
 
@@ -477,6 +478,43 @@ private[lake] class GraftLakeTable(
           : org.apache.spark.sql.connector.write.RowLevelOperation =
         new LakeRowLevelOperation(resolved, c, info.command())
     }
+  }
+
+  /** `TRUNCATE TABLE` — one metadata commit whose snapshot carries ZERO
+    * entries (data and delete files both: nothing remains for deletes to
+    * apply to). History stays time-travelable; the name keeps its schema.
+    */
+  override def truncateTable(): Boolean = {
+    val c = ctx.getOrElse(sys.error(
+      "graft-lake: TRUNCATE needs a catalog-resolved table"))
+    val s = SparkSession.active
+    import s.implicits._
+    import org.apache.spark.sql.functions.lit
+    // an empty snapshot can only resolve through a DECLARED schema — a
+    // footer-schema world would have no file left to infer from
+    require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"${c.metaRoot}/tableschema")),
+      "graft-lake: TRUNCATE needs a declared-schema table (CREATE TABLE " +
+        "/ CTAS worlds); use INSERT OVERWRITE or DELETE on this table")
+    val snaps = s.read.parquet(s"${c.metaRoot}/snapshots")
+    val newSnap = snaps.agg(org.apache.spark.sql.functions.max($"snap_id"))
+      .as[Long].head() + 1L
+    val root = graft.Fixtures.tempDir("graft_laketruncate")
+    Seq.empty[(Long, String, String, String, Long, String)]
+      .toDF("snap_id", "content", "file", "base", "seq", "key_col")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(root.resolve("manifests").toString)
+    LakeFilters.writeParentMarker(root, c.metaRoot)
+    snaps.select($"snap_id", $"op", $"parent_id")
+      .unionByName(Seq((newSnap, "truncate", c.snapId))
+        .toDF("snap_id", "op", "parent_id"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(root.resolve("snapshots").toString)
+    LakeFilters.carryTableSchema(s, c.metaRoot, root)
+    graft.operators.PipelineOps.catalogCommit(
+      s, s"${c.catalogLogDir}/catalog_log", c.table,
+      expectedVersion = c.version, metaRoot = root.toString, snapId = newSnap)
+    true
   }
 
   /** DELETE FROM fast path (VERDICT r15 #6): KEY-equality predicates —

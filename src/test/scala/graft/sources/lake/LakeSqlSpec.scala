@@ -486,6 +486,25 @@ class LakeSqlSpec extends AnyFunSuite {
       s"VERSION AS OF $v1") == 3L)
   }
 
+  test("TRUNCATE TABLE: one zero-entry metadata commit — history " +
+      "time-travels, the schema survives, the table refills") {
+    import spark.implicits._
+    def one(q: String): Long = spark.sql(q).as[Long].head()
+    spark.sql("CREATE TABLE graft_lake.trunc_t (a BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft_lake.trunc_t VALUES (1, 'x'), (2, 'y')")
+    val vFull = spark.read.parquet(
+        s"${spark.conf.get("spark.sql.catalog.graft_lake.catalogDir")}/catalog_log")
+      .filter($"table_name" === "trunc_t").agg(max($"version")).as[Long].head()
+    spark.sql("TRUNCATE TABLE graft_lake.trunc_t")
+    assert(one("SELECT count(*) AS n FROM graft_lake.trunc_t") == 0L)
+    assert(one(s"SELECT count(*) AS n FROM graft_lake.trunc_t " +
+      s"VERSION AS OF $vFull") == 2L)
+    spark.sql("INSERT INTO graft_lake.trunc_t VALUES (9, 'z')")
+    assert(spark.sql("SELECT a, p FROM graft_lake.trunc_t")
+      .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+  }
+
   test("commit metadata is O(live files): a commit's own manifests carry " +
       "ONLY the new snapshot's rows plus a parent_root pointer — history " +
       "resolves through the chain, not a per-commit rewrite") {
