@@ -1519,7 +1519,28 @@ private[lake] class GraftLakeScan(
     files0: Seq[LakeFileSpec],
     required: StructType,
     options: Map[String, String] = Map.empty) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Planner statistics = total bytes of the PRUNED file list (post
+    * partition/bloom pushdown — the same number Spark's own file scans
+    * report). Without this a DSv2 relation defaults to Long.MaxValue
+    * size and a small lake dimension NEVER auto-broadcasts — every join
+    * against the lakehouse would sort-merge unless hand-hinted.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val bytes = files.map { f =>
+      try java.nio.file.Files.size(java.nio.file.Paths.get(f.path))
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   // runtime group filtering (`_file IN (…)` from the row-level rewrite,
   // or any DPP probe on a partition column) shrinks this AFTER build

@@ -224,6 +224,23 @@ class LakeConnectorSpec extends AnyFunSuite {
       viaLibrary.exceptAll(viaConnector).isEmpty)
   }
 
+  test("the scan reports pruned-size statistics: a small lake read " +
+      "auto-broadcasts in a join, no hint needed") {
+    import spark.implicits._
+    val meta = LakeFixture.lakeMetaDir(spark, sfDir)
+    val dim = spark.read.format("graft-lake")
+      .option("metaRoot", meta).option("snapshot", "1").load()
+      .select($"l_orderkey", $"net_cents")
+    val fact = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_quantity")
+    val joined = fact.join(dim, "l_orderkey")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a sub-threshold lake side must auto-broadcast (needs the scan's " +
+        s"size statistics):\n$plan")
+  }
+
   test("streaming source: one micro-batch per appended snapshot, emitted " +
       "rows == the batch incremental append scan (VERDICT r16 #5)") {
     import spark.implicits._
