@@ -26,6 +26,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Manifest-addressed reads pass explicit LEAF-FILE paths (already
+      // resolved from snapshot metadata, never a directory tree). The
+      // default threshold (32) schedules a distributed listing job to stat
+      // them — ~0.4 s of pure scheduling per read at any scale, since each
+      // path is one getFileStatus. Driver-side stat up to 512 such paths
+      // is strictly cheaper on a cluster too (Iceberg/Delta readers never
+      // run listing jobs for manifest-resolved files); real directory
+      // discovery above 512 paths still parallelizes. Guide §6/§7.3.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

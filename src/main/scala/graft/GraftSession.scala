@@ -28,6 +28,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Manifest-addressed snapshot reads pass explicit leaf-file paths;
+      // statting up to 512 of them on the driver beats scheduling a
+      // distributed listing job (see Bench.scala for the rationale).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
   }

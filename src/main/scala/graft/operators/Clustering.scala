@@ -70,44 +70,70 @@ object Clustering {
     * table → (vec_id, cid). See the object Scaladoc for the exact-integer
     * distance argument.
     */
-  private def kmeansAssign(u: DataFrame): DataFrame = kmeansModel(u)._2
-
-  /** [[kmeansAssign]] plus the model internals for quality reporting:
-    * (iteration-1 assignments a1, final assignments a2, centroid table
-    * cn(cid, s, n), quantized vectors q).
-    * `n` is the ITERATION-1 member count the centroid `s/n` is defined
-    * over — inertia against that centroid must divide by the same n even
-    * though final membership comes from a2.
-    */
-  private def kmeansModel(u: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  private def kmeansAssign(u: DataFrame): DataFrame = {
     val s = u.sparkSession
     import s.implicits._
-    val q = quantized(u).cache() // read by both assignment passes + the centroid update (spills; Bench clears)
+    kmeansModel(u)._1.select($"vec_id", $"cid")
+  }
+
+  /** Per-row argmin over a broadcast 1-row array of K centroid structs:
+    * sorting the K (dist, cid) pairs and taking the first reproduces the
+    * previous `row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+    * = 1` rule exactly (same dist doubles, same lowest-cid tie break) with
+    * ZERO data movement — the old form exploded every vector ×K and paid a
+    * full Exchange+Sort+Window per Lloyd pass (guide §2.4: remove shuffles
+    * outright; measured r17-opt: sim_kmeans_clusters plan 15 Exchanges /
+    * 6 Windows / 3 SMJ → 4 Exchanges / 0 Windows / 0 SMJ).
+    */
+  private def argminCid(cents: Column, dist: Column => Column): Column =
+    element_at(array_sort(transform(cents, c =>
+      struct(dist(c).as("dist"), c("cid").as("cid")))), 1)("cid")
+
+  /** [[kmeansAssign]] plus the model internals for quality reporting:
+    * (asg, cn) where asg = (vec_id, emb, qv, cid1, cid) — the unit vector,
+    * its quantized form, the iteration-1 assignment and the FINAL
+    * assignment on one cached row (consumers needing vectors + assignment
+    * no longer pay a vec_id join) — and cn = (cid, s, n), the exact
+    * integer centroid table. `n` is the ITERATION-1 member count the
+    * centroid `s/n` is defined over — inertia against that centroid must
+    * divide by the same n even though final membership comes from asg.cid.
+    *
+    * Scale shape (guide §2/§3): both Lloyd passes are map-only projections
+    * against a broadcast K-struct array (the corpus never shuffles); the
+    * centroid update is one partial+final hash aggregation with Dims
+    * integer-sum buffers keyed by cid (K groups) — the lone shuffle, K
+    * rows wide after map-side combine. Integer sums are order-invariant,
+    * so values are bit-identical to the old posexplode/window form.
+    */
+  private def kmeansModel(u: DataFrame): (DataFrame, DataFrame) = {
+    val s = u.sparkSession
+    import s.implicits._
+    val q = u.select($"vec_id", $"emb",
+      transform($"emb", x => round(x * QScale, 0)).as("qv"))
     val seeds = q.filter($"vec_id" % SeedStride === 0 && $"vec_id" < SeedStride * K)
       .select(($"vec_id" / SeedStride).cast("long").as("cid"), $"qv".as("m"))
-    val w = Window.partitionBy($"vec_id").orderBy($"dist", $"cid")
-    val a1 = q.crossJoin(broadcast(seeds)) // K rows — schema-bounded broadcast
-      .withColumn("dist",
-        vecDot($"qv", $"qv") - lit(2) * vecDot($"qv", $"m") + vecDot($"m", $"m"))
-      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"vec_id", $"cid")
-    val n1 = a1.groupBy($"cid").agg(count(lit(1)).as("n"))
-    // Exact integer centroid state: per-dimension sums via posexplode →
-    // partial+final sum (order-invariant because the addends are integers),
-    // reassembled into an array ordered by dimension.
-    val sums = a1.join(q, "vec_id")
-      .select($"cid", posexplode($"qv").as(Seq("i", "v")))
-      .groupBy($"cid", $"i").agg(sum($"v").as("sm"))
-      .groupBy($"cid")
-      .agg(transform(array_sort(collect_list(struct($"i", $"sm"))), x => x("sm")).as("s"))
-    val cn = sums.join(n1, "cid")
-    val a2 = q.crossJoin(broadcast(cn)) // K rows again
-      .withColumn("dist",
-        ($"n" * $"n" * vecDot($"qv", $"qv") - lit(2) * $"n" * vecDot($"qv", $"s")
-          + vecDot($"s", $"s")) / ($"n" * $"n"))
-      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"vec_id", $"cid")
-    (a1, a2, cn, q)
+    val seedArr = seeds.agg(array_sort(collect_list(struct($"cid", $"m"))).as("cents"))
+    val asg1 = q.crossJoin(broadcast(seedArr))
+      .select($"vec_id", $"emb", $"qv",
+        argminCid($"cents", c =>
+          vecDot($"qv", $"qv") - lit(2) * vecDot($"qv", c("m")) + vecDot(c("m"), c("m")))
+          .as("cid1"))
+      .cache() // read by the centroid update AND the final pass (Bench clears)
+    // Exact integer centroid state: Dims per-dimension integer sums as
+    // parallel aggregate buffers (map-side combinable; every partial stays
+    // an exact integer ≪ 2^53, so any partitioning yields the same array).
+    val sumCols = (0 until Dims).map(i => sum(element_at($"qv", i + 1)).as(s"s_$i"))
+    val cn = asg1.groupBy($"cid1".as("cid"))
+      .agg(count(lit(1)).as("n"), sumCols: _*)
+      .select($"cid", array((0 until Dims).map(i => col(s"s_$i")): _*).as("s"), $"n")
+    val cnArr = cn.agg(array_sort(collect_list(struct($"cid", $"s", $"n"))).as("cents"))
+    val asg = asg1.crossJoin(broadcast(cnArr))
+      .select($"vec_id", $"emb", $"qv", $"cid1",
+        argminCid($"cents", c =>
+          (c("n") * c("n") * vecDot($"qv", $"qv") - lit(2) * c("n") * vecDot($"qv", c("s"))
+            + vecDot(c("s"), c("s"))) / (c("n") * c("n")))
+          .as("cid"))
+    (asg, cn)
   }
 
   /** Oracle twin of [[kmeansAssign]]: CTE chain `q → seeds → a1 → cent →
@@ -199,10 +225,9 @@ object Clustering {
   private[graft] def semanticReplayInputs(
       s: SparkSession, d: String): (DataFrame, Array[(Long, Array[Double])], Double) = {
     import s.implicits._
-    val u = plantedUnit(s, d)
-    val (_, _, cn, q) = kmeansModel(u)
+    val (asg, cn) = kmeansModel(plantedUnit(s, d))
     val C = (1L << 26).toDouble
-    val vecs = u.join(q, "vec_id").select(
+    val vecs = asg.select(
       $"vec_id".as("vecId"),
       concat($"emb", transform($"qv", x => x / lit(C)), array(lit(-0.5 / C))).as("emb"))
     val cents = cn.collect().map { r =>
@@ -259,8 +284,8 @@ object Clustering {
     // no all-pairs anything.
     ("sim_ood_report", (s, d) => {
       import s.implicits._
-      val (_, a2, cn, q) = kmeansModel(oodUnit(s, d))
-      a2.join(q, "vec_id").join(broadcast(cn), "cid")
+      val (asg, cn) = kmeansModel(oodUnit(s, d))
+      asg.join(broadcast(cn), "cid")
         .withColumn("dist",
           ($"n" * $"n" * vecDot($"qv", $"qv") - lit(2) * $"n" * vecDot($"qv", $"s")
             + vecDot($"s", $"s")) / ($"n" * $"n"))
@@ -283,7 +308,9 @@ object Clustering {
       import s.implicits._
       val a2 = kmeansAssign(Similarity.vectors(s, d))
       val n2 = a2.groupBy($"cid").agg(count(lit(1)).as("cluster_size"))
-      a2.join(n2, "cid").select($"vec_id", $"cid", $"cluster_size").orderBy($"vec_id")
+      // n2 is K rows — broadcast beats the planner's size-estimate SMJ
+      a2.join(broadcast(n2), "cid")
+        .select($"vec_id", $"cid", $"cluster_size").orderBy($"vec_id")
     }, Some(
       s"""WITH v AS (
          |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
@@ -307,8 +334,8 @@ object Clustering {
     ("sim_kmeans_report", (s, d) => {
       graft.plans.GraftExtensions.register(s)
       import s.implicits._
-      val (_, a2, cn, q) = kmeansModel(Similarity.vectors(s, d))
-      a2.join(q, "vec_id").join(cn, "cid")
+      val (asg, cn) = kmeansModel(Similarity.vectors(s, d))
+      asg.join(broadcast(cn), "cid")
         .withColumn("num",
           ($"n" * $"n" * vecDot($"qv", $"qv") - lit(2) * $"n" * vecDot($"qv", $"s")
             + vecDot($"s", $"s")).cast("long"))
@@ -392,7 +419,7 @@ object Clustering {
         .groupBy($"cid").agg(bottomK($"k", $"vec_id").as("ids"))
         .select($"cid", posexplode($"ids").as(Seq("pos", "vec_id")))
         .select($"cid", ($"pos" + 1).cast("long").as("rank"), $"vec_id")
-        .join(n2, "cid")
+        .join(broadcast(n2), "cid") // K rows — skip the size-estimate SMJ
         .select($"cid", $"rank", $"vec_id", $"cluster_size")
         .orderBy($"cid", $"rank")
     }, Some(
@@ -419,16 +446,16 @@ object Clustering {
     ("sim_centroid_drift", (s, d) => {
       graft.plans.GraftExtensions.register(s)
       import s.implicits._
-      val (a1, a2, _, _) = kmeansModel(Similarity.vectors(s, d))
-      val both = a1.select($"vec_id", $"cid".as("cid1"))
-        .join(a2.select($"vec_id", $"cid".as("cid2")), "vec_id")
-        .cache() // read by the joined leg and the left leg
+      // asg carries both iterations' assignments on one row — the old
+      // a1 ⋈ a2 vec_id join (and its cache) is gone outright.
+      val (asg, _) = kmeansModel(Similarity.vectors(s, d))
+      val both = asg.select($"vec_id", $"cid1", $"cid".as("cid2"))
       val j = both.groupBy($"cid2".as("cid"))
         .agg(count(lit(1)).as("n_members"),
           sum(when($"cid1" =!= $"cid2", 1L).otherwise(0L)).as("n_joined"))
       val l = both.filter($"cid1" =!= $"cid2")
         .groupBy($"cid1".as("cid")).agg(count(lit(1)).as("n_left"))
-      j.join(l, Seq("cid"), "left")
+      j.join(broadcast(l), Seq("cid"), "left") // two K-row aggs — skip the SMJ
         .select($"cid", $"n_members", $"n_joined",
           coalesce($"n_left", lit(0L)).as("n_left"),
           round(($"n_members" - $"n_joined") / $"n_members".cast("double"), 4)
@@ -491,12 +518,15 @@ object Clustering {
           .as[(Long, Array[Double])].head()
         var chosen = Vector((0L, first._1, first._2, 0.0))
         for (r <- 1 until K) {
-          val cenDf = chosen.map(_._3).toDF("m")
-          val next = q.crossJoin(broadcast(cenDf))
-            .withColumn("dist",
-              vecDot($"qv", $"qv") - lit(2) * vecDot($"qv", $"m") + vecDot($"m", $"m"))
-            .groupBy($"vec_id").agg(min($"dist").as("dmin"))
-            .join(q, "vec_id")
+          // dmin as a map-side array_min over the ≤K chosen centers (a
+          // plan literal — they are driver state by construction), then
+          // TakeOrdered(1): the old crossJoin → groupBy-min → re-join form
+          // paid two exchanges per round for the same doubles (guide §2.4).
+          val cents = typedlit(chosen.map(_._3.toSeq).toSeq)
+          val next = q.select($"vec_id", $"qv",
+              array_min(transform(cents, m =>
+                vecDot($"qv", $"qv") - lit(2) * vecDot($"qv", m) + vecDot(m, m)))
+                .as("dmin"))
             .orderBy($"dmin".desc, $"vec_id").limit(1)
             .select($"vec_id", $"qv", $"dmin").as[(Long, Array[Double], Double)].head()
           chosen = chosen :+ ((r.toLong, next._1, next._2, next._3))
@@ -606,9 +636,10 @@ object Clustering {
   private[graft] def semanticVerdictFrame(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     import s.implicits._
-    val u = plantedUnit(s, d).cache() // read by kmeans + the pair scan
-    val (_, a2, _, q) = kmeansModel(u)
-    semanticDropFlags(u, a2, q, SemDedupShardCap)
+    // kmeansModel's cached asg row carries (emb, qv, cid) together, so the
+    // pair scan needs no separate u cache and no vec_id re-joins.
+    val (asg, _) = kmeansModel(plantedUnit(s, d))
+    semanticDropFlags(asg.select($"vec_id", $"emb", $"qv", $"cid"), SemDedupShardCap)
   }
 
   private val semVerdictDirCache =
@@ -635,25 +666,28 @@ object Clustering {
     * near-dup pair scan among survivors. Package-private so the skew spec
     * can drive it with a small cap.
     *
-    * @param u  (vec_id, emb) unit vectors
-    * @param a2 (vec_id, cid) cluster assignment
-    * @param q  (vec_id, qv) integer-quantized vectors
+    * Takes ONE (vec_id, emb, qv, cid) frame (kmeansModel's asg shape):
+    * carrying emb/qv alongside the assignment removes the two vec_id
+    * re-joins the old (u, a2, q) form paid — the payload rides the one
+    * (cid, qv) exact-dup shuffle instead of shuffling u twice more
+    * (guide §2.3/§2.4; the exact-dup rule and pair scan are unchanged).
+    *
+    * @param asg (vec_id, emb, qv, cid) — unit vector, quantized vector,
+    *            cluster assignment on one row
     */
-  private[operators] def semanticDropFlags(
-      u: DataFrame, a2: DataFrame, q: DataFrame, cap: Int): DataFrame = {
-    val s = u.sparkSession
+  private[operators] def semanticDropFlags(asg: DataFrame, cap: Int): DataFrame = {
+    val s = asg.sparkSession
     import s.implicits._
     val wExact = Window.partitionBy($"cid", $"qv")
-    val ex = a2.join(q, "vec_id")
+    val ex = asg.select($"vec_id", $"cid", $"qv", $"emb")
       .withColumn("keeper", min($"vec_id").over(wExact))
-      .select($"vec_id", $"cid", $"keeper")
-    val survivors = ex.filter($"vec_id" === $"keeper").select($"vec_id", $"cid")
+    val survivors = ex.filter($"vec_id" === $"keeper")
+      .select($"vec_id", $"cid", $"emb")
     val sz = survivors.groupBy($"cid").agg(count(lit(1)).as("n_c"))
-    val sharded = survivors.join(sz, "cid")
+    val sharded = survivors.join(broadcast(sz), "cid") // K rows of counts
       .withColumn("scell",
         pmod(h60(concat(lit("sc"), $"vec_id".cast("string"))),
           ceil($"n_c" / lit(cap.toDouble)).cast("long")))
-      .join(u, "vec_id")
     val near = sharded.as("a").join(sharded.as("b"),
         $"a.cid" === $"b.cid" && $"a.scell" === $"b.scell" &&
           $"a.vec_id" < $"b.vec_id") // shuffle on (cid, scell): ~cap² pair squares
@@ -661,7 +695,7 @@ object Clustering {
       .select($"b.vec_id".as("vec_id"))
     val dropped = ex.filter($"vec_id" > $"keeper").select($"vec_id")
       .unionByName(near).distinct().withColumn("dropped", lit(true))
-    a2.join(dropped, Seq("vec_id"), "left")
+    asg.select($"vec_id", $"cid").join(dropped, Seq("vec_id"), "left")
       .select($"vec_id", $"cid", coalesce($"dropped", lit(false)).as("dropped"))
   }
 

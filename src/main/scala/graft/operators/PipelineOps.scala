@@ -73,13 +73,21 @@ object PipelineOps {
       val li = Tables.lineitem(s, d)
       def profile(src: DataFrame, c: String): DataFrame = {
         val vals = src.select(col(c).cast("long").as("v"))
-        val kmv = vals.distinct()
+        // ONE distinct pass feeds both the KMV sketch and the exact NDV:
+        // the two subtrees share the same canonicalized shuffle, so
+        // ReuseExchange computes it once — the old form paid the distinct
+        // shuffle for the sketch plus a second Expand+shuffle inside
+        // countDistinct for the same set (guide §2.4), ×12 profiles.
+        val dv = vals.distinct()
+        val kmv = dv
           .select(h60(concat(lit(c + ":"), $"v")).as("h"))
           .orderBy($"h").limit(64)
           .agg(sort_array(collect_list($"h")).as("kmv"))
         vals.agg(count(lit(1)).as("n"), min($"v").as("min_v"),
-            max($"v").as("max_v"), countDistinct($"v").as("ndv_exact"))
+            max($"v").as("max_v"))
+          .crossJoin(dv.agg(count(lit(1)).as("ndv_exact")))
           .crossJoin(kmv)
+          .select($"n", $"min_v", $"max_v", $"ndv_exact", $"kmv")
       }
       def one(c: String): DataFrame = {
         val base = profile(li.filter($"l_orderkey" % 10 =!= 9), c)
@@ -3594,11 +3602,14 @@ object PipelineOps {
       // NOT cached: measured 1.24 s uncached vs 1.61 s cached at sf0.1 — the
       // exploded token table is corpus×tokens rows of tiny tuples, so the
       // memory write outweighs re-running the cheap explode per leg.
-      val rc = tok.groupBy($"b").agg(count(lit(1)).as("rc"))
-      val tc = tok.filter($"lang" === "en").groupBy($"b").agg(count(lit(1)).as("tc"))
-      val ratio = rc.join(tc, Seq("b"), "left")
-        .select($"b",
-          expr("(1000000L * (coalesce(tc, 0L) + 1)) div (rc + 1)").as("q"))
+      // rc and tc in ONE bucket aggregation (conditional count ≡ the old
+      // left-joined en-only count, including the coalesce-to-0 case): the
+      // old form paid a second full pass over the exploded tokens plus an
+      // rc⋈tc shuffle join for counts of the same rows (guide §2.4).
+      val ratio = tok.groupBy($"b")
+        .agg(count(lit(1)).as("rc"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("tc"))
+        .select($"b", expr("(1000000L * (tc + 1)) div (rc + 1)").as("q"))
       tok.join(broadcast(ratio), "b")
         .groupBy($"doc_id")
         .agg(first($"lang").as("lang"),
@@ -5241,10 +5252,27 @@ object PipelineOps {
       s: SparkSession, d: String, files: Seq[String]): DataFrame =
     readMatchedFiles(s, bloomIdxDataDir(s, d), files)
 
+  /** Per-JVM cache of each fixture world's file schema, keyed by the
+    * discovery base. Every manifest-addressed world is schema-homogeneous
+    * by construction (mutation chains rewrite files at the world's one
+    * schema; the schema-EVOLUTION worlds go through [[idMappedRelease]],
+    * never here), so handing the reader an explicit schema is exactly what
+    * an Iceberg scan does — the schema comes from table metadata, not from
+    * a per-query footer-inference job. Measured (r17-opt, TimeTT): each
+    * warm readSnapshot construction dropped ~0.3-0.5 s of inference job;
+    * the time-travel family runs 2-3 such constructions per pass.
+    */
+  private val scanSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private[graft] def readMatchedFiles(
       s: SparkSession, base: String, files: Seq[String]): DataFrame =
     if (files.isEmpty) s.read.parquet(base).filter(lit(false))
-    else s.read.option("basePath", base).parquet(files: _*)
+    else {
+      val schema = scanSchemaCache.computeIfAbsent(base,
+        _ => s.read.parquet(files.head).schema)
+      s.read.option("basePath", base).schema(schema).parquet(files: _*)
+    }
 
   /** `input_file_name()` / `DataFrame.inputFiles` URI → plain local path
     * (`file:///tmp/x` and `file:/tmp/x` both → `/tmp/x`); identity for a

@@ -1125,7 +1125,8 @@ object TextOps {
         .select($"w", size(split(trim($"seq"), " ")).cast("long").as("n_sym"))
       Tables.documents(s, d)
         .select($"doc_id", explode(tokens($"text")).as("w"))
-        .join(wordCost, "w")
+        // vocab-bounded lookup side — broadcast, never shuffle the corpus
+        .join(broadcast(wordCost), "w")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_words"),
           sum(length($"w")).cast("long").as("n_alpha_chars"),
@@ -1163,7 +1164,8 @@ object TextOps {
         .select($"w", size(split(trim($"seq"), " ")).cast("long").as("n_sym"))
       Tables.documents(s, d)
         .select($"doc_id", $"lang", explode(tokens($"text")).as("w"))
-        .join(wordCost, "w")
+        // vocab-bounded lookup side — broadcast, never shuffle the corpus
+        .join(broadcast(wordCost), "w")
         .groupBy($"lang")
         .agg(countDistinct($"doc_id").as("n_docs"),
           count(lit(1)).as("n_words"),
@@ -1215,10 +1217,15 @@ object TextOps {
             |  transform(sequence(i + 1, least(i + 4, size(t) - 1)), j ->
             |    struct(t[i] AS a, t[j] AS b))))""".stripMargin)).as("p"))
         .select($"p.a", $"p.b")
+      // Marginals and the total ROLL UP from the pair-count table (c_a =
+      // Σ_b c_ab etc. — identical integers): the old form re-ran the
+      // corpus-wide pair emission four times, once per count table; now
+      // the corpus is scanned once and the three secondary aggs reduce the
+      // vocab²-bounded cAb (guide §2.3 "aggregate before you shuffle").
       val cAb = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
-      val cA = pairs.groupBy($"a").agg(count(lit(1)).as("c_a"))
-      val cB = pairs.groupBy($"b").agg(count(lit(1)).as("c_b"))
-      val n = pairs.agg(count(lit(1)).as("n_pairs"))
+      val cA = cAb.groupBy($"a").agg(sum($"c_ab").as("c_a"))
+      val cB = cAb.groupBy($"b").agg(sum($"c_ab").as("c_b"))
+      val n = cAb.agg(sum($"c_ab").as("n_pairs"))
       cAb.join(broadcast(cA), "a").join(broadcast(cB), "b").crossJoin(broadcast(n))
         .filter($"c_ab" >= 5)
         .withColumn("assoc_e4", expr("((c_ab * 10000L) div c_a) * n_pairs div c_b"))
@@ -1275,7 +1282,10 @@ object TextOps {
         .select($"doc_id", $"b.w1", $"b.w2")
       val train = bigrams(doc)
       val c2 = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-      val c1l = train.groupBy($"w1").agg(count(lit(1)).as("c1l"))
+      // left marginal rolled up from c2 (identical integers — Σ_w2 c2 is
+      // the train count per w1): one corpus bigram pass instead of two,
+      // same as the Kneser-Ney twin's ctx derivation (guide §2.3)
+      val c1l = c2.groupBy($"w1").agg(sum($"c2").as("c1l"))
       val vb = doc.select(explode(transform(tokens($"text"), t => lower(t))).as("w"))
         .agg(countDistinct($"w").as("v"))
       val db = bigrams(scored).groupBy($"doc_id", $"w1", $"w2")
@@ -1472,7 +1482,10 @@ object TextOps {
       val ws = withLen.groupBy($"tok")
         .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
         .select($"tok", expr("(10000L * deg) div freq").as("wscore"))
-      withLen.join(ws, "tok")
+      // ws is vocabulary-bounded — broadcast keeps the exploded corpus
+      // un-shuffled by tok, and the following (doc_id, grp) agg then
+      // reuses the window's doc_id partitioning with no new Exchange
+      withLen.join(broadcast(ws), "tok")
         .groupBy($"doc_id", $"grp")
         .agg(
           array_join(transform(array_sort(collect_list(struct($"pos", $"tok"))),

@@ -84,9 +84,9 @@ class ClusteringSpec extends AnyFunSuite {
       (1000L + k, Array(1.0 / n, e / n, 0.0, 0.0))
     }
     val u = (dups ++ nears).toDF("vec_id", "emb").repartition(4)
-    val a2 = u.select($"vec_id", lit(0L).as("cid"))
-    val q = u.select($"vec_id", transform($"emb", x => round(x * 1024, 0)).as("qv"))
-    val out = Clustering.semanticDropFlags(u, a2, q, cap)
+    def asgOf(uf: org.apache.spark.sql.DataFrame) = uf.select($"vec_id", $"emb",
+      transform($"emb", x => round(x * 1024, 0)).as("qv"), lit(0L).as("cid"))
+    val out = Clustering.semanticDropFlags(asgOf(u), cap)
       .select($"vec_id", $"dropped").as[(Long, Boolean)].collect().toMap
     assert(out.size == 450)
     // stage 1: every exact copy dropped, shard-blind (the cap cannot cost
@@ -111,7 +111,7 @@ class ClusteringSpec extends AnyFunSuite {
         s"survivor $id: got ${out(id)}, expected ${expectedSurvivorDrops.contains(id)}")
     }
     // determinism across partitionings
-    val out2 = Clustering.semanticDropFlags(u.repartition(7), a2, q, cap)
+    val out2 = Clustering.semanticDropFlags(asgOf(u.repartition(7)), cap)
       .select($"vec_id", $"dropped").as[(Long, Boolean)].collect().toMap
     assert(out2 == out)
   }
